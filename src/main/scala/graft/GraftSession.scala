@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Session factory + table registry for the graft engine.
+  *
+  * Design notes (100 TB posture):
+  *  - All configuration is declarative SQLConf: AQE on (runtime re-planning,
+  *    skew-join splitting, shuffle coalescing), UTC session timezone (both
+  *    engines of the oracle pair run UTC), shuffle parallelism sized to the
+  *    cluster (32 here = local[32]; on a real cluster this would be
+  *    ~2-3x total executor cores, or left to AQE coalescing).
+  *  - `events.ts` is parquet TIMESTAMP(NANOS); Spark 4.x refuses it unless
+  *    `spark.sql.legacy.parquet.nanosAsLong=true`, after which the column
+  *    arrives as LongType nanos and is converted once, at view-definition
+  *    time, to a microsecond TimestampType (`timestamp_micros(ts div 1000)`).
+  *    Integer `div` (not `/`) avoids the double-precision detour that would
+  *    cost ~µs accuracy at 1.7e18 ns epochs.
+  *  - At 100 TB events would be written time-bucketed
+  *    (`partitionBy("day")`) + optionally bucketed by series hash, so the
+  *    WHERE ts range / series filters in the §2 queries become partition
+  *    pruning + bucket-local scans instead of full scans. The loaders here
+  *    read the driver's single-file-per-table layout, but every query is
+  *    written against *views*, so swapping the storage layout touches only
+  *    this file.
+  */
+object GraftSession {
+
+  /** Runtime SQL confs every entry point needs, applicable to an existing
+    * session (all of these are runtime-settable SQLConfs). */
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark
+  }
+
+  /** Standalone builder for tests/benchmarks. */
+  def build(appName: String = "graft", master: String = s"local[${defaultCpus}]"): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .appName(appName)
+      .master(master)
+      .config("spark.sql.shuffle.partitions", defaultCpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  def defaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+}
+
+/** Lazy per-(session, dir) table loaders. Every §2 query goes through these
+  * so the physical layout (single parquet file now; day-partitioned +
+  * series-bucketed at scale) is a private detail of this object. */
+object Tables {
+  val starTables: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+  val llmTables: Seq[String] = Seq("documents", "embeddings")
+  val all: Seq[String] = starTables ++ llmTables :+ "events"
+
+  private def raw(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame   = raw(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame   = raw(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = raw(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = raw(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = raw(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame   = raw(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = raw(s, d, "lineitem")
+  def documents(s: SparkSession, d: String): DataFrame  = raw(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = raw(s, d, "embeddings")
+
+  /** events with ts normalized from nanos-as-long to TimestampType (µs).
+    * See GraftSession scaladoc for why. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  def byName(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir) else raw(spark, dir, name)
+
+  /** Register every table as a temp view (multi-table catalog — Q03). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => byName(spark, dir, n).createOrReplaceTempView(n))
+}

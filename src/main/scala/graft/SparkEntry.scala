@@ -1,13 +1,531 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (the t2 inventory).
+  *
+  * Every implemented operator has a `queries` entry; operators whose output
+  * is SQL-expressible also have an `oracleSql` DuckDB twin over the same
+  * parquet tables (names = file stems). Column names and order semantics are
+  * aligned pairwise; every floating aggregate is ROUND-ed identically on
+  * both sides (SURVEY §5.3 determinism rules).
+  *
+  * Queries with no oracle (rows-only check, per SURVEY §2): q21 (HLL sketch
+  * internals engine-specific — tolerance-tested in RelationalSpec), x01
+  * (SimHash — hash-scheme-specific), x09 (multimodal fake decoder is
+  * engine-private).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** DuckDB sees events.ts as TIMESTAMP_NS; CAST to µs TIMESTAMP matches the
+    * Spark view's floor-truncating nanos→micros conversion exactly. */
+  private val E =
+    "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events"
+
+  /** Flagship: Q48 downsample (the canonical TSDB query) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    TimeSeriesOps.q48(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_scan_count"      -> (RelationalOps.q01 _),
+    "q02_projection"      -> (RelationalOps.q02 _),
+    "q03_catalog"         -> (RelationalOps.q03 _),
+    "q04_filter_bool"     -> (RelationalOps.q04 _),
+    "q05_ts_range"        -> (RelationalOps.q05 _),
+    "q06_in_list"         -> (RelationalOps.q06 _),
+    "q07_like"            -> (RelationalOps.q07 _),
+    "q08_null_semantics"  -> (RelationalOps.q08 _),
+    "q09_join_broadcast"  -> (RelationalOps.q09 _),
+    "q10_join_smj"        -> (RelationalOps.q10 _),
+    "q11_join_left"       -> (RelationalOps.q11 _),
+    "q12_join_full"       -> (RelationalOps.q12 _),
+    "q13_join_semi"       -> (RelationalOps.q13 _),
+    "q14_join_anti"       -> (RelationalOps.q14 _),
+    "q15_join_cross"      -> (RelationalOps.q15 _),
+    "q16_theta_band"      -> (RelationalOps.q16 _),
+    "q17_asof"            -> (TimeSeriesOps.q17 _),
+    "q18_interval_join"   -> (TimeSeriesOps.q18 _),
+    "q19_agg_tpch_q1"     -> (RelationalOps.q19 _),
+    "q20_count_distinct"  -> (RelationalOps.q20 _),
+    "q21_approx_distinct" -> (RelationalOps.q21 _),
+    "q22_rollup"          -> (RelationalOps.q22 _),
+    "q23_cube"            -> (RelationalOps.q23 _),
+    "q24_having"          -> (RelationalOps.q24 _),
+    "q25_percentiles"     -> (RelationalOps.q25 _),
+    "q26_stats"           -> (RelationalOps.q26 _),
+    "q27_array_agg"       -> (RelationalOps.q27 _),
+    "q28_distinct"        -> (RelationalOps.q28 _),
+    "q29_ranking"         -> (AnalyticOps.q29 _),
+    "q30_lag_delta"       -> (AnalyticOps.q30 _),
+    "q31_running_sum"     -> (AnalyticOps.q31 _),
+    "q32_moving_avg"      -> (AnalyticOps.q32 _),
+    "q33_last_point"      -> (AnalyticOps.q33 _),
+    "q34_topk_group"      -> (AnalyticOps.q34 _),
+    "q35_multisort"       -> (AnalyticOps.q35 _),
+    "q36_topk"            -> (AnalyticOps.q36 _),
+    "q37_union"           -> (AnalyticOps.q37 _),
+    "q38_intersect"       -> (AnalyticOps.q38 _),
+    "q39_except"          -> (AnalyticOps.q39 _),
+    "q40_string_funcs"    -> (AnalyticOps.q40 _),
+    "q41_regex"           -> (AnalyticOps.q41 _),
+    "q42_datetime"        -> (AnalyticOps.q42 _),
+    "q43_math"            -> (AnalyticOps.q43 _),
+    "q44_array_funcs"     -> (AnalyticOps.q44 _),
+    "q45_json"            -> (AnalyticOps.q45 _),
+    "q46_cond_cast"       -> (AnalyticOps.q46 _),
+    "q47_series_scan"     -> (TimeSeriesOps.q47 _),
+    "q48_downsample"      -> (TimeSeriesOps.q48 _),
+    "q49_rate"            -> (TimeSeriesOps.q49 _),
+    "q50_gapfill"         -> (TimeSeriesOps.q50 _),
+    "q51_sma"             -> (TimeSeriesOps.q51 _),
+    "q52_exact_dedup"     -> (TextOps.q52 _),
+    "q53_minhash_lsh"     -> (TextOps.q53 _),
+    "q54_cosine_topk"     -> (VectorOps.q54 _),
+    "q55_text_stats"      -> (TextOps.q55 _),
+    "q56_tfidf"           -> (TextOps.q56 _),
+    "q57_multimodal_arr"  -> (VectorOps.q57 _),
+    "x01_simhash"         -> (TextOps.x01Simhash _),
+    "x02_ngram_jaccard"   -> (TextOps.x02NgramJaccard _),
+    "x03_langid"          -> (TextOps.x03LangId _),
+    "x04_quality"         -> (TextOps.x04Quality _),
+    "x05_token_count"     -> (TextOps.x05TokenCount _),
+    "x06_fingerprint"     -> (TextOps.x06Fingerprint _),
+    "x07_embed_neardup"   -> (VectorOps.x07EmbedNearDup _),
+    "x08_ann_ivf"         -> (VectorOps.x08AnnIvf _),
+    "x09_multimodal"      -> (MultimodalOps.x09Multimodal _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_scan_count" -> "SELECT COUNT(*) AS n FROM lineitem",
+
+    "q02_projection" ->
+      "SELECT l_orderkey, l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber",
+
+    "q03_catalog" -> Tables.all.sorted
+      .map(t => s"SELECT '$t' AS tbl, COUNT(*) AS n FROM $t")
+      .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY tbl"),
+
+    "q04_filter_bool" ->
+      "SELECT event_id FROM events WHERE value > 100 AND event_type <> 'error' ORDER BY event_id",
+
+    "q05_ts_range" ->
+      s"""WITH e AS ($E) SELECT event_id, strftime(ts, '%Y-%m-%d') AS d FROM e
+         |WHERE ts BETWEEN TIMESTAMP '2024-01-10 00:00:00' AND TIMESTAMP '2024-01-12 00:00:00'
+         |ORDER BY event_id""".stripMargin,
+
+    "q06_in_list" ->
+      "SELECT COUNT(*) AS n FROM events WHERE event_type IN ('click','view')",
+
+    "q07_like" ->
+      "SELECT p_partkey FROM part WHERE p_type LIKE 'PROMO%' ORDER BY p_partkey",
+
+    "q08_null_semantics" ->
+      """SELECT COUNT(*) AS n, COUNT(x) AS nn FROM
+        |(SELECT CASE WHEN value > 300 THEN value END AS x FROM events) t""".stripMargin,
+
+    "q09_join_broadcast" ->
+      """SELECT r_name, COUNT(*) AS n_cust FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q10_join_smj" ->
+      """SELECT o_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS rev
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey ORDER BY rev DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q11_join_left" ->
+      """SELECT c_custkey, COUNT(o_orderkey) AS n_orders FROM customer
+        |LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q12_join_full" ->
+      """SELECT COUNT(CASE WHEN l_partkey IS NULL THEN 1 END) AS part_only,
+        |COUNT(CASE WHEN p_partkey IS NULL THEN 1 END) AS li_only,
+        |COUNT(CASE WHEN p_partkey IS NOT NULL AND l_partkey IS NOT NULL THEN 1 END) AS matched
+        |FROM part FULL JOIN (SELECT DISTINCT l_partkey FROM lineitem) li
+        |ON p_partkey = l_partkey""".stripMargin,
+
+    "q13_join_semi" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q14_join_anti" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q15_join_cross" ->
+      "SELECT COUNT(*) AS n FROM region CROSS JOIN nation",
+
+    "q16_theta_band" ->
+      """SELECT COUNT(*) AS n FROM orders o1 JOIN orders o2
+        |ON o2.o_totalprice BETWEEN o1.o_totalprice * 0.999 AND o1.o_totalprice * 1.001
+        |AND o1.o_orderkey < o2.o_orderkey""".stripMargin,
+
+    "q17_asof" ->
+      s"""WITH e AS ($E)
+         |SELECT COUNT(*) AS n_matched, ROUND(SUM(c.value), 4) AS sum_click
+         |FROM (SELECT * FROM e WHERE event_type = 'error') er
+         |ASOF JOIN (SELECT * FROM e WHERE event_type = 'click') c
+         |ON er.user_id = c.user_id AND er.ts >= c.ts""".stripMargin,
+
+    "q18_interval_join" ->
+      s"""WITH e AS ($E),
+         |iv AS (SELECT user_id AS iv_user,
+         |  MIN(CASE WHEN event_type = 'signup' THEN ts END) AS lo,
+         |  MAX(CASE WHEN event_type = 'purchase' THEN ts END) AS hi
+         |  FROM e GROUP BY 1)
+         |SELECT e.user_id, COUNT(*) AS n FROM e
+         |JOIN iv ON e.user_id = iv.iv_user AND e.ts BETWEEN iv.lo AND iv.hi
+         |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
+
+    "q19_agg_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 4) AS sum_qty,
+        |ROUND(SUM(l_extendedprice), 4) AS sum_base, ROUND(AVG(l_discount), 4) AS avg_disc,
+        |COUNT(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q20_count_distinct" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q22_rollup" ->
+      """WITH base AS (SELECT r_name, n_name, l_extendedprice * (1 - l_discount) AS rev
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey)
+        |SELECT CAST(GROUPING(r_name) AS INT) AS g_r, CAST(GROUPING(n_name) AS INT) AS g_n,
+        |COALESCE(r_name, 'ALL') AS r_name, COALESCE(n_name, 'ALL') AS n_name,
+        |ROUND(SUM(rev), 4) AS revenue FROM base GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY g_r, g_n, r_name, n_name""".stripMargin,
+
+    "q23_cube" ->
+      s"""WITH e AS ($E),
+         |t AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS d FROM e)
+         |SELECT CAST(GROUPING(event_type) AS INT) AS g_t, CAST(GROUPING(d) AS INT) AS g_d,
+         |COALESCE(event_type, 'ALL') AS event_type, COALESCE(d, 'ALL') AS d, COUNT(*) AS n
+         |FROM t GROUP BY CUBE(event_type, d) ORDER BY g_t, g_d, event_type, d""".stripMargin,
+
+    "q24_having" ->
+      """SELECT event_type, ROUND(AVG(value), 4) AS avg_val FROM events
+        |GROUP BY event_type HAVING ROUND(AVG(value), 4) > 45 ORDER BY event_type""".stripMargin,
+
+    "q25_percentiles" ->
+      """SELECT event_type, ROUND(quantile_cont(value, 0.5), 4) AS p50,
+        |ROUND(quantile_cont(value, 0.9), 4) AS p90,
+        |ROUND(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q26_stats" ->
+      """SELECT event_type, ROUND(stddev_samp(value), 4) AS sd,
+        |ROUND(var_samp(value), 4) AS vr,
+        |ROUND(corr(value, CAST(user_id AS DOUBLE)), 4) AS cr
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q27_array_agg" ->
+      """SELECT user_id, string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q28_distinct" ->
+      "SELECT DISTINCT event_type, user_id FROM events ORDER BY event_type, user_id",
+
+    "q29_ranking" ->
+      """SELECT event_id, event_type, CAST(rn AS BIGINT) AS rn, CAST(rk AS BIGINT) AS rk,
+        |CAST(drk AS BIGINT) AS drk, CAST(nt AS BIGINT) AS nt FROM
+        |(SELECT event_id, event_type, row_number() OVER w AS rn, rank() OVER w AS rk,
+        | dense_rank() OVER w AS drk, ntile(4) OVER w AS nt FROM events
+        | WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id)) t
+        |WHERE rn <= 20 ORDER BY event_type, rn""".stripMargin,
+
+    "q30_lag_delta" ->
+      """SELECT event_type, ROUND(SUM(delta), 4) AS sum_delta, COUNT(delta) AS n_delta FROM
+        |(SELECT event_type, value - lag(value) OVER
+        |  (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS delta FROM events) t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q31_running_sum" ->
+      """SELECT user_id, ROUND(SUM(cum), 4) AS checksum FROM
+        |(SELECT user_id, SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM events) t
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q32_moving_avg" ->
+      """SELECT event_type, ROUND(SUM(ma), 4) AS checksum FROM
+        |(SELECT event_type, AVG(value) OVER (PARTITION BY user_id, event_type
+        |  ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma FROM events) t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q33_last_point" ->
+      s"""WITH e AS ($E)
+         |SELECT user_id, event_type, ROUND(max_by(value, ts), 4) AS last_value,
+         |strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+         |FROM e GROUP BY user_id, event_type ORDER BY user_id, event_type""".stripMargin,
+
+    "q34_topk_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM
+        |(SELECT o_orderpriority, o_orderkey, o_totalprice, row_number() OVER
+        |  (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) t WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+
+    "q35_multisort" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice FROM lineitem
+        |ORDER BY l_returnflag ASC, l_extendedprice DESC, l_orderkey, l_linenumber
+        |LIMIT 50""".stripMargin,
+
+    "q36_topk" ->
+      "SELECT event_id, value FROM events ORDER BY value DESC, event_id LIMIT 10",
+
+    "q37_union" ->
+      """SELECT * FROM (
+        |SELECT 'all' AS kind, COUNT(*) AS n FROM
+        |  (SELECT event_type FROM events UNION ALL SELECT event_type FROM events) a
+        |UNION ALL
+        |SELECT 'dist' AS kind, COUNT(*) AS n FROM
+        |  (SELECT event_type FROM events UNION SELECT event_type FROM events) b
+        |) ORDER BY kind""".stripMargin,
+
+    "q38_intersect" ->
+      """SELECT user_id FROM events WHERE event_type = 'click'
+        |INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin,
+
+    "q39_except" ->
+      """SELECT user_id FROM events WHERE event_type = 'view'
+        |EXCEPT SELECT user_id FROM events WHERE event_type = 'error'
+        |ORDER BY user_id""".stripMargin,
+
+    "q40_string_funcs" ->
+      """SELECT p_partkey, UPPER(p_name) AS up, substr(p_name, 1, 5) AS s5,
+        |CAST(LENGTH(p_name) AS BIGINT) AS len, TRIM(CONCAT(' ', p_name, ' ')) AS tr,
+        |REPLACE(p_name, 'a', '@') AS rep FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q41_regex" ->
+      """SELECT word, COUNT(*) AS n, MIN(masked) AS sample FROM
+        |(SELECT regexp_extract(p_type, '^(\w+)', 1) AS word,
+        |  regexp_replace(p_type, '[AEIOU]', '_', 'g') AS masked FROM part) t
+        |GROUP BY word ORDER BY word""".stripMargin,
+
+    "q42_datetime" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS y, CAST(month(o_orderdate) AS INT) AS m,
+        |COUNT(*) AS n,
+        |MAX(CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)) AS max_dd,
+        |MIN(strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d')) AS min_plus30,
+        |MIN(CAST(epoch(o_orderdate) AS BIGINT)) AS min_epoch
+        |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin,
+
+    "q43_math" ->
+      """SELECT event_id, ROUND(value, 4) AS v, ROUND(ABS(value - 50), 4) AS a,
+        |CAST(CEIL(value) AS BIGINT) AS c, CAST(FLOOR(value) AS BIGINT) AS f,
+        |ROUND(LN(value + 1), 4) AS lnv, ROUND(EXP(value / 100), 4) AS ex,
+        |ROUND(SQRT(value), 4) AS sq, CAST(FLOOR(value * 100) AS BIGINT) % 7 AS md
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q44_array_funcs" ->
+      """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+        |ROUND(CAST(embedding[1] AS DOUBLE), 4) AS e1,
+        |ROUND(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 4) AS s8,
+        |ROUND(SQRT(list_sum(list_transform(embedding,
+        |  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm,
+        |CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
+    "q45_json" ->
+      """SELECT event_type, CAST(SUM(k) AS BIGINT) AS sum_k, CAST(MIN(k) AS BIGINT) AS min_k,
+        |CAST(MAX(k) AS BIGINT) AS max_k, COUNT(k) AS n FROM
+        |(SELECT event_type, CAST(props->>'$.k' AS BIGINT) AS k FROM events) t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q46_cond_cast" ->
+      """SELECT event_id, CAST(CAST(value AS DECIMAL(18,4)) AS VARCHAR) AS dec_str,
+        |COALESCE(NULLIF(event_type, 'error'), 'E') AS cond,
+        |CASE WHEN value > 100 THEN 'hi' WHEN value > 50 THEN 'mid' ELSE 'lo' END AS band
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q47_series_scan" ->
+      s"""WITH e AS ($E)
+         |SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, event_id, value FROM e
+         |WHERE user_id = 7 AND event_type = 'click'
+         |AND ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+         |ORDER BY ts, event_id""".stripMargin,
+
+    "q48_downsample" ->
+      s"""WITH e AS ($E)
+         |SELECT strftime(ts, '%Y-%m-%d') AS d, event_type, COUNT(*) AS n,
+         |ROUND(AVG(value), 4) AS avg_v, ROUND(SUM(value), 4) AS sum_v,
+         |ROUND(MIN(value), 4) AS min_v, ROUND(MAX(value), 4) AS max_v
+         |FROM e GROUP BY 1, 2 ORDER BY d, event_type""".stripMargin,
+
+    "q49_rate" ->
+      s"""WITH e AS ($E),
+         |l AS (SELECT event_type, value - lag(value) OVER w AS dv,
+         |  epoch_us(ts) - lag(epoch_us(ts)) OVER w AS dt_us FROM e
+         |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+         |SELECT event_type, ROUND(AVG(dv / (CAST(dt_us AS DOUBLE) / 1000000.0)), 6) AS avg_rate,
+         |COUNT(*) AS n_rates FROM l WHERE dt_us > 0
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q50_gapfill" ->
+      s"""WITH e AS ($E),
+         |b AS (SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n FROM e GROUP BY 1, 2),
+         |bounds AS (SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi FROM e),
+         |spine AS (SELECT t.event_type, CAST(s.d AS DATE) AS d FROM
+         |  (SELECT DISTINCT event_type FROM e) t CROSS JOIN
+         |  (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM bounds) s)
+         |SELECT sp.event_type, COUNT(CASE WHEN b.n IS NULL THEN 1 END) AS n_empty,
+         |COUNT(*) AS n_days FROM spine sp
+         |LEFT JOIN b ON sp.event_type = b.event_type AND sp.d = b.d
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q51_sma" ->
+      s"""WITH e AS ($E),
+         |daily AS (SELECT strftime(ts, '%Y-%m-%d') AS d, event_type, SUM(value) AS sum_v
+         |  FROM e GROUP BY 1, 2)
+         |SELECT d, event_type, ROUND(AVG(sum_v) OVER (PARTITION BY event_type ORDER BY d
+         |ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS sma
+         |FROM daily ORDER BY event_type, d""".stripMargin,
+
+    "q52_exact_dedup" ->
+      """SELECT sha256(text) AS h, COUNT(*) AS n_docs, MIN(doc_id) AS keeper
+        |FROM documents GROUP BY h ORDER BY h""".stripMargin,
+
+    "q53_minhash_lsh" ->
+      """WITH t AS (SELECT DISTINCT doc_id, tok FROM
+        |  (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents) u),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS j
+        |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q54_cosine_topk" ->
+      """WITH p AS (SELECT vec_id AS probe_id, embedding AS p_emb FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT probe_id, vec_id,
+        |  ROUND(list_dot_product(CAST(p_emb AS DOUBLE[]), CAST(embedding AS DOUBLE[]))
+        |   / (SQRT(list_dot_product(CAST(p_emb AS DOUBLE[]), CAST(p_emb AS DOUBLE[])))
+        |    * SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 4) AS cos
+        |  FROM embeddings CROSS JOIN p WHERE vec_id <> probe_id),
+        |r AS (SELECT probe_id, vec_id, cos,
+        |  row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk FROM c)
+        |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, vec_id AS neighbor_id, cos
+        |FROM r WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    "q55_text_stats" ->
+      """WITH perdoc AS (SELECT lang, source, COUNT(*) AS n_docs,
+        |  ROUND(AVG(n_chars), 2) AS avg_chars FROM documents GROUP BY 1, 2),
+        |toks AS (SELECT lang, source, CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+        |  FROM (SELECT lang, source, UNNEST(string_split(text, ' ')) AS tok FROM documents) u
+        |  GROUP BY 1, 2)
+        |SELECT p.lang, p.source, p.n_docs, p.avg_chars, t.n_distinct_tokens
+        |FROM perdoc p JOIN toks t ON p.lang = t.lang AND p.source = t.source
+        |ORDER BY p.lang, p.source""".stripMargin,
+
+    "q56_tfidf" ->
+      """WITH toks AS (SELECT lang, doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents),
+        |n AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+        |stats AS (SELECT lang, term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+        |  FROM toks GROUP BY 1, 2),
+        |s AS (SELECT t.lang, t.term,
+        |  ROUND(t.tf * (LN(CAST(n.n_docs + 1 AS DOUBLE) / (t.df + 1)) + 1), 4) AS score
+        |  FROM stats t JOIN n ON t.lang = n.lang),
+        |r AS (SELECT lang, term, score,
+        |  row_number() OVER (PARTITION BY lang ORDER BY score DESC, term) AS rnk FROM s)
+        |SELECT lang, CAST(rnk AS BIGINT) AS rnk, term, score
+        |FROM r WHERE rnk <= 5 ORDER BY lang, rnk""".stripMargin,
+
+    "q57_multimodal_arr" ->
+      """SELECT label, COUNT(*) AS n,
+        |ROUND(SUM(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))), 3) AS checksum
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    "x02_ngram_jaccard" ->
+      """WITH g AS (SELECT DISTINCT doc_id, tok FROM
+        |  (SELECT doc_id, UNNEST(list_transform(generate_series(1, length(text) - 2),
+        |    i -> text[i:i+2])) AS tok FROM documents) u),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM g a JOIN g b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS j
+        |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.7
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "x03_langid" ->
+      """WITH toks AS (SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+        |dtoks AS (SELECT DISTINCT doc_id, lang, tok FROM toks),
+        |prof AS (SELECT p_lang, tok FROM
+        |  (SELECT p_lang, tok, row_number() OVER
+        |    (PARTITION BY p_lang ORDER BY cnt DESC, tok) AS r FROM
+        |    (SELECT lang AS p_lang, tok, COUNT(*) AS cnt FROM toks GROUP BY 1, 2) c) w
+        |  WHERE r <= 20),
+        |pred AS (SELECT doc_id, lang, p_lang, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY score DESC, p_lang) AS r FROM
+        |  (SELECT d.doc_id, d.lang, p.p_lang, COUNT(*) AS score
+        |   FROM dtoks d JOIN prof p ON d.tok = p.tok GROUP BY 1, 2, 3) sc)
+        |SELECT lang, p_lang AS lang_pred, COUNT(*) AS n FROM pred WHERE r = 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "x04_quality" ->
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct, n_chars
+        |  FROM documents)
+        |SELECT doc_id, CAST(15 * LEAST(n_tok, 100) * n_tok + 1500 * n_distinct
+        |  + 4 * LEAST(n_chars, 500) * n_tok AS DOUBLE)
+        |  / CAST(n_tok * 5000 AS DOUBLE) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "x05_token_count" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x06_fingerprint" ->
+      """SELECT doc_id, substr(md5(text), 1, 16) AS fp,
+        |list_min(list_transform(generate_series(1, length(text) - 7),
+        |  i -> substr(md5(text[i:i+7]), 1, 8))) AS fp_rolling
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x07_embed_neardup" ->
+      """WITH c AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |   / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |    * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cos FROM c WHERE cos >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+
+    "x08_ann_ivf" ->
+      """WITH cents AS (SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings
+        |  WHERE vec_id % 200 = 0),
+        |assigned AS (SELECT vec_id, embedding, cluster FROM
+        |  (SELECT vec_id, embedding, cent_id AS cluster,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS r FROM
+        |   (SELECT e.vec_id, e.embedding, c.cent_id,
+        |     ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))
+        |      / (SQRT(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+        |       * SQRT(list_dot_product(CAST(c.c_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[])))), 4) AS ccos
+        |    FROM embeddings e CROSS JOIN cents c) s1) s2 WHERE r = 1),
+        |probes AS (SELECT vec_id AS probe_id, embedding AS p_emb FROM embeddings WHERE vec_id < 10),
+        |pclust AS (SELECT probe_id, p_emb, cluster FROM
+        |  (SELECT probe_id, p_emb, cent_id AS cluster,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY ccos DESC, cent_id) AS r FROM
+        |   (SELECT p.probe_id, p.p_emb, c.cent_id,
+        |     ROUND(list_dot_product(CAST(p.p_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[]))
+        |      / (SQRT(list_dot_product(CAST(p.p_emb AS DOUBLE[]), CAST(p.p_emb AS DOUBLE[])))
+        |       * SQRT(list_dot_product(CAST(c.c_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[])))), 4) AS ccos
+        |    FROM probes p CROSS JOIN cents c) s3) s4 WHERE r <= 2),
+        |cand AS (SELECT pc.probe_id, a.vec_id,
+        |  ROUND(list_dot_product(CAST(pc.p_emb AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))
+        |   / (SQRT(list_dot_product(CAST(pc.p_emb AS DOUBLE[]), CAST(pc.p_emb AS DOUBLE[])))
+        |    * SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))), 4) AS cos
+        |  FROM assigned a JOIN pclust pc ON a.cluster = pc.cluster WHERE a.vec_id <> pc.probe_id)
+        |SELECT probe_id, CAST(rnk AS BIGINT) AS rnk, vec_id AS neighbor_id, cos FROM
+        |(SELECT probe_id, vec_id, cos,
+        |  row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk FROM cand) f
+        |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+  )
 }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling (north-star extension): media as opaque
+  * `binary` columns + typed metadata, with decode/feature-extract as
+  * partition-batched functions over `Dataset[MediaRecord]`.
+  *
+  * The container has no image/audio codecs, so [[MultimodalOps.decodeStub]]
+  * is a clearly-marked deterministic FAKE decoder; the Spark-side plumbing —
+  * schema, batch shape (one decoder instance per partition, amortized
+  * init), partitioning — is real and tested (MultimodalSpec). Swapping in a
+  * real codec changes only the body of `decodeStub`.
+  */
+object MultimodalOps {
+
+  /** Opaque payload + typed metadata — the multimodal storage schema. */
+  case class MediaRecord(media_id: Long, payload: Array[Byte], fmt: String, n_bytes: Long)
+  case class MediaFeatures(media_id: Long, fmt: String, n_bytes: Long, features: Array[Float])
+
+  /** FAKE decode: deterministic byte-histogram moments standing in for a
+    * real image/audio decode. Real implementation would decode `payload`
+    * with a codec; signature and batch shape stay identical. */
+  def decodeStub(payload: Array[Byte]): Array[Float] = {
+    var s0 = 0L; var s1 = 0L; var s2 = 0L
+    var i = 0
+    while (i < payload.length) {
+      val b = payload(i) & 0xff
+      s0 += 1; s1 += b; s2 += b.toLong * b
+      i += 1
+    }
+    val n = math.max(1L, s0).toDouble
+    Array(s0.toFloat, (s1 / n).toFloat, math.sqrt(s2 / n).toFloat,
+          (if (payload.isEmpty) 0f else (payload(0) & 0xff).toFloat))
+  }
+
+  /** documents.text re-materialized as a binary media column — the
+    * driver-provided stand-in corpus for opaque payloads. */
+  def mediaTable(s: SparkSession, d: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id").as("media_id"),
+              encode(col("text"), "utf-8").as("payload"),
+              lit("text/plain").as("fmt"),
+              octet_length(encode(col("text"), "utf-8")).cast("long").as("n_bytes"))
+      .as[MediaRecord]
+  }
+
+  /** Partition-batched decode: one decoder init per partition (the shape a
+    * real codec needs), rows streamed through it. */
+  def decodeAll(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // real codec: init once here (expensive), reuse across the partition
+      it.map(m => MediaFeatures(m.media_id, m.fmt, m.n_bytes, decodeStub(m.payload)))
+    }
+  }
+
+  /** x09 multimodal plumbing query (rows-only check: the fake decoder is
+    * engine-private so there is no cross-engine oracle). */
+  def x09Multimodal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    decodeAll(mediaTable(s, d)).toDF()
+      .select(col("media_id"), col("fmt"), col("n_bytes"),
+              round(element_at(col("features"), 2).cast("double"), 2).as("mean_byte"),
+              round(element_at(col("features"), 3).cast("double"), 2).as("rms_byte"))
+      .orderBy("media_id")
+  }
+}

@@ -1,0 +1,286 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.1–§2.4: scans, filters/predicates, joins, aggregation.
+  *
+  * Every method is one declared query of the §2 contract: a DataFrame
+  * program (Catalyst logical plan — no RDDs, no driver-side loops) whose
+  * result hash-matches the DuckDB oracle twin in [[graft.SparkEntry.oracleSql]].
+  *
+  * Scale notes are per-operator in each scaladoc; shared posture:
+  * filters/projections sit directly above the parquet scan so pushdown +
+  * column pruning reach the reader; aggregations are partial+final hash
+  * aggregates (map-side combine); joins broadcast the dimension side and
+  * shuffle-hash/sort-merge the fact-fact side with AQE skew handling.
+  */
+object RelationalOps {
+
+  // ---- §2.1 scans --------------------------------------------------------
+
+  /** Q01 parquet scan + count. Scale: count aggregates per-file row-group
+    * metadata-backed scans; no shuffle beyond the final single-row agg. */
+  def q01(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).agg(count(lit(1)).as("n"))
+
+  /** Q02 projection pruning: only 3 of 11 columns may reach the scan
+    * (ReadSchema audit in BenchSpec). Scale: range-partitioned global sort. */
+  def q02(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_quantity", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber")
+      .select("l_orderkey", "l_quantity")
+
+  /** Q03 multi-table catalog: every table registered and counted. */
+  def q03(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    Tables.all.sorted
+      .map(n => s.table(n).agg(count(lit(1)).as("n")).select(lit(n).as("tbl"), col("n")))
+      .reduce(_.unionByName(_))
+      .orderBy("tbl")
+  }
+
+  // ---- §2.2 filters ------------------------------------------------------
+
+  /** Q04 comparison + AND/OR/NOT predicates, pushed to parquet. */
+  def q04(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("value") > 100 && col("event_type") =!= "error")
+      .select("event_id")
+      .orderBy("event_id")
+
+  /** Q05 timestamp BETWEEN (catena Seek(ts) analogue). Scale: at 100 TB the
+    * events table is day-partitioned so this prunes to 3 partitions; the
+    * residual min/max row-group skip happens inside parquet. */
+  def q05(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("ts").between(lit("2024-01-10 00:00:00").cast("timestamp"),
+                                lit("2024-01-12 00:00:00").cast("timestamp")))
+      .select(col("event_id"), date_format(col("ts"), "yyyy-MM-dd").as("d"))
+      .orderBy("event_id")
+
+  /** Q06 IN-list predicate. */
+  def q06(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("event_type").isin("click", "view"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Q07 LIKE prefix → StartsWith, pushdown-eligible. */
+  def q07(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_type").like("PROMO%"))
+      .select("p_partkey")
+      .orderBy("p_partkey")
+
+  /** Q08 3-valued NULL semantics: COUNT(*) vs COUNT(col). */
+  def q08(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(when(col("value") > 300, col("value")).as("x"))
+      .agg(count(lit(1)).as("n"), count(col("x")).as("nn"))
+
+  // ---- §2.3 joins --------------------------------------------------------
+
+  /** Q09 inner equi-join, broadcast: nation (25) and region (5) are
+    * broadcast to every task — zero shuffle of the 15k/15M-customer side.
+    * Scale: dims < 10 MB stay broadcast at any fact size; AQE demotes if not. */
+  def q09(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_cust"))
+      .orderBy("r_name")
+
+  /** Q10 fact-fact join: forced sort-merge via the MERGE hint (both sides
+    * large at scale; broadcast impossible). Shuffles both sides on the
+    * order key once; the per-orderkey aggregate reuses that partitioning. */
+  def q10(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).hint("merge")
+      .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("rev"))
+      .orderBy(col("rev").desc, col("o_orderkey"))
+      .limit(100)
+
+  /** Q11 left outer join, orders-per-customer including zero. */
+  def q11(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy("c_custkey")
+
+  /** Q12 full outer join; unmatched counts on both sides. */
+  def q12(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_partkey")).distinct()
+    Tables.part(s, d)
+      .join(li, col("p_partkey") === col("l_partkey"), "full")
+      .agg(
+        count(when(col("l_partkey").isNull, 1)).as("part_only"),
+        count(when(col("p_partkey").isNull, 1)).as("li_only"),
+        count(when(col("p_partkey").isNotNull && col("l_partkey").isNotNull, 1)).as("matched"))
+  }
+
+  /** Q13 left semi (EXISTS). Scale: semi-join shuffles only the distinct
+    * keys of the probe side under AQE; no payload columns move. */
+  def q13(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d)
+      .join(Tables.lineitem(s, d), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+
+  /** Q14 left anti (NOT EXISTS). */
+  def q14(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("o_custkey") === col("c_custkey"), "left_anti")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+
+  /** Q15 cross join (both sides tiny; BroadcastNestedLoop). */
+  def q15(s: SparkSession, d: String): DataFrame =
+    Tables.region(s, d).crossJoin(Tables.nation(s, d)).agg(count(lit(1)).as("n"))
+
+  /** Q16 theta/range self-join on price bands.
+    *
+    * Scale story (the part that matters): a naive `BETWEEN` theta join is a
+    * nested-loop — O(n²) and a guaranteed 100 TB death. We band both sides
+    * into fixed-width price buckets, explode the left side to its bucket ±1,
+    * equi-join on the bucket (shuffled hash join, linear), and post-filter
+    * the exact predicate. Bucket width must exceed the maximum window
+    * half-width (0.001 · max(o_totalprice)); with TPC-H-ish totalprice
+    * < 1e6, width 1000 is safe, asserted in RelationalSpec.
+    */
+  def q16(s: SparkSession, d: String): DataFrame = {
+    val width = 1000.0
+    val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+    val left = o
+      .withColumn("band0", floor(col("o_totalprice") / width).cast("long"))
+      .withColumn("band", explode(array(col("band0") - 1, col("band0"), col("band0") + 1)))
+      .select(col("o_orderkey").as("k1"), col("o_totalprice").as("p1"), col("band"))
+    val right = o
+      .select(col("o_orderkey").as("k2"), col("o_totalprice").as("p2"),
+              floor(col("o_totalprice") / width).cast("long").as("band"))
+    left.join(right, Seq("band"))
+      .filter(col("p2").between(col("p1") * 0.999, col("p1") * 1.001) && col("k1") < col("k2"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  // ---- §2.4 aggregation --------------------------------------------------
+
+  /** Q19 TPC-H Q1-shape multi-aggregate: partial+final HashAggregate, all
+    * combine map-side; only |groups| rows shuffle. */
+  def q19(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 4).as("sum_base"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q20 exact COUNT(DISTINCT): two-phase expand. */
+  def q20(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("event_type")
+
+  /** Q21 approximate distinct (HyperLogLog++). NOT oracle-hashed (sketch
+    * internals differ across engines); RelationalSpec asserts ±5% of exact.
+    * Scale: constant-size sketch per group vs Q20's expand — this is the
+    * 100 TB path for distinct counting. */
+  def q21(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users_approx"))
+      .orderBy("event_type")
+
+  private def revenueByGeo(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d).hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("n_name"),
+              (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+
+  /** Q22 ROLLUP with GROUPING flags over the geo join, via the SQL entry
+    * point (SURVEY §3.2 #1) — DataFrame-side rollup().agg(grouping…) then
+    * referencing the grouping columns trips a DetectAmbiguousSelfJoin
+    * false-positive on the Expand-duplicated attributes in Spark 4.1. */
+  def q22(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql("""
+      WITH base AS (
+        SELECT r_name, n_name, l_extendedprice * (1 - l_discount) AS rev
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey)
+      SELECT CAST(GROUPING(r_name) AS INT) AS g_r, CAST(GROUPING(n_name) AS INT) AS g_n,
+             COALESCE(r_name, 'ALL') AS r_name, COALESCE(n_name, 'ALL') AS n_name,
+             ROUND(SUM(rev), 4) AS revenue
+      FROM base GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY g_r, g_n, r_name, n_name""")
+  }
+
+  /** Q23 CUBE over (event_type, day). */
+  def q23(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("d"))
+      .cube("event_type", "d")
+      .agg(grouping("event_type").cast("int").as("g_t"),
+           grouping("d").cast("int").as("g_d"),
+           count(lit(1)).as("n"))
+      .select(col("g_t"), col("g_d"),
+              coalesce(col("event_type"), lit("ALL")).as("event_type"),
+              coalesce(col("d"), lit("ALL")).as("d"),
+              col("n"))
+      .orderBy("g_t", "g_d", "event_type", "d")
+
+  /** Q24 HAVING (filter above the aggregate; rounded on both engines so the
+    * threshold compare is FP-stable). */
+  def q24(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(round(avg("value"), 4).as("avg_val"))
+      .filter(col("avg_val") > 45)
+      .orderBy("event_type")
+
+  /** Q25 exact percentiles (oracle: quantile_cont — twinning pre-validated). */
+  def q25(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+           round(expr("percentile(value, 0.9)"), 4).as("p90"),
+           round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .orderBy("event_type")
+
+  /** Q26 statistical aggregates. */
+  def q26(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(round(stddev_samp(col("value")), 4).as("sd"),
+           round(var_samp(col("value")), 4).as("vr"),
+           round(corr(col("value"), col("user_id").cast("double")), 4).as("cr"))
+      .orderBy("event_type")
+
+  /** Q27 deterministic array agg: sorted distinct set joined to a string
+    * (oracle: string_agg(DISTINCT … ORDER BY …) — pre-validated). */
+  def q27(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(array_join(sort_array(collect_set(col("event_type"))), ",").as("types"))
+      .orderBy("user_id")
+
+  /** Q28 DISTINCT rows. */
+  def q28(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select("event_type", "user_id")
+      .distinct()
+      .orderBy("event_type", "user_id")
+}

@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.3 (Q17/Q18) + §2.8: the time-series operator package — the
+  * catena-derived surface (series scans, downsampling, rates, gap-fill,
+  * as-of joins) re-expressed as Catalyst plans.
+  */
+object TimeSeriesOps {
+
+  /** Q17 as-of join: for each `error` event, the latest `click` by the same
+    * user at-or-before it.
+    *
+    * Implementation is the scalable union+window rewrite, NOT a range join:
+    * both event kinds are unioned, shuffled ONCE on user_id, and a running
+    * `last(click_value, ignoreNulls)` window carries the most recent click
+    * forward to each error row. O(n log n) per user partition, no quadratic
+    * pairing, no broadcast — this survives 100 TB where a nested-loop as-of
+    * would not. Clicks sort before errors on ts ties (kind 0 < 1), matching
+    * the inclusive `e.ts >= c.ts` semantics of the DuckDB ASOF JOIN oracle
+    * (twinning pre-validated, SURVEY §5.2b).
+    */
+  def q17(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+              col("value").as("cval"), lit(0).as("kind"))
+    val errors = e.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"),
+              lit(null).cast("double").as("cval"), lit(1).as("kind"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "kind", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.unionByName(errors)
+      .withColumn("last_click", last(col("cval"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1 && col("last_click").isNotNull)
+      .agg(count(lit(1)).as("n_matched"), round(sum("last_click"), 4).as("sum_click"))
+  }
+
+  /** Q18 point-in-interval join: events inside each user's
+    * [first signup, last purchase] window. Equi-join on user_id (shuffle
+    * hash/SMJ — linear) with the interval predicate as a residual filter;
+    * the interval side is one row per user so it is broadcastable at scale. */
+  def q18(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val iv = e.groupBy(col("user_id").as("iv_user"))
+      .agg(min(when(col("event_type") === "signup", col("ts"))).as("lo"),
+           max(when(col("event_type") === "purchase", col("ts"))).as("hi"))
+      .filter(col("lo").isNotNull && col("hi").isNotNull)
+    e.join(broadcast(iv),
+           col("user_id") === col("iv_user") && col("ts").between(col("lo"), col("hi")))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("user_id")
+  }
+
+  /** Q47 series range scan — the catena iterator: one (source, metric) key,
+    * a ts range, points in order. At 100 TB: day-partition pruning + series
+    * bucketing makes this a handful of local file reads, like catena's
+    * partition-list binary search. */
+  def q47(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .filter(col("user_id") === 7 && col("event_type") === "click" &&
+              col("ts") >= lit("2024-01-05 00:00:00").cast("timestamp") &&
+              col("ts") < lit("2024-01-20 00:00:00").cast("timestamp"))
+      .orderBy("ts", "event_id")
+      .select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+              col("event_id"), col("value"))
+
+  /** Q48 downsample / rollup — THE canonical TSDB query: day buckets ×
+    * metric, five aggregates in one partial+final hash-agg pass. */
+  def q48(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           round(avg("value"), 4).as("avg_v"),
+           round(sum("value"), 4).as("sum_v"),
+           round(min("value"), 4).as("min_v"),
+           round(max("value"), 4).as("max_v"))
+      .orderBy("d", "event_type")
+
+  /** Q49 per-series rate: value delta / time delta. unix_micros on the
+    * µs-truncated ts matches DuckDB's floor-truncating epoch arithmetic. */
+  def q49(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("dv", col("value") - lag("value", 1).over(w))
+      .withColumn("dt_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("dt_us") > 0)
+      .withColumn("rate", col("dv") / (col("dt_us").cast("double") / lit(1e6)))
+      .groupBy("event_type")
+      .agg(round(avg("rate"), 6).as("avg_rate"), count(lit(1)).as("n_rates"))
+      .orderBy("event_type")
+  }
+
+  /** Q50 gap-fill: dense daily spine (sequence+explode ≡ generate_series)
+    * LEFT JOIN observed buckets; empty-day counts. The spine is tiny
+    * (days × metrics) so it broadcasts; observed buckets come pre-aggregated. */
+  def q50(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val buckets = e.groupBy(col("event_type").as("b_type"), to_date(col("ts")).as("b_d"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = e.agg(min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"))
+    val spine = bounds
+      .select(explode(sequence(col("lo"), col("hi"))).as("d"))
+      .crossJoin(e.select("event_type").distinct())
+    spine.join(buckets, col("event_type") === col("b_type") && col("d") === col("b_d"), "left")
+      .groupBy("event_type")
+      .agg(count(when(col("n").isNull, 1)).as("n_empty"), count(lit(1)).as("n_days"))
+      .orderBy("event_type")
+  }
+
+  /** Q51 SMA: 3-bucket moving average over the daily downsample. */
+  def q51(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"), col("event_type"))
+      .agg(sum("value").as("sum_v"))
+    val w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-2, 0)
+    daily.select(col("d"), col("event_type"), round(avg("sum_v").over(w), 4).as("sma"))
+      .orderBy("event_type", "d")
+  }
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2.10 vector side: similarity search (Q54), multimodal array
+  * checksums (Q57), plus embedding near-dup (x07) and an IVF-style
+  * bucketed ANN (x08) as the 100 TB scale path.
+  */
+object VectorOps {
+
+  /** cos(a,b) computed in DOUBLE with a fixed left-to-right summation
+    * (zip_with + aggregate higher-order functions — codegen'd, identical
+    * element order on every engine, so bitwise-stable across partitionings). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+                lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private def emb(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+
+  /** Q54 cosine top-k: 10 probe vectors × all embeddings, top-5 each.
+    *
+    * The probe side is 10 rows → broadcast; the big side streams once, so
+    * this is a single scan + per-probe TakeOrdered — linear in corpus size.
+    * Ranking uses (round(cos,4) DESC, vec_id) so float last-bit differences
+    * can never reorder the selection across engines. Brute force is the
+    * exactness baseline; x08 is the sub-linear variant (SURVEY §7.4-6).
+    */
+  def q54(s: SparkSession, d: String): DataFrame = {
+    val probes = emb(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    emb(s, d).crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", round(cosine(col("p_emb"), col("embedding")), 4))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("probe_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy("probe_id", "rnk")
+  }
+
+  /** Q57 multimodal column checksum: ARRAY<FLOAT> stored/retrieved natively;
+    * per-label element-sum checksums. */
+  def q57(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+           round(sum(aggregate(col("embedding"), lit(0.0),
+                               (acc, x) => acc + x.cast("double"))), 3).as("checksum"))
+      .orderBy("label")
+
+  /** x07 embedding near-dup: all pairs with cosine ≥ 0.9 (blocked a<b).
+    * sf-scale is brute force; the 100 TB path is x08's bucketed join or
+    * MinHash-style banding on sign sketches. */
+  def x07EmbedNearDup(s: SparkSession, d: String): DataFrame =
+    emb(s, d).select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
+      .join(emb(s, d).select(col("vec_id").as("id_b"), col("embedding").as("e_b")),
+            col("id_a") < col("id_b"))
+      .withColumn("cos", round(cosine(col("e_a"), col("e_b")), 4))
+      .filter(col("cos") >= 0.9)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy("id_a", "id_b")
+
+  /** x08 IVF-style ANN: deterministic coarse centroids (every 200th vector),
+    * cluster assignment by max cosine, probes search only their top-2
+    * closest clusters.
+    *
+    * Scale story: the corpus is scanned once to assign clusters (centroids
+    * broadcast); each query then touches ~nprobe/nlist of the corpus via an
+    * equi-join on cluster id instead of a full cross join. Deterministic
+    * ranking: (round(cos,4) DESC, id ASC) everywhere.
+    */
+  def x08AnnIvf(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val cents = e.filter(col("vec_id") % 200 === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(cosine(col("embedding"), col("c_emb")), 4))
+      .withColumn("r", row_number().over(wAssign))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cluster"))
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    val wProbe = Window.partitionBy("probe_id").orderBy(col("ccos").desc, col("cent_id"))
+    val probeClusters = probes.crossJoin(broadcast(cents))
+      .withColumn("ccos", round(cosine(col("p_emb"), col("c_emb")), 4))
+      .withColumn("r", row_number().over(wProbe))
+      .filter(col("r") <= 2)
+      .select(col("probe_id"), col("p_emb"), col("cent_id").as("cluster"))
+    val wTop = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    assigned.join(broadcast(probeClusters), Seq("cluster"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", round(cosine(col("p_emb"), col("embedding")), 4))
+      .withColumn("rnk", row_number().over(wTop).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("probe_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy("probe_id", "rnk")
+  }
+}
