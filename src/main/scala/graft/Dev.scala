@@ -19,6 +19,21 @@ object Dev {
       bare.stop()
       return
     }
+    if (names == Seq("stream")) {
+      // drive the streaming ingest surface end-to-end: replay events through
+      // the file-source stream into a day-bucketed sink, twice (same
+      // checkpoint), and report sink vs batch counts
+      val s = GraftSession.build("graft-dev")
+      val sink = java.nio.file.Files.createTempDirectory("sink").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("ckpt").toString
+      graft.streaming.StreamOps.ingest(s, sfDir, sink, ckpt).awaitTermination()
+      graft.streaming.StreamOps.ingest(s, sfDir, sink, ckpt).awaitTermination()
+      val sunk = s.read.parquet(sink)
+      println(s"stream sink rows=${sunk.count()} days=${sunk.select("day").distinct().count()} " +
+        s"batch rows=${Tables.events(s, sfDir).count()}")
+      s.stop()
+      return
+    }
     val spark = GraftSession.build("graft-dev")
     names.foreach { n =>
       println(s"=== $n ===")

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2.9 — Structured Streaming ingest: the catena WAL → memory
+  * partition → compacted file-partition pipeline re-expressed as
+  * micro-batches with checkpoint/offset logs (the WAL analogue) and a
+  * time-bucketed parquet sink (the compacted-partition analogue).
+  *
+  * Correctness story: streaming aggregations are verified by
+  * stream-vs-batch equivalence under Trigger.AvailableNow (StreamingSpec) —
+  * stream/batch unification is the Structured Streaming core guarantee.
+  *
+  * Scale story: state is bounded by watermarks; the sink is partitioned by
+  * day so retention = dropping day directories, and downstream range scans
+  * prune partitions, both exactly as catena's time-range partitions.
+  */
+object StreamOps {
+
+  /** Raw parquet schema of the events table with nanos-as-long ts (file
+    * streams require an explicit schema). */
+  val rawEventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) read as nanos since epoch
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over the events parquet, ts normalized to µs
+    * TimestampType — the streaming twin of Tables.events. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawEventsSchema)
+      .option("pathGlobFilter", "events.parquet") // source path must be a dir
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** ST1 ingest: exactly-once file sink, day-bucketed (catena file-partition
+    * analogue). Returns the started query; callers await termination. */
+  def ingest(spark: SparkSession, srcDir: String, sinkDir: String, checkpointDir: String): StreamingQuery =
+    eventsStream(spark, srcDir)
+      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+      .writeStream
+      .format("parquet")
+      .partitionBy("day")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** ST2 tumbling 1-hour window counts with a 2-hour watermark. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_v"))
+
+  /** ST3 sliding window: 1 hour, sliding every 15 minutes. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+
+  /** ST4 session windows: per-user sessions with a 30-minute gap. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+
+  /** ST6 streaming dedup on event_id within the watermark. */
+  def dedup(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** ST7 stream–static join: stream events against a static dimension. */
+  def streamStaticJoin(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), events("user_id") === dim("c_custkey"))
+
+  case class SeriesKey(user_id: Long, event_type: String)
+  case class Point(user_id: Long, event_type: String, ts: java.sql.Timestamp, value: Double)
+  case class LatestPoint(user_id: Long, event_type: String, ts: java.sql.Timestamp, value: Double)
+
+  /** ST8 custom state: running latest-point per (user_id, event_type) — the
+    * catena in-memory partition's hot cache — via flatMapGroupsWithState.
+    * State per key is ONE point (bounded); emits the new latest on update. */
+  def latestPointCache(events: Dataset[Point]): Dataset[LatestPoint] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(p => SeriesKey(p.user_id, p.event_type))
+      .flatMapGroupsWithState[LatestPoint, LatestPoint](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: SeriesKey, rows: Iterator[Point], state: GroupState[LatestPoint]) =>
+          val incoming = rows.maxByOption(p => (p.ts.getTime, p.value))
+          val best = (incoming.map(p => LatestPoint(p.user_id, p.event_type, p.ts, p.value)).toSeq ++
+            state.getOption.toSeq).maxByOption(_.ts.getTime)
+          best match {
+            case Some(b) if state.getOption.forall(_.ts.getTime < b.ts.getTime) ||
+                            state.getOption.isEmpty =>
+              state.update(b); Iterator.single(b)
+            case _ => Iterator.empty
+          }
+      }
+  }
+}

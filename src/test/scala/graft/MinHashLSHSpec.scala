@@ -1,0 +1,44 @@
+package graft
+
+import graft.functions.MinHashLSH
+import org.apache.spark.sql.functions._
+
+/** MinHash-LSH correctness: the verified-pair output must equal the exact
+  * all-pairs Jaccard result (recall at threshold 0.8 with 32×2 banding is
+  * 1 − ~6e-15, so equality is the expectation, not an approximation). */
+class MinHashLSHSpec extends SparkSpecBase {
+
+  private def docs = Tables.documents(spark, sfDir)
+    .select(col("doc_id").as("id"), split(col("text"), " ").as("toks"))
+
+  test("verifiedPairs == exact all-pairs Jaccard at 0.8 on sf0.001 documents") {
+    val lsh = MinHashLSH.verifiedPairs(docs, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = docs.select(col("id"), array_distinct(col("toks")).as("set"))
+    val exact = sets.as("a").join(sets.as("b"), col("a.id") < col("b.id"))
+      .withColumn("j",
+        size(array_intersect(col("a.set"), col("b.set"))).cast("double") /
+          size(array_union(col("a.set"), col("b.set"))).cast("double"))
+      .filter(col("j") >= 0.8)
+      .select(col("a.id"), col("b.id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exact)
+  }
+
+  test("signatures are deterministic across partitionings") {
+    val s1 = MinHashLSH.signatures(docs).orderBy("id").collect().toSeq
+    val s2 = MinHashLSH.signatures(docs.repartition(7)).orderBy("id").collect().toSeq
+    assert(s1 === s2)
+  }
+
+  test("identical token sets collide in every band; disjoint sets share no band") {
+    import spark.implicits._
+    val tiny = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("a", "b", "c", "d")),
+      (3L, Seq("x", "y", "z", "w"))).toDF("id", "toks")
+    val pairs = MinHashLSH.verifiedPairs(tiny, 0.99)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)))
+  }
+}

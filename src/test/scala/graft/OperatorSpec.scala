@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+
+/** Unit-level invariants that the DuckDB oracle cannot express: sketch
+  * tolerance (Q21), banding safety (Q16), ANN recall (x08), algebraic
+  * identities, and the driver smoke contract. */
+class OperatorSpec extends SparkSpecBase {
+
+  test("entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query name has either an oracle or a documented rows-only reason") {
+    val rowsOnly = Set("q21_approx_distinct", "x01_simhash", "x09_multimodal")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing === rowsOnly, s"unexpected rows-only queries: ${missing -- rowsOnly}")
+    assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
+  }
+
+  test("Q21 approx distinct within 5% of exact (HLL tolerance contract)") {
+    val approx = RelationalOps.q21(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = RelationalOps.q20(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      val ap = approx(k)
+      assert(math.abs(ap - ex) <= math.max(1L, (ex * 0.05).toLong),
+        s"$k: approx $ap vs exact $ex")
+    }
+  }
+
+  test("Q16 band width covers the max window half-width at every sf") {
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val maxPrice = Tables.orders(spark, d).agg(max("o_totalprice")).head.getDouble(0)
+      assert(maxPrice * 0.001 <= 1000.0,
+        s"band width 1000 too narrow for max price $maxPrice in $d")
+    }
+  }
+
+  test("Q12 full-outer counts are consistent with table cardinalities") {
+    val r = RelationalOps.q12(spark, sfDir).head
+    val (partOnly, liOnly, matched) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    val nPart = Tables.part(spark, sfDir).count()
+    val nLiKeys = Tables.lineitem(spark, sfDir).select("l_partkey").distinct().count()
+    assert(partOnly + matched === nPart)
+    assert(liOnly + matched === nLiKeys)
+  }
+
+  test("cosine is 1.0 on identical vectors, -1.0 on negated") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f, 3.0f)),
+                 (Array(1.0f, 0.0f, 0.0f), Array(-1.0f, 0.0f, 0.0f)))
+      .toDF("a", "b")
+      .select(round(VectorOps.cosine(col("a"), col("b")), 6).as("c"))
+    assert(df.collect().map(_.getDouble(0)).toSeq === Seq(1.0, -1.0))
+  }
+
+  test("x08 IVF ANN recall vs exact brute-force top-5 is usable (>= 0.5)") {
+    val exact = VectorOps.q54(spark, sfDir).select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = VectorOps.x08AnnIvf(spark, sfDir).select("probe_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low")
+  }
+
+  test("union/except/intersect algebraic identities") {
+    val e = Tables.events(spark, sfDir).select("user_id").distinct()
+    assert(e.except(e).isEmpty)
+    assert(e.intersect(e).count() === e.count())
+    assert(e.union(e).count() === 2 * e.count())
+  }
+
+  test("Q17 as-of union+window matches a per-row subquery formulation") {
+    // independent reference implementation: correlated max-ts lookup
+    val ev = Tables.events(spark, sfDir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"), col("value").as("cval"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val ref = errors.join(clicks, col("user_id") === col("cu") && col("cts") <= col("ts"))
+      .groupBy("event_id")
+      .agg(max_by(col("cval"), col("cts")).as("lc"))
+      .agg(count(lit(1)).as("n_matched"), round(sum("lc"), 4).as("sum_click"))
+      .head
+    val got = operators.TimeSeriesOps.q17(spark, sfDir).head
+    assert(got.getLong(0) === ref.getLong(0))
+    assert(math.abs(got.getDouble(1) - ref.getDouble(1)) < 1e-6)
+  }
+}

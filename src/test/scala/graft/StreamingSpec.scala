@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.{LatestPoint, Point}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** SURVEY §2.9 ST1–ST8: every streaming op is checked for stream-vs-batch
+  * equivalence (the Structured Streaming unification guarantee is the test
+  * oracle), plus WAL-style exactly-once replay and watermark late-drop. */
+class StreamingSpec extends SparkSpecBase {
+
+  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+
+  private def batchEvents = Tables.events(spark, sfDir)
+
+  test("ST1 ingest: day-bucketed sink equals batch; checkpoint replay is exactly-once") {
+    val sink = tmp("sink"); val ckpt = tmp("ckpt")
+    StreamOps.ingest(spark, sfDir, sink, ckpt).awaitTermination()
+    val sunk = spark.read.parquet(sink)
+    val batch = batchEvents
+    assert(sunk.count() === batch.count())
+    val (s1, s2) = (sunk.agg(sum("value")).head.getDouble(0),
+                    batch.agg(sum("value")).head.getDouble(0))
+    assert(math.abs(s1 - s2) / math.max(1.0, math.abs(s2)) < 1e-9) // double-sum order differs
+    assert(sunk.select("day").distinct().count() === batch.select(date_format(col("ts"), "yyyy-MM-dd")).distinct().count())
+    // restart with the same checkpoint: offsets already committed → no dup rows
+    StreamOps.ingest(spark, sfDir, sink, ckpt).awaitTermination()
+    assert(spark.read.parquet(sink).count() === batch.count())
+  }
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+                          mode: String = "complete"): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  test("ST2 tumbling window agg: stream == batch") {
+    runToMemory(StreamOps.tumblingCounts(StreamOps.eventsStream(spark, sfDir)), "st2")
+    val stream = spark.table("st2")
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_v"))
+    val batch = batchEvents
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_v"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_v"))
+    assert(stream.except(batch).isEmpty && batch.except(stream).isEmpty)
+  }
+
+  test("ST3 sliding window: stream == batch") {
+    runToMemory(StreamOps.slidingCounts(StreamOps.eventsStream(spark, sfDir)), "st3")
+    val stream = spark.table("st3").select(col("window.start").as("ws"), col("n"))
+    val batch = batchEvents.groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n")).select(col("window.start").as("ws"), col("n"))
+    assert(stream.except(batch).isEmpty && batch.except(stream).isEmpty)
+  }
+
+  test("ST4 session window: stream == batch") {
+    runToMemory(StreamOps.sessionCounts(StreamOps.eventsStream(spark, sfDir)), "st4")
+    val stream = spark.table("st4").select(col("user_id"), col("n"))
+    val batch = batchEvents.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n")).select(col("user_id"), col("n"))
+    assert(stream.except(batch).isEmpty && batch.except(stream).isEmpty)
+  }
+
+  test("ST5 watermark drops late data") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Point]
+    val agg = input.toDF().withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("st5").outputMode("update").start()
+    def pt(hhmm: String) = Point(1L, "click", Timestamp.valueOf(s"2024-01-01 $hhmm:00"), 1.0)
+    input.addData(pt("00:10"), pt("00:20"))
+    q.processAllAvailable()
+    input.addData(pt("03:00")) // advances watermark to 02:00
+    q.processAllAvailable()
+    input.addData(pt("00:30")) // late: window [00:00,01:00) is < watermark → dropped
+    q.processAllAvailable()
+    q.stop()
+    val w0 = spark.table("st5").filter(col("window.start") === lit("2024-01-01 00:00:00").cast("timestamp"))
+      .select("n").collect().map(_.getLong(0))
+    assert(w0.nonEmpty && w0.max === 2, s"late row must not be counted, got ${w0.mkString(",")}")
+  }
+
+  test("ST6 dropDuplicatesWithinWatermark dedups replayed ids") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[Point]
+    val dedup = input.toDF()
+      .withColumn("event_id", col("user_id") * 1000 + col("value").cast("long"))
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = dedup.writeStream.format("memory").queryName("st6").outputMode("append").start()
+    val p = Point(1L, "click", Timestamp.valueOf("2024-01-01 00:10:00"), 7.0)
+    input.addData(p, p)
+    q.processAllAvailable()
+    input.addData(p) // replay in a later batch, still within watermark
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("st6").count() === 1)
+  }
+
+  test("ST7 stream-static join == batch join") {
+    val dim = Tables.customer(spark, sfDir)
+    runToMemory(
+      StreamOps.streamStaticJoin(StreamOps.eventsStream(spark, sfDir), dim)
+        .select("event_id", "c_name"),
+      "st7", mode = "append")
+    val batchN = StreamOps.streamStaticJoin(batchEvents, dim).count()
+    assert(spark.table("st7").count() === batchN)
+  }
+
+  test("ST8 latest-point state cache converges to batch max_by") {
+    import spark.implicits._
+    val src = StreamOps.eventsStream(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("value")).as[Point]
+    val q = StreamOps.latestPointCache(src).toDF()
+      .writeStream.format("memory").queryName("st8").outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // last emission per key == batch latest point
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy(col("ts").desc)
+    val streamLatest = spark.table("st8")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("value"))
+    val batchLatest = batchEvents.groupBy("user_id", "event_type")
+      .agg(max_by(col("value"), col("ts")).as("value"))
+    assert(streamLatest.except(batchLatest).isEmpty && batchLatest.except(streamLatest).isEmpty)
+  }
+}
