@@ -44,9 +44,19 @@ object MinHashLSH {
       .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
   }
 
-  /** Distinct candidate pairs (id_a < id_b) sharing ≥1 band bucket. */
+  /** Distinct candidate pairs (id_a < id_b) sharing ≥1 band bucket.
+    *
+    * The probe side is explicitly repartitioned to full cluster width BEFORE
+    * the explode+join: the signature aggregate upstream emits few, tiny rows,
+    * so AQE coalesces it to ~1 partition — but the pipelined stage DOWNSTREAM
+    * of it (band explode → band-bucket join → map-side pair dedup) is where
+    * the row explosion happens, and it would inherit that single partition.
+    * Spreading 1 row/doc before the explosion keeps the whole pair pipeline
+    * at cluster width; the raw collision rows are deduped map-side by the
+    * partial aggregate before the only pair-level shuffle. */
   def candidatePairs(items: DataFrame): DataFrame = {
-    val bands = bandSignatures(signatures(items))
+    val n = items.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val bands = bandSignatures(signatures(items).repartition(n))
     bands.as("a")
       .join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -58,14 +68,36 @@ object MinHashLSH {
   /** Candidates verified with EXACT Jaccard over the token sets; only pairs
     * with jaccard ≥ threshold survive. Output: (id_a, id_b, j = round(.,4)).
     * The token-set arrays ride along the (small) candidate list, so the
-    * exact verification never touches non-candidate pairs. */
+    * exact verification never touches non-candidate pairs.
+    *
+    * The explicit-width repartition matters: the candidate rows are tiny
+    * (two longs), so AQE coalesces the distinct() shuffle to one partition —
+    * but the work DOWNSTREAM of it (per-pair set intersection on the joined
+    * arrays) is the expensive part, and it would inherit that single
+    * partition. An explicit numPartitions pins the verify stage at full
+    * cluster width (AQE never coalesces user-specified repartition counts). */
   def verifiedPairs(items: DataFrame, threshold: Double): DataFrame = {
-    val sets = items.select(col("id"), array_distinct(col("toks")).as("set"))
+    val n = items.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // Per-doc ONCE: distinct tokens → 64-bit hashes → sorted array. The
+    // per-pair exact intersection is then a codegen'd two-pointer merge
+    // (SortedIntersectCount) instead of array_intersect's interpreted
+    // per-pair hash-set build — the dominant cost when the corpus is dense
+    // with near-dups and candidates ≈ output pairs. xxhash64 collisions
+    // across a ~100-element union are ~1e-16 per pair — below any ROUND(4)
+    // boundary's practical risk. |a ∪ b| = |a| + |b| − |a ∩ b| from
+    // precomputed sizes (no union materialization).
+    val sets = items.select(col("id"),
+        array_sort(transform(array_distinct(col("toks")), t => xxhash64(t))).as("set"))
+      .withColumn("sz", size(col("set")))
     candidatePairs(items)
-      .join(sets.select(col("id").as("id_a"), col("set").as("set_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("set").as("set_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))).cast("double"))
-      .withColumn("uni", size(array_union(col("set_a"), col("set_b"))).cast("double"))
+      .repartition(n, col("id_a"), col("id_b"))
+      .join(broadcast(sets.select(col("id").as("id_a"), col("set").as("set_a"),
+                                  col("sz").as("sz_a"))), "id_a")
+      .join(broadcast(sets.select(col("id").as("id_b"), col("set").as("set_b"),
+                                  col("sz").as("sz_b"))), "id_b")
+      .withColumn("inter",
+        VectorExpressions.sortedIntersect(col("set_a"), col("set_b")).cast("double"))
+      .withColumn("uni", (col("sz_a") + col("sz_b")).cast("double") - col("inter"))
       .withColumn("jac", col("inter") / col("uni"))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("j"))

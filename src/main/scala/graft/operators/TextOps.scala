@@ -88,7 +88,10 @@ object TextOps {
         (0 until 64).map(j => when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
           .reduce(_.bitwiseOR(_)))
       .select(col("id"), col("simhash"))
-    val banded = sig.select(col("id"), col("simhash"),
+    // widen before the explode+self-join: the signature agg collapses to ~1
+    // AQE partition, but the band join's row explosion must run cluster-wide
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val banded = sig.repartition(nPart).select(col("id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
                shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))

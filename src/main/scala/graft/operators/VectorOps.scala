@@ -11,10 +11,20 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
-  /** cos(a,b) computed in DOUBLE with a fixed left-to-right summation
-    * (zip_with + aggregate higher-order functions — codegen'd, identical
-    * element order on every engine, so bitwise-stable across partitionings). */
-  def cosine(a: Column, b: Column): Column = {
+  /** cos(a,b) computed in DOUBLE with a fixed left-to-right summation.
+    *
+    * Kernel is the codegen'd [[graft.functions.FloatDotProduct]] expression —
+    * bitwise-identical to the higher-order-function formulation
+    * (`aggregate(zip_with(a,b,*),0,+)`, asserted in FunctionsSpec) but a
+    * primitive loop inside whole-stage codegen instead of interpreted
+    * lambdas, since the dot product IS the workload of every pair-wise
+    * vector operator here. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.vecCosine(a, b)
+
+  /** The HOF formulation, kept as the oracle-shaped reference kernel the
+    * custom expression is tested against (FunctionsSpec). */
+  def cosineHof(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
                 lit(0.0), (acc, v) => acc + v)
@@ -23,6 +33,17 @@ object VectorOps {
 
   private def emb(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+
+  /** Corpus side of a pair-compute, spread across the full cluster width.
+    *
+    * The embeddings fixture is one small parquet file → a 1–2-partition scan;
+    * every downstream per-pair cosine (interpreted higher-order functions,
+    * the dominant cost) would run on 1–2 tasks while 30 cores idle. An
+    * explicit-width round-robin repartition pins the pair stages at cluster
+    * width — AQE never coalesces explicit counts. At 100 TB the corpus scan
+    * arrives already wide, so this becomes a no-op-cost safety net. */
+  private def wide(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
 
   /** Q54 cosine top-k: 10 probe vectors × all embeddings, top-5 each.
     *
@@ -36,7 +57,7 @@ object VectorOps {
     val probes = emb(s, d).filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
-    emb(s, d).crossJoin(broadcast(probes))
+    wide(s, emb(s, d)).crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cos", round(cosine(col("p_emb"), col("embedding")), 4))
       .withColumn("rnk", row_number().over(w).cast("long"))
@@ -59,8 +80,8 @@ object VectorOps {
     * sf-scale is brute force; the 100 TB path is x08's bucketed join or
     * MinHash-style banding on sign sketches. */
   def x07EmbedNearDup(s: SparkSession, d: String): DataFrame =
-    emb(s, d).select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
-      .join(emb(s, d).select(col("vec_id").as("id_b"), col("embedding").as("e_b")),
+    wide(s, emb(s, d)).select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
+      .join(broadcast(emb(s, d).select(col("vec_id").as("id_b"), col("embedding").as("e_b"))),
             col("id_a") < col("id_b"))
       .withColumn("cos", round(cosine(col("e_a"), col("e_b")), 4))
       .filter(col("cos") >= 0.9)
@@ -77,8 +98,8 @@ object VectorOps {
     * ranking: (round(cos,4) DESC, id ASC) everywhere.
     */
   def x08AnnIvf(s: SparkSession, d: String): DataFrame = {
-    val e = emb(s, d)
-    val cents = e.filter(col("vec_id") % 200 === 0)
+    val e = wide(s, emb(s, d))
+    val cents = emb(s, d).filter(col("vec_id") % 200 === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
     val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
     val assigned = e.crossJoin(broadcast(cents))

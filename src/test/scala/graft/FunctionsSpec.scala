@@ -52,4 +52,52 @@ class FunctionsSpec extends SparkSpecBase {
     val f = MultimodalOps.decodeStub("ab".getBytes("UTF-8"))
     assert(f.toSeq === Seq(2f, 97.5f, math.sqrt((97.0 * 97 + 98.0 * 98) / 2).toFloat, 97f))
   }
+
+  test("FloatDotProduct is BITWISE-identical to the HOF dot on real embeddings") {
+    // Same fold order ⇒ identical doubles; compared without rounding, in both
+    // codegen and (collect-side) interpreted paths.
+    val e = Tables.embeddings(spark, sfDir).limit(200)
+      .select(col("vec_id"), col("embedding"))
+    val pairs = e.crossJoin(e.select(col("vec_id").as("id2"), col("embedding").as("emb2")))
+      .filter(col("vec_id") < col("id2")).limit(5000)
+    val cmp = pairs.select(
+      graft.operators.VectorOps.cosine(col("embedding"), col("emb2")).as("fast"),
+      graft.operators.VectorOps.cosineHof(col("embedding"), col("emb2")).as("ref"))
+    assert(cmp.filter(col("fast") =!= col("ref")).count() === 0)
+  }
+
+  test("SortedIntersectCount matches array_intersect size on hashed token sets") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        array_sort(transform(array_distinct(col("toks")), t => xxhash64(t))).as("set"))
+      .limit(100)
+    val pairs = docs.crossJoin(docs.select(col("doc_id").as("id2"), col("set").as("set2")))
+      .filter(col("doc_id") < col("id2"))
+    val cmp = pairs.select(
+      graft.functions.VectorExpressions.sortedIntersect(col("set"), col("set2")).as("fast"),
+      size(array_intersect(col("set"), col("set2"))).as("ref"))
+    assert(cmp.filter(col("fast") =!= col("ref")).count() === 0)
+  }
+
+  test("SigMatchCount counts equal slots; estimate tracks exact Jaccard") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 7L)), // 2 matches
+      (Seq(5L, 5L), Seq(5L, 5L)),                 // 2 matches
+      (Seq(1L), Seq(2L))                          // 0 matches
+    ).toDF("a", "b")
+    val got = df.select(graft.functions.VectorExpressions.sigMatches(col("a"), col("b")))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got === Seq(2, 2, 0))
+  }
+
+  test("vec_dot SQL registration works") {
+    graft.functions.VectorExpressions.register(spark)
+    Tables.embeddings(spark, sfDir).limit(5).createOrReplaceTempView("emb_t")
+    val n = spark.sql(
+      "SELECT vec_dot(embedding, embedding) AS d FROM emb_t WHERE vec_dot(embedding, embedding) > 0")
+      .count()
+    assert(n === 5)
+  }
 }
