@@ -36,13 +36,16 @@ object GraftSession {
     spark
   }
 
-  /** Standalone builder for tests/benchmarks. */
-  def build(appName: String = "graft", master: String = s"local[${defaultCpus}]"): SparkSession = {
+  /** Standalone builder for tests/benchmarks. Installs [[graft.plans.GraftExtensions]]
+    * (nanos-range pushdown rule + SQL functions). */
+  def build(appName: String = "graft", master: String = s"local[${defaultCpus}]",
+            shufflePartitions: String = defaultCpus): SparkSession = {
     val spark = SparkSession
       .builder()
       .appName(appName)
       .master(master)
-      .config("spark.sql.shuffle.partitions", defaultCpus)
+      .withExtensions(new graft.plans.GraftExtensions)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

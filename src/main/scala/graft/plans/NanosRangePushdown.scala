@@ -1,0 +1,112 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Pushes time-range predicates through the nanos→µs timestamp conversion.
+  *
+  * The events table stores parquet TIMESTAMP(NANOS), which this engine reads
+  * as a raw LongType nanos column and exposes as
+  * `timestamp_micros(ts div 1000)` (see graft.Tables.events — Spark 4
+  * cannot read ns timestamps natively). A range predicate written against
+  * the *converted* column,
+  * `Filter(timestamp_micros(ts div 1000) >= TIMESTAMP '…')`, is opaque to
+  * the parquet source: only `IsNotNull` reaches `PushedFilters`, and the
+  * scan reads every row group — the exact failure catena's partition-list
+  * `Seek(ts)` exists to avoid.
+  *
+  * `ts ↦ timestamp_micros(ts div 1000)` is monotonic, so every comparison
+  * against a literal has a sound raw-column companion:
+  *
+  *   - `conv(a) >  L`  ⇐  `a >  L·1000`        (superset: keeps originals)
+  *   - `conv(a) >= L`  ⇐  `a >= L·1000`
+  *   - `conv(a) <  L`  ⇐  `a <  L·1000`
+  *   - `conv(a) <= L`  ⇐  `a <  (L+1)·1000`
+  *   - `conv(a) =  L`  ⇐  both of the above with `>= / <`
+  *
+  * The rule ADDS the derived conjunct and KEEPS the original predicate, so
+  * it never has to reason about floor-division edge cases for exactness:
+  * the derived predicate is a superset filter that the parquet reader can
+  * evaluate against row-group min/max stats (and, on a date-partitioned
+  * layout, the partition pruner against directory values); the original
+  * still applies exactly, post-scan. Runs inside the operator-optimization
+  * fixed point, so `PushDownPredicates` carries the new conjunct to the
+  * relation in the same pass. Idempotent: a derived conjunct that is
+  * already present (semantically) is not added again.
+  */
+object NanosRangePushdown extends Rule[LogicalPlan] {
+
+  private val NsPerUs = 1000L
+  /** µs literals beyond this would overflow when scaled to ns. */
+  private val MaxSafeMicros = Long.MaxValue / NsPerUs
+
+  /** Matches `timestamp_micros(raw div 1000)` and yields `raw`. */
+  private object ConvertedNanos {
+    def unapply(e: Expression): Option[Expression] = e match {
+      case MicrosToTimestamp(IntegralDivide(raw, Literal(1000L, LongType), _))
+          if raw.dataType == LongType && raw.deterministic =>
+        Some(raw)
+      case _ => None
+    }
+  }
+
+  /** Timestamp literal as its raw Long microseconds value. */
+  private object TsLit {
+    def unapply(e: Expression): Option[Long] = e match {
+      case Literal(us: Long, TimestampType) if math.abs(us) < MaxSafeMicros => Some(us)
+      case _ => None
+    }
+  }
+
+  private def derived(cmp: Expression): Option[Expression] = cmp match {
+    case GreaterThan(ConvertedNanos(a), TsLit(us))        => Some(GreaterThan(a, nsLit(us)))
+    case GreaterThanOrEqual(ConvertedNanos(a), TsLit(us)) => Some(GreaterThanOrEqual(a, nsLit(us)))
+    case LessThan(ConvertedNanos(a), TsLit(us))           => Some(LessThan(a, nsLit(us)))
+    case LessThanOrEqual(ConvertedNanos(a), TsLit(us))    => Some(LessThan(a, nsLit(us + 1)))
+    case EqualTo(ConvertedNanos(a), TsLit(us)) =>
+      Some(And(GreaterThanOrEqual(a, nsLit(us)), LessThan(a, nsLit(us + 1))))
+    // mirrored literal-first forms
+    case GreaterThan(TsLit(us), ConvertedNanos(a))        => Some(LessThan(a, nsLit(us)))
+    case GreaterThanOrEqual(TsLit(us), ConvertedNanos(a)) => Some(LessThan(a, nsLit(us + 1)))
+    case LessThan(TsLit(us), ConvertedNanos(a))           => Some(GreaterThan(a, nsLit(us)))
+    case LessThanOrEqual(TsLit(us), ConvertedNanos(a))    => Some(GreaterThanOrEqual(a, nsLit(us)))
+    case EqualTo(TsLit(us), ConvertedNanos(a)) =>
+      Some(And(GreaterThanOrEqual(a, nsLit(us)), LessThan(a, nsLit(us + 1))))
+    case _ => None
+  }
+
+  private def nsLit(us: Long): Literal = Literal(us * NsPerUs, LongType)
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other     => Seq(other)
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, child) =>
+      val existing = conjuncts(cond)
+      // derive only from top-level conjuncts: a comparison under OR/NOT must
+      // not be strengthened independently
+      val extra = existing.flatMap(derived)
+        .filterNot(d => existing.exists(_.semanticEquals(d)))
+      if (extra.isEmpty) f
+      else Filter(extra.foldLeft(cond)(And(_, _)), child)
+  }
+}
+
+/** Session extensions: the graft optimizer rules + SQL functions.
+  * Install with `SparkSession.builder().withExtensions(new GraftExtensions)`
+  * or `spark.sql.extensions=graft.plans.GraftExtensions`. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => NanosRangePushdown)
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[graft.functions.FloatDotProduct].getName, "vec_dot"),
+      (children: Seq[Expression]) =>
+        graft.functions.FloatDotProduct(children(0), children(1))))
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan shape audit — the 100 TB posture, asserted.
+  *
+  * Correctness is the oracle's job (tools/check.py); THESE tests pin the
+  * plan properties that decide whether each operator survives a 1000×
+  * scale-up: pushdown reaching the scan, column pruning, the right join
+  * strategy, and no accidental nested-loop/cartesian products.
+  */
+class PlanSpec extends SparkSpecBase {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("Q05: nanos-range pushdown rule lands ts bounds in PushedFilters") {
+    val p = planOf(operators.RelationalOps.q05(spark, sfDir))
+    assert(p.contains("GreaterThanOrEqual(ts,"), s"no lower ts bound pushed:\n$p")
+    assert(p.contains("LessThan(ts,"), s"no upper ts bound pushed:\n$p")
+  }
+
+  test("Q47 series scan: series key AND ts range pushed to parquet") {
+    val p = planOf(operators.TimeSeriesOps.q47(spark, sfDir))
+    assert(p.contains("EqualTo(user_id,7)"), s"series key not pushed:\n$p")
+    assert(p.contains("GreaterThanOrEqual(ts,"), s"ts range not pushed:\n$p")
+  }
+
+  test("Q02: column pruning — scan reads exactly the 3 needed columns") {
+    val p = planOf(operators.RelationalOps.q02(spark, sfDir))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && readSchema.contains("l_quantity") &&
+           readSchema.contains("l_linenumber"), readSchema)
+    assert(!readSchema.contains("l_extendedprice") && !readSchema.contains("l_comment"),
+           s"scan reads more than the projection needs: $readSchema")
+  }
+
+  test("Q09: dim joins are broadcast, never shuffle") {
+    val p = planOf(operators.RelationalOps.q09(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"dim join fell back to SMJ:\n$p")
+  }
+
+  test("Q10: fact-fact join is sort-merge as hinted") {
+    val p = planOf(operators.RelationalOps.q10(spark, sfDir))
+    assert(p.contains("SortMergeJoin"), p)
+  }
+
+  test("Q16 theta join: banding keeps it an equi-join (no nested loop)") {
+    val p = planOf(operators.RelationalOps.q16(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+           s"banded range join degenerated to a nested loop:\n$p")
+  }
+
+  test("Q17 as-of: union+window plan has no join at all") {
+    val p = planOf(operators.TimeSeriesOps.q17(spark, sfDir))
+    assert(!p.contains("Join"), s"as-of should be join-free (union+window):\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("Q53 LSH: candidate generation is an equi-join, not all-pairs") {
+    val p = planOf(operators.TextOps.q53(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+           s"LSH candidate join degenerated:\n$p")
+  }
+
+  test("Q36 top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val p = planOf(operators.AnalyticOps.q36(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("Q19/Q48 aggregates are partial+final hash aggregates") {
+    for (df <- Seq(operators.RelationalOps.q19(spark, sfDir),
+                   operators.TimeSeriesOps.q48(spark, sfDir))) {
+      val p = planOf(df)
+      assert(p.contains("HashAggregate"), p)
+      assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+             s"expected partial+final HashAggregate:\n$p")
+    }
+  }
+
+  test("Q54 cosine top-k: corpus scans once, probes broadcast") {
+    val p = planOf(operators.VectorOps.q54(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"probe join must not shuffle the corpus:\n$p")
+  }
+
+  test("nanos pushdown rule is a no-op on non-matching filters") {
+    // value is a plain double column: the rule must not touch this plan
+    val df = Tables.events(spark, sfDir).filter("value > 100")
+    val p = planOf(df)
+    assert(p.contains("GreaterThan(value,100.0)"), p)
+  }
+
+  test("nanos pushdown preserves results exactly (superset + original filter)") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.events(spark, sfDir)
+    val lo = lit("2024-01-10 00:00:00").cast("timestamp")
+    val hi = lit("2024-01-12 00:00:00").cast("timestamp")
+    val withRule = e.filter(col("ts") >= lo && col("ts") <= hi).count()
+    // reference computed WITHOUT pushdown opportunity: materialize ts first
+    val ref = e.select(col("ts")).collect().map(_.getTimestamp(0))
+      .count(t => !t.before(java.sql.Timestamp.valueOf("2024-01-10 00:00:00")) &&
+                  !t.after(java.sql.Timestamp.valueOf("2024-01-12 00:00:00")))
+    assert(withRule === ref)
+  }
+}

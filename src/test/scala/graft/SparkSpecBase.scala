@@ -16,6 +16,7 @@ object SparkSpecBase {
     val s = SparkSession.builder()
       .appName("graft-test")
       .master("local[4]")
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
