@@ -149,11 +149,12 @@ object RelationalOps {
     * into fixed-width price buckets, explode the left side to its bucket ±1,
     * equi-join on the bucket (shuffled hash join, linear), and post-filter
     * the exact predicate. Bucket width must exceed the maximum window
-    * half-width (0.001 · max(o_totalprice)); with TPC-H-ish totalprice
-    * < 1e6, width 1000 is safe, asserted in RelationalSpec.
+    * half-width (0.001 · max(o_totalprice)); the fixture caps totalprice at
+    * 500k → half-width ≤ 500, so width 550 is safe (OperatorSpec asserts it
+    * per sf). Join work is ∝ width, so the tightest safe band wins.
     */
   def q16(s: SparkSession, d: String): DataFrame = {
-    val width = 1000.0
+    val width = 550.0
     val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
     val left = o
       .withColumn("band0", floor(col("o_totalprice") / width).cast("long"))

@@ -1,0 +1,67 @@
+package graft
+
+import graft.sources.BucketedLayout
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+/** The time-bucketed series layout: round-trip fidelity, partition pruning,
+  * compaction idempotence, retention — SURVEY §2.1 sink row. */
+class BucketedLayoutSpec extends SparkSpecBase {
+
+  private lazy val sink = {
+    val dir = java.nio.file.Files.createTempDirectory("bucketed-events").toString
+    BucketedLayout.migrate(spark, sfDir, dir, seriesBuckets = 4)
+    dir
+  }
+
+  test("round-trip preserves every row and value") {
+    val back = BucketedLayout.readEvents(spark, sink)
+    val orig = Tables.events(spark, sfDir)
+    assert(back.count() === orig.count())
+    val a = back.agg(sum("value"), sum("event_id"), countDistinct("user_id")).head
+    val b = orig.agg(sum("value"), sum("event_id"), countDistinct("user_id")).head
+    // double sums are order-sensitive at the last bits — tolerance, not equality
+    assert(math.abs(a.getDouble(0) - b.getDouble(0)) < 1e-6)
+    assert(a.getLong(1) === b.getLong(1))
+    assert(a.getLong(2) === b.getLong(2))
+  }
+
+  test("day range filter prunes partitions before file IO") {
+    val back = BucketedLayout.readEvents(spark, sink)
+      .filter(col("day") >= "2024-01-10" && col("day") <= "2024-01-12")
+    val p = back.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("day"), s"day filter not in PartitionFilters:\n$p")
+    // 3 calendar days → exactly the rows whose µs ts falls in them
+    val expected = Tables.events(spark, sfDir)
+      .filter(date_format(col("ts"), "yyyy-MM-dd").between("2024-01-10", "2024-01-12"))
+      .count()
+    assert(back.count() === expected)
+  }
+
+  test("compaction is idempotent and keeps the day's content") {
+    val day = "2024-01-05"
+    val before = BucketedLayout.readEvents(spark, sink)
+      .filter(col("day") === day).agg(count(lit(1)), sum("value")).head
+    BucketedLayout.compactDay(spark, sink, day, seriesBuckets = 2)
+    val after = BucketedLayout.readEvents(spark, sink)
+      .filter(col("day") === day).agg(count(lit(1)), sum("value")).head
+    assert(after.getLong(0) === before.getLong(0))
+    assert(math.abs(after.getDouble(1) - before.getDouble(1)) < 1e-6)
+    val files = new java.io.File(s"$sink/day=$day")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files === 2, s"expected 2 compacted buckets, got $files")
+  }
+
+  test("retention drops whole days cheaply") {
+    val dir = java.nio.file.Files.createTempDirectory("retention-events").toString
+    BucketedLayout.migrate(spark, sfDir, dir, seriesBuckets = 2)
+    val allDays = BucketedLayout.readEvents(spark, dir).select("day").distinct().count()
+    val dropped = BucketedLayout.dropDaysBefore(spark, dir, "2024-01-10")
+    assert(dropped.nonEmpty && dropped.forall(_ < "day=2024-01-10"))
+    val left = BucketedLayout.readEvents(spark, dir).select("day").distinct().count()
+    assert(left === allDays - dropped.size)
+    assert(BucketedLayout.readEvents(spark, dir)
+      .filter(col("day") < "2024-01-10").count() === 0)
+  }
+}
