@@ -26,17 +26,14 @@ object TimeSeriesOps {
   def q17(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d)
     val clicks = e.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts"), col("event_id"),
-              col("value").as("cval"), lit(0).as("kind"))
+      .select("user_id", "ts", "event_id", "value")
     val errors = e.filter(col("event_type") === "error")
-      .select(col("user_id"), col("ts"), col("event_id"),
-              lit(null).cast("double").as("cval"), lit(1).as("kind"))
-    val w = Window.partitionBy("user_id").orderBy("ts", "kind", "event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    clicks.unionByName(errors)
-      .withColumn("last_click", last(col("cval"), ignoreNulls = true).over(w))
-      .filter(col("kind") === 1 && col("last_click").isNotNull)
-      .agg(count(lit(1)).as("n_matched"), round(sum("last_click"), 4).as("sum_click"))
+      .select("user_id", "ts")
+    AsOfJoin.lastBefore(errors, clicks, keys = Seq("user_id"),
+        leftTs = "ts", rightTs = "ts", payload = Seq("value"),
+        inclusive = true, tieBreak = Seq("event_id"))
+      .filter(col("asof_value").isNotNull)
+      .agg(count(lit(1)).as("n_matched"), round(sum("asof_value"), 4).as("sum_click"))
   }
 
   /** Q18 point-in-interval join: events inside each user's
