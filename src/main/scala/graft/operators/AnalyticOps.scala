@@ -67,12 +67,14 @@ object AnalyticOps {
   }
 
   /** Q33 latest point per series — catena's hot query — as a single
-    * max_by/max aggregate (no window, no sort: partial+final agg only). */
+    * max_by/max aggregate (no window, no sort: partial+final agg only;
+    * [[SeriesApi.latestPoint]] + contract formatting). */
   def q33(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .groupBy("user_id", "event_type")
-      .agg(round(max_by(col("value"), col("ts")), 4).as("last_value"),
-           date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+    SeriesApi.latestPoint(Tables.events(s, d),
+        keys = Seq("user_id", "event_type"), ts = "ts", value = "value")
+      .select(col("user_id"), col("event_type"),
+              round(col("last_value"), 4).as("last_value"),
+              date_format(col("last_ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
       .orderBy("user_id", "event_type")
 
   /** Q34 top-k per group via row_number + filter (TakeOrdered per key). */

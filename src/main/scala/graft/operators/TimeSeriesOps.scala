@@ -67,55 +67,43 @@ object TimeSeriesOps {
               col("event_id"), col("value"))
 
   /** Q48 downsample / rollup — THE canonical TSDB query: day buckets ×
-    * metric, five aggregates in one partial+final hash-agg pass. */
+    * metric, five aggregates in one partial+final hash-agg pass
+    * ([[SeriesApi.downsample]] + the contract's rounding/ordering). */
   def q48(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-           round(avg("value"), 4).as("avg_v"),
-           round(sum("value"), 4).as("sum_v"),
-           round(min("value"), 4).as("min_v"),
-           round(max("value"), 4).as("max_v"))
+    SeriesApi.downsample(Tables.events(s, d), "ts", "yyyy-MM-dd",
+        keys = Seq("event_type"), value = "value")
+      .select(col("bucket").as("d"), col("event_type"), col("n"),
+              round(col("avg_v"), 4).as("avg_v"), round(col("sum_v"), 4).as("sum_v"),
+              round(col("min_v"), 4).as("min_v"), round(col("max_v"), 4).as("max_v"))
       .orderBy("d", "event_type")
 
   /** Q49 per-series rate: value delta / time delta. unix_micros on the
     * µs-truncated ts matches DuckDB's floor-truncating epoch arithmetic. */
-  def q49(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    Tables.events(s, d)
-      .withColumn("dv", col("value") - lag("value", 1).over(w))
-      .withColumn("dt_us", unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
-      .filter(col("dt_us") > 0)
-      .withColumn("rate", col("dv") / (col("dt_us").cast("double") / lit(1e6)))
+  def q49(s: SparkSession, d: String): DataFrame =
+    SeriesApi.rate(Tables.events(s, d), keys = Seq("user_id", "event_type"),
+        ts = "ts", value = "value", tieBreak = Seq("event_id"))
+      .filter(col("rate").isNotNull)
       .groupBy("event_type")
       .agg(round(avg("rate"), 6).as("avg_rate"), count(lit(1)).as("n_rates"))
       .orderBy("event_type")
-  }
 
   /** Q50 gap-fill: dense daily spine (sequence+explode ≡ generate_series)
     * LEFT JOIN observed buckets; empty-day counts. The spine is tiny
     * (days × metrics) so it broadcasts; observed buckets come pre-aggregated. */
-  def q50(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.events(s, d)
-    val buckets = e.groupBy(col("event_type").as("b_type"), to_date(col("ts")).as("b_d"))
-      .agg(count(lit(1)).as("n"))
-    val bounds = e.agg(min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"))
-    val spine = bounds
-      .select(explode(sequence(col("lo"), col("hi"))).as("d"))
-      .crossJoin(e.select("event_type").distinct())
-    spine.join(buckets, col("event_type") === col("b_type") && col("d") === col("b_d"), "left")
+  def q50(s: SparkSession, d: String): DataFrame =
+    SeriesApi.gapFillDaily(Tables.events(s, d), "ts", keys = Seq("event_type"))
       .groupBy("event_type")
       .agg(count(when(col("n").isNull, 1)).as("n_empty"), count(lit(1)).as("n_days"))
       .orderBy("event_type")
-  }
 
-  /** Q51 SMA: 3-bucket moving average over the daily downsample. */
+  /** Q51 SMA: 3-bucket moving average over the daily downsample
+    * ([[SeriesApi.downsample]] → [[SeriesApi.sma]]). */
   def q51(s: SparkSession, d: String): DataFrame = {
-    val daily = Tables.events(s, d)
-      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"), col("event_type"))
-      .agg(sum("value").as("sum_v"))
-    val w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-2, 0)
-    daily.select(col("d"), col("event_type"), round(avg("sum_v").over(w), 4).as("sma"))
+    val daily = SeriesApi.downsample(Tables.events(s, d), "ts", "yyyy-MM-dd",
+        keys = Seq("event_type"), value = "value")
+      .select(col("bucket").as("d"), col("event_type"), col("sum_v"))
+    SeriesApi.sma(daily, keys = Seq("event_type"), order = "d", value = "sum_v", window = 3)
+      .select(col("d"), col("event_type"), round(col("sma"), 4).as("sma"))
       .orderBy("event_type", "d")
   }
 }
