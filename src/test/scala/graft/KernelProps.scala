@@ -1,0 +1,64 @@
+package graft
+
+import graft.functions.{FloatDotProduct, SigMatchCount, SortedIntersectCount}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** Property-based checks (SURVEY §5.2.3) for the codegen kernels, evaluated
+  * through the interpreted `eval` path against straightforward Scala
+  * references over arbitrary inputs. The codegen path is exercised against
+  * real data in FunctionsSpec; these pin the algebra over the full input
+  * space (empty arrays, unequal lengths, extreme values, duplicates).
+  */
+object KernelProps extends Properties("graft.kernels") {
+
+  private def floatArr(a: Seq[Float]) = Literal.create(a, ArrayType(FloatType))
+  private def longArr(a: Seq[Long]) = Literal.create(a, ArrayType(LongType))
+
+  private val genFloats = Gen.listOf(Gen.chooseNum(-1e6f, 1e6f))
+  private val genLongs = Gen.listOf(Gen.chooseNum(Long.MinValue, Long.MaxValue))
+
+  property("FloatDotProduct == left-fold of double products over min length") =
+    Prop.forAll(genFloats, genFloats) { (a, b) =>
+      val got = FloatDotProduct(floatArr(a), floatArr(b)).eval(null)
+      val expected = a.zip(b)
+        .map { case (x, y) => x.toDouble * y.toDouble }
+        .foldLeft(0.0)(_ + _)
+      // bitwise compare: the kernel must reproduce the exact fold
+      got.asInstanceOf[Double].compareTo(expected) == 0
+    }
+
+  property("SortedIntersectCount == set intersection size on sorted distinct arrays") =
+    Prop.forAll(genLongs, genLongs) { (a, b) =>
+      val sa = a.distinct.sorted
+      val sb = b.distinct.sorted
+      val got = SortedIntersectCount(longArr(sa), longArr(sb)).eval(null)
+      got == sa.toSet.intersect(sb.toSet).size
+    }
+
+  property("SortedIntersectCount is symmetric") =
+    Prop.forAll(genLongs, genLongs) { (a, b) =>
+      val sa = a.distinct.sorted
+      val sb = b.distinct.sorted
+      SortedIntersectCount(longArr(sa), longArr(sb)).eval(null) ==
+        SortedIntersectCount(longArr(sb), longArr(sa)).eval(null)
+    }
+
+  property("SortedIntersectCount with itself == array size (Jaccard(x,x)=1)") =
+    Prop.forAll(genLongs) { a =>
+      val sa = a.distinct.sorted
+      SortedIntersectCount(longArr(sa), longArr(sa)).eval(null) == sa.size
+    }
+
+  property("SigMatchCount == positionwise equality count over min length") =
+    Prop.forAll(genLongs, genLongs) { (a, b) =>
+      val got = SigMatchCount(longArr(a), longArr(b)).eval(null)
+      got == a.zip(b).count { case (x, y) => x == y }
+    }
+
+  property("SigMatchCount with itself == length (estimated J of identical sets = 1)") =
+    Prop.forAll(genLongs) { a =>
+      SigMatchCount(longArr(a), longArr(a)).eval(null) == a.size
+    }
+}
