@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 /** SURVEY.md §2.9 — Structured Streaming ingest: the catena WAL → memory
@@ -84,6 +84,41 @@ object StreamOps {
   case class SeriesKey(user_id: Long, event_type: String)
   case class Point(user_id: Long, event_type: String, ts: java.sql.Timestamp, value: Double)
   case class LatestPoint(user_id: Long, event_type: String, ts: java.sql.Timestamp, value: Double)
+
+  /** ST8b: the same latest-point cache on the Spark 4 `transformWithState`
+    * API — typed per-key `ValueState` through a `StatefulProcessor`, the
+    * successor to flatMapGroupsWithState (finer state primitives, TTL,
+    * timers). Emits only when a strictly newer point arrives, exactly like
+    * [[latestPointCache]]; StreamingSpec asserts both converge to the batch
+    * `max_by`. Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass=…RocksDBStateStoreProvider`)
+    * — which is also the right provider for large state at scale. */
+  class LatestPointProcessor extends StatefulProcessor[SeriesKey, Point, LatestPoint] {
+    @transient private var latest: ValueState[LatestPoint] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      latest = getHandle.getValueState[LatestPoint](
+        "latest", Encoders.product[LatestPoint], TTLConfig.NONE)
+
+    override def handleInputRows(key: SeriesKey, rows: Iterator[Point],
+                                 timerValues: TimerValues): Iterator[LatestPoint] = {
+      val incoming = rows.maxByOption(p => (p.ts.getTime, p.value))
+        .map(p => LatestPoint(p.user_id, p.event_type, p.ts, p.value))
+      val prior = if (latest.exists()) Some(latest.get()) else None
+      incoming match {
+        case Some(b) if prior.forall(_.ts.getTime < b.ts.getTime) =>
+          latest.update(b); Iterator.single(b)
+        case _ => Iterator.empty
+      }
+    }
+  }
+
+  def latestPointCacheTws(events: Dataset[Point]): Dataset[LatestPoint] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(p => SeriesKey(p.user_id, p.event_type))
+      .transformWithState(new LatestPointProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
 
   /** ST8 custom state: running latest-point per (user_id, event_type) — the
     * catena in-memory partition's hot cache — via flatMapGroupsWithState.

@@ -133,4 +133,31 @@ class StreamingSpec extends SparkSpecBase {
       .agg(max_by(col("value"), col("ts")).as("value"))
     assert(streamLatest.except(batchLatest).isEmpty && batchLatest.except(streamLatest).isEmpty)
   }
+
+  test("ST8b transformWithState latest-point cache converges to batch max_by") {
+    import spark.implicits._
+    // transformWithState needs the RocksDB provider (column families)
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = StreamOps.eventsStream(spark, sfDir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("value")).as[Point]
+      val q = StreamOps.latestPointCacheTws(src).toDF()
+        .writeStream.format("memory").queryName("st8b").outputMode("update")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally {
+      prior match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy(col("ts").desc)
+    val streamLatest = spark.table("st8b")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("value"))
+    val batchLatest = batchEvents.groupBy("user_id", "event_type")
+      .agg(max_by(col("value"), col("ts")).as("value"))
+    assert(streamLatest.except(batchLatest).isEmpty && batchLatest.except(streamLatest).isEmpty)
+  }
 }
