@@ -12,9 +12,8 @@ import graft.operators._
   * both sides (SURVEY §5.3 determinism rules).
   *
   * Queries with no oracle (rows-only check, per SURVEY §2): q21 (HLL sketch
-  * internals engine-specific — tolerance-tested in RelationalSpec), x01
-  * (SimHash — hash-scheme-specific), x09 (multimodal fake decoder is
-  * engine-private).
+  * internals engine-specific — tolerance-tested in RelationalSpec), x09
+  * (multimodal fake decoder is engine-private).
   */
 object SparkEntry {
 
@@ -442,6 +441,31 @@ object SparkEntry {
       """SELECT label, COUNT(*) AS n,
         |ROUND(SUM(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))), 3) AS checksum
         |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+
+    // generated from the same bit-index loop as TextOps.x01Simhash: md5 is
+    // the one 64-bit-capable hash both engines compute identically, so the
+    // SimHash pipeline is fully oracle-checkable; the twin's OR-of-bands
+    // join is the oracle-scale formulation of the banded equi-join
+    "x01_simhash" -> {
+      val bitSums = (0 until 64).map(j =>
+        s"SUM(2 * (((strpos('0123456789abcdef', substr(h, ${1 + j / 4}, 1)) - 1) >> ${j % 4}) & 1) - 1) AS s$j")
+        .mkString(", ")
+      val bandKeys = (0 until 4).map { k =>
+        (k * 16 until (k + 1) * 16)
+          .map(j => s"CASE WHEN s$j > 0 THEN CAST(${1L << (j % 16)} AS BIGINT) ELSE 0 END")
+          .mkString(" + ") + s" AS k$k"
+      }.mkString(", ")
+      val hamming = (0 until 4).map(k => s"bit_count(xor(a.k$k, b.k$k))").mkString(" + ")
+      s"""WITH t AS (SELECT DISTINCT doc_id, tok FROM
+         |  (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents) u),
+         |hx AS (SELECT doc_id, md5(tok) AS h FROM t),
+         |s AS (SELECT doc_id, $bitSums FROM hx GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $bandKeys FROM s)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST($hamming AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |  AND (a.k0 = b.k0 OR a.k1 = b.k1 OR a.k2 = b.k2 OR a.k3 = b.k3)
+         |WHERE $hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin
+    },
 
     "x02_ngram_jaccard" ->
       """WITH g AS (SELECT DISTINCT doc_id, tok FROM

@@ -70,38 +70,53 @@ object TextOps {
       .orderBy("lang", "rnk")
   }
 
-  /** x01 SimHash near-dup (rows-only check: 64-bit signatures + banded
-    * hamming candidates are hash-scheme-specific, so no cross-engine oracle).
+  /** x01 SimHash near-dup, ORACLE-CHECKED: the 64-bit token hash is the
+    * first 16 hex chars of md5 — the one hash both engines compute
+    * identically — so the full pipeline (signature → banded candidates →
+    * hamming ≤ 3 verification) has an exact DuckDB twin
+    * ([[graft.SparkEntry.oracleSql]] generates it from the same bit-index
+    * loop; the twin uses an OR-of-bands join, fine at oracle scale, while
+    * this side keeps the banded equi-join that scales).
     *
-    * Signature: bit_j = sign of Σ_tokens (bit_j(xxhash64(tok)) ? +1 : −1),
-    * computed as 64 sum() columns in ONE aggregate pass; candidate pairs via
-    * 4×16-bit band buckets (hamming ≤ 3 ⇒ one band must match exactly by
-    * pigeonhole over 4 bands); verified with bit_count(xor) ≤ 3. Same
-    * LSH-shaped join scalability as MinHash. */
+    * Signature: bit_j = sign of Σ_tokens (±1 by bit j of md5(tok)),
+    * computed as 64 sum() columns in ONE aggregate pass; candidate pairs
+    * via 4×16-bit band buckets (hamming ≤ 3 ⇒ some band matches exactly,
+    * pigeonhole over 4 bands); verified with Σ bit_count(xor) ≤ 3. */
   def x01Simhash(s: SparkSession, d: String): DataFrame = {
     val tok = docTokens(s, d).select(col("id"), explode(col("toks")).as("tok")).distinct()
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j"))
-    val sig = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-      .withColumn("simhash",
-        (0 until 64).map(j => when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
-          .reduce(_.bitwiseOR(_)))
-      .select(col("id"), col("simhash"))
+      .withColumn("h", md5(col("tok")))
+    // bit_j of the 64-bit value encoded by hex chars 1..16: nibble j/4
+    // (1-based substr), low-to-high within the nibble (shift j%4)
+    val bitSums = (0 until 64).map { j =>
+      val bit = expr(
+        s"((locate(substr(h, ${1 + j / 4}, 1), '0123456789abcdef') - 1) >> ${j % 4}) & 1")
+      sum(bit * 2 - 1).as(s"s$j")
+    }
+    val sigBits = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val bandKeys = (0 until 4).map { k =>
+      (k * 16 until (k + 1) * 16)
+        .map(j => when(col(s"s$j") > 0, lit(1L << (j % 16))).otherwise(0L))
+        .reduce(_ + _).as(s"k$k")
+    }
     // widen before the explode+self-join: the signature agg collapses to ~1
     // AQE partition, but the band join's row explosion must run cluster-wide
     val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val banded = sig.repartition(nPart).select(col("id"), col("simhash"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-               shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL).as("key"))): _*)).as("bk"))
-      .select(col("id"), col("simhash"), col("bk.band"), col("bk.key"))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
-              bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+    val sig = sigBits.select((col("id") +: bandKeys): _*).repartition(nPart)
+    val banded = sig.select(col("id"),
+      explode(array((0 until 4).map(k =>
+        struct(lit(k).as("band"), col(s"k$k").as("key"))): _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
+    val hamming = (0 until 4)
+      .map(k => bit_count(col(s"a.k$k").bitwiseXOR(col(s"b.k$k"))))
+      .reduce(_ + _).cast("long")
+    banded.as("ab").join(banded.as("bb"),
+        col("ab.band") === col("bb.band") && col("ab.key") === col("bb.key") &&
+          col("ab.id") < col("bb.id"))
+      .select(col("ab.id").as("id_a"), col("bb.id").as("id_b"))
       .distinct()
+      .join(broadcast(sig.as("a")), col("id_a") === col("a.id"))
+      .join(broadcast(sig.as("b")), col("id_b") === col("b.id"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), hamming.as("hamming"))
       .filter(col("hamming") <= 3)
       .orderBy("doc_a", "doc_b")
   }

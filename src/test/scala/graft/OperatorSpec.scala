@@ -13,7 +13,7 @@ class OperatorSpec extends SparkSpecBase {
   }
 
   test("every query name has either an oracle or a documented rows-only reason") {
-    val rowsOnly = Set("q21_approx_distinct", "x01_simhash", "x09_multimodal")
+    val rowsOnly = Set("q21_approx_distinct", "x09_multimodal")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing === rowsOnly, s"unexpected rows-only queries: ${missing -- rowsOnly}")
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
