@@ -22,9 +22,23 @@ import org.apache.spark.sql.functions._
   * exact-Jaccard-verified pairs, SURVEY §2.10 Q53).
   */
 object MinHashLSH {
+  /** Defaults tuned for a verified-exact contract at threshold ~0.8: with
+    * r=2 rows x b=32 bands a true pair at J=0.8 is missed with probability
+    * (1-0.8^2)^32 ~ 6e-15 (effectively never). A SPARSE corpus at a higher
+    * threshold can pass larger `rows` to `Params` to cut candidates
+    * aggressively (recall math in the scaladoc above); the fixture corpus
+    * is dense, so the default favors recall. */
   val NumPerm = 64
   val Rows    = 2
   val Bands   = NumPerm / Rows
+
+  /** LSH shape: `numPerm` permutations in bands of `rows`. */
+  case class Params(numPerm: Int = NumPerm, rows: Int = Rows) {
+    require(numPerm % rows == 0, "numPerm must be divisible by rows")
+    def bands: Int = numPerm / rows
+    /** P(candidate) for a pair at Jaccard j: 1 - (1 - j^rows)^bands. */
+    def candidateProb(j: Double): Double = 1 - math.pow(1 - math.pow(j, rows), bands)
+  }
 
   /** items: (id: long, toks: array<string>) — toks treated as a SET.
     * Returns (id, mh0..mh63).
@@ -35,18 +49,18 @@ object MinHashLSH {
     * before the distinct also shrinks the dedup shuffle to (id, long)
     * rows. A th-collision (≈1e-19 per token pair) could only merge two
     * tokens inside the signature, never in the exact verification. */
-  def signatures(items: DataFrame): DataFrame = {
+  def signatures(items: DataFrame, p: Params = Params()): DataFrame = {
     val tok = items.select(col("id"), explode(col("toks")).as("tok"))
       .select(col("id"), xxhash64(col("tok")).as("th"))
       .distinct()
-    val mins = (0 until NumPerm).map(i => min(xxhash64(lit(i), col("th"))).as(s"mh$i"))
+    val mins = (0 until p.numPerm).map(i => min(xxhash64(lit(i), col("th"))).as(s"mh$i"))
     tok.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
   /** (id, band, sig) — one row per band per item. */
-  def bandSignatures(sigs: DataFrame): DataFrame = {
-    val bandStructs = (0 until Bands).map { b =>
-      val slots = (0 until Rows).map(r => col(s"mh${b * Rows + r}").cast("string"))
+  def bandSignatures(sigs: DataFrame, p: Params = Params()): DataFrame = {
+    val bandStructs = (0 until p.bands).map { b =>
+      val slots = (0 until p.rows).map(r => col(s"mh${b * p.rows + r}").cast("string"))
       struct(lit(b).as("band"), concat_ws(":", slots: _*).as("sig"))
     }
     sigs.select(col("id"), explode(array(bandStructs: _*)).as("bs"))
@@ -63,9 +77,9 @@ object MinHashLSH {
     * Spreading 1 row/doc before the explosion keeps the whole pair pipeline
     * at cluster width; the raw collision rows are deduped map-side by the
     * partial aggregate before the only pair-level shuffle. */
-  def candidatePairs(items: DataFrame): DataFrame = {
+  def candidatePairs(items: DataFrame, p: Params = Params()): DataFrame = {
     val n = items.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val bands = bandSignatures(signatures(items).repartition(n))
+    val bands = bandSignatures(signatures(items, p).repartition(n), p)
     bands.as("a")
       .join(bands.as("b"),
             col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
@@ -85,7 +99,8 @@ object MinHashLSH {
     * arrays) is the expensive part, and it would inherit that single
     * partition. An explicit numPartitions pins the verify stage at full
     * cluster width (AQE never coalesces user-specified repartition counts). */
-  def verifiedPairs(items: DataFrame, threshold: Double): DataFrame = {
+  def verifiedPairs(items: DataFrame, threshold: Double,
+                    p: Params = Params()): DataFrame = {
     val n = items.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     // Per-doc ONCE: distinct tokens → 64-bit hashes → sorted array. The
     // per-pair exact intersection is then a codegen'd two-pointer merge
@@ -98,7 +113,7 @@ object MinHashLSH {
     val sets = items.select(col("id"),
         array_sort(transform(array_distinct(col("toks")), t => xxhash64(t))).as("set"))
       .withColumn("sz", size(col("set")))
-    candidatePairs(items)
+    candidatePairs(items, p)
       .repartition(n, col("id_a"), col("id_b"))
       .join(broadcast(sets.select(col("id").as("id_a"), col("set").as("set_a"),
                                   col("sz").as("sz_a"))), "id_a")

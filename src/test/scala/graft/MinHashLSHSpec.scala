@@ -25,6 +25,25 @@ class MinHashLSHSpec extends SparkSpecBase {
     assert(lsh === exact)
   }
 
+  test("Params: recall math and a sparse-corpus config (r=4) on real docs") {
+    val p = MinHashLSH.Params(numPerm = 64, rows = 4)
+    assert(p.bands === 16)
+    assert(math.abs(p.candidateProb(1.0) - 1.0) < 1e-12)
+    assert(p.candidateProb(0.8) > 0.999)  // near-perfect recall at threshold
+    assert(p.candidateProb(0.3) < 0.15)   // ~8x fewer low-sim candidates than r=2
+    val sparse = MinHashLSH.verifiedPairs(docs, 0.8, p)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val default = MinHashLSH.verifiedPairs(docs, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // r=4 trades a sliver of recall for ~8x candidate pruning: every pair it
+    // finds is real (exact-verified ⊆ default), recall stays >= 99.9%.
+    // This is why the CONTRACT query keeps r=2 (miss prob 6e-15): only r=2
+    // makes the verified output provably identical to exhaustive search.
+    assert(sparse.subsetOf(default))
+    assert(sparse.size >= (default.size * 0.999).toInt,
+           s"recall ${sparse.size.toDouble / default.size} below 99.9%")
+  }
+
   test("signatures are deterministic across partitionings") {
     val s1 = MinHashLSH.signatures(docs).orderBy("id").collect().toSeq
     val s2 = MinHashLSH.signatures(docs.repartition(7)).orderBy("id").collect().toSeq
