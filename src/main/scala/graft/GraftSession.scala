@@ -62,6 +62,12 @@ object GraftSession {
 /** Lazy per-(session, dir) table loaders. Every §2 query goes through these
   * so the physical layout (single parquet file now; day-partitioned +
   * series-bucketed at scale) is a private detail of this object. */
+/** Typed row of the events (time-series) table — the engine's `Dataset[T]`
+  * surface for callers who want compile-time column safety (streaming state
+  * ops already use typed rows; see StreamOps.Point). */
+case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                 event_type: String, value: Double, props: String)
+
 object Tables {
   val starTables: Seq[String] =
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
@@ -87,6 +93,12 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw(spark, dir, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Typed events: same frame as [[events]] with a case-class Encoder. */
+  def eventsDs(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[Event] = {
+    import spark.implicits._
+    events(spark, dir).as[Event]
   }
 
   def byName(spark: SparkSession, dir: String, name: String): DataFrame =

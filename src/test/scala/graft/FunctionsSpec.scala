@@ -53,6 +53,14 @@ class FunctionsSpec extends SparkSpecBase {
     assert(f.toSeq === Seq(2f, 97.5f, math.sqrt((97.0 * 97 + 98.0 * 98) / 2).toFloat, 97f))
   }
 
+  test("typed Dataset[Event] surface round-trips the events table") {
+    val ds = Tables.eventsDs(spark, sfDir)
+    val first = ds.filter(_.event_type == "click").map(_.value)(
+      org.apache.spark.sql.Encoders.scalaDouble).head()
+    assert(!first.isNaN)
+    assert(ds.count() === Tables.events(spark, sfDir).count())
+  }
+
   test("FloatDotProduct is BITWISE-identical to the HOF dot on real embeddings") {
     // Same fold order ⇒ identical doubles; compared without rounding, in both
     // codegen and (collect-side) interpreted paths.
