@@ -93,6 +93,7 @@ object SparkEntry {
     "x07_embed_neardup"   -> (VectorOps.x07EmbedNearDup _),
     "x08_ann_ivf"         -> (VectorOps.x08AnnIvf _),
     "x09_multimodal"      -> (MultimodalOps.x09Multimodal _),
+    "x10_centroids"       -> (VectorOps.x10Centroids _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -521,6 +522,14 @@ object SparkEntry {
         |    * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS cos
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, cos FROM c WHERE cos >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+
+    "x10_centroids" ->
+      """WITH e AS (SELECT label, UNNEST(embedding) AS v,
+        |  UNNEST(generate_series(0, len(embedding) - 1)) AS dim FROM embeddings)
+        |SELECT label, CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
+        |ROUND(AVG(CAST(v AS DOUBLE)), 4) AS centroid,
+        |ROUND(stddev_samp(CAST(v AS DOUBLE)), 4) AS spread
+        |FROM e WHERE dim < 8 GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
 
     "x08_ann_ivf" ->
       """WITH cents AS (SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings

@@ -76,6 +76,23 @@ object VectorOps {
                                (acc, x) => acc + x.cast("double"))), 3).as("checksum"))
       .orderBy("label")
 
+  /** x10 per-label embedding centroids + dispersion — the class-statistics
+    * pass of an embedding-quality / clustering pipeline. One posexplode to
+    * (label, dim, value) then a single partial+final hash aggregate per
+    * (label, dim): linear, one shuffle of |labels|×|dims| groups regardless
+    * of corpus size. Oracle: DuckDB UNNEST WITH ORDINALITY twin. */
+  def x10Centroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n"),
+           round(avg(col("v").cast("double")), 4).as("centroid"),
+           round(stddev_samp(col("v").cast("double")), 4).as("spread"))
+      .filter(col("dim") < 8) // contract keeps the first 8 dims (output size)
+      .select(col("label"), col("dim").cast("long").as("dim"), col("n"),
+              col("centroid"), col("spread"))
+      .orderBy("label", "dim")
+
   /** x07 embedding near-dup: all pairs with cosine ≥ 0.9 (blocked a<b).
     * sf-scale is brute force; the 100 TB path is x08's bucketed join or
     * MinHash-style banding on sign sketches. */
