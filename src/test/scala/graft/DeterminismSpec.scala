@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** SURVEY §5.3's FP-determinism contract, tested directly: every contract
+  * query must produce IDENTICAL canonical output under different shuffle
+  * parallelism. Double summation is order-sensitive at the last bits; the
+  * contract's ROUND(,4) wrappers must absorb that — if a query ever sits on
+  * a rounding knife edge, this catches it before the oracle gate does.
+  */
+class DeterminismSpec extends SparkSpecBase {
+
+  // FP-heaviest queries: multi-agg sums/avgs, window checksums, stats, rates
+  private val sensitive = Seq(
+    "q10_join_smj", "q19_agg_tpch_q1", "q22_rollup", "q24_having",
+    "q26_stats", "q30_lag_delta", "q31_running_sum", "q32_moving_avg",
+    "q48_downsample", "q49_rate", "q51_sma", "q54_cosine_topk", "q57_multimodal_arr")
+
+  private def canon(df: DataFrame): Seq[String] = {
+    val cols = df.columns.sorted.toSeq
+    df.selectExpr(cols: _*).collect()
+      .map(_.toSeq.map(v => if (v == null) "∅" else v.toString).mkString("|"))
+      .toSeq
+  }
+
+  test("FP-sensitive queries are identical under shuffle parallelism 3 vs 13") {
+    val key = "spark.sql.shuffle.partitions"
+    val prior = spark.conf.get(key)
+    def runAll(): Map[String, Seq[String]] =
+      sensitive.map(n => n -> canon(SparkEntry.queries(n)(spark, sfDir))).toMap
+    try {
+      spark.conf.set(key, "3")
+      val a = runAll()
+      spark.conf.set(key, "13")
+      val b = runAll()
+      sensitive.foreach { n =>
+        assert(a(n) === b(n), s"$n diverges across partitionings")
+      }
+    } finally spark.conf.set(key, prior)
+  }
+}
