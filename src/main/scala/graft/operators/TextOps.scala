@@ -184,11 +184,13 @@ object TextOps {
       .orderBy("doc_id")
 
   /** x06 document fingerprinting: whole-content md5 prefix + a winnowing-style
-    * rolling fingerprint (min over all 8-char window hashes). */
+    * rolling fingerprint (min over all 8-char window hashes) — the rolling
+    * min is one [[graft.functions.RollingMd5Min]] eval per document instead
+    * of a per-window interpreted HOF pipeline. */
   def x06Fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
               substring(md5(col("text")), 1, 16).as("fp"),
-              expr("array_min(transform(sequence(1, length(text)-7), i -> substr(md5(substring(text, i, 8)), 1, 8)))").as("fp_rolling"))
+              graft.functions.TextExpressions.rollingMd5Min(col("text"), 8).as("fp_rolling"))
       .orderBy("doc_id")
 }

@@ -88,6 +88,31 @@ class FunctionsSpec extends SparkSpecBase {
     assert(cmp.filter(col("fast") =!= col("ref")).count() === 0)
   }
 
+  test("RollingMd5Min is bitwise-identical to the HOF formulation on real docs") {
+    val docs = Tables.documents(spark, sfDir).limit(200)
+    val cmp = docs.select(
+      graft.functions.TextExpressions.rollingMd5Min(col("text"), 8).as("fast"),
+      expr("array_min(transform(sequence(1, length(text)-7), i -> substr(md5(substring(text, i, 8)), 1, 8)))").as("ref"))
+    assert(cmp.filter(col("fast") =!= col("ref")).count() === 0)
+    assert(cmp.filter(col("fast").isNull).count() === 0)
+  }
+
+  test("RollingMd5Min: short strings null, multibyte path consistent") {
+    import spark.implicits._
+    val df = Seq("short", "exactly8", "ünïcødé-text-with-multibyte-chars").toDF("t")
+    val got = df.select(graft.functions.TextExpressions.rollingMd5Min(col("t"), 8).as("f"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(got(0).isEmpty)       // 5 chars < 8 → null
+    assert(got(1).isDefined)     // one window
+    assert(got(2).isDefined)
+    // multibyte: equals the HOF reference too
+    val cmp = df.select(
+      graft.functions.TextExpressions.rollingMd5Min(col("t"), 8).as("fast"),
+      expr("array_min(transform(sequence(1, greatest(length(t)-7, 1)), i -> substr(md5(substring(t, i, 8)), 1, 8)))").as("ref"))
+      .filter(length(col("t")) >= 8)
+    assert(cmp.filter(col("fast") =!= col("ref")).count() === 0)
+  }
+
   test("SigMatchCount counts equal slots; estimate tracks exact Jaccard") {
     import spark.implicits._
     val df = Seq(
