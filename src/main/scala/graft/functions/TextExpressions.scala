@@ -77,8 +77,65 @@ case class RollingMd5Min(child: Expression, window: Int)
     copy(child = newChild)
 }
 
+/** Parse the first 16 lowercase-hex chars of a string into the 64-bit value
+  * they encode (big-endian: first char = most significant nibble); the
+  * signed Long carries the identical bit pattern.
+  *
+  * Purpose: SimHash needs 64 individual bits of `md5(tok)`. Extracting each
+  * via `locate(substr(h, p, 1), alphabet)` costs 64 substring+search chains
+  * per row; parsing once makes every bit a codegen'd shift: hex char at
+  * 0-based position p is `(v >> (4*(15-p))) & 0xF`, so bit j of the
+  * nibble-indexed SimHash formula is `(v >> (4*(15 - j/4) + j%4)) & 1` —
+  * the same values, same oracle (FunctionsSpec asserts all 64 bits match
+  * the locate-based formula on real md5 output). */
+case class HexPrefixToLong(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "hex_prefix_to_long"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    var v = 0L
+    var i = 0
+    val n = math.min(16, s.numBytes())
+    while (i < n) {
+      val c = s.getByte(i)
+      val nib = if (c >= '0' && c <= '9') c - '0' else (c - 'a') + 10
+      v = (v << 4) | (nib & 0xFL)
+      i += 1
+    }
+    v
+  }
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, in => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val v = ctx.freshName("v"); val c = ctx.freshName("c")
+      val nib = ctx.freshName("nib")
+      s"""
+         |final int $n = java.lang.Math.min(16, $in.numBytes());
+         |long $v = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final byte $c = $in.getByte($i);
+         |  final int $nib = ($c >= '0' && $c <= '9') ? ($c - '0') : (($c - 'a') + 10);
+         |  $v = ($v << 4) | ($nib & 0xFL);
+         |}
+         |${ev.value} = $v;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HexPrefixToLong =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Column API: rolling-min md5 fingerprint over `window`-char substrings. */
   def rollingMd5Min(text: Column, window: Int = 8): Column =
     Bridge.column(RollingMd5Min(Bridge.expression(text), window))
+
+  /** Column API: first-16-hex-chars → Long (bit-identical big-endian). */
+  def hexPrefixToLong(hex: Column): Column =
+    Bridge.column(HexPrefixToLong(Bridge.expression(hex)))
 }

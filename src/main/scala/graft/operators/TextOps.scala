@@ -84,12 +84,14 @@ object TextOps {
     * pigeonhole over 4 bands); verified with Σ bit_count(xor) ≤ 3. */
   def x01Simhash(s: SparkSession, d: String): DataFrame = {
     val tok = docTokens(s, d).select(col("id"), explode(col("toks")).as("tok")).distinct()
-      .withColumn("h", md5(col("tok")))
-    // bit_j of the 64-bit value encoded by hex chars 1..16: nibble j/4
-    // (1-based substr), low-to-high within the nibble (shift j%4)
+      .withColumn("hl", graft.functions.TextExpressions.hexPrefixToLong(md5(col("tok"))))
+    // bit_j of the nibble-indexed SimHash formula (nibble j/4 of the hex
+    // string, shift j%4 within it) read from the parsed big-endian long:
+    // one codegen'd shift per bit instead of a locate+substr chain
+    // (FunctionsSpec asserts all 64 bits equal the locate formulation, and
+    // the DuckDB twin keeps the nibble formula — values are identical)
     val bitSums = (0 until 64).map { j =>
-      val bit = expr(
-        s"((locate(substr(h, ${1 + j / 4}, 1), '0123456789abcdef') - 1) >> ${j % 4}) & 1")
+      val bit = shiftright(col("hl"), 4 * (15 - j / 4) + j % 4).bitwiseAND(1)
       sum(bit * 2 - 1).as(s"s$j")
     }
     val sigBits = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)

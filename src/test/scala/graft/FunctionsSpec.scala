@@ -113,6 +113,20 @@ class FunctionsSpec extends SparkSpecBase {
     assert(cmp.filter(col("fast") =!= col("ref")).count() === 0)
   }
 
+  test("HexPrefixToLong: all 64 SimHash bits equal the locate-based formula") {
+    val h = Tables.documents(spark, sfDir).limit(300)
+      .select(md5(col("text")).as("h"))
+      .withColumn("hl", graft.functions.TextExpressions.hexPrefixToLong(col("h")))
+    val checks = (0 until 64).map { j =>
+      val viaLocate = expr(
+        s"((locate(substr(h, ${1 + j / 4}, 1), '0123456789abcdef') - 1) >> ${j % 4}) & 1")
+      val viaShift = shiftright(col("hl"), 4 * (15 - j / 4) + j % 4).bitwiseAND(1)
+      sum(when(viaLocate =!= viaShift, 1).otherwise(0)).as(s"d$j")
+    }
+    val diffs = h.agg(checks.head, checks.tail: _*).head.toSeq.map(_.asInstanceOf[Long])
+    assert(diffs.forall(_ == 0L), s"bit mismatches per j: $diffs")
+  }
+
   test("SigMatchCount counts equal slots; estimate tracks exact Jaccard") {
     import spark.implicits._
     val df = Seq(
