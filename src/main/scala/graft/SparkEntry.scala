@@ -94,6 +94,7 @@ object SparkEntry {
     "x08_ann_ivf"         -> (VectorOps.x08AnnIvf _),
     "x09_multimodal"      -> (MultimodalOps.x09Multimodal _),
     "x10_centroids"       -> (VectorOps.x10Centroids _),
+    "x11_stopword_ratio"  -> (TextOps.x11StopwordRatio _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -506,8 +507,20 @@ object SparkEntry {
 
     "x05_token_count" ->
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-        |CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha, n_chars
+        |CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+        |CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe,
+        |n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x11_stopword_ratio" ->
+      """WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+        |stop AS (SELECT tok FROM
+        |  (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok) g
+        |  ORDER BY df DESC, tok LIMIT 30)
+        |SELECT t.doc_id, COUNT(*) AS n_tok, COUNT(s.tok) AS n_stop,
+        |ROUND(CAST(COUNT(s.tok) AS DOUBLE) / COUNT(*), 4) AS stop_ratio
+        |FROM toks t LEFT JOIN stop s ON t.tok = s.tok
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
 
     "x06_fingerprint" ->
       """SELECT doc_id, substr(md5(text), 1, 16) AS fp,

@@ -176,14 +176,43 @@ object TextOps {
         (col("num").cast("double") / (col("n_tok") * 5000L).cast("double")).as("quality"))
       .orderBy("doc_id")
 
-  /** x05 token counting: whitespace tokens + alphabetic char mass. */
+  /** x05 token counting: whitespace tokens, alphabetic char mass, and a
+    * BPE-ish subword count (letter runs / digit runs / single other-chars —
+    * the pre-tokenization shape BPE vocabularies start from; same RE2-safe
+    * class regex on both engines). */
   def x05TokenCount(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
               size(split(col("text"), " ")).cast("long").as("n_tokens"),
               length(regexp_replace(col("text"), "[^a-z]", "")).cast("long").as("n_alpha"),
+              size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+                .cast("long").as("n_bpe"),
               col("n_chars"))
       .orderBy("doc_id")
+
+  /** x11 stopword-ratio quality: stopwords = the corpus's own top-30 tokens
+    * by document frequency (deterministic, data-derived — no external list,
+    * broadcast to every task); per-doc ratio of stopword occurrences to
+    * total tokens. The classic "too many function words" quality dimension
+    * that x04's length/diversity ratios don't capture. */
+  def x11StopwordRatio(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    // global top-30 by document frequency via TakeOrdered (no unpartitioned
+    // window): the ordered limit over the |vocab|-row aggregate is tiny
+    val stop = toks.select(col("doc_id"), col("tok")).distinct()
+      .groupBy("tok").agg(countDistinct("doc_id").as("df"))
+      .orderBy(col("df").desc, col("tok"))
+      .limit(30)
+      .select(col("tok").as("stop_tok"))
+    toks.join(broadcast(stop), col("tok") === col("stop_tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+           count(col("stop_tok")).as("n_stop"))
+      .select(col("doc_id"), col("n_tok"), col("n_stop"),
+              round(col("n_stop").cast("double") / col("n_tok"), 4).as("stop_ratio"))
+      .orderBy("doc_id")
+  }
 
   /** x06 document fingerprinting: whole-content md5 prefix + a winnowing-style
     * rolling fingerprint (min over all 8-char window hashes) — the rolling
