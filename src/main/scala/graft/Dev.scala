@@ -34,6 +34,36 @@ object Dev {
       s.stop()
       return
     }
+    if (names.length == 1 && names.head.startsWith("ingestbench")) {
+      // time the two ingest paths over sfDir events: batch bucketed insert
+      // (optionally with the input replicated `k`x — "ingestbench:k" — to
+      // amortize fixed day-dir/commit costs) and one streaming exactly-once
+      // pass; print rows/sec for BASELINE.md
+      val mult = names.head.split(":").drop(1).headOption.map(_.toInt).getOrElse(1)
+      val s = GraftSession.build("graft-dev")
+      val base = Tables.events(s, sfDir)
+      val events = if (mult == 1) base else {
+        import org.apache.spark.sql.functions._
+        // k distinct copies: shift event ids so dedup/grouping stays honest
+        base.crossJoin(s.range(mult).toDF("rep"))
+          .withColumn("event_id", col("event_id") * mult + col("rep"))
+          .drop("rep")
+      }
+      val n = events.count()
+      val batchDir = java.nio.file.Files.createTempDirectory("ib-batch").toString
+      val t0 = System.nanoTime()
+      GraftStore.create(s, batchDir, events)
+      val batchSec = (System.nanoTime() - t0) / 1e9
+      val rawDir = java.nio.file.Files.createTempDirectory("ib-raw").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("ib-ckpt").toString
+      val t1 = System.nanoTime()
+      graft.streaming.StreamOps.ingest(s, sfDir, rawDir, ckpt).awaitTermination()
+      val streamSec = (System.nanoTime() - t1) / 1e9
+      println(f"ingestbench rows=$n batch_sec=$batchSec%.2f batch_rows_per_s=${n / batchSec}%.0f " +
+        f"stream_sec=$streamSec%.2f stream_rows_per_s=${n / streamSec}%.0f")
+      s.stop()
+      return
+    }
     val spark = GraftSession.build("graft-dev")
     names.foreach { n =>
       println(s"=== $n ===")
