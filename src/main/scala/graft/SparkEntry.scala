@@ -327,7 +327,7 @@ object SparkEntry {
 
     "q44_array_funcs" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
-        |ROUND(CAST(embedding[1] AS DOUBLE), 4) AS e1,
+        |ROUND(CAST(embedding[1] AS DOUBLE), 4) + 0 AS e1,
         |ROUND(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 4) AS s8,
         |ROUND(SQRT(list_sum(list_transform(embedding,
         |  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm,

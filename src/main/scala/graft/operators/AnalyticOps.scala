@@ -187,7 +187,9 @@ object AnalyticOps {
     Tables.embeddings(s, d)
       .select(col("vec_id"),
               size(col("embedding")).cast("long").as("dim"),
-              round(element_at(col("embedding"), 1).cast("double"), 4).as("e1"),
+              // + 0 normalizes IEEE -0.0 → 0.0: Spark's ROUND drops the
+              // sign of a tiny negative, DuckDB's keeps it (SURVEY §7.4-8)
+              (round(element_at(col("embedding"), 1).cast("double"), 4) + lit(0)).as("e1"),
               round(aggregate(slice(col("embedding"), 1, 8), lit(0.0),
                               (acc, x) => acc + x.cast("double")), 4).as("s8"),
               round(sqrt(aggregate(col("embedding"), lit(0.0),
