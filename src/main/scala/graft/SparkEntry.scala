@@ -356,7 +356,8 @@ object SparkEntry {
     "q48_downsample" ->
       s"""WITH e AS ($E)
          |SELECT strftime(ts, '%Y-%m-%d') AS d, event_type, COUNT(*) AS n,
-         |ROUND(AVG(value), 4) AS avg_v, ROUND(SUM(value), 4) AS sum_v,
+         |CAST(CAST(SUM(value) AS DECIMAL(18,2)) / COUNT(*) AS DECIMAL(18,4)) AS avg_v,
+         |ROUND(SUM(value), 4) AS sum_v,
          |ROUND(MIN(value), 4) AS min_v, ROUND(MAX(value), 4) AS max_v
          |FROM e GROUP BY 1, 2 ORDER BY d, event_type""".stripMargin,
 

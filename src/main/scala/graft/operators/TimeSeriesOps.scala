@@ -72,8 +72,16 @@ object TimeSeriesOps {
   def q48(s: SparkSession, d: String): DataFrame =
     SeriesApi.downsample(Tables.events(s, d), "ts", "yyyy-MM-dd",
         keys = Seq("event_type"), value = "value")
+      // avg_v goes through EXACT decimal arithmetic, not double rounding:
+      // values are 2-decimal, so the bucket sum snapped to DECIMAL(18,2) is
+      // exact on both engines (absorbing last-ulp summation-order drift),
+      // and decimal division + the final (18,4) cast round identically —
+      // a double AVG can land on a knife edge (e.g. 307.03/8 = 38.37875)
+      // where the engines' ROUNDs disagree (SURVEY §5.3 demotion rule;
+      // found auditing sf0.001/sf0.01)
       .select(col("bucket").as("d"), col("event_type"), col("n"),
-              round(col("avg_v"), 4).as("avg_v"), round(col("sum_v"), 4).as("sum_v"),
+              (col("sum_v").cast("decimal(18,2)") / col("n")).cast("decimal(18,4)").as("avg_v"),
+              round(col("sum_v"), 4).as("sum_v"),
               round(col("min_v"), 4).as("min_v"), round(col("max_v"), 4).as("max_v"))
       .orderBy("d", "event_type")
 
