@@ -124,6 +124,6 @@ object MinHashLSH {
       .withColumn("uni", (col("sz_a") + col("sz_b")).cast("double") - col("inter"))
       .withColumn("jac", col("inter") / col("uni"))
       .filter(col("jac") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("j"))
+      .select(col("id_a"), col("id_b"), Rounding.dround(col("jac"), 4).as("j"))
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.Rounding.dround
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -42,7 +43,7 @@ object AnalyticOps {
     Tables.events(s, d)
       .withColumn("delta", col("value") - lag("value", 1).over(seriesW))
       .groupBy("event_type")
-      .agg(round(sum("delta"), 4).as("sum_delta"), count(col("delta")).as("n_delta"))
+      .agg(dround(sum("delta"), 4).as("sum_delta"), count(col("delta")).as("n_delta"))
       .orderBy("event_type")
 
   /** Q31 running sum (rows frame), per-user checksum. */
@@ -52,7 +53,7 @@ object AnalyticOps {
     Tables.events(s, d)
       .withColumn("cum", sum("value").over(w))
       .groupBy("user_id")
-      .agg(round(sum("cum"), 4).as("checksum"))
+      .agg(dround(sum("cum"), 4).as("checksum"))
       .orderBy("user_id")
   }
 
@@ -62,7 +63,7 @@ object AnalyticOps {
     Tables.events(s, d)
       .withColumn("ma", avg("value").over(w))
       .groupBy("event_type")
-      .agg(round(sum("ma"), 4).as("checksum"))
+      .agg(dround(sum("ma"), 4).as("checksum"))
       .orderBy("event_type")
   }
 
@@ -73,7 +74,7 @@ object AnalyticOps {
     SeriesApi.latestPoint(Tables.events(s, d),
         keys = Seq("user_id", "event_type"), ts = "ts", value = "value")
       .select(col("user_id"), col("event_type"),
-              round(col("last_value"), 4).as("last_value"),
+              dround(col("last_value"), 4).as("last_value"),
               date_format(col("last_ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
       .orderBy("user_id", "event_type")
 
@@ -170,30 +171,30 @@ object AnalyticOps {
   def q43(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .select(col("event_id"),
-              round(col("value"), 4).as("v"),
-              round(abs(col("value") - 50), 4).as("a"),
+              dround(col("value"), 4).as("v"),
+              dround(abs(col("value") - 50), 4).as("a"),
               ceil(col("value")).cast("long").as("c"),
               floor(col("value")).cast("long").as("f"),
-              round(log(col("value") + 1), 4).as("lnv"),
-              round(exp(col("value") / 100), 4).as("ex"),
-              round(sqrt(col("value")), 4).as("sq"),
+              dround(log(col("value") + 1), 4).as("lnv"),
+              dround(exp(col("value") / 100), 4).as("ex"),
+              dround(sqrt(col("value")), 4).as("sq"),
               (floor(col("value") * 100).cast("long") % 7).as("md"))
       .orderBy("event_id")
 
   /** Q44 array family over embeddings via higher-order functions — stays
     * inside codegen, no UDF; elements cast FLOAT→DOUBLE before arithmetic
-    * so both engines sum the identical doubles left-to-right. */
+    * so both engines sum the identical doubles left-to-right. dround keeps
+    * the -0.0 a tiny negative e1 rounds to (DuckDB semantics; the round-1
+    * `+ 0` twin edit is retired — the twin is back to the declared SQL). */
   def q44(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"),
               size(col("embedding")).cast("long").as("dim"),
-              // + 0 normalizes IEEE -0.0 → 0.0: Spark's ROUND drops the
-              // sign of a tiny negative, DuckDB's keeps it (SURVEY §7.4-8)
-              (round(element_at(col("embedding"), 1).cast("double"), 4) + lit(0)).as("e1"),
-              round(aggregate(slice(col("embedding"), 1, 8), lit(0.0),
-                              (acc, x) => acc + x.cast("double")), 4).as("s8"),
-              round(sqrt(aggregate(col("embedding"), lit(0.0),
-                                   (acc, x) => acc + x.cast("double") * x.cast("double"))), 4).as("norm"),
+              dround(element_at(col("embedding"), 1).cast("double"), 4).as("e1"),
+              dround(aggregate(slice(col("embedding"), 1, 8), lit(0.0),
+                               (acc, x) => acc + x.cast("double")), 4).as("s8"),
+              dround(sqrt(aggregate(col("embedding"), lit(0.0),
+                                    (acc, x) => acc + x.cast("double") * x.cast("double"))), 4).as("norm"),
               size(filter(col("embedding"), x => x > 0)).cast("long").as("n_pos"))
       .orderBy("vec_id")
 

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.Rounding.dround
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -100,7 +101,7 @@ object RelationalOps {
     Tables.orders(s, d).hint("merge")
       .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderkey")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("rev"))
+      .agg(dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("rev"))
       .orderBy(col("rev").desc, col("o_orderkey"))
       .limit(100)
 
@@ -176,9 +177,9 @@ object RelationalOps {
     Tables.lineitem(s, d)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 4).as("sum_qty"),
-        round(sum("l_extendedprice"), 4).as("sum_base"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        dround(sum("l_quantity"), 4).as("sum_qty"),
+        dround(sum("l_extendedprice"), 4).as("sum_base"),
+        dround(avg("l_discount"), 4).as("avg_disc"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag", "l_linestatus")
 
@@ -224,7 +225,7 @@ object RelationalOps {
         JOIN region ON n_regionkey = r_regionkey)
       SELECT CAST(GROUPING(r_name) AS INT) AS g_r, CAST(GROUPING(n_name) AS INT) AS g_n,
              COALESCE(r_name, 'ALL') AS r_name, COALESCE(n_name, 'ALL') AS n_name,
-             ROUND(SUM(rev), 4) AS revenue
+             ROUND(SUM(rev) * 10000) / 10000 AS revenue -- dround inline: DuckDB binary ROUND (sums strictly positive, no -0 case)
       FROM base GROUP BY ROLLUP(r_name, n_name)
       ORDER BY g_r, g_n, r_name, n_name""")
   }
@@ -248,7 +249,7 @@ object RelationalOps {
   def q24(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy("event_type")
-      .agg(round(avg("value"), 4).as("avg_val"))
+      .agg(dround(avg("value"), 4).as("avg_val"))
       .filter(col("avg_val") > 45)
       .orderBy("event_type")
 
@@ -256,18 +257,18 @@ object RelationalOps {
   def q25(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy("event_type")
-      .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
-           round(expr("percentile(value, 0.9)"), 4).as("p90"),
-           round(expr("percentile(value, 0.99)"), 4).as("p99"))
+      .agg(dround(expr("percentile(value, 0.5)"), 4).as("p50"),
+           dround(expr("percentile(value, 0.9)"), 4).as("p90"),
+           dround(expr("percentile(value, 0.99)"), 4).as("p99"))
       .orderBy("event_type")
 
   /** Q26 statistical aggregates. */
   def q26(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy("event_type")
-      .agg(round(stddev_samp(col("value")), 4).as("sd"),
-           round(var_samp(col("value")), 4).as("vr"),
-           round(corr(col("value"), col("user_id").cast("double")), 4).as("cr"))
+      .agg(dround(stddev_samp(col("value")), 4).as("sd"),
+           dround(var_samp(col("value")), 4).as("vr"),
+           dround(corr(col("value"), col("user_id").cast("double")), 4).as("cr"))
       .orderBy("event_type")
 
   /** Q27 deterministic array agg: sorted distinct set joined to a string

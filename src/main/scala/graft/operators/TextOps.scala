@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.MinHashLSH
+import graft.functions.Rounding.dround
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -41,7 +42,7 @@ object TextOps {
   def q55(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val perDoc = docs.groupBy("lang", "source")
-      .agg(count(lit(1)).as("n_docs"), round(avg("n_chars"), 2).as("avg_chars"))
+      .agg(count(lit(1)).as("n_docs"), dround(avg("n_chars"), 2).as("avg_chars"))
     val toks = docs
       .select(col("lang"), col("source"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("lang", "source")
@@ -63,7 +64,7 @@ object TextOps {
     val w = Window.partitionBy("lang").orderBy(col("score").desc, col("term"))
     stats.join(broadcast(n), col("lang") === col("n_lang"))
       .withColumn("score",
-        round(col("tf") * (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1), 4))
+        dround(col("tf") * (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1), 4))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 5)
       .select(col("lang"), col("rnk"), col("term"), col("score"))
@@ -210,7 +211,7 @@ object TextOps {
       .agg(count(lit(1)).as("n_tok"),
            count(col("stop_tok")).as("n_stop"))
       .select(col("doc_id"), col("n_tok"), col("n_stop"),
-              round(col("n_stop").cast("double") / col("n_tok"), 4).as("stop_ratio"))
+              dround(col("n_stop").cast("double") / col("n_tok"), 4).as("stop_ratio"))
       .orderBy("doc_id")
   }
 

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.Rounding.dround
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -33,7 +34,7 @@ object TimeSeriesOps {
         leftTs = "ts", rightTs = "ts", payload = Seq("value"),
         inclusive = true, tieBreak = Seq("event_id"))
       .filter(col("asof_value").isNotNull)
-      .agg(count(lit(1)).as("n_matched"), round(sum("asof_value"), 4).as("sum_click"))
+      .agg(count(lit(1)).as("n_matched"), dround(sum("asof_value"), 4).as("sum_click"))
   }
 
   /** Q18 point-in-interval join: events inside each user's
@@ -72,17 +73,16 @@ object TimeSeriesOps {
   def q48(s: SparkSession, d: String): DataFrame =
     SeriesApi.downsample(Tables.events(s, d), "ts", "yyyy-MM-dd",
         keys = Seq("event_type"), value = "value")
-      // avg_v goes through EXACT decimal arithmetic, not double rounding:
-      // values are 2-decimal, so the bucket sum snapped to DECIMAL(18,2) is
-      // exact on both engines (absorbing last-ulp summation-order drift),
-      // and decimal division + the final (18,4) cast round identically —
-      // a double AVG can land on a knife edge (e.g. 307.03/8 = 38.37875)
-      // where the engines' ROUNDs disagree (SURVEY §5.3 demotion rule;
-      // found auditing sf0.001/sf0.01)
+      // avg_v is the declared ROUND(AVG(value), 4) — computed as sum/n (the
+      // same single IEEE divide DuckDB's AVG performs) and rounded with
+      // [[Rounding.dround]], which reproduces DuckDB's binary rounding on
+      // the .xxxx5 knife edges (46.49875 at sf0.01, 38.37875 at sf0.001)
+      // where Spark's shortest-repr round and a decimal rewrite both
+      // diverge from the declared oracle (VERDICT r01 root cause).
       .select(col("bucket").as("d"), col("event_type"), col("n"),
-              (col("sum_v").cast("decimal(18,2)") / col("n")).cast("decimal(18,4)").as("avg_v"),
-              round(col("sum_v"), 4).as("sum_v"),
-              round(col("min_v"), 4).as("min_v"), round(col("max_v"), 4).as("max_v"))
+              dround(col("sum_v") / col("n"), 4).as("avg_v"),
+              dround(col("sum_v"), 4).as("sum_v"),
+              dround(col("min_v"), 4).as("min_v"), dround(col("max_v"), 4).as("max_v"))
       .orderBy("d", "event_type")
 
   /** Q49 per-series rate: value delta / time delta. unix_micros on the
@@ -92,7 +92,7 @@ object TimeSeriesOps {
         ts = "ts", value = "value", tieBreak = Seq("event_id"))
       .filter(col("rate").isNotNull)
       .groupBy("event_type")
-      .agg(round(avg("rate"), 6).as("avg_rate"), count(lit(1)).as("n_rates"))
+      .agg(dround(avg("rate"), 6).as("avg_rate"), count(lit(1)).as("n_rates"))
       .orderBy("event_type")
 
   /** Q50 gap-fill: dense daily spine (sequence+explode ≡ generate_series)
@@ -111,7 +111,7 @@ object TimeSeriesOps {
         keys = Seq("event_type"), value = "value")
       .select(col("bucket").as("d"), col("event_type"), col("sum_v"))
     SeriesApi.sma(daily, keys = Seq("event_type"), order = "d", value = "sum_v", window = 3)
-      .select(col("d"), col("event_type"), round(col("sma"), 4).as("sma"))
+      .select(col("d"), col("event_type"), dround(col("sma"), 4).as("sma"))
       .orderBy("event_type", "d")
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.Rounding.dround
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -59,7 +60,7 @@ object VectorOps {
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
     wide(s, emb(s, d)).crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("cos", round(cosine(col("p_emb"), col("embedding")), 4))
+      .withColumn("cos", dround(cosine(col("p_emb"), col("embedding")), 4))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 5)
       .select(col("probe_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("cos"))
@@ -72,8 +73,8 @@ object VectorOps {
     Tables.embeddings(s, d)
       .groupBy("label")
       .agg(count(lit(1)).as("n"),
-           round(sum(aggregate(col("embedding"), lit(0.0),
-                               (acc, x) => acc + x.cast("double"))), 3).as("checksum"))
+           dround(sum(aggregate(col("embedding"), lit(0.0),
+                                (acc, x) => acc + x.cast("double"))), 3).as("checksum"))
       .orderBy("label")
 
   /** x10 per-label embedding centroids + dispersion — the class-statistics
@@ -86,8 +87,8 @@ object VectorOps {
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy("label", "dim")
       .agg(count(lit(1)).as("n"),
-           round(avg(col("v").cast("double")), 4).as("centroid"),
-           round(stddev_samp(col("v").cast("double")), 4).as("spread"))
+           dround(avg(col("v").cast("double")), 4).as("centroid"),
+           dround(stddev_samp(col("v").cast("double")), 4).as("spread"))
       .filter(col("dim") < 8) // contract keeps the first 8 dims (output size)
       .select(col("label"), col("dim").cast("long").as("dim"), col("n"),
               col("centroid"), col("spread"))
@@ -100,7 +101,7 @@ object VectorOps {
     wide(s, emb(s, d)).select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
       .join(broadcast(emb(s, d).select(col("vec_id").as("id_b"), col("embedding").as("e_b"))),
             col("id_a") < col("id_b"))
-      .withColumn("cos", round(cosine(col("e_a"), col("e_b")), 4))
+      .withColumn("cos", dround(cosine(col("e_a"), col("e_b")), 4))
       .filter(col("cos") >= 0.9)
       .select(col("id_a"), col("id_b"), col("cos"))
       .orderBy("id_a", "id_b")
@@ -120,7 +121,7 @@ object VectorOps {
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
     val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
     val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("ccos", round(cosine(col("embedding"), col("c_emb")), 4))
+      .withColumn("ccos", dround(cosine(col("embedding"), col("c_emb")), 4))
       .withColumn("r", row_number().over(wAssign))
       .filter(col("r") === 1)
       .select(col("vec_id"), col("embedding"), col("cent_id").as("cluster"))
@@ -128,14 +129,14 @@ object VectorOps {
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
     val wProbe = Window.partitionBy("probe_id").orderBy(col("ccos").desc, col("cent_id"))
     val probeClusters = probes.crossJoin(broadcast(cents))
-      .withColumn("ccos", round(cosine(col("p_emb"), col("c_emb")), 4))
+      .withColumn("ccos", dround(cosine(col("p_emb"), col("c_emb")), 4))
       .withColumn("r", row_number().over(wProbe))
       .filter(col("r") <= 2)
       .select(col("probe_id"), col("p_emb"), col("cent_id").as("cluster"))
     val wTop = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
     assigned.join(broadcast(probeClusters), Seq("cluster"))
       .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("cos", round(cosine(col("p_emb"), col("embedding")), 4))
+      .withColumn("cos", dround(cosine(col("p_emb"), col("embedding")), 4))
       .withColumn("rnk", row_number().over(wTop).cast("long"))
       .filter(col("rnk") <= 5)
       .select(col("probe_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("cos"))
