@@ -327,7 +327,7 @@ object SparkEntry {
 
     "q44_array_funcs" ->
       """SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
-        |ROUND(CAST(embedding[1] AS DOUBLE), 4) + 0 AS e1,
+        |ROUND(CAST(embedding[1] AS DOUBLE), 4) AS e1,
         |ROUND(list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))), 4) AS s8,
         |ROUND(SQRT(list_sum(list_transform(embedding,
         |  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS norm,
@@ -356,7 +356,7 @@ object SparkEntry {
     "q48_downsample" ->
       s"""WITH e AS ($E)
          |SELECT strftime(ts, '%Y-%m-%d') AS d, event_type, COUNT(*) AS n,
-         |CAST(CAST(SUM(value) AS DECIMAL(18,2)) / COUNT(*) AS DECIMAL(18,4)) AS avg_v,
+         |ROUND(AVG(value), 4) AS avg_v,
          |ROUND(SUM(value), 4) AS sum_v,
          |ROUND(MIN(value), 4) AS min_v, ROUND(MAX(value), 4) AS max_v
          |FROM e GROUP BY 1, 2 ORDER BY d, event_type""".stripMargin,

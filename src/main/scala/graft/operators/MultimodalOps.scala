@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.functions.Rounding.dround
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -64,8 +65,8 @@ object MultimodalOps {
     import s.implicits._
     decodeAll(mediaTable(s, d)).toDF()
       .select(col("media_id"), col("fmt"), col("n_bytes"),
-              round(element_at(col("features"), 2).cast("double"), 2).as("mean_byte"),
-              round(element_at(col("features"), 3).cast("double"), 2).as("rms_byte"))
+              dround(element_at(col("features"), 2).cast("double"), 2).as("mean_byte"),
+              dround(element_at(col("features"), 3).cast("double"), 2).as("rms_byte"))
       .orderBy("media_id")
   }
 }
