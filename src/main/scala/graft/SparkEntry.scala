@@ -22,6 +22,16 @@ object SparkEntry {
   private val E =
     "SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events"
 
+  /** Brute-force all-pairs cosine ≥ 0.9 — the declared semantics of BOTH
+    * x07 (brute-force baseline) and x12 (SRP-banded production path). */
+  private val EmbedNearDupSql: String =
+    """WITH c AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+      |   / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+      |    * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS cos
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, cos FROM c WHERE cos >= 0.9 ORDER BY id_a, id_b""".stripMargin
+
   /** Flagship: Q48 downsample (the canonical TSDB query) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
     TimeSeriesOps.q48(spark, "/root/testdata/sf0.001")
@@ -95,6 +105,7 @@ object SparkEntry {
     "x09_multimodal"      -> (MultimodalOps.x09Multimodal _),
     "x10_centroids"       -> (VectorOps.x10Centroids _),
     "x11_stopword_ratio"  -> (TextOps.x11StopwordRatio _),
+    "x12_embed_neardup_lsh" -> (VectorOps.x12EmbedNearDupLsh _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -529,13 +540,12 @@ object SparkEntry {
         |  i -> substr(md5(text[i:i+7]), 1, 8))) AS fp_rolling
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "x07_embed_neardup" ->
-      """WITH c AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
-        |   / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
-        |    * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS cos
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-        |SELECT id_a, id_b, cos FROM c WHERE cos >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+    "x07_embed_neardup" -> EmbedNearDupSql,
+
+    // x12 is the banded production path of the SAME contract query: the SRP
+    // candidate generation must reproduce the brute-force pair list exactly
+    // on the fixture, so it shares x07's declared twin verbatim
+    "x12_embed_neardup_lsh" -> EmbedNearDupSql,
 
     "x10_centroids" ->
       """WITH e AS (SELECT label, UNNEST(embedding) AS v,

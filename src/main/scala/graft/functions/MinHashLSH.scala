@@ -113,12 +113,18 @@ object MinHashLSH {
     val sets = items.select(col("id"),
         array_sort(transform(array_distinct(col("toks")), t => xxhash64(t))).as("set"))
       .withColumn("sz", size(col("set")))
+    // Payload joins are UNHINTED: the per-doc token-set table is O(corpus),
+    // so forcing broadcast() here would OOM every executor at 100 TB. Left
+    // to the planner, AQE broadcasts while the measured build side is small
+    // and falls back to a shuffled join on the id keys once it isn't — the
+    // candidate list is already repartitioned wide, and the payload join is
+    // linear either way.
     candidatePairs(items, p)
       .repartition(n, col("id_a"), col("id_b"))
-      .join(broadcast(sets.select(col("id").as("id_a"), col("set").as("set_a"),
-                                  col("sz").as("sz_a"))), "id_a")
-      .join(broadcast(sets.select(col("id").as("id_b"), col("set").as("set_b"),
-                                  col("sz").as("sz_b"))), "id_b")
+      .join(sets.select(col("id").as("id_a"), col("set").as("set_a"),
+                        col("sz").as("sz_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("set").as("set_b"),
+                        col("sz").as("sz_b")), "id_b")
       .withColumn("inter",
         VectorExpressions.sortedIntersect(col("set_a"), col("set_b")).cast("double"))
       .withColumn("uni", (col("sz_a") + col("sz_b")).cast("double") - col("inter"))

@@ -2,12 +2,12 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.sqrt
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native Catalyst expressions for the vector/LSH packages (SURVEY §7.3 "v2").
   *
@@ -168,7 +168,108 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Signed-random-projection (SRP) sketch of an ARRAY<FLOAT>, emitted directly
+  * as banded LSH keys: `numBits` hyperplane sign bits packed into
+  * `numBits / bandBits` longs of `bandBits` bits each — one codegen-friendly
+  * eval per row instead of `numBits` separate dot-product expressions (512
+  * projections would blow past the JVM's 64 KB method limit as individual
+  * codegen'd columns; here the loop lives in one compiled kernel).
+  *
+  * Hyperplanes are Rademacher ±1 vectors derived from splitmix64 (public
+  * finalizer constants) over `(seed, plane·dim + d)` — fully deterministic
+  * across JVMs/tasks with no `java.util.Random`, and ±1 components make the
+  * projection an exact float-sum (no Gaussian sampling needed: Rademacher
+  * projections satisfy the same sign-collision bound P[bit differs] = θ/π
+  * up to lower-order terms, e.g. Achlioptas 2003's database-friendly
+  * projections). The matrix is built lazily once per (task, dim) and reused
+  * for every row.
+  *
+  * Recall math (θ = arccos cos, p = 1 − θ/π per-bit agreement): a pair is a
+  * candidate iff some band of `bandBits` bits agrees exactly, so
+  * P(candidate) = 1 − (1 − p^bandBits)^bands. With the default 512 bits in
+  * 32 bands of 16: cos 0.99 → miss ~1e-9, cos 0.95 → miss 1.7e-3, cos 0.90
+  * → miss 6e-2, while a random pair (cos ≈ 0) collides with only 5e-4 — the
+  * sign-collision curve θ/π is shallower than MinHash's Jaccard curve, so
+  * SRP banding cannot reach MinHash's e-15 guarantees at the threshold
+  * itself; the miss mass concentrates AT the 0.9 boundary and vanishes in
+  * the true-duplicate regime (≥ 0.95) that embedding dedup targets.
+  * [[graft.operators.VectorOps.x07EmbedNearDup]] remains the exactness
+  * baseline.
+  */
+case class SignSketchBands(child: Expression, numBits: Int, bandBits: Int, seed: Long)
+    extends UnaryExpression {
+  require(numBits % bandBits == 0, "numBits must be divisible by bandBits")
+  require(bandBits > 0 && bandBits < 64, "bandBits must fit a long")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sign_sketch_bands"
+
+  /** splitmix64 finalizer — public-domain constants (Steele et al. 2014). */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** (dim, flattened numBits×dim ±1 matrix); immutable pair published via a
+    * single reference write — safe to race, builds are identical. */
+  @transient private var cache: (Int, Array[Float]) = _
+
+  private def planes(dim: Int): Array[Float] = {
+    val c = cache
+    if (c != null && c._1 == dim) return c._2
+    val p = new Array[Float](numBits * dim)
+    var i = 0
+    while (i < p.length) {
+      p(i) = if ((mix(seed + i) & 1L) == 0L) 1.0f else -1.0f
+      i += 1
+    }
+    cache = (dim, p)
+    p
+  }
+
+  /** Called from both interpreted eval and generated code. */
+  def sketch(arr: ArrayData): ArrayData = {
+    val dim = arr.numElements()
+    val p = planes(dim)
+    val keys = new Array[Long](numBits / bandBits)
+    var j = 0
+    while (j < numBits) {
+      var s = 0.0
+      var i = 0
+      val off = j * dim
+      while (i < dim) { s += arr.getFloat(i).toDouble * p(off + i); i += 1 }
+      if (s > 0) keys(j / bandBits) |= 1L << (j % bandBits)
+      j += 1
+    }
+    new GenericArrayData(keys)
+  }
+
+  override def nullSafeEval(a: Any): Any = sketch(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("signSketch", this, classOf[SignSketchBands].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.sketch($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignSketchBands =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
+
+  /** Default SRP shape for cosine-0.9 near-dup banding — see the
+    * [[SignSketchBands]] scaladoc for the recall curve these give. */
+  val SketchBits  = 512
+  val SketchBand  = 16
+  val SketchSeed  = 0x5eed5eedL
+
+  /** Column-API entry: banded SRP sketch keys for an ARRAY<FLOAT> column. */
+  def signSketchBands(v: Column, numBits: Int = SketchBits,
+                      bandBits: Int = SketchBand, seed: Long = SketchSeed): Column =
+    Bridge.column(SignSketchBands(Bridge.expression(v), numBits, bandBits, seed))
 
   /** Column-API entry: codegen'd dot product over two ARRAY<FLOAT> columns. */
   def vecDot(a: Column, b: Column): Column =

@@ -117,8 +117,11 @@ object TextOps {
           col("ab.id") < col("bb.id"))
       .select(col("ab.id").as("id_a"), col("bb.id").as("id_b"))
       .distinct()
-      .join(broadcast(sig.as("a")), col("id_a") === col("a.id"))
-      .join(broadcast(sig.as("b")), col("id_b") === col("b.id"))
+      // unhinted payload rejoins: the signature table is O(corpus), so a
+      // forced broadcast would OOM at scale — AQE broadcasts only while the
+      // measured build side is actually small (see MinHashLSH.verifiedPairs)
+      .join(sig.as("a"), col("id_a") === col("a.id"))
+      .join(sig.as("b"), col("id_b") === col("b.id"))
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), hamming.as("hamming"))
       .filter(col("hamming") <= 3)
       .orderBy("doc_a", "doc_b")

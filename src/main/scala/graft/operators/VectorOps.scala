@@ -106,6 +106,47 @@ object VectorOps {
       .select(col("id_a"), col("id_b"), col("cos"))
       .orderBy("id_a", "id_b")
 
+  /** x12 embedding near-dup, PRODUCTION PATH: signed-random-projection
+    * banding replaces x07's all-pairs join. The plan at any corpus size:
+    *
+    *  1. one map-side [[graft.functions.SignSketchBands]] eval per vector —
+    *     512 hyperplane sign bits packed into 32 16-bit band keys, no
+    *     shuffle, no row blow-up beyond 32 band rows per vector;
+    *  2. candidate pairs from a self-EQUI-join on (band, key) — a shuffled
+    *     hash join on a high-cardinality key, |buckets| local joins, the
+    *     same shape as [[graft.functions.MinHashLSH.candidatePairs]];
+    *  3. exact verification: rejoin the two embedding payloads (UNHINTED —
+    *     AQE broadcasts only while the build side is measured-small) and
+    *     keep pairs with codegen cosine ≥ 0.9.
+    *
+    * No O(n²) operator anywhere (x12PlanSpec asserts no nested-loop /
+    * cartesian join in the physical plan). Recall: misses < 0.2% of pairs at
+    * cos ≥ 0.95 and ~1e-9 at 0.99, rising to ~6% AT the 0.9 boundary — the
+    * SRP θ/π curve's price for sub-quadratic candidates (full math in the
+    * SignSketchBands scaladoc); x07 stays as the exactness baseline and the
+    * oracle twin, and on this fixture (max pairwise cos ≈ 0.6 at every sf)
+    * the two agree exactly. */
+  def x12EmbedNearDupLsh(s: SparkSession, d: String): DataFrame = {
+    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val banded = wide(s, emb(s, d))
+      .select(col("vec_id"),
+        posexplode(graft.functions.VectorExpressions.signSketchBands(col("embedding")))
+          .as(Seq("band", "key")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+              col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    cand.repartition(n, col("id_a"), col("id_b"))
+      .join(emb(s, d).select(col("vec_id").as("id_a"), col("embedding").as("e_a")), "id_a")
+      .join(emb(s, d).select(col("vec_id").as("id_b"), col("embedding").as("e_b")), "id_b")
+      .withColumn("cos", dround(cosine(col("e_a"), col("e_b")), 4))
+      .filter(col("cos") >= 0.9)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** x08 IVF-style ANN: deterministic coarse centroids (every 200th vector),
     * cluster assignment by max cosine, probes search only their top-2
     * closest clusters.

@@ -1,6 +1,7 @@
 package graft
 
-import graft.functions.{FloatDotProduct, SigMatchCount, SortedIntersectCount}
+import graft.functions.{FloatDotProduct, SigMatchCount, SignSketchBands, SortedIntersectCount}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
 import org.scalacheck.{Gen, Prop, Properties}
@@ -60,5 +61,35 @@ object KernelProps extends Properties("graft.kernels") {
   property("SigMatchCount with itself == length (estimated J of identical sets = 1)") =
     Prop.forAll(genLongs) { a =>
       SigMatchCount(longArr(a), longArr(a)).eval(null) == a.size
+    }
+
+  // bounded magnitudes + bounded dim so doubling can't overflow (the
+  // scale-invariance property below relies on exact ×2 float arithmetic)
+  private val genVec = Gen.chooseNum(1, 64).flatMap(d =>
+    Gen.listOfN(d, Gen.chooseNum(-1e3f, 1e3f)))
+
+  private def sketchOf(v: Seq[Float], numBits: Int = 64, bandBits: Int = 16,
+                       seed: Long = 42L): Seq[Long] = {
+    val got = SignSketchBands(floatArr(v), numBits, bandBits, seed).eval(null)
+    got.asInstanceOf[ArrayData].toLongArray().toSeq
+  }
+
+  property("SignSketchBands: deterministic across fresh instances (plane cache rebuilt)") =
+    Prop.forAll(genVec) { v => sketchOf(v) == sketchOf(v) }
+
+  property("SignSketchBands: numBits/bandBits keys, each within bandBits bits") =
+    Prop.forAll(genVec) { v =>
+      val ks = sketchOf(v)
+      ks.size == 4 && ks.forall(k => k >= 0L && k < (1L << 16))
+    }
+
+  property("SignSketchBands: invariant under positive scaling (×2 is exact in IEEE)") =
+    Prop.forAll(genVec) { v => sketchOf(v) == sketchOf(v.map(_ * 2.0f)) }
+
+  property("SignSketchBands: seed changes the sketch (planes actually depend on seed)") =
+    Prop.forAll(genVec.suchThat(_.exists(_ != 0.0f))) { v =>
+      // 64 bits drawn from independent ±1 planes: collision across two seeds
+      // is astronomically unlikely for any nonzero vector
+      sketchOf(v, seed = 1L) != sketchOf(v, seed = 2L)
     }
 }
