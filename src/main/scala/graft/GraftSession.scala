@@ -33,6 +33,7 @@ object GraftSession {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    graft.functions.SeriesFunctions.register(spark)
     spark
   }
 
@@ -53,6 +54,7 @@ object GraftSession {
       .config("spark.driver.host", "127.0.0.1")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.SeriesFunctions.register(spark)
     spark
   }
 

@@ -1,8 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedExtractValue
+import org.apache.spark.sql.catalyst.expressions.{Add, ArrayAggregate, CaseWhen, CreateNamedStruct, Expression, LambdaFunction, Literal, Multiply, Subtract, UnresolvedNamedLambdaVariable}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 
 /** Time-series scalar/aggregate helpers beyond the §2 contract. */
 object SeriesFunctions {
@@ -14,17 +17,47 @@ object SeriesFunctions {
     * pins the scan order). Usage:
     * `ema(sort_array(collect_list(struct(ts, value))).getField("value"), 0.3)` —
     * or over `transform(sorted_structs, s -> s.value)`. */
-  def ema(sortedValues: Column, alpha: Double): Column = {
-    val a = lit(alpha)
-    aggregate(
-      sortedValues,
-      struct(lit(0.0).as("ema"), lit(false).as("seeded")),
-      (acc, x) => struct(
-        when(acc.getField("seeded"), acc.getField("ema") * (lit(1.0) - a) + x * a)
-          .otherwise(x).as("ema"),
-        lit(true).as("seeded")),
-      acc => acc.getField("ema"))
+  def ema(sortedValues: Column, alpha: Double): Column =
+    ema(sortedValues, lit(alpha))
+
+  /** Column-alpha overload: wraps [[emaExpr]], so the Column API and the SQL
+    * surface `ema_arr(values, alpha)` (injected by
+    * [[graft.plans.GraftExtensions]]) share ONE expression tree — UDF-free,
+    * an `aggregate()` fold either way. */
+  def ema(sortedValues: Column, alpha: Column): Column =
+    Bridge.column(emaExpr(Bridge.expression(sortedValues), Bridge.expression(alpha)))
+
+  /** The EMA fold as raw Catalyst: ArrayAggregate over a (ema, seeded)
+    * struct accumulator with unresolved lambda variables — the form the
+    * analyzer resolves both when built from Columns and when produced by the
+    * SQL function registry (a Column-built tree would arrive as an
+    * unresolvable ColumnNodeExpression in the registry path). */
+  def emaExpr(values: Expression, alpha: Expression): Expression = {
+    val acc = UnresolvedNamedLambdaVariable(Seq("acc"))
+    val x   = UnresolvedNamedLambdaVariable(Seq("x"))
+    val accEma    = UnresolvedExtractValue(acc, Literal("ema"))
+    val accSeeded = UnresolvedExtractValue(acc, Literal("seeded"))
+    val zero = CreateNamedStruct(Seq(
+      Literal("ema"), Literal(0.0), Literal("seeded"), Literal(false)))
+    val step = CreateNamedStruct(Seq(
+      Literal("ema"),
+      CaseWhen(
+        Seq((accSeeded,
+          Add(Multiply(accEma, Subtract(Literal(1.0), alpha)), Multiply(x, alpha)))),
+        Some(x)),
+      Literal("seeded"), Literal(true)))
+    val fin = UnresolvedNamedLambdaVariable(Seq("a"))
+    ArrayAggregate(values, zero,
+      LambdaFunction(step, Seq(acc, x)),
+      LambdaFunction(UnresolvedExtractValue(fin, Literal("ema")), Seq(fin)))
   }
+
+  /** Register the typed UDAF surface on a session (idempotent): SQL callers
+    * get `latest_point(ts_long, value)` — §2.11's declared UDAF entry point.
+    * Session-level because `Aggregator`-backed UDAFs go through
+    * `spark.udf.register`, not the extensions' expression injection. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.udf.register("latest_point", udaf(LatestPointAgg))
 
   case class TsPoint(ts: Long, value: Double)
 

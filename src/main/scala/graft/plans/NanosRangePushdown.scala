@@ -108,5 +108,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.FloatDotProduct].getName, "vec_dot"),
       (children: Seq[Expression]) =>
         graft.functions.FloatDotProduct(children(0), children(1))))
+    // ema_arr(sorted_values, alpha): the SQL spelling of SeriesFunctions.ema.
+    // The builder hands the parsed argument expressions to the same Column
+    // formulation, so SQL and Column callers share one expression tree —
+    // an aggregate() fold, not a UDF (§2.11 SQL surface).
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("ema_arr"),
+      new ExpressionInfo(graft.functions.SeriesFunctions.getClass.getName, "ema_arr"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "ema_arr(values, alpha) takes 2 arguments")
+        graft.functions.SeriesFunctions.emaExpr(children(0), children(1))
+      }))
   }
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** §2.11's SQL entry points: the typed UDAF (`latest_point`) and the
+  * expression-injected aggregate fold (`ema_arr`) must both be reachable
+  * from `spark.sql`, and must agree with their Column-API formulations.
+  */
+class SqlSurfaceSpec extends SparkSpecBase {
+
+  test("latest_point UDAF is callable from SQL and matches max_by") {
+    graft.functions.SeriesFunctions.register(spark)
+    Tables.registerAll(spark, sfDir)
+    val viaSql = spark.sql(
+      """SELECT user_id, event_type,
+        |       latest_point(unix_micros(ts), value) AS last_value
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin).collect().toSeq
+    val viaCol = Tables.events(spark, sfDir)
+      .groupBy("user_id", "event_type")
+      .agg(max_by(col("value"), col("ts")).as("last_value"))
+      .orderBy("user_id", "event_type")
+      .collect().toSeq
+    assert(viaSql.nonEmpty && viaSql == viaCol)
+  }
+
+  test("ema_arr is callable from SQL and matches the hand fold") {
+    val got = spark.sql("SELECT ema_arr(array(1.0D, 2.0D, 3.0D), 0.5D) AS e")
+      .collect().head.getDouble(0)
+    // seed 1.0; 1.0*0.5 + 2.0*0.5 = 1.5; 1.5*0.5 + 3.0*0.5 = 2.25
+    assert(got == 2.25)
+  }
+
+  test("ema_arr SQL output is bitwise-identical to the Column formulation") {
+    Tables.registerAll(spark, sfDir)
+    val viaSql = spark.sql(
+      """SELECT user_id,
+        |  ema_arr(transform(array_sort(collect_list(struct(ts, value))),
+        |                    s -> s.value), 0.3D) AS e
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+      .collect().toSeq
+    val viaCol = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(graft.functions.SeriesFunctions.ema(
+        transform(array_sort(collect_list(struct(col("ts"), col("value")))),
+                  s => s.getField("value")), 0.3).as("e"))
+      .orderBy("user_id")
+      .collect().toSeq
+    assert(viaSql.nonEmpty && viaSql == viaCol)
+  }
+
+  test("vec_dot is callable from SQL (extensions registration)") {
+    val got = spark.sql(
+      "SELECT vec_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(2.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS d")
+      .collect().head.getDouble(0)
+    assert(got == 4.0)
+  }
+}
