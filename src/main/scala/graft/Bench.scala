@@ -8,6 +8,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.build("graft-bench", s"local[$cpus]", cpus)
+    // Catalog + ANALYZE before timing: every query then plans with CBO
+    // stats (row counts / NDVs / min-max), as a maintained warehouse would.
+    try GraftCatalog.install(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"[bench] analyze skipped: ${e.getMessage}") }
     // Warm the JVM/codegen once on the smallest sf so per-query times measure
     // the plan, not first-call JIT + classloading.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()

@@ -70,6 +70,47 @@ object GraftSession {
 case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                  event_type: String, value: Double, props: String)
 
+/** Catalog registration + CBO statistics (SURVEY §4.1).
+  *
+  * `spark.read.parquet(path)` relations carry only a size estimate, so the
+  * cost-based optimizer has nothing to reorder joins with. `install` creates
+  * unmanaged parquet tables over the same files in the (in-memory) session
+  * catalog, runs `ANALYZE TABLE … FOR ALL COLUMNS`, and enables CBO + join
+  * reordering; [[Tables.raw]] then resolves reads through `spark.table`, so
+  * every operator's plan sees row counts, NDVs and min/max — the difference
+  * between a guessed join order and a stats-driven one on the 5-way q22 geo
+  * join. On a 100 TB warehouse this is table maintenance done at write time;
+  * here the harness (Bench/Verify mains) does it once per session. */
+object GraftCatalog {
+  /** Conf key holding the installed dir — reads for OTHER dirs (test
+    * fixtures, temp corpora) must keep bypassing the catalog. */
+  val DirKey = "spark.graft.catalog.dir"
+
+  def install(spark: SparkSession, dir: String): Unit = {
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    Tables.all.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.catalog.createTable(t, s"$dir/$t.parquet", "parquet")
+      spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS")
+      // column stats (NDV/min/max/null-count) only exist for atomic types —
+      // ANALYZE rejects ARRAY/MAP/STRUCT columns (embeddings.embedding)
+      val atomic = spark.table(s"default.$t").schema.fields.collect {
+        case f if !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+                  !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] &&
+                  !f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+          s"`${f.name}`"
+      }
+      if (atomic.nonEmpty)
+        spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR COLUMNS ${atomic.mkString(", ")}")
+    }
+    spark.conf.set(DirKey, dir)
+  }
+
+  def installedDir(spark: SparkSession): Option[String] =
+    spark.conf.getOption(DirKey)
+}
+
 object Tables {
   val starTables: Seq[String] =
     Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
@@ -77,7 +118,10 @@ object Tables {
   val all: Seq[String] = starTables ++ llmTables :+ "events"
 
   private def raw(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    // default-qualified so a same-named temp view (registerAll) can never
+    // shadow the stats-bearing catalog table back into this resolution
+    if (GraftCatalog.installedDir(spark).contains(dir)) spark.table(s"default.$name")
+    else spark.read.parquet(s"$dir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame   = raw(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = raw(s, d, "nation")

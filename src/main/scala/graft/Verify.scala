@@ -8,6 +8,10 @@ object Verify {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.build("graft-verify", s"local[$cpus]", cpus)
+    // Same stats-driven planning as Bench: stats change plans, never
+    // results, and verifying the exact plans the bench will run is the point.
+    try GraftCatalog.install(spark, sfDir)
+    catch { case e: Throwable => System.err.println(s"[verify] analyze skipped: ${e.getMessage}") }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -86,6 +86,38 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("SortMergeJoin"), s"probe join must not shuffle the corpus:\n$p")
   }
 
+  test("CBO: ANALYZE stats reach every base relation of the q22 geo join") {
+    // isolated child session: installing the catalog + CBO confs must not
+    // leak into the shared test session's resolution
+    val s2 = GraftSession.tune(spark.newSession())
+    GraftCatalog.install(s2, sfDir)
+    // plan.stats reads the THREAD-ACTIVE session's SQLConf: point it at the
+    // child session (as execution itself would) or cboEnabled reads false
+    org.apache.spark.sql.SparkSession.setActiveSession(s2)
+    try {
+    assert(s2.conf.get("spark.sql.cbo.enabled") == "true")
+    assert(s2.conf.get("spark.sql.cbo.joinReorder.enabled") == "true")
+    // ANALYZE produced an exact row count on the fact table
+    val rc = s2.table("default.lineitem").queryExecution.optimizedPlan.stats.rowCount
+    assert(rc.isDefined, "no rowCount after ANALYZE — CBO has nothing to cost with")
+    assert(rc.get.toLong == s2.read.parquet(s"$sfDir/lineitem.parquet").count())
+    // ...and propagates through the view layer to every leaf of the 5-way join
+    val opt = operators.RelationalOps.q22(s2, sfDir).queryExecution.optimizedPlan
+    val leaves = opt.collectLeaves()
+    assert(leaves.size >= 5, s"expected the 5-way geo join's leaves:\n$opt")
+    assert(leaves.forall(_.stats.rowCount.isDefined),
+           s"some relation lost its catalog stats:\n$opt")
+    } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
+  }
+
+  test("CBO: reads for a non-installed dir bypass the catalog") {
+    val s2 = GraftSession.tune(spark.newSession())
+    GraftCatalog.install(s2, sfDir)
+    // a different dir must hit its own files, not the catalog's
+    val other = Tables.lineitem(s2, "/root/testdata/sf0.01").count()
+    assert(other > Tables.lineitem(s2, sfDir).count())
+  }
+
   test("nanos pushdown rule is a no-op on non-matching filters") {
     // value is a plain double column: the rule must not touch this plan
     val df = Tables.events(spark, sfDir).filter("value > 100")
