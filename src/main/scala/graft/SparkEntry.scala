@@ -557,7 +557,7 @@ object SparkEntry {
 
     "x08_ann_ivf" ->
       """WITH cents AS (SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings
-        |  WHERE vec_id % 200 = 0),
+        |  WHERE vec_id % (SELECT CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) FROM embeddings) = 0),
         |assigned AS (SELECT vec_id, embedding, cluster FROM
         |  (SELECT vec_id, embedding, cent_id AS cluster,
         |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS r FROM

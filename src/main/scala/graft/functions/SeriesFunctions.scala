@@ -52,12 +52,35 @@ object SeriesFunctions {
       LambdaFunction(UnresolvedExtractValue(fin, Literal("ema")), Seq(fin)))
   }
 
-  /** Register the typed UDAF surface on a session (idempotent): SQL callers
-    * get `latest_point(ts_long, value)` — §2.11's declared UDAF entry point.
-    * Session-level because `Aggregator`-backed UDAFs go through
-    * `spark.udf.register`, not the extensions' expression injection. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Register the UDF/UDAF surface on a session (idempotent) — §2.11.
+    *
+    *  - `latest_point(ts_long, value)`: the typed Aggregator. Session-level
+    *    because `Aggregator`-backed UDAFs go through `spark.udf.register`,
+    *    not the extensions' expression injection.
+    *  - `cos_sim_udf(a, b)`: a scalar Scala UDF with the exact fold
+    *    semantics of the codegen cosine ([[VectorExpressions.vecCosine]],
+    *    asserted bitwise in SqlSurfaceSpec). It exists to complete the
+    *    scalar-UDF surface for users who bring their own lambdas; every
+    *    ENGINE hot path stays on the codegen expression — a ScalaUDF breaks
+    *    whole-stage codegen and boxes per row, which is exactly why this
+    *    engine is UDF-free internally. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.udf.register("latest_point", udaf(LatestPointAgg))
+    spark.udf.register("cos_sim_udf", (a: Seq[Float], b: Seq[Float]) => {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        dot += a(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      i = 0
+      while (i < a.length) { na += a(i).toDouble * a(i).toDouble; i += 1 }
+      i = 0
+      while (i < b.length) { nb += b(i).toDouble * b(i).toDouble; i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    })
+  }
 
   case class TsPoint(ts: Long, value: Double)
 

@@ -147,18 +147,25 @@ object VectorOps {
       .orderBy("id_a", "id_b")
   }
 
-  /** x08 IVF-style ANN: deterministic coarse centroids (every 200th vector),
-    * cluster assignment by max cosine, probes search only their top-2
-    * closest clusters.
+  /** x08 IVF-style ANN: deterministic coarse centroids (every ⌊√n⌋-th
+    * vector — nlist ≈ √n, the classic IVF sizing that balances the O(n·nlist)
+    * assignment scan against the O(n/nlist) per-probe search; a fixed stride
+    * would degenerate to a constant cluster count at corpus scale), cluster
+    * assignment by max cosine, probes search only their top-2 closest
+    * clusters.
     *
     * Scale story: the corpus is scanned once to assign clusters (centroids
-    * broadcast); each query then touches ~nprobe/nlist of the corpus via an
-    * equi-join on cluster id instead of a full cross join. Deterministic
-    * ranking: (round(cos,4) DESC, id ASC) everywhere.
+    * broadcast — √n rows, e.g. ~10⁴·dim floats at n=10⁸, comfortably under
+    * any broadcast budget); each query then touches ~nprobe·√n/n of the
+    * corpus via an equi-join on cluster id instead of a full cross join.
+    * Deterministic ranking: (round(cos,4) DESC, id ASC) everywhere.
     */
   def x08AnnIvf(s: SparkSession, d: String): DataFrame = {
     val e = wide(s, emb(s, d))
-    val cents = emb(s, d).filter(col("vec_id") % 200 === 0)
+    val stride = emb(s, d).agg(count(lit(1)).as("n_vec"))
+      .select(floor(sqrt(col("n_vec"))).cast("long").as("stride"))
+    val cents = emb(s, d).crossJoin(broadcast(stride))
+      .filter(col("vec_id") % col("stride") === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
     val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
     val assigned = e.crossJoin(broadcast(cents))

@@ -49,6 +49,20 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(viaSql.nonEmpty && viaSql == viaCol)
   }
 
+  test("cos_sim_udf (scalar UDF surface) is bitwise-identical to the codegen cosine") {
+    graft.functions.SeriesFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir).limit(50)
+      .select(col("vec_id"), col("embedding"))
+    val both = e.as("a").crossJoin(e.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(
+        graft.functions.VectorExpressions.vecCosine(col("a.embedding"), col("b.embedding")).as("kernel"),
+        call_udf("cos_sim_udf", col("a.embedding"), col("b.embedding")).as("viaUdf"))
+      .collect()
+    assert(both.nonEmpty)
+    assert(both.forall(r => r.getDouble(0).compareTo(r.getDouble(1)) == 0))
+  }
+
   test("vec_dot is callable from SQL (extensions registration)") {
     val got = spark.sql(
       "SELECT vec_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), " +
