@@ -106,6 +106,7 @@ object SparkEntry {
     "x10_centroids"       -> (VectorOps.x10Centroids _),
     "x11_stopword_ratio"  -> (TextOps.x11StopwordRatio _),
     "x12_embed_neardup_lsh" -> (VectorOps.x12EmbedNearDupLsh _),
+    "x13_asof_exec"       -> (TimeSeriesOps.x13AsofExec _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -178,6 +179,15 @@ object SparkEntry {
         |AND o1.o_orderkey < o2.o_orderkey""".stripMargin,
 
     "q17_asof" ->
+      s"""WITH e AS ($E)
+         |SELECT COUNT(*) AS n_matched, ROUND(SUM(c.value), 4) AS sum_click
+         |FROM (SELECT * FROM e WHERE event_type = 'error') er
+         |ASOF JOIN (SELECT * FROM e WHERE event_type = 'click') c
+         |ON er.user_id = c.user_id AND er.ts >= c.ts""".stripMargin,
+
+    // x13 = q17's contract via the custom AsOfMergeJoinExec strategy path:
+    // identical declared semantics, so it shares the ASOF twin verbatim
+    "x13_asof_exec" ->
       s"""WITH e AS ($E)
          |SELECT COUNT(*) AS n_matched, ROUND(SUM(c.value), 4) AS sum_click
          |FROM (SELECT * FROM e WHERE event_type = 'error') er

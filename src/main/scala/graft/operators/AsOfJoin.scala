@@ -28,6 +28,12 @@ import org.apache.spark.sql.functions._
   * before left (kind 0 < 1) so a same-instant right row IS matched —
   * matching DuckDB's `ASOF JOIN … ON l.ts >= r.ts`; inclusive=false flips
   * the kind order so it is not.
+  *
+  * Null keys: the window formulation groups them (SQL GROUP BY semantics,
+  * null probes can match null quotes); [[lastBeforeExec]] follows equi-join
+  * semantics instead (null keys never match, like DuckDB ASOF JOIN). On
+  * null-free keys — every contract query — the two are identical
+  * (AsOfExecSpec).
   */
 object AsOfJoin {
 
@@ -76,5 +82,42 @@ object AsOfJoin {
       .select(
         leftCols.map { c => if (c == leftTs) col(tsCol).as(leftTs) else col(c) } ++
           payload.map(p => col(s"$payloadStruct.$p").as(s"asof_$p")): _*)
+  }
+
+  /** The same contract as [[lastBefore]], executed by the custom
+    * whole-operator plan ([[graft.plans.AsOfJoinPlan]] →
+    * [[graft.plans.AsOfMergeJoinExec]] via the injected
+    * [[graft.plans.AsOfJoinStrategy]]): both sides shuffled once on the key
+    * and streamed through a forward merge — no |L|+|R| union materialization
+    * and no window state. Prefer this on wide payloads or when the window
+    * buffer dominates; semantics are asserted equivalent in AsOfExecSpec.
+    *
+    * The right side is re-aliased first so fresh exprIds make self-derived
+    * inputs (both sides filtered from one table — the common TSDB case)
+    * unambiguous in the joined output. */
+  def lastBeforeExec(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     leftTs: String, rightTs: String, payload: Seq[String],
+                     inclusive: Boolean = true,
+                     tieBreak: Seq[String] = Seq.empty): DataFrame = {
+    require(payload.nonEmpty, "payload must name at least one right column")
+    import org.apache.spark.sql.graftbridge.Bridge
+    val rCols = (keys ++ Seq(rightTs) ++ payload ++ tieBreak).distinct
+    val r2 = right.select(rCols.map(c => col(c).as(s"__r_$c")): _*)
+    val lPlan = Bridge.analyzed(left)
+    val rPlan = Bridge.analyzed(r2)
+    def attrOf(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(sys.error(s"no column $n in ${p.output.map(_.name)}"))
+    val node = graft.plans.AsOfJoinPlan(
+      lPlan, rPlan,
+      keys.map(attrOf(lPlan, _)),
+      keys.map(k => attrOf(rPlan, s"__r_$k")),
+      attrOf(lPlan, leftTs),
+      attrOf(rPlan, s"__r_$rightTs"),
+      payload.map(p => attrOf(rPlan, s"__r_$p")),
+      inclusive,
+      tieBreak.map(t => attrOf(rPlan, s"__r_$t")))
+    Bridge.dataset(left.sparkSession, node)
+      .select(left.columns.map(col) ++
+        payload.map(p => col(s"__r_$p").as(s"asof_$p")): _*)
   }
 }

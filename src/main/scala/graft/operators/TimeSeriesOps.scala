@@ -37,6 +37,25 @@ object TimeSeriesOps {
       .agg(count(lit(1)).as("n_matched"), dround(sum("asof_value"), 4).as("sum_click"))
   }
 
+  /** x13: Q17's as-of contract executed by the custom whole-operator plan
+    * ([[graft.plans.AsOfMergeJoinExec]]) instead of the union+window
+    * rewrite — same declared DuckDB ASOF oracle, so the custom
+    * SparkStrategy path is hash-checked end-to-end. One shuffle + sort per
+    * side, then a streaming forward merge per key partition: no |L|+|R|
+    * union materialization, no window buffer. */
+  def x13AsofExec(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select("user_id", "ts", "event_id", "value")
+    val errors = e.filter(col("event_type") === "error")
+      .select("user_id", "ts")
+    AsOfJoin.lastBeforeExec(errors, clicks, keys = Seq("user_id"),
+        leftTs = "ts", rightTs = "ts", payload = Seq("value"),
+        inclusive = true, tieBreak = Seq("event_id"))
+      .filter(col("asof_value").isNotNull)
+      .agg(count(lit(1)).as("n_matched"), dround(sum("asof_value"), 4).as("sum_click"))
+  }
+
   /** Q18 point-in-interval join: events inside each user's
     * [first signup, last purchase] window. Equi-join on user_id (shuffle
     * hash/SMJ — linear) with the interval predicate as a residual filter;

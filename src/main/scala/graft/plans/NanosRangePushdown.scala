@@ -103,6 +103,7 @@ object NanosRangePushdown extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => NanosRangePushdown)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[graft.functions.FloatDotProduct].getName, "vec_dot"),

@@ -57,13 +57,34 @@ class OperatorSpec extends SparkSpecBase {
     assert(df.collect().map(_.getDouble(0)).toSeq === Seq(1.0, -1.0))
   }
 
-  test("x08 IVF ANN recall vs exact brute-force top-5 is usable (>= 0.5)") {
-    val exact = VectorOps.q54(spark, sfDir).select("probe_id", "neighbor_id")
+  test("x08 IVF ANN recall vs exact brute-force top-5 on clustered data (>= 0.8)") {
+    // IVF's recall contract assumes the corpus HAS cluster structure — on
+    // isotropic random vectors (the sf fixtures; max pairwise cos ≈ 0.6)
+    // any partition-based ANN is intrinsically lossy, and the old fixed
+    // stride only looked good because a single centroid degenerates to
+    // brute force. Plant 8 genuine clusters and require real recall.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val rnd = new scala.util.Random(42L)
+    val dim = 32
+    val centers = Vector.fill(8)(Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+    val rows = (0 until 320).map { i =>
+      val c = centers(i % 8)
+      val v = c.map(x => x + (rnd.nextDouble() * 0.1 - 0.05).toFloat)
+      org.apache.spark.sql.Row(i.toLong, v.toSeq, s"c${i % 8}")
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.types.StructField("label", org.apache.spark.sql.types.StringType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), schema)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val exact = VectorOps.q54(spark, dir).select("probe_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val approx = VectorOps.x08AnnIvf(spark, sfDir).select("probe_id", "neighbor_id")
+    val approx = VectorOps.x08AnnIvf(spark, dir).select("probe_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
-    assert(recall >= 0.5, s"IVF recall $recall too low")
+    assert(recall >= 0.8, s"IVF recall $recall too low on clustered corpus")
   }
 
   test("union/except/intersect algebraic identities") {
