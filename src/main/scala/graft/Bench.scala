@@ -12,10 +12,15 @@ object Bench {
     // stats (row counts / NDVs / min-max), as a maintained warehouse would.
     try GraftCatalog.install(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[bench] analyze skipped: ${e.getMessage}") }
-    // Warm the JVM/codegen once on the smallest sf so per-query times measure
-    // the plan, not first-call JIT + classloading.
-    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // Warm EVERY query once on the smallest sf (50-6000 rows, seconds total)
+    // so the timed run measures each plan, not its first-call codegen compile
+    // + JIT — e.g. x12's SRP kernel costs ~3s of one-time compilation that a
+    // single global warmup query never touches.
+    SparkEntry.queries.values.foreach { fn =>
+      try fn(spark, "/root/testdata/sf0.001")
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

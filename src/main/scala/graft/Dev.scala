@@ -65,12 +65,24 @@ object Dev {
       return
     }
     val spark = GraftSession.build("graft-dev")
+    // GRAFT_DEV_CATALOG=1 reproduces Bench/Verify's stats-driven planning
+    if (sys.env.get("GRAFT_DEV_CATALOG").contains("1"))
+      GraftCatalog.install(spark, sfDir)
+    val time = args.length > 2 && args(2) == "time"
     names.foreach { n =>
       println(s"=== $n ===")
       try {
         val df = SparkEntry.queries(n)(spark, sfDir)
         if (explain) df.explain("formatted")
-        df.show(10, truncate = false)
+        if (time) {
+          // 3 timed materializations through the noop sink (bench conditions)
+          for (i <- 1 to 3) {
+            val t0 = System.nanoTime()
+            SparkEntry.queries(n)(spark, sfDir)
+              .write.format("noop").mode("overwrite").save()
+            println(f"$n run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          }
+        } else df.show(10, truncate = false)
       } catch { case e: Throwable => println(s"FAILED: ${e.getMessage}") }
     }
     spark.stop()

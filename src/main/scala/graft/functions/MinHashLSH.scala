@@ -57,35 +57,46 @@ object MinHashLSH {
     tok.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
-  /** (id, band, sig) — one row per band per item. */
-  def bandSignatures(sigs: DataFrame, p: Params = Params()): DataFrame = {
-    val bandStructs = (0 until p.bands).map { b =>
-      val slots = (0 until p.rows).map(r => col(s"mh${b * p.rows + r}").cast("string"))
-      struct(lit(b).as("band"), concat_ws(":", slots: _*).as("sig"))
+  /** (id, bands: array<long>) — each band's `rows` signature slots hashed to
+    * ONE long (`xxhash64` over the slots). A 64-bit bucket-hash collision
+    * can only MERGE two buckets — i.e. add candidates the exact verify then
+    * discards — never lose a true pair, so recall is untouched. Long keys
+    * make the band self-join a primitive-compare hash join instead of a
+    * string join, and carrying the whole array through the explode is what
+    * enables the first-matching-band dedup in [[candidatePairs]]. */
+  def bandHashes(sigs: DataFrame, p: Params = Params()): DataFrame = {
+    val bands = (0 until p.bands).map { b =>
+      xxhash64((b * p.rows until (b + 1) * p.rows).map(i => col(s"mh$i")): _*)
     }
-    sigs.select(col("id"), explode(array(bandStructs: _*)).as("bs"))
-      .select(col("id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    sigs.select(col("id"), array(bands: _*).as("bands"))
   }
 
   /** Distinct candidate pairs (id_a < id_b) sharing ≥1 band bucket.
     *
-    * The probe side is explicitly repartitioned to full cluster width BEFORE
-    * the explode+join: the signature aggregate upstream emits few, tiny rows,
-    * so AQE coalesces it to ~1 partition — but the pipelined stage DOWNSTREAM
-    * of it (band explode → band-bucket join → map-side pair dedup) is where
-    * the row explosion happens, and it would inherit that single partition.
-    * Spreading 1 row/doc before the explosion keeps the whole pair pipeline
-    * at cluster width; the raw collision rows are deduped map-side by the
-    * partial aggregate before the only pair-level shuffle. */
+    * Two scale decisions:
+    *  - The probe side is explicitly repartitioned to full cluster width
+    *    BEFORE the explode+join: the signature aggregate upstream emits few,
+    *    tiny rows, so AQE coalesces it to ~1 partition — but the pipelined
+    *    stage DOWNSTREAM (band explode → band-bucket join) is where the row
+    *    explosion happens, and it would inherit that single partition.
+    *  - Each pair is emitted from its FIRST hash-equal band only
+    *    ([[FirstMatchIndex]] over the two band arrays, a map-side codegen
+    *    filter): on a dense corpus a true pair collides in ~`bands`·j² ≈ 20
+    *    of the 32 buckets, so the old `distinct()` shuffled ~20× the pair
+    *    count in duplicate rows; first-match dedup is exact (a pair appears
+    *    in bucket k iff its band hashes agree at k, which is precisely what
+    *    the filter tests) and costs one array scan per collision row. */
   def candidatePairs(items: DataFrame, p: Params = Params()): DataFrame = {
     val n = items.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val bands = bandSignatures(signatures(items, p).repartition(n), p)
-    bands.as("a")
-      .join(bands.as("b"),
+    val hashed = bandHashes(signatures(items, p), p).repartition(n)
+    val banded = hashed.select(col("id"), col("bands"),
+      posexplode(col("bands")).as(Seq("band", "sig")))
+    banded.as("a")
+      .join(banded.as("b"),
             col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
               col("a.id") < col("b.id"))
+      .filter(VectorExpressions.firstMatchIndex(col("a.bands"), col("b.bands")) === col("a.band"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
   }
 
   /** Candidates verified with EXACT Jaccard over the token sets; only pairs

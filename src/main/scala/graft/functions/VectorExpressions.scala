@@ -168,6 +168,48 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** First index at which two ARRAY<BIGINT> agree, -1 if none — the LSH
+  * first-matching-band dedup kernel. A pair colliding in k of the b band
+  * buckets appears k times in the band self-join; keeping only the rows
+  * where the join band equals the pair's FIRST hash-equal band emits each
+  * pair exactly once, replacing a |collisions|-row `distinct()` shuffle
+  * (20-30× the pair count on a dense corpus) with a map-side filter.
+  */
+case class FirstMatchIndex(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "first_match_index"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) return i
+      i += 1
+    }
+    -1
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |${ev.value} = -1;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) { ${ev.value} = $i; break; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): FirstMatchIndex =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Signed-random-projection (SRP) sketch of an ARRAY<FLOAT>, emitted directly
   * as banded LSH keys: `numBits` hyperplane sign bits packed into
   * `numBits / bandBits` longs of `bandBits` bits each — one codegen-friendly
@@ -287,6 +329,10 @@ object VectorExpressions {
   /** Codegen'd merge-scan intersection count over two sorted ARRAY<BIGINT>. */
   def sortedIntersect(a: Column, b: Column): Column =
     Bridge.column(SortedIntersectCount(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Codegen'd first index where two ARRAY<BIGINT> agree (-1 if none). */
+  def firstMatchIndex(a: Column, b: Column): Column =
+    Bridge.column(FirstMatchIndex(Bridge.expression(a), Bridge.expression(b)))
 
   /** SQL surface: `SELECT vec_dot(e1, e2)`. Idempotent per session. */
   def register(spark: SparkSession): Unit =

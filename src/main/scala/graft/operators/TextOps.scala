@@ -105,18 +105,21 @@ object TextOps {
     // AQE partition, but the band join's row explosion must run cluster-wide
     val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
     val sig = sigBits.select((col("id") +: bandKeys): _*).repartition(nPart)
+    // first-matching-band dedup (see MinHashLSH.candidatePairs): a hamming≤3
+    // pair matches in up to all 4 bands; emitting from the first equal band
+    // only replaces the distinct() shuffle with a map-side codegen filter
     val banded = sig.select(col("id"),
-      explode(array((0 until 4).map(k =>
-        struct(lit(k).as("band"), col(s"k$k").as("key"))): _*)).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.key"))
+        array((0 until 4).map(k => col(s"k$k")): _*).as("bands"))
+      .select(col("id"), col("bands"), posexplode(col("bands")).as(Seq("band", "key")))
     val hamming = (0 until 4)
       .map(k => bit_count(col(s"a.k$k").bitwiseXOR(col(s"b.k$k"))))
       .reduce(_ + _).cast("long")
     banded.as("ab").join(banded.as("bb"),
         col("ab.band") === col("bb.band") && col("ab.key") === col("bb.key") &&
           col("ab.id") < col("bb.id"))
+      .filter(graft.functions.VectorExpressions
+        .firstMatchIndex(col("ab.bands"), col("bb.bands")) === col("ab.band"))
       .select(col("ab.id").as("id_a"), col("bb.id").as("id_b"))
-      .distinct()
       // unhinted payload rejoins: the signature table is O(corpus), so a
       // forced broadcast would OOM at scale — AQE broadcasts only while the
       // measured build side is actually small (see MinHashLSH.verifiedPairs)

@@ -130,14 +130,18 @@ object VectorOps {
     val n = s.conf.get("spark.sql.shuffle.partitions").toInt
     val banded = wide(s, emb(s, d))
       .select(col("vec_id"),
-        posexplode(graft.functions.VectorExpressions.signSketchBands(col("embedding")))
-          .as(Seq("band", "key")))
+        graft.functions.VectorExpressions.signSketchBands(col("embedding")).as("bands"))
+      .select(col("vec_id"), col("bands"),
+        posexplode(col("bands")).as(Seq("band", "key")))
+    // first-matching-band dedup (see MinHashLSH.candidatePairs): emit each
+    // colliding pair once, from its first hash-equal band — no distinct()
     val cand = banded.as("a")
       .join(banded.as("b"),
             col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
               col("a.vec_id") < col("b.vec_id"))
+      .filter(graft.functions.VectorExpressions
+        .firstMatchIndex(col("a.bands"), col("b.bands")) === col("a.band"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct()
     cand.repartition(n, col("id_a"), col("id_b"))
       .join(emb(s, d).select(col("vec_id").as("id_a"), col("embedding").as("e_a")), "id_a")
       .join(emb(s, d).select(col("vec_id").as("id_b"), col("embedding").as("e_b")), "id_b")

@@ -63,6 +63,13 @@ object KernelProps extends Properties("graft.kernels") {
       SigMatchCount(longArr(a), longArr(a)).eval(null) == a.size
     }
 
+  property("FirstMatchIndex == index of first positionwise match, -1 if none") =
+    Prop.forAll(genLongs, genLongs) { (a, b) =>
+      val got = graft.functions.FirstMatchIndex(longArr(a), longArr(b)).eval(null)
+      val expected = a.zip(b).indexWhere { case (x, y) => x == y }
+      got == expected
+    }
+
   // bounded magnitudes + bounded dim so doubling can't overflow (the
   // scale-invariance property below relies on exact ×2 float arithmetic)
   private val genVec = Gen.chooseNum(1, 64).flatMap(d =>

@@ -96,7 +96,10 @@ class PlanSpec extends SparkSpecBase {
     org.apache.spark.sql.SparkSession.setActiveSession(s2)
     try {
     assert(s2.conf.get("spark.sql.cbo.enabled") == "true")
-    assert(s2.conf.get("spark.sql.cbo.joinReorder.enabled") == "true")
+    // joinReorder deliberately OFF: the DP reorder cross-joins x12's two
+    // payload scans (see GraftCatalog scaladoc); strategy selection alone
+    // carries the q22/q10 wins
+    assert(s2.conf.get("spark.sql.cbo.joinReorder.enabled") == "false")
     // ANALYZE produced an exact row count on the fact table
     val rc = s2.table("default.lineitem").queryExecution.optimizedPlan.stats.rowCount
     assert(rc.isDefined, "no rowCount after ANALYZE — CBO has nothing to cost with")
