@@ -120,6 +120,61 @@ object StreamOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  case class AsOfEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+                       event_type: String, value: Double)
+  case class AsOfEnriched(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+                          asof_value: Option[Double])
+  case class QuoteState(ts: Long, event_id: Long, value: Double)
+
+  /** ST9: streaming as-of enrichment — the streaming twin of
+    * [[graft.operators.AsOfJoin]]: each probe row (`probeType`) is emitted
+    * with the latest quote row's (`quoteType`) value at-or-before its
+    * timestamp for the same key, via one `ValueState[QuoteState]` per user
+    * (bounded state: one quote per key, the same O(1) frame as the batch
+    * merge operator).
+    *
+    * Ordering contract: per-key ts-ordered arrival ACROSS micro-batches
+    * (replayed history / per-key-ordered sources); WITHIN a batch rows are
+    * buffered and sorted by (ts, quote-before-probe, event_id), so a single
+    * AvailableNow replay is exactly the batch as-of — StreamingSpec asserts
+    * equality with `AsOfJoin.lastBefore` row-for-row. Late quotes beyond
+    * that contract would need watermark-buffered probes (a ListState +
+    * event-time timers variant); the unbuffered form is what a TSDB's
+    * ordered-WAL replay actually needs. */
+  class AsOfEnrichProcessor(quoteType: String, probeType: String)
+      extends StatefulProcessor[Long, AsOfEvent, AsOfEnriched] {
+    @transient private var lastQuote: ValueState[QuoteState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      lastQuote = getHandle.getValueState[QuoteState](
+        "lastQuote", Encoders.product[QuoteState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[AsOfEvent],
+                                 timerValues: TimerValues): Iterator[AsOfEnriched] = {
+      // quote sorts before probe on ts ties: inclusive `probe.ts >= quote.ts`
+      val ordered = rows.toVector.sortBy(e =>
+        (e.ts.getTime, if (e.event_type == quoteType) 0 else 1, e.event_id))
+      val out = Vector.newBuilder[AsOfEnriched]
+      var q = if (lastQuote.exists()) Option(lastQuote.get()) else None
+      ordered.foreach { e =>
+        if (e.event_type == quoteType) q = Some(QuoteState(e.ts.getTime, e.event_id, e.value))
+        else if (e.event_type == probeType)
+          out += AsOfEnriched(e.user_id, e.event_id, e.ts, q.map(_.value))
+      }
+      q.foreach(lastQuote.update)
+      out.result().iterator
+    }
+  }
+
+  def asOfEnrich(events: Dataset[AsOfEvent], quoteType: String,
+                 probeType: String): Dataset[AsOfEnriched] = {
+    import events.sparkSession.implicits._
+    events.filter(e => e.event_type == quoteType || e.event_type == probeType)
+      .groupByKey(_.user_id)
+      .transformWithState(new AsOfEnrichProcessor(quoteType, probeType),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** ST8 custom state: running latest-point per (user_id, event_type) — the
     * catena in-memory partition's hot cache — via flatMapGroupsWithState.
     * State per key is ONE point (bounded); emits the new latest on update. */

@@ -160,4 +160,35 @@ class StreamingSpec extends SparkSpecBase {
       .agg(max_by(col("value"), col("ts")).as("value"))
     assert(streamLatest.except(batchLatest).isEmpty && batchLatest.except(streamLatest).isEmpty)
   }
+
+  test("ST9 streaming as-of enrichment equals the batch as-of join") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = StreamOps.eventsStream(spark, sfDir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+        .as[StreamOps.AsOfEvent]
+      val q = StreamOps.asOfEnrich(src, quoteType = "click", probeType = "error").toDF()
+        .writeStream.format("memory").queryName("st9").outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally {
+      prior match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+    val streamed = spark.table("st9")
+      .select(col("user_id"), col("event_id"), col("asof_value"))
+    val clicks = batchEvents.filter(col("event_type") === "click")
+      .select("user_id", "ts", "event_id", "value")
+    val errors = batchEvents.filter(col("event_type") === "error")
+      .select("user_id", "ts", "event_id")
+    val batch = graft.operators.AsOfJoin.lastBefore(errors, clicks,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        payload = Seq("value"), inclusive = true, tieBreak = Seq("event_id"))
+      .select(col("user_id"), col("event_id"), col("asof_value"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
 }
