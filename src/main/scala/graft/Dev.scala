@@ -64,6 +64,22 @@ object Dev {
       s.stop()
       return
     }
+    if (names == Seq("lshstats")) {
+      // candidate-volume diagnostics for the near-dup pipelines
+      import org.apache.spark.sql.functions._
+      val s = GraftSession.build("graft-dev")
+      val docs = Tables.documents(s, sfDir)
+        .select(col("doc_id").as("id"), split(col("text"), " ").as("toks"))
+      val grams = Tables.documents(s, sfDir).select(col("doc_id").as("id"),
+        expr("transform(sequence(1, length(text)-2), i -> substring(text, i, 3))").as("toks"))
+      for ((nm, items) <- Seq("q53-words" -> docs, "x02-trigrams" -> grams)) {
+        val t0 = System.nanoTime()
+        val cand = graft.functions.MinHashLSH.candidatePairs(items).count()
+        println(f"$nm candidates=$cand%,d in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      s.stop()
+      return
+    }
     val spark = GraftSession.build("graft-dev")
     // GRAFT_DEV_CATALOG=1 reproduces Bench/Verify's stats-driven planning
     if (sys.env.get("GRAFT_DEV_CATALOG").contains("1"))

@@ -53,7 +53,13 @@ object MinHashLSH {
     val tok = items.select(col("id"), explode(col("toks")).as("tok"))
       .select(col("id"), xxhash64(col("tok")).as("th"))
       .distinct()
-    val mins = (0 until p.numPerm).map(i => min(xxhash64(lit(i), col("th"))).as(s"mh$i"))
+    // per-permutation mixer: codegen splitmix64 finalizer over (th + i·φ) —
+    // 4 wrapping long ops per (row, permutation) instead of an xxhash64
+    // round on the 64×|tokens| hot loop that dominates the trigram
+    // signature stage (see SplitMix64's scaladoc for why it must be a
+    // native expression under ANSI mode).
+    val mins = (0 until p.numPerm)
+      .map(i => min(VectorExpressions.splitmix64(col("th"), i)).as(s"mh$i"))
     tok.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
@@ -138,6 +144,41 @@ object MinHashLSH {
                         col("sz").as("sz_b")), "id_b")
       .withColumn("inter",
         VectorExpressions.sortedIntersect(col("set_a"), col("set_b")).cast("double"))
+      .withColumn("uni", (col("sz_a") + col("sz_b")).cast("double") - col("inter"))
+      .withColumn("jac", col("inter") / col("uni"))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), Rounding.dround(col("jac"), 4).as("j"))
+  }
+
+  /** [[verifiedPairs]] with DICTIONARY-ENCODED token sets — for bounded
+    * token universes only (char n-grams: ≤ |alphabet|ⁿ distinct shingles at
+    * ANY corpus size, so the vocab stays a broadcastable few-thousand rows
+    * and the single-partition rank window never grows). Sets become sorted
+    * ARRAY<INT> of dense vocab ranks: half the bytes per element of the
+    * 64-bit-hash sets, which is the dominant cost when a dense corpus makes
+    * candidates ≈ all pairs and every candidate drags both sets through the
+    * verify join. Token↔id is a bijection, so intersection counts, sizes,
+    * and j are bitwise-identical to [[verifiedPairs]] (asserted in
+    * MinHashLSHSpec). Word-token corpora must keep [[verifiedPairs]]: their
+    * vocab is unbounded, and a global rank over it would not scale. */
+  def verifiedPairsDict(items: DataFrame, threshold: Double,
+                        p: Params = Params()): DataFrame = {
+    val n = items.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val tok = items.select(col("id"), explode(array_distinct(col("toks"))).as("tok"))
+    val vocab = tok.select("tok").distinct()
+      .withColumn("tid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("tok")))
+    val sets = tok.join(broadcast(vocab), "tok")
+      .groupBy("id").agg(array_sort(collect_list(col("tid"))).as("set"))
+      .withColumn("sz", size(col("set")))
+    candidatePairs(items, p)
+      .repartition(n, col("id_a"), col("id_b"))
+      .join(sets.select(col("id").as("id_a"), col("set").as("set_a"),
+                        col("sz").as("sz_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("set").as("set_b"),
+                        col("sz").as("sz_b")), "id_b")
+      .withColumn("inter",
+        VectorExpressions.sortedIntersectInt(col("set_a"), col("set_b")).cast("double"))
       .withColumn("uni", (col("sz_a") + col("sz_b")).cast("double") - col("inter"))
       .withColumn("jac", col("inter") / col("uni"))
       .filter(col("jac") >= threshold)

@@ -168,6 +168,92 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** [[SortedIntersectCount]] over ARRAY<INT> — for dictionary-encoded token
+  * sets where the universe is bounded (char n-grams: ≤ |alphabet|ⁿ ids at
+  * ANY corpus size), element width halves the per-pair verify bytes that
+  * dominate dense near-dup joins. */
+case class SortedIntersectCountInt(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count_int"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val na = x.numElements(); val nb = y.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val xv = x.getInt(i); val yv = y.getInt(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |final int $na = $a.numElements();
+         |final int $nb = $b.numElements();
+         |int $i = 0, $j = 0, $c = 0;
+         |while ($i < $na && $j < $nb) {
+         |  final int $xv = $a.getInt($i);
+         |  final int $yv = $b.getInt($j);
+         |  if ($xv < $yv) { $i++; }
+         |  else if ($xv > $yv) { $j++; }
+         |  else { $c++; $i++; $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SortedIntersectCountInt =
+    copy(left = newLeft, right = newRight)
+}
+
+/** splitmix64 finalizer over `child + (index+1)·φ` — the per-permutation
+  * MinHash mixer. 4 wrapping long ops per (row, permutation) instead of an
+  * xxhash64 round on the 64×|tokens| signature hot loop. Must be a native
+  * expression: the mixer NEEDS wrapping 64-bit arithmetic, which ANSI-mode
+  * Column `+`/`*` (Spark 4 default) rejects as overflow; Java arithmetic
+  * wraps by definition. Any finalizer-quality mixer preserves the MinHash
+  * estimator guarantees, and the exact verify makes precise candidate
+  * membership irrelevant beyond the recall math (MinHashLSH scaladoc). */
+case class SplitMix64(child: Expression, index: Int) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "splitmix64"
+
+  private val gamma: Long = 0x9E3779B97F4A7C15L * (index + 1)
+
+  override def nullSafeEval(v: Any): Any = {
+    var z = v.asInstanceOf[Long] + gamma
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val z = ctx.freshName("z")
+      s"""
+         |long $z = $c + ${gamma}L;
+         |$z = ($z ^ ($z >>> 30)) * 0xBF58476D1CE4E5B9L;
+         |$z = ($z ^ ($z >>> 27)) * 0x94D049BB133111EBL;
+         |${ev.value} = $z ^ ($z >>> 31);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SplitMix64 =
+    copy(child = newChild)
+}
+
 /** First index at which two ARRAY<BIGINT> agree, -1 if none — the LSH
   * first-matching-band dedup kernel. A pair colliding in k of the b band
   * buckets appears k times in the band self-join; keeping only the rows
@@ -333,6 +419,14 @@ object VectorExpressions {
   /** Codegen'd first index where two ARRAY<BIGINT> agree (-1 if none). */
   def firstMatchIndex(a: Column, b: Column): Column =
     Bridge.column(FirstMatchIndex(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Codegen'd merge-scan intersection count over two sorted ARRAY<INT>. */
+  def sortedIntersectInt(a: Column, b: Column): Column =
+    Bridge.column(SortedIntersectCountInt(Bridge.expression(a), Bridge.expression(b)))
+
+  /** splitmix64-mixed permutation `i` of a 64-bit hash column. */
+  def splitmix64(c: Column, i: Int): Column =
+    Bridge.column(SplitMix64(Bridge.expression(c), i))
 
   /** SQL surface: `SELECT vec_dot(e1, e2)`. Idempotent per session. */
   def register(spark: SparkSession): Unit =

@@ -132,11 +132,14 @@ object TextOps {
 
   /** x02 char-3-gram near-dup: same MinHash-LSH machinery over character
     * shingles instead of word tokens (catches reorder/edit near-dups that
-    * token-set Jaccard misses). Oracle: exact all-pairs trigram Jaccard. */
+    * token-set Jaccard misses). The trigram universe is bounded
+    * (≤ |alphabet|³ at any corpus size), so the verify sets are
+    * dictionary-encoded ints — half the verify bytes per candidate, same j
+    * bitwise. Oracle: exact all-pairs trigram Jaccard. */
   def x02NgramJaccard(s: SparkSession, d: String): DataFrame = {
     val grams = Tables.documents(s, d).select(col("doc_id").as("id"),
       expr("transform(sequence(1, length(text)-2), i -> substring(text, i, 3))").as("toks"))
-    MinHashLSH.verifiedPairs(grams, 0.7)
+    MinHashLSH.verifiedPairsDict(grams, 0.7)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("j"))
       .orderBy("doc_a", "doc_b")
   }

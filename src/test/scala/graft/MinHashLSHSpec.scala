@@ -44,6 +44,16 @@ class MinHashLSHSpec extends SparkSpecBase {
            s"recall ${sparse.size.toDouble / default.size} below 99.9%")
   }
 
+  test("verifiedPairsDict is bitwise-identical to verifiedPairs on trigram sets") {
+    val grams = Tables.documents(spark, sfDir).select(col("doc_id").as("id"),
+      expr("transform(sequence(1, length(text)-2), i -> substring(text, i, 3))").as("toks"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val viaHash = rows(MinHashLSH.verifiedPairs(grams, 0.7))
+    val viaDict = rows(MinHashLSH.verifiedPairsDict(grams, 0.7))
+    assert(viaDict.nonEmpty && viaDict == viaHash)
+  }
+
   test("signatures are deterministic across partitionings") {
     val s1 = MinHashLSH.signatures(docs).orderBy("id").collect().toSeq
     val s2 = MinHashLSH.signatures(docs.repartition(7)).orderBy("id").collect().toSeq
