@@ -107,6 +107,9 @@ object SparkEntry {
     "x11_stopword_ratio"  -> (TextOps.x11StopwordRatio _),
     "x12_embed_neardup_lsh" -> (VectorOps.x12EmbedNearDupLsh _),
     "x13_asof_exec"       -> (TimeSeriesOps.x13AsofExec _),
+    "x14_dedup_clusters"  -> (TextOps.x14DedupClusters _),
+    "x15_stratified_sample" -> (TextOps.x15StratifiedSample _),
+    "x16_token_shards"    -> (TextOps.x16TokenShards _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -564,6 +567,47 @@ object SparkEntry {
         |ROUND(AVG(CAST(v AS DOUBLE)), 4) AS centroid,
         |ROUND(stddev_samp(CAST(v AS DOUBLE)), 4) AS spread
         |FROM e WHERE dim < 8 GROUP BY 1, 2 ORDER BY label, dim""".stripMargin,
+
+    // x14's twin recomputes q53's exact-Jaccard edges, then resolves
+    // components with a recursive CTE: reach(id, comp) enumerates "comp is
+    // in id's component", pruned to comp < dst hops (safe for MIN: the
+    // component minimum is < every other member id, so its propagation is
+    // never pruned), then MIN(comp) per id
+    "x14_dedup_clusters" ->
+      """WITH RECURSIVE t AS (SELECT DISTINCT doc_id, tok FROM
+        |  (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents) u),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b
+        |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS id, doc_id AS comp FROM documents
+        |  UNION
+        |  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id
+        |  WHERE r.comp < e.dst)
+        |SELECT id AS doc_id, MIN(comp) AS cluster_id,
+        |CAST(id = MIN(comp) AS INT) AS is_keeper
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "x15_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE md5(CAST(doc_id AS VARCHAR)) <
+        |  (CASE WHEN lang = 'en' THEN '19' ELSE '4c' END)
+        |ORDER BY doc_id""".stripMargin,
+
+    "x16_token_shards" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+        |c AS (SELECT doc_id, lang, n_tok,
+        |  CAST(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum FROM d)
+        |SELECT lang, (cum - n_tok) // 2000 AS shard, COUNT(*) AS n_docs,
+        |CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY lang, shard""".stripMargin,
 
     "x08_ann_ivf" ->
       """WITH cents AS (SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings

@@ -234,4 +234,61 @@ object TextOps {
               substring(md5(col("text")), 1, 16).as("fp"),
               graft.functions.TextExpressions.rollingMd5Min(col("text"), 8).as("fp_rolling"))
       .orderBy("doc_id")
+
+  /** x14 near-dup cluster resolution: connected components over Q53's
+    * exact-verified pair graph, giving each doc its duplicate-cluster id
+    * (min doc_id in the cluster) and a keeper flag — the stage that turns a
+    * pair LIST into an actual deduplicated corpus (keep `is_keeper = 1`,
+    * drop the rest). Components via [[graft.functions.ConnectedComponents]]
+    * min-label propagation (scale story there). Oracle: DuckDB recursive
+    * CTE over the same exact-Jaccard edges. */
+  def x14DedupClusters(s: SparkSession, d: String): DataFrame = {
+    val edges = MinHashLSH.verifiedPairs(docTokens(s, d), 0.8)
+      .select(col("id_a"), col("id_b"))
+    val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
+    graft.functions.ConnectedComponents.labels(nodes, edges)
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
+              (col("id") === col("comp")).cast("int").as("is_keeper"))
+      .orderBy("doc_id")
+  }
+
+  /** x15 deterministic stratified sampling: per-language sampling rates
+    * applied as a pure hash filter — `md5(doc_id)` is uniform over hex
+    * strings, so a lexicographic prefix bound IS the rate (bound '19' ≈
+    * 25/256 ≈ 9.8%). Zero shuffle, zero state: a scan-filter that is
+    * embarrassingly parallel at any corpus size, reproducible across runs
+    * and engines (md5 of the decimal id string is engine-independent —
+    * unlike rand(seed), which is partitioning-dependent in Spark). The
+    * per-stratum CASE is how a pipeline rebalances sources (here: keep
+    * 'en' at ~10%, upsample the rest at ~30%). */
+  def x15StratifiedSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .filter(col("h") < when(col("lang") === "en", lit("19")).otherwise(lit("4c")))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+
+  /** x16 token-budget corpus sharding: greedy sequential packing of docs
+    * into fixed-token-budget shards (the unit a training pipeline feeds a
+    * tokenizer/context-window packer), per language. A doc's shard is the
+    * shard of its FIRST token (cumsum exclusive of itself, integer-divided
+    * by the budget), so shards are contiguous doc ranges and every shard
+    * except the last holds ≥ budget tokens once closed. Exact integer
+    * arithmetic end to end. Scale: the per-stratum running sum is the only
+    * sequential dependency; at 100 TB compute per-partition token
+    * subtotals, prefix-sum the ~O(partitions) partials on the driver, and
+    * apply each partition's offset map-side — a two-phase scan with no
+    * wide shuffle (the window form here is the same algebra). */
+  def x16TokenShards(s: SparkSession, d: String): DataFrame = {
+    val budget = 2000L
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), size(split(col("text"), " ")).as("n_tok"))
+      .withColumn("cum", sum("n_tok").over(w))
+      .withColumn("shard", expr(s"(cum - n_tok) div $budget"))
+      .groupBy("lang", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .orderBy("lang", "shard")
+  }
 }

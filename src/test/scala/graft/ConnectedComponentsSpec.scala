@@ -1,0 +1,54 @@
+package graft
+
+import graft.functions.ConnectedComponents
+import graft.operators.TextOps
+import org.apache.spark.sql.functions._
+
+class ConnectedComponentsSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def run(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.labels(
+      nodes.toDF("id"),
+      edges.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("cliques, chains, and singletons resolve to the component minimum") {
+    // component {1,2,3} (star around 3), chain {10..14}, singleton {99}
+    val labels = run(
+      Seq(1L, 2L, 3L, 10L, 11L, 12L, 13L, 14L, 99L),
+      Seq((2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L)))
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L, 99L -> 99L))
+  }
+
+  test("labels are invariant under input partitioning and edge orientation") {
+    val nodes = (0L until 60L).toDF("id")
+    val edges = (0L until 58L).map(i => if (i % 2 == 0) (i, i + 2) else (i + 2, i))
+    val a = ConnectedComponents.labels(nodes, edges.toDF("id_a", "id_b"))
+      .orderBy("id").collect().toSeq
+    val b = ConnectedComponents.labels(nodes.repartition(7),
+        edges.toDF("id_a", "id_b").repartition(5))
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+    // evens form one component rooted at 0, odds one rooted at 1
+    val m = a.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 60L).forall(i => m(i) == i % 2))
+  }
+
+  test("x14 clusters are consistent with q53's edge list") {
+    val x14 = TextOps.x14DedupClusters(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    // every verified near-dup pair ends up in the same cluster
+    val pairs = TextOps.q53(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(x14(a)._1 == x14(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    // exactly one keeper per cluster, and it is the cluster id itself
+    val keepers = x14.collect { case (id, (comp, 1)) => (id, comp) }
+    assert(keepers.forall { case (id, comp) => id == comp })
+    assert(keepers.size == x14.values.map(_._1).toSet.size)
+  }
+}
