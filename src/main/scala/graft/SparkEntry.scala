@@ -110,6 +110,8 @@ object SparkEntry {
     "x14_dedup_clusters"  -> (TextOps.x14DedupClusters _),
     "x15_stratified_sample" -> (TextOps.x15StratifiedSample _),
     "x16_token_shards"    -> (TextOps.x16TokenShards _),
+    "x17_contamination"   -> (TextOps.x17Contamination _),
+    "x18_lm_score"        -> (TextOps.x18LmScore _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -598,6 +600,26 @@ object SparkEntry {
         |WHERE md5(CAST(doc_id AS VARCHAR)) <
         |  (CASE WHEN lang = 'en' THEN '19' ELSE '4c' END)
         |ORDER BY doc_id""".stripMargin,
+
+    "x17_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM toks,
+        |  UNNEST(list_transform(generate_series(1, len(t) - 4),
+        |    i -> array_to_string(t[i:i+4], ' '))) AS u(shingle)),
+        |bench AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id < 20),
+        |corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 20)
+        |SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared
+        |FROM corpus c JOIN bench b USING (shingle)
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 5 ORDER BY doc_id, bench_id""".stripMargin,
+
+    "x18_lm_score" ->
+      """WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+        |cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cnt)
+        |SELECT t.doc_id, COUNT(*) AS n_tok,
+        |ROUND(AVG(LN(CAST(c AS DOUBLE) / n)), 4) AS lm_score
+        |FROM toks t JOIN cnt USING (tok) CROSS JOIN tot
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
 
     "x16_token_shards" ->
       """WITH d AS (SELECT doc_id, lang,

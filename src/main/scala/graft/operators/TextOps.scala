@@ -268,6 +268,49 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy("doc_id")
 
+  /** x17 benchmark-contamination detection: which corpus docs contain ≥ 5
+    * distinct 5-gram token shingles of a benchmark set (here: doc_id < 20
+    * stands in for an eval benchmark) — the asymmetric CONTAINMENT check a
+    * training pipeline runs before/after dedup (near-dup Jaccard misses a
+    * benchmark question quoted inside a much longer page; shingle
+    * containment does not). Scale: benchmark shingle sets are tiny by
+    * definition → broadcast; the corpus side is one linear
+    * shingle-explode + hash join + count — no pairwise blowup. */
+  def x17Contamination(s: SparkSession, d: String): DataFrame = {
+    def shingles(df: DataFrame) = df
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 4), i -> concat_ws(' ', slice(t, i, 5)))"))
+        .as("shingle"))
+      .distinct()
+    val docs = Tables.documents(s, d)
+    val bench = shingles(docs.filter(col("doc_id") < 20))
+      .select(col("doc_id").as("bench_id"), col("shingle"))
+    shingles(docs.filter(col("doc_id") >= 20))
+      .join(broadcast(bench), "shingle")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 5)
+      .orderBy("doc_id", "bench_id")
+  }
+
+  /** x18 unigram LM quality scoring: each doc's mean token log-probability
+    * under the corpus unigram distribution — the classic cheap fluency /
+    * gibberish signal (rare-token-heavy docs score low). Scale: the
+    * token-count table is |vocab|-sized (broadcast or shuffled equi-join),
+    * everything else is one linear explode + hash agg. */
+  def x18LmScore(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val cnt = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = cnt.agg(sum("c").as("n"))
+    toks.join(cnt, "tok").crossJoin(total)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+           dround(avg(log(col("c").cast("double") / col("n"))), 4).as("lm_score"))
+      .orderBy("doc_id")
+  }
+
   /** x16 token-budget corpus sharding: greedy sequential packing of docs
     * into fixed-token-budget shards (the unit a training pipeline feeds a
     * tokenizer/context-window packer), per language. A doc's shard is the
