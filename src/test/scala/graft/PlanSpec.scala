@@ -121,6 +121,31 @@ class PlanSpec extends SparkSpecBase {
     assert(other > Tables.lineitem(s2, sfDir).count())
   }
 
+  test("x17 contamination: benchmark side broadcast, no nested loop") {
+    val p = planOf(operators.TextOps.x17Contamination(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+           s"containment join degenerated to a product:\n$p")
+  }
+
+  test("x15 sampling: pure scan-filter — only the contract ORDER BY exchanges") {
+    val p = planOf(operators.TextOps.x15StratifiedSample(spark, sfDir))
+    // tree lines only ("+- Exchange (3)") — the formatted detail section
+    // repeats each node as "(3) Exchange"
+    val exchanges = p.linesIterator
+      .count(l => l.contains("Exchange") && !l.trim.startsWith("("))
+    assert(exchanges <= 1, s"sampling core must not shuffle (found $exchanges):\n$p")
+    assert(!p.contains("Join"), s"sampling must be join-free:\n$p")
+  }
+
+  test("x18 LM score: vocab count join has no product; two hash aggregates") {
+    val p = planOf(operators.TextOps.x18LmScore(spark, sfDir))
+    assert(!p.contains("NestedLoop") || p.contains("BroadcastNestedLoopJoin"),
+           s"unexpected join shape:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("nanos pushdown rule is a no-op on non-matching filters") {
     // value is a plain double column: the rule must not touch this plan
     val df = Tables.events(spark, sfDir).filter("value > 100")
