@@ -54,4 +54,11 @@ object Readers {
   /** Clean rows with the quarantine column removed. */
   def cleanRows(df: DataFrame): DataFrame =
     df.cache().filter(df(CorruptCol).isNull).drop(CorruptCol)
+
+  /** Both splits from ONE cached parse — the preferred entry point. The
+    * cache is keyed on the parsed plan (caching twice is a no-op), but this
+    * shape makes the lifecycle explicit: the CALLER owns `df` and should
+    * `df.unpersist()` once both sides are consumed. */
+  def quarantineSplit(df: DataFrame): (DataFrame, DataFrame) =
+    (cleanRows(df), corruptRows(df))
 }

@@ -42,7 +42,10 @@ class ReadersSpec extends SparkSpecBase {
       org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
     val df = Readers.jsonl(spark, dir, schema)
-    assert(Readers.cleanRows(df).count() === 1)
-    assert(Readers.corruptRows(df).count() === 2)
+    val (clean, corrupt) = Readers.quarantineSplit(df)
+    assert(clean.count() === 1)
+    assert(corrupt.count() === 2)
+    assert(!clean.columns.contains(Readers.CorruptCol))
+    df.unpersist()
   }
 }
