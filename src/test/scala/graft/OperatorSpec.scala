@@ -31,12 +31,16 @@ class OperatorSpec extends SparkSpecBase {
     }
   }
 
-  test("Q16 band width covers the max window half-width at every sf") {
-    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
-      val maxPrice = Tables.orders(spark, d).agg(max("o_totalprice")).head.getDouble(0)
-      assert(maxPrice * 0.001 <= 1000.0,
-        s"band width 1000 too narrow for max price $maxPrice in $d")
-    }
+  test("Q16 log-banding loses no pair vs the brute-force nested loop") {
+    val prices = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val brute = (for {
+      (k1, p1) <- prices; (k2, p2) <- prices
+      if k1 < k2 && p2 >= p1 * 0.999 && p2 <= p1 * 1.001
+    } yield 1).size.toLong
+    val banded = RelationalOps.q16(spark, sfDir).head.getLong(0)
+    assert(banded === brute, s"log-banded $banded != brute-force $brute")
   }
 
   test("Q12 full-outer counts are consistent with table cardinalities") {
