@@ -14,7 +14,10 @@ class DeterminismSpec extends SparkSpecBase {
   private val sensitive = Seq(
     "q10_join_smj", "q19_agg_tpch_q1", "q22_rollup", "q24_having",
     "q26_stats", "q30_lag_delta", "q31_running_sum", "q32_moving_avg",
-    "q48_downsample", "q49_rate", "q51_sma", "q54_cosine_topk", "q57_multimodal_arr")
+    "q48_downsample", "q49_rate", "q51_sma", "q54_cosine_topk", "q57_multimodal_arr",
+    // round-4 additions: x14's iterative label fixpoint, x16's windowed
+    // cumsum/shard assignment, x18's AVG-of-logs (sum order ± last ulp)
+    "x14_dedup_clusters", "x16_token_shards", "x18_lm_score")
 
   private def canon(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted.toSeq
