@@ -77,14 +77,27 @@ object MinHashLSH {
     sigs.select(col("id"), array(bands: _*).as("bands"))
   }
 
+  /** (id, bands: array<long>) via the fused per-row kernel
+    * ([[VectorExpressions.MinHashBandKeys]]): the whole signature+banding
+    * stage runs inside the scan with ZERO shuffle — bitwise-equal to
+    * `bandHashes(signatures(items))` (MinHashLSHSpec), which remains the
+    * right formulation only when single documents are so large that
+    * per-token parallelism inside one doc matters. Ids with empty token
+    * arrays are dropped, matching the explode path. */
+  def bandKeys(items: DataFrame, p: Params = Params()): DataFrame =
+    items.select(col("id"),
+        VectorExpressions.minhashBandKeys(col("toks"), p.numPerm, p.rows).as("bands"))
+      .filter(col("bands").isNotNull)
+
   /** Distinct candidate pairs (id_a < id_b) sharing ≥1 band bucket.
     *
     * Two scale decisions:
     *  - The probe side is explicitly repartitioned to full cluster width
-    *    BEFORE the explode+join: the signature aggregate upstream emits few,
-    *    tiny rows, so AQE coalesces it to ~1 partition — but the pipelined
-    *    stage DOWNSTREAM (band explode → band-bucket join) is where the row
-    *    explosion happens, and it would inherit that single partition.
+    *    BEFORE the explode+join: the signature stage upstream is a
+    *    zero-shuffle scan ([[bandKeys]]) emitting few, tiny rows, so AQE
+    *    would run the pipelined stage DOWNSTREAM (band explode →
+    *    band-bucket join) — where the row explosion happens — at the
+    *    scan's parallelism.
     *  - Each pair is emitted from its FIRST hash-equal band only
     *    ([[FirstMatchIndex]] over the two band arrays, a map-side codegen
     *    filter): on a dense corpus a true pair collides in ~`bands`·j² ≈ 20
@@ -94,7 +107,7 @@ object MinHashLSH {
     *    the filter tests) and costs one array scan per collision row. */
   def candidatePairs(items: DataFrame, p: Params = Params()): DataFrame = {
     val n = items.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val hashed = bandHashes(signatures(items, p), p).repartition(n)
+    val hashed = bandKeys(items, p).repartition(n)
     val banded = hashed.select(col("id"), col("bands"),
       posexplode(col("bands")).as(Seq("band", "sig")))
     banded.as("a")

@@ -2,12 +2,12 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression, XXH64, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.sqrt
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 
 /** Native Catalyst expressions for the vector/LSH packages (SURVEY §7.3 "v2").
   *
@@ -254,6 +254,113 @@ case class SplitMix64(child: Expression, index: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The whole MinHash LSH feature extractor as ONE per-row kernel:
+  * ARRAY<STRING> tokens → ARRAY<BIGINT> band keys, bitwise-equal to the
+  * explode → `xxhash64(tok)` → per-permutation [[SplitMix64]] min-aggregate
+  * → `xxhash64(slots)` band-hash pipeline it can replace (asserted in
+  * MinHashLSHSpec), via the same public XXH64/XxHash64Function primitives
+  * Spark's `xxhash64` evaluates with (seed 42).
+  *
+  * Why: the agg formulation shuffles an exploded (id, tokenHash) row per
+  * token to build signatures — correct, map-side combined, and the right
+  * shape when single documents are huge. But signatures are a PER-ROW
+  * function of the token multiset (min over duplicates = min over the
+  * set, so the explode path's dedup is irrelevant to the result), so for
+  * normal corpora the whole stage can run inside the scan with ZERO
+  * shuffle — and in a stream, per arriving row. Token-loop-outer /
+  * permutation-loop-inner: each token is hashed once, then 4 wrapping ops
+  * per permutation update the running minima.
+  *
+  * Returns null for empty token arrays — the explode path emits no rows
+  * for those ids, so callers filter nulls to keep the semantics aligned.
+  */
+case class MinHashBandKeys(child: Expression, numPerm: Int, rows: Int)
+    extends UnaryExpression {
+  require(numPerm % rows == 0, "numPerm must be divisible by rows")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_band_keys"
+
+  private val bands = numPerm / rows
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mh = Array.fill(numPerm)(Long.MaxValue)
+    var t = 0
+    while (t < n) {
+      val s = arr.getUTF8String(t)
+      val th = XxHash64Function.hash(s, StringType, 42L)
+      var i = 0
+      while (i < numPerm) {
+        var z = th + 0x9E3779B97F4A7C15L * (i + 1)
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^= (z >>> 31)
+        if (z < mh(i)) mh(i) = z
+        i += 1
+      }
+      t += 1
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 42L
+      var j = b * rows
+      while (j < (b + 1) * rows) { h = XXH64.hashLong(mh(j), h); j += 1 }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val xxh = "org.apache.spark.sql.catalyst.expressions.XXH64"
+    val fn = "org.apache.spark.sql.catalyst.expressions.XxHash64Function$.MODULE$"
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val mh = ctx.freshName("mh")
+      val t = ctx.freshName("t"); val s = ctx.freshName("s")
+      val th = ctx.freshName("th"); val i = ctx.freshName("i")
+      val z = ctx.freshName("z"); val out = ctx.freshName("out")
+      val b = ctx.freshName("b"); val h = ctx.freshName("h")
+      val j = ctx.freshName("j")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n == 0) { ${ev.isNull} = true; } else {
+         |  final long[] $mh = new long[$numPerm];
+         |  java.util.Arrays.fill($mh, Long.MAX_VALUE);
+         |  for (int $t = 0; $t < $n; $t++) {
+         |    final org.apache.spark.unsafe.types.UTF8String $s = $a.getUTF8String($t);
+         |    final long $th = $fn.hashUnsafeBytes(
+         |      $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |    for (int $i = 0; $i < $numPerm; $i++) {
+         |      long $z = $th + (0x9E3779B97F4A7C15L * ($i + 1));
+         |      $z = ($z ^ ($z >>> 30)) * 0xBF58476D1CE4E5B9L;
+         |      $z = ($z ^ ($z >>> 27)) * 0x94D049BB133111EBL;
+         |      $z ^= ($z >>> 31);
+         |      if ($z < $mh[$i]) $mh[$i] = $z;
+         |    }
+         |  }
+         |  final long[] $out = new long[$bands];
+         |  for (int $b = 0; $b < $bands; $b++) {
+         |    long $h = 42L;
+         |    for (int $j = $b * $rows; $j < ($b + 1) * $rows; $j++) {
+         |      $h = $xxh.hashLong($mh[$j], $h);
+         |    }
+         |    $out[$b] = $h;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandKeys =
+    copy(child = newChild)
+}
+
 /** First index at which two ARRAY<BIGINT> agree, -1 if none — the LSH
   * first-matching-band dedup kernel. A pair colliding in k of the b band
   * buckets appears k times in the band self-join; keeping only the rows
@@ -427,6 +534,10 @@ object VectorExpressions {
   /** splitmix64-mixed permutation `i` of a 64-bit hash column. */
   def splitmix64(c: Column, i: Int): Column =
     Bridge.column(SplitMix64(Bridge.expression(c), i))
+
+  /** Fused per-row MinHash LSH band keys over an ARRAY<STRING> column. */
+  def minhashBandKeys(toks: Column, numPerm: Int, rows: Int): Column =
+    Bridge.column(MinHashBandKeys(Bridge.expression(toks), numPerm, rows))
 
   /** SQL surface: `SELECT vec_dot(e1, e2)`. Idempotent per session. */
   def register(spark: SparkSession): Unit =

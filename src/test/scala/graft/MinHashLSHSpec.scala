@@ -54,6 +54,25 @@ class MinHashLSHSpec extends SparkSpecBase {
     assert(viaDict.nonEmpty && viaDict == viaHash)
   }
 
+  test("fused band-key kernel is bitwise-equal to the explode+agg pipeline") {
+    val trigrams = Tables.documents(spark, sfDir).select(col("doc_id").as("id"),
+      expr("transform(sequence(1, length(text)-2), i -> substring(text, i, 3))").as("toks"))
+    for (items <- Seq(docs, trigrams)) {
+      val viaAgg = MinHashLSH.bandHashes(MinHashLSH.signatures(items))
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+      val viaKernel = MinHashLSH.bandKeys(items)
+        .orderBy("id").collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+      assert(viaKernel.nonEmpty && viaKernel == viaAgg)
+    }
+  }
+
+  test("band-key kernel drops empty token arrays like the explode path") {
+    import spark.implicits._
+    val items = Seq((1L, Seq("a", "b")), (2L, Seq.empty[String]))
+      .toDF("id", "toks")
+    assert(MinHashLSH.bandKeys(items).select("id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("signatures are deterministic across partitionings") {
     val s1 = MinHashLSH.signatures(docs).orderBy("id").collect().toSeq
     val s2 = MinHashLSH.signatures(docs.repartition(7)).orderBy("id").collect().toSeq
