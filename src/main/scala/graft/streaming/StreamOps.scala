@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 
 /** SURVEY.md §2.9 — Structured Streaming ingest: the catena WAL → memory
@@ -194,5 +194,69 @@ object StreamOps {
             case _ => Iterator.empty
           }
       }
+  }
+
+  case class BucketKey(band: Int, key: Long)
+  case class BandedDoc(doc_id: Long, band: Int, key: Long)
+  case class CandidatePair(id_a: Long, id_b: Long, band: Int)
+
+  /** ST10: ONLINE near-duplicate candidate detection — the streaming twin
+    * of [[graft.functions.MinHashLSH.candidatePairs]]. Each arriving doc's
+    * LSH band keys come from the per-row fused kernel
+    * ([[graft.functions.VectorExpressions.MinHashBandKeys]] — zero shuffle
+    * before the keyed state), and one `ListState[Long]` per band BUCKET
+    * holds the ids seen in that bucket; a new member emits a candidate
+    * pair against each prior member. The union over buckets equals the
+    * batch candidate SET exactly (pairs can surface from several buckets —
+    * batch first-match dedup is an intra-plan optimization; streaming
+    * consumers `distinct` downstream or treat candidates as at-least-once,
+    * which exact verification absorbs anyway). StreamingSpec asserts
+    * set-equality with the batch pipeline under AvailableNow replay.
+    *
+    * Scale: state per bucket is the bucket's membership — the same
+    * inverted index the batch band join materializes, held incrementally.
+    * A production deployment caps hot buckets (`maxBucket`: boilerplate
+    * shingle floods) and ages members out with a TTL; both knobs drop
+    * candidates only where the batch join would be quadratic anyway. */
+  class NearDupProcessor(maxBucket: Int)
+      extends StatefulProcessor[BucketKey, BandedDoc, CandidatePair] {
+    @transient private var seen: ListState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getListState[Long](
+        "seen", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: BucketKey, rows: Iterator[BandedDoc],
+                                 timerValues: TimerValues): Iterator[CandidatePair] = {
+      val prior = seen.get().toVector
+      val known = prior.toSet
+      val fresh = rows.map(_.doc_id).toVector.distinct.sorted.filterNot(known)
+      val out = Vector.newBuilder[CandidatePair]
+      var members = prior
+      fresh.foreach { d =>
+        if (members.size < maxBucket)
+          members.foreach { m =>
+            out += CandidatePair(math.min(m, d), math.max(m, d), key.band)
+          }
+        members = members :+ d
+      }
+      if (fresh.nonEmpty) seen.appendList(fresh.toArray)
+      out.result().iterator
+    }
+  }
+
+  /** Band-bucketed stream of documents: (doc_id, band, key) rows via the
+    * fused kernel — the streaming feature extraction is a pure projection. */
+  def nearDupCandidates(docs: DataFrame, maxBucket: Int = 10000): Dataset[CandidatePair] = {
+    import docs.sparkSession.implicits._
+    val p = graft.functions.MinHashLSH.Params()
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), posexplode(
+        graft.functions.VectorExpressions.minhashBandKeys(col("toks"), p.numPerm, p.rows))
+        .as(Seq("band", "key")))
+      .as[BandedDoc]
+      .groupByKey(b => BucketKey(b.band, b.key))
+      .transformWithState(new NearDupProcessor(maxBucket),
+        TimeMode.None(), OutputMode.Append())
   }
 }

@@ -161,6 +161,32 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamLatest.except(batchLatest).isEmpty && batchLatest.except(streamLatest).isEmpty)
   }
 
+  test("ST10 streaming near-dup candidates equal the batch candidate set") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+      val src = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      val q = StreamOps.nearDupCandidates(src).toDF()
+        .writeStream.format("memory").queryName("st10").outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally {
+      prior match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+    // a pair may surface from several band buckets in the stream; the batch
+    // plan's first-match dedup makes each pair unique — compare as SETS
+    val streamed = spark.table("st10").select("id_a", "id_b").distinct()
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("id"), split(col("text"), " ").as("toks"))
+    val batch = graft.functions.MinHashLSH.candidatePairs(docs)
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
   test("ST9 streaming as-of enrichment equals the batch as-of join") {
     import spark.implicits._
     val key = "spark.sql.streaming.stateStore.providerClass"
