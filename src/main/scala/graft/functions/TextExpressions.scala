@@ -4,9 +4,10 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Winnowing-style rolling fingerprint as ONE expression.
@@ -130,6 +131,103 @@ case class HexPrefixToLong(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Character n-grams of a string as ONE kernel call — replaces the
+  * interpreted `transform(sequence(1, length(text)-n+1), i ->
+  * substring(text, i, n))` HOF (per-element lambda dispatch + a sequence
+  * array per row). Values are identical for strings of ≥ n chars
+  * (`substringSQL` IS SQL substring; asserted in FunctionsSpec); strings
+  * shorter than n yield an empty array, where the HOF form's descending
+  * `sequence` would emit nonsense positions — the kernel matches the
+  * DuckDB `generate_series` twin's empty-list behavior instead. */
+case class CharGrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0, "gram size must be positive")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_grams"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val m = math.max(0, s.numChars() - n + 1)
+    val out = new Array[AnyRef](m)
+    var i = 0
+    while (i < m) { out(i) = s.substringSQL(i + 1, n); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val m = ctx.freshName("m"); val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+         |final int $m = java.lang.Math.max(0, $c.numChars() - $n + 1);
+         |final org.apache.spark.unsafe.types.UTF8String[] $out =
+         |  new org.apache.spark.unsafe.types.UTF8String[$m];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  $out[$i] = $c.substringSQL($i + 1, $n);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CharGrams =
+    copy(child = newChild)
+}
+
+/** Word k-shingles of a token array, space-joined — replaces the
+  * interpreted `transform(sequence(1, size(t)-k+1), i -> concat_ws(' ',
+  * slice(t, i, k)))` HOF the same way [[CharGrams]] replaces character
+  * slicing. */
+case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0, "shingle size must be positive")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val m = math.max(0, arr.numElements() - k + 1)
+    val out = new Array[AnyRef](m)
+    var i = 0
+    while (i < m) {
+      val parts = new Array[UTF8String](k)
+      var j = 0
+      while (j < k) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      out(i) = UTF8String.concatWs(space, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sp = ctx.addReferenceObj("space", space,
+      "org.apache.spark.unsafe.types.UTF8String")
+    nullSafeCodeGen(ctx, ev, a => {
+      val m = ctx.freshName("m"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val parts = ctx.freshName("parts")
+      val out = ctx.freshName("out")
+      s"""
+         |final int $m = java.lang.Math.max(0, $a.numElements() - $k + 1);
+         |final org.apache.spark.unsafe.types.UTF8String[] $out =
+         |  new org.apache.spark.unsafe.types.UTF8String[$m];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  final org.apache.spark.unsafe.types.UTF8String[] $parts =
+         |    new org.apache.spark.unsafe.types.UTF8String[$k];
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    $parts[$j] = $a.getUTF8String($i + $j);
+         |  }
+         |  $out[$i] = org.apache.spark.unsafe.types.UTF8String.concatWs($sp, $parts);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
 object TextExpressions {
   /** Column API: rolling-min md5 fingerprint over `window`-char substrings. */
   def rollingMd5Min(text: Column, window: Int = 8): Column =
@@ -138,4 +236,12 @@ object TextExpressions {
   /** Column API: first-16-hex-chars → Long (bit-identical big-endian). */
   def hexPrefixToLong(hex: Column): Column =
     Bridge.column(HexPrefixToLong(Bridge.expression(hex)))
+
+  /** Column API: character n-grams of a string. */
+  def charGrams(text: Column, n: Int): Column =
+    Bridge.column(CharGrams(Bridge.expression(text), n))
+
+  /** Column API: space-joined word k-shingles of a token array. */
+  def wordShingles(toks: Column, k: Int): Column =
+    Bridge.column(WordShingles(Bridge.expression(toks), k))
 }

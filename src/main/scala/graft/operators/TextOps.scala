@@ -138,7 +138,7 @@ object TextOps {
     * bitwise. Oracle: exact all-pairs trigram Jaccard. */
   def x02NgramJaccard(s: SparkSession, d: String): DataFrame = {
     val grams = Tables.documents(s, d).select(col("doc_id").as("id"),
-      expr("transform(sequence(1, length(text)-2), i -> substring(text, i, 3))").as("toks"))
+      graft.functions.TextExpressions.charGrams(col("text"), 3).as("toks"))
     MinHashLSH.verifiedPairsDict(grams, 0.7)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("j"))
       .orderBy("doc_a", "doc_b")
@@ -279,9 +279,8 @@ object TextOps {
   def x17Contamination(s: SparkSession, d: String): DataFrame = {
     def shingles(df: DataFrame) = df
       .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(t) - 4), i -> concat_ws(' ', slice(t, i, 5)))"))
-        .as("shingle"))
+      .select(col("doc_id"), explode(
+        graft.functions.TextExpressions.wordShingles(col("t"), 5)).as("shingle"))
       .distinct()
     val docs = Tables.documents(s, d)
     val bench = shingles(docs.filter(col("doc_id") < 20))

@@ -139,6 +139,28 @@ class FunctionsSpec extends SparkSpecBase {
     assert(got === Seq(2, 2, 0))
   }
 
+  test("CharGrams/WordShingles are bitwise-identical to the HOF forms on real docs") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    val grams = docs.select(
+      graft.functions.TextExpressions.charGrams(col("text"), 3).as("k"),
+      expr("transform(sequence(1, length(text)-2), i -> substring(text, i, 3))").as("h"))
+      .collect()
+    assert(grams.nonEmpty && grams.forall(r => r.getSeq[String](0) == r.getSeq[String](1)))
+    val sh = docs.select(split(col("text"), " ").as("t"))
+      .select(
+        graft.functions.TextExpressions.wordShingles(col("t"), 5).as("k"),
+        expr("transform(sequence(1, size(t)-4), i -> concat_ws(' ', slice(t, i, 5)))").as("h"))
+      .collect()
+    assert(sh.nonEmpty && sh.forall(r => r.getSeq[String](0) == r.getSeq[String](1)))
+    // sub-size inputs: empty array, not descending-sequence nonsense
+    import spark.implicits._
+    val short = Seq("ab").toDF("text")
+      .select(graft.functions.TextExpressions.charGrams(col("text"), 3).as("k"))
+      .head.getSeq[String](0)
+    assert(short.isEmpty)
+  }
+
   test("vec_dot SQL registration works") {
     graft.functions.VectorExpressions.register(spark)
     Tables.embeddings(spark, sfDir).limit(5).createOrReplaceTempView("emb_t")
