@@ -112,6 +112,7 @@ object SparkEntry {
     "x16_token_shards"    -> (TextOps.x16TokenShards _),
     "x17_contamination"   -> (TextOps.x17Contamination _),
     "x18_lm_score"        -> (TextOps.x18LmScore _),
+    "x19_frame_sample"    -> (MultimodalOps.x19FrameSample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -620,6 +621,20 @@ object SparkEntry {
         |ROUND(AVG(LN(CAST(c AS DOUBLE) / n)), 4) AS lm_score
         |FROM toks t JOIN cnt USING (tok) CROSS JOIN tot
         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+
+    // x19's twin works in CHARS where Spark works in BYTES — identical on
+    // the declared ASCII slice (the octet_length = n_chars filter)
+    "x19_frame_sample" ->
+      """WITH en AS (SELECT doc_id, text FROM documents
+        |  WHERE lang = 'en' AND octet_length(encode(text)) = n_chars),
+        |u AS (SELECT doc_id, text,
+        |  UNNEST(range(0, CAST(CEIL(length(text) / 64.0) AS BIGINT), 2)) AS idx FROM en),
+        |fr AS (SELECT doc_id, idx, substr(text, CAST(idx*64+1 AS INT), 64) AS f FROM u)
+        |SELECT doc_id AS media_id, CAST(idx AS BIGINT) AS frame_idx,
+        |CAST(length(f) AS BIGINT) AS frame_bytes,
+        |CAST(list_sum(list_transform(range(1, length(f)+1),
+        |  i -> ascii(substr(f, CAST(i AS INT), 1)))) AS BIGINT) AS checksum
+        |FROM fr ORDER BY media_id, frame_idx""".stripMargin,
 
     "x16_token_shards" ->
       """WITH d AS (SELECT doc_id, lang,

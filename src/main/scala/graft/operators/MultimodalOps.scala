@@ -59,6 +59,51 @@ object MultimodalOps {
     }
   }
 
+  /** One sampled frame of a media payload: fixed-size byte blocks, every
+    * `stride`-th block kept — the video-frame-sampling shape (decode a
+    * subset of frames, never the whole stream). */
+  case class FrameSample(media_id: Long, frame_idx: Long, frame_bytes: Long, checksum: Long)
+
+  /** Frame-sample a binary payload column: one row per kept frame with its
+    * byte count and checksum (the feature a real pipeline would replace
+    * with a per-frame decode). flatMap shape: frames stream out of each
+    * record — no payload-sized intermediate array column, and a real
+    * decoder inits once per partition exactly like [[decodeAll]]. */
+  def sampleFrames(media: Dataset[MediaRecord], frameSize: Int,
+                   stride: Int): Dataset[FrameSample] = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      val n = m.payload.length
+      val frames = (n + frameSize - 1) / frameSize
+      (0 until frames by stride).iterator.map { f =>
+        val start = f * frameSize
+        val end = math.min(start + frameSize, n)
+        var c = 0L; var i = start
+        while (i < end) { c += (m.payload(i) & 0xff); i += 1 }
+        FrameSample(m.media_id, f.toLong, (end - start).toLong, c)
+      }
+    }
+  }
+
+  /** x19 frame sampling over BINARY payloads, 64-byte frames, every 2nd
+    * frame. Declared over the ASCII slice of the corpus (lang='en' with
+    * octet_length == n_chars) so the byte-level Spark computation has an
+    * exact char-level DuckDB twin (`ascii()` per char) — the one multimodal
+    * operator with a full cross-engine oracle. */
+  def x19FrameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ascii = Tables.documents(s, d)
+      .filter(col("lang") === "en" &&
+        octet_length(encode(col("text"), "utf-8")) === col("n_chars"))
+      .select(col("doc_id").as("media_id"),
+              encode(col("text"), "utf-8").as("payload"),
+              lit("text/plain").as("fmt"),
+              octet_length(encode(col("text"), "utf-8")).cast("long").as("n_bytes"))
+      .as[MediaRecord]
+    sampleFrames(ascii, frameSize = 64, stride = 2).toDF()
+      .orderBy("media_id", "frame_idx")
+  }
+
   /** x09 multimodal plumbing query (rows-only check: the fake decoder is
     * engine-private so there is no cross-engine oracle). */
   def x09Multimodal(s: SparkSession, d: String): DataFrame = {

@@ -48,6 +48,18 @@ class FunctionsSpec extends SparkSpecBase {
     assert(f.features(1) > 32f && f.features(1) < 127f)
   }
 
+  test("frame sampling on known bytes: stride, tail frame, checksums") {
+    import spark.implicits._
+    import graft.operators.MultimodalOps
+    // 150 bytes → frames of 64: idx 0 (64), 1 (64), 2 (22); stride 2 keeps 0, 2
+    val payload = Array.tabulate[Byte](150)(i => (i % 7).toByte)
+    val media = Seq(MultimodalOps.MediaRecord(9L, payload, "x", 150L)).toDS()
+    val got = MultimodalOps.sampleFrames(media, 64, 2).collect().sortBy(_.frame_idx)
+    assert(got.map(f => (f.frame_idx, f.frame_bytes)).toSeq == Seq((0L, 64L), (2L, 22L)))
+    assert(got(0).checksum == (0 until 64).map(_ % 7).sum)
+    assert(got(1).checksum == (128 until 150).map(_ % 7).sum)
+  }
+
   test("decodeStub on known bytes") {
     val f = MultimodalOps.decodeStub("ab".getBytes("UTF-8"))
     assert(f.toSeq === Seq(2f, 97.5f, math.sqrt((97.0 * 97 + 98.0 * 98) / 2).toFloat, 97f))
