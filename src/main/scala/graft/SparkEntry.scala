@@ -113,6 +113,9 @@ object SparkEntry {
     "x17_contamination"   -> (TextOps.x17Contamination _),
     "x18_lm_score"        -> (TextOps.x18LmScore _),
     "x19_frame_sample"    -> (MultimodalOps.x19FrameSample _),
+    "x20_sessionize"      -> (TimeSeriesOps.x20Sessionize _),
+    "x21_repetition"      -> (TextOps.x21Repetition _),
+    "x22_quantize"        -> (VectorOps.x22Quantize _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -675,5 +678,40 @@ object SparkEntry {
         |(SELECT probe_id, vec_id, cos,
         |  row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk FROM cand) f
         |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    // x20: all gap/duration arithmetic in exact integer µs (epoch_us ≡
+    // unix_micros on the same floor-truncated timestamps); only sum_value
+    // is a rounded double
+    "x20_sessionize" ->
+      s"""WITH e AS ($E),
+         |g AS (SELECT user_id, event_id, value, epoch_us(ts) AS us,
+         |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e),
+         |b AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 21600000000 THEN 1 ELSE 0 END AS brk FROM g),
+         |s AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session FROM b)
+         |SELECT user_id, session, COUNT(*) AS n_events, MIN(event_id) AS first_event,
+         |(MAX(us) - MIN(us)) // 1000000 AS duration_s, ROUND(SUM(value), 4) AS sum_value
+         |FROM s GROUP BY user_id, session ORDER BY user_id, session""".stripMargin,
+
+    "x21_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT doc_id, UNNEST(list_transform(generate_series(1, len(t) - 2),
+        |  i -> array_to_string(t[i:i+2], ' '))) AS g FROM toks)
+        |SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT g) AS n_distinct,
+        |ROUND(1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 4) AS dup_frac
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // x22: FLOOR over the identically-associated IEEE expression on both
+    // sides — no half-way hazard; only max_err is a rounded double
+    "x22_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
+        |q AS (SELECT vec_id, v, mn, mx, list_transform(v, x ->
+        |  CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(FLOOR((x - mn) * 255.0 / (mx - mn)) AS BIGINT) END) AS qv FROM m)
+        |SELECT vec_id, qv,
+        |ROUND(list_max(list_transform(generate_series(1, len(v)),
+        |  i -> ABS(v[i] - (mn + qv[i] * (mx - mn) / 255.0)))), 6) AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
   )
 }

@@ -333,4 +333,27 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
       .orderBy("lang", "shard")
   }
+
+  /** x21 within-document repetition scoring: per doc, the fraction of word
+    * 3-shingles that are duplicates of an earlier shingle in the SAME doc —
+    * the Gopher-style "fraction of duplicate n-grams" quality filter that
+    * catches boilerplate/loop-generated text, which corpus-level near-dup
+    * (Q53/x01/x02: BETWEEN docs) cannot see. Shingles come from the same
+    * codegen [[graft.functions.TextExpressions.wordShingles]] kernel as
+    * x17/Q53, so the whole scoring pipeline is one linear explode + one
+    * hash agg per doc: no joins, no shuffle wider than the doc_id agg.
+    * Docs shorter than 3 tokens have no shingles and drop out (both
+    * engines' generators emit an empty list there). */
+  def x21Repetition(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.TextExpressions.wordShingles(
+          split(col("text"), " "), 3)).as("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+           countDistinct(col("g")).as("n_distinct"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        dround(lit(1.0) - col("n_distinct").cast("double")
+          / col("n_grams").cast("double"), 4).as("dup_frac"))
+      .orderBy("doc_id")
 }

@@ -133,4 +133,40 @@ object TimeSeriesOps {
       .select(col("d"), col("event_type"), dround(col("sma"), 4).as("sma"))
       .orderBy("event_type", "d")
   }
+
+  /** x20 gap-based sessionization: a user's events split into sessions
+    * wherever the gap to the previous event exceeds 6 hours — the classic
+    * event-pipeline operator (funnel/engagement analytics, and the batch
+    * twin of the streaming session window ST4). Session ids are the running
+    * count of gap-breaks, so they are dense, per-user, and deterministic.
+    *
+    * All gap arithmetic is exact integer microseconds (`unix_micros` here ≡
+    * `epoch_us` in the oracle; both sides see the same floor-truncated µs
+    * timestamps), so no FP knife edges exist in the session BOUNDARIES; only
+    * the per-session value sum is rounded, through [[Rounding.dround]].
+    *
+    * Scale: one shuffle on user_id serves both windows and the session agg
+    * (same partitioning), then per-partition sorts — O(n log n) per user,
+    * no self-join, no pairing blowup. Skewed power-users are bounded by
+    * their own event count, not the corpus; AQE skew-split handles the
+    * shuffle side at 100 TB. */
+  def x20Sessionize(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 6L * 3600L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .withColumn("brk",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session", sum("brk").over(run))
+      .groupBy("user_id", "session")
+      .agg(count(lit(1)).as("n_events"),
+           min("event_id").as("first_event"),
+           expr("(max(us) - min(us)) div 1000000").as("duration_s"),
+           dround(sum("value"), 4).as("sum_value"))
+      .orderBy("user_id", "session")
+  }
 }

@@ -194,4 +194,31 @@ object VectorOps {
       .select(col("probe_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("cos"))
       .orderBy("probe_id", "rnk")
   }
+
+  /** x22 int8 embedding quantization: per-vector affine min/max quantization
+    * to the 0..255 range plus the max absolute reconstruction error — the
+    * storage/bandwidth step an embedding pipeline runs before ANN indexing
+    * (4× smaller vectors; x08's cluster scan reads a quarter of the bytes).
+    *
+    * Determinism across engines: FLOOR (never a half-way hazard, unlike
+    * round) over the identical IEEE expression `(x - mn) * 255.0 / (mx -
+    * mn)` written with the same associativity on both sides; min/max are
+    * order-independent; only the final error column is rounded (dround).
+    * Scale: pure per-row map — no shuffle, no join, whole-stage codegen'd
+    * `transform`/`zip_with`/`aggregate` HOFs end to end. */
+  def x22Quantize(s: SparkSession, d: String): DataFrame = {
+    val de = transform(col("embedding"), _.cast("double"))
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), de.as("v"))
+      .withColumn("mn", array_min(col("v")))
+      .withColumn("mx", array_max(col("v")))
+      .withColumn("qv", transform(col("v"), x =>
+        when(col("mx") === col("mn"), lit(0L))
+          .otherwise(floor((x - col("mn")) * lit(255.0) / (col("mx") - col("mn"))))))
+      .select(col("vec_id"), col("qv"),
+        dround(array_max(zip_with(col("v"), col("qv"), (x, q) =>
+          abs(x - (col("mn") + q.cast("double") * (col("mx") - col("mn")) / lit(255.0))))),
+          6).as("max_err"))
+      .orderBy("vec_id")
+  }
 }

@@ -17,7 +17,10 @@ class DeterminismSpec extends SparkSpecBase {
     "q48_downsample", "q49_rate", "q51_sma", "q54_cosine_topk", "q57_multimodal_arr",
     // round-4 additions: x14's iterative label fixpoint, x16's windowed
     // cumsum/shard assignment, x18's AVG-of-logs (sum order ± last ulp)
-    "x14_dedup_clusters", "x16_token_shards", "x18_lm_score")
+    "x14_dedup_clusters", "x16_token_shards", "x18_lm_score",
+    // x20: per-session SUM(value) is order-sensitive double addition under
+    // dround; x22: max-abs reconstruction error over IEEE mul/div chains
+    "x20_sessionize", "x22_quantize")
 
   private def canon(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted.toSeq
