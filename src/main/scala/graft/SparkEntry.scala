@@ -116,6 +116,12 @@ object SparkEntry {
     "x20_sessionize"      -> (TimeSeriesOps.x20Sessionize _),
     "x21_repetition"      -> (TextOps.x21Repetition _),
     "x22_quantize"        -> (VectorOps.x22Quantize _),
+    "x23_counter_rate"    -> (TimeSeriesOps.x23CounterRate _),
+    "x24_twa"             -> (TimeSeriesOps.x24Twa _),
+    "x25_anomaly"         -> (TimeSeriesOps.x25Anomaly _),
+    "x26_interpolate"     -> (TimeSeriesOps.x26Interpolate _),
+    "x27_span_dedup"      -> (TextOps.x27SpanDedup _),
+    "x28_scrub"           -> (TextOps.x28Scrub _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -713,5 +719,98 @@ object SparkEntry {
         |ROUND(list_max(list_transform(generate_series(1, len(v)),
         |  i -> ABS(v[i] - (mn + qv[i] * (mx - mn) / 255.0)))), 6) AS max_err
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    // x23: increases are differences (or raw values) of 2-decimal doubles,
+    // so the rounded SUM's true value is a multiple of 0.01 — no 4-dp edge
+    "x23_counter_rate" ->
+      s"""WITH e AS ($E),
+         |g AS (SELECT event_type, value, lag(value) OVER
+         |  (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS prev FROM e),
+         |i AS (SELECT event_type, value, prev,
+         |  CASE WHEN prev IS NULL THEN NULL
+         |       WHEN value < prev THEN value ELSE value - prev END AS inc FROM g)
+         |SELECT event_type, COUNT(inc) AS n_deltas,
+         |COUNT(CASE WHEN value < prev THEN 1 END) AS n_resets,
+         |ROUND(SUM(inc), 4) AS total_increase
+         |FROM i GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // x24: Σ(cents·dt_us) is exact int128 here / DECIMAL(38,0) in Spark;
+    // the only IEEE op is the same single divide of the same two integers
+    "x24_twa" ->
+      s"""WITH e AS ($E),
+         |g AS (SELECT event_type, value, epoch_us(ts) AS us, lead(epoch_us(ts)) OVER
+         |  (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS next_us FROM e),
+         |iv AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+         |  next_us - us AS dt_us FROM g WHERE next_us IS NOT NULL AND next_us > us)
+         |SELECT event_type, COUNT(*) AS n_intervals,
+         |ROUND(CAST(SUM(cents * dt_us) AS DOUBLE) / (CAST(SUM(dt_us) AS DOUBLE) * 100.0), 4) AS twa
+         |FROM iv GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // x25: daily sums snap to DECIMAL(18,2) before the double cast, so both
+    // engines window over identical doubles; z is rounded BEFORE the filter
+    "x25_anomaly" ->
+      s"""WITH e AS ($E),
+         |daily AS (SELECT strftime(ts, '%Y-%m-%d') AS d, event_type,
+         |  SUM(CAST(value AS DECIMAL(18,2))) AS sum_dec FROM e GROUP BY 1, 2),
+         |z AS (SELECT d, event_type, CAST(sum_dec AS DOUBLE) AS day_sum,
+         |  ROUND((CAST(sum_dec AS DOUBLE) - AVG(CAST(sum_dec AS DOUBLE)) OVER w)
+         |    / stddev_samp(CAST(sum_dec AS DOUBLE)) OVER w, 2) AS z
+         |  FROM daily WINDOW w AS (PARTITION BY event_type))
+         |SELECT d, event_type, day_sum, z FROM z
+         |WHERE ABS(z) >= 1.8 ORDER BY d, event_type""".stripMargin,
+
+    // x26: same association `prev + (next - prev) * (dd/span)` on both
+    // sides; day distances are exact integers
+    "x26_interpolate" ->
+      s"""WITH e AS ($E),
+         |daily AS (SELECT CAST(ts AS DATE) AS d, event_type,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v FROM e GROUP BY 1, 2),
+         |bounds AS (SELECT MIN(CAST(ts AS DATE)) AS lo, MAX(CAST(ts AS DATE)) AS hi FROM e),
+         |spine AS (SELECT t.event_type, CAST(s.d AS DATE) AS d FROM
+         |  (SELECT DISTINCT event_type FROM e) t CROSS JOIN
+         |  (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM bounds) s),
+         |j AS (SELECT sp.d, sp.event_type, daily.v FROM spine sp
+         |  LEFT JOIN daily ON sp.d = daily.d AND sp.event_type = daily.event_type),
+         |f AS (SELECT d, event_type, v,
+         |  last_value(v IGNORE NULLS) OVER wp AS prev_v,
+         |  last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER wp AS prev_d,
+         |  first_value(v IGNORE NULLS) OVER wn AS next_v,
+         |  first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS) OVER wn AS next_d
+         |  FROM j WINDOW
+         |  wp AS (PARTITION BY event_type ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |  wn AS (PARTITION BY event_type ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT d, event_type,
+         |CASE WHEN v IS NOT NULL THEN 'obs' ELSE 'lerp' END AS src,
+         |ROUND(CASE WHEN v IS NOT NULL THEN v
+         |  ELSE prev_v + (next_v - prev_v) *
+         |    (CAST(d - prev_d AS DOUBLE) / CAST(next_d - prev_d AS DOUBLE)) END, 4) AS v
+         |FROM f WHERE v IS NOT NULL OR (prev_v IS NOT NULL AND next_v IS NOT NULL)
+         |ORDER BY d, event_type""".stripMargin,
+
+    // x27: all-integer counts + one exact ratio — no FP hazards
+    "x27_span_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sp AS (SELECT DISTINCT doc_id, span FROM toks,
+        |  UNNEST(list_transform(generate_series(1, len(t) - 12),
+        |    i -> array_to_string(t[i:i+12], ' '))) AS u(span)),
+        |sh AS (SELECT span FROM sp GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2)
+        |SELECT sp.doc_id, COUNT(*) AS n_spans, COUNT(sh.span) AS n_shared,
+        |ROUND(CAST(COUNT(sh.span) AS DOUBLE) / COUNT(*), 4) AS shared_frac
+        |FROM sp LEFT JOIN sh ON sp.span = sh.span
+        |GROUP BY sp.doc_id ORDER BY doc_id""".stripMargin,
+
+    // x28: exact strings/integers only; deny = top-8 df tokens (the whole
+    // fixture vocabulary is 31 tokens, so 8 is the "function word" mass)
+    "x28_scrub" ->
+      """WITH toks AS (SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+        |deny AS (SELECT list(tok) AS dl FROM (SELECT tok FROM
+        |  (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok)
+        |  ORDER BY df DESC, tok LIMIT 8)),
+        |s AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |  list_filter(string_split(text, ' '), x -> NOT list_contains(dl, x)) AS kept
+        |  FROM documents CROSS JOIN deny)
+        |SELECT doc_id, len(t) AS n_tok, len(kept) AS n_kept,
+        |substring(md5(array_to_string(kept, ' ')), 1, 16) AS scrub_fp
+        |FROM s ORDER BY doc_id""".stripMargin,
   )
 }

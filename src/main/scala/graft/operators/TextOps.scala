@@ -356,4 +356,65 @@ object TextOps {
         dround(lit(1.0) - col("n_distinct").cast("double")
           / col("n_grams").cast("double"), 4).as("dup_frac"))
       .orderBy("doc_id")
+
+  /** x27 cross-document duplicated-span detection — the C4-style span-level
+    * dedup signal: for each doc, how many of its distinct 13-token spans
+    * also appear verbatim in at least one OTHER doc. Near-dup (Q53) scores
+    * whole documents; this catches shared boilerplate blocks inside
+    * otherwise-distinct pages, the class span/line dedup removes. Spans via
+    * the same [[graft.functions.TextExpressions.wordShingles]] codegen
+    * kernel as Q53/x17/x21.
+    *
+    * Scale: explode → distinct → one shuffle on the span hash for the
+    * document-frequency agg, then a linear shuffle join back on the span —
+    * no pairwise blowup at any corpus size (the span side is
+    * |distinct spans|, never |docs|²). All-integer output + one exact
+    * ratio, no FP hazards. */
+  def x27SpanDedup(s: SparkSession, d: String): DataFrame = {
+    val spans = Tables.documents(s, d)
+      .select(col("doc_id"), explode(graft.functions.TextExpressions.wordShingles(
+        split(col("text"), " "), 13)).as("span"))
+      .distinct()
+    val shared = spans.groupBy("span")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("span"), lit(1).as("is_shared"))
+    spans.join(shared, Seq("span"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), count(col("is_shared")).as("n_shared"))
+      .select(col("doc_id"), col("n_spans"), col("n_shared"),
+        dround(col("n_shared").cast("double") / col("n_spans"), 4).as("shared_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** x28 deny-list token scrub — the TRANSFORM stage of the x11 signal (and
+    * the exact plumbing shape of a PII redactor: broadcast deny-set, pure
+    * per-row rewrite, downstream stats over the scrubbed text). The deny
+    * list is the corpus's own top-30 document-frequency tokens (identical
+    * derivation to x11's stop set); each doc's text is rewritten with those
+    * tokens removed, order preserved, and fingerprinted. (The fixture's
+    * whole vocabulary is 31 tokens at every sf, so the deny list is the
+    * top-8 — the "function word" mass at this vocabulary's scale; x11's
+    * 30-of-31 stop set would scrub essentially everything.)
+    *
+    * Scale: the deny list is O(8) → broadcast; the rewrite is a per-row
+    * codegen'd `filter` HOF — zero shuffle beyond the tiny deny-list agg.
+    * Output is exact strings/integers — no FP at all. */
+  def x28Scrub(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val deny = toks.distinct()
+      .groupBy("tok").agg(countDistinct("doc_id").as("df"))
+      .orderBy(col("df").desc, col("tok"))
+      .limit(8)
+      .agg(sort_array(collect_list("tok")).as("deny"))
+    Tables.documents(s, d).crossJoin(broadcast(deny))
+      .withColumn("kept", filter(split(col("text"), " "),
+        t => !array_contains(col("deny"), t)))
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        size(col("kept")).cast("long").as("n_kept"),
+        substring(md5(array_join(col("kept"), " ")), 1, 16).as("scrub_fp"))
+      .orderBy("doc_id")
+  }
 }

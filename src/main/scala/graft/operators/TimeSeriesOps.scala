@@ -169,4 +169,123 @@ object TimeSeriesOps {
            dround(sum("value"), 4).as("sum_value"))
       .orderBy("user_id", "session")
   }
+
+  /** x23 counter increase with reset handling — the Prometheus-style
+    * `increase()` semantics every metrics pipeline needs: per series, the
+    * value delta to the previous point counts as increase, except a DROP is
+    * a counter reset (process restart) and the post-reset value itself is
+    * the increase since zero. Totals and reset counts per metric.
+    *
+    * Cross-engine determinism: increases are differences (or raw values) of
+    * the fixture's 2-decimal doubles, so the rounded SUM sits ~1e-11 from a
+    * 4-dp boundary only if the true total does — and the true total is a
+    * multiple of 0.01. Scale: one (user_id, event_type) shuffle for the lag
+    * window, then a 5-row hash agg; same shape as Q30/Q49. */
+  def x23CounterRate(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"), col("value"))
+      .withColumn("prev", lag("value", 1).over(w))
+      .withColumn("inc",
+        when(col("prev").isNull, lit(null))
+          .when(col("value") < col("prev"), col("value"))
+          .otherwise(col("value") - col("prev")))
+      .groupBy("event_type")
+      .agg(count(col("inc")).as("n_deltas"),
+           count(when(col("value") < col("prev"), 1)).as("n_resets"),
+           dround(sum("inc"), 4).as("total_increase"))
+      .orderBy("event_type")
+  }
+
+  /** x24 time-weighted average — the TSDB aggregate that is NOT plain AVG:
+    * each point's value is weighted by how long it was current (time until
+    * the series' next point), so irregular sampling doesn't bias the mean
+    * toward burst periods.
+    *
+    * Exactness across engines: values are 2-decimal → integer cents
+    * (exact), gaps are integer µs (exact), so Σ(cents·dt_us) accumulates in
+    * DECIMAL(38,0) here and int128 in DuckDB — both exact — and the ONE
+    * IEEE operation each engine performs is the same double divide of the
+    * same two integers. No summation-order sensitivity exists at all.
+    * Scale: one series shuffle for the lead window + a per-metric agg;
+    * the decimal accumulator is fixed-width, partial+final as usual. */
+  def x24Twa(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"), col("value"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("next_us", lead("us", 1).over(w))
+      .filter(col("next_us").isNotNull && col("next_us") > col("us"))
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .withColumn("dt_us", col("next_us") - col("us"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_intervals"),
+           sum((col("cents") * col("dt_us")).cast("decimal(38,0)")).as("sw"),
+           sum("dt_us").as("sdt"))
+      .select(col("event_type"), col("n_intervals"),
+        dround(col("sw").cast("double") / (col("sdt").cast("double") * lit(100.0)), 4).as("twa"))
+      .orderBy("event_type")
+  }
+
+  /** x25 anomaly days via z-score — the alerting query over the downsample:
+    * days whose per-metric daily volume deviates ≥ 1.8 (rounded) sample
+    * standard deviations from that metric's own daily mean.
+    *
+    * Determinism: daily sums snap to exact DECIMAL(18,2) (2-decimal inputs)
+    * before the double cast, so both engines window over IDENTICAL doubles;
+    * mean/stddev then agree to ~1e-12 relative and z is rounded to 2 dp
+    * through [[Rounding.dround]] BEFORE the threshold filter, so both
+    * engines select the same rows. Scale: the windowed stats run over the
+    * ~30-row-per-metric daily aggregate, not the raw events — the wide data
+    * is reduced by the first hash agg and the z pass is metadata-sized. */
+  def x25Anomaly(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"), col("event_type"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("sum_dec"))
+      .withColumn("day_sum", col("sum_dec").cast("double"))
+    val w = Window.partitionBy("event_type")
+    daily
+      .withColumn("mu", avg("day_sum").over(w))
+      .withColumn("sd", stddev_samp("day_sum").over(w))
+      .withColumn("z", dround((col("day_sum") - col("mu")) / col("sd"), 2))
+      .filter(abs(col("z")) >= 1.8)
+      .select(col("d"), col("event_type"), col("sum_dec").cast("double").as("day_sum"), col("z"))
+      .orderBy("d", "event_type")
+  }
+
+  /** x26 linear-interpolation gap fill — Q50 counts the holes; this FILLS
+    * them: every missing (day, metric) daily-sum bucket gets the linear
+    * interpolation between its nearest observed neighbors (leading/trailing
+    * holes with only one neighbor are dropped — no extrapolation).
+    *
+    * Determinism: observed sums snap to DECIMAL(18,2) first (identical
+    * doubles both engines), day distances are exact integers, and the lerp
+    * `prev + (next - prev) * (dd/span)` is written with ONE association on
+    * both sides. Scale: interpolation runs over the daily AGGREGATE (days ×
+    * metrics), not raw events; the two ignore-nulls windows share one
+    * event_type partitioning. */
+  def x26Interpolate(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val daily = e.groupBy(to_date(col("ts")).as("d"), col("event_type"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("v"))
+    val bounds = e.agg(min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"))
+    val spine = bounds.select(explode(sequence(col("lo"), col("hi"))).as("d"))
+      .crossJoin(e.select("event_type").distinct())
+    val w = Window.partitionBy("event_type").orderBy("d")
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(daily, Seq("d", "event_type"), "left")
+      .withColumn("prev_v", last("v", ignoreNulls = true).over(wPrev))
+      .withColumn("prev_d", last(when(col("v").isNotNull, col("d")), ignoreNulls = true).over(wPrev))
+      .withColumn("next_v", first("v", ignoreNulls = true).over(wNext))
+      .withColumn("next_d", first(when(col("v").isNotNull, col("d")), ignoreNulls = true).over(wNext))
+      .filter(col("v").isNotNull || (col("prev_v").isNotNull && col("next_v").isNotNull))
+      .select(col("d"), col("event_type"),
+        when(col("v").isNotNull, lit("obs")).otherwise(lit("lerp")).as("src"),
+        dround(when(col("v").isNotNull, col("v"))
+          .otherwise(col("prev_v") + (col("next_v") - col("prev_v")) *
+            (datediff(col("d"), col("prev_d")).cast("double") /
+             datediff(col("next_d"), col("prev_d")).cast("double"))), 4).as("v"))
+      .orderBy("d", "event_type")
+  }
 }

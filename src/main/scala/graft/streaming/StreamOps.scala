@@ -245,6 +245,71 @@ object StreamOps {
     }
   }
 
+  case class SessEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessState(session: Long, startUs: Long, lastUs: Long, n: Long,
+                       firstEvent: Long, sumValue: Double)
+  case class SessionOut(user_id: Long, session: Long, n_events: Long,
+                        first_event: Long, duration_s: Long, sum_value: Double)
+
+  private def micros(ts: java.sql.Timestamp): Long =
+    ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+
+  /** ST11: ONLINE gap-based sessionization — the streaming twin of
+    * [[graft.operators.TimeSeriesOps.x20Sessionize]]: one
+    * `ValueState[SessState]` per user holds ONLY the open session's
+    * aggregate (bounded state — never the events), and a session is emitted
+    * the moment a >gap event closes it. Session ids are the same running
+    * break count as the batch query, so a closed session here is
+    * field-for-field the batch row.
+    *
+    * Ordering contract (as ST9): per-key ts-ordered arrival across
+    * micro-batches; within a batch rows are sorted by (ts, event_id).
+    * The tail session per user stays open (a production deployment flushes
+    * it with an event-time timer after the gap elapses past the watermark);
+    * StreamingSpec asserts emitted sessions equal the batch x20 rows minus
+    * each user's final session under AvailableNow replay. */
+  class SessionizeProcessor(gapUs: Long)
+      extends StatefulProcessor[Long, SessEvent, SessionOut] {
+    @transient private var cur: ValueState[SessState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cur = getHandle.getValueState[SessState](
+        "cur", Encoders.product[SessState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[SessEvent],
+                                 timerValues: TimerValues): Iterator[SessionOut] = {
+      val ordered = rows.toVector.sortBy(e => (micros(e.ts), e.event_id))
+      val out = Vector.newBuilder[SessionOut]
+      var st = if (cur.exists()) Option(cur.get()) else None
+      ordered.foreach { e =>
+        val us = micros(e.ts)
+        st match {
+          case Some(s) if us - s.lastUs <= gapUs =>
+            st = Some(s.copy(lastUs = us, n = s.n + 1,
+              firstEvent = math.min(s.firstEvent, e.event_id),
+              sumValue = s.sumValue + e.value))
+          case other =>
+            other.foreach { s =>
+              out += SessionOut(key, s.session, s.n, s.firstEvent,
+                (s.lastUs - s.startUs) / 1000000L, s.sumValue)
+            }
+            st = Some(SessState(other.map(_.session).getOrElse(0L) + 1L,
+              us, us, 1L, e.event_id, e.value))
+        }
+      }
+      st.foreach(cur.update)
+      out.result().iterator
+    }
+  }
+
+  def sessionize(events: Dataset[SessEvent],
+                 gapUs: Long = 6L * 3600L * 1000000L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new SessionizeProcessor(gapUs),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Band-bucketed stream of documents: (doc_id, band, key) rows via the
     * fused kernel — the streaming feature extraction is a pure projection. */
   def nearDupCandidates(docs: DataFrame, maxBucket: Int = 10000): Dataset[CandidatePair] = {

@@ -20,7 +20,10 @@ class DeterminismSpec extends SparkSpecBase {
     "x14_dedup_clusters", "x16_token_shards", "x18_lm_score",
     // x20: per-session SUM(value) is order-sensitive double addition under
     // dround; x22: max-abs reconstruction error over IEEE mul/div chains
-    "x20_sessionize", "x22_quantize")
+    "x20_sessionize", "x22_quantize",
+    // x23: SUM of double increases (order ± last ulp under dround);
+    // x25: windowed avg/stddev partials merge in partitioning order
+    "x23_counter_rate", "x25_anomaly")
 
   private def canon(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted.toSeq

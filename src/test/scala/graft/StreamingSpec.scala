@@ -217,4 +217,37 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.count() === batch.count())
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
+
+  test("ST11 streaming sessionization equals batch x20 on closed sessions") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val src = StreamOps.eventsStream(spark, sfDir)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .as[StreamOps.SessEvent]
+      val q = StreamOps.sessionize(src).toDF()
+        .writeStream.format("memory").queryName("st11").outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally {
+      prior match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+    // the stream emits a session only when a later event CLOSES it, so the
+    // batch comparison set is every session except each user's last; the
+    // double sum accumulates in ts order streaming vs agg order in batch —
+    // compare through the same 4-dp contract rounding as x20
+    def canon(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("user_id"), col("session"), col("n_events"), col("first_event"),
+      col("duration_s"), graft.functions.Rounding.dround(col("sum_value"), 4).as("sv"))
+    val streamed = canon(spark.table("st11"))
+    val wLast = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+    val batch = canon(graft.operators.TimeSeriesOps.x20Sessionize(spark, sfDir)
+      .withColumn("max_s", max("session").over(wLast))
+      .filter(col("session") < col("max_s")))
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
 }
