@@ -708,14 +708,17 @@ object SparkEntry {
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // x22: FLOOR over the identically-associated IEEE expression on both
-    // sides — no half-way hazard; only max_err is a rounded double
+    // sides — no half-way hazard; only max_err is a rounded double. The
+    // quantized vector is serialized (comma-joined exact integers): the
+    // driver's pandas canonicalizer cannot hash a raw LIST column
     "x22_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |m AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx FROM e),
         |q AS (SELECT vec_id, v, mn, mx, list_transform(v, x ->
         |  CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
         |       ELSE CAST(FLOOR((x - mn) * 255.0 / (mx - mn)) AS BIGINT) END) AS qv FROM m)
-        |SELECT vec_id, qv,
+        |SELECT vec_id,
+        |array_to_string(list_transform(qv, x -> CAST(x AS VARCHAR)), ',') AS qv_csv,
         |ROUND(list_max(list_transform(generate_series(1, len(v)),
         |  i -> ABS(v[i] - (mn + qv[i] * (mx - mn) / 255.0)))), 6) AS max_err
         |FROM q ORDER BY vec_id""".stripMargin,

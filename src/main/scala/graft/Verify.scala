@@ -5,7 +5,10 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg: comma-separated name filter for targeted dev checks
+    // (the driver always passes exactly two args → full run)
+    val only = if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.build("graft-verify", s"local[$cpus]", cpus)
     // Same stats-driven planning as Bench: stats change plans, never
@@ -13,7 +16,7 @@ object Verify {
     try GraftCatalog.install(spark, sfDir)
     catch { case e: Throwable => System.err.println(s"[verify] analyze skipped: ${e.getMessage}") }
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(q => only.forall(_.contains(q._1))).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

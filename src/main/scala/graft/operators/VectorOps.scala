@@ -204,6 +204,10 @@ object VectorOps {
     * round) over the identical IEEE expression `(x - mn) * 255.0 / (mx -
     * mn)` written with the same associativity on both sides; min/max are
     * order-independent; only the final error column is rounded (dround).
+    * The quantized vector is emitted SERIALIZED (comma-joined exact
+    * integers) rather than as a raw ARRAY column: the driver's pandas
+    * canonicalizer cannot sort/hash list cells (round-4 harness error), and
+    * a delimiter-joined integer string is bitwise-identical across engines.
     * Scale: pure per-row map — no shuffle, no join, whole-stage codegen'd
     * `transform`/`zip_with`/`aggregate` HOFs end to end. */
   def x22Quantize(s: SparkSession, d: String): DataFrame = {
@@ -215,7 +219,8 @@ object VectorOps {
       .withColumn("qv", transform(col("v"), x =>
         when(col("mx") === col("mn"), lit(0L))
           .otherwise(floor((x - col("mn")) * lit(255.0) / (col("mx") - col("mn"))))))
-      .select(col("vec_id"), col("qv"),
+      .select(col("vec_id"),
+        array_join(transform(col("qv"), _.cast("string")), ",").as("qv_csv"),
         dround(array_max(zip_with(col("v"), col("qv"), (x, q) =>
           abs(x - (col("mn") + q.cast("double") * (col("mx") - col("mn")) / lit(255.0))))),
           6).as("max_err"))
