@@ -750,17 +750,20 @@ object SparkEntry {
          |FROM iv GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // x25: daily sums snap to DECIMAL(18,2) before the double cast, so both
-    // engines window over identical doubles; z is rounded BEFORE the filter
+    // engines window over identical doubles; z is rounded BEFORE the filter.
+    // sd > 0 excludes constant series explicitly on both sides — otherwise
+    // Spark's NULL-on-divide-by-zero vs DuckDB's inf diverge (ADVICE r4)
     "x25_anomaly" ->
       s"""WITH e AS ($E),
          |daily AS (SELECT strftime(ts, '%Y-%m-%d') AS d, event_type,
          |  SUM(CAST(value AS DECIMAL(18,2))) AS sum_dec FROM e GROUP BY 1, 2),
          |z AS (SELECT d, event_type, CAST(sum_dec AS DOUBLE) AS day_sum,
-         |  ROUND((CAST(sum_dec AS DOUBLE) - AVG(CAST(sum_dec AS DOUBLE)) OVER w)
-         |    / stddev_samp(CAST(sum_dec AS DOUBLE)) OVER w, 2) AS z
+         |  AVG(CAST(sum_dec AS DOUBLE)) OVER w AS mu,
+         |  stddev_samp(CAST(sum_dec AS DOUBLE)) OVER w AS sd
          |  FROM daily WINDOW w AS (PARTITION BY event_type))
-         |SELECT d, event_type, day_sum, z FROM z
-         |WHERE ABS(z) >= 1.8 ORDER BY d, event_type""".stripMargin,
+         |SELECT d, event_type, day_sum, ROUND((day_sum - mu) / sd, 2) AS z FROM z
+         |WHERE sd > 0 AND ABS(ROUND((day_sum - mu) / sd, 2)) >= 1.8
+         |ORDER BY d, event_type""".stripMargin,
 
     // x26: same association `prev + (next - prev) * (dd/span)` on both
     // sides; day distances are exact integers

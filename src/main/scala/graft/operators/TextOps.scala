@@ -390,12 +390,12 @@ object TextOps {
   /** x28 deny-list token scrub — the TRANSFORM stage of the x11 signal (and
     * the exact plumbing shape of a PII redactor: broadcast deny-set, pure
     * per-row rewrite, downstream stats over the scrubbed text). The deny
-    * list is the corpus's own top-30 document-frequency tokens (identical
-    * derivation to x11's stop set); each doc's text is rewritten with those
-    * tokens removed, order preserved, and fingerprinted. (The fixture's
-    * whole vocabulary is 31 tokens at every sf, so the deny list is the
-    * top-8 — the "function word" mass at this vocabulary's scale; x11's
-    * 30-of-31 stop set would scrub essentially everything.)
+    * list is the corpus's own top-8 document-frequency tokens (same
+    * derivation as x11's stop set, smaller cut); each doc's text is
+    * rewritten with those tokens removed, order preserved, and
+    * fingerprinted. (The fixture's whole vocabulary is 31 tokens at every
+    * sf, so 8 is the "function word" mass at this vocabulary's scale;
+    * x11's 30-of-31 stop set would scrub essentially everything.)
     *
     * Scale: the deny list is O(8) → broadcast; the rewrite is a per-row
     * codegen'd `filter` HOF — zero shuffle beyond the tiny deny-list agg.

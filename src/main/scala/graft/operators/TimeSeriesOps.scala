@@ -219,8 +219,12 @@ object TimeSeriesOps {
       .withColumn("cents", round(col("value") * 100).cast("long"))
       .withColumn("dt_us", col("next_us") - col("us"))
       .groupBy("event_type")
+      // cents is widened to decimal BEFORE the multiply: a long×long product
+      // would silently wrap in non-ANSI mode for large values × long gaps,
+      // while DuckDB's int128 multiply stays exact — engines would diverge
+      // precisely at scale (ADVICE r4)
       .agg(count(lit(1)).as("n_intervals"),
-           sum((col("cents") * col("dt_us")).cast("decimal(38,0)")).as("sw"),
+           sum(col("cents").cast("decimal(18,0)") * col("dt_us")).as("sw"),
            sum("dt_us").as("sdt"))
       .select(col("event_type"), col("n_intervals"),
         dround(col("sw").cast("double") / (col("sdt").cast("double") * lit(100.0)), 4).as("twa"))
@@ -247,6 +251,12 @@ object TimeSeriesOps {
     daily
       .withColumn("mu", avg("day_sum").over(w))
       .withColumn("sd", stddev_samp("day_sum").over(w))
+      // sd = 0 (constant series) is a cross-engine knife edge: Spark's
+      // Divide yields NULL (row silently filtered) while DuckDB's x/0.0
+      // yields ±inf (row emitted). Exclude constant series EXPLICITLY on
+      // both sides so the declared semantics don't depend on divide-by-zero
+      // behavior (ADVICE r4); the twin carries the same `sd > 0` filter.
+      .filter(col("sd") > 0)
       .withColumn("z", dround((col("day_sum") - col("mu")) / col("sd"), 2))
       .filter(abs(col("z")) >= 1.8)
       .select(col("d"), col("event_type"), col("sum_dec").cast("double").as("day_sum"), col("z"))
