@@ -316,17 +316,56 @@ object TextOps {
     * shard of its FIRST token (cumsum exclusive of itself, integer-divided
     * by the budget), so shards are contiguous doc ranges and every shard
     * except the last holds ≥ budget tokens once closed. Exact integer
-    * arithmetic end to end. Scale: the per-stratum running sum is the only
-    * sequential dependency; at 100 TB compute per-partition token
-    * subtotals, prefix-sum the ~O(partitions) partials on the driver, and
-    * apply each partition's offset map-side — a two-phase scan with no
-    * wide shuffle (the window form here is the same algebra). */
-  def x16TokenShards(s: SparkSession, d: String): DataFrame = {
-    val budget = 2000L
+    * arithmetic end to end.
+    *
+    * The per-language prefix sum is TWO-LEVEL (the r4 verdict's scale fix —
+    * a plain per-lang window serializes each language onto one task):
+    *  1. bucket docs by `doc_id div bucketDocs` and hash-aggregate
+    *     per-(lang, bucket) token subtotals — fully parallel;
+    *  2. exclusive per-lang prefix over the BUCKET AGGREGATE (corpus/256
+    *     rows — aggregate-sized, trivially windowed) → per-bucket offsets,
+    *     broadcast back;
+    *  3. intra-bucket running sum windowed by (lang, bucket) — parallelism
+    *     = |langs| × |buckets|, each task bounded by bucketDocs rows.
+    * The result is identical to the single-window form under ANY input
+    * partitioning and ANY bucket size (bucket boundaries cancel out of the
+    * algebra) — ShardScanSpec asserts both, plus the plan shape. At 100 TB,
+    * size bucketDocs so |buckets| stays broadcastable (e.g. 1e5 buckets ×
+    * a few langs is KBs); no corpus-wide window task ever exists. */
+  def x16TokenShards(s: SparkSession, d: String): DataFrame =
+    x16ShardsScan(Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), size(split(col("text"), " ")).cast("long").as("n_tok")))
+
+  /** Two-level prefix-scan core over (doc_id, lang, n_tok) — see
+    * [[x16TokenShards]]. Exposed with tunable sizes for the equivalence
+    * property test. */
+  private[graft] def x16ShardsScan(docs: DataFrame, budget: Long = 2000L,
+                                   bucketDocs: Long = 256L): DataFrame = {
+    val base = docs.withColumn("bkt", expr(s"doc_id div $bucketDocs"))
+    val sub = base.groupBy("lang", "bkt").agg(sum("n_tok").as("sub"))
+    val wb = Window.partitionBy("lang").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsets = sub
+      .withColumn("off", sum("sub").over(wb) - col("sub"))
+      .select(col("lang").as("o_lang"), col("bkt").as("o_bkt"), col("off"))
+    val wl = Window.partitionBy("lang", "bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(broadcast(offsets),
+        col("lang") === col("o_lang") && col("bkt") === col("o_bkt"))
+      .withColumn("cum", col("off") + sum("n_tok").over(wl))
+      .withColumn("shard", expr(s"(cum - n_tok) div $budget"))
+      .groupBy("lang", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .orderBy("lang", "shard")
+  }
+
+  /** The single-window reference form of [[x16TokenShards]] — one task per
+    * language over the full corpus, correct but serial; kept as the algebraic
+    * oracle the two-level scan is property-tested against (ShardScanSpec). */
+  private[graft] def x16ShardsWindow(docs: DataFrame, budget: Long = 2000L): DataFrame = {
     val w = Window.partitionBy("lang").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), size(split(col("text"), " ")).as("n_tok"))
+    docs
       .withColumn("cum", sum("n_tok").over(w))
       .withColumn("shard", expr(s"(cum - n_tok) div $budget"))
       .groupBy("lang", "shard")
