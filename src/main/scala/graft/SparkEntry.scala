@@ -11,9 +11,10 @@ import graft.operators._
   * aligned pairwise; every floating aggregate is ROUND-ed identically on
   * both sides (SURVEY §5.3 determinism rules).
   *
-  * Queries with no oracle (rows-only check, per SURVEY §2): q21 (HLL sketch
-  * internals engine-specific — tolerance-tested in RelationalSpec), x09
-  * (multimodal fake decoder is engine-private).
+  * Every query is oracle-paired as of round 5: q21 declares the
+  * cross-engine tolerance VERDICT (each engine runs its own HLL sketch and
+  * emits `|approx − exact|/exact ≤ 0.05`), and x09 declares exact integer
+  * byte moments over the ASCII corpus slice (char-level `ascii()` twin).
   */
 object SparkEntry {
 
@@ -228,6 +229,17 @@ object SparkEntry {
     "q20_count_distinct" ->
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // q21: sketch VALUES are engine-specific, so the declared output is the
+    // tolerance verdict — each engine runs its OWN approx_count_distinct
+    // and reports whether it lands within 5% of exact (both HLLs are ~1%
+    // off at these cardinalities, so the booleans agree)
+    "q21_approx_distinct" ->
+      """SELECT event_type, n_exact,
+        |CAST(ABS(n_approx - n_exact) / CAST(n_exact AS DOUBLE) <= 0.05 AS INT) AS ok
+        |FROM (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  approx_count_distinct(user_id) AS n_approx FROM events GROUP BY event_type) t
+        |ORDER BY event_type""".stripMargin,
 
     "q22_rollup" ->
       """WITH base AS (SELECT r_name, n_name, l_extendedprice * (1 - l_discount) AS rev
@@ -630,6 +642,21 @@ object SparkEntry {
         |ROUND(AVG(LN(CAST(c AS DOUBLE) / n)), 4) AS lm_score
         |FROM toks t JOIN cnt USING (tok) CROSS JOIN tot
         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+
+    // x09: the partition-batched binary decode emits exact integer byte
+    // moments; on the declared ASCII slice (octet_length = n_chars) byte k
+    // IS char k, so DuckDB reproduces them char-level with ascii() — the
+    // same twinning trick as x19, no FP anywhere
+    "x09_multimodal" ->
+      """WITH en AS (SELECT doc_id, text FROM documents
+        |  WHERE lang = 'en' AND octet_length(encode(text)) = n_chars),
+        |m AS (SELECT doc_id, text,
+        |  list_transform(range(1, length(text) + 1),
+        |    i -> ascii(substr(text, CAST(i AS INT), 1))) AS bs FROM en)
+        |SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        |CAST(list_sum(bs) AS BIGINT) AS sum_b,
+        |CAST(list_sum(list_transform(bs, b -> b * b)) AS BIGINT) AS sum_sq
+        |FROM m ORDER BY media_id""".stripMargin,
 
     // x19's twin works in CHARS where Spark works in BYTES — identical on
     // the declared ASCII slice (the octet_length = n_chars filter)

@@ -1,7 +1,6 @@
 package graft.operators
 
 import graft.Tables
-import graft.functions.Rounding.dround
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -104,14 +103,49 @@ object MultimodalOps {
       .orderBy("media_id", "frame_idx")
   }
 
-  /** x09 multimodal plumbing query (rows-only check: the fake decoder is
-    * engine-private so there is no cross-engine oracle). */
+  /** Exact integer byte moments — the decode output x09 declares. Longs,
+    * not floats: count, sum, and sum-of-squares of the payload bytes are
+    * exact integers, so the ASCII-slice DuckDB twin (`ascii()` per char)
+    * matches bitwise with no FP hazard anywhere. */
+  case class MediaMoments(media_id: Long, n_bytes: Long, sum_b: Long, sum_sq: Long)
+
+  /** Partition-batched byte-moment decode — same shape as [[decodeAll]]
+    * (one decoder init per partition, rows streamed through), integer
+    * output. */
+  def byteMoments(media: Dataset[MediaRecord]): Dataset[MediaMoments] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // real codec: init once here (expensive), reuse across the partition
+      it.map { m =>
+        var s1 = 0L; var s2 = 0L; var i = 0
+        while (i < m.payload.length) {
+          val b = m.payload(i) & 0xff
+          s1 += b; s2 += b.toLong * b
+          i += 1
+        }
+        MediaMoments(m.media_id, m.payload.length.toLong, s1, s2)
+      }
+    }
+  }
+
+  /** x09 multimodal decode, ORACLE-CHECKED (r4 verdict item, via x19's
+    * ASCII-slice trick): the partition-batched binary decode runs over the
+    * slice of the corpus where `octet_length(text) = n_chars` (pure ASCII,
+    * so byte k IS char k), emitting exact integer byte moments that DuckDB
+    * reproduces char-level with `ascii()` — the mapPartitions decoder
+    * plumbing is now hash-checked end to end. The full-corpus float-feature
+    * decode ([[decodeAll]] over [[mediaTable]]) stays as the non-contract
+    * demo of the real codec shape (FunctionsSpec covers its determinism). */
   def x09Multimodal(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    decodeAll(mediaTable(s, d)).toDF()
-      .select(col("media_id"), col("fmt"), col("n_bytes"),
-              dround(element_at(col("features"), 2).cast("double"), 2).as("mean_byte"),
-              dround(element_at(col("features"), 3).cast("double"), 2).as("rms_byte"))
-      .orderBy("media_id")
+    val ascii = Tables.documents(s, d)
+      .filter(col("lang") === "en" &&
+        octet_length(encode(col("text"), "utf-8")) === col("n_chars"))
+      .select(col("doc_id").as("media_id"),
+              encode(col("text"), "utf-8").as("payload"),
+              lit("text/plain").as("fmt"),
+              octet_length(encode(col("text"), "utf-8")).cast("long").as("n_bytes"))
+      .as[MediaRecord]
+    byteMoments(ascii).toDF().orderBy("media_id")
   }
 }

@@ -197,14 +197,25 @@ object RelationalOps {
       .agg(countDistinct("user_id").as("n_users"))
       .orderBy("event_type")
 
-  /** Q21 approximate distinct (HyperLogLog++). NOT oracle-hashed (sketch
-    * internals differ across engines); RelationalSpec asserts ±5% of exact.
-    * Scale: constant-size sketch per group vs Q20's expand — this is the
-    * 100 TB path for distinct counting. */
+  /** Q21 approximate distinct (HyperLogLog++). Sketch VALUES differ across
+    * engines, so the declared output is the cross-engine-computable verdict
+    * instead (r4 verdict item): per group, the exact count plus
+    * `ok = |approx − exact| / exact ≤ 0.05` — each engine runs its OWN HLL
+    * and both land inside the tolerance (Spark HLL++ at rsd 0.01 and
+    * DuckDB's sketch are both ~1% off at these cardinalities), so the
+    * booleans hash-match and the tolerance contract is finally visible in
+    * the driver's correctness file, not only in `sbt test`.
+    * Scale: the sketch is the 100 TB path (constant-size state per group vs
+    * Q20's expand); the exact side here exists only to make the tolerance
+    * checkable and is Q20's own plan. */
   def q21(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("n_users_approx"))
+      .agg(countDistinct("user_id").as("n_exact"),
+           approx_count_distinct(col("user_id"), 0.01).as("approx"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("approx") - col("n_exact")).cast("double") /
+          col("n_exact").cast("double") <= 0.05).cast("int").as("ok"))
       .orderBy("event_type")
 
   private def revenueByGeo(s: SparkSession, d: String): DataFrame =

@@ -242,11 +242,20 @@ object TextOps {
     * drop the rest). Components via [[graft.functions.ConnectedComponents]]
     * min-label propagation (scale story there). Oracle: DuckDB recursive
     * CTE over the same exact-Jaccard edges. */
-  def x14DedupClusters(s: SparkSession, d: String): DataFrame = {
-    val edges = MinHashLSH.verifiedPairs(docTokens(s, d), 0.8)
-      .select(col("id_a"), col("id_b"))
+  def x14DedupClusters(s: SparkSession, d: String): DataFrame =
+    x14DedupClustersFrom(s, d, MinHashLSH.verifiedPairs(docTokens(s, d), 0.8))
+
+  /** x14 core over a PRECOMPUTED verified-pair frame (columns id_a, id_b) —
+    * the pipeline entry point: a dedup pipeline has q53's pair list already
+    * materialized, so cluster resolution must not re-derive it (r4 verdict:
+    * ~5 s of x14's 9.1 s at sf0.1 was edge-list recomputation). The declared
+    * standalone query above stays self-contained for the oracle contract;
+    * Bench times this overload separately as `x14_cc_only` against
+    * parquet-materialized q53 pairs, so the CC stage's true cost is a
+    * measured number. */
+  def x14DedupClustersFrom(s: SparkSession, d: String, pairs: DataFrame): DataFrame = {
     val nodes = Tables.documents(s, d).select(col("doc_id").as("id"))
-    graft.functions.ConnectedComponents.labels(nodes, edges)
+    graft.functions.ConnectedComponents.labels(nodes, pairs.select(col("id_a"), col("id_b")))
       .select(col("id").as("doc_id"), col("comp").as("cluster_id"),
               (col("id") === col("comp")).cast("int").as("is_keeper"))
       .orderBy("doc_id")

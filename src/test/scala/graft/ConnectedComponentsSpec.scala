@@ -51,4 +51,15 @@ class ConnectedComponentsSpec extends SparkSpecBase {
     assert(keepers.forall { case (id, comp) => id == comp })
     assert(keepers.size == x14.values.map(_._1).toSet.size)
   }
+
+  test("x14 pipeline overload over precomputed pairs equals the standalone query") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("id"), split(col("text"), " ").as("toks"))
+    val pairs = graft.functions.MinHashLSH.verifiedPairs(docs, 0.8)
+    val fromPairs = TextOps.x14DedupClustersFrom(spark, sfDir, pairs)
+      .collect().map(_.toSeq).toSeq
+    val standalone = TextOps.x14DedupClusters(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(fromPairs === standalone)
+  }
 }

@@ -12,22 +12,21 @@ class OperatorSpec extends SparkSpecBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query name has either an oracle or a documented rows-only reason") {
-    val rowsOnly = Set("q21_approx_distinct", "x09_multimodal")
+  test("every query has an oracle twin (none left rows-only as of round 5)") {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(missing === rowsOnly, s"unexpected rows-only queries: ${missing -- rowsOnly}")
+    assert(missing.isEmpty, s"queries without an oracle twin: $missing")
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
 
   test("Q21 approx distinct within 5% of exact (HLL tolerance contract)") {
-    val approx = RelationalOps.q21(spark, sfDir).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = RelationalOps.q21(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getInt(2))).toMap
     val exact = RelationalOps.q20(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    exact.foreach { case (k, ex) =>
-      val ap = approx(k)
-      assert(math.abs(ap - ex) <= math.max(1L, (ex * 0.05).toLong),
-        s"$k: approx $ap vs exact $ex")
+    assert(rows.keySet === exact.keySet)
+    rows.foreach { case (k, (nExact, ok)) =>
+      assert(nExact === exact(k), s"$k: declared exact $nExact != q20 ${exact(k)}")
+      assert(ok === 1, s"$k: HLL outside the 5% tolerance")
     }
   }
 
