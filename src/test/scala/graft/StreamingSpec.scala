@@ -250,4 +250,89 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.count() === batch.count())
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
+
+  private def withRocksDb[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key)
+    }
+  }
+
+  test("ST11b timer-flushed sessionization equals ALL batch x20 rows") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    withRocksDb {
+      val evs = batchEvents
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+        .as[StreamOps.SessEvent].collect().sortBy(e => (e.ts.getTime, e.event_id))
+      val maxTs = evs.map(_.ts.getTime).max
+      val input = MemoryStream[StreamOps.SessEvent]
+      val q = StreamOps.sessionizeWithTimers(input.toDS()).toDF()
+        .writeStream.format("memory").queryName("st11b").outputMode("append").start()
+      input.addData(evs.toSeq)
+      q.processAllAvailable()
+      // two sentinel batches walk the watermark past every real timer:
+      // batch N's timers fire against the watermark from batch N-1's data
+      def sentinel(offsetDays: Long) = StreamOps.SessEvent(-1L, -1L,
+        new Timestamp(maxTs + offsetDays * 86400L * 1000L), 0.0)
+      input.addData(sentinel(365))
+      q.processAllAvailable()
+      input.addData(sentinel(730))
+      q.processAllAvailable()
+      q.stop()
+    }
+    def canon(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("user_id"), col("session"), col("n_events"), col("first_event"),
+      col("duration_s"), graft.functions.Rounding.dround(col("sum_value"), 4).as("sv"))
+    val streamed = canon(spark.table("st11b").filter(col("user_id") >= 0))
+    val batch = canon(graft.operators.TimeSeriesOps.x20Sessionize(spark, sfDir))
+    assert(streamed.count() === batch.count(),
+      s"tail sessions not flushed: ${streamed.count()} vs ${batch.count()}")
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("ST9b buffered as-of enrichment equals batch under shuffled arrival") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    withRocksDb {
+      val evs = batchEvents
+        .filter(col("event_type").isin("click", "error"))
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+        .as[StreamOps.AsOfEvent].collect()
+      // arbitrary cross-batch disorder, deterministic: shuffle then split
+      val shuffled = new scala.util.Random(42).shuffle(evs.toVector)
+      val maxTs = evs.map(_.ts.getTime).max
+      val chunks = shuffled.grouped((shuffled.size + 2) / 3).toSeq
+      val input = MemoryStream[StreamOps.AsOfEvent]
+      // delay longer than the fixture's whole span: nothing is ever late,
+      // so the buffered processor must reorder EVERYTHING correctly
+      val q = StreamOps.asOfEnrichBuffered(input.toDS(), quoteType = "click",
+          probeType = "error", watermarkDelay = "35 days").toDF()
+        .writeStream.format("memory").queryName("st9b").outputMode("append").start()
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+      // sentinel must survive the quote/probe filter (it precedes the
+      // watermark) — a quote for the out-of-band user -1 emits nothing
+      def sentinel(offsetDays: Long) = StreamOps.AsOfEvent(-1L, -1L,
+        new Timestamp(maxTs + offsetDays * 86400L * 1000L), "click", 0.0)
+      input.addData(sentinel(365)); q.processAllAvailable()
+      input.addData(sentinel(730)); q.processAllAvailable()
+      q.stop()
+    }
+    val streamed = spark.table("st9b")
+      .select(col("user_id"), col("event_id"), col("asof_value"))
+    val clicks = batchEvents.filter(col("event_type") === "click")
+      .select("user_id", "ts", "event_id", "value")
+    val errors = batchEvents.filter(col("event_type") === "error")
+      .select("user_id", "ts", "event_id")
+    val batch = graft.operators.AsOfJoin.lastBefore(errors, clicks,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        payload = Seq("value"), inclusive = true, tieBreak = Seq("event_id"))
+      .select(col("user_id"), col("event_id"), col("asof_value"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
 }
