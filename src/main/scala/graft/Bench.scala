@@ -8,6 +8,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.build("graft-bench", s"local[$cpus]", cpus)
+    // Optional isolation: SPARK_GRAFT_ONLY=x03_langid,x05_token_count times
+    // just those queries (same warmup protocol) — for separating a real
+    // per-query regression from shared-run GC/JIT interference.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val queries = only match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None        => SparkEntry.queries
+    }
     // Catalog + ANALYZE before timing: every query then plans with CBO
     // stats (row counts / NDVs / min-max), as a maintained warehouse would.
     try GraftCatalog.install(spark, sfDir)
@@ -16,12 +25,12 @@ object Bench {
     // so the timed run measures each plan, not its first-call codegen compile
     // + JIT — e.g. x12's SRP kernel costs ~3s of one-time compilation that a
     // single global warmup query never touches.
-    SparkEntry.queries.values.foreach { fn =>
+    queries.values.foreach { fn =>
       try fn(spark, "/root/testdata/sf0.001")
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -33,7 +42,7 @@ object Bench {
     // pairs (materialized to parquet untimed), isolating the CC stage — the
     // declared x14 stays standalone for the oracle, but a real dedup
     // pipeline reuses the pair list and pays only this cost.
-    val ccOnly = try {
+    val ccOnly = if (only.exists(!_("x14_cc_only"))) Nil else try {
       import org.apache.spark.sql.functions.{col, split}
       val pairsDir = java.nio.file.Files.createTempDirectory("x14pairs").toString
       val toks = Tables.documents(spark, sfDir)
