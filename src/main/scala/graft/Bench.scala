@@ -57,7 +57,30 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] x14_cc_only failed: ${e.getMessage}"); Nil
     }
-    val qs = (results ++ ccOnly).map { case (k, v) => "\"" + k + "\":" + v }
+    // Layout measurement: q10's exact contract query over the co-bucketed
+    // orders/lineitem pair (write cost untimed — bucketing is a write-once
+    // layout decision amortized over every subsequent join). Quantifies
+    // what deleting the join Exchange+Sort is worth vs the plain q10 row.
+    val q10Bucketed = if (only.exists(!_("q10_bucketed"))) Nil else try {
+      import org.apache.spark.sql.functions.{col, lit, sum}
+      import graft.functions.Rounding.dround
+      val bktDir = java.nio.file.Files.createTempDirectory("q10bkt").toString
+      sources.BucketedFacts.writePair(spark, sfDir, bktDir)
+      def q = spark.table("orders_bucketed").hint("merge")
+        .join(spark.table("lineitem_bucketed"),
+              col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("rev"))
+        .orderBy(col("rev").desc, col("o_orderkey"))
+        .limit(100)
+      q.write.format("noop").mode("overwrite").save() // warm (codegen/JIT)
+      val t0 = System.nanoTime()
+      q.write.format("noop").mode("overwrite").save()
+      Seq("q10_bucketed" -> (System.nanoTime() - t0) / 1e9)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] q10_bucketed failed: ${e.getMessage}"); Nil
+    }
+    val qs = (results ++ ccOnly ++ q10Bucketed).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
