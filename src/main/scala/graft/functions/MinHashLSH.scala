@@ -118,6 +118,42 @@ object MinHashLSH {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
   }
 
+  /** [[candidatePairs]] that also carries each side's DISTINCT-token set
+    * size and prunes size-incompatible pairs before the payload joins:
+    * J(a,b) ≤ min(|a|,|b|)/max(|a|,|b|), so any pair with
+    * `min < t·max − 1` (one-element margin makes double rounding
+    * irrelevant) cannot reach threshold t and is dropped for the cost of
+    * two int compares — BEFORE the first-match band scan and, crucially,
+    * before the verify join drags both token arrays across the shuffle.
+    * Output: (id_a, id_b, sz_a, sz_b). */
+  private def candidatePairsSized(items: DataFrame, threshold: Double,
+                                  p: Params): DataFrame = {
+    val n = items.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val hashed = items.select(col("id"),
+        size(array_distinct(col("toks"))).as("sz"),
+        VectorExpressions.minhashBandKeys(col("toks"), p.numPerm, p.rows).as("bands"))
+      .filter(col("bands").isNotNull)
+      .repartition(n)
+    val banded = hashed.select(col("id"), col("sz"), col("bands"),
+      posexplode(col("bands")).as(Seq("band", "sig")))
+    banded.as("a")
+      .join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+              col("a.id") < col("b.id"))
+      .filter(least(col("a.sz"), col("b.sz")).cast("double") >=
+              lit(threshold) * greatest(col("a.sz"), col("b.sz")).cast("double") - lit(1.0))
+      .filter(VectorExpressions.firstMatchIndex(col("a.bands"), col("b.bands")) === col("a.band"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+  }
+
+  /** Lower bound on the intersection of any pair passing `j ≥ t`:
+    * i/(sa+sb−i) ≥ t ⟺ i ≥ t·(sa+sb)/(1+t); floor−1 gives the early-exit
+    * kernels a margin of one whole element over any double rounding. */
+  private def minRequired(threshold: Double): Column =
+    (lit(threshold / (1 + threshold)) * (col("sz_a") + col("sz_b")).cast("double") - lit(1.0))
+      .cast("int")
+
   /** Candidates verified with EXACT Jaccard over the token sets; only pairs
     * with jaccard ≥ threshold survive. Output: (id_a, id_b, j = round(.,4)).
     * The token-set arrays ride along the (small) candidate list, so the
@@ -142,21 +178,25 @@ object MinHashLSH {
     // precomputed sizes (no union materialization).
     val sets = items.select(col("id"),
         array_sort(transform(array_distinct(col("toks")), t => xxhash64(t))).as("set"))
-      .withColumn("sz", size(col("set")))
     // Payload joins are UNHINTED: the per-doc token-set table is O(corpus),
     // so forcing broadcast() here would OOM every executor at 100 TB. Left
     // to the planner, AQE broadcasts while the measured build side is small
     // and falls back to a shuffled join on the id keys once it isn't — the
     // candidate list is already repartitioned wide, and the payload join is
     // linear either way.
-    candidatePairs(items, p)
+    //
+    // Verify = early-exit merge ([[VectorExpressions.SortedIntersectAtLeast]]):
+    // a candidate that cannot reach the j ≥ t intersection bound returns -1
+    // (jac goes negative, the SAME threshold filter drops it); a candidate
+    // that can is counted exactly — survivors are bitwise-identical to the
+    // plain kernel (MinHashLSHSpec asserts it).
+    candidatePairsSized(items, threshold, p)
       .repartition(n, col("id_a"), col("id_b"))
-      .join(sets.select(col("id").as("id_a"), col("set").as("set_a"),
-                        col("sz").as("sz_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("set").as("set_b"),
-                        col("sz").as("sz_b")), "id_b")
+      .join(sets.select(col("id").as("id_a"), col("set").as("set_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("set").as("set_b")), "id_b")
       .withColumn("inter",
-        VectorExpressions.sortedIntersect(col("set_a"), col("set_b")).cast("double"))
+        VectorExpressions.sortedIntersectAtLeast(col("set_a"), col("set_b"),
+          minRequired(threshold)).cast("double"))
       .withColumn("uni", (col("sz_a") + col("sz_b")).cast("double") - col("inter"))
       .withColumn("jac", col("inter") / col("uni"))
       .filter(col("jac") >= threshold)
@@ -183,15 +223,13 @@ object MinHashLSH {
         org.apache.spark.sql.expressions.Window.orderBy("tok")))
     val sets = tok.join(broadcast(vocab), "tok")
       .groupBy("id").agg(array_sort(collect_list(col("tid"))).as("set"))
-      .withColumn("sz", size(col("set")))
-    candidatePairs(items, p)
+    candidatePairsSized(items, threshold, p)
       .repartition(n, col("id_a"), col("id_b"))
-      .join(sets.select(col("id").as("id_a"), col("set").as("set_a"),
-                        col("sz").as("sz_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("set").as("set_b"),
-                        col("sz").as("sz_b")), "id_b")
+      .join(sets.select(col("id").as("id_a"), col("set").as("set_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("set").as("set_b")), "id_b")
       .withColumn("inter",
-        VectorExpressions.sortedIntersectInt(col("set_a"), col("set_b")).cast("double"))
+        VectorExpressions.sortedIntersectAtLeastInt(col("set_a"), col("set_b"),
+          minRequired(threshold)).cast("double"))
       .withColumn("uni", (col("sz_a") + col("sz_b")).cast("double") - col("inter"))
       .withColumn("jac", col("inter") / col("uni"))
       .filter(col("jac") >= threshold)

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression, XXH64, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression, XXH64, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions.sqrt
@@ -215,6 +215,128 @@ case class SortedIntersectCountInt(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SortedIntersectCountInt =
     copy(left = newLeft, right = newRight)
+}
+
+/** [[SortedIntersectCount]] with an early-exit lower bound. Returns the
+  * exact intersection count when the pair can still reach `minReq`, or -1
+  * the moment `count-so-far + min(remaining_a, remaining_b) < minReq`
+  * proves it cannot. Threshold-verify workloads (keep pairs with Jaccard
+  * ≥ t) reject almost every candidate — x02's fixture verifies ~10M
+  * candidates for ~900 survivors — and a failing merge now stops as soon
+  * as failure is certain (≈40-60% through for typical J≈0.3-0.5 pairs vs
+  * t=0.7) instead of draining both arrays. A pair that can still pass is
+  * NEVER exited early, so downstream `j ≥ t` filters see bitwise-identical
+  * survivors provided `minReq` is a valid lower bound on the intersection
+  * of any passing pair; callers derive it as
+  * `floor(t·(|a|+|b|)/(1+t)) − 1` — the algebraic bound minus one whole
+  * element, which makes double-rounding in the derivation irrelevant.
+  * Non-positive `minReq` disables the exit (bound can't trigger). */
+case class SortedIntersectAtLeast(first: Expression, second: Expression,
+                                  third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_at_least"
+
+  override def nullSafeEval(a: Any, b: Any, m: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val minReq = m.asInstanceOf[Int]
+    val na = x.numElements(); val nb = y.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val remMin = math.min(na - i, nb - j)
+      if (c + remMin < minReq) return -1
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, m) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val rem = ctx.freshName("rem")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |final int $na = $a.numElements();
+         |final int $nb = $b.numElements();
+         |int $i = 0, $j = 0, $c = 0;
+         |while ($i < $na && $j < $nb) {
+         |  final int $rem = ($na - $i < $nb - $j) ? $na - $i : $nb - $j;
+         |  if ($c + $rem < $m) { $c = -1; break; }
+         |  final long $xv = $a.getLong($i);
+         |  final long $yv = $b.getLong($j);
+         |  if ($xv < $yv) { $i++; }
+         |  else if ($xv > $yv) { $j++; }
+         |  else { $c++; $i++; $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): SortedIntersectAtLeast =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** [[SortedIntersectAtLeast]] over sorted ARRAY<INT> (dictionary-encoded
+  * token sets — see [[MinHashLSH.verifiedPairsDict]]). */
+case class SortedIntersectAtLeastInt(first: Expression, second: Expression,
+                                     third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_at_least_int"
+
+  override def nullSafeEval(a: Any, b: Any, m: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val minReq = m.asInstanceOf[Int]
+    val na = x.numElements(); val nb = y.numElements()
+    var i = 0; var j = 0; var c = 0
+    while (i < na && j < nb) {
+      val remMin = math.min(na - i, nb - j)
+      if (c + remMin < minReq) return -1
+      val xv = x.getInt(i); val yv = y.getInt(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, m) => {
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val rem = ctx.freshName("rem")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+         |final int $na = $a.numElements();
+         |final int $nb = $b.numElements();
+         |int $i = 0, $j = 0, $c = 0;
+         |while ($i < $na && $j < $nb) {
+         |  final int $rem = ($na - $i < $nb - $j) ? $na - $i : $nb - $j;
+         |  if ($c + $rem < $m) { $c = -1; break; }
+         |  final int $xv = $a.getInt($i);
+         |  final int $yv = $b.getInt($j);
+         |  if ($xv < $yv) { $i++; }
+         |  else if ($xv > $yv) { $j++; }
+         |  else { $c++; $i++; $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): SortedIntersectAtLeastInt =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** splitmix64 finalizer over `child + (index+1)·φ` — the per-permutation
@@ -530,6 +652,17 @@ object VectorExpressions {
   /** Codegen'd merge-scan intersection count over two sorted ARRAY<INT>. */
   def sortedIntersectInt(a: Column, b: Column): Column =
     Bridge.column(SortedIntersectCountInt(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Early-exit intersect over sorted ARRAY<BIGINT>: exact count, or -1 once
+    * the pair provably cannot reach `minReq` (INT column). */
+  def sortedIntersectAtLeast(a: Column, b: Column, minReq: Column): Column =
+    Bridge.column(SortedIntersectAtLeast(
+      Bridge.expression(a), Bridge.expression(b), Bridge.expression(minReq)))
+
+  /** [[sortedIntersectAtLeast]] over sorted ARRAY<INT>. */
+  def sortedIntersectAtLeastInt(a: Column, b: Column, minReq: Column): Column =
+    Bridge.column(SortedIntersectAtLeastInt(
+      Bridge.expression(a), Bridge.expression(b), Bridge.expression(minReq)))
 
   /** splitmix64-mixed permutation `i` of a 64-bit hash column. */
   def splitmix64(c: Column, i: Int): Column =

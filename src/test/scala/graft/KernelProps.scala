@@ -52,6 +52,41 @@ object KernelProps extends Properties("graft.kernels") {
       SortedIntersectCount(longArr(sa), longArr(sa)).eval(null) == sa.size
     }
 
+  private val genMinReq = Gen.chooseNum(-5, 200)
+
+  property("SortedIntersectAtLeast: exact count whenever it reaches minReq, -1 only below") =
+    Prop.forAll(genLongs, genLongs, genMinReq) { (a, b, m) =>
+      val sa = a.distinct.sorted
+      val sb = b.distinct.sorted
+      val exact = sa.toSet.intersect(sb.toSet).size
+      val got = graft.functions.SortedIntersectAtLeast(
+        longArr(sa), longArr(sb), Literal(m)).eval(null)
+      if (exact >= m) got == exact else got == exact || got == -1
+    }
+
+  property("SortedIntersectAtLeast: non-positive minReq degenerates to the plain kernel") =
+    Prop.forAll(genLongs, genLongs) { (a, b) =>
+      val sa = a.distinct.sorted
+      val sb = b.distinct.sorted
+      graft.functions.SortedIntersectAtLeast(longArr(sa), longArr(sb), Literal(0))
+        .eval(null) ==
+        SortedIntersectCount(longArr(sa), longArr(sb)).eval(null)
+    }
+
+  private val genInts = Gen.listOf(Gen.chooseNum(Int.MinValue, Int.MaxValue))
+  private def intArr(a: Seq[Int]) =
+    Literal.create(a, ArrayType(org.apache.spark.sql.types.IntegerType))
+
+  property("SortedIntersectAtLeastInt: exact count whenever it reaches minReq, -1 only below") =
+    Prop.forAll(genInts, genInts, genMinReq) { (a, b, m) =>
+      val sa = a.distinct.sorted
+      val sb = b.distinct.sorted
+      val exact = sa.toSet.intersect(sb.toSet).size
+      val got = graft.functions.SortedIntersectAtLeastInt(
+        intArr(sa), intArr(sb), Literal(m)).eval(null)
+      if (exact >= m) got == exact else got == exact || got == -1
+    }
+
   property("SigMatchCount == positionwise equality count over min length") =
     Prop.forAll(genLongs, genLongs) { (a, b) =>
       val got = SigMatchCount(longArr(a), longArr(b)).eval(null)
