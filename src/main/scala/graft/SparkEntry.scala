@@ -123,6 +123,10 @@ object SparkEntry {
     "x26_interpolate"     -> (TimeSeriesOps.x26Interpolate _),
     "x27_span_dedup"      -> (TextOps.x27SpanDedup _),
     "x28_scrub"           -> (TextOps.x28Scrub _),
+    "x29_mixture_resample" -> (TextOps.x29MixtureResample _),
+    "x30_source_overlap"  -> (TextOps.x30SourceOverlap _),
+    "x31_top_bigrams"     -> (TextOps.x31TopBigrams _),
+    "x32_vocab_growth"    -> (TextOps.x32VocabGrowth _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -845,5 +849,68 @@ object SparkEntry {
         |SELECT doc_id, len(t) AS n_tok, len(kept) AS n_kept,
         |substring(md5(array_to_string(kept, ' ')), 1, 16) AS scrub_fp
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // x29: all-integer replication arithmetic (HUGEINT twins DECIMAL(38,0));
+    // the multiplicative-hash draw and the T/(S*ks) ratio never touch doubles
+    "x29_mixture_resample" ->
+      """WITH d AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok FROM documents),
+        |k AS (SELECT source, SUM(ntok) AS ks FROM d GROUP BY source),
+        |t AS (SELECT SUM(ntok) AS tt, COUNT(DISTINCT source) AS srcs FROM d),
+        |c AS (SELECT d.doc_id, d.source,
+        |  tt // (srcs * ks)
+        |  + CASE WHEN (CAST(d.doc_id AS HUGEINT) * 2654435761) % 4294967296
+        |             * CAST(srcs * ks AS HUGEINT)
+        |           < CAST(tt % (srcs * ks) AS HUGEINT) * 4294967296
+        |         THEN 1 ELSE 0 END AS n
+        |  FROM d, k, t WHERE d.source = k.source)
+        |SELECT doc_id, source, copy FROM (
+        |  SELECT doc_id, source,
+        |    CAST(UNNEST(generate_series(1, CAST(n AS BIGINT))) AS BIGINT) AS copy
+        |  FROM c)
+        |ORDER BY doc_id, copy""".stripMargin,
+
+    // x30: integer intersection counts; one ROUND(4)-snapped ratio
+    "x30_source_overlap" ->
+      """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT source, shingle FROM toks,
+        |  UNNEST(list_transform(generate_series(1, len(t) - 4),
+        |    i -> array_to_string(t[i:i+4], ' '))) AS u(shingle)),
+        |n AS (SELECT source, COUNT(*)::BIGINT AS n FROM sh GROUP BY source),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*)::BIGINT AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, inter, na.n AS na, nb.n AS nb,
+        |ROUND(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 4) AS jac
+        |FROM p JOIN n na ON p.src_a = na.source JOIN n nb ON p.src_b = nb.source
+        |ORDER BY src_a, src_b""".stripMargin,
+
+    // x31: integer counts; ties broken (cnt DESC, bigram ASC) in both engines
+    "x31_top_bigrams" ->
+      """WITH toks AS (SELECT lang, string_split(text, ' ') AS t FROM documents),
+        |bg AS (SELECT lang, bigram FROM toks,
+        |  UNNEST(list_transform(generate_series(1, len(t) - 1),
+        |    i -> array_to_string(t[i:i+1], ' '))) AS u(bigram)),
+        |c AS (SELECT lang, bigram, COUNT(*)::BIGINT AS cnt FROM bg GROUP BY 1, 2)
+        |SELECT lang, bigram, cnt, rnk FROM (
+        |  SELECT lang, bigram, cnt,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram) AS BIGINT) AS rnk
+        |  FROM c) WHERE rnk <= 10
+        |ORDER BY lang, rnk""".stripMargin,
+
+    // x32: integer novelty counts + cumsum; one ROUND(4)-snapped ratio
+    "x32_vocab_growth" ->
+      """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT source, shingle FROM toks,
+        |  UNNEST(list_transform(generate_series(1, len(t) - 2),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS u(shingle)),
+        |fi AS (SELECT shingle, MIN(source) AS source FROM sh GROUP BY shingle),
+        |nv AS (SELECT source, COUNT(*)::BIGINT AS novel FROM fi GROUP BY source),
+        |tot AS (SELECT source, COUNT(*)::BIGINT AS n_distinct FROM sh GROUP BY source)
+        |SELECT tot.source, n_distinct, COALESCE(novel, 0) AS novel,
+        |CAST(SUM(COALESCE(novel, 0)) OVER (ORDER BY tot.source
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_novel,
+        |ROUND(CAST(COALESCE(novel, 0) AS DOUBLE) / n_distinct, 4) AS novelty
+        |FROM tot LEFT JOIN nv ON tot.source = nv.source
+        |ORDER BY tot.source""".stripMargin,
   )
 }

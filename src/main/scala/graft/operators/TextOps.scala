@@ -465,4 +465,132 @@ object TextOps {
         substring(md5(array_join(col("kept"), " ")), 1, 16).as("scrub_fp"))
       .orderBy("doc_id")
   }
+
+  /** x29 deterministic mixture resampling — the data-mixing stage of a
+    * training pipeline: rebalance the corpus so every SOURCE contributes an
+    * equal expected token share (the α→0 end of temperature resampling;
+    * any fixed per-source target expressible as a ratio of integers slots
+    * into the same arithmetic). Each doc is replicated
+    * `floor(T/(S·k_s))` times, plus one more iff a per-doc uniform draw
+    * falls under the fractional remainder — so sources above the uniform
+    * share are DOWN-sampled (some docs emit zero copies) and sources below
+    * it are UP-sampled, with expected output tokens preserved per source.
+    *
+    * Every decision is EXACT INTEGER arithmetic — no doubles anywhere:
+    * the replication factor stays the ratio T/(S·k_s) of token-count sums,
+    * and the fractional-copy draw compares
+    * `u·S·k_s < (T mod S·k_s)·2³²` in DECIMAL(38,0), where
+    * u = (doc_id·2654435761) mod 2³² is a multiplicative-hash uniform —
+    * reproducible across engines, partitionings, and runs (rand(seed) is
+    * none of those). DECIMAL(38,0) keeps the two products exact out to
+    * ~10³⁸ — at 100 TB (u ~ 4e9, S·k_s ~ 5e14) a BIGINT product would
+    * wrap, a double would round.
+    *
+    * Scale: two aggregate-sized broadcasts (per-source token sums, one
+    * totals row) joined onto a linear scan, then a per-row explode — no
+    * corpus-sized shuffle at all. */
+  def x29MixtureResample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+              size(split(col("text"), " ")).cast("long").as("ntok"))
+    val perSrc = docs.groupBy("source").agg(sum("ntok").as("ks"))
+    val totals = docs.agg(sum("ntok").as("tt"),
+                          countDistinct("source").as("srcs"))
+    docs.join(broadcast(perSrc), "source")
+      .crossJoin(broadcast(totals))
+      .withColumn("den", col("srcs") * col("ks"))
+      .withColumn("u",
+        expr("CAST(doc_id AS DECIMAL(38,0)) * 2654435761 % 4294967296"))
+      .withColumn("n",
+        (expr("tt DIV den") +
+         (col("u") * col("den").cast("decimal(38,0)") <
+          (col("tt") % col("den")).cast("decimal(38,0)") * lit(4294967296L))
+           .cast("long")).cast("long"))
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), col("source"),
+              explode(sequence(lit(1L), col("n"))).as("copy"))
+      .orderBy("doc_id", "copy")
+  }
+
+  /** x30 cross-source overlap matrix — the corpus-curation diagnostic run
+    * before mixing sources: for every source pair, how many distinct
+    * 5-token shingles they share, and the shingle-set Jaccard. Flags
+    * mirrored/scraped-twice sources that per-document dedup (Q53) only
+    * reveals pair-by-pair.
+    *
+    * Scale: one distinct over (source, shingle) — corpus-linear — then a
+    * self-equi-join ON THE SHINGLE whose per-key fan-out is bounded by
+    * S² (S = #sources, small by definition), never by corpus size; the
+    * per-source totals are an aggregate-sized broadcast. Output is
+    * S(S−1)/2 rows. */
+  def x30SourceOverlap(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("source"), explode(graft.functions.TextExpressions.wordShingles(
+        split(col("text"), " "), 5)).as("sh"))
+      .distinct()
+    val counts = sh.groupBy("source").agg(count(lit(1)).as("n"))
+    sh.as("a")
+      .join(sh.as("b"),
+            col("a.sh") === col("b.sh") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(counts.select(col("source").as("src_a"), col("n").as("na"))), "src_a")
+      .join(broadcast(counts.select(col("source").as("src_b"), col("n").as("nb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("inter"), col("na"), col("nb"),
+        dround(col("inter").cast("double")
+          / (col("na") + col("nb") - col("inter")).cast("double"), 4).as("jac"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** x31 per-language top-k bigram counts — the corpus statistic a
+    * tokenizer-training / merge-rule pipeline reads first. Bigrams via the
+    * same [[graft.functions.TextExpressions.wordShingles]] codegen kernel
+    * as Q53/x17/x27 (k=2).
+    *
+    * Scale: one partial+final hash aggregate over the exploded bigrams
+    * (corpus-linear, map-side combined), then the rank window runs over
+    * the AGGREGATED (lang, bigram) count table — vocabulary²-bounded,
+    * orders of magnitude smaller than the corpus — so the per-lang window
+    * task holds counts, not documents. */
+  def x31TopBigrams(s: SparkSession, d: String): DataFrame = {
+    val bg = Tables.documents(s, d)
+      .select(col("lang"), explode(graft.functions.TextExpressions.wordShingles(
+        split(col("text"), " "), 2)).as("bigram"))
+    val counts = bg.groupBy("lang", "bigram").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("bigram"))
+    counts.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 10)
+      .orderBy("lang", "rnk")
+  }
+
+  /** x32 vocabulary growth curve — marginal-diversity profiling: ingesting
+    * sources in a fixed (lexicographic) order, how many distinct 3-token
+    * shingles does each source add that no earlier source contains? The
+    * curve's flattening tail is the standard "this source adds nothing
+    * new" signal for corpus selection.
+    *
+    * Scale: novelty attribution is one `min(source)` hash aggregate over
+    * the distinct (source, shingle) table — corpus-linear, NO per-source
+    * sequential pass. The cumulative sum runs over S aggregated rows
+    * (S = #sources), so the unpartitioned window frame holds an
+    * aggregate-sized input, same bounded-input argument as x02's vocab
+    * rank. */
+  def x32VocabGrowth(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("source"), explode(graft.functions.TextExpressions.wordShingles(
+        split(col("text"), " "), 3)).as("sh"))
+      .distinct()
+    val firstIntro = sh.groupBy("sh").agg(min("source").as("source"))
+      .groupBy("source").agg(count(lit(1)).as("novel"))
+    val totals = sh.groupBy("source").agg(count(lit(1)).as("n_distinct"))
+    val wc = Window.orderBy("source")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    totals.join(firstIntro, Seq("source"), "left")
+      .na.fill(0L, Seq("novel"))
+      .withColumn("cum_novel", sum("novel").over(wc))
+      .select(col("source"), col("n_distinct"), col("novel"), col("cum_novel"),
+        dround(col("novel").cast("double") / col("n_distinct").cast("double"), 4)
+          .as("novelty"))
+      .orderBy("source")
+  }
 }
