@@ -127,7 +127,6 @@ object VectorOps {
     * oracle twin, and on this fixture (max pairwise cos ≈ 0.6 at every sf)
     * the two agree exactly. */
   def x12EmbedNearDupLsh(s: SparkSession, d: String): DataFrame = {
-    val n = s.conf.get("spark.sql.shuffle.partitions").toInt
     val banded = wide(s, emb(s, d))
       .select(col("vec_id"),
         graft.functions.VectorExpressions.signSketchBands(col("embedding")).as("bands"))
@@ -142,7 +141,10 @@ object VectorOps {
       .filter(graft.functions.VectorExpressions
         .firstMatchIndex(col("a.bands"), col("b.bands")) === col("a.band"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-    cand.repartition(n, col("id_a"), col("id_b"))
+    // no repartition before the payload joins: the band join is already
+    // wide (round-robin upstream of the sketch) and first-match dedup emits
+    // each pair once map-side — same reasoning as MinHashLSH.verifiedPairs
+    cand
       .join(emb(s, d).select(col("vec_id").as("id_a"), col("embedding").as("e_a")), "id_a")
       .join(emb(s, d).select(col("vec_id").as("id_b"), col("embedding").as("e_b")), "id_b")
       .withColumn("cos", dround(cosine(col("e_a"), col("e_b")), 4))
