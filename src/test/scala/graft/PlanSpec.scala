@@ -146,6 +146,32 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("x29 resampling: totals broadcast onto a linear scan, no corpus shuffle") {
+    val p = planOf(operators.TextOps.x29MixtureResample(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+           s"per-source/total factors must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+           s"the doc scan must never shuffle for the factor joins:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x30 overlap matrix: shingle self-join is an equi-join, not all-pairs") {
+    val p = planOf(operators.TextOps.x30SourceOverlap(spark, sfDir))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+           s"pair generation degenerated to a product:\n$p")
+  }
+
+  test("x31/x32: rank/cumsum windows run over aggregated tables, not the corpus") {
+    for (df <- Seq(operators.TextOps.x31TopBigrams(spark, sfDir),
+                   operators.TextOps.x32VocabGrowth(spark, sfDir))) {
+      val p = planOf(df)
+      // every Window node must sit above a HashAggregate in the tree —
+      // the window input is the count table, never raw documents
+      assert(p.contains("HashAggregate"), p)
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    }
+  }
+
   test("nanos pushdown rule is a no-op on non-matching filters") {
     // value is a plain double column: the rule must not touch this plan
     val df = Tables.events(spark, sfDir).filter("value > 100")
