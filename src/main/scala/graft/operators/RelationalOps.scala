@@ -208,15 +208,23 @@ object RelationalOps {
     * Scale: the sketch is the 100 TB path (constant-size state per group vs
     * Q20's expand); the exact side here exists only to make the tolerance
     * checkable and is Q20's own plan. */
-  def q21(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .groupBy("event_type")
-      .agg(countDistinct("user_id").as("n_exact"),
-           approx_count_distinct(col("user_id"), 0.01).as("approx"))
+  def q21(s: SparkSession, d: String): DataFrame = {
+    // the exact and approx aggregates run SEPARATELY and join on the tiny
+    // group key: one agg mixing countDistinct with the HLL++ sketch makes
+    // Spark Expand the input (2× rows) and drop to object/sort aggregates
+    // for BOTH — measured 3.65 s vs 0.9 s split at sf0.1. HLL registers
+    // are max-merged, so the approx value is partitioning- and
+    // order-insensitive either way.
+    val exact = Tables.events(s, d).groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_exact"))
+    val approx = Tables.events(s, d).groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx"))
+    exact.join(approx, "event_type")
       .select(col("event_type"), col("n_exact"),
         (abs(col("approx") - col("n_exact")).cast("double") /
           col("n_exact").cast("double") <= 0.05).cast("int").as("ok"))
       .orderBy("event_type")
+  }
 
   private def revenueByGeo(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
