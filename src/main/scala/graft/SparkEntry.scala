@@ -127,6 +127,7 @@ object SparkEntry {
     "x30_source_overlap"  -> (TextOps.x30SourceOverlap _),
     "x31_top_bigrams"     -> (TextOps.x31TopBigrams _),
     "x32_vocab_growth"    -> (TextOps.x32VocabGrowth _),
+    "x33_dedup_survivors" -> (TextOps.x33DedupSurvivors _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -868,6 +869,36 @@ object SparkEntry {
         |    CAST(UNNEST(generate_series(1, CAST(n AS BIGINT))) AS BIGINT) AS copy
         |  FROM c)
         |ORDER BY doc_id, copy""".stripMargin,
+
+    // x33: x14's recursive-CTE reachability + an all-integer argmax
+    // (n_chars DESC, doc_id) — the survivor choice cannot diverge
+    "x33_dedup_survivors" ->
+      """WITH RECURSIVE t AS (SELECT DISTINCT doc_id, tok FROM
+        |  (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents) u),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b
+        |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS id, doc_id AS comp FROM documents
+        |  UNION
+        |  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id
+        |  WHERE r.comp < e.dst),
+        |lab AS (SELECT id AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY id),
+        |j AS (SELECT lab.doc_id, cluster_id, n_chars,
+        |  row_number() OVER (PARTITION BY cluster_id
+        |    ORDER BY n_chars DESC, lab.doc_id) AS rnk
+        |  FROM lab JOIN documents d ON lab.doc_id = d.doc_id),
+        |a AS (SELECT cluster_id, COUNT(*)::BIGINT AS n_members,
+        |  SUM(n_chars)::BIGINT AS chars_total FROM j GROUP BY 1)
+        |SELECT a.cluster_id AS cluster_id, k.doc_id AS keeper, n_members,
+        |k.n_chars AS chars_kept, chars_total - k.n_chars AS chars_dropped
+        |FROM a JOIN j k ON a.cluster_id = k.cluster_id AND k.rnk = 1
+        |ORDER BY a.cluster_id""".stripMargin,
 
     // x30: integer intersection counts; one ROUND(4)-snapped ratio
     "x30_source_overlap" ->

@@ -466,6 +466,40 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** x33 dedup survivor selection — the KEEP decision after cluster
+    * resolution: per near-dup cluster (x14's labels over q53's verified
+    * pairs), keep the LONGEST member (`n_chars` DESC, doc_id tiebreak — the
+    * standard "keep the fullest version of the page" heuristic; x14's own
+    * `is_keeper` keeps min doc_id, which is arbitrary). Emits per-cluster
+    * bookkeeping: members, the keeper, kept vs dropped bytes — what a
+    * pipeline reports as its dedup reduction.
+    *
+    * All-integer ranking (n_chars, doc_id) — no FP in the argmax, so the
+    * survivor choice can never diverge across engines.
+    *
+    * Scale: CC labels (see [[graft.functions.ConnectedComponents]]) + ONE
+    * cluster-keyed shuffle serving both the rank window and the aggregate;
+    * the keeper filter and the agg join on the same partitioning. */
+  def x33DedupSurvivors(s: SparkSession, d: String): DataFrame = {
+    val labels = graft.functions.ConnectedComponents.labels(
+        Tables.documents(s, d).select(col("doc_id").as("id")),
+        MinHashLSH.verifiedPairs(docTokens(s, d), 0.8).select(col("id_a"), col("id_b")))
+      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+    val j = labels.join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("cluster_id").orderBy(col("n_chars").desc, col("doc_id"))))
+    val agg = j.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"), sum("n_chars").as("chars_total"))
+    j.filter(col("rnk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keeper"),
+              col("n_chars").as("chars_kept"))
+      .join(agg, "cluster_id")
+      .select(col("cluster_id"), col("keeper"), col("n_members"),
+              col("chars_kept"),
+              (col("chars_total") - col("chars_kept")).as("chars_dropped"))
+      .orderBy("cluster_id")
+  }
+
   /** x29 deterministic mixture resampling — the data-mixing stage of a
     * training pipeline: rebalance the corpus so every SOURCE contributes an
     * equal expected token share (the α→0 end of temperature resampling;
