@@ -23,7 +23,13 @@ class DeterminismSpec extends SparkSpecBase {
     "x20_sessionize", "x22_quantize",
     // x23: SUM of double increases (order ± last ulp under dround);
     // x25: windowed avg/stddev partials merge in partitioning order
-    "x23_counter_rate", "x25_anomaly")
+    "x23_counter_rate", "x25_anomaly",
+    // round-5 additions: x29's integer replication must be partition-blind
+    // by construction (the whole point of the multiplicative-hash draw);
+    // x30/x32 carry one ROUND(4) ratio over integer counts; x33's argmax
+    // must not depend on which partition delivers the cluster rows
+    "x29_mixture_resample", "x30_source_overlap", "x32_vocab_growth",
+    "x33_dedup_survivors")
 
   private def canon(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted.toSeq
