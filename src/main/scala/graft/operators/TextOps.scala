@@ -480,10 +480,19 @@ object TextOps {
     * Scale: CC labels (see [[graft.functions.ConnectedComponents]]) + ONE
     * cluster-keyed shuffle serving both the rank window and the aggregate;
     * the keeper filter and the agg join on the same partitioning. */
-  def x33DedupSurvivors(s: SparkSession, d: String): DataFrame = {
+  def x33DedupSurvivors(s: SparkSession, d: String): DataFrame =
+    x33DedupSurvivorsFrom(s, d,
+      MinHashLSH.verifiedPairs(docTokens(s, d), 0.8).select(col("id_a"), col("id_b")))
+
+  /** x33 core over a PRECOMPUTED verified-pair frame — the pipeline entry
+    * point, same contract as [[x14DedupClustersFrom]]: q53's pair list is
+    * already materialized in a real dedup pipeline, so survivor selection
+    * must not re-derive it. The declared standalone query above stays
+    * self-contained for the oracle. */
+  def x33DedupSurvivorsFrom(s: SparkSession, d: String, pairs: DataFrame): DataFrame = {
     val labels = graft.functions.ConnectedComponents.labels(
         Tables.documents(s, d).select(col("doc_id").as("id")),
-        MinHashLSH.verifiedPairs(docTokens(s, d), 0.8).select(col("id_a"), col("id_b")))
+        pairs.select(col("id_a"), col("id_b")))
       .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
     val j = labels.join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
       .withColumn("rnk", row_number().over(

@@ -62,4 +62,15 @@ class ConnectedComponentsSpec extends SparkSpecBase {
       .collect().map(_.toSeq).toSeq
     assert(fromPairs === standalone)
   }
+
+  test("x33 pipeline overload over precomputed pairs equals the standalone query") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("id"), split(col("text"), " ").as("toks"))
+    val pairs = graft.functions.MinHashLSH.verifiedPairs(docs, 0.8)
+    val fromPairs = TextOps.x33DedupSurvivorsFrom(spark, sfDir, pairs)
+      .collect().map(_.toSeq).toSeq
+    val standalone = TextOps.x33DedupSurvivors(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(fromPairs === standalone)
+  }
 }
