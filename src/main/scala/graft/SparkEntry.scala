@@ -128,6 +128,7 @@ object SparkEntry {
     "x31_top_bigrams"     -> (TextOps.x31TopBigrams _),
     "x32_vocab_growth"    -> (TextOps.x32VocabGrowth _),
     "x33_dedup_survivors" -> (TextOps.x33DedupSurvivors _),
+    "x34_quantile_sketch" -> (RelationalOps.x34QuantileSketch _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -869,6 +870,18 @@ object SparkEntry {
         |    CAST(UNNEST(generate_series(1, CAST(n AS BIGINT))) AS BIGINT) AS copy
         |  FROM c)
         |ORDER BY doc_id, copy""".stripMargin,
+
+    // x34: q21's tolerance-verdict pattern for the percentile sketch —
+    // each engine's own sketch vs its own exact, booleans hash-compared
+    "x34_quantile_sketch" ->
+      """SELECT event_type, ROUND(e50, 4) AS p50, ROUND(e90, 4) AS p90,
+        |CAST(ABS(a50 - e50) / e50 <= 0.05 AS INT) AS ok50,
+        |CAST(ABS(a90 - e90) / e90 <= 0.05 AS INT) AS ok90
+        |FROM (SELECT event_type,
+        |  quantile_cont(value, 0.5) AS e50, quantile_cont(value, 0.9) AS e90,
+        |  approx_quantile(value, 0.5) AS a50, approx_quantile(value, 0.9) AS a90
+        |  FROM events GROUP BY event_type) t
+        |ORDER BY event_type""".stripMargin,
 
     // x33: x14's recursive-CTE reachability + an all-integer argmax
     // (n_chars DESC, doc_id) — the survivor choice cannot diverge

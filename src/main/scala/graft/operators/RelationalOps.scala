@@ -288,6 +288,31 @@ object RelationalOps {
            dround(expr("percentile(value, 0.99)"), 4).as("p99"))
       .orderBy("event_type")
 
+  /** x34 quantile sketch with a tolerance verdict — q21's oracle pattern
+    * extended to the second sketch family: each engine runs its OWN
+    * approximate-percentile sketch (Spark: Greenwald-Khanna
+    * `percentile_approx`; DuckDB: t-digest `approx_quantile` — different
+    * algorithms, both rank-error-bounded far below 5%) against its own
+    * exact percentile, and the declared output is the exact values plus
+    * the cross-engine-comparable booleans `|approx−exact|/exact ≤ 0.05`.
+    * Sketch internals stay private; the tolerance CONTRACT is what the
+    * driver hash-checks. At 100 TB the sketch is the only viable
+    * percentile (exact percentile materializes the per-group value set —
+    * see Q25's scaladoc); this query is the accuracy gate a pipeline runs
+    * at small scale before trusting the sketch at large. */
+  def x34QuantileSketch(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("e50"),
+           expr("percentile(value, 0.9)").as("e90"),
+           expr("percentile_approx(value, 0.5, 10000)").as("a50"),
+           expr("percentile_approx(value, 0.9, 10000)").as("a90"))
+      .select(col("event_type"),
+        dround(col("e50"), 4).as("p50"), dround(col("e90"), 4).as("p90"),
+        (abs(col("a50") - col("e50")) / col("e50") <= 0.05).cast("int").as("ok50"),
+        (abs(col("a90") - col("e90")) / col("e90") <= 0.05).cast("int").as("ok90"))
+      .orderBy("event_type")
+
   /** Q26 statistical aggregates. */
   def q26(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
