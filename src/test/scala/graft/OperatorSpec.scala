@@ -30,6 +30,38 @@ class OperatorSpec extends SparkSpecBase {
     }
   }
 
+  test("x29 replication counts match an independent BigInt reference model") {
+    // recompute every copy count with exact BigInt arithmetic (no Spark
+    // expressions, no DECIMAL, no doubles) and compare the multiset of
+    // (doc_id, copy) rows — pins the DECIMAL(38,0) plumbing to the algebra
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), size(split(col("text"), " ")).cast("long").as("ntok"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val ks = docs.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val tt = BigInt(docs.map(_._3).sum)
+    val srcs = BigInt(ks.size)
+    val expected = docs.flatMap { case (id, src, _) =>
+      val den = srcs * BigInt(ks(src))
+      val base = tt / den
+      val u = (BigInt(id) * BigInt(2654435761L)) % BigInt(4294967296L)
+      val extra = if (u * den < (tt % den) * BigInt(4294967296L)) 1 else 0
+      val n = (base + extra).toLong
+      (1L to n).map(c => (id, c))
+    }.sorted.toSeq
+    val got = TextOps.x29MixtureResample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq.sorted
+    assert(got === expected)
+    // expected output token mass stays ~T: the model is a resample, not a filter
+    assert(got.nonEmpty)
+  }
+
+  test("x34 sketch percentiles within the declared 5% of exact (both quantiles)") {
+    RelationalOps.x34QuantileSketch(spark, sfDir).collect().foreach { r =>
+      assert(r.getInt(3) === 1 && r.getInt(4) === 1,
+             s"${r.getString(0)}: sketch outside tolerance")
+    }
+  }
+
   test("Q16 log-banding loses no pair vs the brute-force nested loop") {
     val prices = Tables.orders(spark, sfDir)
       .select("o_orderkey", "o_totalprice").collect()
