@@ -120,5 +120,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "ema_arr(values, alpha) takes 2 arguments")
         graft.functions.SeriesFunctions.emaExpr(children(0), children(1))
       }))
+    // the pair-verify kernel family, SQL-spelled: the same codegen
+    // Expressions the near-dup operators run internally, so a SQL user can
+    // build a custom verify stage without dropping to the Column API
+    def binary(name: String, cls: Class[_], f: (Expression, Expression) => Expression): Unit =
+      ext.injectFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
+        (children: Seq[Expression]) => {
+          require(children.size == 2, s"$name takes 2 arguments")
+          f(children(0), children(1))
+        }))
+    binary("sorted_intersect_count", classOf[graft.functions.SortedIntersectCount],
+      graft.functions.SortedIntersectCount(_, _))
+    binary("sorted_intersect_count_int", classOf[graft.functions.SortedIntersectCountInt],
+      graft.functions.SortedIntersectCountInt(_, _))
+    binary("sig_match_count", classOf[graft.functions.SigMatchCount],
+      graft.functions.SigMatchCount(_, _))
+    binary("first_match_index", classOf[graft.functions.FirstMatchIndex],
+      graft.functions.FirstMatchIndex(_, _))
   }
 }

@@ -70,4 +70,16 @@ class SqlSurfaceSpec extends SparkSpecBase {
       .collect().head.getDouble(0)
     assert(got == 4.0)
   }
+
+  test("pair-verify kernel family is callable from SQL") {
+    val r = spark.sql(
+      """SELECT
+        |  sorted_intersect_count(array(1L, 3L, 7L), array(3L, 5L, 7L)) AS sic,
+        |  sorted_intersect_count_int(array(1, 2, 3), array(2, 3, 4)) AS sici,
+        |  sig_match_count(array(9L, 8L, 7L), array(9L, 0L, 7L)) AS smc,
+        |  first_match_index(array(1L, 2L), array(9L, 2L)) AS fmi""".stripMargin)
+      .collect().head
+    assert(r.getInt(0) === 2 && r.getInt(1) === 2 &&
+           r.getInt(2) === 2 && r.getInt(3) === 1)
+  }
 }
