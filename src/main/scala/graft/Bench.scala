@@ -42,7 +42,8 @@ object Bench {
     // pairs (materialized to parquet untimed), isolating the CC stage — the
     // declared x14 stays standalone for the oracle, but a real dedup
     // pipeline reuses the pair list and pays only this cost.
-    val ccOnly = if (only.exists(!_("x14_cc_only"))) Nil else try {
+    val ccOnly = if (only.exists(o => !o("x14_cc_only") && !o("x33_survivors_only"))) Nil
+    else try {
       import org.apache.spark.sql.functions.{col, split}
       val pairsDir = java.nio.file.Files.createTempDirectory("x14pairs").toString
       val toks = Tables.documents(spark, sfDir)
@@ -53,7 +54,18 @@ object Bench {
       val t0 = System.nanoTime()
       operators.TextOps.x14DedupClustersFrom(spark, sfDir, pairs)
         .write.format("noop").mode("overwrite").save()
-      Seq("x14_cc_only" -> (System.nanoTime() - t0) / 1e9)
+      val t1 = System.nanoTime()
+      // third pipeline stage over the second's MATERIALIZED output: CC ran
+      // once above; survivor selection alone is one window + one agg
+      val labelsDir = java.nio.file.Files.createTempDirectory("x14labels").toString
+      operators.TextOps.x14DedupClustersFrom(spark, sfDir, pairs)
+        .select("doc_id", "cluster_id").write.mode("overwrite").parquet(labelsDir)
+      val labels = spark.read.parquet(labelsDir)
+      val t2 = System.nanoTime()
+      operators.TextOps.x33SurvivorsFromLabels(spark, sfDir, labels)
+        .write.format("noop").mode("overwrite").save()
+      Seq("x14_cc_only" -> (t1 - t0) / 1e9,
+          "x33_survivors_only" -> (System.nanoTime() - t2) / 1e9)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] x14_cc_only failed: ${e.getMessage}"); Nil
     }

@@ -489,12 +489,20 @@ object TextOps {
     * already materialized in a real dedup pipeline, so survivor selection
     * must not re-derive it. The declared standalone query above stays
     * self-contained for the oracle. */
-  def x33DedupSurvivorsFrom(s: SparkSession, d: String, pairs: DataFrame): DataFrame = {
-    val labels = graft.functions.ConnectedComponents.labels(
-        Tables.documents(s, d).select(col("doc_id").as("id")),
-        pairs.select(col("id_a"), col("id_b")))
-      .select(col("id").as("doc_id"), col("comp").as("cluster_id"))
-    val j = labels.join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+  def x33DedupSurvivorsFrom(s: SparkSession, d: String, pairs: DataFrame): DataFrame =
+    x33SurvivorsFromLabels(s, d,
+      graft.functions.ConnectedComponents.labels(
+          Tables.documents(s, d).select(col("doc_id").as("id")),
+          pairs.select(col("id_a"), col("id_b")))
+        .select(col("id").as("doc_id"), col("comp").as("cluster_id")))
+
+  /** Survivor selection over PRECOMPUTED cluster labels (doc_id,
+    * cluster_id) — the third pipeline stage consumes the second's
+    * (x14's) materialized output directly; CC runs once per pipeline,
+    * not once per downstream consumer. */
+  def x33SurvivorsFromLabels(s: SparkSession, d: String, labels: DataFrame): DataFrame = {
+    val j = labels.select(col("doc_id"), col("cluster_id"))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
       .withColumn("rnk", row_number().over(
         Window.partitionBy("cluster_id").orderBy(col("n_chars").desc, col("doc_id"))))
     val agg = j.groupBy("cluster_id")
