@@ -545,8 +545,10 @@ object TextOps {
       .select(col("doc_id"), col("source"),
               size(split(col("text"), " ")).cast("long").as("ntok"))
     val perSrc = docs.groupBy("source").agg(sum("ntok").as("ks"))
-    val totals = docs.agg(sum("ntok").as("tt"),
-                          countDistinct("source").as("srcs"))
+    // totals fold the S-row aggregate, not the corpus: one fewer full scan
+    // (sum of per-source sums = T; every source has ≥1 doc, so the row
+    // count IS the distinct-source count)
+    val totals = perSrc.agg(sum("ks").as("tt"), count(lit(1)).as("srcs"))
     docs.join(broadcast(perSrc), "source")
       .crossJoin(broadcast(totals))
       .withColumn("den", col("srcs") * col("ks"))
