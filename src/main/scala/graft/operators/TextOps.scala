@@ -601,18 +601,30 @@ object TextOps {
     * as Q53/x17/x27 (k=2).
     *
     * Scale: one partial+final hash aggregate over the exploded bigrams
-    * (corpus-linear, map-side combined), then the rank window runs over
-    * the AGGREGATED (lang, bigram) count table — vocabulary²-bounded,
-    * orders of magnitude smaller than the corpus — so the per-lang window
-    * task holds counts, not documents. */
+    * (corpus-linear, map-side combined), then TWO-LEVEL top-k over the
+    * aggregated count table: local top-10 per (lang, bigram-hash bucket) —
+    * 256× the parallelism of a per-lang window — then the exact global
+    * top-10 from the ≤256·10 finalists per language. Exact because each
+    * bigram lives in exactly one bucket, so every global top-10 row is its
+    * bucket's top-10 under the SAME total order (cnt DESC, bigram ASC) —
+    * the x16 two-phase refactor's argument applied to rank instead of
+    * cumsum. A single per-lang window over a realistic 10⁸–10⁹-row bigram
+    * vocabulary would serialize each language onto one task. */
   def x31TopBigrams(s: SparkSession, d: String): DataFrame = {
     val bg = Tables.documents(s, d)
       .select(col("lang"), explode(graft.functions.TextExpressions.wordShingles(
         split(col("text"), " "), 2)).as("bigram"))
     val counts = bg.groupBy("lang", "bigram").agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("bigram"))
-    counts.withColumn("rnk", row_number().over(w).cast("long"))
+    val wLocal = Window.partitionBy("lang", "bkt")
+      .orderBy(col("cnt").desc, col("bigram"))
+    val wFinal = Window.partitionBy("lang")
+      .orderBy(col("cnt").desc, col("bigram"))
+    counts.withColumn("bkt", pmod(xxhash64(col("bigram")), lit(256)))
+      .withColumn("lrk", row_number().over(wLocal))
+      .filter(col("lrk") <= 10)
+      .withColumn("rnk", row_number().over(wFinal).cast("long"))
       .filter(col("rnk") <= 10)
+      .select(col("lang"), col("bigram"), col("cnt"), col("rnk"))
       .orderBy("lang", "rnk")
   }
 
