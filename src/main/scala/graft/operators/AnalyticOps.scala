@@ -78,14 +78,27 @@ object AnalyticOps {
               date_format(col("last_ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"))
       .orderBy("user_id", "event_type")
 
-  /** Q34 top-k per group via row_number + filter (TakeOrdered per key). */
+  /** Q34 top-k per group, TWO-LEVEL: local top-3 per (group, 256-way row-hash
+    * bucket) at full cluster width, then the exact global top-3 from the
+    * ≤256·3 finalists per group. With a handful of groups (5 priorities
+    * here — low-cardinality group keys are the COMMON top-k-per-group
+    * case) a single per-group window serializes each group's corpus-sized
+    * slice onto one task; two-level is exact because each row lives in one
+    * bucket and both levels rank by the same total order (price DESC, key
+    * ASC) — see x31's scaladoc for the argument. */
   def q34(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("o_orderpriority")
+    val wLocal = Window.partitionBy("o_orderpriority", "bkt")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val wFinal = Window.partitionBy("o_orderpriority")
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     Tables.orders(s, d)
       .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
-              row_number().over(w).cast("long").as("rn"))
+              pmod(xxhash64(col("o_orderkey")), lit(256)).as("bkt"))
+      .withColumn("lrk", row_number().over(wLocal))
+      .filter(col("lrk") <= 3)
+      .withColumn("rn", row_number().over(wFinal).cast("long"))
       .filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"), col("rn"))
       .orderBy("o_orderpriority", "rn")
   }
 
