@@ -21,7 +21,13 @@ object AnalyticOps {
   private val byValue = Window.partitionBy("event_type")
     .orderBy(col("value").desc, col("event_id"))
 
-  /** Q29 ranking family over a totally-ordered window. */
+  /** Q29 ranking family over a totally-ordered window. Scale note: unlike
+    * top-k (q34/x31, two-level at full width), `ntile` is inherently
+    * group-GLOBAL — the quartile boundary needs the group's total count —
+    * so the per-group pass cannot be bucketed away; with low-cardinality
+    * groups the family query demonstrates semantics, and a 100 TB caller
+    * wanting only ranks (a total order makes rank = dense_rank =
+    * row_number) should use the q34 two-level shape instead. */
   def q29(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .select(col("event_id"), col("event_type"),
