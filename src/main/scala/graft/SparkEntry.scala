@@ -129,6 +129,7 @@ object SparkEntry {
     "x32_vocab_growth"    -> (TextOps.x32VocabGrowth _),
     "x33_dedup_survivors" -> (TextOps.x33DedupSurvivors _),
     "x34_quantile_sketch" -> (RelationalOps.x34QuantileSketch _),
+    "x35_fixed_k_sample"  -> (TextOps.x35FixedKSample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -912,6 +913,16 @@ object SparkEntry {
         |k.n_chars AS chars_kept, chars_total - k.n_chars AS chars_dropped
         |FROM a JOIN j k ON a.cluster_id = k.cluster_id AND k.rnk = 1
         |ORDER BY a.cluster_id""".stripMargin,
+
+    // x35: md5 of the decimal id string is engine-independent; ties
+    // impossible (md5 collision), doc_id tiebreak pinned anyway
+    "x35_fixed_k_sample" ->
+      """SELECT lang, rnk, doc_id, source FROM (
+        |  SELECT lang, doc_id, source,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rnk
+        |  FROM documents) t
+        |WHERE rnk <= 20 ORDER BY lang, rnk""".stripMargin,
 
     // x30: integer intersection counts; one ROUND(4)-snapped ratio
     "x30_source_overlap" ->

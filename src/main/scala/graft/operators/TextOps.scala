@@ -517,6 +517,32 @@ object TextOps {
       .orderBy("cluster_id")
   }
 
+  /** x35 fixed-k stratified sample — the OTHER standard sampling primitive
+    * next to x15's rate-based filter: exactly k docs per language, chosen
+    * as the k smallest `md5(doc_id)` (a deterministic uniform order both
+    * engines reproduce — no rand(), no partitioning sensitivity). This is
+    * how a pipeline carves a fixed-size eval/dev set per stratum.
+    *
+    * Scale: the same two-level top-k as q34/x31 — local k per
+    * (lang, 256-way hash bucket) at full width, exact global k from the
+    * ≤256·k finalists; a plain per-lang rank window would serialize each
+    * language's corpus slice onto one task. */
+  def x35FixedKSample(s: SparkSession, d: String): DataFrame = {
+    val k = 20
+    val wLocal = Window.partitionBy("lang", "bkt").orderBy(col("h"), col("doc_id"))
+    val wFinal = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+              md5(col("doc_id").cast("string")).as("h"),
+              pmod(xxhash64(col("doc_id")), lit(256)).as("bkt"))
+      .withColumn("lrk", row_number().over(wLocal))
+      .filter(col("lrk") <= k)
+      .withColumn("rnk", row_number().over(wFinal).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("lang"), col("rnk"), col("doc_id"), col("source"))
+      .orderBy("lang", "rnk")
+  }
+
   /** x29 deterministic mixture resampling — the data-mixing stage of a
     * training pipeline: rebalance the corpus so every SOURCE contributes an
     * equal expected token share (the α→0 end of temperature resampling;
