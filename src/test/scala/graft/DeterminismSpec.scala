@@ -29,7 +29,10 @@ class DeterminismSpec extends SparkSpecBase {
     // x30/x32 carry one ROUND(4) ratio over integer counts; x33's argmax
     // must not depend on which partition delivers the cluster rows
     "x29_mixture_resample", "x30_source_overlap", "x32_vocab_growth",
-    "x33_dedup_survivors")
+    "x33_dedup_survivors",
+    // x31/x35: two-level top-k must pick identical finalists at any width;
+    // x34: both sketches' tolerance booleans must not wobble with merges
+    "x31_top_bigrams", "x34_quantile_sketch", "x35_fixed_k_sample")
 
   private def canon(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted.toSeq
