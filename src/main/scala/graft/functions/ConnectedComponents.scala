@@ -53,17 +53,24 @@ object ConnectedComponents {
       // so chains collapse in O(log n) inner joins over the |reps|-sized
       // hook table — without this, a k-hop chain costs k OUTER rounds over
       // the full edge list
+      // within the loop the lineage stays shallow (k jumps = k self-joins
+      // over the |reps|-sized table), so intermediate results only CACHE;
+      // one eager checkpoint truncates lineage after the forest is flat
       var jumping = 1L
+      val cached = scala.collection.mutable.ArrayBuffer[DataFrame]()
       while (jumping > 0) {
         val nxt = hook.select(col("rep"), col("to"))
           .join(hook.select(col("rep").as("r2"), col("to").as("to2")),
                 col("to") === col("r2"), "left")
           .select(col("rep"), coalesce(col("to2"), col("to")).as("to"),
                   (col("to2") < col("to")).as("moved"))
-          .localCheckpoint(true)
+          .cache()
+        cached += nxt
         jumping = nxt.filter(col("moved")).count()
         hook = nxt.drop("moved")
       }
+      hook = hook.localCheckpoint(true)
+      cached.foreach(_.unpersist(false))
       // per-node labels compose through the hook (reps absent from the
       // quotient graph — singletons or already-contracted — keep theirs)
       lab = lab.join(hook, lab("comp") === hook("rep"), "left")
