@@ -62,6 +62,30 @@ class OperatorSpec extends SparkSpecBase {
     }
   }
 
+  test("two-level top-k (q34/x31/x35) equals the single-window formulation") {
+    import org.apache.spark.sql.expressions.Window
+    // q34 reference: one rank window per group, no bucketing
+    val w34 = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val ref34 = Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+              row_number().over(w34).cast("long").as("rn"))
+      .filter(col("rn") <= 3).orderBy("o_orderpriority", "rn")
+      .collect().map(_.toSeq).toSeq
+    assert(AnalyticOps.q34(spark, sfDir).collect().map(_.toSeq).toSeq === ref34)
+
+    // x35 reference: one md5-order window per lang
+    val w35 = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val ref35 = Tables.documents(spark, sfDir)
+      .select(col("lang"),
+              row_number().over(w35).cast("long").as("rnk"),
+              col("doc_id"), col("source"))
+      .filter(col("rnk") <= 20).orderBy("lang", "rnk")
+      .collect().map(_.toSeq).toSeq
+    assert(TextOps.x35FixedKSample(spark, sfDir).collect().map(_.toSeq).toSeq === ref35)
+  }
+
   test("Q16 log-banding loses no pair vs the brute-force nested loop") {
     val prices = Tables.orders(spark, sfDir)
       .select("o_orderkey", "o_totalprice").collect()
