@@ -130,6 +130,7 @@ object SparkEntry {
     "x33_dedup_survivors" -> (TextOps.x33DedupSurvivors _),
     "x34_quantile_sketch" -> (RelationalOps.x34QuantileSketch _),
     "x35_fixed_k_sample"  -> (TextOps.x35FixedKSample _),
+    "x36_chunk_windows"   -> (TextOps.x36ChunkWindows _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -913,6 +914,19 @@ object SparkEntry {
         |k.n_chars AS chars_kept, chars_total - k.n_chars AS chars_dropped
         |FROM a JOIN j k ON a.cluster_id = k.cluster_id AND k.rnk = 1
         |ORDER BY a.cluster_id""".stripMargin,
+
+    // x36: the boundary convention (ceil division, clamped final start,
+    // 1-based inclusive slice) is pinned identically; strings/ints only
+    "x36_chunk_windows" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |c AS (SELECT doc_id, t,
+        |  CAST(u.k AS BIGINT) AS chunk_idx,
+        |  least(u.k * 24, greatest(len(t) - 32, 0)) + 1 AS st
+        |  FROM toks, UNNEST(generate_series(0, (greatest(len(t) - 32, 0) + 23) // 24)) AS u(k))
+        |SELECT doc_id, chunk_idx,
+        |array_to_string(t[st:st+31], ' ') AS chunk,
+        |CAST(len(string_split(array_to_string(t[st:st+31], ' '), ' ')) AS BIGINT) AS n_tokens
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     // x35: md5 of the decimal id string is engine-independent; ties
     // impossible (md5 collision), doc_id tiebreak pinned anyway

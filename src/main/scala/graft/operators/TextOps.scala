@@ -543,6 +543,35 @@ object TextOps {
       .orderBy("lang", "rnk")
   }
 
+  /** x36 token-window chunking — the retrieval/training-window primitive:
+    * split each doc into windows of w=32 tokens at stride s=24 (8-token
+    * overlap), the transform every RAG index and fixed-context training
+    * pipeline runs between cleaning and embedding. Chunk starts are
+    * k·s for k = 0..⌈max(len−w,0)/s⌉ with the FINAL start clamped to
+    * len−w: every token is covered, the last window is full-width when
+    * len ≥ w, no duplicate windows, and a short doc yields exactly one
+    * chunk — the boundary convention IS the contract here, pinned
+    * identically in the twin (integer ceiling division, `least` clamp,
+    * 1-based slice).
+    *
+    * Scale: a pure per-row `transform`+`posexplode` — zero shuffle beyond
+    * the contract ORDER BY; chunk count and text are exact
+    * integers/strings (no FP anywhere). */
+  def x36ChunkWindows(s: SparkSession, d: String): DataFrame = {
+    val (w, st) = (32, 24)
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"transform(sequence(0, CAST((greatest(size(t) - $w, 0) + ${st - 1}) DIV $st AS INT)), " +
+          s"k -> array_join(slice(t, least(k * $st, greatest(size(t) - $w, 0)) + 1, $w), ' '))"))
+          .as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+              col("chunk"),
+              size(split(col("chunk"), " ")).cast("long").as("n_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** x29 deterministic mixture resampling — the data-mixing stage of a
     * training pipeline: rebalance the corpus so every SOURCE contributes an
     * equal expected token share (the α→0 end of temperature resampling;

@@ -86,6 +86,23 @@ class OperatorSpec extends SparkSpecBase {
     assert(TextOps.x35FixedKSample(spark, sfDir).collect().map(_.toSeq).toSeq === ref35)
   }
 
+  test("x36 chunk boundary invariants: dense indices, full-width windows, short docs") {
+    val lens = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("len"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = TextOps.x36ChunkWindows(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      .groupBy(_._1)
+    assert(chunks.keySet === lens.keySet)
+    chunks.foreach { case (doc, rows) =>
+      val len = lens(doc)
+      val expectedK = if (len <= 32) 0 else (len - 32 + 23) / 24
+      assert(rows.map(_._2).sorted.toSeq === (0L to expectedK), s"doc $doc: chunk_idx not dense")
+      if (len >= 32) assert(rows.forall(_._3 == 32), s"doc $doc: non-full window despite len=$len")
+      else assert(rows.map(_._3).toSeq === Seq(len.toLong), s"doc $doc: short-doc chunk wrong")
+    }
+  }
+
   test("Q16 log-banding loses no pair vs the brute-force nested loop") {
     val prices = Tables.orders(spark, sfDir)
       .select("o_orderkey", "o_totalprice").collect()
