@@ -42,7 +42,11 @@ object Bench {
     // pairs (materialized to parquet untimed), isolating the CC stage — the
     // declared x14 stays standalone for the oracle, but a real dedup
     // pipeline reuses the pair list and pays only this cost.
-    val ccOnly = if (only.exists(o => !o("x14_cc_only") && !o("x33_survivors_only"))) Nil
+    // With SPARK_GRAFT_ONLY set, each pipeline timing row is emitted only
+    // when ITS name is in the filter (no unrequested sibling measurement).
+    val wantCc   = only.forall(_("x14_cc_only"))
+    val wantSurv = only.forall(_("x33_survivors_only"))
+    val ccOnly = if (!wantCc && !wantSurv) Nil
     else try {
       import org.apache.spark.sql.functions.{col, split}
       val pairsDir = java.nio.file.Files.createTempDirectory("x14pairs").toString
@@ -51,21 +55,25 @@ object Bench {
       graft.functions.MinHashLSH.verifiedPairs(toks, 0.8)
         .select("id_a", "id_b").write.mode("overwrite").parquet(pairsDir)
       val pairs = spark.read.parquet(pairsDir)
-      val t0 = System.nanoTime()
-      operators.TextOps.x14DedupClustersFrom(spark, sfDir, pairs)
-        .write.format("noop").mode("overwrite").save()
-      val t1 = System.nanoTime()
-      // third pipeline stage over the second's MATERIALIZED output: CC ran
-      // once above; survivor selection alone is one window + one agg
-      val labelsDir = java.nio.file.Files.createTempDirectory("x14labels").toString
-      operators.TextOps.x14DedupClustersFrom(spark, sfDir, pairs)
-        .select("doc_id", "cluster_id").write.mode("overwrite").parquet(labelsDir)
-      val labels = spark.read.parquet(labelsDir)
-      val t2 = System.nanoTime()
-      operators.TextOps.x33SurvivorsFromLabels(spark, sfDir, labels)
-        .write.format("noop").mode("overwrite").save()
-      Seq("x14_cc_only" -> (t1 - t0) / 1e9,
-          "x33_survivors_only" -> (System.nanoTime() - t2) / 1e9)
+      val ccRow = if (!wantCc) Nil else {
+        val t0 = System.nanoTime()
+        operators.TextOps.x14DedupClustersFrom(spark, sfDir, pairs)
+          .write.format("noop").mode("overwrite").save()
+        Seq("x14_cc_only" -> (System.nanoTime() - t0) / 1e9)
+      }
+      // third pipeline stage over the second's MATERIALIZED output: CC runs
+      // untimed to parquet; survivor selection alone is one window + one agg
+      val survRow = if (!wantSurv) Nil else {
+        val labelsDir = java.nio.file.Files.createTempDirectory("x14labels").toString
+        operators.TextOps.x14DedupClustersFrom(spark, sfDir, pairs)
+          .select("doc_id", "cluster_id").write.mode("overwrite").parquet(labelsDir)
+        val labels = spark.read.parquet(labelsDir)
+        val t2 = System.nanoTime()
+        operators.TextOps.x33SurvivorsFromLabels(spark, sfDir, labels)
+          .write.format("noop").mode("overwrite").save()
+        Seq("x33_survivors_only" -> (System.nanoTime() - t2) / 1e9)
+      }
+      ccRow ++ survRow
     } catch { case e: Throwable =>
       System.err.println(s"[bench] x14_cc_only failed: ${e.getMessage}"); Nil
     }
@@ -95,7 +103,18 @@ object Bench {
     val qs = (results ++ ccOnly ++ q10Bucketed).map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver's artifact keeps only the stdout TAIL, which truncates the
+    // per-query map on a 95-query run — persist the complete line to a file
+    // (override path via SPARK_GRAFT_BENCH_OUT) so every round's numbers
+    // survive verbatim.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_last.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not persist $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -877,8 +877,8 @@ object SparkEntry {
     // each engine's own sketch vs its own exact, booleans hash-compared
     "x34_quantile_sketch" ->
       """SELECT event_type, ROUND(e50, 4) AS p50, ROUND(e90, 4) AS p90,
-        |CAST(ABS(a50 - e50) / e50 <= 0.05 AS INT) AS ok50,
-        |CAST(ABS(a90 - e90) / e90 <= 0.05 AS INT) AS ok90
+        |CAST(ABS(a50 - e50) <= 0.05 * ABS(e50) AS INT) AS ok50,
+        |CAST(ABS(a90 - e90) <= 0.05 * ABS(e90) AS INT) AS ok90
         |FROM (SELECT event_type,
         |  quantile_cont(value, 0.5) AS e50, quantile_cont(value, 0.9) AS e90,
         |  approx_quantile(value, 0.5) AS a50, approx_quantile(value, 0.9) AS a90

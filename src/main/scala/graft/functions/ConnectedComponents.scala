@@ -57,7 +57,7 @@ object ConnectedComponents {
       // over the |reps|-sized table), so intermediate results only CACHE;
       // one eager checkpoint truncates lineage after the forest is flat
       var jumping = 1L
-      val cached = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      var prevCached: DataFrame = null
       while (jumping > 0) {
         val nxt = hook.select(col("rep"), col("to"))
           .join(hook.select(col("rep").as("r2"), col("to").as("to2")),
@@ -65,12 +65,17 @@ object ConnectedComponents {
           .select(col("rep"), coalesce(col("to2"), col("to")).as("to"),
                   (col("to2") < col("to")).as("moved"))
           .cache()
-        cached += nxt
         jumping = nxt.filter(col("moved")).count()
+        // the count() above fully materialized nxt's cache, so the previous
+        // jump's blocks are dead weight — freeing them here keeps at most
+        // two iterations resident instead of all O(log n) hook tables (an
+        // eviction then recomputes one join, not the whole accumulated chain)
+        if (prevCached != null) prevCached.unpersist(false)
+        prevCached = nxt
         hook = nxt.drop("moved")
       }
       hook = hook.localCheckpoint(true)
-      cached.foreach(_.unpersist(false))
+      if (prevCached != null) prevCached.unpersist(false)
       // per-node labels compose through the hook (reps absent from the
       // quotient graph — singletons or already-contracted — keep theirs)
       lab = lab.join(hook, lab("comp") === hook("rep"), "left")

@@ -309,8 +309,11 @@ object RelationalOps {
            expr("percentile_approx(value, 0.9, 10000)").as("a90"))
       .select(col("event_type"),
         dround(col("e50"), 4).as("p50"), dround(col("e90"), 4).as("p90"),
-        (abs(col("a50") - col("e50")) / col("e50") <= 0.05).cast("int").as("ok50"),
-        (abs(col("a90") - col("e90")) / col("e90") <= 0.05).cast("int").as("ok90"))
+        // multiplication form |a−e| ≤ 0.05·|e|: no division, so a negative
+        // exact percentile still measures (abs) and e=0 demands a=0 exactly
+        // instead of going NaN-false — the gate never silently stops grading
+        (abs(col("a50") - col("e50")) <= lit(0.05) * abs(col("e50"))).cast("int").as("ok50"),
+        (abs(col("a90") - col("e90")) <= lit(0.05) * abs(col("e90"))).cast("int").as("ok90"))
       .orderBy("event_type")
 
   /** Q26 statistical aggregates. */

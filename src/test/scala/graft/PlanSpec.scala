@@ -65,6 +65,24 @@ class PlanSpec extends SparkSpecBase {
            s"LSH candidate join degenerated:\n$p")
   }
 
+  test("Q53 verify stage: band-join width survives to the intersect projection") {
+    import org.apache.spark.sql.functions.{col, split}
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("id"), split(col("text"), " ").as("toks"))
+    val df = functions.MinHashLSH.verifiedPairs(toks, 0.8)
+    // static: nothing in the verify pipeline may demand a single partition
+    // (the historical failure mode was AQE coalescing a tiny distinct's
+    // shuffle to width 1 and re-serializing the per-pair intersect)
+    val p = planOf(df)
+    assert(!p.contains("SinglePartition"),
+           s"verify stage plans a single-partition exchange:\n$p")
+    // runtime: the explicit pre-explode repartition is REPARTITION_BY_NUM,
+    // which AQE never coalesces — the executed verify projection must keep
+    // that width even though every payload table here is broadcast-small
+    assert(df.rdd.getNumPartitions > 1,
+           "verify stage executed on a single partition")
+  }
+
   test("Q36 top-k compiles to TakeOrderedAndProject (no global sort)") {
     val p = planOf(operators.AnalyticOps.q36(spark, sfDir))
     assert(p.contains("TakeOrderedAndProject"), p)
