@@ -33,6 +33,13 @@ object SparkEntry {
       |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
       |SELECT id_a, id_b, cos FROM c WHERE cos >= 0.9 ORDER BY id_a, id_b""".stripMargin
 
+  /** round(cos(a,b),4) as a single-line DuckDB expression — the shared
+    * kernel of the q54/x08/x37 twins. */
+  private def cosSql(a: String, b: String): String =
+    s"ROUND(list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))" +
+      s" / (SQRT(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])))" +
+      s" * SQRT(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])))), 4)"
+
   /** Flagship: Q48 downsample (the canonical TSDB query) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
     TimeSeriesOps.q48(spark, "/root/testdata/sf0.001")
@@ -131,6 +138,7 @@ object SparkEntry {
     "x34_quantile_sketch" -> (RelationalOps.x34QuantileSketch _),
     "x35_fixed_k_sample"  -> (TextOps.x35FixedKSample _),
     "x36_chunk_windows"   -> (TextOps.x36ChunkWindows _),
+    "x37_ann_recall"      -> (VectorOps.x37AnnRecall _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -719,6 +727,47 @@ object SparkEntry {
         |(SELECT probe_id, vec_id, cos,
         |  row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk FROM cand) f
         |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+
+    // x37: the ANN accuracy gate — both engines compute BOTH the exact
+    // top-5 (q54's formulation) and the IVF top-5 (x08's formulation)
+    // themselves and the declared output is hit counts + the recall ≥ 0.95
+    // verdict per probe; identical (round(cos,4), id) tie-breaks make the
+    // two top-5 SETS deterministic, so the verdicts hash-match
+    "x37_ann_recall" ->
+      s"""WITH p AS (SELECT vec_id AS probe_id, embedding AS p_emb FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT probe_id, vec_id, ${cosSql("p_emb", "embedding")} AS cos
+        |  FROM embeddings CROSS JOIN p WHERE vec_id <> probe_id),
+        |exact AS (SELECT probe_id, vec_id FROM
+        |  (SELECT probe_id, vec_id,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk FROM c) r
+        |  WHERE rnk <= 5),
+        |cents AS (SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings
+        |  WHERE vec_id % (SELECT CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) FROM embeddings) = 0),
+        |assigned AS (SELECT vec_id, embedding, cluster FROM
+        |  (SELECT vec_id, embedding, cent_id AS cluster,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS r FROM
+        |   (SELECT e.vec_id, e.embedding, c2.cent_id,
+        |     ${cosSql("e.embedding", "c2.c_emb")} AS ccos
+        |    FROM embeddings e CROSS JOIN cents c2) s1) s2 WHERE r = 1),
+        |pclust AS (SELECT probe_id, p_emb, cluster FROM
+        |  (SELECT probe_id, p_emb, cent_id AS cluster,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY ccos DESC, cent_id) AS r FROM
+        |   (SELECT pp.probe_id, pp.p_emb, c2.cent_id,
+        |     ${cosSql("pp.p_emb", "c2.c_emb")} AS ccos
+        |    FROM p pp CROSS JOIN cents c2) s3) s4 WHERE r <= 2),
+        |cand AS (SELECT pc.probe_id, a.vec_id,
+        |  ${cosSql("pc.p_emb", "a.embedding")} AS cos
+        |  FROM assigned a JOIN pclust pc ON a.cluster = pc.cluster
+        |  WHERE a.vec_id <> pc.probe_id),
+        |ivf AS (SELECT probe_id, vec_id FROM
+        |  (SELECT probe_id, vec_id,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk FROM cand) f
+        |  WHERE rnk <= 5)
+        |SELECT ex.probe_id, COUNT(*) AS n_exact, COUNT(i.vec_id) AS n_hit,
+        |ROUND(CAST(COUNT(i.vec_id) AS DOUBLE) / COUNT(*), 4) AS recall,
+        |CAST(ROUND(CAST(COUNT(i.vec_id) AS DOUBLE) / COUNT(*), 4) >= 0.95 AS INT) AS ok
+        |FROM exact ex LEFT JOIN ivf i ON ex.probe_id = i.probe_id AND ex.vec_id = i.vec_id
+        |GROUP BY ex.probe_id ORDER BY ex.probe_id""".stripMargin,
 
     // x20: all gap/duration arithmetic in exact integer µs (epoch_us ≡
     // unix_micros on the same floor-truncated timestamps); only sum_value

@@ -197,6 +197,43 @@ object VectorOps {
       .orderBy("probe_id", "rnk")
   }
 
+  /** x37 ANN recall gate: recall@5 of the IVF index ([[x08AnnIvf]]) against
+    * the brute-force exact top-5 ([[q54]]), per probe — the accuracy gate a
+    * pipeline runs at small scale before trusting the sub-linear index at
+    * large (same tolerance-verdict pattern as x34/q21: each engine computes
+    * BOTH algorithms itself; the declared output is exact hit counts plus
+    * the `recall ≥ 0.95` boolean, so the contract grades the index, not
+    * float internals — both rankings are already (round(cos,4), id)
+    * tie-broken, making the two top-5 SETS deterministic across engines).
+    *
+    * Scale: the two underlying searches dominate (one linear scan + one
+    * IVF probe); the gate itself joins two |probes|×5-row tables — free.
+    * Run it over a SAMPLED probe set at 100 TB; recall estimates converge
+    * at a few hundred probes regardless of corpus size.
+    *
+    * Measured on this fixture: recall ~0.0–0.4 per probe (ok=0 for 9/10
+    * probes at every sf). That is the CORRECT verdict, not a bug — the
+    * synthetic embeddings are near-uniform (max pairwise cos ≈ 0.6,
+    * VERDICT r5), so coarse clusters have no locality for nprobe=2 to
+    * exploit, and the gate is precisely the instrument that tells a
+    * pipeline "use the exact path (q54) on this distribution". On real
+    * embedding corpora (which cluster heavily) the same gate certifies the
+    * index; both engines compute identical verdicts either way. */
+  def x37AnnRecall(s: SparkSession, d: String): DataFrame = {
+    val exact = q54(s, d).select(col("probe_id"), col("neighbor_id"))
+    val ivf = x08AnnIvf(s, d)
+      .select(col("probe_id").as("p2"), col("neighbor_id").as("n2"))
+    exact.join(ivf,
+        col("probe_id") === col("p2") && col("neighbor_id") === col("n2"), "left")
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n_exact"), count(col("n2")).as("n_hit"))
+      .withColumn("recall",
+        dround(col("n_hit").cast("double") / col("n_exact").cast("double"), 4))
+      .select(col("probe_id"), col("n_exact"), col("n_hit"), col("recall"),
+              (col("recall") >= 0.95).cast("int").as("ok"))
+      .orderBy("probe_id")
+  }
+
   /** x22 int8 embedding quantization: per-vector affine min/max quantization
     * to the 0..255 range plus the max absolute reconstruction error — the
     * storage/bandwidth step an embedding pipeline runs before ANN indexing

@@ -32,7 +32,10 @@ class DeterminismSpec extends SparkSpecBase {
     "x33_dedup_survivors",
     // x31/x35: two-level top-k must pick identical finalists at any width;
     // x34: both sketches' tolerance booleans must not wobble with merges
-    "x31_top_bigrams", "x34_quantile_sketch", "x35_fixed_k_sample")
+    "x31_top_bigrams", "x34_quantile_sketch", "x35_fixed_k_sample",
+    // x37: the recall verdict composes two FP-ranked top-k sets; both must
+    // select identical finalists at any width for ok to be stable
+    "x37_ann_recall")
 
   private def canon(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted.toSeq
