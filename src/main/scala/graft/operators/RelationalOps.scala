@@ -143,36 +143,19 @@ object RelationalOps {
   def q15(s: SparkSession, d: String): DataFrame =
     Tables.region(s, d).crossJoin(Tables.nation(s, d)).agg(count(lit(1)).as("n"))
 
-  /** Q16 theta/range self-join on price bands.
-    *
-    * Scale story (the part that matters): a naive `BETWEEN` theta join is a
-    * nested-loop — O(n²) and a guaranteed 100 TB death. We band both sides
-    * into price buckets, explode the left side to its bucket ±1, equi-join
-    * on the bucket (shuffled hash join, linear), and post-filter the exact
-    * predicate.
-    *
-    * Bands live in LOG space: the join radius is RELATIVE (±0.1%), so
-    * constant-width ln(price) buckets hold the same candidate mass at every
-    * price level, where linear buckets must be sized for the MAX price and
-    * over-collect everywhere below it (measured ~7× fewer candidate pairs
-    * on the fixture, 3.2 s → well under 1 s at sf0.1). Width must exceed
-    * the maximum |Δln| = −ln(0.999) ≈ 1.0005e-3; 1.01e-3 adds float-safety
-    * margin (two in-window prices then land within one width, so their
-    * bucket ids differ by ≤ 1). Scale-invariant: no data-dependent width
-    * assertion needed at any sf, unlike the linear form this replaces.
-    */
+  /** Q16 theta/range self-join on price bands, routed through the reusable
+    * [[RangeJoin.banded]] primitive (the full banding/scale rationale —
+    * log-space bands for a RELATIVE ±0.1% radius, candidate mass constant
+    * at every price level, ~7× fewer candidates than linear banding on the
+    * fixture — lives in [[RangeJoin]]'s scaladoc). */
   def q16(s: SparkSession, d: String): DataFrame = {
-    val w = 1.01e-3
     val o = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
-    val band = floor(log(col("o_totalprice")) / w).cast("long")
-    val left = o
-      .withColumn("band0", band)
-      .withColumn("band", explode(array(col("band0") - 1, col("band0"), col("band0") + 1)))
-      .select(col("o_orderkey").as("k1"), col("o_totalprice").as("p1"), col("band"))
-    val right = o
-      .select(col("o_orderkey").as("k2"), col("o_totalprice").as("p2"), band.as("band"))
-    left.join(right, Seq("band"))
-      .filter(col("p2").between(col("p1") * 0.999, col("p1") * 1.001) && col("k1") < col("k2"))
+    def band(c: Column) = RangeJoin.logBand(c, 0.001)
+    RangeJoin.banded(
+        o.select(col("o_orderkey").as("k1"), col("o_totalprice").as("p1")),
+        o.select(col("o_orderkey").as("k2"), col("o_totalprice").as("p2")),
+        band(col("p1")), band(col("p2")),
+        col("p2").between(col("p1") * 0.999, col("p1") * 1.001) && col("k1") < col("k2"))
       .agg(count(lit(1)).as("n"))
   }
 

@@ -66,8 +66,8 @@ object TimeSeriesOps {
       .agg(min(when(col("event_type") === "signup", col("ts"))).as("lo"),
            max(when(col("event_type") === "purchase", col("ts"))).as("hi"))
       .filter(col("lo").isNotNull && col("hi").isNotNull)
-    e.join(broadcast(iv),
-           col("user_id") === col("iv_user") && col("ts").between(col("lo"), col("hi")))
+    RangeJoin.pointInInterval(e, iv,
+        col("user_id") === col("iv_user"), col("ts"), col("lo"), col("hi"))
       .groupBy("user_id")
       .agg(count(lit(1)).as("n"))
       .orderBy("user_id")
