@@ -59,6 +59,24 @@ object GraftSession {
   }
 
   def defaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  /** State-store configuration for PRODUCTION streaming jobs (the ST8–ST11
+    * operators at 100 TB): the RocksDB provider keeps keyed state off-heap
+    * and on local disk instead of in executor-heap hash maps — state size
+    * is then bounded by disk, not memory, which is the difference between
+    * "latest point per series" surviving 1e9 series or OOMing — and
+    * changelog checkpointing uploads per-batch deltas instead of full
+    * snapshot files, bounding commit latency as state grows. Not set in
+    * [[build]] by default (batch sessions have no state store at all);
+    * apply via `confs.foreach((spark.conf.set _).tupled)` before starting
+    * stateful queries. The transformWithState processors REQUIRE the
+    * RocksDB provider (column families); the rest of the streaming family
+    * is asserted provider-agnostic by RocksDbStateSpec, which re-runs the
+    * windowed-agg/dedup/FMGWS equivalence suite under these exact confs. */
+  val streamingStateConfs: Map[String, String] = Map(
+    "spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" -> "true")
 }
 
 /** Lazy per-(session, dir) table loaders. Every §2 query goes through these
