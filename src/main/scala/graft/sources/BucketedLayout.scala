@@ -48,20 +48,37 @@ object BucketedLayout {
 
   /** Compact one sealed day in place: coalesce the day's files into
     * `seriesBuckets` series-clustered, ts-sorted files. Idempotent; run
-    * after the streaming sink seals a day (catena's background compaction). */
+    * after the streaming sink seals a day (catena's background compaction).
+    *
+    * Crash safety (BucketedLayoutSpec walks the whole kill matrix): the
+    * rewrite lands in a hidden `.compact-day=` dir, so the serving day is
+    * untouched — and stays readable — until two metadata-only renames swap
+    * it: old day → `.old-day=` parking slot, new data → day. A kill before
+    * the swap leaves the day as it was (stale temp dirs are overwritten on
+    * retry); a kill between the renames is repaired by the recovery branch
+    * on the next call (the day is restored from the parking slot before
+    * anything else happens); a kill after the swap costs only the cleanup
+    * delete. On an object store without atomic rename this whole swap
+    * becomes a manifest/metadata commit instead. */
   def compactDay(spark: SparkSession, sinkDir: String, day: String, seriesBuckets: Int = 8): Unit = {
-    val dayDf = spark.read.parquet(s"$sinkDir/day=$day")
-    val tmp = s"$sinkDir/.compact-day=$day"
-    dayDf
-      .repartition(seriesBuckets, col("user_id"), col("event_type"))
-      .sortWithinPartitions("user_id", "event_type", "ts")
-      .write.mode("overwrite").parquet(tmp)
-    // atomic-enough swap on a posix fs; on an object store this would be a
-    // manifest/metadata commit instead
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(s"$sinkDir/day=$day")
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val tmp = new org.apache.hadoop.fs.Path(s"$sinkDir/.compact-day=$day")
+    val old = new org.apache.hadoop.fs.Path(s"$sinkDir/.old-day=$day")
+    // recovery: a prior run died between the two swap renames — the day is
+    // parked at `old`; put it back before doing anything else
+    if (!fs.exists(dst) && fs.exists(old)) fs.rename(old, dst)
+    // a prior run died after the swap, before cleanup: drop the stale park
+    if (fs.exists(old)) fs.delete(old, true)
+    spark.read.parquet(dst.toString)
+      .repartition(seriesBuckets, col("user_id"), col("event_type"))
+      .sortWithinPartitions("user_id", "event_type", "ts")
+      .write.mode("overwrite").parquet(tmp.toString)
+    // swap: two metadata renames; the day dir always points at a complete
+    // file set (never a half-deleted one, unlike delete-then-rename)
+    fs.rename(dst, old)
+    fs.rename(tmp, dst)
+    fs.delete(old, true)
   }
 
   /** Retention: drop whole days — catena's cheap partition drop. */

@@ -53,6 +53,46 @@ class BucketedLayoutSpec extends SparkSpecBase {
     assert(files === 2, s"expected 2 compacted buckets, got $files")
   }
 
+  test("compaction killed at any point leaves the day recoverable") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("crash-events").toString
+    BucketedLayout.migrate(spark, sfDir, dir, seriesBuckets = 2)
+    val day = "2024-01-06"
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val dst = new Path(s"$dir/day=$day")
+    val tmp = new Path(s"$dir/.compact-day=$day")
+    val old = new Path(s"$dir/.old-day=$day")
+    def dayStats() = BucketedLayout.readEvents(spark, dir)
+      .filter(col("day") === day).agg(count(lit(1)), sum("value")).head
+    val before = dayStats()
+
+    // kill BEFORE the swap: a half-written temp dir exists, the day is
+    // untouched and must still read exactly; the retry overwrites the temp
+    fs.mkdirs(tmp)
+    val mid = dayStats()
+    assert(mid.getLong(0) === before.getLong(0))
+    BucketedLayout.compactDay(spark, dir, day, seriesBuckets = 2)
+    assert(dayStats().getLong(0) === before.getLong(0))
+
+    // kill BETWEEN the two swap renames: the day is parked at `.old-day=`
+    // and the serving path is missing — the next compaction must first
+    // restore it, then complete normally
+    assert(fs.rename(dst, old))
+    assert(!fs.exists(dst))
+    BucketedLayout.compactDay(spark, dir, day, seriesBuckets = 2)
+    val afterRestore = dayStats()
+    assert(afterRestore.getLong(0) === before.getLong(0))
+    assert(math.abs(afterRestore.getDouble(1) - before.getDouble(1)) < 1e-6)
+    assert(!fs.exists(old) && !fs.exists(tmp), "swap left stale dirs behind")
+
+    // kill AFTER the swap, before cleanup: new data serving, stale park
+    // dir present — the next run must just drop the park and proceed
+    fs.mkdirs(old)
+    BucketedLayout.compactDay(spark, dir, day, seriesBuckets = 2)
+    assert(dayStats().getLong(0) === before.getLong(0))
+    assert(!fs.exists(old))
+  }
+
   test("retention drops whole days cheaply") {
     val dir = java.nio.file.Files.createTempDirectory("retention-events").toString
     BucketedLayout.migrate(spark, sfDir, dir, seriesBuckets = 2)
