@@ -80,6 +80,86 @@ object Dev {
       s.stop()
       return
     }
+    if (names.length == 1 && names.head.startsWith("skewstress")) {
+      // Adversarial-skew stress of the near-dup pipeline (candidate gen →
+      // exact verify → connected components → survivor argmax) on a
+      // SYNTHETIC hostile corpus: `clusterSize` docs are byte-IDENTICAL —
+      // every member shares every band key, the worst case for the band
+      // self-join — and the rest carry log-uniform (≈zipf) tokens from a
+      // 5k vocab, all derived from xxhash64(doc_id, pos): deterministic at
+      // any parallelism, no RNG. Usage:
+      //   skewstress[:nDocs[:clusterSize[:salt[:partitions]]]]
+      // (salt=1 → unsalted; partitions emulates CLUSTER width — the hot
+      // cluster creates exactly `bands`=32 hot keys, so at 32 local
+      // partitions the hot work self-balances by accident and the skew
+      // only becomes visible when partitions >> 32, as on a real cluster.)
+      // Prints per-phase wall time plus the 3 most skewed stages'
+      // max/median task times — the numbers BASELINE.md's skew section
+      // records for the salted-vs-unsalted comparison.
+      val parts = names.head.split(":")
+      val nDocs = parts.lift(1).map(_.toInt).getOrElse(50000)
+      val clusterSize = parts.lift(2).map(_.toInt).getOrElse(2000)
+      val saltN = parts.lift(3).map(_.toInt).getOrElse(1)
+      val s = GraftSession.build("graft-dev")
+      parts.lift(4).foreach(p => s.conf.set("spark.sql.shuffle.partitions", p))
+      import org.apache.spark.sql.functions._
+      val ident = (1 to 40).map(j => s"c$j").mkString(" ")
+      val docs = s.range(nDocs).select(col("id"))
+        .withColumn("toks", when(col("id") < clusterSize, split(lit(ident), " "))
+          .otherwise(expr(
+            "transform(sequence(1, 40), j -> concat('t', cast(cast(" +
+            "pow(5000.0, pmod(xxhash64(id, j), 1000000) / 1000000.0) as int) as string)))")))
+        .localCheckpoint(true) // corpus materialized once, like a real table
+      val stageTimes = scala.collection.mutable.Map[Int, scala.collection.mutable.ArrayBuffer[Long]]()
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskInfo != null) stageTimes.synchronized {
+            stageTimes.getOrElseUpdate(te.stageId,
+              scala.collection.mutable.ArrayBuffer[Long]()) += te.taskInfo.duration
+          }
+      })
+      def skewReport(label: String): Unit = stageTimes.synchronized {
+        val worst = stageTimes.toSeq.map { case (sid, ts) =>
+          val srt = ts.toSeq.sorted
+          (sid, srt.last, srt(srt.size / 2), srt.size)
+        }.sortBy(-_._2).take(3)
+        worst.foreach { case (sid, mx, med, n) =>
+          println(f"[$label] stage=$sid tasks=$n max_ms=$mx med_ms=$med " +
+            f"skew=${mx.toDouble / math.max(1, med)}%.1fx")
+        }
+        stageTimes.clear()
+      }
+      // hotMin is in bucket ROWS (a b-row bucket does b² join work): 1000
+      // rows ≈ 500k pairs in one task — past that, split it
+      val saltCfg = graft.functions.MinHashLSH.Salt(saltN, hotMin = 1000)
+      val pairsDir = java.nio.file.Files.createTempDirectory("skewpairs").toString
+      val t0 = System.nanoTime()
+      graft.functions.MinHashLSH.verifiedPairs(docs, 0.8, s = saltCfg)
+        .write.mode("overwrite").parquet(pairsDir)
+      val tPairs = (System.nanoTime() - t0) / 1e9
+      skewReport("pairs")
+      val pairs = s.read.parquet(pairsDir)
+      val nPairs = pairs.count()
+      val t1 = System.nanoTime()
+      val labels = graft.functions.ConnectedComponents.labels(
+        docs.select(col("id")), pairs.select(col("id_a"), col("id_b")))
+      val nComp = labels.select("comp").distinct().count()
+      val tCc = (System.nanoTime() - t1) / 1e9
+      skewReport("cc")
+      val t2 = System.nanoTime()
+      val nSurv = labels
+        .join(docs.select(col("id"), size(col("toks")).as("n_tok")), "id")
+        .groupBy("comp")
+        .agg(max_by(col("id"), struct(col("n_tok"), -col("id"))).as("keeper"))
+        .count()
+      val tSurv = (System.nanoTime() - t2) / 1e9
+      skewReport("survivors")
+      println(f"skewstress docs=$nDocs cluster=$clusterSize salt=$saltN " +
+        f"pairs=$nPairs%,d components=$nComp survivors=$nSurv " +
+        f"pairs_sec=$tPairs%.1f cc_sec=$tCc%.1f surv_sec=$tSurv%.1f")
+      s.stop()
+      return
+    }
     val spark = GraftSession.build("graft-dev")
     // GRAFT_DEV_CATALOG=1 reproduces Bench/Verify's stats-driven planning
     if (sys.env.get("GRAFT_DEV_CATALOG").contains("1"))

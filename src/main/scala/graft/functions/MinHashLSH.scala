@@ -89,6 +89,58 @@ object MinHashLSH {
         VectorExpressions.minhashBandKeys(col("toks"), p.numPerm, p.rows).as("bands"))
       .filter(col("bands").isNotNull)
 
+  /** Hot-bucket salting for the band self-join (OFF by default — and
+    * measured to stay off): split each bucket whose ROW count reaches
+    * `hotMin` over `salt` sub-keys.
+    *
+    * The adversarial input is a large cluster of (near-)identical docs:
+    * every member shares EVERY band key, so one bucket holds the whole
+    * cluster and its join computes the full |cluster|² pair square.
+    * Mechanics: left rows of a hot bucket take a deterministic sub-key
+    * `hash(id) % salt`, right rows replicate over all `salt` sub-keys,
+    * and each unordered pair (a<b) still meets exactly once — at a's
+    * sub-key — so the output is IDENTICAL to the unsalted join
+    * (MinHashLSHSpec "hot-bucket salting" pins it, fixture + synthetic
+    * identical-cluster corpus).
+    *
+    * MEASURED (BASELINE.md round-6 skew stress, 50k docs / 10k identical
+    * cluster / 256 partitions): AQE's skew-join split already divides the
+    * hot buckets' sort-merge partitions — unsalted max task 4.4 s vs
+    * median 1.8 s on a 3.2G-probe hot workload — while salt=8 lowered
+    * relative skew to 1.7× but cost 2.3× wall (hot-count pass + tag join
+    * + build replication). Keep Salt for the shapes `operators/Salting`
+    * exists for (shuffled-hash / aggregation-fed joins outside AQE's SMJ
+    * split); for THIS join, AQE is the production answer, and the real
+    * adversarial cost is the 50M-pair OUTPUT itself — run exact dedup
+    * (q52) before near-dup so identical docs collapse to one
+    * representative first. */
+  case class Salt(salt: Int = 1, hotMin: Long = 1L << 31) {
+    def on: Boolean = salt > 1
+  }
+
+  /** Self-join of banded rows on (band, sig) with id_a < id_b, optionally
+    * hot-bucket-salted. Callers project from aliases "a"/"b". */
+  private def selfBandJoin(banded: DataFrame, s: Salt): DataFrame = {
+    val eq = col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+      col("a.id") < col("b.id")
+    if (!s.on) banded.as("a").join(banded.as("b"), eq)
+    else {
+      val hot = banded.groupBy("band", "sig").agg(count(lit(1)).as("_bn"))
+        .filter(col("_bn") >= s.hotMin)
+        .select(col("band"), col("sig"), lit(true).as("_hot"))
+      val tagged = banded.join(broadcast(hot), Seq("band", "sig"), "left")
+      val l = tagged.withColumn("_salt",
+          when(col("_hot").isNotNull, pmod(xxhash64(col("id")), lit(s.salt.toLong)))
+            .otherwise(lit(0L)))
+        .drop("_hot")
+      val r = tagged.withColumn("_salt",
+          explode(when(col("_hot").isNotNull, sequence(lit(0L), lit(s.salt.toLong - 1)))
+            .otherwise(array(lit(0L)))))
+        .drop("_hot")
+      l.as("a").join(r.as("b"), eq && col("a._salt") === col("b._salt"))
+    }
+  }
+
   /** Distinct candidate pairs (id_a < id_b) sharing ≥1 band bucket.
     *
     * Two scale decisions:
@@ -105,15 +157,13 @@ object MinHashLSH {
     *    count in duplicate rows; first-match dedup is exact (a pair appears
     *    in bucket k iff its band hashes agree at k, which is precisely what
     *    the filter tests) and costs one array scan per collision row. */
-  def candidatePairs(items: DataFrame, p: Params = Params()): DataFrame = {
+  def candidatePairs(items: DataFrame, p: Params = Params(),
+                     s: Salt = Salt()): DataFrame = {
     val n = items.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val hashed = bandKeys(items, p).repartition(n)
     val banded = hashed.select(col("id"), col("bands"),
       posexplode(col("bands")).as(Seq("band", "sig")))
-    banded.as("a")
-      .join(banded.as("b"),
-            col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-              col("a.id") < col("b.id"))
+    selfBandJoin(banded, s)
       .filter(VectorExpressions.firstMatchIndex(col("a.bands"), col("b.bands")) === col("a.band"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
   }
@@ -127,7 +177,7 @@ object MinHashLSH {
     * before the verify join drags both token arrays across the shuffle.
     * Output: (id_a, id_b, sz_a, sz_b). */
   private def candidatePairsSized(items: DataFrame, threshold: Double,
-                                  p: Params): DataFrame = {
+                                  p: Params, s: Salt = Salt()): DataFrame = {
     val n = items.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val hashed = items.select(col("id"),
         size(array_distinct(col("toks"))).as("sz"),
@@ -136,10 +186,7 @@ object MinHashLSH {
       .repartition(n)
     val banded = hashed.select(col("id"), col("sz"), col("bands"),
       posexplode(col("bands")).as(Seq("band", "sig")))
-    banded.as("a")
-      .join(banded.as("b"),
-            col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-              col("a.id") < col("b.id"))
+    selfBandJoin(banded, s)
       .filter(least(col("a.sz"), col("b.sz")).cast("double") >=
               lit(threshold) * greatest(col("a.sz"), col("b.sz")).cast("double") - lit(1.0))
       .filter(VectorExpressions.firstMatchIndex(col("a.bands"), col("b.bands")) === col("a.band"))
@@ -169,7 +216,7 @@ object MinHashLSH {
     * tiny rows AQE coalesced to one partition — the distinct is gone, and
     * at sf0.1 the redundant 12M-pair shuffle cost x14 4s of its 11.5s. */
   def verifiedPairs(items: DataFrame, threshold: Double,
-                    p: Params = Params()): DataFrame = {
+                    p: Params = Params(), s: Salt = Salt()): DataFrame = {
     // Per-doc ONCE: distinct tokens → 64-bit hashes → sorted array. The
     // per-pair exact intersection is then a codegen'd two-pointer merge
     // (SortedIntersectCount) instead of array_intersect's interpreted
@@ -192,7 +239,7 @@ object MinHashLSH {
     // (jac goes negative, the SAME threshold filter drops it); a candidate
     // that can is counted exactly — survivors are bitwise-identical to the
     // plain kernel (MinHashLSHSpec asserts it).
-    candidatePairsSized(items, threshold, p)
+    candidatePairsSized(items, threshold, p, s)
       .join(sets.select(col("id").as("id_a"), col("set").as("set_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("set").as("set_b")), "id_b")
       .withColumn("inter",

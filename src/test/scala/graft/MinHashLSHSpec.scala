@@ -25,6 +25,29 @@ class MinHashLSHSpec extends SparkSpecBase {
     assert(lsh === exact)
   }
 
+  test("hot-bucket salting changes the plan, never the output") {
+    // hotMin=1 makes EVERY bucket hot, so the salted join path (sub-key on
+    // the left, salt-way replication on the right) carries the entire
+    // fixture — the strongest equality check the fixture can express; a
+    // synthetic identical-doc cluster additionally pins the adversarial
+    // case end to end
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val salt = MinHashLSH.Salt(salt = 4, hotMin = 1)
+    assert(pairSet(MinHashLSH.verifiedPairs(docs, 0.8, s = salt)) ===
+           pairSet(MinHashLSH.verifiedPairs(docs, 0.8)))
+    assert(pairSet(MinHashLSH.candidatePairs(docs, s = salt)) ===
+           pairSet(MinHashLSH.candidatePairs(docs)))
+    // adversarial corpus: 60 identical docs + 60 distinct ones
+    val ident = (1 to 30).map(j => s"c$j").mkString(" ")
+    val hostile = spark.range(120).select(col("id"))
+      .withColumn("toks", when(col("id") < 60, split(lit(ident), " "))
+        .otherwise(expr("transform(sequence(1, 30), j -> concat('u', cast(id * 100 + j as string)))")))
+    val salted = pairSet(MinHashLSH.verifiedPairs(hostile, 0.8, s = salt))
+    assert(salted === pairSet(MinHashLSH.verifiedPairs(hostile, 0.8)))
+    assert(salted.size === 60 * 59 / 2, "identical cluster must yield the full pair square")
+  }
+
   test("Params: recall math and a sparse-corpus config (r=4) on real docs") {
     val p = MinHashLSH.Params(numPerm = 64, rows = 4)
     assert(p.bands === 16)
