@@ -164,6 +164,10 @@ object Dev {
     // GRAFT_DEV_CATALOG=1 reproduces Bench/Verify's stats-driven planning
     if (sys.env.get("GRAFT_DEV_CATALOG").contains("1"))
       GraftCatalog.install(spark, sfDir)
+    // GRAFT_DEV_JOINREORDER=1 flips the CBO DP join reorder ON for the run
+    // — the measurement toggle behind GraftCatalog's reorder-off decision
+    if (sys.env.get("GRAFT_DEV_JOINREORDER").contains("1"))
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
     val time = args.length > 2 && args(2) == "time"
     names.foreach { n =>
       println(s"=== $n ===")
