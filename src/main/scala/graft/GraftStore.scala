@@ -60,7 +60,10 @@ class GraftStore(spark: SparkSession, dir: String) {
     df.orderBy("ts", "event_id")
   }
 
-  /** Latest point of one series (catena's hot query), or of every series. */
+  /** Latest point of one series (catena's hot query), or of every series.
+    * Deliberately driver-side: the aggregate reduces one pruned series scan
+    * to a single row, and the scalar `Option` return IS the API — use
+    * [[latestAll]] for the distributed every-series variant. */
   def latest(source: Long, metric: String): Option[(java.sql.Timestamp, Double)] =
     series(source, metric)
       .agg(max_by(struct(col("ts"), col("value")), col("ts")).as("p"))

@@ -139,6 +139,7 @@ object SparkEntry {
     "x35_fixed_k_sample"  -> (TextOps.x35FixedKSample _),
     "x36_chunk_windows"   -> (TextOps.x36ChunkWindows _),
     "x37_ann_recall"      -> (VectorOps.x37AnnRecall _),
+    "x38_dedup_first"     -> (TextOps.x38DedupFirstNearDup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -466,6 +467,25 @@ object SparkEntry {
         |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2)
         |SELECT doc_a, doc_b, ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS j
         |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // x38: q52's exact-dedup composed BEFORE q53's near-dup — the twin
+    // runs the same composition (collapse identical texts to the min-id
+    // representative, exact all-pairs Jaccard among representatives,
+    // multiplicities carried instead of the copy square)
+    "x38_dedup_first" ->
+      """WITH g AS (SELECT MIN(doc_id) AS id, COUNT(*) AS copies, MIN(text) AS text
+        |  FROM documents GROUP BY sha256(text)),
+        |t AS (SELECT DISTINCT id AS doc_id, tok FROM
+        |  (SELECT id, UNNEST(string_split(text, ' ')) AS tok FROM g) u),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS j,
+        |ga.copies AS copies_a, gb.copies AS copies_b
+        |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |JOIN g ga ON ga.id = doc_a JOIN g gb ON gb.id = doc_b
         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
 

@@ -252,22 +252,37 @@ object MinHashLSH {
   }
 
   /** [[verifiedPairs]] with DICTIONARY-ENCODED token sets — for bounded
-    * token universes only (char n-grams: ≤ |alphabet|ⁿ distinct shingles at
-    * ANY corpus size, so the vocab stays a broadcastable few-thousand rows
-    * and the single-partition rank window never grows). Sets become sorted
-    * ARRAY<INT> of dense vocab ranks: half the bytes per element of the
-    * 64-bit-hash sets, which is the dominant cost when a dense corpus makes
-    * candidates ≈ all pairs and every candidate drags both sets through the
-    * verify join. Token↔id is a bijection, so intersection counts, sizes,
-    * and j are bitwise-identical to [[verifiedPairs]] (asserted in
-    * MinHashLSHSpec). Word-token corpora must keep [[verifiedPairs]]: their
-    * vocab is unbounded, and a global rank over it would not scale. */
+    * token universes (char n-grams: ≤ |alphabet|ⁿ distinct shingles at ANY
+    * corpus size, so the vocab stays a broadcastable few-thousand rows).
+    * Sets become sorted ARRAY<INT> of dense vocab ids: half the bytes per
+    * element of the 64-bit-hash sets, which is the dominant cost when a
+    * dense corpus makes candidates ≈ all pairs and every candidate drags
+    * both sets through the verify join.
+    *
+    * The dense id assignment is a TWO-LEVEL rank (x16's prefix-scan
+    * pattern): distinct tokens hash into 256 buckets, rank within each
+    * bucket in parallel, and a prefix-sum over the 256 bucket COUNTS (an
+    * aggregate-sized window) offsets them — no single-partition window
+    * over the vocab itself at any size. Any token↔id bijection gives
+    * identical intersection counts, sizes, and j, so the output stays
+    * bitwise-identical to [[verifiedPairs]] (asserted in MinHashLSHSpec).
+    * Word-token corpora should still prefer [[verifiedPairs]]: their vocab
+    * is corpus-sized, so the dictionary itself (not the rank) becomes the
+    * scaling liability. */
   def verifiedPairsDict(items: DataFrame, threshold: Double,
                         p: Params = Params()): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
     val tok = items.select(col("id"), explode(array_distinct(col("toks"))).as("tok"))
-    val vocab = tok.select("tok").distinct()
-      .withColumn("tid", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy("tok")))
+    val ranked = tok.select("tok").distinct()
+      .withColumn("bkt", pmod(xxhash64(col("tok")), lit(256L)))
+      .withColumn("r", row_number().over(
+        w.partitionBy("bkt").orderBy("tok")))
+    val offsets = ranked.groupBy("bkt").agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(sum("n").over(
+        w.orderBy("bkt").rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .select("bkt", "off")
+    val vocab = ranked.join(broadcast(offsets), "bkt")
+      .select(col("tok"), (col("off") + col("r")).cast("int").as("tid"))
     val sets = tok.join(broadcast(vocab), "tok")
       .groupBy("id").agg(array_sort(collect_list(col("tid"))).as("set"))
     candidatePairsSized(items, threshold, p)

@@ -713,4 +713,33 @@ object TextOps {
           .as("novelty"))
       .orderBy("source")
   }
+
+  /** x38 exact-dedup-first near-dup: the composition the round-6 skew
+    * stress proved mandatory at scale (BASELINE.md). Byte-identical docs
+    * first collapse to ONE representative (q52's sha256 hash-agg; min
+    * doc_id keeps the choice deterministic), near-dup detection then runs
+    * over representatives only, and the output carries each side's
+    * exact-copy multiplicity instead of materializing the copy square —
+    * a 10k-identical cluster contributes ZERO pairs here instead of the
+    * 50M its raw pair square costs q53 (downstream CC/survivor stages
+    * weight by `copies`). On this fixture (500 distinct texts, no exact
+    * dups) the pair list equals q53's with copies=1 — the composition is
+    * the contract, and the oracle computes the same composition.
+    *
+    * Scale: one sha256 hash-shuffle (q52) + the q53 machinery over the
+    * ≤-corpus-sized representative set + two unhinted multiplicity joins
+    * on the (small) pair list. */
+  def x38DedupFirstNearDup(s: SparkSession, d: String): DataFrame = {
+    val reps = Tables.documents(s, d)
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min("doc_id").as("id"), count(lit(1)).as("copies"), min("text").as("text"))
+    val toks = reps.select(col("id"), split(col("text"), " ").as("toks"))
+    val copies = reps.select(col("id"), col("copies"))
+    MinHashLSH.verifiedPairs(toks, 0.8)
+      .join(copies.select(col("id").as("id_a"), col("copies").as("copies_a")), "id_a")
+      .join(copies.select(col("id").as("id_b"), col("copies").as("copies_b")), "id_b")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("j"),
+              col("copies_a"), col("copies_b"))
+      .orderBy("doc_a", "doc_b")
+  }
 }

@@ -48,6 +48,30 @@ class MinHashLSHSpec extends SparkSpecBase {
     assert(salted.size === 60 * 59 / 2, "identical cluster must yield the full pair square")
   }
 
+  test("x38 dedup-first collapses the identical-copy pair square") {
+    import spark.implicits._
+    // 20 byte-identical copies + one near-dup (J = 9/11 ≈ 0.818) + one
+    // unrelated doc, written as a real documents table
+    val ident = "a b c d e f g h i j"
+    val near  = "a b c d e f g h i k"
+    val other = "z y x w v u t s r q"
+    val rows = (0L until 20L).map(i => (i, ident)) :+ (20L, near) :+ (21L, other)
+    val dir = java.nio.file.Files.createTempDirectory("x38docs").toString
+    rows.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'s1' AS source",
+                  "CAST(length(text) AS BIGINT) AS n_chars")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    // raw q53 pays the square: C(20,2)=190 identity pairs + 20 near pairs
+    assert(operators.TextOps.q53(spark, dir).count() === 210)
+    // dedup-first: ONE representative pair, multiplicities carried
+    val x38 = operators.TextOps.x38DedupFirstNearDup(spark, dir).collect()
+    assert(x38.length === 1)
+    val r = x38.head
+    assert(r.getLong(0) === 0L && r.getLong(1) === 20L)
+    assert(r.getDouble(2) === 0.8182)
+    assert(r.getLong(3) === 20L && r.getLong(4) === 1L)
+  }
+
   test("Params: recall math and a sparse-corpus config (r=4) on real docs") {
     val p = MinHashLSH.Params(numPerm = 64, rows = 4)
     assert(p.bands === 16)
