@@ -83,6 +83,13 @@ class PlanSpec extends SparkSpecBase {
            "verify stage executed on a single partition")
   }
 
+  test("x38 dedup-first: collapse agg + banded equi-joins, no product") {
+    val p = planOf(operators.TextOps.x38DedupFirstNearDup(spark, sfDir))
+    assert(p.contains("HashAggregate"), s"sha256 collapse must be a hash agg:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+           s"dedup-first near-dup degenerated to a product:\n$p")
+  }
+
   test("Q36 top-k compiles to TakeOrderedAndProject (no global sort)") {
     val p = planOf(operators.AnalyticOps.q36(spark, sfDir))
     assert(p.contains("TakeOrderedAndProject"), p)
