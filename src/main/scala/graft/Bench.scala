@@ -109,7 +109,8 @@ object Bench {
     // per-query map on a 95-query run — persist the complete line to a file
     // (override path via SPARK_GRAFT_BENCH_OUT) so every round's numbers
     // survive verbatim.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_last.json")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      sys.props.getOrElse("user.dir", ".") + "/bench_last.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>

@@ -129,9 +129,7 @@ object Dev {
         }
         stageTimes.clear()
       }
-      // hotMin is in bucket ROWS (a b-row bucket does b² join work): 1000
-      // rows ≈ 500k pairs in one task — past that, split it
-      val saltCfg = graft.functions.MinHashLSH.Salt(saltN, hotMin = 1000)
+      val saltCfg = graft.functions.MinHashLSH.Salt(saltN)
       val pairsDir = java.nio.file.Files.createTempDirectory("skewpairs").toString
       val t0 = System.nanoTime()
       graft.functions.MinHashLSH.verifiedPairs(docs, 0.8, s = saltCfg)
@@ -146,13 +144,17 @@ object Dev {
       val nComp = labels.select("comp").distinct().count()
       val tCc = (System.nanoTime() - t1) / 1e9
       skewReport("cc")
-      val t2 = System.nanoTime()
-      val nSurv = labels
+      // materialize through the noop sink, NOT count(): Catalyst prunes an
+      // unreferenced max_by out of an agg+count plan (Bench's own protocol)
+      val surv = labels
         .join(docs.select(col("id"), size(col("toks")).as("n_tok")), "id")
         .groupBy("comp")
-        .agg(max_by(col("id"), struct(col("n_tok"), -col("id"))).as("keeper"))
-        .count()
+        .agg(max_by(col("id"), struct(col("n_tok"), -col("id"))).as("keeper"),
+             count(lit(1)).as("members"))
+      val t2 = System.nanoTime()
+      surv.write.format("noop").mode("overwrite").save()
       val tSurv = (System.nanoTime() - t2) / 1e9
+      val nSurv = surv.count()
       skewReport("survivors")
       println(f"skewstress docs=$nDocs cluster=$clusterSize salt=$saltN " +
         f"pairs=$nPairs%,d components=$nComp survivors=$nSurv " +

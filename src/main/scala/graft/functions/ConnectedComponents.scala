@@ -67,9 +67,13 @@ object ConnectedComponents {
           .cache()
         jumping = nxt.filter(col("moved")).count()
         // the count() above fully materialized nxt's cache, so the previous
-        // jump's blocks are dead weight — freeing them here keeps at most
-        // two iterations resident instead of all O(log n) hook tables (an
-        // eviction then recomputes one join, not the whole accumulated chain)
+        // jump's blocks are dead weight — freeing them here bounds peak
+        // STORAGE at two iterations instead of all O(log n) hook tables.
+        // (It does not bound recompute depth: a later eviction of nxt_k
+        // replays the k self-joins back to the round's checkpoint, since
+        // the predecessors are no longer cached — acceptable, because
+        // eviction of these small hook tables is rare and the checkpoint
+        // keeps the replay within one round.)
         if (prevCached != null) prevCached.unpersist(false)
         prevCached = nxt
         hook = nxt.drop("moved")

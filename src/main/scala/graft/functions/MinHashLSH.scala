@@ -114,7 +114,11 @@ object MinHashLSH {
     * adversarial cost is the 50M-pair OUTPUT itself — run exact dedup
     * (q52) before near-dup so identical docs collapse to one
     * representative first. */
-  case class Salt(salt: Int = 1, hotMin: Long = 1L << 31) {
+  case class Salt(salt: Int = 1, hotMin: Long = 1000L) {
+    // hotMin is in bucket ROWS (a b-row bucket does b² join work): the
+    // 1000-row default ≈ a 500k-pair square in one task, past which a
+    // bucket is worth splitting — so `Salt(8)` works as a caller expects
+    // (salting stays off entirely unless salt > 1)
     def on: Boolean = salt > 1
   }
 
@@ -259,12 +263,15 @@ object MinHashLSH {
     * dense corpus makes candidates ≈ all pairs and every candidate drags
     * both sets through the verify join.
     *
-    * The dense id assignment is a TWO-LEVEL rank (x16's prefix-scan
-    * pattern): distinct tokens hash into 256 buckets, rank within each
-    * bucket in parallel, and a prefix-sum over the 256 bucket COUNTS (an
-    * aggregate-sized window) offsets them — no single-partition window
-    * over the vocab itself at any size. Any token↔id bijection gives
-    * identical intersection counts, sizes, and j, so the output stays
+    * The id assignment is a DISTRIBUTED two-level rank: distinct tokens
+    * hash into 256 buckets, rank within each bucket in parallel, and the
+    * id INTERLEAVES bucket and rank (`(r−1)·256 + bkt` — a bijection by
+    * divmod) — one pass, no single-partition window over the vocab at any
+    * size, and no second offsets aggregate. Ids are not dense, but density
+    * was never the point: only the 4-byte INT width is (max id ≈
+    * 256·max-bucket-rank, far inside Int for any bounded universe this
+    * path targets), and ANY token↔id bijection gives identical
+    * intersection counts, sizes, and j, so the output stays
     * bitwise-identical to [[verifiedPairs]] (asserted in MinHashLSHSpec).
     * Word-token corpora should still prefer [[verifiedPairs]]: their vocab
     * is corpus-sized, so the dictionary itself (not the rank) becomes the
@@ -273,16 +280,11 @@ object MinHashLSH {
                         p: Params = Params()): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val tok = items.select(col("id"), explode(array_distinct(col("toks"))).as("tok"))
-    val ranked = tok.select("tok").distinct()
+    val vocab = tok.select("tok").distinct()
       .withColumn("bkt", pmod(xxhash64(col("tok")), lit(256L)))
       .withColumn("r", row_number().over(
         w.partitionBy("bkt").orderBy("tok")))
-    val offsets = ranked.groupBy("bkt").agg(count(lit(1)).as("n"))
-      .withColumn("off", coalesce(sum("n").over(
-        w.orderBy("bkt").rowsBetween(Long.MinValue, -1)), lit(0L)))
-      .select("bkt", "off")
-    val vocab = ranked.join(broadcast(offsets), "bkt")
-      .select(col("tok"), (col("off") + col("r")).cast("int").as("tid"))
+      .select(col("tok"), ((col("r") - 1) * 256 + col("bkt")).cast("int").as("tid"))
     val sets = tok.join(broadcast(vocab), "tok")
       .groupBy("id").agg(array_sort(collect_list(col("tid"))).as("set"))
     candidatePairsSized(items, threshold, p)

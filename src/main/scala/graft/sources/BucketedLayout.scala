@@ -47,8 +47,14 @@ object BucketedLayout {
     spark.read.parquet(sinkDir)
 
   /** Compact one sealed day in place: coalesce the day's files into
-    * `seriesBuckets` series-clustered, ts-sorted files. Idempotent; run
-    * after the streaming sink seals a day (catena's background compaction).
+    * `seriesBuckets` series-clustered, ts-sorted files. Idempotent. For the
+    * BATCH layout only — a STREAMING sink's directory carries a
+    * `_spark_metadata` transaction manifest that a physical rewrite would
+    * invalidate (and whose orphaned uncommitted files it would bake in);
+    * this method refuses such dirs, and streaming zones compact via
+    * [[graft.streaming.IngestPipeline.compactDayInto]]'s two-zone design
+    * instead (raw stays append-only under its manifest; serving is the
+    * rewrite target).
     *
     * Crash safety (BucketedLayoutSpec walks the whole kill matrix): the
     * rewrite lands in a hidden `.compact-day=` dir, so the serving day is
@@ -58,16 +64,24 @@ object BucketedLayout {
     * retry); a kill between the renames is repaired by the recovery branch
     * on the next call (the day is restored from the parking slot before
     * anything else happens); a kill after the swap costs only the cleanup
-    * delete. On an object store without atomic rename this whole swap
-    * becomes a manifest/metadata commit instead. */
+    * delete. Both renames are REQUIRED to succeed before the park is
+    * deleted — a failed swap aborts with the original data intact (at the
+    * serving name, or parked for the recovery branch). On an object store
+    * without atomic rename this whole swap becomes a manifest/metadata
+    * commit instead. */
   def compactDay(spark: SparkSession, sinkDir: String, day: String, seriesBuckets: Int = 8): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$sinkDir/_spark_metadata")),
+      s"$sinkDir is a streaming-sink directory (_spark_metadata present): " +
+        "physical compaction would invalidate the manifest and resurrect " +
+        "orphaned uncommitted files — use IngestPipeline.compactDayInto")
     val dst = new org.apache.hadoop.fs.Path(s"$sinkDir/day=$day")
     val tmp = new org.apache.hadoop.fs.Path(s"$sinkDir/.compact-day=$day")
     val old = new org.apache.hadoop.fs.Path(s"$sinkDir/.old-day=$day")
     // recovery: a prior run died between the two swap renames — the day is
     // parked at `old`; put it back before doing anything else
-    if (!fs.exists(dst) && fs.exists(old)) fs.rename(old, dst)
+    if (!fs.exists(dst) && fs.exists(old))
+      require(fs.rename(old, dst), s"recovery rename failed: $old -> $dst")
     // a prior run died after the swap, before cleanup: drop the stale park
     if (fs.exists(old)) fs.delete(old, true)
     spark.read.parquet(dst.toString)
@@ -75,9 +89,11 @@ object BucketedLayout {
       .sortWithinPartitions("user_id", "event_type", "ts")
       .write.mode("overwrite").parquet(tmp.toString)
     // swap: two metadata renames; the day dir always points at a complete
-    // file set (never a half-deleted one, unlike delete-then-rename)
-    fs.rename(dst, old)
-    fs.rename(tmp, dst)
+    // file set (never a half-deleted one, unlike delete-then-rename). The
+    // park is only deleted once BOTH renames verifiably succeeded.
+    require(fs.rename(dst, old), s"park rename failed: $dst -> $old")
+    require(fs.rename(tmp, dst),
+      s"swap rename failed: $tmp -> $dst — day parked at $old; the next call restores it")
     fs.delete(old, true)
   }
 

@@ -93,6 +93,17 @@ class BucketedLayoutSpec extends SparkSpecBase {
     assert(!fs.exists(old))
   }
 
+  test("compaction refuses a streaming-sink directory (manifest present)") {
+    val dir = java.nio.file.Files.createTempDirectory("manifest-events").toString
+    BucketedLayout.migrate(spark, sfDir, dir, seriesBuckets = 2)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/_spark_metadata"))
+    val e = intercept[IllegalArgumentException] {
+      BucketedLayout.compactDay(spark, dir, "2024-01-05", seriesBuckets = 2)
+    }
+    assert(e.getMessage.contains("_spark_metadata"))
+  }
+
   test("retention drops whole days cheaply") {
     val dir = java.nio.file.Files.createTempDirectory("retention-events").toString
     BucketedLayout.migrate(spark, sfDir, dir, seriesBuckets = 2)
