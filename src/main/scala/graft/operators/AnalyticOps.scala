@@ -18,25 +18,52 @@ object AnalyticOps {
 
   // ---- §2.5 windows ------------------------------------------------------
 
-  private val byValue = Window.partitionBy("event_type")
-    .orderBy(col("value").desc, col("event_id"))
-
-  /** Q29 ranking family over a totally-ordered window. Scale note: unlike
-    * top-k (q34/x31, two-level at full width), `ntile` is inherently
-    * group-GLOBAL — the quartile boundary needs the group's total count —
-    * so the per-group pass cannot be bucketed away; with low-cardinality
-    * groups the family query demonstrates semantics, and a 100 TB caller
-    * wanting only ranks (a total order makes rank = dense_rank =
-    * row_number) should use the q34 two-level shape instead. */
-  def q29(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .select(col("event_id"), col("event_type"),
-              row_number().over(byValue).cast("long").as("rn"),
-              rank().over(byValue).cast("long").as("rk"),
-              dense_rank().over(byValue).cast("long").as("drk"),
-              ntile(4).over(byValue).cast("long").as("nt"))
+  /** Q29 ranking family over a totally-ordered window, SCALE-SAFE: no
+    * window ever sees a full event_type group (5 distinct values — a
+    * per-group window would serialize corpus/5 onto one task at 100 TB).
+    *
+    * The contract's ORDER BY (value DESC, event_id) is a strict total
+    * order (event_id is the PK), which closes every member of the family:
+    *   - row_number: two-level top-20 exactly as q34 — local top-20 per
+    *     (event_type, 256-way row-hash bucket) at full cluster width, then
+    *     the exact global top-20 from the ≤256·20 finalists per group;
+    *   - rank / dense_rank: a total order has no ties, so both equal
+    *     row_number;
+    *   - ntile(4): group-global only through the group's TOTAL count n —
+    *     one hash aggregate (partial+final, 5 result rows, broadcast back)
+    *     and SQL ntile is closed-form in (rn, n): with q = n div 4,
+    *     r = n mod 4, the first r buckets hold q+1 rows, so
+    *     nt = (rn-1) div (q+1) + 1         if rn <= r·(q+1)
+    *        = r + (rn-1-r·(q+1)) div q + 1 otherwise.
+    * Net plan: bucketed window + finalist window (≤5120 rows/group) + one
+    * count aggregate + a broadcast join — every full-width pass is
+    * hash-partitioned on (event_type, bkt), nothing serializes. */
+  def q29(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select("event_id", "event_type", "value")
+    val wLocal = Window.partitionBy("event_type", "bkt")
+      .orderBy(col("value").desc, col("event_id"))
+    val wFinal = Window.partitionBy("event_type")
+      .orderBy(col("value").desc, col("event_id"))
+    val ranked = ev
+      .withColumn("bkt", pmod(xxhash64(col("event_id")), lit(256)))
+      .withColumn("lrk", row_number().over(wLocal))
+      .filter(col("lrk") <= 20)
+      .withColumn("rn", row_number().over(wFinal).cast("long"))
       .filter(col("rn") <= 20)
+    val counts = ev.groupBy("event_type").agg(count(lit(1)).as("n"))
+    // ntile(4) closed form, all-integral; the else-divisor is safe: rn >
+    // r*(q+1) implies q >= 1 (with q = 0 every row sits in the first r = n
+    // buckets, so the THEN branch always fires).
+    val nt = expr(
+      """CASE WHEN rn <= (n % 4) * (n div 4 + 1)
+        |     THEN (rn - 1) div (n div 4 + 1) + 1
+        |     ELSE (n % 4) + (rn - 1 - (n % 4) * (n div 4 + 1)) div greatest(n div 4, 1) + 1
+        |END""".stripMargin)
+    ranked.join(broadcast(counts), "event_type")
+      .select(col("event_id"), col("event_type"), col("rn"),
+              col("rn").as("rk"), col("rn").as("drk"), nt.cast("long").as("nt"))
       .orderBy("event_type", "rn")
+  }
 
   private def seriesW = Window.partitionBy("user_id", "event_type")
     .orderBy("ts", "event_id")

@@ -47,6 +47,21 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("SortMergeJoin"), p)
   }
 
+  test("Q29: no ntile window, no full-group rank — two-level + broadcast count") {
+    val p = planOf(operators.AnalyticOps.q29(spark, sfDir))
+    // the quartile is the closed form over the count aggregate, never a
+    // window function — a ntile anywhere means a full event_type group
+    // (corpus/5 rows) serialized onto one task
+    assert(!p.contains("ntile"), s"ntile window resurfaced:\n$p")
+    // the full-width window partitions by (event_type, bkt); the
+    // event_type-only window must sit above the lrk finalist filter
+    assert(p.contains("bkt"), s"bucketed local pass missing:\n$p")
+    assert(p.contains("lrk"), s"finalist filter missing below the global rank:\n$p")
+    // group totals arrive via broadcast, not a shuffle join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), s"count join fell back to SMJ:\n$p")
+  }
+
   test("Q16 theta join: banding keeps it an equi-join (no nested loop)") {
     val p = planOf(operators.RelationalOps.q16(spark, sfDir))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
