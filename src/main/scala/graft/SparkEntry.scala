@@ -140,6 +140,7 @@ object SparkEntry {
     "x36_chunk_windows"   -> (TextOps.x36ChunkWindows _),
     "x37_ann_recall"      -> (VectorOps.x37AnnRecall _),
     "x38_dedup_first"     -> (TextOps.x38DedupFirstNearDup _),
+    "x39_dedup_pipeline"  -> (TextOps.x39DedupPipeline _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -488,6 +489,41 @@ object SparkEntry {
         |JOIN g ga ON ga.id = doc_a JOIN g gb ON gb.id = doc_b
         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // x39: x38's collapse + x14's recursive-CTE reachability over the
+    // REPRESENTATIVE graph + x33's integer argmax, with copy
+    // multiplicities folded into member counts and byte totals
+    "x39_dedup_pipeline" ->
+      """WITH RECURSIVE g AS (SELECT MIN(doc_id) AS id, COUNT(*) AS copies,
+        |    MIN(text) AS text, MIN(n_chars) AS n_chars
+        |  FROM documents GROUP BY sha256(text)),
+        |t AS (SELECT DISTINCT id AS doc_id, tok FROM
+        |  (SELECT id, UNNEST(string_split(text, ' ')) AS tok FROM g) u),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b
+        |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT id, id AS comp FROM g
+        |  UNION
+        |  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id
+        |  WHERE r.comp < e.dst),
+        |lab AS (SELECT id, MIN(comp) AS cluster_id FROM reach GROUP BY id),
+        |j AS (SELECT lab.id, cluster_id, copies, n_chars,
+        |  row_number() OVER (PARTITION BY cluster_id
+        |    ORDER BY n_chars DESC, lab.id) AS rnk
+        |  FROM lab JOIN g ON lab.id = g.id),
+        |a AS (SELECT cluster_id, SUM(copies)::BIGINT AS n_members,
+        |  COUNT(*)::BIGINT AS n_reps,
+        |  SUM(n_chars * copies)::BIGINT AS chars_total FROM j GROUP BY 1)
+        |SELECT a.cluster_id AS cluster_id, k.id AS keeper, n_members, n_reps,
+        |k.n_chars AS chars_kept, chars_total - k.n_chars AS chars_dropped
+        |FROM a JOIN j k ON a.cluster_id = k.cluster_id AND k.rnk = 1
+        |ORDER BY a.cluster_id""".stripMargin,
 
     "q54_cosine_topk" ->
       """WITH p AS (SELECT vec_id AS probe_id, embedding AS p_emb FROM embeddings WHERE vec_id < 10),

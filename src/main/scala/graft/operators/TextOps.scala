@@ -742,4 +742,63 @@ object TextOps {
               col("copies_a"), col("copies_b"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** x39 dedup-first pipeline CLOSURE: the end-to-end composition x38
+    * opens — exact-collapse → near-dup pairs over representatives →
+    * cluster resolution → survivor selection — with the collapsed copy
+    * multiplicities folded back into every downstream number, so the
+    * bookkeeping describes the ORIGINAL corpus, not the representative
+    * set:
+    *   - `n_members`  = Σ copies over the cluster (every byte-identical
+    *     copy counts as a member);
+    *   - `n_reps`     = distinct texts in the cluster (what CC actually
+    *     traversed);
+    *   - `chars_kept` = the single surviving doc's n_chars;
+    *   - `chars_dropped` = Σ (n_chars · copies) − chars_kept — collapsed
+    *     duplicates of the keeper itself are counted as dropped.
+    * Survivor choice is provably identical to x33-over-the-raw-graph:
+    * copies are byte-identical (equal n_chars), a rep id is the min
+    * doc_id of its copy group, so argmax by (n_chars DESC, doc_id) over
+    * all docs lands on the same doc as over reps; cluster ids agree
+    * because identical texts share MinHash signatures, hence candidates
+    * and verified edges (see X39FoldSpec for the executed equivalence).
+    *
+    * Scale: the whole point — a 10k-copy cluster contributes ONE node to
+    * the pair join and the CC iteration instead of 10k nodes and a 50M
+    * edge square; multiplicity folding is two integer columns through
+    * the existing cluster-keyed shuffle. One sha256 hash-agg + q53's
+    * banded machinery over reps + CC + one cluster shuffle. */
+  def x39DedupPipeline(s: SparkSession, d: String): DataFrame =
+    x39PipelineFrom(Tables.documents(s, d))
+
+  /** x39 core over any (doc_id, text, n_chars) frame — the spec entry
+    * point: the contract fixture has no byte-identical docs, so
+    * X39FoldSpec drives this with synthetic copy groups and checks the
+    * folded bookkeeping equals x33's raw-graph answer. */
+  def x39PipelineFrom(docs: DataFrame): DataFrame = {
+    val reps = docs
+      .groupBy(sha2(col("text"), 256).as("h"))
+      .agg(min("doc_id").as("id"), count(lit(1)).as("copies"),
+           min("text").as("text"), min("n_chars").as("n_chars"))
+    val pairs = MinHashLSH.verifiedPairs(
+      reps.select(col("id"), split(col("text"), " ").as("toks")), 0.8)
+    val labels = graft.functions.ConnectedComponents.labels(
+        reps.select(col("id")), pairs.select(col("id_a"), col("id_b")))
+      .select(col("id"), col("comp").as("cluster_id"))
+    val j = labels
+      .join(reps.select(col("id"), col("copies"), col("n_chars")), "id")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("cluster_id").orderBy(col("n_chars").desc, col("id"))))
+    val agg = j.groupBy("cluster_id")
+      .agg(sum("copies").as("n_members"), count(lit(1)).as("n_reps"),
+           sum(col("n_chars") * col("copies")).as("chars_total"))
+    j.filter(col("rnk") === 1)
+      .select(col("cluster_id"), col("id").as("keeper"),
+              col("n_chars").as("chars_kept"))
+      .join(agg, "cluster_id")
+      .select(col("cluster_id"), col("keeper"), col("n_members"), col("n_reps"),
+              col("chars_kept"),
+              (col("chars_total") - col("chars_kept")).as("chars_dropped"))
+      .orderBy("cluster_id")
+  }
 }

@@ -105,6 +105,13 @@ class PlanSpec extends SparkSpecBase {
            s"dedup-first near-dup degenerated to a product:\n$p")
   }
 
+  test("x39 pipeline: collapse agg + banded equi-joins, no product") {
+    val p = planOf(operators.TextOps.x39DedupPipeline(spark, sfDir))
+    assert(p.contains("HashAggregate"), s"sha256 collapse must be a hash agg:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+           s"dedup pipeline degenerated to a product:\n$p")
+  }
+
   test("Q36 top-k compiles to TakeOrderedAndProject (no global sort)") {
     val p = planOf(operators.AnalyticOps.q36(spark, sfDir))
     assert(p.contains("TakeOrderedAndProject"), p)
