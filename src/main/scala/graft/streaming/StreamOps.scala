@@ -291,15 +291,22 @@ object StreamOps {
     * Scale: state per bucket is the bucket's membership — the same
     * inverted index the batch band join materializes, held incrementally.
     * A production deployment caps hot buckets (`maxBucket`: boilerplate
-    * shingle floods) and ages members out with a TTL; both knobs drop
-    * candidates only where the batch join would be quadratic anyway. */
-  class NearDupProcessor(maxBucket: Int)
+    * shingle floods) and ages members out with `ttl` — on an unbounded
+    * stream the bucket index otherwise grows with the corpus; both knobs
+    * drop candidates only where the batch join would be quadratic anyway.
+    * With `ttl` set the processor runs in processing-time mode (TTL is a
+    * store-side retention bound, not event-time semantics): a member
+    * older than the TTL silently stops pairing with new arrivals, and
+    * within the retention window the candidate set still equals the batch
+    * join over the same docs (RocksDbStateSpec executes both claims). */
+  class NearDupProcessor(maxBucket: Int,
+                         ttl: Option[java.time.Duration] = None)
       extends StatefulProcessor[BucketKey, BandedDoc, CandidatePair] {
     @transient private var seen: ListState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       seen = getHandle.getListState[Long](
-        "seen", Encoders.scalaLong, TTLConfig.NONE)
+        "seen", Encoders.scalaLong, ttl.map(new TTLConfig(_)).getOrElse(TTLConfig.NONE))
 
     override def handleInputRows(key: BucketKey, rows: Iterator[BandedDoc],
                                  timerValues: TimerValues): Iterator[CandidatePair] = {
@@ -445,8 +452,12 @@ object StreamOps {
   }
 
   /** Band-bucketed stream of documents: (doc_id, band, key) rows via the
-    * fused kernel — the streaming feature extraction is a pure projection. */
-  def nearDupCandidates(docs: DataFrame, maxBucket: Int = 10000): Dataset[CandidatePair] = {
+    * fused kernel — the streaming feature extraction is a pure projection.
+    * `ttl` bounds bucket-state retention on unbounded streams (see
+    * [[NearDupProcessor]]); `None` keeps members forever, which is the
+    * batch-equivalent default for bounded replays. */
+  def nearDupCandidates(docs: DataFrame, maxBucket: Int = 10000,
+                        ttl: Option[java.time.Duration] = None): Dataset[CandidatePair] = {
     import docs.sparkSession.implicits._
     val p = graft.functions.MinHashLSH.Params()
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -455,7 +466,8 @@ object StreamOps {
         .as(Seq("band", "key")))
       .as[BandedDoc]
       .groupByKey(b => BucketKey(b.band, b.key))
-      .transformWithState(new NearDupProcessor(maxBucket),
-        TimeMode.None(), OutputMode.Append())
+      .transformWithState(new NearDupProcessor(maxBucket, ttl),
+        if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
+        OutputMode.Append())
   }
 }

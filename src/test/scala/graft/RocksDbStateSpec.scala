@@ -106,4 +106,91 @@ class RocksDbStateSpec extends SparkSpecBase {
       .agg(max_by(col("value"), col("ts")).as("value"))
     assert(streamLatest.except(batchLatest).isEmpty && batchLatest.except(streamLatest).isEmpty)
   }
+
+  // Texts for the ST10 TTL tests: identical texts are CERTAIN candidates
+  // (identical MinHash signatures share every band key); tOther is a
+  // disjoint vocabulary, never a candidate.
+  private val tDup   = (1 to 12).map(i => s"w$i").mkString(" ")
+  private val tOther = (1 to 12).map(i => s"z$i").mkString(" ")
+
+  // NOTE on the run protocol: with a TTL the processor runs in
+  // TimeMode.ProcessingTime, where a stateful query schedules no-data
+  // batches FOREVER to expire state — `shouldRunAnotherBatch` is
+  // unconditionally true, so processAllAvailable never observes quiescence
+  // and even Trigger.AvailableNow never terminates (both verified by
+  // hanging). The only sane wait is: paced processing-time trigger, poll
+  // lastProgress until the source's target offset has committed, then
+  // stop() — exactly how a production job supervises such a query.
+
+  /** Wait until `q` has committed its source through `target`, then stop. */
+  private def drainTo(q: org.apache.spark.sql.streaming.StreamingQuery,
+                      target: Long): Unit = {
+    val deadline = System.currentTimeMillis() + 120000
+    def done: Boolean = Option(q.lastProgress).exists { p =>
+      p.sources.nonEmpty && Option(p.sources(0).endOffset).exists(_.toLong >= target)
+    }
+    while (!done && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(done, s"stream did not commit offset $target in time")
+    q.stop()
+    q.awaitTermination()
+  }
+
+  private val paced = Trigger.ProcessingTime("100 milliseconds")
+
+  test("ST10 TTL under RocksDB: expired bucket members stop producing candidates") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    withProductionStateStore {
+      val ckpt = java.nio.file.Files.createTempDirectory("st10-ttl-ckpt").toString
+      // file sink, not memory: the memory sink refuses checkpoint recovery,
+      // and the restart across the expiry gap is the point of this test
+      val out = java.nio.file.Files.createTempDirectory("st10-ttl-out").toString
+      val input = MemoryStream[(Long, String)]
+      def start() = StreamOps.nearDupCandidates(
+          input.toDF().toDF("doc_id", "text"),
+          ttl = Some(java.time.Duration.ofSeconds(1))).toDF()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(paced).start()
+      def pairsSoFar(): Set[(Long, Long)] =
+        spark.read.schema("id_a LONG, id_b LONG, band INT")
+          .parquet(out).select("id_a", "id_b")
+          .as[(Long, Long)].collect().toSet
+      val off1 = input.addData((1L, tDup), (2L, tDup))
+      drainTo(start(), off1.json.toLong)
+      // both docs live in the same run: the pair surfaces
+      assert(pairsSoFar() == Set((1L, 2L)), s"live members must pair: ${pairsSoFar()}")
+      Thread.sleep(3000) // 3 s > 1 s TTL: the bucket members expire
+      val off2 = input.addData((3L, tDup))
+      drainTo(start(), off2.json.toLong) // restart from the checkpoint
+      // doc 3 is byte-identical to 1 and 2 — without expiry run 2 would
+      // append (1,3) and (2,3); TTL must have aged both out of the state
+      assert(pairsSoFar() == Set((1L, 2L)),
+        s"expired members still pairing: ${pairsSoFar()}")
+    }
+  }
+
+  test("ST10 TTL under RocksDB: candidates within the live window equal the batch set") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val fixture = Seq((1L, tDup), (2L, tDup), (10L, tOther), (3L, tDup), (11L, tOther))
+    withProductionStateStore {
+      val input = MemoryStream[(Long, String)]
+      input.addData(fixture.take(3))
+      val off = input.addData(fixture.drop(3))
+      val q = StreamOps.nearDupCandidates(
+          input.toDF().toDF("doc_id", "text"),
+          ttl = Some(java.time.Duration.ofHours(1))).toDF()
+        .writeStream.format("memory").queryName("rdb_st10_live")
+        .outputMode("append").trigger(paced).start()
+      drainTo(q, off.json.toLong)
+    }
+    val streamed = spark.table("rdb_st10_live").select("id_a", "id_b").distinct()
+    val batch = graft.functions.MinHashLSH.candidatePairs(
+      fixture.toDF("doc_id", "text")
+        .select(col("doc_id").as("id"), split(col("text"), " ").as("toks")))
+    assert(streamed.count() === batch.count())
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty,
+           "TTL-bounded stream diverged from batch within the retention window")
+  }
 }
