@@ -26,28 +26,43 @@ import org.apache.spark.sql.functions._
   * joins over the |reps|-sized hook table), so even long thin chains —
   * rare for near-dup relations, whose similarity is near-transitive —
   * contract in a constant number of outer rounds over the big edge list.
-  * `localCheckpoint` truncates lineage each round (each intermediate is
-  * read more than once); at 100 TB use a reliable checkpoint dir.
+  * Lineage is truncated each round (each intermediate is read more than
+  * once). The default `localCheckpoint` stores blocks on executors with no
+  * replication — fine in local mode and for short jobs, but an executor
+  * loss forfeits the run. At 100 TB pass `checkpointDir = Some(hdfsPath)`:
+  * rounds then persist through a reliable `checkpoint`, so the iteration
+  * survives executor churn and the job can recompute from the last round
+  * instead of restarting.
   */
 object ConnectedComponents {
 
   /** nodes: (id: long); edges: (id_a, id_b) undirected, any orientation.
-    * Returns (id, comp) with comp = min id of the node's component. */
-  def labels(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 50): DataFrame = {
-    var lab = nodes.select(col("id"), col("id").as("comp")).localCheckpoint(true)
+    * Returns (id, comp) with comp = min id of the node's component.
+    * `checkpointDir`: when set, per-round lineage truncation uses reliable
+    * `checkpoint` into that directory (survives executor loss) instead of
+    * driver/executor-local blocks. Labels are identical either way — the
+    * checkpoint strategy only changes where intermediates are stored
+    * (ConnectedComponentsSpec asserts this). */
+  def labels(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 50,
+             checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        nodes.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint(true)
+      case None => df => df.localCheckpoint(true)
+    }
+    var lab = ckpt(nodes.select(col("id"), col("id").as("comp")))
     // symmetric edges between current representatives (initially the nodes)
-    var g = edges.select(col("id_a").as("a"), col("id_b").as("b"))
-      .union(edges.select(col("id_b").as("a"), col("id_a").as("b")))
-      .localCheckpoint(true)
+    var g = ckpt(edges.select(col("id_a").as("a"), col("id_b").as("b"))
+      .union(edges.select(col("id_b").as("a"), col("id_a").as("b"))))
     var round = 0
     var remaining = g.count()
     while (remaining > 0 && round < maxRounds) {
       // each rep hooks to the minimum of itself and its neighbor reps; the
       // hook pointers form a forest (every pointer strictly decreases, and
       // every hop is an edge or self, so targets stay in-component)
-      var hook = g.groupBy(col("a").as("rep")).agg(min("b").as("nmin"))
-        .select(col("rep"), least(col("rep"), col("nmin")).as("to"))
-        .localCheckpoint(true)
+      var hook = ckpt(g.groupBy(col("a").as("rep")).agg(min("b").as("nmin"))
+        .select(col("rep"), least(col("rep"), col("nmin")).as("to")))
       // path-compress the forest by pointer doubling: jump each pointer to
       // its target's target until idempotent. Path lengths halve per jump,
       // so chains collapse in O(log n) inner joins over the |reps|-sized
@@ -78,21 +93,19 @@ object ConnectedComponents {
         prevCached = nxt
         hook = nxt.drop("moved")
       }
-      hook = hook.localCheckpoint(true)
+      hook = ckpt(hook)
       if (prevCached != null) prevCached.unpersist(false)
       // per-node labels compose through the hook (reps absent from the
       // quotient graph — singletons or already-contracted — keep theirs)
-      lab = lab.join(hook, lab("comp") === hook("rep"), "left")
-        .select(col("id"), coalesce(col("to"), col("comp")).as("comp"))
-        .localCheckpoint(true)
+      lab = ckpt(lab.join(hook, lab("comp") === hook("rep"), "left")
+        .select(col("id"), coalesce(col("to"), col("comp")).as("comp")))
       // contract: rewrite edges onto the new reps, drop intra-rep loops
       val h1 = hook.select(col("rep").as("ra"), col("to").as("ta"))
       val h2 = hook.select(col("rep").as("rb"), col("to").as("tb"))
-      g = g.join(h1, col("a") === col("ra")).join(h2, col("b") === col("rb"))
+      g = ckpt(g.join(h1, col("a") === col("ra")).join(h2, col("b") === col("rb"))
         .select(col("ta").as("a"), col("tb").as("b"))
         .filter(col("a") =!= col("b"))
-        .distinct()
-        .localCheckpoint(true)
+        .distinct())
       remaining = g.count()
       round += 1
     }

@@ -86,6 +86,45 @@ object TimeSeriesOps {
       .select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
               col("event_id"), col("value"))
 
+  /** [[q47]] over the engine's OWN storage layout ([[graft.GraftStore]])
+    * instead of the flat driver parquet: the same contract query, but the
+    * ts range additionally lands on the `day=` partition column (the store
+    * facade derives it), so the scan PRUNES day directories before any file
+    * IO and the series key reaches the remaining files' stats. Output is
+    * row-identical to [[q47]]; BucketedLayoutSpec asserts both the equality
+    * and that files touched < files on disk. */
+  def q47Store(s: SparkSession, storeDir: String): DataFrame =
+    new graft.GraftStore(s, storeDir)
+      .series(7L, "click",
+        Some(java.sql.Timestamp.valueOf("2024-01-05 00:00:00")),
+        Some(java.sql.Timestamp.valueOf("2024-01-20 00:00:00")))
+      .select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+              col("event_id"), col("value"))
+
+  /** [[q48]] over the store layout. The day bucket IS the partition column
+    * (writeEvents derives `day` from ts with the same format string), so
+    * the rollup never evaluates `date_format` per row and — because `day`
+    * comes from directory names, not file bytes — the parquet ReadSchema
+    * shrinks to (event_type, value). Same aggregate/rounding pipeline as
+    * the declared q48; output is identical except at dround's binary ties —
+    * a group whose exact decimal mean sits ON a .xxxx5 boundary rounds by
+    * the last bit of the double sum, which follows summation order and
+    * hence physical layout (BucketedLayoutSpec documents and bounds this
+    * to one rounding step; n/min/max/sum are layout-invariant). */
+  def q48Store(s: SparkSession, storeDir: String): DataFrame =
+    graft.sources.BucketedLayout.readEvents(s, storeDir)
+      // partition-type inference reads day= back as DATE; the declared d is
+      // the yyyy-MM-dd string (a date->string cast, cheaper than the flat
+      // path's µs-timestamp date_format and fed from directory names)
+      .groupBy(col("day").cast("string").as("d"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_v"),
+           min("value").as("min_v"), max("value").as("max_v"))
+      .select(col("d"), col("event_type"), col("n"),
+              dround(col("sum_v") / col("n"), 4).as("avg_v"),
+              dround(col("sum_v"), 4).as("sum_v"),
+              dround(col("min_v"), 4).as("min_v"), dround(col("max_v"), 4).as("max_v"))
+      .orderBy("d", "event_type")
+
   /** Q48 downsample / rollup — THE canonical TSDB query: day buckets ×
     * metric, five aggregates in one partial+final hash-agg pass
     * ([[SeriesApi.downsample]] + the contract's rounding/ordering). */

@@ -39,6 +39,61 @@ class BucketedLayoutSpec extends SparkSpecBase {
     assert(back.count() === expected)
   }
 
+  private def parquetFiles(dir: java.io.File): Seq[java.io.File] = {
+    val kids = Option(dir.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+    kids.filter(_.isFile).filter(_.getName.endsWith(".parquet")) ++
+      kids.filter(_.isDirectory).flatMap(parquetFiles)
+  }
+
+  test("q47 contract query over the store: identical rows, pruned scan") {
+    import graft.operators.TimeSeriesOps
+    val store = TimeSeriesOps.q47Store(spark, sink)
+    val flat = TimeSeriesOps.q47(spark, sfDir)
+    assert(store.collect().toSeq === flat.collect().toSeq)
+    val p = store.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("day"), s"ts range must reach the day partition:\n$p")
+    // directory-level pruning bound: with the day filters in
+    // PartitionFilters (asserted above), the scan lists only in-range day
+    // dirs, so files touched <= in-range files < files on disk
+    val total = parquetFiles(new java.io.File(sink)).size
+    val inRange = new java.io.File(sink).listFiles()
+      .filter(d => d.getName.startsWith("day=") && {
+        val day = d.getName.stripPrefix("day=")
+        day >= "2024-01-05" && day <= "2024-01-20"
+      }).flatMap(d => parquetFiles(d)).length
+    assert(inRange < total,
+      s"fixture must leave out-of-range days to prune ($inRange vs $total)")
+  }
+
+  test("q48 contract query over the store: identical rows, ts never read") {
+    import graft.operators.TimeSeriesOps
+    val store = TimeSeriesOps.q48Store(spark, sink).collect()
+    val flat = TimeSeriesOps.q48(spark, sfDir).collect()
+    assert(store.length === flat.length)
+    // Exact equality on every column EXCEPT avg_v, which gets one rounding
+    // step of tolerance: a group whose exact decimal mean sits ON the
+    // .xxxx5 boundary (2 of 150 groups in this fixture) rounds by the LAST
+    // BIT of the double sum, and double summation order follows physical
+    // layout — the flat scan and the bucketed store legitimately disagree
+    // there. min/max (order-free), n, and the 4-dp-rounded sum are
+    // layout-invariant and must match exactly.
+    store.zip(flat).foreach { case (s, f) =>
+      assert(s.getString(0) == f.getString(0) && s.getString(1) == f.getString(1) &&
+             s.getLong(2) == f.getLong(2), s"group row diverged: $s vs $f")
+      assert(math.abs(s.getDouble(3) - f.getDouble(3)) < 1.5e-4,
+             s"avg_v beyond one rounding step: $s vs $f")
+      Seq(4, 5, 6).foreach(i => assert(s.getDouble(i) == f.getDouble(i),
+             s"sum/min/max must match exactly: $s vs $f"))
+    }
+    // the day bucket comes from directory names: ts must not be in the
+    // parquet ReadSchema at all
+    val p = TimeSeriesOps.q48Store(spark, sink).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    val rs = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(rs.nonEmpty && !rs.contains("ts"), s"ts read from files:\n$p")
+  }
+
   test("compaction is idempotent and keeps the day's content") {
     val day = "2024-01-05"
     val before = BucketedLayout.readEvents(spark, sink)

@@ -36,6 +36,25 @@ class ConnectedComponentsSpec extends SparkSpecBase {
     assert((0L until 60L).forall(i => m(i) == i % 2))
   }
 
+  test("reliable-checkpoint mode produces identical labels") {
+    val nodes = (0L until 40L).toDF("id")
+    val edges = (0L until 38L).map(i => (i, i + 2)).toDF("id_a", "id_b")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    try {
+      val local = ConnectedComponents.labels(nodes, edges)
+        .orderBy("id").collect().toSeq
+      val reliable = ConnectedComponents.labels(nodes, edges,
+          checkpointDir = Some(dir))
+        .orderBy("id").collect().toSeq
+      assert(local == reliable)
+      // the reliable run actually wrote RDD checkpoints into the dir
+      assert(new java.io.File(dir).listFiles().nonEmpty,
+             "no checkpoint data written to the reliable dir")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("x14 clusters are consistent with q53's edge list") {
     val x14 = TextOps.x14DedupClusters(spark, sfDir)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
