@@ -4,6 +4,35 @@ package graft
   * Usage: runMain graft.Dev <sfDir> <name1,name2,...> [explain]
   */
 object Dev {
+
+  /** Per-stage task-time tracker for the skew-stress modes: records every
+    * task's duration, reports the 3 most skewed stages since the last
+    * report/clear (max vs median task time — the cluster-imbalance number
+    * BASELINE.md's skew sections record). */
+  private final class SkewTracker(s: org.apache.spark.sql.SparkSession) {
+    private val stageTimes =
+      scala.collection.mutable.Map[Int, scala.collection.mutable.ArrayBuffer[Long]]()
+    s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskInfo != null) stageTimes.synchronized {
+          stageTimes.getOrElseUpdate(te.stageId,
+            scala.collection.mutable.ArrayBuffer[Long]()) += te.taskInfo.duration
+        }
+    })
+    def clear(): Unit = stageTimes.synchronized(stageTimes.clear())
+    def report(label: String): Unit = stageTimes.synchronized {
+      val worst = stageTimes.toSeq.map { case (sid, ts) =>
+        val srt = ts.toSeq.sorted
+        (sid, srt.last, srt(srt.size / 2), srt.size)
+      }.sortBy(-_._2).take(3)
+      worst.foreach { case (sid, mx, med, n) =>
+        println(f"[$label] stage=$sid tasks=$n max_ms=$mx med_ms=$med " +
+          f"skew=${mx.toDouble / math.max(1, med)}%.1fx")
+      }
+      stageTimes.clear()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val names = if (args.length > 1) args(1).split(",").toSeq else SparkEntry.queries.keys.toSeq.sorted
@@ -110,25 +139,8 @@ object Dev {
             "transform(sequence(1, 40), j -> concat('t', cast(cast(" +
             "pow(5000.0, pmod(xxhash64(id, j), 1000000) / 1000000.0) as int) as string)))")))
         .localCheckpoint(true) // corpus materialized once, like a real table
-      val stageTimes = scala.collection.mutable.Map[Int, scala.collection.mutable.ArrayBuffer[Long]]()
-      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          if (te.taskInfo != null) stageTimes.synchronized {
-            stageTimes.getOrElseUpdate(te.stageId,
-              scala.collection.mutable.ArrayBuffer[Long]()) += te.taskInfo.duration
-          }
-      })
-      def skewReport(label: String): Unit = stageTimes.synchronized {
-        val worst = stageTimes.toSeq.map { case (sid, ts) =>
-          val srt = ts.toSeq.sorted
-          (sid, srt.last, srt(srt.size / 2), srt.size)
-        }.sortBy(-_._2).take(3)
-        worst.foreach { case (sid, mx, med, n) =>
-          println(f"[$label] stage=$sid tasks=$n max_ms=$mx med_ms=$med " +
-            f"skew=${mx.toDouble / math.max(1, med)}%.1fx")
-        }
-        stageTimes.clear()
-      }
+      val skew = new SkewTracker(s)
+      def skewReport(label: String): Unit = skew.report(label)
       val saltCfg = graft.functions.MinHashLSH.Salt(saltN)
       val pairsDir = java.nio.file.Files.createTempDirectory("skewpairs").toString
       val t0 = System.nanoTime()
@@ -151,14 +163,61 @@ object Dev {
         .groupBy("comp")
         .agg(max_by(col("id"), struct(col("n_tok"), -col("id"))).as("keeper"),
              count(lit(1)).as("members"))
+      // count BEFORE the timed write and drop its stages, so tSurv and the
+      // survivor skew report both describe exactly the timed materialization
+      val nSurv = surv.count()
+      skew.clear()
       val t2 = System.nanoTime()
       surv.write.format("noop").mode("overwrite").save()
       val tSurv = (System.nanoTime() - t2) / 1e9
-      val nSurv = surv.count()
       skewReport("survivors")
       println(f"skewstress docs=$nDocs cluster=$clusterSize salt=$saltN " +
         f"pairs=$nPairs%,d components=$nComp survivors=$nSurv " +
         f"pairs_sec=$tPairs%.1f cc_sec=$tCc%.1f surv_sec=$tSurv%.1f")
+      s.stop()
+      return
+    }
+    if (names.length == 1 && names.head.startsWith("vecskewstress")) {
+      // Adversarial-skew stress of x12's SRP band join — the embedding
+      // analogue of skewstress: `clusterSize` vectors are byte-IDENTICAL
+      // (identical sign sketches share every one of the 32 band keys, the
+      // worst case for the band self-join); the rest are xxhash64-derived
+      // uniform noise in [-1,1]^64, near-orthogonal in expectation, so
+      // accidental cos >= 0.9 pairs are ~impossible and the TRUE pair count
+      // is closed-form: C(clusterSize, 2). Deterministic at any
+      // parallelism. Usage: vecskewstress[:nVecs[:clusterSize[:partitions]]]
+      // (like skewstress, the hot cluster makes exactly `bands`=32 hot
+      // keys — skew shows when partitions >> 32, as on a real cluster).
+      val parts = names.head.split(":")
+      val nVecs = parts.lift(1).map(_.toInt).getOrElse(50000)
+      val clusterSize = parts.lift(2).map(_.toInt).getOrElse(10000)
+      val s = GraftSession.build("graft-dev")
+      parts.lift(3).foreach(p => s.conf.set("spark.sql.shuffle.partitions", p))
+      import org.apache.spark.sql.functions._
+      val dim = 64
+      def vec(seed: String) = expr(
+        s"transform(sequence(1, $dim), j -> " +
+        s"cast(pmod(xxhash64($seed, j), 2000001) / 1000000.0 - 1.0 as float))")
+      val vecs = s.range(nVecs).select(col("id").as("vec_id"))
+        .withColumn("embedding",
+          when(col("vec_id") < clusterSize, vec("-1")).otherwise(vec("vec_id")))
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+        .localCheckpoint(true) // corpus materialized once, like a real table
+      val skew = new SkewTracker(s)
+      val pairsDir = java.nio.file.Files.createTempDirectory("vecskewpairs").toString
+      val t0 = System.nanoTime()
+      graft.operators.VectorOps.srpVerifiedPairs(vecs, vecs, 0.9)
+        .write.mode("overwrite").parquet(pairsDir)
+      val tPairs = (System.nanoTime() - t0) / 1e9
+      skew.report("pairs")
+      val got = s.read.parquet(pairsDir)
+      val nPairs = got.count()
+      val clusterPairs = got.filter(col("id_a") < clusterSize &&
+                                    col("id_b") < clusterSize).count()
+      val expected = clusterSize.toLong * (clusterSize - 1) / 2
+      println(f"vecskewstress vecs=$nVecs cluster=$clusterSize " +
+        f"pairs=$nPairs%,d cluster_pairs=$clusterPairs%,d expected=$expected%,d " +
+        f"exact=${clusterPairs == expected} pairs_sec=$tPairs%.1f")
       s.stop()
       return
     }

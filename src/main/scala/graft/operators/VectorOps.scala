@@ -126,8 +126,19 @@ object VectorOps {
     * SignSketchBands scaladoc); x07 stays as the exactness baseline and the
     * oracle twin, and on this fixture (max pairwise cos ≈ 0.6 at every sf)
     * the two agree exactly. */
-  def x12EmbedNearDupLsh(s: SparkSession, d: String): DataFrame = {
-    val banded = wide(s, emb(s, d))
+  def x12EmbedNearDupLsh(s: SparkSession, d: String): DataFrame =
+    srpVerifiedPairs(wide(s, emb(s, d)), emb(s, d), 0.9)
+      .orderBy("id_a", "id_b")
+
+  /** x12's candidate+verify plan over an arbitrary corpus — the reusable
+    * SRP near-dup kernel (Dev's vecskewstress drives it over an adversarial
+    * byte-identical-cluster corpus; [[x12EmbedNearDupLsh]] is this kernel
+    * over the fixture). `vecs` (vec_id, embedding) feeds the sketch and
+    * should arrive at cluster width; `payload` re-supplies embeddings for
+    * the verify joins (the fixture passes the narrow re-read so the scan,
+    * not the widened frame, is joined). */
+  def srpVerifiedPairs(vecs: DataFrame, payload: DataFrame, minCos: Double): DataFrame = {
+    val banded = vecs
       .select(col("vec_id"),
         graft.functions.VectorExpressions.signSketchBands(col("embedding")).as("bands"))
       .select(col("vec_id"), col("bands"),
@@ -145,12 +156,11 @@ object VectorOps {
     // wide (round-robin upstream of the sketch) and first-match dedup emits
     // each pair once map-side — same reasoning as MinHashLSH.verifiedPairs
     cand
-      .join(emb(s, d).select(col("vec_id").as("id_a"), col("embedding").as("e_a")), "id_a")
-      .join(emb(s, d).select(col("vec_id").as("id_b"), col("embedding").as("e_b")), "id_b")
+      .join(payload.select(col("vec_id").as("id_a"), col("embedding").as("e_a")), "id_a")
+      .join(payload.select(col("vec_id").as("id_b"), col("embedding").as("e_b")), "id_b")
       .withColumn("cos", dround(cosine(col("e_a"), col("e_b")), 4))
-      .filter(col("cos") >= 0.9)
+      .filter(col("cos") >= minCos)
       .select(col("id_a"), col("id_b"), col("cos"))
-      .orderBy("id_a", "id_b")
   }
 
   /** x08 IVF-style ANN: deterministic coarse centroids (every ⌊√n⌋-th
