@@ -129,10 +129,15 @@ object MinHashLSH {
       col("a.id") < col("b.id")
     if (!s.on) banded.as("a").join(banded.as("b"), eq)
     else {
-      val hot = banded.groupBy("band", "sig").agg(count(lit(1)).as("_bn"))
+      // the salted path reads the banded frame THREE times (hot-bucket
+      // aggregate + both join sides): materialize it once so the
+      // minhash/banding kernel doesn't re-run per reference (the unsalted
+      // path self-joins one plan and needs no such pin)
+      val bandedOnce = banded.localCheckpoint(true)
+      val hot = bandedOnce.groupBy("band", "sig").agg(count(lit(1)).as("_bn"))
         .filter(col("_bn") >= s.hotMin)
         .select(col("band"), col("sig"), lit(true).as("_hot"))
-      val tagged = banded.join(broadcast(hot), Seq("band", "sig"), "left")
+      val tagged = bandedOnce.join(broadcast(hot), Seq("band", "sig"), "left")
       val l = tagged.withColumn("_salt",
           when(col("_hot").isNotNull, pmod(xxhash64(col("id")), lit(s.salt.toLong)))
             .otherwise(lit(0L)))

@@ -59,7 +59,13 @@ object BucketedLayout {
     * Crash safety (BucketedLayoutSpec walks the whole kill matrix): the
     * rewrite lands in a hidden `.compact-day=` dir, so the serving day is
     * untouched — and stays readable — until two metadata-only renames swap
-    * it: old day → `.old-day=` parking slot, new data → day. A kill before
+    * it: old day → `.old-day=` parking slot, new data → day. BETWEEN those
+    * two renames the `day=` directory does not exist: a concurrent reader
+    * listing partitions in that instant silently skips the day, so
+    * compaction assumes a single writer and no concurrent readers of the
+    * day being sealed (schedule it when the day is out of the serving
+    * window, or serve reads through a manifest/metastore indirection that
+    * republishes the partition atomically). A kill before
     * the swap leaves the day as it was (stale temp dirs are overwritten on
     * retry); a kill between the renames is repaired by the recovery branch
     * on the next call (the day is restored from the parking slot before

@@ -97,13 +97,18 @@ class RocksDbStateSpec extends SparkSpecBase {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
+    // deterministic on ts ties: both sides break equal-ts points by value
+    // (window orders by (ts, value) desc; batch max_by keys on the same
+    // struct) — without the tiebreak a duplicate-ts fixture would make the
+    // comparison arbitrary on each side
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user_id", "event_type").orderBy(col("ts").desc)
+      .partitionBy("user_id", "event_type")
+      .orderBy(col("ts").desc, col("value").desc)
     val streamLatest = spark.table("rdb_st8")
       .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("user_id"), col("event_type"), col("value"))
     val batchLatest = batchEvents.groupBy("user_id", "event_type")
-      .agg(max_by(col("value"), col("ts")).as("value"))
+      .agg(max_by(col("value"), struct(col("ts"), col("value"))).as("value"))
     assert(streamLatest.except(batchLatest).isEmpty && batchLatest.except(streamLatest).isEmpty)
   }
 
