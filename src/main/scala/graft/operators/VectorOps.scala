@@ -54,11 +54,19 @@ object VectorOps {
     * can never reorder the selection across engines. Brute force is the
     * exactness baseline; x08 is the sub-linear variant (SURVEY §7.4-6).
     */
-  def q54(s: SparkSession, d: String): DataFrame = {
-    val probes = emb(s, d).filter(col("vec_id") < 10)
+  def q54(s: SparkSession, d: String): DataFrame =
+    cosineTopK(wide(s, emb(s, d)), emb(s, d))
+
+  /** q54's exact search over an arbitrary (vec_id, embedding) corpus —
+    * probes are the vec_id < 10 rows of `probeSrc` (the fixture passes the
+    * narrow re-read so the broadcast build side is the scan, not the
+    * widened frame). AnnRecallSpec drives this + [[annIvf]] over a
+    * clustered dev corpus. */
+  def cosineTopK(corpus: DataFrame, probeSrc: DataFrame): DataFrame = {
+    val probes = probeSrc.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
-    wide(s, emb(s, d)).crossJoin(broadcast(probes))
+    corpus.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cos", dround(cosine(col("p_emb"), col("embedding")), 4))
       .withColumn("rnk", row_number().over(w).cast("long"))
@@ -176,11 +184,17 @@ object VectorOps {
     * corpus via an equi-join on cluster id instead of a full cross join.
     * Deterministic ranking: (round(cos,4) DESC, id ASC) everywhere.
     */
-  def x08AnnIvf(s: SparkSession, d: String): DataFrame = {
-    val e = wide(s, emb(s, d))
-    val stride = emb(s, d).agg(count(lit(1)).as("n_vec"))
+  def x08AnnIvf(s: SparkSession, d: String): DataFrame =
+    annIvf(wide(s, emb(s, d)), emb(s, d))
+
+  /** x08's IVF search over an arbitrary (vec_id, embedding) corpus —
+    * centroids/stride come from `probeSrc` (fixture: the narrow scan),
+    * probes are the corpus' vec_id < 10 rows. */
+  def annIvf(corpus: DataFrame, probeSrc: DataFrame): DataFrame = {
+    val e = corpus
+    val stride = probeSrc.agg(count(lit(1)).as("n_vec"))
       .select(floor(sqrt(col("n_vec"))).cast("long").as("stride"))
-    val cents = emb(s, d).crossJoin(broadcast(stride))
+    val cents = probeSrc.crossJoin(broadcast(stride))
       .filter(col("vec_id") % col("stride") === 0)
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
     val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
@@ -229,9 +243,16 @@ object VectorOps {
     * pipeline "use the exact path (q54) on this distribution". On real
     * embedding corpora (which cluster heavily) the same gate certifies the
     * index; both engines compute identical verdicts either way. */
-  def x37AnnRecall(s: SparkSession, d: String): DataFrame = {
-    val exact = q54(s, d).select(col("probe_id"), col("neighbor_id"))
-    val ivf = x08AnnIvf(s, d)
+  def x37AnnRecall(s: SparkSession, d: String): DataFrame =
+    annRecall(wide(s, emb(s, d)), emb(s, d))
+
+  /** x37's gate over an arbitrary corpus: recall@5 of [[annIvf]] vs
+    * [[cosineTopK]] per probe. AnnRecallSpec runs it over a clustered dev
+    * corpus and shows the gate CERTIFYING an index (recall ≥ 0.95), the
+    * complement of the fixture's honest rejection. */
+  def annRecall(corpus: DataFrame, probeSrc: DataFrame): DataFrame = {
+    val exact = cosineTopK(corpus, probeSrc).select(col("probe_id"), col("neighbor_id"))
+    val ivf = annIvf(corpus, probeSrc)
       .select(col("probe_id").as("p2"), col("neighbor_id").as("n2"))
     exact.join(ivf,
         col("probe_id") === col("p2") && col("neighbor_id") === col("n2"), "left")
