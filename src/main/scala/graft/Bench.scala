@@ -166,7 +166,12 @@ object Bench {
     val want48 = only.forall(_("q48_store"))
     val tsStore = if (!want47 && !want48) Nil else try {
       val storeDir = java.nio.file.Files.createTempDirectory("tsstore").toString
-      sources.BucketedLayout.migrate(spark, sfDir, storeDir)
+      // bucket count sized to the data: at sf0.1 a day holds ~20k rows, so
+      // 2 files/day keeps file-open overhead from dominating a layout
+      // whose wins (directory pruning, clustered series runs) are sized
+      // for days that are thousands of times larger; at 100 TB the same
+      // knob goes UP for parallelism
+      sources.BucketedLayout.migrate(spark, sfDir, storeDir, seriesBuckets = 2)
       def row(name: String, df: => org.apache.spark.sql.DataFrame) = {
         df.write.format("noop").mode("overwrite").save() // warm (codegen/JIT)
         val t0 = System.nanoTime()
