@@ -141,6 +141,7 @@ object SparkEntry {
     "x37_ann_recall"      -> (VectorOps.x37AnnRecall _),
     "x38_dedup_first"     -> (TextOps.x38DedupFirstNearDup _),
     "x39_dedup_pipeline"  -> (TextOps.x39DedupPipeline _),
+    "x40_embed_dedup_first" -> (VectorOps.x40EmbedDedupFirst _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -524,6 +525,23 @@ object SparkEntry {
         |k.n_chars AS chars_kept, chars_total - k.n_chars AS chars_dropped
         |FROM a JOIN j k ON a.cluster_id = k.cluster_id AND k.rnk = 1
         |ORDER BY a.cluster_id""".stripMargin,
+
+    // x40: x38's dedup-first composition for vectors — collapse
+    // byte-identical embeddings (GROUP BY the list itself; min-id
+    // representative), exact all-pairs cosine among representatives,
+    // multiplicities carried instead of the copy square. Same twin shape
+    // as x07/x12 (the SRP path must reproduce brute force on the fixture).
+    "x40_embed_dedup_first" ->
+      """WITH g AS (SELECT MIN(vec_id) AS vec_id, embedding, COUNT(*) AS copies
+        |  FROM embeddings GROUP BY embedding),
+        |c AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |   / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |    * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS cos,
+        |  a.copies AS copies_a, b.copies AS copies_b
+        |  FROM g a JOIN g b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cos, copies_a, copies_b FROM c
+        |WHERE cos >= 0.9 ORDER BY id_a, id_b""".stripMargin,
 
     "q54_cosine_topk" ->
       """WITH p AS (SELECT vec_id AS probe_id, embedding AS p_emb FROM embeddings WHERE vec_id < 10),

@@ -265,6 +265,36 @@ object VectorOps {
       .orderBy("probe_id")
   }
 
+  /** x40 dedup-first embedding near-dup: x38's composition for vectors —
+    * the operational answer the round-7 SRP skew stress measured
+    * (BASELINE.md: a 10k-byte-identical cluster IS 50M output pairs;
+    * collapsed first it is ZERO). Byte-identical embeddings collapse to
+    * one representative (group by the vector itself — exact float
+    * equality, one hash-shuffle whose key bytes are the row; min vec_id
+    * keeps the choice deterministic), x12's SRP banded kernel runs over
+    * representatives only, and the output carries each side's exact-copy
+    * multiplicity instead of the copy square (downstream stages weight by
+    * `copies`). On this fixture (no byte-identical embeddings, max cos ≈
+    * 0.6) the pair list is empty exactly like x12's — the COMPOSITION is
+    * the contract, and the oracle computes the same composition;
+    * X40DedupFirstSpec executes the planted-copy case and the
+    * multiplicity expansion identity against x12 over the raw corpus. */
+  def x40EmbedDedupFirst(s: SparkSession, d: String): DataFrame =
+    x40From(s, Tables.embeddings(s, d))
+
+  /** x40 core over any (vec_id, embedding) frame — the spec entry point. */
+  def x40From(s: SparkSession, e: DataFrame): DataFrame = {
+    val reps = e.groupBy(col("embedding"))
+      .agg(min("vec_id").as("vec_id"), count(lit(1)).as("copies"))
+    val repVecs = reps.select(col("vec_id"), col("embedding"))
+    val copies = reps.select(col("vec_id"), col("copies"))
+    srpVerifiedPairs(wide(s, repVecs), repVecs, 0.9)
+      .join(copies.select(col("vec_id").as("id_a"), col("copies").as("copies_a")), "id_a")
+      .join(copies.select(col("vec_id").as("id_b"), col("copies").as("copies_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("cos"), col("copies_a"), col("copies_b"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** x22 int8 embedding quantization: per-vector affine min/max quantization
     * to the 0..255 range plus the max absolute reconstruction error — the
     * storage/bandwidth step an embedding pipeline runs before ANN indexing
