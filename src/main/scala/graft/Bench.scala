@@ -190,11 +190,16 @@ object Bench {
     // isolated figures. Defaults to slowest:5 on full runs —
     // SPARK_GRAFT_ISOLATE=slowest:N overrides, =off disables. Child
     // failures/timeouts degrade softly (row skipped, shared line intact).
+    // The parent session stops BEFORE the children run: a live local[32]
+    // executor pool holding the shared pass's heap inflated child timings
+    // ~70% (x14 9.9 s with the parent alive vs 5.85 s on an idle machine
+    // — measured 2026-08-13), defeating the pass's whole purpose.
     val isolated: Seq[(String, Double)] = Some(
         sys.env.getOrElse("SPARK_GRAFT_ISOLATE", "slowest:5"))
       .filter(_ => only.isEmpty) // only meaningful after a full shared pass
       .collect { case s if s.startsWith("slowest:") => s.stripPrefix("slowest:").trim.toInt }
       .map { n =>
+        spark.stop()
         val slowest = results.sortBy(-_._2).take(n).map(_._1)
         slowest.flatMap(name => isolateOne(name, sfDir, cpus))
       }.getOrElse(Nil)

@@ -142,6 +142,7 @@ object SparkEntry {
     "x38_dedup_first"     -> (TextOps.x38DedupFirstNearDup _),
     "x39_dedup_pipeline"  -> (TextOps.x39DedupPipeline _),
     "x40_embed_dedup_first" -> (VectorOps.x40EmbedDedupFirst _),
+    "x41_embed_pipeline"  -> (VectorOps.x41EmbedPipeline _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -542,6 +543,40 @@ object SparkEntry {
         |  FROM g a JOIN g b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, cos, copies_a, copies_b FROM c
         |WHERE cos >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+
+    // x41: x39's recursive-CTE pipeline closure for vectors — x40's
+    // collapse + exact cosine pairs among representatives + reachability
+    // + argmax-by-(copies, id) survivor, multiplicities folded into
+    // member counts. On this fixture every vector is its own singleton
+    // cluster (no exact dups, max cos ≈ 0.6), which the CTE reproduces.
+    "x41_embed_pipeline" ->
+      """WITH RECURSIVE g AS (SELECT MIN(vec_id) AS id, COUNT(*) AS copies
+        |  FROM embeddings GROUP BY embedding),
+        |v AS (SELECT MIN(vec_id) AS id, embedding FROM embeddings GROUP BY embedding),
+        |c AS (SELECT a.id AS id_a, b.id AS id_b,
+        |  ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |   / (SQRT(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |    * SQRT(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])))), 4) AS cos
+        |  FROM v a JOIN v b ON a.id < b.id),
+        |pairs AS (SELECT id_a, id_b FROM c WHERE cos >= 0.9),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT id, id AS comp FROM g
+        |  UNION
+        |  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id
+        |  WHERE r.comp < e.dst),
+        |lab AS (SELECT id, MIN(comp) AS cluster_id FROM reach GROUP BY id),
+        |j AS (SELECT lab.id, cluster_id, copies,
+        |  row_number() OVER (PARTITION BY cluster_id
+        |    ORDER BY copies DESC, lab.id) AS rnk
+        |  FROM lab JOIN g ON lab.id = g.id),
+        |a AS (SELECT cluster_id, SUM(copies)::BIGINT AS n_members,
+        |  COUNT(*)::BIGINT AS n_reps FROM j GROUP BY 1)
+        |SELECT a.cluster_id AS cluster_id, k.id AS keeper, n_members, n_reps,
+        |k.copies AS copies_kept
+        |FROM a JOIN j k ON a.cluster_id = k.cluster_id AND k.rnk = 1
+        |ORDER BY a.cluster_id""".stripMargin,
 
     "q54_cosine_topk" ->
       """WITH p AS (SELECT vec_id AS probe_id, embedding AS p_emb FROM embeddings WHERE vec_id < 10),

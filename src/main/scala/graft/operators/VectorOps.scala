@@ -295,6 +295,62 @@ object VectorOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** x41 embedding dedup pipeline CLOSURE — x39's shape for vectors: the
+    * end-to-end composition x40 opens (exact-collapse → SRP near-dup pairs
+    * over representatives → cluster resolution → survivor selection) with
+    * the collapsed copy multiplicities folded back into every downstream
+    * number, so the bookkeeping describes the ORIGINAL corpus:
+    *   - `n_members`   = Σ copies over the cluster (every byte-identical
+    *     copy counts as a member);
+    *   - `n_reps`      = distinct embeddings in the cluster (what CC
+    *     actually traversed);
+    *   - `keeper`      = argmax by (copies DESC, vec_id ASC) — the most
+    *     replicated embedding wins (replication count is the only
+    *     intrinsic "weight" a bare vector carries; x39's n_chars analogue),
+    *     min-id tiebreak keeps it deterministic;
+    *   - `copies_kept` = the keeper's own exact-copy count.
+    * Keeper choice is provably the raw-graph answer: a rep id is the min
+    * vec_id of its copy group and `copies` IS that group's size, so the
+    * rep-level argmax equals "group the raw cluster's members by embedding,
+    * take the largest group's min vec_id" (X41FoldSpec executes the
+    * equivalence).
+    *
+    * Scale: identical to x39's story — a 10k-copy embedding contributes
+    * ONE node to the band join and the CC iteration instead of 10k nodes
+    * and a 50M-edge square (the round-7 vecskewstress measurement in
+    * BASELINE.md is exactly this case); multiplicity folding is one
+    * integer column through the existing cluster-keyed shuffle. */
+  def x41EmbedPipeline(s: SparkSession, d: String): DataFrame =
+    x41PipelineFrom(s, Tables.embeddings(s, d))
+
+  /** x41 core over any (vec_id, embedding) frame — the spec entry point:
+    * the contract fixture has neither byte-identical embeddings nor pairs
+    * at cos ≥ 0.9, so X41FoldSpec drives this with planted copy groups and
+    * near-dup partners and checks the folded bookkeeping equals the
+    * raw-graph composition. */
+  def x41PipelineFrom(s: SparkSession, e: DataFrame): DataFrame = {
+    val reps = e.groupBy(col("embedding"))
+      .agg(min("vec_id").as("id"), count(lit(1)).as("copies"))
+    val repVecs = reps.select(col("id").as("vec_id"), col("embedding"))
+    val pairs = srpVerifiedPairs(wide(s, repVecs), repVecs, 0.9)
+    val labels = graft.functions.ConnectedComponents.labels(
+        reps.select(col("id")), pairs.select(col("id_a"), col("id_b")))
+      .select(col("id"), col("comp").as("cluster_id"))
+    val j = labels
+      .join(reps.select(col("id"), col("copies")), "id")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("cluster_id").orderBy(col("copies").desc, col("id"))))
+    val agg = j.groupBy("cluster_id")
+      .agg(sum("copies").as("n_members"), count(lit(1)).as("n_reps"))
+    j.filter(col("rnk") === 1)
+      .select(col("cluster_id"), col("id").as("keeper"),
+              col("copies").as("copies_kept"))
+      .join(agg, "cluster_id")
+      .select(col("cluster_id"), col("keeper"), col("n_members"),
+              col("n_reps"), col("copies_kept"))
+      .orderBy("cluster_id")
+  }
+
   /** x22 int8 embedding quantization: per-vector affine min/max quantization
     * to the 0..255 range plus the max absolute reconstruction error — the
     * storage/bandwidth step an embedding pipeline runs before ANN indexing

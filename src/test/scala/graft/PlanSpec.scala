@@ -119,6 +119,13 @@ class PlanSpec extends SparkSpecBase {
            s"dedup-first embed near-dup degenerated to a product:\n$p")
   }
 
+  test("x41 embed pipeline: vector-collapse agg + SRP equi-joins, no product") {
+    val p = planOf(operators.VectorOps.x41EmbedPipeline(spark, sfDir))
+    assert(p.contains("HashAggregate"), s"embedding collapse must be a hash agg:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+           s"embed pipeline degenerated to a product:\n$p")
+  }
+
   test("Q36 top-k compiles to TakeOrderedAndProject (no global sort)") {
     val p = planOf(operators.AnalyticOps.q36(spark, sfDir))
     assert(p.contains("TakeOrderedAndProject"), p)
