@@ -28,7 +28,7 @@ object Bench {
     * heap) and read the timing back from the child's persisted bench line.
     * The parent's --add-opens/-Xmx style JVM flags are forwarded so the
     * child can start Spark under Java 17 the same way. */
-  private def isolateOne(name: String, sfDir: String, cpus: String): Option[(String, Double)] = try {
+  private def isolateOne(name: String, sfDir: String, cpus: String): Option[(String, Double, Option[Double])] = try {
     import scala.jdk.CollectionConverters._
     val javaBin = sys.props("java.home") + "/bin/java"
     val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
@@ -44,6 +44,7 @@ object Bench {
     pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
     pb.environment().put("SPARK_GRAFT_CPUS", cpus)
     pb.environment().put("SPARK_GRAFT_BENCH_OUT", out.toString)
+    pb.environment().put("SPARK_GRAFT_TWICE", "1")
     pb.environment().remove("SPARK_GRAFT_ISOLATE")
     val proc = pb.start()
     if (!proc.waitFor(8, java.util.concurrent.TimeUnit.MINUTES)) {
@@ -52,7 +53,11 @@ object Bench {
     }
     val line = new String(java.nio.file.Files.readAllBytes(out), "UTF-8")
     val re = ("\"" + java.util.regex.Pattern.quote(name) + "\":([0-9.eE+-]+)").r
-    re.findFirstMatchIn(line).map(m => name -> m.group(1).toDouble).orElse {
+    // first occurrence = the cold "queries" entry; the "warm" map (second
+    // same-JVM run) follows it in the line when the child ran under TWICE
+    val warm = Some(line.indexOf("\"warm\":")).filter(_ >= 0)
+      .flatMap(i => re.findFirstMatchIn(line.substring(i)).map(_.group(1).toDouble))
+    re.findFirstMatchIn(line).map(m => (name, m.group(1).toDouble, warm)).orElse {
       System.err.println(s"[bench] isolate $name: no timing in child output " +
         s"(exit ${proc.exitValue()}, log ${logf.getPath})")
       None
@@ -81,20 +86,43 @@ object Bench {
     // Warm EVERY query once on the smallest sf (50-6000 rows, seconds total)
     // so the timed run measures each plan, not its first-call codegen compile
     // + JIT — e.g. x12's SRP kernel costs ~3s of one-time compilation that a
-    // single global warmup query never touches.
-    queries.values.foreach { fn =>
-      try fn(spark, "/root/testdata/sf0.001")
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+    // single global warmup query never touches. An ONLY/isolation run warms
+    // 3×: a full pass's 90+ sibling warmups cross C2 compile thresholds on
+    // shared code paths that one warmup doesn't, and the gap is real — x14
+    // (multi-job CC iteration, the worst case) timed 9.8 s in a fresh JVM
+    // after one warmup vs 6.4 s after three (measured 2026-08-13). Extra
+    // warmups run at sf0.001 so they cost ~1 s each, not query time.
+    val warmupReps = if (only.isDefined) 3 else 1
+    (1 to warmupReps).foreach { _ =>
+      queries.values.foreach { fn =>
+        try fn(spark, "/root/testdata/sf0.001")
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
     }
-    val results = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_TWICE (set by the isolation pass's children): time each
+    // query a second time in the same JVM and emit it as a "warm" map —
+    // the first number is the cold fresh-JVM figure, the second is the
+    // steady-state plan cost with JIT fully settled. Sequential cold
+    // children swing 6.4–9.3 s on the identical x14 run (JIT/scheduler
+    // noise); the warm rerun is the stable number a regression check
+    // should diff.
+    val twice = sys.env.contains("SPARK_GRAFT_TWICE")
+    def timeOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
+    val timedAll = queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val d1 = timeOne(name, fn)
+      val d2 = if (twice) Some(timeOne(name, fn)) else None
+      (name, d1, d2)
+    }
+    val results = timedAll.map { case (n, d, _) => n -> d }
+    val warmRows = timedAll.collect { case (n, _, Some(d2)) => n -> d2 }
     // Pipeline measurement: cluster resolution over q53's ALREADY-computed
     // pairs (materialized to parquet untimed), isolating the CC stage — the
     // declared x14 stays standalone for the oracle, but a real dedup
@@ -194,7 +222,7 @@ object Bench {
     // executor pool holding the shared pass's heap inflated child timings
     // ~70% (x14 9.9 s with the parent alive vs 5.85 s on an idle machine
     // — measured 2026-08-13), defeating the pass's whole purpose.
-    val isolated: Seq[(String, Double)] = Some(
+    val isolated: Seq[(String, Double, Option[Double])] = Some(
         sys.env.getOrElse("SPARK_GRAFT_ISOLATE", "slowest:5"))
       .filter(_ => only.isEmpty) // only meaningful after a full shared pass
       .collect { case s if s.startsWith("slowest:") => s.stripPrefix("slowest:").trim.toInt }
@@ -206,10 +234,17 @@ object Bench {
     val qs = (results ++ ccOnly ++ q10Bucketed ++ tsStore)
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val iso = isolated.map { case (k, v) => "\"" + k + "\":" + v }
+    val warm = warmRows.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString(""","warm":{""", ",", "}")
+    val iso = isolated.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString(""","isolated":{""", ",", "}")
+    val isoWarm = isolated.collect { case (k, _, Some(w)) => "\"" + k + "\":" + w }
+      .mkString(""","isolated_warm":{""", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs${if (isolated.nonEmpty) iso else ""},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs${
+      if (warmRows.nonEmpty) warm else ""}${
+      if (isolated.nonEmpty) iso else ""}${
+      if (isolated.exists(_._3.isDefined)) isoWarm else ""},"sf":"$sfDir"}"""
     println(line)
     // The driver's artifact keeps only the stdout TAIL, which truncates the
     // per-query map on a 95-query run — persist the complete line to a file

@@ -109,6 +109,42 @@ object Dev {
       s.stop()
       return
     }
+    if (names == Seq("x02prof")) {
+      // stage anatomy for x02 (the slowest declared query): where do the
+      // seconds go — gram generation, dictionary encode, candidates, or
+      // the verify joins? Each stage timed after a warm pass of the same
+      // stage at sf0.001 (bench protocol).
+      import org.apache.spark.sql.functions._
+      val s = GraftSession.build("graft-dev")
+      def grams(dir: String) = Tables.documents(s, dir).select(col("doc_id").as("id"),
+        graft.functions.TextExpressions.charGrams(col("text"), 3).as("toks"))
+      def time(nm: String)(f: String => Unit): Unit = {
+        f("/root/testdata/sf0.001"); f("/root/testdata/sf0.001")
+        val t0 = System.nanoTime(); f(sfDir)
+        println(f"[x02prof] $nm%-12s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      time("grams") { d => grams(d).write.format("noop").mode("overwrite").save() }
+      time("candidates") { d =>
+        val n = graft.functions.MinHashLSH.candidatePairs(grams(d)).count()
+        if (d == sfDir) println(f"[x02prof]   n_candidates=$n%,d")
+      }
+      time("dictsets") { d =>
+        val w = org.apache.spark.sql.expressions.Window
+        val tok = grams(d).select(col("id"), explode(array_distinct(col("toks"))).as("tok"))
+        val vocab = tok.select("tok").distinct()
+          .withColumn("bkt", pmod(xxhash64(col("tok")), lit(256L)))
+          .withColumn("r", row_number().over(w.partitionBy("bkt").orderBy("tok")))
+          .select(col("tok"), ((col("r") - 1) * 256 + col("bkt")).cast("int").as("tid"))
+        tok.join(broadcast(vocab), "tok")
+          .groupBy("id").agg(array_sort(collect_list(col("tid"))).as("set"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      time("full_x02") { d =>
+        operators.TextOps.x02NgramJaccard(s, d).write.format("noop").mode("overwrite").save()
+      }
+      s.stop()
+      return
+    }
     if (names.length == 1 && names.head.startsWith("skewstress")) {
       // Adversarial-skew stress of the near-dup pipeline (candidate gen →
       // exact verify → connected components → survivor argmax) on a

@@ -26,13 +26,14 @@ import org.apache.spark.sql.functions._
   * joins over the |reps|-sized hook table), so even long thin chains —
   * rare for near-dup relations, whose similarity is near-transitive —
   * contract in a constant number of outer rounds over the big edge list.
-  * Lineage is truncated each round (each intermediate is read more than
-  * once). The default `localCheckpoint` stores blocks on executors with no
-  * replication — fine in local mode and for short jobs, but an executor
-  * loss forfeits the run. At 100 TB pass `checkpointDir = Some(hdfsPath)`:
-  * rounds then persist through a reliable `checkpoint`, so the iteration
-  * survives executor churn and the job can recompute from the last round
-  * instead of restarting.
+  * Each round's tables are eagerly checkpointed (read more than once,
+  * plan truncated to a leaf) and the previous round's blocks are
+  * explicitly released — peak storage is one round's working set, not the
+  * whole iteration's (see `labels` for the mechanics). At 100 TB pass
+  * `checkpointDir = Some(hdfsPath)`: rounds then persist through a
+  * reliable `checkpoint`, so lineage truncates, the iteration survives
+  * executor churn, and the job can recompute from the last round instead
+  * of restarting.
   */
 object ConnectedComponents {
 
@@ -45,12 +46,34 @@ object ConnectedComponents {
     * (ConnectedComponentsSpec asserts this). */
   def labels(nodes: DataFrame, edges: DataFrame, maxRounds: Int = 50,
              checkpointDir: Option[String] = None): DataFrame = {
+    // Rounds are materialized through eager checkpoints — each table is
+    // read several times AND its plan must truncate to a leaf, or every
+    // round's plan would embed the previous round's THREE times (hook
+    // appears as h1, h2, and in the label join): 3^rounds logical-plan
+    // growth, which OOMs the driver if rounds climb (a cache()-based
+    // variant did exactly that). But a localCheckpoint's blocks have no
+    // Dataset-level release (they free only when the JVM GCs the
+    // underlying RDD), so R rounds held ~3R materialized tables —
+    // including the 2|E|-row round-0 edge list — for the whole run, and
+    // consecutive runs in one session compounded the leak (x33 re-run in
+    // a warm JVM: 15 s vs 9.6 s cold, measured 2026-08-13). `release`
+    // closes the gap: an eagerly checkpointed frame's plan IS a
+    // LogicalRDD leaf, and unpersisting that leaf's RDD drops the blocks
+    // the moment the round that produced them is superseded.
     val ckpt: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
         nodes.sparkSession.sparkContext.setCheckpointDir(dir)
         df => df.checkpoint(true)
       case None => df => df.localCheckpoint(true)
     }
+    // no-op in reliable mode: those rounds live as checkpoint FILES (the
+    // recover-from-executor-churn point of that mode), not storage blocks
+    val release: DataFrame => Unit =
+      if (checkpointDir.isDefined) _ => ()
+      else df => df.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+        case _ => ()
+      }
     var lab = ckpt(nodes.select(col("id"), col("id").as("comp")))
     // symmetric edges between current representatives (initially the nodes)
     var g = ckpt(edges.select(col("id_a").as("a"), col("id_b").as("b"))
@@ -58,11 +81,14 @@ object ConnectedComponents {
     var round = 0
     var remaining = g.count()
     while (remaining > 0 && round < maxRounds) {
+      val oldLab = lab
+      val oldG = g
       // each rep hooks to the minimum of itself and its neighbor reps; the
       // hook pointers form a forest (every pointer strictly decreases, and
       // every hop is an edge or self, so targets stay in-component)
       var hook = ckpt(g.groupBy(col("a").as("rep")).agg(min("b").as("nmin"))
         .select(col("rep"), least(col("rep"), col("nmin")).as("to")))
+      val hookPre = hook
       // path-compress the forest by pointer doubling: jump each pointer to
       // its target's target until idempotent. Path lengths halve per jump,
       // so chains collapse in O(log n) inner joins over the |reps|-sized
@@ -95,6 +121,7 @@ object ConnectedComponents {
       }
       hook = ckpt(hook)
       if (prevCached != null) prevCached.unpersist(false)
+      release(hookPre)
       // per-node labels compose through the hook (reps absent from the
       // quotient graph — singletons or already-contracted — keep theirs)
       lab = ckpt(lab.join(hook, lab("comp") === hook("rep"), "left")
@@ -107,6 +134,11 @@ object ConnectedComponents {
         .filter(col("a") =!= col("b"))
         .distinct())
       remaining = g.count()
+      // this round's lab/g are checkpointed leaves; the previous round's
+      // tables and the hook that produced them are dead weight from here on
+      release(oldLab)
+      release(oldG)
+      release(hook)
       round += 1
     }
     require(remaining == 0, s"connected components did not converge in $maxRounds rounds")
