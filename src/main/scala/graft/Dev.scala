@@ -142,6 +142,31 @@ object Dev {
       time("full_x02") { d =>
         operators.TextOps.x02NgramJaccard(s, d).write.format("noop").mode("overwrite").save()
       }
+      // candidate-quality histogram: how much of the 12M-candidate mass is
+      // band-collision false positives, bucketed by exact trigram Jaccard —
+      // the number that decides whether banding params or verify cost is
+      // the lever (run once, not timed)
+      locally {
+        val w = org.apache.spark.sql.expressions.Window
+        val g = grams(sfDir)
+        val tok = g.select(col("id"), explode(array_distinct(col("toks"))).as("tok"))
+        val vocab = tok.select("tok").distinct()
+          .withColumn("bkt", pmod(xxhash64(col("tok")), lit(256L)))
+          .withColumn("r", row_number().over(w.partitionBy("bkt").orderBy("tok")))
+          .select(col("tok"), ((col("r") - 1) * 256 + col("bkt")).cast("int").as("tid"))
+        val sets = tok.join(broadcast(vocab), "tok")
+          .groupBy("id").agg(array_sort(collect_list(col("tid"))).as("set"),
+                             count(lit(1)).as("sz"))
+        val hist = graft.functions.MinHashLSH.candidatePairs(g)
+          .join(sets.select(col("id").as("id_a"), col("set").as("set_a"), col("sz").as("sz_a")), "id_a")
+          .join(sets.select(col("id").as("id_b"), col("set").as("set_b"), col("sz").as("sz_b")), "id_b")
+          .withColumn("inter", graft.functions.VectorExpressions
+            .sortedIntersectInt(col("set_a"), col("set_b")).cast("double"))
+          .withColumn("jac", col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+          .groupBy(floor(col("jac") * 10).as("decile")).count()
+          .orderBy("decile").collect()
+        hist.foreach(r => println(f"[x02prof] jac_decile=${r.getLong(0)} n=${r.getLong(1)}%,d"))
+      }
       s.stop()
       return
     }
