@@ -143,6 +143,7 @@ object SparkEntry {
     "x39_dedup_pipeline"  -> (TextOps.x39DedupPipeline _),
     "x40_embed_dedup_first" -> (VectorOps.x40EmbedDedupFirst _),
     "x41_embed_pipeline"  -> (VectorOps.x41EmbedPipeline _),
+    "x42_incremental_dedup" -> (TextOps.x42IncrementalDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -577,6 +578,22 @@ object SparkEntry {
         |k.copies AS copies_kept
         |FROM a JOIN j k ON a.cluster_id = k.cluster_id AND k.rnk = 1
         |ORDER BY a.cluster_id""".stripMargin,
+
+    // x42: incremental dedup — q53's exact-Jaccard twin restricted to
+    // cross pairs between the derived batch (doc_id ≡ 0 mod 7) and the
+    // standing corpus (the rest); no batch×batch or corpus×corpus pairs
+    "x42_incremental_dedup" ->
+      """WITH t AS (SELECT DISTINCT doc_id, tok FROM
+        |  (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents) u),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_new, b.doc_id AS doc_corpus, COUNT(*) AS i
+        |  FROM t a JOIN t b ON a.tok = b.tok
+        |  WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0 GROUP BY 1, 2)
+        |SELECT doc_new, doc_corpus,
+        |ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS j
+        |FROM inter JOIN sz sa ON sa.doc_id = doc_new JOIN sz sb ON sb.doc_id = doc_corpus
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+        |ORDER BY doc_new, doc_corpus""".stripMargin,
 
     "q54_cosine_topk" ->
       """WITH p AS (SELECT vec_id AS probe_id, embedding AS p_emb FROM embeddings WHERE vec_id < 10),

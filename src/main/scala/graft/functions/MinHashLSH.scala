@@ -260,6 +260,63 @@ object MinHashLSH {
       .select(col("id_a"), col("id_b"), Rounding.dround(col("jac"), 4).as("j"))
   }
 
+  /** [[verifiedPairs]] across TWO disjoint corpora — the INCREMENTAL-dedup
+    * join: `left` is a new batch, `right` the existing corpus, and the
+    * output is every cross pair (batch id, corpus id) with exact Jaccard ≥
+    * threshold. No left×left or right×right work happens anywhere in the
+    * plan — the band join is a plain two-sided equi-join on (band, sig),
+    * so a daily increment costs O(|batch| + collisions), never the corpus
+    * square and never a corpus re-scan of pairs already vetted.
+    *
+    * What the corpus side pays per increment is exactly the 100 TB design
+    * question. Its THREE appearances here are each amortizable:
+    * band keys and token sets are deterministic per-row kernels, so a real
+    * deployment persists both once (a signature store: (id, bands, set),
+    * day-partitioned like [[graft.sources.BucketedLayout]]) and each
+    * increment reads instead of recomputes; the band equi-join probes that
+    * store's (band, sig) keys; and the verify's corpus-set join is keyed
+    * on id — store the sets BUCKETED by id ([[graft.sources.BucketedFacts]]'
+    * zero-Exchange trick) and the only shuffle left in the whole increment
+    * is the |batch|-sized candidate list. The declared x42 contract query
+    * recomputes all three from the raw table (self-contained for the
+    * oracle); X42IncrementalSpec pins the equivalence to the full-corpus
+    * pair list so the composition stays honest.
+    *
+    * Same guarantees as [[verifiedPairs]]: first-match band dedup (a cross
+    * pair meets once, at the first band where the two arrays agree — the
+    * same [[VectorExpressions.FirstMatchIndex]] filter, evaluated on the
+    * two sides' band arrays), size-compatibility pruning before any
+    * payload movement, early-exit exact verify, unhinted payload joins. */
+  def crossVerifiedPairs(left: DataFrame, right: DataFrame, threshold: Double,
+                         p: Params = Params()): DataFrame = {
+    val n = left.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    def banded(df: DataFrame) = df.select(col("id"),
+        size(array_distinct(col("toks"))).as("sz"),
+        VectorExpressions.minhashBandKeys(col("toks"), p.numPerm, p.rows).as("bands"))
+      .filter(col("bands").isNotNull)
+      .repartition(n)
+      .select(col("id"), col("sz"), col("bands"),
+        posexplode(col("bands")).as(Seq("band", "sig")))
+    def sets(df: DataFrame) = df.select(col("id"),
+        array_sort(transform(array_distinct(col("toks")), t => xxhash64(t))).as("set"))
+    banded(left).as("a").join(banded(right).as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+      .filter(least(col("a.sz"), col("b.sz")).cast("double") >=
+              lit(threshold) * greatest(col("a.sz"), col("b.sz")).cast("double") - lit(1.0))
+      .filter(VectorExpressions.firstMatchIndex(col("a.bands"), col("b.bands")) === col("a.band"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+              col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      .join(sets(left).select(col("id").as("id_a"), col("set").as("set_a")), "id_a")
+      .join(sets(right).select(col("id").as("id_b"), col("set").as("set_b")), "id_b")
+      .withColumn("inter",
+        VectorExpressions.sortedIntersectAtLeast(col("set_a"), col("set_b"),
+          minRequired(threshold)).cast("double"))
+      .withColumn("uni", (col("sz_a") + col("sz_b")).cast("double") - col("inter"))
+      .withColumn("jac", col("inter") / col("uni"))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), Rounding.dround(col("jac"), 4).as("j"))
+  }
+
   /** [[verifiedPairs]] with DICTIONARY-ENCODED token sets — for bounded
     * token universes (char n-grams: ≤ |alphabet|ⁿ distinct shingles at ANY
     * corpus size, so the vocab stays a broadcastable few-thousand rows).

@@ -801,4 +801,30 @@ object TextOps {
               (col("chars_total") - col("chars_kept")).as("chars_dropped"))
       .orderBy("cluster_id")
   }
+
+  /** x42 INCREMENTAL dedup: near-dup pairs between a NEW batch and the
+    * EXISTING corpus only — the production shape of dedup at 100 TB, where
+    * the corpus was deduplicated yesterday and today's increment must not
+    * pay (or even touch) the corpus×corpus square again. The contract
+    * derives a deterministic batch from the fixture (doc_id ≡ 0 mod 7 ≈
+    * 1/7 of documents; everything else is the standing corpus) and runs
+    * [[graft.functions.MinHashLSH.crossVerifiedPairs]]: banded equi-join
+    * across the two sides, size pruning, first-match dedup, early-exit
+    * exact verify at the q53 threshold (0.8, same whitespace tokens).
+    *
+    * Scale: per-increment cost is O(|batch| + band collisions). The
+    * corpus-side recomputation visible here (bands + sets from the raw
+    * table) is what a deployment amortizes into a persisted signature
+    * store — the crossVerifiedPairs scaladoc walks through how each
+    * corpus-side appearance becomes a bucketed read with zero Exchange,
+    * leaving the |batch|-sized candidate list as the increment's only
+    * shuffle. */
+  def x42IncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    val toks = docTokens(s, d)
+    val batch  = toks.filter(pmod(col("id"), lit(7L)) === 0)
+    val corpus = toks.filter(pmod(col("id"), lit(7L)) =!= 0)
+    MinHashLSH.crossVerifiedPairs(batch, corpus, 0.8)
+      .select(col("id_a").as("doc_new"), col("id_b").as("doc_corpus"), col("j"))
+      .orderBy("doc_new", "doc_corpus")
+  }
 }

@@ -126,6 +126,12 @@ class PlanSpec extends SparkSpecBase {
            s"embed pipeline degenerated to a product:\n$p")
   }
 
+  test("x42 incremental dedup: cross band equi-join, no product") {
+    val p = planOf(operators.TextOps.x42IncrementalDedup(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+           s"incremental dedup degenerated to a product:\n$p")
+  }
+
   test("Q36 top-k compiles to TakeOrderedAndProject (no global sort)") {
     val p = planOf(operators.AnalyticOps.q36(spark, sfDir))
     assert(p.contains("TakeOrderedAndProject"), p)
