@@ -211,6 +211,28 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] q47/q48_store failed: ${e.getMessage}"); Nil
     }
+    // Pipeline measurement: x42's increment against the persisted
+    // SignatureStore (store write untimed — computed once at ingest,
+    // amortized over every increment). Quantifies what the store buys vs
+    // the declared x42 row, which recomputes the corpus's bands and sets
+    // from the raw table on every call.
+    val x42Store = if (only.exists(!_("x42_store"))) Nil else try {
+      import org.apache.spark.sql.functions.{col, split, pmod, lit}
+      val storeDir = java.nio.file.Files.createTempDirectory("sigstore").toString
+      val toks = Tables.documents(spark, sfDir)
+        .select(col("doc_id").as("id"), split(col("text"), " ").as("toks"))
+      sources.SignatureStore.write(spark,
+        toks.filter(pmod(col("id"), lit(7L)) =!= 0), storeDir,
+        buckets = cpus.toInt)
+      def q = sources.SignatureStore.incrementPairs(spark,
+        toks.filter(pmod(col("id"), lit(7L)) === 0), 0.8)
+      q.write.format("noop").mode("overwrite").save() // warm (codegen/JIT)
+      val t0 = System.nanoTime()
+      q.write.format("noop").mode("overwrite").save()
+      Seq("x42_store" -> (System.nanoTime() - t0) / 1e9)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] x42_store failed: ${e.getMessage}"); Nil
+    }
     // Isolation pass: re-time the N slowest shared-run queries, EACH IN A
     // FRESH JVM (child process → cold JIT/GC, the same protocol a judge
     // uses to separate real regressions from shared-run interference), and
@@ -231,7 +253,7 @@ object Bench {
         val slowest = results.sortBy(-_._2).take(n).map(_._1)
         slowest.flatMap(name => isolateOne(name, sfDir, cpus))
       }.getOrElse(Nil)
-    val qs = (results ++ ccOnly ++ q10Bucketed ++ tsStore)
+    val qs = (results ++ ccOnly ++ q10Bucketed ++ tsStore ++ x42Store)
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val warm = warmRows.map { case (k, v) => "\"" + k + "\":" + v }

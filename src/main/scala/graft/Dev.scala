@@ -170,6 +170,28 @@ object Dev {
       s.stop()
       return
     }
+    if (names == Seq("x42prof")) {
+      // stage anatomy for the SignatureStore increment vs the direct
+      // crossVerifiedPairs recompute
+      import org.apache.spark.sql.functions._
+      val s = GraftSession.build("graft-dev")
+      val toks = Tables.documents(s, sfDir)
+        .select(col("doc_id").as("id"), split(col("text"), " ").as("toks"))
+      val batch = toks.filter(pmod(col("id"), lit(7L)) === 0)
+      val corpus = toks.filter(pmod(col("id"), lit(7L)) =!= 0)
+      val dir = java.nio.file.Files.createTempDirectory("sigstore").toString
+      sources.SignatureStore.write(s, corpus, dir, buckets = 32)
+      def t(nm: String)(f: => Unit): Unit = {
+        f; val t0 = System.nanoTime(); f
+        println(f"[x42prof] $nm%-10s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      t("store") { sources.SignatureStore.incrementPairs(s, batch, 0.8)
+        .write.format("noop").mode("overwrite").save() }
+      t("direct") { graft.functions.MinHashLSH.crossVerifiedPairs(batch, corpus, 0.8)
+        .write.format("noop").mode("overwrite").save() }
+      s.stop()
+      return
+    }
     if (names.length == 1 && names.head.startsWith("skewstress")) {
       // Adversarial-skew stress of the near-dup pipeline (candidate gen →
       // exact verify → connected components → survivor argmax) on a

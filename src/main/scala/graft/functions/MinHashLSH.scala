@@ -206,7 +206,7 @@ object MinHashLSH {
   /** Lower bound on the intersection of any pair passing `j ≥ t`:
     * i/(sa+sb−i) ≥ t ⟺ i ≥ t·(sa+sb)/(1+t); floor−1 gives the early-exit
     * kernels a margin of one whole element over any double rounding. */
-  private def minRequired(threshold: Double): Column =
+  private[graft] def minRequired(threshold: Double): Column =
     (lit(threshold / (1 + threshold)) * (col("sz_a") + col("sz_b")).cast("double") - lit(1.0))
       .cast("int")
 
@@ -288,26 +288,54 @@ object MinHashLSH {
     * two sides' band arrays), size-compatibility pruning before any
     * payload movement, early-exit exact verify, unhinted payload joins. */
   def crossVerifiedPairs(left: DataFrame, right: DataFrame, threshold: Double,
-                         p: Params = Params()): DataFrame = {
-    val n = left.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    def banded(df: DataFrame) = df.select(col("id"),
+                         p: Params = Params()): DataFrame =
+    crossVerifiedFromHashed(hashedDocs(left, p), tokenSets(left),
+                            hashedDocs(right, p), tokenSets(right), threshold)
+
+  /** (id, sz, bands) per doc — the per-row kernel output a signature store
+    * persists (`graft.sources.SignatureStore`): one row per DOC, the band
+    * array unexploded. The explosion into (band, sig) probe rows is a
+    * query-time generator (posexplode inside the scan stage, no shuffle,
+    * no storage), so the stored index stays |corpus| rows while the
+    * first-match-band dedup — which needs both full band arrays — still
+    * runs map-side. (A v1 store that persisted EXPLODED rows without the
+    * array had to dedup candidates with a (id_a, id_b) aggregate instead:
+    * 31.7M pre-dedup rows → 1.8M pairs at sf0.1, and that one shuffle cost
+    * more than the whole direct recompute. The array-per-doc layout keeps
+    * the map-side filter and the store.) */
+  def hashedDocs(items: DataFrame, p: Params = Params()): DataFrame =
+    items.select(col("id"),
         size(array_distinct(col("toks"))).as("sz"),
         VectorExpressions.minhashBandKeys(col("toks"), p.numPerm, p.rows).as("bands"))
       .filter(col("bands").isNotNull)
-      .repartition(n)
+
+  /** (id, set) per doc — sorted 64-bit token-hash arrays, the exact-verify
+    * payload (see [[verifiedPairs]] for the collision math). */
+  def tokenSets(items: DataFrame): DataFrame =
+    items.select(col("id"),
+      array_sort(transform(array_distinct(col("toks")), t => xxhash64(t))).as("set"))
+
+  /** [[crossVerifiedPairs]]' core over PRE-HASHED inputs — shared verbatim
+    * by the from-raw path and the signature-store path, so "increment over
+    * the store ≡ direct recompute" holds by construction (and
+    * SignatureStoreSpec still asserts it end-to-end). `lh`/`rh`:
+    * (id, sz, bands); `ls`/`rs`: (id, set). */
+  private[graft] def crossVerifiedFromHashed(lh: DataFrame, ls: DataFrame,
+                                             rh: DataFrame, rs: DataFrame,
+                                             threshold: Double): DataFrame = {
+    val n = lh.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    def banded(h: DataFrame) = h.repartition(n)
       .select(col("id"), col("sz"), col("bands"),
         posexplode(col("bands")).as(Seq("band", "sig")))
-    def sets(df: DataFrame) = df.select(col("id"),
-        array_sort(transform(array_distinct(col("toks")), t => xxhash64(t))).as("set"))
-    banded(left).as("a").join(banded(right).as("b"),
+    banded(lh).as("a").join(banded(rh).as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
       .filter(least(col("a.sz"), col("b.sz")).cast("double") >=
               lit(threshold) * greatest(col("a.sz"), col("b.sz")).cast("double") - lit(1.0))
       .filter(VectorExpressions.firstMatchIndex(col("a.bands"), col("b.bands")) === col("a.band"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
               col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
-      .join(sets(left).select(col("id").as("id_a"), col("set").as("set_a")), "id_a")
-      .join(sets(right).select(col("id").as("id_b"), col("set").as("set_b")), "id_b")
+      .join(ls.select(col("id").as("id_a"), col("set").as("set_a")), "id_a")
+      .join(rs.select(col("id").as("id_b"), col("set").as("set_b")), "id_b")
       .withColumn("inter",
         VectorExpressions.sortedIntersectAtLeast(col("set_a"), col("set_b"),
           minRequired(threshold)).cast("double"))
