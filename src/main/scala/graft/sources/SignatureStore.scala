@@ -62,4 +62,62 @@ object SignatureStore {
     MinHashLSH.crossVerifiedFromHashed(
       MinHashLSH.hashedDocs(batch, p), MinHashLSH.tokenSets(batch),
       spark.table("sig_docs"), spark.table("sig_sets"), threshold)
+
+  /** Append a batch's signatures to the store — the admit step of the
+    * continuous-ingest loop. New parquet files land next to the existing
+    * ones: `sig_docs` grows by |batch| rows, `sig_sets` gets one more file
+    * per bucket (the bucket spec is read from the catalog and re-declared,
+    * which Spark validates against the existing table, so an append can
+    * never silently change the bucketing). The per-append cost is the
+    * per-row kernels over the BATCH only — the whole point of the store:
+    * corpus work is never redone, at any corpus size. */
+  def append(spark: SparkSession, toks: DataFrame,
+             p: MinHashLSH.Params = MinHashLSH.Params()): Unit = {
+    val spec = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("sig_sets"))
+      .bucketSpec
+      .getOrElse(sys.error("sig_sets lost its bucket spec; rebuild the store"))
+    MinHashLSH.hashedDocs(toks, p)
+      .write.format("parquet").mode("append").saveAsTable("sig_docs")
+    MinHashLSH.tokenSets(toks)
+      .repartition(spec.numBuckets, col("id"))
+      .write.format("parquet")
+      .bucketBy(spec.numBuckets, "id").sortBy("id")
+      .mode("append").saveAsTable("sig_sets")
+  }
+
+  /** One cycle of the continuous-ingest dedup loop: compute the batch's
+    * near-dup pairs against the store, sink them DURABLY to `pairsDir`
+    * (overwrite — a replayed cycle rewrites its own output, never
+    * duplicates it), then admit (append) the signatures of the batch docs
+    * with no match. Returns the pairs, read back from the sink.
+    *
+    * The order is load-bearing: `incrementPairs` is a lazy plan over the
+    * `sig_docs`/`sig_sets` tables, so any re-evaluation AFTER the append
+    * (cache eviction, task retry, executor loss) would observe the store
+    * growing under it. Sinking the snapshot durably before the store
+    * mutates removes that window entirely — cheaper-but-unsafe
+    * alternatives (persist + count) only narrow it. The read-back uses an
+    * explicit schema so a zero-pair cycle (empty sink dir) stays valid.
+    *
+    * Intra-batch duplicates are NOT resolved here (the store loop is
+    * batch-vs-corpus, like x42): a production ingest runs the x38
+    * dedup-first collapse + within-batch q53 pass upstream, so `batch` is
+    * already internally unique by the time it reaches the store. A crash
+    * BETWEEN the sink write and the append re-appends the batch on replay
+    * (double-indexed docs — harmless for candidate generation, wasteful
+    * for storage); `StreamOps.dedupIngest` documents the batch-id fencing
+    * a production deployment adds. */
+  def admit(spark: SparkSession, batch: DataFrame, threshold: Double,
+            pairsDir: String,
+            p: MinHashLSH.Params = MinHashLSH.Params()): DataFrame = {
+    incrementPairs(spark, batch, threshold, p)
+      .write.mode("overwrite").parquet(pairsDir)
+    val pairs = spark.read.schema("id_a BIGINT, id_b BIGINT, j DOUBLE")
+      .parquet(pairsDir)
+    val novel = batch.join(pairs.select(col("id_a").as("id")).distinct(),
+                           Seq("id"), "left_anti")
+    append(spark, novel, p)
+    pairs
+  }
 }

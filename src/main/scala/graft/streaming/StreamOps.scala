@@ -470,4 +470,41 @@ object StreamOps {
         if (ttl.isDefined) TimeMode.ProcessingTime() else TimeMode.None(),
         OutputMode.Append())
   }
+
+  /** ST12: continuous-ingest near-dup dedup against the persisted
+    * [[graft.sources.SignatureStore]] — the production shape for "dedup
+    * the firehose against everything ever admitted". Each micro-batch runs
+    * one [[graft.sources.SignatureStore.admit]] cycle inside
+    * `foreachBatch`: VERIFIED pairs vs the store land durably under
+    * `pairsSink/batch_id=<id>`, then the unmatched docs' signatures are
+    * appended, so later batches dedup against earlier ones with no
+    * corpus-side recompute ever (per-batch cost = per-row kernels over the
+    * batch + an index scan, at any corpus size).
+    *
+    * Contrast with [[nearDupCandidates]] (ST10): that holds the band index
+    * as RocksDB operator state and emits CANDIDATES online — right for
+    * low-latency flagging under a retention TTL. This one holds the index
+    * as parquet TABLES and emits exact-verified pairs — right for ingest
+    * gating, where the index must outlive any single query, be shared
+    * across jobs, and never expire. The same kernels feed both.
+    *
+    * Replay: the per-batch overwrite makes the pairs sink idempotent (a
+    * restarted batch rewrites `batch_id=<id>` in place). A crash between
+    * the sink write and the append re-appends that batch's novel docs on
+    * replay (double-indexed: extra candidates, absorbed by verification;
+    * wasted bytes). A production deployment fences that by recording the
+    * admitted batch id in the store and skipping the append on replay —
+    * deliberately out of scope here, since it needs the deployment's
+    * transactional-commit story (see BucketedLayout's manifest for ours). */
+  def dedupIngest(docs: DataFrame, pairsSink: String, checkpointDir: String,
+                  threshold: Double = 0.8): StreamingQuery =
+    docs.select(col("doc_id").as("id"), split(col("text"), " ").as("toks"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.SignatureStore.admit(batch.sparkSession, batch, threshold,
+          s"$pairsSink/batch_id=$batchId")
+        ()
+      }
+      .start()
 }

@@ -38,4 +38,76 @@ class SignatureStoreSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastHashJoin"),
       s"expected the banded batch broadcast onto the sig_bands scan:\n$plan")
   }
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame) =
+    df.select("id_a", "id_b", "j").orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("admit loop: the next increment equals a recompute over the grown corpus") {
+    SignatureStore.write(spark, corpus, dir)
+    val b1 = batch.filter(pmod(col("id"), lit(14L)) === 0)
+    val b2 = batch.filter(pmod(col("id"), lit(14L)) =!= 0)
+    val p1 = SignatureStore.admit(spark, b1, 0.8, tmp("pairs1"))
+    assert(pairsOf(p1) ===
+      pairsOf(MinHashLSH.crossVerifiedPairs(b1, corpus, 0.8)))
+    // after the admit, the store == corpus ∪ (b1 minus matched docs); the
+    // second increment must behave as a from-raw recompute over exactly that
+    val novel1 = b1.join(p1.select(col("id_a").as("id")).distinct(),
+                         Seq("id"), "left_anti")
+    assert(spark.table("sig_docs").count() === corpus.count() + novel1.count())
+    assert(pairsOf(SignatureStore.incrementPairs(spark, b2, 0.8)) ===
+      pairsOf(MinHashLSH.crossVerifiedPairs(b2, corpus.unionByName(novel1), 0.8)))
+  }
+
+  test("admit closes the loop: a later dup of an admitted doc is caught; zero-pair cycles admit everything") {
+    import spark.implicits._
+    def docs(rows: (Long, String)*) =
+      rows.toDF("id", "text").select(col("id"), split(col("text"), " ").as("toks"))
+    SignatureStore.write(spark, docs(1L -> "alpha beta gamma delta epsilon"), dir)
+    // cycle 1: nothing matches the corpus → empty sink dir read-back, all admitted
+    val p1 = SignatureStore.admit(spark,
+      docs(10L -> "zeta eta theta iota kappa lambda"), 0.8, tmp("pairs1"))
+    assert(p1.count() === 0)
+    assert(spark.table("sig_docs").count() === 2)
+    // cycle 2: an exact dup of the doc ADMITTED in cycle 1 — only the store
+    // (not the original corpus) can catch it
+    val p2 = SignatureStore.admit(spark,
+      docs(20L -> "zeta eta theta iota kappa lambda"), 0.8, tmp("pairs2"))
+    assert(pairsOf(p2) === Seq((20L, 10L, 1.0)))
+    assert(spark.table("sig_docs").count() === 2) // matched → not admitted
+  }
+
+  test("ST12 streamed ingest-dedup equals sequential batch-mode admits") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    val b1 = batch.filter(pmod(col("id"), lit(14L)) === 0)
+    val b2 = batch.filter(pmod(col("id"), lit(14L)) =!= 0)
+    // expected: two batch-mode admit cycles against a fresh store
+    SignatureStore.write(spark, corpus, tmp("store-batchmode"))
+    val e1 = pairsOf(SignatureStore.admit(spark, b1, 0.8, tmp("ep1")))
+    val e2 = pairsOf(SignatureStore.admit(spark, b2, 0.8, tmp("ep2")))
+    val expectedDocs = spark.table("sig_docs").count()
+    // actual: the same two batches through the ST12 foreachBatch stream
+    SignatureStore.write(spark, corpus, tmp("store-streamed"))
+    val raw = Tables.documents(spark, sfDir).select("doc_id", "text")
+    def texts(ids: org.apache.spark.sql.DataFrame) =
+      raw.join(ids.select(col("id").as("doc_id")), "doc_id")
+        .as[(Long, String)].collect().toSeq
+    val input = MemoryStream[(Long, String)]
+    val sink = tmp("st12-pairs")
+    val q = graft.streaming.StreamOps.dedupIngest(
+      input.toDF().toDF("doc_id", "text"), sink, tmp("st12-ckpt"), 0.8)
+    input.addData(texts(b1)); q.processAllAvailable()
+    input.addData(texts(b2)); q.processAllAvailable()
+    q.stop()
+    def sunk(b: Int) = spark.read.schema("id_a BIGINT, id_b BIGINT, j DOUBLE")
+      .parquet(s"$sink/batch_id=$b")
+    assert(pairsOf(sunk(0)) === e1)
+    assert(pairsOf(sunk(1)) === e2)
+    assert(spark.table("sig_docs").count() === expectedDocs)
+  }
 }
