@@ -144,6 +144,8 @@ object SparkEntry {
     "x40_embed_dedup_first" -> (VectorOps.x40EmbedDedupFirst _),
     "x41_embed_pipeline"  -> (VectorOps.x41EmbedPipeline _),
     "x42_incremental_dedup" -> (TextOps.x42IncrementalDedup _),
+    "x43_weighted_sample" -> (TextOps.x43WeightedSample _),
+    "x44_overlap_sketch"  -> (TextOps.x44OverlapSketch _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -594,6 +596,48 @@ object SparkEntry {
         |FROM inter JOIN sz sa ON sa.doc_id = doc_new JOIN sz sb ON sb.doc_id = doc_corpus
         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
         |ORDER BY doc_new, doc_corpus""".stripMargin,
+
+    // x43: priority sampling — the uniform u is the first 8 md5 hex digits
+    // of the id (dyadic rational), so the priority w/u is ONE exactly-
+    // rounded IEEE division and both engines select the identical set;
+    // displayed priority ROUND(4)-snapped like every declared double
+    "x43_weighted_sample" ->
+      """WITH w AS (SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        |  FROM documents),
+        |p AS (SELECT doc_id, lang, source, n_chars,
+        |  CAST(n_chars AS DOUBLE) / ((CAST(h AS DOUBLE) + 0.5) / 4294967296.0) AS prio
+        |  FROM w),
+        |r AS (SELECT doc_id, lang, source, n_chars, prio,
+        |  CAST(row_number() OVER (ORDER BY prio DESC, doc_id) AS BIGINT) AS rnk FROM p)
+        |SELECT rnk, doc_id, lang, source, n_chars, ROUND(prio, 4) AS prio
+        |FROM r WHERE rnk <= 50 ORDER BY rnk""".stripMargin,
+
+    // x44: tolerance-verdict (x37 pattern) — exact inter/union bit-agree;
+    // each engine estimates the intersection with its OWN HLL
+    // (inclusion–exclusion over per-source + pairwise-union sketches) and
+    // the declared verdict |est − inter| ≤ 0.10·union has ≥4× margin over
+    // both engines' measured worst case, so verdicts agree everywhere
+    "x44_overlap_sketch" ->
+      """WITH toks AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT source, shingle FROM toks,
+        |  UNNEST(list_transform(generate_series(1, len(t) - 4),
+        |    i -> array_to_string(t[i:i+4], ' '))) AS u(shingle)),
+        |n AS (SELECT source, COUNT(*)::BIGINT AS n,
+        |  CAST(approx_count_distinct(shingle) AS BIGINT) AS est FROM sh GROUP BY source),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*)::BIGINT AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |pu AS (SELECT s1.src_a, s1.src_b,
+        |  CAST(approx_count_distinct(sh.shingle) AS BIGINT) AS est_u
+        |  FROM (SELECT DISTINCT src_a, src_b FROM p) s1
+        |  JOIN sh ON sh.source IN (s1.src_a, s1.src_b) GROUP BY 1, 2)
+        |SELECT p.src_a, p.src_b, p.inter, na.n + nb.n - p.inter AS uni,
+        |CAST(ABS((na.est + nb.est - pu.est_u) - p.inter)
+        |  <= 0.10 * (na.n + nb.n - p.inter) AS INT) AS ok
+        |FROM p JOIN n na ON p.src_a = na.source JOIN n nb ON p.src_b = nb.source
+        |JOIN pu ON p.src_a = pu.src_a AND p.src_b = pu.src_b
+        |ORDER BY p.src_a, p.src_b""".stripMargin,
 
     "q54_cosine_topk" ->
       """WITH p AS (SELECT vec_id AS probe_id, embedding AS p_emb FROM embeddings WHERE vec_id < 10),

@@ -827,4 +827,86 @@ object TextOps {
       .select(col("id_a").as("doc_new"), col("id_b").as("doc_corpus"), col("j"))
       .orderBy("doc_new", "doc_corpus")
   }
+
+  /** x43 weighted sample — k docs drawn with probability increasing in
+    * `n_chars`, the "sample long documents preferentially" primitive next
+    * to x15's rate filter and x35's uniform fixed-k. The scheme is
+    * PRIORITY SAMPLING (Duffield–Lund–Thorup, JACM 2007): each doc gets a
+    * deterministic uniform u from its id's md5 and priority w/u; the k
+    * largest priorities are the sample (inclusion probability ∝ min(1,
+    * w/τ) for the threshold τ = (k+1)-th priority — the without-replacement
+    * weighted sample with provably near-optimal subset-sum variance).
+    *
+    * Chosen over Efraimidis–Vitter's u^(1/w) keys deliberately: w/u is ONE
+    * IEEE division of exactly-representable operands (u = (h+0.5)/2^32
+    * with h the first 8 md5 hex digits — a dyadic rational; w an integer),
+    * so the priority, and therefore the SELECTED SET, is bit-identical in
+    * any IEEE-754 engine. A log- or pow-based key would hang the contract
+    * on two libms agreeing to the last ulp.
+    *
+    * Scale: the same two-level top-k as q34/x31/x35 — local k per 256-way
+    * id-hash bucket at full width (priorities computed in the scan stage,
+    * no corpus shuffle), exact global k over the ≤256·k finalists (each
+    * global top-k row is its bucket's local top-k under the same total
+    * order). A single unpartitioned rank window over the corpus — the
+    * naive formulation — would serialize 100 TB onto one task. */
+  def x43WeightedSample(s: SparkSession, d: String): DataFrame = {
+    val k = 50
+    val wLocal = Window.partitionBy("bkt").orderBy(col("prio").desc, col("doc_id"))
+    val wFinal = Window.orderBy(col("prio").desc, col("doc_id")) // finalists only: ≤256·k rows
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars").cast("long").as("n_chars"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("double").as("h"),
+        pmod(xxhash64(col("doc_id")), lit(256)).as("bkt"))
+      .withColumn("prio",
+        col("n_chars").cast("double") / ((col("h") + lit(0.5)) / lit(4294967296.0)))
+      .withColumn("lrk", row_number().over(wLocal))
+      .filter(col("lrk") <= k)
+      .withColumn("rnk", row_number().over(wFinal).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("rnk"), col("doc_id"), col("lang"), col("source"),
+              col("n_chars"), dround(col("prio"), 4).as("prio"))
+      .orderBy("rnk")
+  }
+
+  /** x44 sketched source-overlap — the 100 TB path for x30's diagnostic:
+    * per-source HyperLogLog sketches of the 5-token shingle sets (one
+    * corpus-linear pass, NO distinct shuffle — the sketch dedups), then
+    * pairwise union estimates and inclusion–exclusion intersections from
+    * the S-row sketch table. x30's exact form shuffles every distinct
+    * (source, shingle) row and self-joins on the shingle; the sketch form
+    * moves S · 4 KB total, so it is the one a curation pipeline actually
+    * runs at full corpus scale, with x30 as the small-scale certifier.
+    *
+    * The declared output is the tolerance-verdict pattern (x37/x34/q21):
+    * exact inter/union (both engines agree bit-for-bit) plus the verdict
+    * `|inter_est − inter| ≤ 0.10·union`. Each engine computes its OWN
+    * HLL estimate (Spark: DataSketches lgK=12, ~1.6% typical per-sketch
+    * error; DuckDB: its native HLL, measured ≤2.2% rel-to-union on this
+    * fixture) — the contract grades the sketch's fitness, not its
+    * internals, and the 10% bound leaves ≥4× margin over both engines'
+    * measured worst case, so the verdicts agree everywhere. Pairs with
+    * zero exact overlap carry no verdict (x30's row set is the contract's:
+    * sharing ≥1 shingle). */
+  def x44OverlapSketch(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("source"), explode(graft.functions.TextExpressions.wordShingles(
+        split(col("text"), " "), 5)).as("sh"))
+    val sk = sh.groupBy("source")
+      .agg(hll_sketch_agg(col("sh")).as("sk"))
+    val est = sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        (hll_sketch_estimate(col("a.sk")) + hll_sketch_estimate(col("b.sk"))
+          - hll_sketch_estimate(hll_union(col("a.sk"), col("b.sk")))).as("inter_est"))
+    x30SourceOverlap(s, d)
+      .select(col("src_a"), col("src_b"), col("inter"),
+              (col("na") + col("nb") - col("inter")).as("uni"))
+      .join(broadcast(est), Seq("src_a", "src_b"))
+      .select(col("src_a"), col("src_b"), col("inter"), col("uni"),
+        (abs(col("inter_est") - col("inter")).cast("double") <=
+          lit(0.10) * col("uni").cast("double")).cast("int").as("ok"))
+      .orderBy("src_a", "src_b")
+  }
 }

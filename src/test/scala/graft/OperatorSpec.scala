@@ -84,6 +84,33 @@ class OperatorSpec extends SparkSpecBase {
       .filter(col("rnk") <= 20).orderBy("lang", "rnk")
       .collect().map(_.toSeq).toSeq
     assert(TextOps.x35FixedKSample(spark, sfDir).collect().map(_.toSeq).toSeq === ref35)
+
+    // x43 reference: one global priority window, no bucketing
+    val w43 = Window.orderBy(col("prio").desc, col("doc_id"))
+    val ref43 = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars").cast("long").as("n_chars"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("double").as("h"))
+      .withColumn("prio",
+        col("n_chars").cast("double") / ((col("h") + lit(0.5)) / lit(4294967296.0)))
+      .select(row_number().over(w43).cast("long").as("rnk"),
+              col("doc_id"), col("lang"), col("source"), col("n_chars"),
+              graft.functions.Rounding.dround(col("prio"), 4).as("prio"))
+      .filter(col("rnk") <= 50).orderBy("rnk")
+      .collect().map(_.toSeq).toSeq
+    assert(TextOps.x43WeightedSample(spark, sfDir).collect().map(_.toSeq).toSeq === ref43)
+  }
+
+  test("x43 weighting: inclusion tracks n_chars (priority-sample property)") {
+    // docs in the sample should be systematically longer than the corpus
+    // average — the whole point of weighting by n_chars
+    val sampleAvg = TextOps.x43WeightedSample(spark, sfDir)
+      .agg(avg("n_chars")).head.getDouble(0)
+    val corpusAvg = Tables.documents(spark, sfDir)
+      .agg(avg("n_chars")).head.getDouble(0)
+    assert(sampleAvg > corpusAvg,
+      s"weighted sample avg $sampleAvg not above corpus avg $corpusAvg")
   }
 
   test("x36 chunk boundary invariants: dense indices, full-width windows, short docs") {

@@ -228,6 +228,23 @@ class PlanSpec extends SparkSpecBase {
            s"pair generation degenerated to a product:\n$p")
   }
 
+  test("x43: per-bucket top-k pushed below the local window; no product joins") {
+    val p = planOf(operators.TextOps.x43WeightedSample(spark, sfDir))
+    // Spark rewrites the rank-filter into WindowGroupLimit — each bucket
+    // keeps k rows BEFORE the window sort, so the corpus never fully sorts
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("x44: corpus feeds only aggregates; the pair join sits on the S-row sketch table") {
+    val p = planOf(operators.TextOps.x44OverlapSketch(spark, sfDir))
+    // hll_sketch_agg is a TypedImperativeAggregate → partial+final
+    // ObjectHashAggregate; the only corpus-sized shuffles are aggregates
+    assert(p.contains("ObjectHashAggregate"), p)
+    // the estimate table joins back to the exact matrix by equi-key
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("x31/x32: rank/cumsum windows run over aggregated tables, not the corpus") {
     for (df <- Seq(operators.TextOps.x31TopBigrams(spark, sfDir),
                    operators.TextOps.x32VocabGrowth(spark, sfDir))) {
