@@ -120,4 +120,44 @@ object SignatureStore {
     append(spark, novel, p)
     pairs
   }
+
+  /** Rewrite both tables down to one file generation — the maintenance job
+    * a long-lived store schedules after many admits. Every [[append]] adds
+    * one file per bucket to `sig_sets` and one file set to `sig_docs`, so
+    * file count grows linearly with admit cycles and the probe scan pays
+    * per-file open cost — the classic small-files decay. The rewrite
+    * stages a fresh generation directory next to the live one, swaps the
+    * catalog names, then deletes the old generation; data is never
+    * modified in place, so a crash mid-compact leaves the live tables
+    * intact (at worst an orphaned staging dir, removed by the next
+    * compact's DROP IF EXISTS). Same single-writer assumption as
+    * BucketedLayout's day swap, and the same brief window: between the
+    * DROP and the RENAME the table name is absent from the catalog. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val cat = spark.sessionState.catalog
+    def loc(t: String) = new org.apache.hadoop.fs.Path(
+      cat.getTableMetadata(TableIdentifier(t)).location)
+    val spec = cat.getTableMetadata(TableIdentifier("sig_sets")).bucketSpec
+      .getOrElse(sys.error("sig_sets lost its bucket spec; rebuild the store"))
+    val gen = java.lang.System.nanoTime()
+    val (oldDocs, oldSets) = (loc("sig_docs"), loc("sig_sets"))
+    spark.sql("DROP TABLE IF EXISTS sig_docs_compact")
+    spark.sql("DROP TABLE IF EXISTS sig_sets_compact")
+    spark.table("sig_docs").repartition(spec.numBuckets)
+      .write.format("parquet").option("path", s"$path/sig_docs_g$gen")
+      .saveAsTable("sig_docs_compact")
+    spark.table("sig_sets").repartition(spec.numBuckets, col("id"))
+      .write.format("parquet")
+      .bucketBy(spec.numBuckets, "id").sortBy("id")
+      .option("path", s"$path/sig_sets_g$gen")
+      .saveAsTable("sig_sets_compact")
+    spark.sql("DROP TABLE sig_docs")
+    spark.sql("ALTER TABLE sig_docs_compact RENAME TO sig_docs")
+    spark.sql("DROP TABLE sig_sets")
+    spark.sql("ALTER TABLE sig_sets_compact RENAME TO sig_sets")
+    val fs = oldDocs.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(oldDocs, true)
+    fs.delete(oldSets, true)
+  }
 }

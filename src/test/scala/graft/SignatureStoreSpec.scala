@@ -80,6 +80,34 @@ class SignatureStoreSpec extends SparkSpecBase {
     assert(spark.table("sig_docs").count() === 2) // matched → not admitted
   }
 
+  test("compact collapses accumulated file generations; increment output and probe plan unchanged") {
+    import spark.implicits._
+    def docs(rows: (Long, String)*) =
+      rows.toDF("id", "text").select(col("id"), split(col("text"), " ").as("toks"))
+    val storeDir = tmp("store-compact")
+    SignatureStore.write(spark, corpus, storeDir)
+    // three admit cycles of novel docs — each appends one file per bucket
+    SignatureStore.admit(spark, docs(9001L -> "aa bb cc dd ee"), 0.8, tmp("cp1"))
+    SignatureStore.admit(spark, docs(9002L -> "ff gg hh ii jj"), 0.8, tmp("cp2"))
+    SignatureStore.admit(spark, docs(9003L -> "kk ll mm nn oo"), 0.8, tmp("cp3"))
+    def setsFiles: Int = {
+      val loc = new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("sig_sets")).location)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(loc).count(_.getPath.getName.endsWith(".parquet"))
+    }
+    val docsBefore = spark.table("sig_docs").count()
+    val before = pairsOf(SignatureStore.incrementPairs(spark, batch, 0.8))
+    val filesBefore = setsFiles
+    SignatureStore.compact(spark, storeDir)
+    assert(setsFiles < filesBefore, s"compact did not shrink files: $filesBefore -> $setsFiles")
+    assert(spark.table("sig_docs").count() === docsBefore)
+    assert(pairsOf(SignatureStore.incrementPairs(spark, batch, 0.8)) === before)
+    // the compacted store still accepts appends (bucket spec survived the swap)
+    SignatureStore.admit(spark, docs(9004L -> "pp qq rr ss tt"), 0.8, tmp("cp4"))
+    assert(spark.table("sig_docs").count() === docsBefore + 1)
+  }
+
   test("ST12 streamed ingest-dedup equals sequential batch-mode admits") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
