@@ -192,6 +192,34 @@ object Dev {
       s.stop()
       return
     }
+    if (names == Seq("x44prof")) {
+      // exact overlap matrix (x30) vs the sketch-only production path —
+      // the declared x44 runs BOTH (its verdict needs the exact answer),
+      // so its bench row can never beat x30; this isolates what the
+      // sketch path alone costs at scale
+      import org.apache.spark.sql.functions._
+      val s = GraftSession.build("graft-dev")
+      val sh = Tables.documents(s, sfDir)
+        .select(col("source"), explode(graft.functions.TextExpressions.wordShingles(
+          split(col("text"), " "), 5)).as("sh"))
+      def sketchOnly = {
+        val sk = sh.groupBy("source").agg(hll_sketch_agg(col("sh")).as("sk"))
+        sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+          .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+            (hll_sketch_estimate(col("a.sk")) + hll_sketch_estimate(col("b.sk"))
+              - hll_sketch_estimate(hll_union(col("a.sk"), col("b.sk")))).as("inter_est"))
+      }
+      def t(nm: String)(f: => Unit): Unit = {
+        f; val t0 = System.nanoTime(); f
+        println(f"[x44prof] $nm%-12s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      t("exact_x30") { operators.TextOps.x30SourceOverlap(s, sfDir)
+        .write.format("noop").mode("overwrite").save() }
+      t("sketch_only") { sketchOnly
+        .write.format("noop").mode("overwrite").save() }
+      s.stop()
+      return
+    }
     if (names.length == 1 && names.head.startsWith("skewstress")) {
       // Adversarial-skew stress of the near-dup pipeline (candidate gen →
       // exact verify → connected components → survivor argmax) on a
