@@ -146,6 +146,7 @@ object SparkEntry {
     "x42_incremental_dedup" -> (TextOps.x42IncrementalDedup _),
     "x43_weighted_sample" -> (TextOps.x43WeightedSample _),
     "x44_overlap_sketch"  -> (TextOps.x44OverlapSketch _),
+    "x45_kmeans_step"     -> (VectorOps.x45KmeansStep _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -638,6 +639,35 @@ object SparkEntry {
         |FROM p JOIN n na ON p.src_a = na.source JOIN n nb ON p.src_b = nb.source
         |JOIN pu ON p.src_a = pu.src_a AND p.src_b = pu.src_b
         |ORDER BY p.src_a, p.src_b""".stripMargin,
+
+    // x45: assignment ranked (round(cos,4) DESC, cent_id) like x08/x37;
+    // centroid means in EXACT integer arithmetic (components scaled 1e6 →
+    // BIGINT sums — associative, no float-order sensitivity), one division
+    // back; centroid arrays round(6), shift round(4)
+    "x45_kmeans_step" ->
+      s"""WITH nv AS (SELECT CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS stride FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, embedding AS c_emb
+        |  FROM embeddings, nv WHERE vec_id % stride = 0),
+        |asg AS (SELECT vec_id, embedding, cluster FROM (
+        |  SELECT e.vec_id, e.embedding, c.cent_id AS cluster,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY ${cosSql("e.embedding", "c.c_emb")} DESC, c.cent_id) AS r
+        |  FROM embeddings e CROSS JOIN cents c) q WHERE r = 1),
+        |d AS (SELECT cluster, i,
+        |  CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS sv1
+        |  FROM asg, UNNEST(generate_series(1, len(embedding))) AS g(i)),
+        |s AS (SELECT cluster, i, SUM(sv1) AS sv, COUNT(*)::BIGINT AS nm
+        |  FROM d GROUP BY 1, 2),
+        |cen AS (SELECT cluster, MAX(nm) AS n_members,
+        |  list(ROUND(CAST(sv AS DOUBLE) / (nm * 1000000.0), 6) ORDER BY i) AS centroid
+        |  FROM s GROUP BY cluster)
+        |SELECT cen.cluster AS cluster_id, cen.n_members,
+        |ROUND(list_dot_product(CAST(c.c_emb AS DOUBLE[]), cen.centroid)
+        |  / (SQRT(list_dot_product(CAST(c.c_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[])))
+        |   * SQRT(list_dot_product(cen.centroid, cen.centroid))), 4) AS shift_cos,
+        |cen.centroid AS centroid
+        |FROM cen JOIN cents c ON cen.cluster = c.cent_id
+        |ORDER BY cluster_id""".stripMargin,
 
     "q54_cosine_topk" ->
       """WITH p AS (SELECT vec_id AS probe_id, embedding AS p_emb FROM embeddings WHERE vec_id < 10),

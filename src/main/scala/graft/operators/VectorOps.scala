@@ -382,4 +382,59 @@ object VectorOps {
           6).as("max_err"))
       .orderBy("vec_id")
   }
+
+  /** x45 one Lloyd refinement step of x08's IVF coarse quantizer — the
+    * index-BUILD primitive between "deterministic seeds" (x08) and
+    * "certify recall" (x37): assign every vector to its nearest seed
+    * centroid, recompute each centroid as its members' exact mean, and
+    * report how far each centroid moved (cosine to its seed) — the
+    * convergence signal a build pipeline loops on, feeding the output back
+    * as the next step's seeds.
+    *
+    * Determinism at the contract level: assignment ranks (round(cos,4)
+    * DESC, cent_id) like x08/x37; the mean is EXACT INTEGER arithmetic —
+    * each float component scales by 1e6 into a BIGINT (a 24-bit float
+    * mantissa times the 20-bit scale fits a double exactly, so the scaled
+    * value is exact and ROUND-half-away agrees across engines), sums as
+    * integers (associative — float-summation order sensitivity, the usual
+    * centroid-hash killer, never arises), and divides back once. The
+    * centroid arrays therefore hash-match bit for bit.
+    *
+    * Scale: one assignment scan with broadcast centroids (√n·dim floats),
+    * one (cluster, dim)-keyed integer aggregate (map-side combined —
+    * n·dim rows in, √n·dim out), one √n-row reassembly. A seed whose
+    * vectors all prefer other centroids simply yields no row (empty
+    * cluster — both engines derive the same survivor set). */
+  def x45KmeansStep(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val stride = e.agg(count(lit(1)).as("n_vec"))
+      .select(floor(sqrt(col("n_vec"))).cast("long").as("stride"))
+    val cents = e.crossJoin(broadcast(stride))
+      .filter(col("vec_id") % col("stride") === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
+    val assigned = wide(s, e).crossJoin(broadcast(cents))
+      .withColumn("ccos", dround(cosine(col("embedding"), col("c_emb")), 4))
+      .withColumn("r", row_number().over(wAssign))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id").as("cluster"))
+    val sums = assigned
+      .select(col("cluster"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("cluster", "dim")
+      .agg(sum(round(col("v").cast("double") * lit(1000000.0)).cast("long")).as("sv"),
+           count(lit(1)).as("nm"))
+    val refined = sums.groupBy("cluster")
+      .agg(max("nm").as("n_members"),
+        array_sort(collect_list(struct(col("dim"), (col("sv").cast("double")
+          / (col("nm").cast("double") * lit(1000000.0))).as("m")))).as("a"))
+      .select(col("cluster").as("cluster_id"), col("n_members"),
+              transform(col("a"), x => dround(x.getField("m"), 6)).as("centroid"))
+    refined
+      .join(broadcast(cents.select(col("cent_id").as("cluster_id"), col("c_emb"))),
+            "cluster_id")
+      .select(col("cluster_id"), col("n_members"),
+        dround(cosineHof(col("c_emb"), col("centroid")), 4).as("shift_cos"),
+        col("centroid"))
+      .orderBy("cluster_id")
+  }
 }

@@ -144,10 +144,20 @@ object SignatureStore {
     val (oldDocs, oldSets) = (loc("sig_docs"), loc("sig_sets"))
     spark.sql("DROP TABLE IF EXISTS sig_docs_compact")
     spark.sql("DROP TABLE IF EXISTS sig_sets_compact")
-    spark.table("sig_docs").repartition(spec.numBuckets)
+    // Read the generations by PATH, not via the catalog: a `spark.table`
+    // scan of a table already bucketed (id, n) satisfies the
+    // repartition(n, id) clustering, so Spark elides the shuffle — and
+    // then (no join/agg to feed) auto-disables the bucketed scan, reading
+    // the small files in file-order partitions. Each write task then holds
+    // rows of MANY buckets and emits one file per (task, bucket): the
+    // rewrite is still a correct bucketed table, but the file count never
+    // shrinks — the one job compact exists to do. A bare parquet read
+    // carries no bucket metadata, so the shuffle survives and each task
+    // receives exactly one bucket → one file per bucket per table.
+    spark.read.parquet(oldDocs.toString).repartition(spec.numBuckets)
       .write.format("parquet").option("path", s"$path/sig_docs_g$gen")
       .saveAsTable("sig_docs_compact")
-    spark.table("sig_sets").repartition(spec.numBuckets, col("id"))
+    spark.read.parquet(oldSets.toString).repartition(spec.numBuckets, col("id"))
       .write.format("parquet")
       .bucketBy(spec.numBuckets, "id").sortBy("id")
       .option("path", s"$path/sig_sets_g$gen")

@@ -197,6 +197,46 @@ class OperatorSpec extends SparkSpecBase {
     assert(e.union(e).count() === 2 * e.count())
   }
 
+  test("x45: one Lloyd step matches a driver-side exact-arithmetic reference") {
+    // independent re-derivation of the whole contract on collected data:
+    // same seed rule, same (round(cos,4) DESC, cent_id) ranking, same
+    // 1e6-scaled integer mean — any drift in the distributed plan
+    // (assignment ties, sum order, rounding) breaks the === below
+    import java.math.{BigDecimal => JBD, RoundingMode => RM}
+    def dr(v: Double, p: Int): Double = {
+      val m = math.pow(10, p)
+      val r = JBD.valueOf(v * m).setScale(0, RM.HALF_UP).doubleValue() / m
+      if (r == 0.0) v * 0.0 else r
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val rows = Tables.embeddings(spark, sfDir).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).sortBy(_._1)
+    val stride = math.floor(math.sqrt(rows.length.toDouble)).toLong
+    val cents = rows.filter(_._1 % stride == 0L)
+    val assign = rows.map { case (_, v) =>
+      val cid = cents.map { case (c, cv) => (dr(cos(v, cv), 4), c) }
+        .minBy { case (cc, c) => (-cc, c) }._2
+      (cid, v)
+    }
+    val expected = assign.groupBy(_._1).toSeq.map { case (cid, ms) =>
+      val nm = ms.length
+      val centroid = ms.head._2.indices.map { i =>
+        val sv = ms.map(m => JBD.valueOf(m._2(i) * 1000000.0)
+          .setScale(0, RM.HALF_UP).longValueExact()).sum
+        dr(sv.toDouble / (nm * 1000000.0), 6)
+      }.toArray
+      val seed = cents.find(_._1 == cid).get._2
+      (cid, nm.toLong, dr(cos(seed, centroid), 4), centroid.toSeq)
+    }.sortBy(_._1)
+    val got = VectorOps.x45KmeansStep(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getSeq[Double](3)))
+    assert(got.toSeq === expected)
+  }
+
   test("Q17 as-of union+window matches a per-row subquery formulation") {
     // independent reference implementation: correlated max-ts lookup
     val ev = Tables.events(spark, sfDir)

@@ -245,6 +245,21 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("x45: top-1 assignment group-limited; centroids broadcast; sums partial-agg") {
+    val p = planOf(operators.VectorOps.x45KmeansStep(spark, sfDir))
+    // the r=1 rank filter must become WindowGroupLimit: each vector keeps
+    // its best centroid BEFORE the per-vector sort, so the n·√n assignment
+    // table never fully materializes through a global window
+    assert(p.contains("WindowGroupLimit"), p)
+    // the √n centroid table rides a broadcast; the corpus never shuffles
+    // for the cross — BroadcastNestedLoopJoin(cross, build=cents) is the
+    // intended shape, a CartesianProduct (both sides shuffled) is not
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+    // (cluster, dim) integer sums combine map-side before the exchange
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("x31/x32: rank/cumsum windows run over aggregated tables, not the corpus") {
     for (df <- Seq(operators.TextOps.x31TopBigrams(spark, sfDir),
                    operators.TextOps.x32VocabGrowth(spark, sfDir))) {
