@@ -40,6 +40,14 @@ object SparkEntry {
       s" / (SQRT(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])))" +
       s" * SQRT(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])))), 4)"
 
+  /** Integer-exact squared-L2 twin of VectorOps.d2i: the dot-expansion over
+    * list_dot_product, 1e6-scaled, rounded at scale 0 (where both engines'
+    * rounding agrees on every double) into a BIGINT rank key. */
+  private def d2Sql(a: String, b: String): String =
+    s"CAST(ROUND(1000000.0 * (list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))" +
+      s" - 2.0 * list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))" +
+      s" + list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])))) AS BIGINT)"
+
   /** Flagship: Q48 downsample (the canonical TSDB query) on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
     TimeSeriesOps.q48(spark, "/root/testdata/sf0.001")
@@ -147,6 +155,8 @@ object SparkEntry {
     "x43_weighted_sample" -> (TextOps.x43WeightedSample _),
     "x44_overlap_sketch"  -> (TextOps.x44OverlapSketch _),
     "x45_kmeans_step"     -> (VectorOps.x45KmeansStep _),
+    "x46_pq_encode"       -> (VectorOps.x46PqEncode _),
+    "x47_pq_recall"       -> (VectorOps.x47PqRecall _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -668,6 +678,80 @@ object SparkEntry {
         |cen.centroid AS centroid
         |FROM cen JOIN cents c ON cen.cluster = c.cent_id
         |ORDER BY cluster_id""".stripMargin,
+
+    // x46: per-subspace code choice ranks on the 1e6-scaled BIGINT d², so
+    // assignment, tie-break, and the error sum are exact integer arithmetic;
+    // d² itself is the dot-expansion over the same list_dot_product kernel
+    // the cosine twins use
+    "x46_pq_encode" ->
+      s"""WITH nv AS (SELECT CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS stride FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, embedding AS c_emb
+        |  FROM embeddings, nv WHERE vec_id % stride = 0),
+        |sub AS (SELECT vec_id, j,
+        |    embedding[j*sd+1 : j*sd+sd] AS sv
+        |  FROM (SELECT vec_id, embedding,
+        |          CAST(len(embedding)//8 AS INT) AS sd FROM embeddings) e,
+        |       UNNEST(generate_series(0, 7)) AS g(j)),
+        |cand AS (SELECT s.vec_id, s.j, c.cent_id, ${d2Sql("s.sv", "cs")} AS d2i
+        |  FROM sub s CROSS JOIN
+        |    (SELECT cent_id, c_emb, CAST(len(c_emb)//8 AS INT) AS csd FROM cents) c,
+        |    LATERAL (SELECT c.c_emb[s.j*c.csd+1 : s.j*c.csd+c.csd] AS cs) l),
+        |b AS (SELECT vec_id, j, cent_id AS code, d2i,
+        |    row_number() OVER (PARTITION BY vec_id, j ORDER BY d2i, cent_id) AS r
+        |  FROM cand)
+        |SELECT vec_id, list(code ORDER BY j) AS codes,
+        |  ROUND(CAST(SUM(d2i) AS DOUBLE) / 1000000.0, 6) AS err2
+        |FROM b WHERE r = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    // x47: every ranking keys on the same 1e6-scaled BIGINT d² (code
+    // choice, the ADC integer sums, the exact baseline), ties on vec_id —
+    // both engines derive identical top-5 sets, so the verdict hash-matches
+    "x47_pq_recall" ->
+      s"""WITH nv AS (SELECT CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS stride FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, embedding AS c_emb
+        |  FROM embeddings, nv WHERE vec_id % stride = 0),
+        |sub AS (SELECT vec_id, j,
+        |    embedding[j*sd+1 : j*sd+sd] AS sv
+        |  FROM (SELECT vec_id, embedding,
+        |          CAST(len(embedding)//8 AS INT) AS sd FROM embeddings) e,
+        |       UNNEST(generate_series(0, 7)) AS g(j)),
+        |cand AS (SELECT s.vec_id, s.j, c.cent_id, ${d2Sql("s.sv", "cs")} AS d2i
+        |  FROM sub s CROSS JOIN
+        |    (SELECT cent_id, c_emb, CAST(len(c_emb)//8 AS INT) AS csd FROM cents) c,
+        |    LATERAL (SELECT c.c_emb[s.j*c.csd+1 : s.j*c.csd+c.csd] AS cs) l),
+        |codes AS (SELECT vec_id, j, cent_id AS code,
+        |    row_number() OVER (PARTITION BY vec_id, j ORDER BY d2i, cent_id) AS r
+        |  FROM cand),
+        |p AS (SELECT vec_id AS probe_id, embedding AS p_emb FROM embeddings WHERE vec_id < 10),
+        |psub AS (SELECT probe_id, j,
+        |    p_emb[j*sd+1 : j*sd+sd] AS sv
+        |  FROM (SELECT probe_id, p_emb,
+        |          CAST(len(p_emb)//8 AS INT) AS sd FROM p) q,
+        |       UNNEST(generate_series(0, 7)) AS g(j)),
+        |lut AS (SELECT s.probe_id, s.j, c.cent_id AS code, ${d2Sql("s.sv", "cs")} AS ld2
+        |  FROM psub s CROSS JOIN
+        |    (SELECT cent_id, c_emb, CAST(len(c_emb)//8 AS INT) AS csd FROM cents) c,
+        |    LATERAL (SELECT c.c_emb[s.j*c.csd+1 : s.j*c.csd+c.csd] AS cs) l),
+        |adc AS (SELECT l.probe_id, k.vec_id, SUM(l.ld2) AS adc
+        |  FROM (SELECT vec_id, j, code FROM codes WHERE r = 1) k
+        |  JOIN lut l ON l.j = k.j AND l.code = k.code
+        |  WHERE k.vec_id <> l.probe_id
+        |  GROUP BY 1, 2),
+        |approx AS (SELECT probe_id, vec_id FROM
+        |  (SELECT probe_id, vec_id,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY adc, vec_id) AS rnk FROM adc) q
+        |  WHERE rnk <= 5),
+        |exact AS (SELECT probe_id, vec_id FROM
+        |  (SELECT pp.probe_id, e.vec_id,
+        |    row_number() OVER (PARTITION BY pp.probe_id
+        |      ORDER BY ${d2Sql("pp.p_emb", "e.embedding")}, e.vec_id) AS rnk
+        |   FROM p pp CROSS JOIN embeddings e WHERE e.vec_id <> pp.probe_id) q
+        |  WHERE rnk <= 5)
+        |SELECT ex.probe_id, COUNT(*) AS n_exact, COUNT(a.vec_id) AS n_hit,
+        |ROUND(CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*), 4) AS recall,
+        |CAST(ROUND(CAST(COUNT(a.vec_id) AS DOUBLE) / COUNT(*), 4) >= 0.95 AS INT) AS ok
+        |FROM exact ex LEFT JOIN approx a ON ex.probe_id = a.probe_id AND ex.vec_id = a.vec_id
+        |GROUP BY ex.probe_id ORDER BY ex.probe_id""".stripMargin,
 
     "q54_cosine_topk" ->
       """WITH p AS (SELECT vec_id AS probe_id, embedding AS p_emb FROM embeddings WHERE vec_id < 10),

@@ -405,6 +405,174 @@ object VectorOps {
     * n·dim rows in, √n·dim out), one √n-row reassembly. A seed whose
     * vectors all prefer other centroids simply yields no row (empty
     * cluster — both engines derive the same survivor set). */
+  /** x46 product-quantization encode — the vector-compression stage of a
+    * 100 TB ANN build (Jégou et al.'s PQ): split each embedding into m=8
+    * contiguous subvectors, quantize each against a per-subspace codebook,
+    * and emit the m code ids plus the reconstruction error. With k=⌊√n⌋+1
+    * codebook entries (the same deterministic every-stride-th seed rule as
+    * x08/x45 — no trained state, so both engines derive identical books) a
+    * dim-float vector compresses to m small ints; x47 then searches over
+    * the codes alone.
+    *
+    * Determinism: per-subspace distance ranks on an INTEGER — d² computes
+    * as dot(s,s) − 2·dot(s,c) + dot(c,c) (the same dot kernel cosine uses,
+    * bit-identical to DuckDB's list_dot_product), scales by 1e6 and rounds
+    * to BIGINT at scale 0 (where Spark's and DuckDB's rounding agree on
+    * every double), so code choice, tie-break (cent_id), and the summed
+    * error are all exact integer arithmetic — no float-order sensitivity
+    * anywhere past the per-pair dot.
+    *
+    * Scale: one corpus scan; the codebook broadcast is k·dim floats (the
+    * IVF-centroid budget); min(struct(d2i, cent_id)) is a partial
+    * aggregate, so each task collapses its n·m·k candidate rows to n·m
+    * map-side and the only shuffles are two narrow n·m-row exchanges. */
+  def x46PqEncode(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    pqCodes(s, e, e)
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("j"), col("code")))).as("cs"),
+           sum(col("d2i")).as("esum"))
+      .select(col("vec_id"),
+              transform(col("cs"), x => x.getField("code")).as("codes"),
+              dround(col("esum").cast("double") / lit(1000000.0), 6).as("err2"))
+      .orderBy("vec_id")
+  }
+
+  /** The deterministic seed-centroid rule x08/x45/x46 share: every
+    * ⌊√n⌋-th vector of `src` by id — nlist ≈ √n with zero trained state,
+    * so any engine derives the identical codebook from the data alone. */
+  private def seedCents(src: DataFrame): DataFrame = {
+    val stride = src.agg(count(lit(1)).as("n_vec"))
+      .select(floor(sqrt(col("n_vec"))).cast("long").as("stride"))
+    src.crossJoin(broadcast(stride))
+      .filter(col("vec_id") % col("stride") === 0)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
+  }
+
+  /** Integer-exact squared L2 between two float vectors, scaled 1e6 into a
+    * BIGINT: the dot-expansion d² = a·a − 2·a·b + b·b over the codegen dot
+    * kernel (bit-identical to DuckDB's list_dot_product), then one
+    * scale-0 round where both engines agree on every double. Every PQ
+    * ranking (code choice, ADC order, exact baseline) keys on this. */
+  private def d2i(a: Column, b: Column): Column = {
+    val dot = (x: Column, y: Column) => graft.functions.VectorExpressions.vecDot(x, y)
+    round((dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)) * lit(1000000.0)).cast("long")
+  }
+
+  /** Per-(vector, subspace) PQ code assignment over `vecs` against
+    * codebooks seeded from `bookSrc`: (vec_id, j, code, d2i). The
+    * min(struct) is a partial aggregate — each task collapses its
+    * n·m·k candidate rows to n·m before any shuffle. */
+  private[graft] def pqCodes(s: SparkSession, vecs: DataFrame, bookSrc: DataFrame,
+                             m: Int = 8): DataFrame = {
+    val cents = seedCents(bookSrc)
+    wide(s, vecs)
+      .withColumn("sd", (size(col("embedding")) / m).cast("int"))
+      .select(col("vec_id"), col("sd"), col("embedding"),
+              explode(sequence(lit(0), lit(m - 1))).as("j"))
+      .select(col("vec_id"), col("j"), col("sd"),
+              slice(col("embedding"), col("j") * col("sd") + 1, col("sd")).as("sv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cs", slice(col("c_emb"), col("j") * col("sd") + 1, col("sd")))
+      .select(col("vec_id"), col("j"), col("cent_id"),
+              d2i(col("sv"), col("cs")).as("d2"))
+      .groupBy("vec_id", "j")
+      .agg(min(struct(col("d2"), col("cent_id"))).as("b"))
+      .select(col("vec_id"), col("j"),
+              col("b").getField("cent_id").as("code"),
+              col("b").getField("d2").as("d2i"))
+  }
+
+  /** x47 PQ asymmetric-distance search + recall gate — x37's pattern for
+    * the compressed index x46 builds: search the corpus by CODES ALONE
+    * (asymmetric distance: per probe, precompute the |probes|·m·k lookup
+    * table of probe-subvector↔centroid d²; a database vector's distance
+    * estimate is the sum of its m code lookups — the vector itself is
+    * never touched), take top-5 per probe, and grade against the exact
+    * full-precision L2 top-5. The declared verdict (`recall ≥ 0.95`)
+    * certifies or rejects the compressed index per probe.
+    *
+    * Everything ranks on integers: the LUT entries and the exact
+    * distances are 1e6-scaled BIGINT d² ([[d2i]]), ADC is a sum of m
+    * BIGINTs, ties break on vec_id — both engines derive identical top-5
+    * SETS, so hit counts and verdicts hash-match.
+    *
+    * Scale: the ADC join is an equi-join of the n·m-row int code table
+    * against a broadcast LUT, partially aggregated to n·|probes| sums
+    * map-side — the corpus' float payload moves NOWHERE after encode
+    * (that is the point of PQ at 100 TB: 8 ints per vector stream through
+    * one hash-agg). The exact baseline is the same brute-force scan q54
+    * uses, fenced to the 10-probe gate set; production runs the gate on a
+    * probe sample exactly like x37.
+    *
+    * On this near-uniform fixture (max cos ≈ 0.6, no cluster structure)
+    * the ~23-entry seed codebooks quantize coarsely and the gate honestly
+    * rejects (ok=0 for most probes) — the same correct verdict x37
+    * returns for IVF here; PqRecallSpec shows the gate CERTIFYING the
+    * codes on a clustered corpus. */
+  def x47PqRecall(s: SparkSession, d: String): DataFrame =
+    pqRecall(s, wide(s, emb(s, d)), emb(s, d))
+
+  /** The ADC search alone: top-5 (adc, vec_id)-ranked neighbors per probe
+    * (probes = vec_id < 10 of `probeSrc`), computed from codes + LUT with
+    * no access to the corpus floats. PqRecallSpec drives this over a
+    * clustered dev corpus to show the codes land every hit in the probe's
+    * true cluster — PQ's resolution is the codebook cell, so WITHIN a
+    * cell ADC ties and the id tiebreak decides; certify cell containment,
+    * not within-cell order. */
+  def pqSearch(s: SparkSession, corpus: DataFrame, probeSrc: DataFrame,
+               m: Int = 8): DataFrame = {
+    val probes = probeSrc.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    // LUT: probe × subspace × centroid → integer d² (tiny: |probes|·m·k)
+    val lut = probes
+      .withColumn("sd", (size(col("p_emb")) / m).cast("int"))
+      .select(col("probe_id"), col("sd"), col("p_emb"),
+              explode(sequence(lit(0), lit(m - 1))).as("j"))
+      .select(col("probe_id"), col("j"), col("sd"),
+              slice(col("p_emb"), col("j") * col("sd") + 1, col("sd")).as("sv"))
+      .crossJoin(broadcast(seedCents(probeSrc)))
+      .withColumn("cs", slice(col("c_emb"), col("j") * col("sd") + 1, col("sd")))
+      .select(col("probe_id"), col("j"), col("cent_id").as("code"),
+              d2i(col("sv"), col("cs")).as("ld2"))
+    val wAdc = Window.partitionBy("probe_id").orderBy(col("adc").asc, col("vec_id"))
+    pqCodes(s, corpus, probeSrc, m)
+      .join(broadcast(lut), Seq("j", "code"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .groupBy("probe_id", "vec_id")
+      .agg(sum("ld2").as("adc"))
+      .withColumn("rnk", row_number().over(wAdc))
+      .filter(col("rnk") <= 5)
+      .select(col("probe_id"), col("vec_id"))
+  }
+
+  /** x47's gate over an arbitrary corpus: ADC top-5 from [[pqCodes]] vs
+    * exact L2 top-5, per probe (probes = vec_id < 10 of `probeSrc`). */
+  def pqRecall(s: SparkSession, corpus: DataFrame, probeSrc: DataFrame,
+               m: Int = 8): DataFrame = {
+    val probes = probeSrc.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    // ≤ |probes|·5 rows by construction → broadcast the verdict join
+    val approx = broadcast(pqSearch(s, corpus, probeSrc, m)
+      .select(col("probe_id").as("p2"), col("vec_id").as("n2")))
+    val wExact = Window.partitionBy("probe_id").orderBy(col("ed2").asc, col("vec_id"))
+    val exact = corpus.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("ed2", d2i(col("p_emb"), col("embedding")))
+      .withColumn("rnk", row_number().over(wExact))
+      .filter(col("rnk") <= 5)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"))
+    exact.join(approx,
+        col("probe_id") === col("p2") && col("neighbor_id") === col("n2"), "left")
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n_exact"), count(col("n2")).as("n_hit"))
+      .withColumn("recall",
+        dround(col("n_hit").cast("double") / col("n_exact").cast("double"), 4))
+      .select(col("probe_id"), col("n_exact"), col("n_hit"), col("recall"),
+              (col("recall") >= 0.95).cast("int").as("ok"))
+      .orderBy("probe_id")
+  }
+
   def x45KmeansStep(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
     val stride = e.agg(count(lit(1)).as("n_vec"))

@@ -260,6 +260,24 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("x46: code choice is a partial min-aggregate; codebook broadcast; no products") {
+    val p = planOf(operators.VectorOps.x46PqEncode(spark, sfDir))
+    // min(struct(d2i, cent_id)) partial-aggregates: each task collapses its
+    // n·m·k candidate rows to n·m before any exchange
+    assert(p.contains("partial_min"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("x47: ADC joins the int code table to a broadcast LUT; sums partial-agg") {
+    val p = planOf(operators.VectorOps.x47PqRecall(spark, sfDir))
+    // the corpus floats never shuffle post-encode: the ADC join is a
+    // BroadcastHashJoin on (j, code) against the |probes|·m·k-row LUT
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
   test("x31/x32: rank/cumsum windows run over aggregated tables, not the corpus") {
     for (df <- Seq(operators.TextOps.x31TopBigrams(spark, sfDir),
                    operators.TextOps.x32VocabGrowth(spark, sfDir))) {
