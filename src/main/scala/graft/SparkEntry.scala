@@ -157,6 +157,7 @@ object SparkEntry {
     "x45_kmeans_step"     -> (VectorOps.x45KmeansStep _),
     "x46_pq_encode"       -> (VectorOps.x46PqEncode _),
     "x47_pq_recall"       -> (VectorOps.x47PqRecall _),
+    "x48_leak_split"      -> (TextOps.x48LeakSplit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -916,6 +917,35 @@ object SparkEntry {
         |SELECT id AS doc_id, MIN(comp) AS cluster_id,
         |CAST(id = MIN(comp) AS INT) AS is_keeper
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // x48: x14's recursive-CTE cluster labels + the x15 md5-prefix split
+    // rule applied to the CLUSTER id, so near-dup pairs can never straddle
+    // splits; the declared output is the per-split audit aggregate
+    "x48_leak_split" ->
+      """WITH RECURSIVE t AS (SELECT DISTINCT doc_id, tok FROM
+        |  (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents) u),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b
+        |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS id, doc_id AS comp FROM documents
+        |  UNION
+        |  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id
+        |  WHERE r.comp < e.dst),
+        |lab AS (SELECT id AS doc_id, MIN(comp) AS cluster_id FROM reach GROUP BY id),
+        |sp AS (SELECT l.doc_id, l.cluster_id, d.n_chars,
+        |  CASE WHEN md5(CAST(l.cluster_id AS VARCHAR)) < 'cc' THEN 'train'
+        |       WHEN md5(CAST(l.cluster_id AS VARCHAR)) < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM lab l JOIN documents d ON d.doc_id = l.doc_id)
+        |SELECT split, COUNT(DISTINCT cluster_id) AS n_clusters,
+        |  COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+        |FROM sp GROUP BY split ORDER BY split""".stripMargin,
 
     "x15_stratified_sample" ->
       """SELECT doc_id, lang, source FROM documents

@@ -909,4 +909,48 @@ object TextOps {
           lit(0.10) * col("uni").cast("double")).cast("int").as("ok"))
       .orderBy("src_a", "src_b")
   }
+
+  /** x48 leakage-safe train/val/test split: assign splits by NEAR-DUP
+    * CLUSTER, not by document — the split rule every eval-hygiene
+    * post-mortem ends up demanding. A doc-level hash split leaks: a near
+    * duplicate of a test document lands in train with probability
+    * P(train) ≈ 80%, and memorized-duplicate contamination walks straight
+    * through. Here every document inherits its x14 cluster's split
+    * (md5 of the cluster id against the same lexicographic-prefix bounds
+    * x15 uses: < 'cc' → train ≈ 204/256, < 'e6' → val ≈ 26/256, else
+    * test), so BOTH endpoints of every verified near-dup pair share a
+    * split BY CONSTRUCTION — cross-split near-dup pairs are structurally
+    * zero, not post-filtered (X48SplitSpec executes the check; singleton
+    * docs are their own cluster and split independently).
+    *
+    * The declared output is the per-split audit a pipeline records:
+    * cluster / doc / char counts. Scale: x14's CC machinery + one
+    * doc↔label join + a 3-group aggregate — the split column itself is a
+    * pure per-row hash, so the stage adds nothing to the dedup pipeline
+    * it rides on. */
+  def x48LeakSplit(s: SparkSession, d: String): DataFrame =
+    x48From(s, d, MinHashLSH.verifiedPairs(docTokens(s, d), 0.8))
+
+  /** x48 core over a precomputed verified-pair frame — the pipeline entry
+    * point (same contract as [[x14DedupClustersFrom]]). */
+  def x48From(s: SparkSession, d: String, pairs: DataFrame): DataFrame =
+    x48SplitLabels(s, d, pairs)
+      .groupBy("split")
+      .agg(countDistinct("cluster_id").as("n_clusters"),
+           count(lit(1)).as("n_docs"),
+           sum("n_chars").as("n_chars"))
+      .orderBy("split")
+
+  /** Doc-level split assignment: (doc_id, cluster_id, n_chars, split) —
+    * X48SplitSpec joins this back to the pair list to execute the
+    * zero-leakage invariant. */
+  def x48SplitLabels(s: SparkSession, d: String, pairs: DataFrame): DataFrame =
+    x14DedupClustersFrom(s, d, pairs)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+      .withColumn("h", md5(col("cluster_id").cast("string")))
+      .withColumn("split",
+        when(col("h") < "cc", lit("train"))
+          .when(col("h") < "e6", lit("val"))
+          .otherwise(lit("test")))
+      .select(col("doc_id"), col("cluster_id"), col("n_chars"), col("split"))
 }
