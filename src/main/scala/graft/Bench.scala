@@ -131,7 +131,8 @@ object Bench {
     // when ITS name is in the filter (no unrequested sibling measurement).
     val wantCc   = only.forall(_("x14_cc_only"))
     val wantSurv = only.forall(_("x33_survivors_only"))
-    val ccOnly = if (!wantCc && !wantSurv) Nil
+    val wantSplit = only.forall(_("x48_split_only"))
+    val ccOnly = if (!wantCc && !wantSurv && !wantSplit) Nil
     else try {
       import org.apache.spark.sql.functions.{col, split}
       val pairsDir = java.nio.file.Files.createTempDirectory("x14pairs").toString
@@ -146,19 +147,30 @@ object Bench {
           .write.format("noop").mode("overwrite").save()
         Seq("x14_cc_only" -> (System.nanoTime() - t0) / 1e9)
       }
-      // third pipeline stage over the second's MATERIALIZED output: CC runs
-      // untimed to parquet; survivor selection alone is one window + one agg
-      val survRow = if (!wantSurv) Nil else {
+      // later pipeline stages over the CC stage's MATERIALIZED output: CC
+      // runs untimed to parquet; survivor selection alone is one window +
+      // one agg, the x48 split alone is one join + hash CASE + 3-group agg
+      val downstream = if (!wantSurv && !wantSplit) Nil else {
         val labelsDir = java.nio.file.Files.createTempDirectory("x14labels").toString
         operators.TextOps.x14DedupClustersFrom(spark, sfDir, pairs)
           .select("doc_id", "cluster_id").write.mode("overwrite").parquet(labelsDir)
         val labels = spark.read.parquet(labelsDir)
-        val t2 = System.nanoTime()
-        operators.TextOps.x33SurvivorsFromLabels(spark, sfDir, labels)
-          .write.format("noop").mode("overwrite").save()
-        Seq("x33_survivors_only" -> (System.nanoTime() - t2) / 1e9)
+        val survRow = if (!wantSurv) Nil else {
+          val t2 = System.nanoTime()
+          operators.TextOps.x33SurvivorsFromLabels(spark, sfDir, labels)
+            .write.format("noop").mode("overwrite").save()
+          Seq("x33_survivors_only" -> (System.nanoTime() - t2) / 1e9)
+        }
+        val splitRow = if (!wantSplit) Nil else {
+          val t3 = System.nanoTime()
+          operators.TextOps.x48Aggregate(
+              operators.TextOps.x48SplitFromLabels(spark, sfDir, labels))
+            .write.format("noop").mode("overwrite").save()
+          Seq("x48_split_only" -> (System.nanoTime() - t3) / 1e9)
+        }
+        survRow ++ splitRow
       }
-      ccRow ++ survRow
+      ccRow ++ downstream
     } catch { case e: Throwable =>
       System.err.println(s"[bench] x14_cc_only failed: ${e.getMessage}"); Nil
     }

@@ -934,18 +934,21 @@ object TextOps {
   /** x48 core over a precomputed verified-pair frame — the pipeline entry
     * point (same contract as [[x14DedupClustersFrom]]). */
   def x48From(s: SparkSession, d: String, pairs: DataFrame): DataFrame =
-    x48SplitLabels(s, d, pairs)
-      .groupBy("split")
-      .agg(countDistinct("cluster_id").as("n_clusters"),
-           count(lit(1)).as("n_docs"),
-           sum("n_chars").as("n_chars"))
-      .orderBy("split")
+    x48Aggregate(x48SplitLabels(s, d, pairs))
 
   /** Doc-level split assignment: (doc_id, cluster_id, n_chars, split) —
     * X48SplitSpec joins this back to the pair list to execute the
     * zero-leakage invariant. */
   def x48SplitLabels(s: SparkSession, d: String, pairs: DataFrame): DataFrame =
-    x14DedupClustersFrom(s, d, pairs)
+    x48SplitFromLabels(s, d, x14DedupClustersFrom(s, d, pairs))
+
+  /** The split stage alone, over PRECOMPUTED cluster labels (doc_id,
+    * cluster_id) — what a pipeline that has already run dedup pays: one
+    * doc↔label join + a per-row hash CASE (Bench's `x48_split_only` row
+    * times this plus the 3-group aggregate against parquet-materialized
+    * labels). */
+  def x48SplitFromLabels(s: SparkSession, d: String, labels: DataFrame): DataFrame =
+    labels.select(col("doc_id"), col("cluster_id"))
       .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
       .withColumn("h", md5(col("cluster_id").cast("string")))
       .withColumn("split",
@@ -953,4 +956,13 @@ object TextOps {
           .when(col("h") < "e6", lit("val"))
           .otherwise(lit("test")))
       .select(col("doc_id"), col("cluster_id"), col("n_chars"), col("split"))
+
+  /** x48's aggregate over a doc-level split frame — shared by the declared
+    * query and the staged bench row. */
+  def x48Aggregate(splits: DataFrame): DataFrame =
+    splits.groupBy("split")
+      .agg(countDistinct("cluster_id").as("n_clusters"),
+           count(lit(1)).as("n_docs"),
+           sum("n_chars").as("n_chars"))
+      .orderBy("split")
 }
