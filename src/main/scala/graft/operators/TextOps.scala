@@ -950,11 +950,7 @@ object TextOps {
   def x48SplitFromLabels(s: SparkSession, d: String, labels: DataFrame): DataFrame =
     labels.select(col("doc_id"), col("cluster_id"))
       .join(Tables.documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
-      .withColumn("h", md5(col("cluster_id").cast("string")))
-      .withColumn("split",
-        when(col("h") < "cc", lit("train"))
-          .when(col("h") < "e6", lit("val"))
-          .otherwise(lit("test")))
+      .withColumn("split", graft.functions.SplitRule.of(col("cluster_id")))
       .select(col("doc_id"), col("cluster_id"), col("n_chars"), col("split"))
 
   /** x48's aggregate over a doc-level split frame — shared by the declared

@@ -121,6 +121,64 @@ object SignatureStore {
     pairs
   }
 
+  /** [[write]] plus a `sig_splits` table (id, split): leak-safe split
+    * assignments for the initial corpus, keyed on the CC cluster id so
+    * every near-dup cluster lands whole in one split (x48's rule). The
+    * router ([[routeAndAdmit]]) consults and extends this table. */
+  def writeRouted(spark: SparkSession, toks: DataFrame, path: String,
+                  buckets: Int = 8, threshold: Double = 0.8,
+                  p: MinHashLSH.Params = MinHashLSH.Params()): Unit = {
+    write(spark, toks, path, buckets, p)
+    spark.sql("DROP TABLE IF EXISTS sig_splits")
+    val pairs = MinHashLSH.verifiedPairs(toks, threshold)
+    graft.functions.ConnectedComponents
+      .labels(toks.select(col("id")), pairs.select(col("id_a"), col("id_b")))
+      .select(col("id"), graft.functions.SplitRule.of(col("comp")).as("split"))
+      .write.format("parquet")
+      .option("path", s"$path/sig_splits")
+      .mode("overwrite").saveAsTable("sig_splits")
+  }
+
+  /** One cycle of the leak-safe STREAMING split router (ST13's per-batch
+    * body): compute the batch's near-dup pairs against the store; a doc
+    * with a match INHERITS the split of its first (min-id) corpus match —
+    * a near-dup of a test doc can never land in train — while a novel doc
+    * splits by [[graft.functions.SplitRule]] on its OWN id, which is
+    * exactly the id later dups will match and inherit from. Routed rows
+    * (id, match_id, matched, split) sink durably to `outDir` BEFORE the
+    * store mutates (admit's ordering discipline), then the novel docs'
+    * signatures and splits append.
+    *
+    * Online vs batch honesty: this is the prefix-greedy approximation of
+    * x48's batch CC. Direct inheritance is guaranteed (spec-executed);
+    * what it cannot do is RE-split history when a later doc bridges two
+    * existing clusters that already sit in different splits — the
+    * standard price of online union-find without relabeling. A pipeline
+    * that needs the closed-form property re-runs x48 over the store
+    * offline (cheap: x48_split_only) and diffs. */
+  def routeAndAdmit(spark: SparkSession, batch: DataFrame, outDir: String,
+                    threshold: Double = 0.8,
+                    p: MinHashLSH.Params = MinHashLSH.Params()): DataFrame = {
+    val inherit = incrementPairs(spark, batch, threshold, p)
+      .groupBy(col("id_a").as("id")).agg(min("id_b").as("match_id"))
+      .join(spark.table("sig_splits").select(col("id").as("match_id"), col("split")),
+            "match_id")
+    batch.select("id")
+      .join(inherit.select(col("id"), col("match_id"), col("split")), Seq("id"), "left")
+      .select(col("id"), col("match_id"),
+        col("match_id").isNotNull.cast("int").as("matched"),
+        coalesce(col("split"), graft.functions.SplitRule.of(col("id"))).as("split"))
+      .write.mode("overwrite").parquet(outDir)
+    val routed = spark.read
+      .schema("id BIGINT, match_id BIGINT, matched INT, split STRING")
+      .parquet(outDir)
+    val novelIds = routed.filter(col("matched") === 0).select("id")
+    append(spark, batch.join(novelIds, Seq("id"), "left_semi"), p)
+    routed.filter(col("matched") === 0).select(col("id"), col("split"))
+      .write.format("parquet").mode("append").saveAsTable("sig_splits")
+    routed
+  }
+
   /** Rewrite both tables down to one file generation — the maintenance job
     * a long-lived store schedules after many admits. Every [[append]] adds
     * one file per bucket to `sig_sets` and one file set to `sig_docs`, so
@@ -169,5 +227,16 @@ object SignatureStore {
     val fs = oldDocs.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(oldDocs, true)
     fs.delete(oldSets, true)
+    // routed stores also accumulate one sig_splits file per admit cycle
+    if (cat.tableExists(TableIdentifier("sig_splits"))) {
+      val oldSplits = loc("sig_splits")
+      spark.sql("DROP TABLE IF EXISTS sig_splits_compact")
+      spark.read.parquet(oldSplits.toString).repartition(spec.numBuckets)
+        .write.format("parquet").option("path", s"$path/sig_splits_g$gen")
+        .saveAsTable("sig_splits_compact")
+      spark.sql("DROP TABLE sig_splits")
+      spark.sql("ALTER TABLE sig_splits_compact RENAME TO sig_splits")
+      fs.delete(oldSplits, true)
+    }
   }
 }

@@ -507,4 +507,28 @@ object StreamOps {
         ()
       }
       .start()
+
+  /** ST13: leak-safe STREAMING train/val/test routing — x48's guarantee
+    * carried into continuous ingest. Each micro-batch runs one
+    * [[graft.sources.SignatureStore.routeAndAdmit]] cycle in
+    * `foreachBatch` against a [[graft.sources.SignatureStore.writeRouted]]
+    * store: a doc near-dupping the corpus INHERITS the split of its
+    * first (min-id) match — a near-dup of an eval doc can never stream
+    * into train — while novel docs split by the shared
+    * [[graft.functions.SplitRule]] on their own id and are admitted, so
+    * later dups of THEM inherit consistently. Routed rows land under
+    * `routedSink/batch_id=<id>` (overwrite → idempotent replay) before
+    * the store mutates, the same ordering discipline as ST12; the
+    * prefix-greedy-vs-batch-CC caveat is documented at routeAndAdmit. */
+  def splitRouting(docs: DataFrame, routedSink: String, checkpointDir: String,
+                   threshold: Double = 0.8): StreamingQuery =
+    docs.select(col("doc_id").as("id"), split(col("text"), " ").as("toks"))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.SignatureStore.routeAndAdmit(batch.sparkSession, batch,
+          s"$routedSink/batch_id=$batchId", threshold)
+        ()
+      }
+      .start()
 }
