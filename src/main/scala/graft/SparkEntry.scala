@@ -158,6 +158,8 @@ object SparkEntry {
     "x46_pq_encode"       -> (VectorOps.x46PqEncode _),
     "x47_pq_recall"       -> (VectorOps.x47PqRecall _),
     "x48_leak_split"      -> (TextOps.x48LeakSplit _),
+    "x49_heavy_hitters"   -> (TextOps.x49HeavyHitters _),
+    "x50_bloom_contamination" -> (TextOps.x50BloomContamination _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -954,6 +956,32 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "x17_contamination" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM toks,
+        |  UNNEST(list_transform(generate_series(1, len(t) - 4),
+        |    i -> array_to_string(t[i:i+4], ' '))) AS u(shingle)),
+        |bench AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id < 20),
+        |corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 20)
+        |SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared
+        |FROM corpus c JOIN bench b USING (shingle)
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 5 ORDER BY doc_id, bench_id""".stripMargin,
+
+    // x49: exact counts + threshold from the same integer N both sides;
+    // the CMS verdict is pinned to 1 — a sketch estimating outside
+    // [cnt, cnt + ceil(eps*N)] fails the hash gate
+    "x49_heavy_hitters" ->
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |g AS (SELECT shingle AS gram FROM toks,
+        |  UNNEST(list_transform(generate_series(1, len(t) - 1),
+        |    i -> array_to_string(t[i:i+1], ' '))) AS u(shingle)),
+        |tot AS (SELECT COUNT(*) AS n FROM g)
+        |SELECT gram, COUNT(*) AS cnt, 1 AS ok FROM g
+        |GROUP BY gram HAVING COUNT(*) >= (SELECT n // 800 FROM tot)
+        |ORDER BY cnt DESC, gram""".stripMargin,
+
+    // x50: byte-identical to x17 — the Bloom screen is a plan-level
+    // optimization (no false negatives), so the exact twin IS the gate
+    "x50_bloom_contamination" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |sh AS (SELECT DISTINCT doc_id, shingle FROM toks,
         |  UNNEST(list_transform(generate_series(1, len(t) - 4),

@@ -961,4 +961,96 @@ object TextOps {
            count(lit(1)).as("n_docs"),
            sum("n_chars").as("n_chars"))
       .orderBy("split")
+
+  /** x49 heavy hitters via count-min sketch — bigrams whose corpus count
+    * is ≥ N/800, found WITHOUT shuffling the full (gram, partial-count)
+    * table. The classic two-pass Cormode–Muthukrishnan shape:
+    *
+    *   pass 1  treeAggregate a count-min sketch (ε=1e-4, δ=0.01, fixed
+    *           seed) — per-partition sketches are CONSTANT-size
+    *           (width·depth longs ≈ 1 MB) and merge by cell-wise add, so
+    *           the reduction moves P·1 MB regardless of corpus size;
+    *   pass 2  broadcast the merged sketch; a per-row point query keeps
+    *           only grams with est ≥ T. CMS NEVER underestimates, so every
+    *           true heavy hitter survives (no false negatives by
+    *           construction); false positives are killed by an exact
+    *           count over the SCREENED rows only.
+    *
+    * The only shuffle in the plan carries occurrences of candidate grams —
+    * at 100 TB that is the heavy tail itself, not the corpus. Contrast the
+    * naive `groupBy(gram).count.filter`: its exchange moves one partial
+    * per distinct (partition, gram), i.e. grows with the vocabulary.
+    *
+    * Declared output is exact counts (bit-identical in any engine) plus
+    * the tolerance verdict `cnt ≤ est ≤ cnt + ⌈εN⌉` (x37/x44 pattern):
+    * the lower bound is the CMS structural guarantee, the upper is its
+    * probabilistic one — the oracle pins `ok = 1`, so a sketch whose
+    * estimates drift outside the declared ε fails the hash gate. N and
+    * T = N/800 come from the sketch's own totalCount (exact, not
+    * estimated), so both engines derive the threshold from the same
+    * integer. */
+  def x49HeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val eps  = 1e-4
+    val grams = Tables.documents(s, d)
+      .select(explode(graft.functions.TextExpressions.wordShingles(
+        split(col("text"), " "), 2)).as("gram"))
+    val cms   = grams.stat.countMinSketch("gram", eps, 0.99, 42)
+    val n     = cms.totalCount()
+    val thr   = n / 800
+    val slack = math.ceil(eps * n).toLong
+    val bc    = s.sparkContext.broadcast(cms)
+    val est   = udf((g: String) => bc.value.estimateCount(g))
+    grams.filter(est(col("gram")) >= thr)
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= thr)
+      .withColumn("ok",
+        (est(col("gram")) >= col("cnt") &&
+         est(col("gram")) <= col("cnt") + lit(slack)).cast("int"))
+      .select(col("gram"), col("cnt"), col("ok"))
+      .orderBy(col("cnt").desc, col("gram"))
+  }
+
+  /** x50 Bloom-screened contamination — x17's exact benchmark-overlap
+    * contract behind a Bloom-filter pre-screen, the plan a 100 TB curation
+    * run actually executes. x17 broadcasts the benchmark shingle set as a
+    * hash relation AND distincts the full corpus shingle table first — at
+    * real benchmark-suite sizes (10⁹ shingles ≈ 40 GB of strings) the
+    * relation no longer broadcasts, and the corpus-wide distinct is a full
+    * shuffle of the shingle mass. Here:
+    *
+    *   build   one Bloom filter over the benchmark shingles (1% fp — bits,
+    *           not strings: ~1.2 GB where the hash relation is 40 GB, so
+    *           it still broadcasts when the exact build side cannot);
+    *   screen  a per-row membership probe drops non-matching corpus
+    *           shingles IN THE SCAN STAGE — zero shuffle, and the
+    *           corpus-side `distinct` now runs over survivors only
+    *           (true hits + 1% fp), not the corpus;
+    *   verify  survivors join the exact benchmark table UNHINTED — the
+    *           planner picks SMJ when that side is genuinely large — which
+    *           removes every false positive.
+    *
+    * Output is BYTE-IDENTICAL to x17 (same oracle SQL): Bloom filters have
+    * no false negatives, so the screen provably drops nothing the exact
+    * join would keep — the hash gate itself certifies the no-false-negative
+    * property end to end. */
+  def x50BloomContamination(s: SparkSession, d: String): DataFrame = {
+    def shingles(df: DataFrame) = df
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(
+        graft.functions.TextExpressions.wordShingles(col("t"), 5)).as("shingle"))
+    val docs  = Tables.documents(s, d)
+    val bench = shingles(docs.filter(col("doc_id") < 20)).distinct()
+      .select(col("doc_id").as("bench_id"), col("shingle"))
+    val bloom = bench.stat.bloomFilter("shingle", 1 << 16, 0.01)
+    val bc    = s.sparkContext.broadcast(bloom)
+    val hit   = udf((sh: String) => bc.value.mightContainString(sh))
+    shingles(docs.filter(col("doc_id") >= 20))
+      .filter(hit(col("shingle")))
+      .distinct()
+      .join(bench, "shingle")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 5)
+      .orderBy("doc_id", "bench_id")
+  }
 }

@@ -237,6 +237,34 @@ class OperatorSpec extends SparkSpecBase {
     assert(got.toSeq === expected)
   }
 
+  test("x49: CMS two-pass heavy hitters equal the naive exact groupBy") {
+    // the naive plan (full vocabulary shuffle) is the reference; the
+    // sketch-screened two-pass must reproduce its row set EXACTLY —
+    // CMS has no false negatives, and the exact re-count kills the
+    // false positives, so any divergence is a screen bug
+    val grams = Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.TextExpressions.wordShingles(
+        split(col("text"), " "), 2)).as("gram"))
+    val n = grams.count()
+    val naive = grams.groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= n / 800)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = TextOps.x49HeavyHitters(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(got.map(t => (t._1, t._2)).toSet === naive)
+    // the verdict column must certify the sketch everywhere it reports
+    assert(got.forall(_._3 == 1), "CMS estimate outside [cnt, cnt+ceil(eps*N)]")
+  }
+
+  test("x50: Bloom-screened contamination equals x17's exact output") {
+    // byte-identical contract: the screen is a plan optimization only
+    val exact = TextOps.x17Contamination(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val screened = TextOps.x50BloomContamination(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(screened === exact)
+  }
+
   test("Q17 as-of union+window matches a per-row subquery formulation") {
     // independent reference implementation: correlated max-ts lookup
     val ev = Tables.events(spark, sfDir)

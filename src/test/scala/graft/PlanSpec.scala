@@ -289,6 +289,35 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("x49: sketch screen sits below the only data shuffle") {
+    val df = operators.TextOps.x49HeavyHitters(spark, sfDir)
+    val p = planOf(df)
+    // the CMS point-query filter screens in the scan stage...
+    assert(p.contains("UDF"), s"sketch screen filter missing:\n$p")
+    // ...so the single hash exchange carries candidate occurrences only;
+    // a second hash exchange would mean a vocabulary-wide shuffle crept in
+    val simple = df.queryExecution.explainString(ExplainMode.fromString("simple"))
+    val hashEx = simple.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected exactly 1 hash exchange, got $hashEx:\n$simple")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("x50: Bloom screen filters the corpus before distinct and join") {
+    val df = operators.TextOps.x50BloomContamination(spark, sfDir)
+    // structural: the corpus-side distinct aggregate must sit ABOVE a
+    // Filter holding the Bloom UDF probe — i.e. the screen runs in the
+    // scan stage and the corpus never shuffles unscreened
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter => LFilter}
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    val screened = df.queryExecution.optimizedPlan.collect {
+      case a: Aggregate if a.collectLeaves().nonEmpty &&
+        a.collect { case f: LFilter if f.condition.exists(_.isInstanceOf[ScalaUDF]) => f }.nonEmpty => a
+    }
+    assert(screened.nonEmpty, "no aggregate found above the Bloom-probe filter")
+    val p = planOf(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
   test("nanos pushdown rule is a no-op on non-matching filters") {
     // value is a plain double column: the rule must not touch this plan
     val df = Tables.events(spark, sfDir).filter("value > 100")
