@@ -508,6 +508,54 @@ object StreamOps {
       }
       .start()
 
+  case class GramCount(gram: String, cnt: Long)
+
+  /** ST14: continuous heavy hitters — the streaming twin of
+    * [[graft.operators.TextOps.x49HeavyHitters]]. State is ONE Long per
+    * distinct gram (`ValueState` keyed by the gram itself), so counting
+    * distributes across the key space exactly like the batch hash
+    * aggregate; a gram is emitted ONCE, in the micro-batch where its
+    * running count first crosses `threshold`, carrying the crossing-time
+    * count. The CONTRACT is the emitted key set: after any stream prefix
+    * it equals the batch heavy-hitter set over the same prefix —
+    * StreamingSpec executes the full-stream case against x49's exact
+    * reference and the once-only emission across micro-batches.
+    *
+    * The threshold is ABSOLUTE, not N-relative: a stream has no final N.
+    * The production pairing is x49 offline (derive T from a corpus
+    * profile), this processor online (enforce T on the firehose).
+    * Unbounded-vocabulary caveat: state grows with the distinct-gram
+    * count; on an open-ended key space age cold grams out with a TTL the
+    * way ST10 does (a retention bound, not a semantics change). */
+  class HeavyHitterProcessor(threshold: Long)
+      extends StatefulProcessor[String, String, GramCount] {
+    @transient private var cnt: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cnt = getHandle.getValueState[Long]("cnt", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[String],
+                                 timerValues: TimerValues): Iterator[GramCount] = {
+      val prior = if (cnt.exists()) cnt.get() else 0L
+      val now   = prior + rows.size
+      cnt.update(now)
+      if (prior < threshold && now >= threshold) Iterator.single(GramCount(key, now))
+      else Iterator.empty
+    }
+  }
+
+  /** ST14 entry: bigrams of a streaming `text` column, counted in keyed
+    * state, threshold-crossings emitted once (see [[HeavyHitterProcessor]]). */
+  def heavyHitters(docs: DataFrame, threshold: Long): Dataset[GramCount] = {
+    import docs.sparkSession.implicits._
+    docs.select(explode(graft.functions.TextExpressions.wordShingles(
+        split(col("text"), " "), 2)).as("gram"))
+      .as[String]
+      .groupByKey(identity)
+      .transformWithState(new HeavyHitterProcessor(threshold),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** ST13: leak-safe STREAMING train/val/test routing — x48's guarantee
     * carried into continuous ingest. Each micro-batch runs one
     * [[graft.sources.SignatureStore.routeAndAdmit]] cycle in

@@ -193,6 +193,63 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamLatest.except(batchLatest).isEmpty && batchLatest.except(streamLatest).isEmpty)
   }
 
+  test("ST14 streaming heavy hitters emit exactly the batch heavy set") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // batch reference: exact bigram counts at x49's N/800 threshold
+      val grams = Tables.documents(spark, sfDir)
+        .select(explode(graft.functions.TextExpressions.wordShingles(
+          split(col("text"), " "), 2)).as("gram"))
+      val thr = grams.count() / 800
+      val batch = grams.groupBy("gram").count().filter(col("count") >= thr)
+        .select("gram").collect().map(_.getString(0)).toSet
+      val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+      val src = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      val q = StreamOps.heavyHitters(src, thr).toDF()
+        .writeStream.format("memory").queryName("st14").outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val emitted = spark.table("st14").collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      assert(emitted.map(_._1).toSet === batch)
+      assert(emitted.length === batch.size, "a gram was emitted more than once")
+      assert(emitted.forall(_._2 >= thr), "crossing-time count below threshold")
+    } finally {
+      prior match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
+  test("ST14 emits once even when the crossing spans micro-batches") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      implicit val ctx = spark.sqlContext
+      val input = MemoryStream[String]
+      val docs = input.toDF().withColumnRenamed("value", "text")
+      val q = StreamOps.heavyHitters(docs, 3L).toDF()
+        .writeStream.format("memory").queryName("st14b").outputMode("append").start()
+      input.addData("a b a b")  // bigrams: "a b"=2, "b a"=1
+      q.processAllAvailable()
+      input.addData("a b a b")  // "a b"=4 crosses 3 here; "b a"=2
+      q.processAllAvailable()
+      input.addData("b a b a")  // "b a"=4 crosses; "a b"=5 must NOT re-emit
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("st14b").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+      assert(rows.toSeq === Seq("a b" -> 4L, "b a" -> 4L))
+    } finally {
+      prior match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("ST10 streaming near-dup candidates equal the batch candidate set") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prior = spark.conf.getOption(key)
