@@ -158,13 +158,32 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = raw(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = raw(s, d, "embeddings")
 
-  /** events with ts normalized from nanos-as-long to TimestampType (µs).
-    * See GraftSession scaladoc for why. */
+  /** events with ts normalized to (session-zoned) TimestampType regardless
+    * of the stored physical type. See GraftSession scaladoc for why. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    normalizeTs(raw(spark, dir, "events"))
   }
+
+  /** ts → TimestampType across the three layouts this engine meets:
+    *  - parquet TIMESTAMP(NANOS) read as LongType nanos (pre-2026-08 driver
+    *    data; `nanosAsLong=true`): integer `div` to µs, then
+    *    `timestamp_micros` — no double-precision detour.
+    *  - parquet timestamp[µs] without tz info, read as TIMESTAMP_NTZ
+    *    (driver data since 2026-08): reinterpreted as a UTC instant via a
+    *    cast (the session timezone is pinned UTC, so the cast is a µs
+    *    identity). NanosRangePushdown gives range predicates written
+    *    against the cast a raw-column companion the scan can use.
+    *  - already TimestampType (engine-written layouts: GraftStore,
+    *    BucketedLayout, ingest sinks): untouched. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
 
   /** Typed events: same frame as [[events]] with a case-class Encoder. */
   def eventsDs(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[Event] = {

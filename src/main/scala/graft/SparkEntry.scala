@@ -678,7 +678,8 @@ object SparkEntry {
         |ROUND(list_dot_product(CAST(c.c_emb AS DOUBLE[]), cen.centroid)
         |  / (SQRT(list_dot_product(CAST(c.c_emb AS DOUBLE[]), CAST(c.c_emb AS DOUBLE[])))
         |   * SQRT(list_dot_product(cen.centroid, cen.centroid))), 4) AS shift_cos,
-        |cen.centroid AS centroid
+        |array_to_string(list_transform(cen.centroid,
+        |  v -> CAST(ROUND(v * 1000000) AS BIGINT)), ',') AS centroid
         |FROM cen JOIN cents c ON cen.cluster = c.cent_id
         |ORDER BY cluster_id""".stripMargin,
 
@@ -702,7 +703,7 @@ object SparkEntry {
         |b AS (SELECT vec_id, j, cent_id AS code, d2i,
         |    row_number() OVER (PARTITION BY vec_id, j ORDER BY d2i, cent_id) AS r
         |  FROM cand)
-        |SELECT vec_id, list(code ORDER BY j) AS codes,
+        |SELECT vec_id, array_to_string(list(code ORDER BY j), ',') AS codes,
         |  ROUND(CAST(SUM(d2i) AS DOUBLE) / 1000000.0, 6) AS err2
         |FROM b WHERE r = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 

@@ -433,7 +433,11 @@ object VectorOps {
       .agg(array_sort(collect_list(struct(col("j"), col("code")))).as("cs"),
            sum(col("d2i")).as("esum"))
       .select(col("vec_id"),
-              transform(col("cs"), x => x.getField("code")).as("codes"),
+              // CSV, not ARRAY: the driver's pandas row-sort cannot order
+              // array cells (see x45); integer codes format identically
+              // across engines
+              array_join(transform(col("cs"),
+                x => x.getField("code").cast("string")), ",").as("codes"),
               dround(col("esum").cast("double") / lit(1000000.0), 6).as("err2"))
       .orderBy("vec_id")
   }
@@ -602,7 +606,14 @@ object VectorOps {
             "cluster_id")
       .select(col("cluster_id"), col("n_members"),
         dround(cosineHof(col("c_emb"), col("centroid")), 4).as("shift_cos"),
-        col("centroid"))
+        // driver-comparable encoding: the oracle harness sorts result rows
+        // in pandas, which cannot order array cells — so the centroid ships
+        // as an exact scaled-integer CSV (components are round(6), so ×1e6
+        // is integral; integer→string formatting agrees across engines,
+        // double→string would not)
+        array_join(transform(col("centroid"),
+          x => round(x * lit(1000000.0)).cast("long").cast("string")), ",")
+          .as("centroid"))
       .orderBy("cluster_id")
   }
 }

@@ -31,14 +31,21 @@ object StreamOps {
     StructField("props", StringType)))
 
   /** Streaming source over the events parquet, ts normalized to µs
-    * TimestampType — the streaming twin of Tables.events. */
+    * TimestampType — the streaming twin of Tables.events. File streams
+    * require an explicit schema, and the stored ts physical type varies by
+    * data generation (int64 nanos vs timestamp[µs]); one batch-read schema
+    * probe of the same file resolves it, then Tables.normalizeTs applies
+    * the identical conversion the batch view uses. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawEventsSchema)
-      .option("pathGlobFilter", "events.parquet") // source path must be a dir
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val schema = StructType(rawEventsSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    graft.Tables.normalizeTs(
+      spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet") // source path must be a dir
+        .parquet(dir))
   }
 
   /** ST1 ingest: exactly-once file sink, day-bucketed (catena file-partition

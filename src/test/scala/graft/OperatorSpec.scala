@@ -230,10 +230,14 @@ class OperatorSpec extends SparkSpecBase {
         dr(sv.toDouble / (nm * 1000000.0), 6)
       }.toArray
       val seed = cents.find(_._1 == cid).get._2
-      (cid, nm.toLong, dr(cos(seed, centroid), 4), centroid.toSeq)
+      // declared output ships the centroid as the ×1e6 integer CSV (the
+      // driver's row-sort cannot order array cells) — mirror it here
+      val csv = centroid.map(v => JBD.valueOf(v * 1000000.0)
+        .setScale(0, RM.HALF_UP).longValueExact().toString).mkString(",")
+      (cid, nm.toLong, dr(cos(seed, centroid), 4), csv)
     }.sortBy(_._1)
     val got = VectorOps.x45KmeansStep(spark, sfDir).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getSeq[Double](3)))
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
     assert(got.toSeq === expected)
   }
 

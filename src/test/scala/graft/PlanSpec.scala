@@ -18,7 +18,10 @@ class PlanSpec extends SparkSpecBase {
   test("Q05: nanos-range pushdown rule lands ts bounds in PushedFilters") {
     val p = planOf(operators.RelationalOps.q05(spark, sfDir))
     assert(p.contains("GreaterThanOrEqual(ts,"), s"no lower ts bound pushed:\n$p")
-    assert(p.contains("LessThan(ts,"), s"no upper ts bound pushed:\n$p")
+    // int64-nanos layout: the graft rule derives a strict `<` bound;
+    // timestamp[µs] layout: Spark unwraps the NTZ cast and pushes `<=`
+    assert(p.contains("LessThan(ts,") || p.contains("LessThanOrEqual(ts,"),
+           s"no upper ts bound pushed:\n$p")
   }
 
   test("Q47 series scan: series key AND ts range pushed to parquet") {
