@@ -160,6 +160,9 @@ object SparkEntry {
     "x48_leak_split"      -> (TextOps.x48LeakSplit _),
     "x49_heavy_hitters"   -> (TextOps.x49HeavyHitters _),
     "x50_bloom_contamination" -> (TextOps.x50BloomContamination _),
+    "x51_power_iter"      -> (VectorOps.x51PowerIter _),
+    "x52_quality_bins"    -> (TextOps.x52QualityBins _),
+    "x53_label_prop"      -> (TextOps.x53LabelProp _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -992,6 +995,65 @@ object SparkEntry {
         |SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared
         |FROM corpus c JOIN bench b USING (shingle)
         |GROUP BY 1, 2 HAVING COUNT(*) >= 5 ORDER BY doc_id, bench_id""".stripMargin,
+
+    // x51: the per-(row,dim) term rounds at ×1e6 into a BIGINT before the
+    // cross-row sum (associative — no float-order sensitivity); the unit
+    // components divide by an EXACT Σy² (HUGEINT / DECIMAL(38,0)), so the
+    // double division is the same on both engines
+    "x51_power_iter" ->
+      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |d AS (SELECT v, list_dot_product(v, list_transform(v, x -> 1.0)) AS dt FROM e),
+        |t AS (SELECT i - 1 AS dim,
+        |  CAST(ROUND(dt * v[i] * 1000000) AS BIGINT) AS term
+        |  FROM d, UNNEST(generate_series(1, len(v))) AS g(i)),
+        |y AS (SELECT dim, SUM(term) AS y_scaled FROM t GROUP BY dim),
+        |n AS (SELECT SUM(CAST(y_scaled AS HUGEINT) * y_scaled) AS n2 FROM y)
+        |SELECT dim, ROUND(CAST(y_scaled AS DOUBLE) / SQRT(CAST(n2 AS DOUBLE)), 6) AS comp,
+        |y_scaled FROM y, n ORDER BY dim""".stripMargin,
+
+    // x52: integer quality key (x04's numerator, ·1000 div n_tok — exact
+    // both sides); exact interpolated quartiles per source (q25's
+    // percentile/quantile_cont pairing); bin audit is integer arithmetic
+    "x52_quality_bins" ->
+      """WITH t AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct, n_chars
+        |  FROM documents),
+        |k AS (SELECT source, (15 * LEAST(n_tok, 100) * n_tok + 1500 * n_distinct
+        |  + 4 * LEAST(n_chars, 500) * n_tok) * 1000 // n_tok AS qk FROM t),
+        |b AS (SELECT source, quantile_cont(qk, 0.25) AS b1,
+        |  quantile_cont(qk, 0.5) AS b2, quantile_cont(qk, 0.75) AS b3
+        |  FROM k GROUP BY source)
+        |SELECT k.source, CASE WHEN qk <= b1 THEN 0 WHEN qk <= b2 THEN 1
+        |  WHEN qk <= b3 THEN 2 ELSE 3 END AS bin,
+        |COUNT(*) AS n_docs, MIN(qk) AS min_qk, MAX(qk) AS max_qk,
+        |ROUND(CAST(SUM(qk) AS DOUBLE) / COUNT(*), 4) AS avg_qk
+        |FROM k JOIN b ON k.source = b.source
+        |GROUP BY 1, 2 ORDER BY k.source, bin""".stripMargin,
+
+    // x53: the exact-Jaccard pair CTE x14/x48 share feeds integer votes;
+    // the winner ranks (count DESC, label ASC) — all hash-safe types
+    "x53_label_prop" ->
+      """WITH t AS (SELECT DISTINCT doc_id, tok FROM
+        |  (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents) u),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b
+        |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |seeds AS (SELECT doc_id, lang FROM documents WHERE doc_id % 10 = 0),
+        |votes AS (SELECT e.src AS doc_id, s.lang AS pred_lang, COUNT(*) AS c
+        |  FROM edges e JOIN seeds s ON s.doc_id = e.dst
+        |  WHERE e.src % 10 <> 0 GROUP BY 1, 2),
+        |best AS (SELECT doc_id, pred_lang FROM (SELECT doc_id, pred_lang,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, pred_lang) AS r
+        |  FROM votes) q WHERE r = 1)
+        |SELECT b.doc_id, b.pred_lang, d.lang AS true_lang,
+        |CAST(b.pred_lang = d.lang AS INT) AS hit
+        |FROM best b JOIN documents d ON d.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
 
     "x18_lm_score" ->
       """WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),

@@ -1053,4 +1053,89 @@ object TextOps {
       .filter(col("n_shared") >= 5)
       .orderBy("doc_id", "bench_id")
   }
+
+  /** x52 per-source quality-quantile binning — the mixing-weight primitive:
+    * training mixtures are specified as "top quartile of source A, top
+    * half of source B", so the pipeline needs each document binned against
+    * its OWN source's quality distribution, not the corpus's.
+    *
+    * The quality key is x04's integer numerator rescaled to an exact
+    * BIGINT (`num·1000 div n_tok` — integer division, no float anywhere in
+    * the key), so boundary comparisons and the per-bin min/max/sum are all
+    * integer arithmetic. Boundaries are the exact interpolated quartiles
+    * (q25's percentile machinery, same formula both engines), computed per
+    * source and broadcast back — NO per-source window over the corpus, so
+    * the q29 low-cardinality serialization trap never arises: the corpus
+    * is touched by exactly one scan and one map-side-combined aggregate.
+    * At 100 TB the exact quartile aggregate (which buffers per-group
+    * values) swaps for x34's rank-error-bounded sketch; the binning join
+    * and audit aggregate are unchanged — boundaries are 3 doubles per
+    * source either way. */
+  def x52QualityBins(s: SparkSession, d: String): DataFrame = {
+    val k = Tables.documents(s, d)
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_distinct",
+        size(array_distinct(split(col("text"), " "))).cast("long"))
+      .withColumn("num",
+        lit(15L) * least(col("n_tok"), lit(100L)) * col("n_tok")
+          + lit(1500L) * col("n_distinct")
+          + lit(4L) * least(col("n_chars"), lit(500L)) * col("n_tok"))
+      .select(col("source"), expr("(num * 1000) div n_tok").as("qk"))
+    val bounds = k.groupBy("source")
+      .agg(expr("percentile(qk, 0.25)").as("b1"),
+           expr("percentile(qk, 0.5)").as("b2"),
+           expr("percentile(qk, 0.75)").as("b3"))
+    k.join(broadcast(bounds), "source")
+      .withColumn("bin",
+        when(col("qk").cast("double") <= col("b1"), 0)
+          .when(col("qk").cast("double") <= col("b2"), 1)
+          .when(col("qk").cast("double") <= col("b3"), 2)
+          .otherwise(3))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), min("qk").as("min_qk"),
+           max("qk").as("max_qk"),
+           dround(sum("qk").cast("double") / count(lit(1)).cast("double"), 4)
+             .as("avg_qk"))
+      .orderBy("source", "bin")
+  }
+
+  /** x53 one label-propagation step over the near-dup graph — the
+    * semi-supervised annotation primitive: given trusted labels on a seed
+    * subset (here the deterministic doc_id % 10 = 0 slice, "labeled" with
+    * its lang column), every unlabeled document that is a VERIFIED near
+    * duplicate of ≥1 seed inherits the majority seed label. The same step,
+    * iterated, is Zhu-Ghahramani label spreading; one step is already the
+    * production workhorse ("propagate human quality ratings to near-dups
+    * before training the quality classifier").
+    *
+    * Determinism: votes are integer counts; the winner ranks
+    * (count DESC, label ASC) — per-DOCUMENT window, high cardinality, so
+    * the rank never serializes a big group (contrast q29). Emitting
+    * true_lang beside the prediction makes the declared output double as
+    * the step's accuracy audit (near-dups share language, so hit ≈ 1 —
+    * a cheap end-to-end sanity gate on the whole pair pipeline).
+    *
+    * Scale: rides the same verified-pair machinery as x14/x48 (banded
+    * equi-join, no products); votes are one map-side-combined aggregate
+    * over the pair list, the argmax one narrow window over (doc, label)
+    * vote rows. */
+  def x53LabelProp(s: SparkSession, d: String): DataFrame = {
+    val pairs = MinHashLSH.verifiedPairs(docTokens(s, d), 0.8)
+      .select("id_a", "id_b")
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val seeds = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("dst"), col("lang").as("seed_lang"))
+    val w = Window.partitionBy("doc_id").orderBy(col("c").desc, col("pred_lang"))
+    val best = edges.filter(col("src") % 10 =!= 0)
+      .join(seeds, "dst")
+      .groupBy(col("src").as("doc_id"), col("seed_lang").as("pred_lang"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+    best.join(Tables.documents(s, d).select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("pred_lang"), col("lang").as("true_lang"),
+              (col("pred_lang") === col("lang")).cast("int").as("hit"))
+      .orderBy("doc_id")
+  }
 }

@@ -616,4 +616,45 @@ object VectorOps {
           .as("centroid"))
       .orderBy("cluster_id")
   }
+
+  /** x51 one power-iteration step of the corpus second-moment matrix —
+    * the distributed linear-algebra primitive an embedding pipeline runs
+    * before ANN indexing (dominant-direction estimation for whitening /
+    * anisotropy diagnosis, Mu & Viswanath's "all-but-the-top"): starting
+    * from the deterministic all-ones direction v₀, compute
+    * y = Σᵢ (xᵢ·v₀)·xᵢ — one step of v ↦ Xᵀ(Xv) — WITHOUT ever
+    * materializing the d×d Gram matrix or an n×d re-scan per component.
+    *
+    * Determinism (the x45 integer-mean discipline): the per-row scalar
+    * xᵢ·v₀ is the same fixed-order double dot every cosine twin uses;
+    * each per-(row, dim) term rounds at ×1e6 into a BIGINT, so the
+    * cross-row sum is associative integer arithmetic — no float-order
+    * sensitivity. The norm for the reported unit components is Σy² in
+    * DECIMAL(38,0) — exact, order-free — so `comp` hash-matches despite
+    * being a double division.
+    *
+    * Scale: ONE corpus scan; the (dim, term) aggregate is map-side
+    * combined, so the only shuffle carries P·d partial rows (d=64) — the
+    * reduction is constant-width regardless of corpus size, the same
+    * treeAggregate shape x49's sketch uses. Further iterations rerun the
+    * same query feeding y back as v — each step one scan. */
+  def x51PowerIter(s: SparkSession, d: String): DataFrame = {
+    val ones = (c: Column) => transform(c, _ => lit(1.0f))
+    val terms = wide(s, emb(s, d))
+      .withColumn("dt", graft.functions.VectorExpressions.vecDot(
+        col("embedding"), ones(col("embedding"))))
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")), col("dt"))
+      .select(col("dim"),
+        round(col("dt") * col("x").cast("double") * lit(1000000.0))
+          .cast("long").as("term"))
+    val y = terms.groupBy("dim").agg(sum(col("term")).as("y_scaled"))
+    val norm2 = y.agg(sum(col("y_scaled").cast("decimal(38,0)")
+      * col("y_scaled").cast("decimal(38,0)")).as("n2"))
+    y.crossJoin(broadcast(norm2))
+      .select(col("dim"),
+        dround(col("y_scaled").cast("double")
+          / sqrt(col("n2").cast("double")), 6).as("comp"),
+        col("y_scaled"))
+      .orderBy("dim")
+  }
 }

@@ -285,4 +285,66 @@ class OperatorSpec extends SparkSpecBase {
     assert(got.getLong(0) === ref.getLong(0))
     assert(math.abs(got.getDouble(1) - ref.getDouble(1)) < 1e-6)
   }
+
+  test("x51: power step matches a driver-side exact-arithmetic reference") {
+    // re-derive y = Σ (x·1)·x with the same ×1e6 BIGINT term rounding on
+    // collected data — any drift in the distributed plan (term rounding,
+    // sum order, the decimal norm) breaks the === below
+    import java.math.{BigDecimal => JBD, RoundingMode => RM}
+    val rows = Tables.embeddings(spark, sfDir).select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val d = rows.head.length
+    val y = Array.fill(d)(0L)
+    rows.foreach { v =>
+      // same fixed left-to-right double accumulation as the codegen dot
+      var dt = 0.0; var i = 0
+      while (i < d) { dt += v(i).toDouble * 1.0; i += 1 }
+      i = 0
+      while (i < d) {
+        y(i) += JBD.valueOf(dt * v(i).toDouble * 1000000.0)
+          .setScale(0, RM.HALF_UP).longValueExact()
+        i += 1
+      }
+    }
+    val n2 = y.map(v => BigInt(v) * BigInt(v)).sum
+    def dr6(v: Double): Double =
+      JBD.valueOf(v * 1e6).setScale(0, RM.HALF_UP).doubleValue() / 1e6
+    val expected = y.zipWithIndex.map { case (ys, dim) =>
+      (dim, dr6(ys.toDouble / math.sqrt(n2.toDouble)), ys)
+    }.toSeq
+    val got = VectorOps.x51PowerIter(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got === expected)
+  }
+
+  test("x52: bins partition each source exactly; quartile bins are value-ordered") {
+    val bins = TextOps.x52QualityBins(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val perSource = Tables.documents(spark, sfDir).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    bins.groupBy(_._1).foreach { case (src, bs) =>
+      assert(bs.map(_._3).sum === perSource(src), s"$src: bins do not partition the source")
+      // value ranges of successive bins must not interleave
+      bs.sortBy(_._2).toSeq.sliding(2).foreach { pair =>
+        if (pair.length == 2) {
+          val (lo, hi) = (pair(0), pair(1))
+          assert(lo._5 <= hi._4,
+            s"$src: bin ${lo._2} max ${lo._5} > bin ${hi._2} min ${hi._4}")
+        }
+      }
+    }
+  }
+
+  test("x53: predictions cover exactly the non-seed docs with a verified seed neighbor") {
+    val pairs = graft.functions.MinHashLSH.verifiedPairs(
+        Tables.documents(spark, sfDir)
+          .select(col("doc_id").as("id"), split(col("text"), " ").as("toks")), 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .filter { case (src, dst) => src % 10 != 0 && dst % 10 == 0 }
+      .map(_._1).toSet
+    val got = TextOps.x53LabelProp(spark, sfDir).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got === expected)
+  }
 }

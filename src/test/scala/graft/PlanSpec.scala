@@ -321,6 +321,35 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
   }
 
+  test("x51: one corpus scan into a map-side-combined dim aggregate, no window") {
+    val p = planOf(operators.VectorOps.x51PowerIter(spark, sfDir))
+    // the power step must never build the d×d Gram matrix or a per-dim
+    // re-scan: one Generate (posexplode) over one scan, partial+final hash
+    // aggregate on dim, and no window anywhere
+    assert(p.contains("Generate"), s"posexplode missing:\n$p")
+    assert(p.contains("HashAggregate"), s"dim aggregate not hash-based:\n$p")
+    assert(!p.contains("Window"), s"unexpected window:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"unexpected shuffle join:\n$p")
+  }
+
+  test("x52: quartile bounds broadcast back; no per-source window over the corpus") {
+    val p = planOf(operators.TextOps.x52QualityBins(spark, sfDir))
+    // the q29 trap would be a Window.partitionBy(source) — 10 sources, each
+    // group corpus/10 on one task; the two-level shape must bin via a
+    // broadcast join against the 10-row bounds aggregate instead
+    assert(!p.contains("Window"), s"per-source window resurfaced:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"bounds join not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("x53: votes ride banded equi-joins; no product joins anywhere") {
+    val p = planOf(operators.TextOps.x53LabelProp(spark, sfDir))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    // the argmax window partitions by doc_id (per-document vote rows),
+    // never by the 5-value label
+    assert(p.contains("row_number"), s"vote argmax missing:\n$p")
+  }
+
   test("nanos pushdown rule is a no-op on non-matching filters") {
     // value is a plain double column: the rule must not touch this plan
     val df = Tables.events(spark, sfDir).filter("value > 100")
