@@ -220,6 +220,54 @@ object Dev {
       s.stop()
       return
     }
+    if (names.length == 1 && names.head.startsWith("powerstress")) {
+      // Scale stress of x51's power-iteration step: a synthetic corpus of
+      // xxhash64-derived vectors (deterministic at any parallelism), run at
+      // cluster-emulating partition counts. Measures (a) single-pass wall
+      // time — the step is one scan, so rows/s IS the scaling story; (b)
+      // the constant-width-reduction claim: the only exchange carries the
+      // map-side-combined (dim, partial) rows, so its row count must be
+      // ≤ partitions·dim regardless of corpus size; (c) run-to-run
+      // determinism of the exact integer y vector.
+      // Usage: powerstress[:nVecs[:partitions]]
+      val parts = names.head.split(":")
+      val nVecs = parts.lift(1).map(_.toInt).getOrElse(1000000)
+      val s = GraftSession.build("graft-dev")
+      parts.lift(2).foreach(p => s.conf.set("spark.sql.shuffle.partitions", p))
+      import org.apache.spark.sql.functions._
+      val dim = 64
+      val vecs = s.range(nVecs).select(col("id").as("vec_id"))
+        .withColumn("embedding", expr(
+          s"transform(sequence(1, $dim), j -> " +
+          s"cast(pmod(xxhash64(vec_id, j), 2000001) / 1000000.0 - 1.0 as float))"))
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+        .localCheckpoint(true) // corpus materialized once, like a real table
+      var shuffleRows = -1L
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val w = sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten
+          if (w > 0) shuffleRows = math.max(shuffleRows, w)
+        }
+      })
+      def step(): Array[(Int, Long)] =
+        graft.operators.VectorOps.x51PowerCore(s, vecs)
+          .select("dim", "y_scaled").collect()
+          .map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      step() // warm
+      shuffleRows = -1L
+      val t0 = System.nanoTime()
+      val y1 = step()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val y2 = step()
+      val partsN = s.conf.get("spark.sql.shuffle.partitions").toInt
+      println(f"powerstress vecs=$nVecs%,d dim=$dim partitions=$partsN " +
+        f"wall=$wall%.2f s rows_per_sec=${(nVecs / wall).toLong}%,d " +
+        f"shuffle_rows=$shuffleRows%,d (bound=${partsN * dim}%,d) " +
+        f"deterministic=${y1.sameElements(y2)}")
+      s.stop()
+      return
+    }
     if (names.length == 1 && names.head.startsWith("skewstress")) {
       // Adversarial-skew stress of the near-dup pipeline (candidate gen →
       // exact verify → connected components → survivor argmax) on a

@@ -638,9 +638,15 @@ object VectorOps {
     * reduction is constant-width regardless of corpus size, the same
     * treeAggregate shape x49's sketch uses. Further iterations rerun the
     * same query feeding y back as v — each step one scan. */
-  def x51PowerIter(s: SparkSession, d: String): DataFrame = {
+  def x51PowerIter(s: SparkSession, d: String): DataFrame =
+    x51PowerCore(s, wide(s, emb(s, d)))
+
+  /** x51's step over an arbitrary (…, embedding) frame — the Dev
+    * `powerstress` harness runs this against synthetic corpora at
+    * cluster-emulating partition counts. */
+  private[graft] def x51PowerCore(s: SparkSession, embdf: DataFrame): DataFrame = {
     val ones = (c: Column) => transform(c, _ => lit(1.0f))
-    val terms = wide(s, emb(s, d))
+    val terms = embdf
       .withColumn("dt", graft.functions.VectorExpressions.vecDot(
         col("embedding"), ones(col("embedding"))))
       .select(posexplode(col("embedding")).as(Seq("dim", "x")), col("dt"))
