@@ -245,6 +245,24 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] x42_store failed: ${e.getMessage}"); Nil
     }
+    // Layout measurement: x08's IVF search over the cell-partitioned
+    // VectorStore (build untimed — write-once, amortized like the other
+    // stores). Quantifies what persisting the assignment buys vs the
+    // declared x08 row, which re-derives centroids + assigns the whole
+    // corpus on every call.
+    val x08Store = if (only.exists(!_("x08_store"))) Nil else try {
+      import org.apache.spark.sql.functions.col
+      val storeDir = java.nio.file.Files.createTempDirectory("vecstore").toString
+      val store = new VectorStore(spark, storeDir)
+      store.build(Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")))
+      def q = store.searchContractProbes()
+      q.write.format("noop").mode("overwrite").save() // warm (codegen/JIT)
+      val t0 = System.nanoTime()
+      q.write.format("noop").mode("overwrite").save()
+      Seq("x08_store" -> (System.nanoTime() - t0) / 1e9)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] x08_store failed: ${e.getMessage}"); Nil
+    }
     // Isolation pass: re-time the N slowest shared-run queries, EACH IN A
     // FRESH JVM (child process → cold JIT/GC, the same protocol a judge
     // uses to separate real regressions from shared-run interference), and
@@ -265,7 +283,7 @@ object Bench {
         val slowest = results.sortBy(-_._2).take(n).map(_._1)
         slowest.flatMap(name => isolateOne(name, sfDir, cpus))
       }.getOrElse(Nil)
-    val qs = (results ++ ccOnly ++ q10Bucketed ++ tsStore ++ x42Store)
+    val qs = (results ++ ccOnly ++ q10Bucketed ++ tsStore ++ x42Store ++ x08Store)
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val warm = warmRows.map { case (k, v) => "\"" + k + "\":" + v }

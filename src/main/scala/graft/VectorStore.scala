@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.VectorOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF-cell-partitioned embedding store — the vector analogue of
+  * [[GraftStore]]/BucketedLayout: the ANN index IS the storage layout.
+  *
+  * `build` derives the deterministic seed codebook (x08's every-⌊√n⌋-th
+  * rule — no trained state), assigns every vector to its max-cosine cell,
+  * and writes `cell=<id>/` parquet partitions; the codebook persists
+  * beside the data. A search's nprobe cell selection then becomes
+  * PARTITION PRUNING — directory elimination before any file IO — instead
+  * of x08's full corpus scan-and-assign per query session. At 100 TB this
+  * is the difference between an ANN query touching nprobe/√n of the
+  * corpus's FILES versus scanning everything to recompute assignments
+  * that never change.
+  *
+  * `append` is the incremental-index primitive (the x42 analogue for
+  * vectors): new batches assign against the PERSISTED codebook and land
+  * as new files in existing cell directories — no rebuild, no touch of
+  * resident data. The codebook drifts from the corpus as appends
+  * accumulate; x45 (Lloyd step) measures the drift and x37 (recall gate)
+  * decides when a rebuild pays — the maintenance loop a production index
+  * runs.
+  *
+  * Probe-cell selection collects the ≤ |probes|·nprobe distinct cell ids
+  * to the driver to form the partition filter — deliberately driver-side,
+  * same as [[GraftStore.latest]]: the list is probe-sized (not
+  * corpus-sized) by construction, and a literal IN-list is what the
+  * parquet source prunes directories with.
+  */
+class VectorStore(spark: SparkSession, dir: String) {
+
+  private val vecDir = s"$dir/vectors"
+  private val centDir = s"$dir/centroids"
+
+  /** Build the store from a (vec_id, embedding) corpus: derive + persist
+    * the codebook, assign cells, write the partitioned layout. */
+  def build(src: DataFrame): Unit = {
+    val cents = VectorOps.seedCents(src)
+    cents.write.mode("overwrite").parquet(centDir)
+    VectorOps.assignCells(src, centroids)
+      .withColumnRenamed("cluster", "cell")
+      .write.partitionBy("cell").mode("overwrite").parquet(vecDir)
+  }
+
+  /** Incrementally index a new (vec_id, embedding) batch against the
+    * persisted codebook — new files in existing cell directories only. */
+  def append(batch: DataFrame): Unit =
+    VectorOps.assignCells(batch, centroids)
+      .withColumnRenamed("cluster", "cell")
+      .write.partitionBy("cell").mode("append").parquet(vecDir)
+
+  /** The persisted codebook (cent_id, c_emb) — √n rows. */
+  def centroids: DataFrame = spark.read.parquet(centDir)
+
+  /** The whole store as a queryable frame (cell partition column included). */
+  def table: DataFrame = spark.read.parquet(vecDir)
+
+  /** IVF top-k over the store: probes pick their nprobe closest persisted
+    * centroids, and the corpus side reads ONLY the matching cell
+    * directories (partition pruning; VectorStoreSpec asserts the file-count
+    * reduction). Ranking is x08's (round(cos,4) DESC, vec_id) contract —
+    * output over a just-built store is row-identical to x08AnnIvf. */
+  def searchTopK(probes: DataFrame, nprobe: Int = 2, k: Int = 5): DataFrame = {
+    // one probe window per search: the collected rows yield BOTH the
+    // partition filter and (via a literal re-lift) the join side, so the
+    // √n-row codebook is read once and the window never re-runs
+    val pcRows = VectorOps.probeClusters(centroids, probes, nprobe).collect()
+    val cells = pcRows.map(_.getLong(2)).distinct.sorted
+    val pc = spark.createDataFrame(
+      spark.sparkContext.parallelize(pcRows.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("probe_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("p_emb",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)),
+        org.apache.spark.sql.types.StructField("cluster",
+          org.apache.spark.sql.types.LongType))))
+    val assigned = table
+      .filter(col("cell").isin(cells: _*))
+      .select(col("vec_id"), col("embedding"), col("cell").cast("long").as("cluster"))
+    VectorOps.ivfSearchClusters(assigned, pc, k)
+  }
+
+  /** x08's declared probe set (vec_id < 10) over the store. */
+  def searchContractProbes(nprobe: Int = 2, k: Int = 5): DataFrame =
+    searchTopK(table.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb")),
+      nprobe, k)
+}

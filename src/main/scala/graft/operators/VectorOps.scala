@@ -191,32 +191,56 @@ object VectorOps {
     * centroids/stride come from `probeSrc` (fixture: the narrow scan),
     * probes are the corpus' vec_id < 10 rows. */
   def annIvf(corpus: DataFrame, probeSrc: DataFrame): DataFrame = {
-    val e = corpus
-    val stride = probeSrc.agg(count(lit(1)).as("n_vec"))
-      .select(floor(sqrt(col("n_vec"))).cast("long").as("stride"))
-    val cents = probeSrc.crossJoin(broadcast(stride))
-      .filter(col("vec_id") % col("stride") === 0)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
+    val cents = seedCents(probeSrc)
+    val assigned = assignCells(corpus, cents)
+    val probes = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    ivfSearch(assigned, cents, probes)
+  }
+
+  /** Cluster assignment by max cosine against broadcast centroids —
+    * (vec_id, embedding, cluster). Shared by x08's inline path and
+    * [[graft.VectorStore]]'s write/append (which PERSISTS the assignment
+    * as a partition column). */
+  private[graft] def assignCells(e: DataFrame, cents: DataFrame): DataFrame = {
     val wAssign = Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("cent_id"))
-    val assigned = e.crossJoin(broadcast(cents))
+    e.crossJoin(broadcast(cents))
       .withColumn("ccos", dround(cosine(col("embedding"), col("c_emb")), 4))
       .withColumn("r", row_number().over(wAssign))
       .filter(col("r") === 1)
       .select(col("vec_id"), col("embedding"), col("cent_id").as("cluster"))
-    val probes = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+  }
+
+  /** Probe → nprobe closest centroids: (probe_id, p_emb, cluster). */
+  private[graft] def probeClusters(cents: DataFrame, probes: DataFrame,
+                                   nprobe: Int): DataFrame = {
     val wProbe = Window.partitionBy("probe_id").orderBy(col("ccos").desc, col("cent_id"))
-    val probeClusters = probes.crossJoin(broadcast(cents))
+    probes.crossJoin(broadcast(cents))
       .withColumn("ccos", dround(cosine(col("p_emb"), col("c_emb")), 4))
       .withColumn("r", row_number().over(wProbe))
-      .filter(col("r") <= 2)
+      .filter(col("r") <= nprobe)
       .select(col("probe_id"), col("p_emb"), col("cent_id").as("cluster"))
+  }
+
+  /** The IVF probe stage over a pre-assigned corpus: probes pick their
+    * `nprobe` closest centroids, candidates arrive via the cluster
+    * equi-join, top-k ranks (round(cos,4) DESC, vec_id). */
+  private[graft] def ivfSearch(assigned: DataFrame, cents: DataFrame,
+                               probes: DataFrame, nprobe: Int = 2,
+                               k: Int = 5): DataFrame =
+    ivfSearchClusters(assigned, probeClusters(cents, probes, nprobe), k)
+
+  /** [[ivfSearch]]'s candidate+rank stage over PRECOMPUTED probe-cluster
+    * rows — [[graft.VectorStore.searchTopK]] derives its partition filter
+    * from the same frame, so the probe window runs once per search. */
+  private[graft] def ivfSearchClusters(assigned: DataFrame, pc: DataFrame,
+                                       k: Int): DataFrame = {
     val wTop = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
-    assigned.join(broadcast(probeClusters), Seq("cluster"))
+    assigned.join(broadcast(pc), Seq("cluster"))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cos", dround(cosine(col("p_emb"), col("embedding")), 4))
       .withColumn("rnk", row_number().over(wTop).cast("long"))
-      .filter(col("rnk") <= 5)
+      .filter(col("rnk") <= k)
       .select(col("probe_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("cos"))
       .orderBy("probe_id", "rnk")
   }
@@ -445,7 +469,7 @@ object VectorOps {
   /** The deterministic seed-centroid rule x08/x45/x46 share: every
     * ⌊√n⌋-th vector of `src` by id — nlist ≈ √n with zero trained state,
     * so any engine derives the identical codebook from the data alone. */
-  private def seedCents(src: DataFrame): DataFrame = {
+  private[graft] def seedCents(src: DataFrame): DataFrame = {
     val stride = src.agg(count(lit(1)).as("n_vec"))
       .select(floor(sqrt(col("n_vec"))).cast("long").as("stride"))
     src.crossJoin(broadcast(stride))
