@@ -586,4 +586,36 @@ object StreamOps {
         ()
       }
       .start()
+
+  /** ST15: continuous vector-index ingest — the ANN analogue of ST12: each
+    * micro-batch of (vec_id, embedding) rows appends to the persisted
+    * [[graft.VectorStore]] (codebook fixed at build time), so searches over
+    * the store see new vectors after the next batch commit with NO rebuild
+    * and no touch of resident data — per-batch cost is one broadcast
+    * assignment pass over the batch plus new files in existing cell
+    * directories, at any index size.
+    *
+    * The codebook-drift contract is the batch one's: appends assign
+    * against the frozen codebook, x45 (Lloyd step) measures how far the
+    * data has pulled away, x37 (recall gate) decides when a rebuild pays —
+    * streamed and batch-mode appends land every vector in the identical
+    * cell (VectorStoreSpec asserts streamed ≡ batch-mode), so the loop is
+    * the same whichever path fed the store.
+    *
+    * Replay: a crash after the append but before the checkpoint commit
+    * re-appends the batch on replay — double-indexed rows, which at search
+    * time occupy duplicate rank positions and can displace the k-th
+    * distinct neighbor. A production deployment fences this by recording
+    * the admitted batch id beside the store and skipping the append on
+    * replay (same transactional-commit note as ST12; BucketedLayout's
+    * manifest is this engine's template). */
+  def vectorIngest(vecs: DataFrame, storeDir: String,
+                   checkpointDir: String): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        new graft.VectorStore(batch.sparkSession, storeDir).append(batch)
+        ()
+      }
+      .start()
 }

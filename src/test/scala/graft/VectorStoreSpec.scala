@@ -75,4 +75,35 @@ class VectorStoreSpec extends SparkSpecBase {
     val res = store.searchContractProbes().groupBy("probe_id").count().collect()
     assert(res.nonEmpty && res.forall(_.getLong(1) === 5))
   }
+
+  test("ST15: streamed vector ingest equals sequential batch-mode appends") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val ctx = spark.sqlContext
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Seq[Float], Long)] =
+      df.select(col("vec_id"), col("embedding"), col("cell").cast("long"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
+    val base = corpus.filter(col("vec_id") >= 20)
+    val b1 = corpus.filter(col("vec_id") < 10)
+    val b2 = corpus.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+    // expected: two batch-mode appends against a fresh store
+    val (bStore, _) = freshStore()
+    bStore.build(base); bStore.append(b1); bStore.append(b2)
+    val expected = rows(bStore.table)
+    // actual: the same two batches through the ST15 foreachBatch stream
+    val (sStore, sDir) = freshStore()
+    sStore.build(base)
+    def tup(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Seq[Float])].collect().toSeq
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = streaming.StreamOps.vectorIngest(
+      input.toDF().toDF("vec_id", "embedding"), sDir,
+      java.nio.file.Files.createTempDirectory("st15-ckpt").toString)
+    input.addData(tup(b1)); q.processAllAvailable()
+    input.addData(tup(b2)); q.processAllAvailable()
+    q.stop()
+    assert(rows(sStore.table) === expected)
+  }
 }
