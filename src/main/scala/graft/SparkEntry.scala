@@ -163,6 +163,7 @@ object SparkEntry {
     "x51_power_iter"      -> (VectorOps.x51PowerIter _),
     "x52_quality_bins"    -> (TextOps.x52QualityBins _),
     "x53_label_prop"      -> (TextOps.x53LabelProp _),
+    "x54_novelty"         -> (TextOps.x54Novelty _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1054,6 +1055,24 @@ object SparkEntry {
         |CAST(b.pred_lang = d.lang AS INT) AS hit
         |FROM best b JOIN documents d ON d.doc_id = b.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+
+    // x54: plain exact anti-join twin — the Spark side's Bloom screen is a
+    // plan-level optimization in its sound direction (a rejected shingle is
+    // PROVABLY novel), so the exact SQL is the gate, like x50
+    "x54_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, shingle FROM toks,
+        |  UNNEST(list_transform(generate_series(1, len(t) - 2),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS u(shingle)),
+        |ref AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 100),
+        |c AS (SELECT s.doc_id, s.shingle,
+        |  CASE WHEN r.shingle IS NULL THEN 1 ELSE 0 END AS novel
+        |  FROM sh s LEFT JOIN ref r ON s.shingle = r.shingle
+        |  WHERE s.doc_id >= 100)
+        |SELECT doc_id, COUNT(*) AS n_shingles,
+        |CAST(SUM(novel) AS BIGINT) AS n_novel,
+        |ROUND(CAST(SUM(novel) AS DOUBLE) / COUNT(*), 4) AS novelty
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "x18_lm_score" ->
       """WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),

@@ -1054,6 +1054,53 @@ object TextOps {
       .orderBy("doc_id", "bench_id")
   }
 
+  /** x54 per-doc n-gram novelty against a reference corpus — the crawl
+    * triage primitive ("how much of this new-crawl doc is text we already
+    * have?"): for every non-reference doc, the fraction of its distinct
+    * word-trigrams absent from the reference's distinct-shingle set.
+    * Ranked-by-novelty feeds re-crawl prioritization and dedup budgets the
+    * same way x17's contamination counts feed decontamination.
+    *
+    * Scale shape: x50's Bloom trick TRANSPOSED — and still exact. A Bloom
+    * filter can never prove membership, but "definitely not in the set"
+    * IS its sound direction, which is exactly what novelty counts: every
+    * shingle the filter rejects is novel with NO join at all; only the
+    * "maybe seen" survivors (true hits + fp rate) go through the exact
+    * left join that separates real hits from false positives. At a
+    * reference size where the exact hash relation no longer broadcasts,
+    * the join side has already been cut to the seen-ish sliver in the
+    * scan stage — the same inversion x50 measures, with zero approximation
+    * in the declared output (PlanSpec pins the join's left input below a
+    * Bloom-probe filter; the oracle is the plain exact anti-join).
+    *
+    * Docs need ≥3 tokens to have a trigram; shorter docs emit no row —
+    * both engines drop them identically. */
+  def x54Novelty(s: SparkSession, d: String): DataFrame = {
+    def sh(df: DataFrame) = df
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(
+        graft.functions.TextExpressions.wordShingles(col("t"), 3)).as("shingle"))
+      .distinct()
+    val docs = Tables.documents(s, d)
+    val ref = sh(docs.filter(col("doc_id") < 100)).select("shingle").distinct()
+    val bloom = ref.stat.bloomFilter("shingle", 1 << 16, 0.01)
+    val bc = s.sparkContext.broadcast(bloom)
+    val maybeSeen = udf((sh: String) => bc.value.mightContainString(sh))
+    val tagged = sh(docs.filter(col("doc_id") >= 100))
+    val sureNovel = tagged.filter(!maybeSeen(col("shingle")))
+      .select(col("doc_id"), lit(1).as("novel"))
+    val checked = tagged.filter(maybeSeen(col("shingle")))
+      .join(ref.withColumn("seen", lit(1)), Seq("shingle"), "left")
+      .select(col("doc_id"),
+        when(col("seen").isNull, 1).otherwise(0).as("novel"))
+    sureNovel.union(checked)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), sum("novel").cast("long").as("n_novel"))
+      .withColumn("novelty",
+        dround(col("n_novel").cast("double") / col("n_shingles").cast("double"), 4))
+      .orderBy("doc_id")
+  }
+
   /** x52 per-source quality-quantile binning — the mixing-weight primitive:
     * training mixtures are specified as "top quartile of source A, top
     * half of source B", so the pipeline needs each document binned against

@@ -335,6 +335,30 @@ class OperatorSpec extends SparkSpecBase {
     }
   }
 
+  test("x54: Bloom-screened novelty equals the plain exact anti-join") {
+    // the screen splits shingles into sure-novel vs maybe-seen; the
+    // declared output must equal the unscreened formulation row-for-row —
+    // Bloom's "definitely not present" direction is sound, so any
+    // divergence is a screen bug
+    def sh(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(
+        graft.functions.TextExpressions.wordShingles(col("t"), 3)).as("shingle"))
+      .distinct()
+    val docs = Tables.documents(spark, sfDir)
+    val ref = sh(docs.filter(col("doc_id") < 100)).select("shingle").distinct()
+    val plain = sh(docs.filter(col("doc_id") >= 100))
+      .join(ref.withColumn("seen", lit(1)), Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"),
+           sum(when(col("seen").isNull, 1).otherwise(0)).cast("long").as("nov"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+    val got = TextOps.x54Novelty(spark, sfDir)
+      .select("doc_id", "n_shingles", "n_novel")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+    assert(got === plain)
+  }
+
   test("x53: predictions cover exactly the non-seed docs with a verified seed neighbor") {
     val pairs = graft.functions.MinHashLSH.verifiedPairs(
         Tables.documents(spark, sfDir)

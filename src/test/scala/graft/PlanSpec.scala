@@ -350,6 +350,22 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("row_number"), s"vote argmax missing:\n$p")
   }
 
+  test("x54: the exact join's input is Bloom-prescreened; no product joins") {
+    val df = operators.TextOps.x54Novelty(spark, sfDir)
+    // the join must consume only "maybe seen" shingles: a Filter holding
+    // the Bloom UDF probe sits below the join (x50's assertion, transposed)
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Join}
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    val screenedJoins = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.collect {
+        case f: LFilter if f.condition.exists(_.isInstanceOf[ScalaUDF]) => f
+      }.nonEmpty => j
+    }
+    assert(screenedJoins.nonEmpty, "no join found above a Bloom-probe filter")
+    val p = planOf(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
   test("nanos pushdown rule is a no-op on non-matching filters") {
     // value is a plain double column: the rule must not touch this plan
     val df = Tables.events(spark, sfDir).filter("value > 100")
