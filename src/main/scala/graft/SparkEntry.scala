@@ -164,6 +164,7 @@ object SparkEntry {
     "x52_quality_bins"    -> (TextOps.x52QualityBins _),
     "x53_label_prop"      -> (TextOps.x53LabelProp _),
     "x54_novelty"         -> (TextOps.x54Novelty _),
+    "x55_dataset_card"    -> (TextOps.x55DatasetCard _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1073,6 +1074,20 @@ object SparkEntry {
         |CAST(SUM(novel) AS BIGINT) AS n_novel,
         |ROUND(CAST(SUM(novel) AS DOUBLE) / COUNT(*), 4) AS novelty
         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // x55: all-integer card; dup exposure is corpus-wide by contract
+    "x55_dataset_card" ->
+      """WITH d AS (SELECT source, lang, n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |  sha256(text) AS h FROM documents),
+        |c AS (SELECT h, COUNT(*) AS nh FROM d GROUP BY h)
+        |SELECT source, lang, COUNT(*) AS n_docs,
+        |SUM(n_tok) AS n_tokens, SUM(n_chars) AS n_chars,
+        |CAST(SUM(CASE WHEN nh > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        |ROUND(CAST(SUM(CASE WHEN nh > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |  / COUNT(*), 4) AS dup_frac
+        |FROM d JOIN c USING (h)
+        |GROUP BY source, lang ORDER BY source, lang""".stripMargin,
 
     "x18_lm_score" ->
       """WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),

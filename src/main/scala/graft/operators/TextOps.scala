@@ -1101,6 +1101,35 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** x55 dataset card — the per-(source, lang) summary a curation run
+    * publishes with every corpus snapshot: document / token / char mass
+    * plus the exact-duplicate exposure (docs whose full text appears more
+    * than once ANYWHERE in the corpus — corpus-wide on purpose: "how much
+    * of my slice is duplicated somewhere" is the question a mixing
+    * decision asks, and a within-slice count would undercount cross-source
+    * mirror content).
+    *
+    * Scale: one sha256 hash-aggregate (q52's exact-dedup shuffle) joined
+    * back on the hash — both sides of that join are corpus-sized but the
+    * join is a plain equi-join on the 32-byte key; the card itself is a
+    * |sources|·|langs|-row aggregate with every column integer-exact
+    * until the one final rounded ratio. */
+  def x55DatasetCard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .withColumn("h", sha2(col("text"), 256))
+      .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+    val dup = docs.groupBy("h").agg(count(lit(1)).as("nh"))
+    docs.join(dup, "h")
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+           sum("n_tok").as("n_tokens"),
+           sum("n_chars").as("n_chars"),
+           sum(when(col("nh") > 1, 1).otherwise(0)).cast("long").as("n_dup_docs"))
+      .withColumn("dup_frac",
+        dround(col("n_dup_docs").cast("double") / col("n_docs").cast("double"), 4))
+      .orderBy("source", "lang")
+  }
+
   /** x52 per-source quality-quantile binning — the mixing-weight primitive:
     * training mixtures are specified as "top quartile of source A, top
     * half of source B", so the pipeline needs each document binned against

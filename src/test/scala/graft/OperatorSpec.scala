@@ -359,6 +359,17 @@ class OperatorSpec extends SparkSpecBase {
     assert(got === plain)
   }
 
+  test("x55: card masses reconcile with the corpus; dup docs match q52's groups") {
+    val card = TextOps.x55DatasetCard(spark, sfDir).collect()
+    val total = Tables.documents(spark, sfDir).count()
+    assert(card.map(_.getLong(2)).sum === total, "n_docs does not partition the corpus")
+    val dupFromQ52 = TextOps.q52(spark, sfDir).filter(col("n_docs") > 1)
+      .agg(sum("n_docs")).head.get(0)
+    val dupDocs = card.map(_.getLong(5)).sum
+    assert(dupDocs === (if (dupFromQ52 == null) 0L else dupFromQ52.asInstanceOf[Long]),
+      s"dup-doc mass $dupDocs disagrees with q52's duplicate groups $dupFromQ52")
+  }
+
   test("x53: predictions cover exactly the non-seed docs with a verified seed neighbor") {
     val pairs = graft.functions.MinHashLSH.verifiedPairs(
         Tables.documents(spark, sfDir)

@@ -366,6 +366,13 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
   }
 
+  test("x55: dup exposure rides a hash equi-join on the content hash; no products") {
+    val p = planOf(operators.TextOps.x55DatasetCard(spark, sfDir))
+    assert(p.contains("HashAggregate"), s"hash agg missing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(!p.contains("Window"), s"unexpected window:\n$p")
+  }
+
   test("nanos pushdown rule is a no-op on non-matching filters") {
     // value is a plain double column: the rule must not touch this plan
     val df = Tables.events(spark, sfDir).filter("value > 100")
