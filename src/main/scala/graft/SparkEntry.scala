@@ -165,6 +165,8 @@ object SparkEntry {
     "x53_label_prop"      -> (TextOps.x53LabelProp _),
     "x54_novelty"         -> (TextOps.x54Novelty _),
     "x55_dataset_card"    -> (TextOps.x55DatasetCard _),
+    "x56_snapshot_diff"   -> (TextOps.x56SnapshotDiff _),
+    "x57_transitions"     -> (TimeSeriesOps.x57Transitions _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1089,6 +1091,30 @@ object SparkEntry {
         |FROM d JOIN c USING (h)
         |GROUP BY source, lang ORDER BY source, lang""".stripMargin,
 
+    // x56: both engines derive the same two synthetic snapshots (old = ids
+    // ≢1 mod 10, new = ids ≢2, revised content at ids ≡3 with a constant
+    // 5-char marker) — the diff itself is a digest-only full outer join
+    "x56_snapshot_diff" ->
+      """WITH oldd AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS nc,
+        |  sha256(text) AS h FROM documents WHERE doc_id % 10 <> 1),
+        |newd AS (SELECT doc_id, source,
+        |  CAST(n_chars + CASE WHEN doc_id % 10 = 3 THEN 5 ELSE 0 END AS BIGINT) AS nc,
+        |  CASE WHEN doc_id % 10 = 3 THEN sha256(text || ' rev2')
+        |       ELSE sha256(text) END AS h
+        |  FROM documents WHERE doc_id % 10 <> 2),
+        |j AS (SELECT COALESCE(n.source, o.source) AS source,
+        |  CASE WHEN o.h IS NULL THEN 'added' WHEN n.h IS NULL THEN 'removed'
+        |       WHEN o.h <> n.h THEN 'changed' ELSE 'unchanged' END AS status,
+        |  COALESCE(n.nc, 0) - COALESCE(o.nc, 0) AS delta
+        |  FROM oldd o FULL OUTER JOIN newd n ON o.doc_id = n.doc_id)
+        |SELECT source,
+        |CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+        |CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+        |CAST(SUM(delta) AS BIGINT) AS chars_delta
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
     "x18_lm_score" ->
       """WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
         |cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
@@ -1221,6 +1247,20 @@ object SparkEntry {
          |SELECT user_id, session, COUNT(*) AS n_events, MIN(event_id) AS first_event,
          |(MAX(us) - MIN(us)) // 1000000 AS duration_s, ROUND(SUM(value), 4) AS sum_value
          |FROM s GROUP BY user_id, session ORDER BY user_id, session""".stripMargin,
+
+    // x57: lead target pinned by the (ts, event_id) total order per user;
+    // counts integer, one final rounded probability
+    "x57_transitions" ->
+      s"""WITH e AS ($E),
+         |nx AS (SELECT event_type, lead(event_type) OVER
+         |  (PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM e),
+         |c AS (SELECT event_type, next_type, COUNT(*) AS n FROM nx
+         |  WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         |t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+         |SELECT c.event_type, c.next_type, c.n,
+         |ROUND(CAST(c.n AS DOUBLE) / tot, 4) AS p
+         |FROM c JOIN t USING (event_type)
+         |ORDER BY event_type, next_type""".stripMargin,
 
     "x21_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

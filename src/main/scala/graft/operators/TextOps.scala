@@ -1195,6 +1195,54 @@ object TextOps {
     * equi-join, no products); votes are one map-side-combined aggregate
     * over the pair list, the argmax one narrow window over (doc, label)
     * vote rows. */
+  /** x56 corpus snapshot diff — the CDC bookkeeping step between two
+    * crawl/curation snapshots: per source, how many documents were added,
+    * removed, changed (same id, different content), or untouched, plus the
+    * net character delta the snapshot swap moves. Incremental pipelines
+    * (x42's increment, ST12's admit loop) consume exactly this classification
+    * to decide what to re-embed / re-dedup instead of reprocessing the
+    * corpus.
+    *
+    * The two snapshots are derived deterministically from the fixture so
+    * every class is populated: old = ids ≢1 (mod 10), new = ids ≢2
+    * (mod 10), and ids ≡3 (mod 10) carry revised content in the new
+    * snapshot (text + a 5-char revision marker — both engines add the
+    * SAME constant, so chars_delta stays integer-exact end to end).
+    *
+    * Scale: each side reduces to (id, source, n_chars, sha256) BEFORE the
+    * join, so the full-outer shuffle carries 32-byte digests, never
+    * document bodies — the difference between shuffling ~50 bytes/doc and
+    * shuffling the corpus. The join key is doc_id: with both snapshots in
+    * a doc_id-bucketed store (BucketedFacts' layout) the diff is
+    * zero-Exchange; flat, it is one co-partitioned shuffle join. Output is
+    * a |sources|-row all-integer aggregate. */
+  def x56SnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val oldSnap = docs.filter(col("doc_id") % 10 =!= 1)
+      .select(col("doc_id"), col("source").as("src_o"),
+        col("n_chars").cast("long").as("nc_o"), sha2(col("text"), 256).as("h_o"))
+    val newSnap = docs.filter(col("doc_id") % 10 =!= 2)
+      .select(col("doc_id"), col("source").as("src_n"),
+        (col("n_chars").cast("long")
+          + when(col("doc_id") % 10 === 3, 5L).otherwise(0L)).as("nc_n"),
+        when(col("doc_id") % 10 === 3, sha2(concat(col("text"), lit(" rev2")), 256))
+          .otherwise(sha2(col("text"), 256)).as("h_n"))
+    oldSnap.join(newSnap, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("src_n"), col("src_o")).as("source"),
+        when(col("h_o").isNull, "added")
+          .when(col("h_n").isNull, "removed")
+          .when(col("h_o") =!= col("h_n"), "changed")
+          .otherwise("unchanged").as("status"),
+        (coalesce(col("nc_n"), lit(0L)) - coalesce(col("nc_o"), lit(0L))).as("delta"))
+      .groupBy("source")
+      .agg(sum(when(col("status") === "added", 1).otherwise(0)).cast("long").as("n_added"),
+           sum(when(col("status") === "removed", 1).otherwise(0)).cast("long").as("n_removed"),
+           sum(when(col("status") === "changed", 1).otherwise(0)).cast("long").as("n_changed"),
+           sum(when(col("status") === "unchanged", 1).otherwise(0)).cast("long").as("n_unchanged"),
+           sum("delta").cast("long").as("chars_delta"))
+      .orderBy("source")
+  }
+
   def x53LabelProp(s: SparkSession, d: String): DataFrame = {
     val pairs = MinHashLSH.verifiedPairs(docTokens(s, d), 0.8)
       .select("id_a", "id_b")

@@ -337,4 +337,32 @@ object TimeSeriesOps {
              datediff(col("next_d"), col("prev_d")).cast("double"))), 4).as("v"))
       .orderBy("d", "event_type")
   }
+
+  /** x57 next-event transition matrix — the dataset-construction step for
+    * behavioral sequence modeling: each (event, next event by the same
+    * user) adjacent pair, reduced to per-(event_type → next_type)
+    * transition counts and probabilities. The per-pair rows are exactly
+    * the (context, label) examples a next-event predictor trains on; the
+    * declared output is their exact transition matrix, which doubles as
+    * the class-balance audit a sampler needs before emitting the examples.
+    *
+    * Scale: ONE shuffle on user_id (high-cardinality — no q29-style
+    * low-cardinality window anywhere), a 1-row lead per event inside each
+    * user partition, then a map-side-combined hash aggregate onto
+    * |types|² ≤ 25 rows; the totals join is a broadcast of ≤5 rows.
+    * Ordering inside a user is (ts, event_id) — a total order, so the
+    * lead target is engine-independent. */
+  def x57Transitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val counts = pairs.groupBy("event_type", "next_type").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("event_type").agg(sum("n").as("tot"))
+    counts.join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("next_type"), col("n"),
+        dround(col("n").cast("double") / col("tot").cast("double"), 4).as("p"))
+      .orderBy("event_type", "next_type")
+  }
 }
