@@ -88,6 +88,41 @@ object StreamOps {
   def streamStaticJoin(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), events("user_id") === dim("c_custkey"))
 
+  /** ST16 stream–stream interval join — the attribution primitive: each
+    * purchase joined to the clicks by the SAME user whose timestamp falls
+    * in [purchase.ts − window, purchase.ts]. Both sides are live streams
+    * (this is Spark's watermarked stream-stream join, not ST7's
+    * stream-static broadcast): each side buffers rows in the state store,
+    * and the watermark + the two-sided time-range predicate give the
+    * engine a provable bound on how long a click/purchase can still find
+    * a partner — state for rows older than (watermark − window) is
+    * EVICTED, so state size is O(rate × window), never O(stream length).
+    * Without the range condition the same join would buffer both streams
+    * forever; the interval bound is what makes the operator runnable
+    * continuously at any scale.
+    *
+    * Scale: both sides hash-partition on user_id (one co-partitioned
+    * shuffle each); per-key state is the user's clicks/purchases inside
+    * the eviction horizon only. Inner join ⇒ results are emitted as soon
+    * as both partners have arrived; append mode. */
+  def attributionJoin(events: DataFrame, window: String = "24 hours",
+                      watermark: String = "2 hours"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+              col("ts").as("p_ts"), col("value").as("purchase_value"))
+      .withWatermark("p_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+              col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $window"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+              col("p_ts"), col("c_ts"), col("purchase_value"))
+  }
+
   case class SeriesKey(user_id: Long, event_type: String)
   case class Point(user_id: Long, event_type: String, ts: java.sql.Timestamp, value: Double)
   case class LatestPoint(user_id: Long, event_type: String, ts: java.sql.Timestamp, value: Double)

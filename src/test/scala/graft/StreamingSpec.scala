@@ -424,4 +424,47 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.count() === batch.count())
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
+
+  test("ST16 stream-stream interval join equals the batch interval join") {
+    val src = StreamOps.eventsStream(spark, sfDir)
+    val q = StreamOps.attributionJoin(src).writeStream.format("memory")
+      .queryName("st16").outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("st16").select("purchase_id", "click_id")
+    val p = batchEvents.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    val c = batchEvents.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val batch = p.join(c,
+        col("user_id") === col("c_user") && col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 24 hours"))
+      .select("purchase_id", "click_id")
+    assert(streamed.count() > 0, "fixture must produce at least one attribution pair")
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("ST16b interval-join state eviction: a click behind the watermark never joins") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[StreamOps.AsOfEvent]
+    val joined = StreamOps.attributionJoin(input.toDF(), window = "1 hour", watermark = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("st16b").outputMode("append").start()
+    def ev(id: Long, typ: String, hhmm: String) =
+      StreamOps.AsOfEvent(1L, id, Timestamp.valueOf(s"2024-01-01 $hhmm:00"), typ, 1.0)
+    input.addData(ev(1, "purchase", "01:00"), ev(2, "click", "00:30"))
+    q.processAllAvailable()
+    assert(spark.table("st16b").count() === 1) // the in-window click joins
+    // advance BOTH sides' watermarks far past the first purchase's window
+    // (no new pair: the 20:00 purchase's window [19:00, 20:00] is empty)
+    input.addData(ev(3, "click", "09:00"), ev(4, "purchase", "20:00"))
+    q.processAllAvailable()
+    // a click inside the FIRST purchase's window, arriving after the click
+    // watermark (08:00) passed it: dropped as late, and the purchase's
+    // buffered state is past its provable-match horizon — no new row
+    input.addData(ev(5, "click", "00:40"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("st16b").select("click_id").as[Long].collect().toSet
+    assert(got === Set(2L), s"late click must not produce a join row, got $got")
+  }
 }
