@@ -263,6 +263,24 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] x08_store failed: ${e.getMessage}"); Nil
     }
+    // Layout measurement: x58's 2-D box over the z-ordered layout (write
+    // untimed — write-once, amortized). Quantifies what Morton clustering
+    // + the sidecar min/max index buy vs the declared x58 row's flat scan:
+    // file-level skipping on BOTH box dimensions before any task launches.
+    val x58Store = if (only.exists(!_("x58_zorder"))) Nil else try {
+      val storeDir = java.nio.file.Files.createTempDirectory("zstore").toString
+      sources.ZOrderLayout.writeEvents(Tables.events(spark, sfDir), storeDir)
+      val day10 = java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli * 1000L
+      val day15 = java.time.Instant.parse("2024-01-15T00:00:00Z").toEpochMilli * 1000L
+      def q = operators.TimeSeriesOps.boxAgg(
+        sources.ZOrderLayout.readBox(spark, storeDir, 3, 7, day10, day15))
+      q.write.format("noop").mode("overwrite").save() // warm (codegen/JIT)
+      val t0 = System.nanoTime()
+      q.write.format("noop").mode("overwrite").save()
+      Seq("x58_zorder" -> (System.nanoTime() - t0) / 1e9)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] x58_zorder failed: ${e.getMessage}"); Nil
+    }
     // Isolation pass: re-time the N slowest shared-run queries, EACH IN A
     // FRESH JVM (child process → cold JIT/GC, the same protocol a judge
     // uses to separate real regressions from shared-run interference), and
@@ -283,7 +301,7 @@ object Bench {
         val slowest = results.sortBy(-_._2).take(n).map(_._1)
         slowest.flatMap(name => isolateOne(name, sfDir, cpus))
       }.getOrElse(Nil)
-    val qs = (results ++ ccOnly ++ q10Bucketed ++ tsStore ++ x42Store ++ x08Store)
+    val qs = (results ++ ccOnly ++ q10Bucketed ++ tsStore ++ x42Store ++ x08Store ++ x58Store)
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val warm = warmRows.map { case (k, v) => "\"" + k + "\":" + v }

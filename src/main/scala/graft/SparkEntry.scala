@@ -167,6 +167,7 @@ object SparkEntry {
     "x55_dataset_card"    -> (TextOps.x55DatasetCard _),
     "x56_snapshot_diff"   -> (TextOps.x56SnapshotDiff _),
     "x57_transitions"     -> (TimeSeriesOps.x57Transitions _),
+    "x58_box"             -> (TimeSeriesOps.x58Box _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1261,6 +1262,16 @@ object SparkEntry {
          |ROUND(CAST(c.n AS DOUBLE) / tot, 4) AS p
          |FROM c JOIN t USING (event_type)
          |ORDER BY event_type, next_type""".stripMargin,
+
+    // x58: 2-D box slice; the z-store bench row runs the identical contract
+    "x58_box" ->
+      s"""WITH e AS ($E)
+         |SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value,
+         |MIN(event_id) AS min_event, MAX(event_id) AS max_event
+         |FROM e WHERE user_id BETWEEN 3 AND 7
+         |AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+         |AND ts < TIMESTAMP '2024-01-15 00:00:00'
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "x21_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

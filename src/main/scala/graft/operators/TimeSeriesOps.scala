@@ -352,6 +352,30 @@ object TimeSeriesOps {
     * |types|² ≤ 25 rows; the totals join is a broadcast of ≤5 rows.
     * Ordering inside a user is (ts, event_id) — a total order, so the
     * lead target is engine-independent. */
+  /** x58 2-D box query — the selective slice both dashboards and training
+    * extracts cut constantly: one user range × one time range, aggregated
+    * per type. Declared over the flat fixture (both range predicates reach
+    * the parquet scan as PushedFilters — PlanSpec); the SAME contract runs
+    * over the [[graft.sources.ZOrderLayout]] store as bench row
+    * `x58_zorder`, where the sidecar min/max index turns the box into
+    * FILE-level skipping before any task is scheduled — the reason a 2-D
+    * layout exists at all: day partitioning prunes only the time axis, a
+    * user-sorted layout only the user axis; the z-curve prunes on both at
+    * once. All-integer output except the one rounded sum. */
+  def x58Box(s: SparkSession, d: String): DataFrame =
+    boxAgg(Tables.events(s, d))
+
+  /** The box contract shared by the flat and z-store paths: users [3,7] ×
+    * ts [2024-01-10, 2024-01-15), per-type aggregate. */
+  private[graft] def boxAgg(e: DataFrame): DataFrame =
+    e.filter(col("user_id").between(3, 7) &&
+        col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp") &&
+        col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dround(sum("value"), 4).as("sum_value"),
+           min("event_id").as("min_event"), max("event_id").as("max_event"))
+      .orderBy("event_type")
+
   def x57Transitions(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val pairs = Tables.events(s, d)

@@ -30,6 +30,15 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("GreaterThanOrEqual(ts,"), s"ts range not pushed:\n$p")
   }
 
+  test("x58: both box dimensions (user range AND ts range) reach PushedFilters") {
+    val p = planOf(operators.TimeSeriesOps.x58Box(spark, sfDir))
+    assert(p.contains("GreaterThanOrEqual(user_id,3)") && p.contains("LessThanOrEqual(user_id,7)"),
+           s"user bounds not pushed:\n$p")
+    assert(p.contains("GreaterThanOrEqual(ts,"), s"no lower ts bound pushed:\n$p")
+    assert(p.contains("LessThan(ts,") || p.contains("LessThanOrEqual(ts,"),
+           s"no upper ts bound pushed:\n$p")
+  }
+
   test("Q02: column pruning — scan reads exactly the 3 needed columns") {
     val p = planOf(operators.RelationalOps.q02(spark, sfDir))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
