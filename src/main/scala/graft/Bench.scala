@@ -281,6 +281,39 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] x58_zorder failed: ${e.getMessage}"); Nil
     }
+    // Mutation measurement: applying x56's classified diff to the
+    // MergeStore (initial load untimed) vs x56_rewrite, the full-table
+    // rewrite the merge avoids. Copy-on-write cost is O(changed buckets).
+    val mergeRows = if (only.exists(o => !o("x56_merge") && !o("x56_rewrite"))) Nil else try {
+      import org.apache.spark.sql.functions.{col, concat, lit, when}
+      val docs = Tables.documents(spark, sfDir)
+      val oldSnap = docs.filter(col("doc_id") % 10 =!= 1)
+      val newSnap = docs.filter(col("doc_id") % 10 =!= 2)
+        .withColumn("text", when(col("doc_id") % 10 === 3,
+          concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+        .withColumn("n_chars", when(col("doc_id") % 10 === 3,
+          col("n_chars") + 5).otherwise(col("n_chars")))
+      val upserts = newSnap.filter(col("doc_id") % 10 === 1 || col("doc_id") % 10 === 3)
+      val deletes = docs.filter(col("doc_id") % 10 === 2).select("doc_id")
+      val wantMerge = only.forall(_("x56_merge"))
+      val wantRewrite = only.forall(_("x56_rewrite"))
+      (if (wantMerge) {
+        val dir = java.nio.file.Files.createTempDirectory("mergestore").toString
+        sources.MergeStore.write(oldSnap, dir, buckets = 16)
+        val t0 = System.nanoTime()
+        sources.MergeStore.merge(spark, dir, upserts, deletes)
+        Seq("x56_merge" -> (System.nanoTime() - t0) / 1e9)
+      } else Nil) ++
+      (if (wantRewrite) {
+        val dir = java.nio.file.Files.createTempDirectory("mergestore").toString
+        sources.MergeStore.write(oldSnap, dir, buckets = 16)
+        val t0 = System.nanoTime()
+        sources.MergeStore.write(newSnap, dir, buckets = 16)
+        Seq("x56_rewrite" -> (System.nanoTime() - t0) / 1e9)
+      } else Nil)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] x56_merge failed: ${e.getMessage}"); Nil
+    }
     // Isolation pass: re-time the N slowest shared-run queries, EACH IN A
     // FRESH JVM (child process → cold JIT/GC, the same protocol a judge
     // uses to separate real regressions from shared-run interference), and
@@ -301,7 +334,7 @@ object Bench {
         val slowest = results.sortBy(-_._2).take(n).map(_._1)
         slowest.flatMap(name => isolateOne(name, sfDir, cpus))
       }.getOrElse(Nil)
-    val qs = (results ++ ccOnly ++ q10Bucketed ++ tsStore ++ x42Store ++ x08Store ++ x58Store)
+    val qs = (results ++ ccOnly ++ q10Bucketed ++ tsStore ++ x42Store ++ x08Store ++ x58Store ++ mergeRows)
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val warm = warmRows.map { case (k, v) => "\"" + k + "\":" + v }
