@@ -550,6 +550,34 @@ object StreamOps {
       }
       .start()
 
+  case class DocChange(doc_id: Long, text: String, lang: String,
+                       source: String, n_chars: Long, op: String)
+
+  /** ST17: continuous CDC apply — the streaming twin of x56→MergeStore:
+    * each micro-batch of tagged change rows (`op` ∈ upsert/delete) is ONE
+    * [[graft.sources.MergeStore.merge]] call inside `foreachBatch`, so the
+    * store converges to the latest snapshot batch by batch while untouched
+    * buckets stay physically untouched (the batch's copy-on-write
+    * guarantees carry over unchanged — same code path). Readers see each
+    * change set atomically per bucket at the merge's commit.
+    *
+    * Replay caveat (ST12's note): on crash between the merge and the
+    * checkpoint commit the batch REPLAYS — here that is safe by
+    * construction, because `merge` is idempotent (re-applying a change set
+    * is a fixpoint, MergeStoreSpec), so exactly-once state is not needed
+    * for correctness, only the offset log's at-least-once. */
+  def mergeIngest(changes: DataFrame, storeDir: String,
+                  checkpointDir: String): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ups = batch.filter(col("op") === "upsert").drop("op")
+        val dels = batch.filter(col("op") === "delete").select("doc_id")
+        graft.sources.MergeStore.merge(batch.sparkSession, storeDir, ups, dels)
+        ()
+      }
+      .start()
+
   case class GramCount(gram: String, cnt: Long)
 
   /** ST14: continuous heavy hitters — the streaming twin of

@@ -443,6 +443,39 @@ class StreamingSpec extends SparkSpecBase {
     assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
   }
 
+  test("ST17 streaming CDC apply: the store converges to the new snapshot; replay is a no-op") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+    val oldSnap = docs.filter(col("doc_id") % 10 =!= 1)
+    val newSnap = docs.filter(col("doc_id") % 10 =!= 2)
+      .withColumn("text", when(col("doc_id") % 10 === 3,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      .withColumn("n_chars", when(col("doc_id") % 10 === 3,
+        col("n_chars") + 5).otherwise(col("n_chars")))
+    val storeDir = tmp("mergestore")
+    graft.sources.MergeStore.write(oldSnap, storeDir, buckets = 8)
+    def changeRow(r: org.apache.spark.sql.Row, op: String) = StreamOps.DocChange(
+      r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4), op)
+    val upserts = newSnap.filter(col("doc_id") % 10 === 1 || col("doc_id") % 10 === 3)
+      .collect().map(changeRow(_, "upsert"))
+    val deletes = docs.filter(col("doc_id") % 10 === 2)
+      .collect().map(changeRow(_, "delete"))
+    val input = MemoryStream[StreamOps.DocChange]
+    val q = StreamOps.mergeIngest(input.toDF(), storeDir, tmp("ckpt"))
+    // the diff arrives as three micro-batches in arbitrary op order
+    val all = (upserts ++ deletes).sortBy(_.doc_id)
+    all.grouped((all.length + 2) / 3).foreach { chunk =>
+      input.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    // crash-replay simulation: re-apply the final chunk's content once more
+    input.addData(all.takeRight(5).toSeq); q.processAllAvailable()
+    q.stop()
+    val got = graft.sources.MergeStore.read(spark, storeDir)
+    assert(got.count() === newSnap.count())
+    assert(got.except(newSnap).isEmpty && newSnap.except(got).isEmpty)
+  }
+
   test("ST16b interval-join state eviction: a click behind the watermark never joins") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
