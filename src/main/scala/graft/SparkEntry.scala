@@ -168,6 +168,8 @@ object SparkEntry {
     "x56_snapshot_diff"   -> (TextOps.x56SnapshotDiff _),
     "x57_transitions"     -> (TimeSeriesOps.x57Transitions _),
     "x58_box"             -> (TimeSeriesOps.x58Box _),
+    "x59_funnel"          -> (TimeSeriesOps.x59Funnel _),
+    "x60_decay"           -> (TimeSeriesOps.x60Decay _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1272,6 +1274,42 @@ object SparkEntry {
          |AND ts >= TIMESTAMP '2024-01-10 00:00:00'
          |AND ts < TIMESTAMP '2024-01-15 00:00:00'
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // x59: x20's session CTE + three shrinking stage aggregates; the
+    // strict `>` ordering inside a session is on µs, tie-free per stage
+    // because each stage keys on the PREVIOUS stage's minimum
+    "x59_funnel" ->
+      s"""WITH e AS ($E),
+         |g AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e),
+         |b AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 21600000000 THEN 1 ELSE 0 END AS brk FROM g),
+         |s AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session FROM b),
+         |tv AS (SELECT user_id, session, MIN(us) AS t_v FROM s
+         |  WHERE event_type = 'view' GROUP BY 1, 2),
+         |tc AS (SELECT s.user_id, s.session, MIN(us) AS t_c FROM s
+         |  JOIN tv USING (user_id, session)
+         |  WHERE event_type = 'click' AND us > t_v GROUP BY 1, 2),
+         |tp AS (SELECT s.user_id, s.session, MIN(us) AS t_p FROM s
+         |  JOIN tc USING (user_id, session)
+         |  WHERE event_type = 'purchase' AND us > t_c GROUP BY 1, 2),
+         |tot AS (SELECT COUNT(*) AS n FROM (SELECT DISTINCT user_id, session FROM s)),
+         |st AS (SELECT '0_all' AS stage, n AS n_sessions FROM tot
+         |  UNION ALL SELECT '1_view', COUNT(*) FROM tv
+         |  UNION ALL SELECT '2_view_click', COUNT(*) FROM tc
+         |  UNION ALL SELECT '3_view_click_purchase', COUNT(*) FROM tp)
+         |SELECT stage, CAST(n_sessions AS BIGINT) AS n_sessions,
+         |ROUND(CAST(n_sessions AS DOUBLE) / (SELECT n FROM tot), 4) AS frac
+         |FROM st ORDER BY stage""".stripMargin,
+
+    // x60: fixed horizon DATE '2024-01-31'; integer day ages, libm exp
+    // (x18's ln precedent), one rounded sum
+    "x60_decay" ->
+      s"""WITH e AS ($E)
+         |SELECT user_id, COUNT(*) AS n_events,
+         |ROUND(SUM(value * EXP(-CAST(date_diff('day', CAST(ts AS DATE),
+         |  DATE '2024-01-31') AS DOUBLE) / 7.0)), 4) AS decay_score
+         |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "x21_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -376,6 +376,73 @@ object TimeSeriesOps {
            min("event_id").as("min_event"), max("event_id").as("max_event"))
       .orderBy("event_type")
 
+  /** x59 session funnel — the conversion report over x20's sessions: how
+    * many sessions reach each prefix of the ordered journey
+    * view → click → purchase (subsequence within the session, not
+    * adjacency: the first view, the first click strictly after it, the
+    * first purchase strictly after that). Output is the 4-row funnel with
+    * corpus-wide conversion fractions — the analytics readout product
+    * teams drive ranking/recommendation training labels from.
+    *
+    * Scale: session assignment is x20's per-user window (high-cardinality
+    * partition key); each funnel stage is one (user, session)-keyed
+    * aggregate joined forward — three session-keyed shuffles over
+    * ever-SHRINKING stage tables, never a corpus self-join; the final
+    * table is 4 rows + one broadcast of a 1-row total. */
+  def x59Funnel(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 6L * 3600L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .withColumn("brk",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session", sum("brk").over(run))
+      .select("user_id", "session", "event_type", "us")
+    val tv = sess.filter(col("event_type") === "view")
+      .groupBy("user_id", "session").agg(min("us").as("t_v"))
+    val tc = sess.join(tv, Seq("user_id", "session"))
+      .filter(col("event_type") === "click" && col("us") > col("t_v"))
+      .groupBy("user_id", "session").agg(min("us").as("t_c"))
+    val tp = sess.join(tc, Seq("user_id", "session"))
+      .filter(col("event_type") === "purchase" && col("us") > col("t_c"))
+      .groupBy("user_id", "session").agg(min("us").as("t_p"))
+    val total = sess.select("user_id", "session").distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    def stageRow(df: DataFrame, name: String) =
+      df.agg(count(lit(1)).as("n_sessions")).withColumn("stage", lit(name))
+    val stages = total.withColumn("stage", lit("0_all"))
+      .union(stageRow(tv, "1_view"))
+      .union(stageRow(tc, "2_view_click"))
+      .union(stageRow(tp, "3_view_click_purchase"))
+    stages.crossJoin(broadcast(total.select(col("n_sessions").as("n_all"))))
+      .select(col("stage"), col("n_sessions"),
+        dround(col("n_sessions").cast("double") / col("n_all").cast("double"), 4).as("frac"))
+      .orderBy("stage")
+  }
+
+  /** x60 recency-decay engagement score — the freshness weighting a
+    * sampling/mixing pipeline applies to behavioral data: per user,
+    * Σ value·e^(−age_days/7) against the fixed corpus horizon 2024-01-31
+    * (a 7-day half-life-ish decay; the horizon is pinned so both engines
+    * and any re-run weight identically). One scan + one map-side-combined
+    * aggregate — no window, no join; the 100 TB shape is the same
+    * hash-agg as q19. Each weight is a double e^(−k/7), k integer days;
+    * the rounded sum is the declared output (x18's ln precedent: libm
+    * agreement to well past 4 dp). */
+  def x60Decay(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("age_d",
+        datediff(lit("2024-01-31").cast("date"), to_date(col("ts"))))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+           dround(sum(col("value") * exp(col("age_d").cast("double") * -1.0 / 7.0)), 4)
+             .as("decay_score"))
+      .orderBy("user_id")
+
   def x57Transitions(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val pairs = Tables.events(s, d)
