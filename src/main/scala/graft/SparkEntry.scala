@@ -170,6 +170,9 @@ object SparkEntry {
     "x58_box"             -> (TimeSeriesOps.x58Box _),
     "x59_funnel"          -> (TimeSeriesOps.x59Funnel _),
     "x60_decay"           -> (TimeSeriesOps.x60Decay _),
+    "x61_pivot"           -> (AnalyticOps.x61Pivot _),
+    "x62_unpivot"         -> (AnalyticOps.x62Unpivot _),
+    "x63_sketch_union"    -> (RelationalOps.x63SketchUnion _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1310,6 +1313,42 @@ object SparkEntry {
          |ROUND(SUM(value * EXP(-CAST(date_diff('day', CAST(ts AS DATE),
          |  DATE '2024-01-31') AS DOUBLE) / 7.0)), 4) AS decay_score
          |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // x61: conditional-count twin — the exact shape Spark's explicit-values
+    // pivot compiles to
+    "x61_pivot" ->
+      s"""WITH e AS ($E)
+         |SELECT user_id,
+         |CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+         |CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+         |CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+         |CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+         |CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+         |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // x62: UNION ALL melt twin of Spark's native unpivot
+    "x62_unpivot" ->
+      """WITH m AS (
+        |  SELECT 'l_quantity' AS metric, l_quantity AS v FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT metric, COUNT(*) AS n, ROUND(SUM(v), 4) AS total,
+        |ROUND(AVG(v), 4) AS mean
+        |FROM m GROUP BY metric ORDER BY metric""".stripMargin,
+
+    // x63: q21's tolerance-verdict pattern — each engine judges its OWN
+    // sketch against the exact count; the verdict, not the estimate, is
+    // the declared value
+    "x63_sketch_union" ->
+      s"""WITH e AS ($E),
+         |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+         |  FROM e GROUP BY event_type),
+         |ap AS (SELECT event_type, approx_count_distinct(user_id) AS est
+         |  FROM e GROUP BY event_type)
+         |SELECT ex.event_type, ex.n_exact,
+         |CAST(ABS(CAST(est AS DOUBLE) - n_exact) <= 0.05 * n_exact AS INT) AS ok
+         |FROM ex JOIN ap USING (event_type) ORDER BY event_type""".stripMargin,
 
     "x21_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -262,4 +262,42 @@ object AnalyticOps {
               when(col("value") > 100, "hi").when(col("value") > 50, "mid")
                 .otherwise("lo").as("band"))
       .orderBy("event_id")
+
+  /** x61 pivot — wide per-user activity features: event counts spread into
+    * one column per event_type, the reshaping step that turns a long event
+    * log into a model-ready feature row. The pivot VALUES are passed
+    * explicitly (the fixture's closed 5-type domain, FIXTURES.md) — that
+    * matters at scale: `pivot(col)` without values runs an extra distinct
+    * JOB over the corpus to discover the domain before planning, while the
+    * explicit form plans one pass. Compiles to a single hash aggregate
+    * with conditional counts (exactly the SQL twin's shape) — one shuffle
+    * on user_id, output width fixed by the domain. */
+  def x61Pivot(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("user_id"), col("click").as("n_click"), col("error").as("n_error"),
+        col("purchase").as("n_purchase"), col("signup").as("n_signup"),
+        col("view").as("n_view"))
+      .orderBy("user_id")
+
+  /** x62 unpivot — the inverse reshaping: lineitem's four per-row measures
+    * melted to (metric, value) rows via Spark's native `unpivot` (one
+    * Expand pass — rows×4, no shuffle until the final 4-group aggregate),
+    * then reduced to per-metric totals. The long form is what generic
+    * metric sinks and plotting layers consume; at 100 TB the Expand is
+    * map-local and the aggregate is 4 rows. */
+  def x62Unpivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"))
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "metric", "v")
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n"), dround(sum("v"), 4).as("total"),
+           dround(avg("v"), 4).as("mean"))
+      .orderBy("metric")
 }

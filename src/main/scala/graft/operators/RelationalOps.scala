@@ -299,6 +299,35 @@ object RelationalOps {
         (abs(col("a90") - col("e90")) <= lit(0.05) * abs(col("e90"))).cast("int").as("ok90"))
       .orderBy("event_type")
 
+  /** x63 mergeable distinct-count sketches — the PRE-AGGREGATION pattern
+    * q21's one-shot HLL++ cannot express: per-(event_type, day) Apache
+    * DataSketches HLL sketches (`hll_sketch_agg`, the store shape a
+    * warehouse materializes once per partition) are UNIONED per type
+    * (`hll_union_agg`) and only then estimated — so the corpus-wide
+    * distinct count is answerable from |types|·|days| fixed-size sketch
+    * blobs without ever rescanning the events, and stays answerable for
+    * any day range by unioning a subset. That mergeability is the whole
+    * point at 100 TB: the daily sketch build is the only corpus scan, and
+    * every subsequent distinct-count query is sketch-sized work.
+    *
+    * Declared output follows q21/x34's tolerance-verdict pattern (sketch
+    * estimates are engine-specific, verdicts are not): exact distinct +
+    * "union-of-daily-sketches estimate within 5%" boolean, both engines
+    * computing the verdict against their own sketch. */
+  def x63SketchUnion(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).withColumn("day", to_date(col("ts")))
+    val daily = e.groupBy("event_type", "day")
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    val unioned = daily.groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("est"))
+    val exact = e.groupBy("event_type").agg(countDistinct("user_id").as("n_exact"))
+    exact.join(unioned, "event_type")
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("est") - col("n_exact")).cast("double") <=
+          lit(0.05) * col("n_exact").cast("double")).cast("int").as("ok"))
+      .orderBy("event_type")
+  }
+
   /** Q26 statistical aggregates. */
   def q26(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
