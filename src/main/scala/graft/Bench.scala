@@ -314,6 +314,22 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] x56_merge failed: ${e.getMessage}"); Nil
     }
+    // Rollup measurement: x64's misaligned range contract answered through
+    // the RollupStore router (build untimed — the once-per-partition
+    // materialization) vs the declared x64 row's raw scan.
+    val x64Rollup = if (only.exists(!_("x64_rollup"))) Nil else try {
+      val storeDir = java.nio.file.Files.createTempDirectory("rollup").toString
+      sources.RollupStore.build(Tables.events(spark, sfDir), storeDir)
+      def q = operators.TimeSeriesOps.rangeContract(
+        sources.RollupStore.rangeAgg(spark, storeDir, Tables.events(spark, sfDir),
+          operators.TimeSeriesOps.X64T0, operators.TimeSeriesOps.X64T1))
+      q.write.format("noop").mode("overwrite").save() // warm (codegen/JIT)
+      val t0 = System.nanoTime()
+      q.write.format("noop").mode("overwrite").save()
+      Seq("x64_rollup" -> (System.nanoTime() - t0) / 1e9)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] x64_rollup failed: ${e.getMessage}"); Nil
+    }
     // Isolation pass: re-time the N slowest shared-run queries, EACH IN A
     // FRESH JVM (child process → cold JIT/GC, the same protocol a judge
     // uses to separate real regressions from shared-run interference), and
@@ -334,7 +350,7 @@ object Bench {
         val slowest = results.sortBy(-_._2).take(n).map(_._1)
         slowest.flatMap(name => isolateOne(name, sfDir, cpus))
       }.getOrElse(Nil)
-    val qs = (results ++ ccOnly ++ q10Bucketed ++ tsStore ++ x42Store ++ x08Store ++ x58Store ++ mergeRows)
+    val qs = (results ++ ccOnly ++ q10Bucketed ++ tsStore ++ x42Store ++ x08Store ++ x58Store ++ mergeRows ++ x64Rollup)
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val warm = warmRows.map { case (k, v) => "\"" + k + "\":" + v }

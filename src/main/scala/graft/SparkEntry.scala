@@ -173,6 +173,7 @@ object SparkEntry {
     "x61_pivot"           -> (AnalyticOps.x61Pivot _),
     "x62_unpivot"         -> (AnalyticOps.x62Unpivot _),
     "x63_sketch_union"    -> (RelationalOps.x63SketchUnion _),
+    "x64_range_agg"       -> (TimeSeriesOps.x64RangeAgg _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1349,6 +1350,16 @@ object SparkEntry {
          |SELECT ex.event_type, ex.n_exact,
          |CAST(ABS(CAST(est AS DOUBLE) - n_exact) <= 0.05 * n_exact AS INT) AS ok
          |FROM ex JOIN ap USING (event_type) ORDER BY event_type""".stripMargin,
+
+    // x64: direct raw-scan semantics of the rollup-routed range aggregate
+    "x64_range_agg" ->
+      s"""WITH e AS ($E)
+         |SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value,
+         |MIN(value) AS min_value, MAX(value) AS max_value,
+         |ROUND(SUM(value) / COUNT(*), 4) AS avg_value
+         |FROM e WHERE ts >= TIMESTAMP '2024-01-05 00:30:10'
+         |AND ts < TIMESTAMP '2024-01-20 07:45:00'
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "x21_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -443,6 +443,30 @@ object TimeSeriesOps {
              .as("decay_score"))
       .orderBy("user_id")
 
+  /** x64 range aggregate — the dashboard slice every TSDB serves: per-type
+    * cnt/sum/min/max/avg over a DELIBERATELY misaligned [t0, t1) (sub-hour
+    * edges, so every resolution of the rollup decomposition is exercised).
+    * Declared as the direct raw-scan form (the oracle-checkable
+    * semantics); bench row `x64_rollup` answers the IDENTICAL contract
+    * through [[graft.sources.RollupStore]]'s coarsest-first router — full
+    * days from the day table, edge hours from the hour table, sub-hour
+    * edges from raw — which at 100 TB turns a month of billions of events
+    * into ~150 rollup rows + two bounded edge scans (RollupStoreSpec pins
+    * routed ≡ direct on aligned/misaligned/sub-hour ranges). */
+  def x64RangeAgg(s: SparkSession, d: String): DataFrame =
+    rangeContract(graft.sources.RollupStore.directAgg(
+      Tables.events(s, d), X64T0, X64T1))
+
+  private[graft] val X64T0 = java.time.Instant.parse("2024-01-05T00:30:10Z").toEpochMilli * 1000L
+  private[graft] val X64T1 = java.time.Instant.parse("2024-01-20T07:45:00Z").toEpochMilli * 1000L
+
+  /** Shared rounding/ordering for the declared and rollup-routed forms. */
+  private[graft] def rangeContract(df: DataFrame): DataFrame =
+    df.select(col("event_type"), col("cnt"),
+      dround(col("s"), 4).as("sum_value"), col("mn").as("min_value"),
+      col("mx").as("max_value"), dround(col("avg"), 4).as("avg_value"))
+      .orderBy("event_type")
+
   def x57Transitions(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val pairs = Tables.events(s, d)
