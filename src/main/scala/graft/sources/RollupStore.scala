@@ -38,15 +38,37 @@ object RollupStore {
   private val HourUs = 3600L * 1000000L
   private val DayUs  = 24L * HourUs
 
-  def build(events: DataFrame, dir: String): Unit = {
-    val base = events.select(col("event_type"), unix_micros(col("ts")).as("us"), col("value"))
-    def rollup(widthUs: Long) = base
+  /** The per-resolution aggregate, carrying the owning `day` as a
+    * partition column — the unit sealed/rewritten by [[updateDays]]. */
+  private def rollup(events: DataFrame, widthUs: Long): DataFrame =
+    events.select(col("event_type"), unix_micros(col("ts")).as("us"), col("value"))
       .withColumn("bucket", expr(s"us div $widthUs"))
-      .groupBy("event_type", "bucket")
+      .withColumn("day", expr(s"(bucket * $widthUs) div $DayUs"))
+      .groupBy("event_type", "bucket", "day")
       .agg(count(lit(1)).as("cnt"), sum("value").as("s"),
            min("value").as("mn"), max("value").as("mx"))
-    rollup(HourUs).write.mode("overwrite").parquet(s"$dir/hour")
-    rollup(DayUs).write.mode("overwrite").parquet(s"$dir/day")
+
+  def build(events: DataFrame, dir: String): Unit = {
+    rollup(events, HourUs).write.partitionBy("day").mode("overwrite").parquet(s"$dir/hour")
+    rollup(events, DayUs).write.partitionBy("day").mode("overwrite").parquet(s"$dir/day")
+  }
+
+  /** Incremental maintenance: re-derive ONLY `days`' rollup partitions
+    * from the raw store and swap them in via dynamic partition overwrite —
+    * the open-partition refresh a streaming ingest calls per micro-batch
+    * (ST18), catena's memory-partition → sealed-file-partition cycle as a
+    * bounded job. `rawEvents` is the durable raw zone (the ingest sink);
+    * cost is O(events in the touched days), and sealed days are never
+    * read or written. */
+  def updateDays(spark: SparkSession, dir: String, rawEvents: DataFrame,
+                 days: Seq[Long]): Unit = {
+    if (days.isEmpty) return
+    val touched = rawEvents.filter(
+      expr(s"unix_micros(ts) div $DayUs").isin(days: _*))
+    Seq(("hour", HourUs), ("day", DayUs)).foreach { case (name, w) =>
+      rollup(touched, w).write.partitionBy("day").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic").parquet(s"$dir/$name")
+    }
   }
 
   /** The [t0, t1) decomposition, exposed for the spec: (rawRanges,
@@ -74,10 +96,15 @@ object RollupStore {
   def rangeAgg(spark: SparkSession, dir: String, rawEvents: DataFrame,
                t0: Long, t1: Long): DataFrame = {
     val (raw, hours, days) = decompose(t0, t1)
-    def partOf(df: DataFrame, idRanges: Seq[(Long, Long)]): Option[DataFrame] =
+    // the bucket predicate answers correctness; the derived day predicate
+    // (bucket range → owning-day range) is redundant but reaches the scan
+    // as a PARTITION filter, so out-of-range day directories are pruned
+    def partOf(df: DataFrame, idRanges: Seq[(Long, Long)], widthUs: Long): Option[DataFrame] =
       if (idRanges.isEmpty) None
       else Some(df.filter(idRanges.map { case (a, b) =>
-        col("bucket") >= a && col("bucket") < b }.reduce(_ || _)))
+        col("bucket") >= a && col("bucket") < b &&
+          col("day") >= (a * widthUs) / DayUs && col("day") <= ((b * widthUs - 1) / DayUs)
+      }.reduce(_ || _)))
     val rawPart =
       if (raw.isEmpty) None
       else Some(rawEvents
@@ -86,10 +113,10 @@ object RollupStore {
         .groupBy("event_type")
         .agg(count(lit(1)).as("cnt"), sum("value").as("s"),
              min("value").as("mn"), max("value").as("mx")))
-    val hourPart = partOf(spark.read.parquet(s"$dir/hour"), hours)
+    val hourPart = partOf(spark.read.parquet(s"$dir/hour"), hours, HourUs)
       .map(_.groupBy("event_type").agg(sum("cnt").as("cnt"), sum("s").as("s"),
         min("mn").as("mn"), max("mx").as("mx")))
-    val dayPart = partOf(spark.read.parquet(s"$dir/day"), days)
+    val dayPart = partOf(spark.read.parquet(s"$dir/day"), days, DayUs)
       .map(_.groupBy("event_type").agg(sum("cnt").as("cnt"), sum("s").as("s"),
         min("mn").as("mn"), max("mx").as("mx")))
     val parts = Seq(rawPart, hourPart, dayPart).flatten

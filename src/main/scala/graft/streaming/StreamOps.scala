@@ -578,6 +578,37 @@ object StreamOps {
       }
       .start()
 
+  /** ST18: continuous rollup maintenance — catena's memory-partition →
+    * sealed-file-partition cycle over [[graft.sources.RollupStore]]: each
+    * micro-batch (1) appends durably to the raw zone, then (2) re-derives
+    * the rollup partitions of ONLY the days the batch touched from the raw
+    * zone and swaps them in via dynamic partition overwrite
+    * (`RollupStore.updateDays`). Sealed days — days no new event lands
+    * in — are never read or rewritten (StreamingSpec pins their file
+    * lists byte-identical across later batches), so steady-state work per
+    * batch is O(events of the open day), not O(history); range queries
+    * through the router see a store that equals the batch build at every
+    * commit boundary.
+    *
+    * Replay caveat: the raw append and the rollup refresh are two effects;
+    * a crash between them replays the batch and re-appends raw rows
+    * (dedup by event_id downstream, or fence with an admitted-batch-id
+    * record, ST12's note) — the rollup refresh itself is idempotent
+    * because it re-DERIVES from the raw zone rather than incrementing. */
+  def rollupIngest(events: DataFrame, rawSink: String, rollupDir: String,
+                   checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(rawSink)
+        val days = batch.select(expr("unix_micros(ts) div 86400000000").as("d"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        graft.sources.RollupStore.updateDays(batch.sparkSession, rollupDir,
+          batch.sparkSession.read.parquet(rawSink), days)
+        ()
+      }
+      .start()
+
   case class GramCount(gram: String, cnt: Long)
 
   /** ST14: continuous heavy hitters — the streaming twin of

@@ -476,6 +476,57 @@ class StreamingSpec extends SparkSpecBase {
     assert(got.except(newSnap).isEmpty && newSnap.except(got).isEmpty)
   }
 
+  test("ST18 continuous rollup maintenance: store equals batch build; sealed days never rewrite") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rawSink = tmp("raw"); val rollupDir = tmp("rollup")
+    val all = Tables.eventsDs(spark, sfDir).collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val dayOf = (e: Event) => e.ts.getTime / 86400000L
+    val days = all.map(dayOf).distinct.sorted
+    // chunk in day order: chunk 1 = first third of days, etc., so early
+    // days are SEALED when later chunks stream
+    val cut1 = days(days.length / 3); val cut2 = days(2 * days.length / 3)
+    val chunks = Seq(all.filter(dayOf(_) < cut1), all.filter(e => dayOf(e) >= cut1 && dayOf(e) < cut2),
+      all.filter(dayOf(_) >= cut2))
+    val input = MemoryStream[Event]
+    val q = StreamOps.rollupIngest(input.toDF(), rawSink, rollupDir, tmp("ckpt"))
+    def hourListing() = {
+      val d = new java.io.File(s"$rollupDir/hour")
+      if (!d.exists()) Map.empty[String, Seq[String]]
+      else d.listFiles().filter(_.getName.startsWith("day=")).map(p =>
+        p.getName -> p.listFiles().map(f => s"${f.getName}:${f.lastModified()}").toSeq.sorted).toMap
+    }
+    input.addData(chunks(0).toSeq); q.processAllAvailable()
+    input.addData(chunks(1).toSeq); q.processAllAvailable()
+    val afterTwo = hourListing()
+    input.addData(chunks(2).toSeq); q.processAllAvailable()
+    q.stop()
+    val afterThree = hourListing()
+    // sealed days (chunk 1's) byte-identical after chunk 3 streamed
+    val sealedDays = afterTwo.keys.filter(k => k.stripPrefix("day=").toLong < cut1)
+    assert(sealedDays.nonEmpty)
+    sealedDays.foreach { k => assert(afterThree(k) === afterTwo(k), s"sealed $k rewritten") }
+    // final store equals the batch build over the full corpus
+    val refDir = tmp("rollupref")
+    graft.sources.RollupStore.build(Tables.events(spark, sfDir), refDir)
+    def canon(dir: String, res: String) = spark.read.parquet(s"$dir/$res")
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[Long]("bucket"),
+        r.getAs[Long]("cnt"), math.rint(r.getAs[Double]("s") * 1e6),
+        r.getAs[Double]("mn"), r.getAs[Double]("mx"))).sortBy(t => (t._1, t._2))
+    assert(canon(rollupDir, "hour") === canon(refDir, "hour"))
+    assert(canon(rollupDir, "day") === canon(refDir, "day"))
+    // and the router over the streamed store matches the direct scan
+    val t0 = java.time.Instant.parse("2024-01-05T00:30:10Z").toEpochMilli * 1000L
+    val t1 = java.time.Instant.parse("2024-01-20T07:45:00Z").toEpochMilli * 1000L
+    val routed = operators.TimeSeriesOps.rangeContract(
+      graft.sources.RollupStore.rangeAgg(spark, rollupDir,
+        Tables.events(spark, sfDir), t0, t1)).collect().toSeq
+    val direct = operators.TimeSeriesOps.rangeContract(
+      graft.sources.RollupStore.directAgg(
+        Tables.events(spark, sfDir), t0, t1)).collect().toSeq
+    assert(routed === direct)
+  }
+
   test("ST16b interval-join state eviction: a click behind the watermark never joins") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
