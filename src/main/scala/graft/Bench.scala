@@ -245,6 +245,32 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] x42_store failed: ${e.getMessage}"); Nil
     }
+    // Incremental cluster maintenance: mergeLabels over the standing
+    // labels + the increment's pairs (both materialized untimed — the
+    // standing state a production pipeline already holds) vs x14_cc_only,
+    // the full CC recompute the increment avoids.
+    val x42CcIncr = if (only.exists(!_("x42_cc_incr"))) Nil else try {
+      import org.apache.spark.sql.functions.{col, split, pmod, lit}
+      val tmpDir = java.nio.file.Files.createTempDirectory("ccincr").toString
+      val toks = Tables.documents(spark, sfDir)
+        .select(col("doc_id").as("id"), split(col("text"), " ").as("toks"))
+      val corpus = toks.filter(pmod(col("id"), lit(7L)) =!= 0)
+      val batch = toks.filter(pmod(col("id"), lit(7L)) === 0)
+      functions.ConnectedComponents.labels(corpus.select("id"),
+          functions.MinHashLSH.verifiedPairs(corpus, 0.8).select("id_a", "id_b"))
+        .write.parquet(s"$tmpDir/labels")
+      functions.MinHashLSH.crossVerifiedPairs(batch, corpus, 0.8).select("id_a", "id_b")
+        .union(functions.MinHashLSH.verifiedPairs(batch, 0.8).select("id_a", "id_b"))
+        .write.parquet(s"$tmpDir/pairs")
+      def q = functions.ConnectedComponents.mergeLabels(
+        spark.read.parquet(s"$tmpDir/labels"), batch.select("id"),
+        spark.read.parquet(s"$tmpDir/pairs"))
+      val t0 = System.nanoTime()
+      q.write.format("noop").mode("overwrite").save()
+      Seq("x42_cc_incr" -> (System.nanoTime() - t0) / 1e9)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] x42_cc_incr failed: ${e.getMessage}"); Nil
+    }
     // Layout measurement: x08's IVF search over the cell-partitioned
     // VectorStore (build untimed — write-once, amortized like the other
     // stores). Quantifies what persisting the assignment buys vs the
@@ -350,7 +376,7 @@ object Bench {
         val slowest = results.sortBy(-_._2).take(n).map(_._1)
         slowest.flatMap(name => isolateOne(name, sfDir, cpus))
       }.getOrElse(Nil)
-    val qs = (results ++ ccOnly ++ q10Bucketed ++ tsStore ++ x42Store ++ x08Store ++ x58Store ++ mergeRows ++ x64Rollup)
+    val qs = (results ++ ccOnly ++ q10Bucketed ++ tsStore ++ x42Store ++ x42CcIncr ++ x08Store ++ x58Store ++ mergeRows ++ x64Rollup)
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val warm = warmRows.map { case (k, v) => "\"" + k + "\":" + v }

@@ -144,4 +144,47 @@ object ConnectedComponents {
     require(remaining == 0, s"connected components did not converge in $maxRounds rounds")
     lab
   }
+
+  /** Incremental label maintenance — the production continuation of x42's
+    * incremental pair discovery: given the standing corpus's labels and a
+    * new batch's nodes + edges (batch↔corpus AND batch-internal pairs),
+    * produce the labels a FULL recompute over (all nodes, all edges) would
+    * — without touching the standing edge list.
+    *
+    * Algebra: a component's label is its min node id, so the old labels
+    * are a sound CONTRACTION of everything already merged — new edges can
+    * only join whole old components (never split them). Map each new
+    * edge endpoint onto its old component label (new ids pass through),
+    * run [[labels]] over the QUOTIENT graph (nodes = old component labels
+    * ∪ batch ids; edges = the mapped batch edges), and compose: old
+    * members relabel through their component's new label, batch ids take
+    * theirs directly. min-of-mins = global min, so the result is exactly
+    * the full recompute's (ConnectedComponentsSpec asserts equality).
+    *
+    * Scale: the quotient is |components touched ∪ batch| nodes and
+    * |batch edges| edges — a daily increment costs O(batch + collisions),
+    * never O(corpus pairs); the only corpus-sized work is the final
+    * relabel join, a single equi-join on the label key. Labels that no
+    * new edge touches come through that join unchanged. */
+  def mergeLabels(oldLabels: DataFrame, newNodes: DataFrame, newEdges: DataFrame,
+                  maxRounds: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+    val compNodes = oldLabels.select(col("comp").as("id")).distinct()
+      .union(newNodes.select("id")).distinct()
+    val la = oldLabels.select(col("id").as("id_a"), col("comp").as("ca"))
+    val lb = oldLabels.select(col("id").as("id_b"), col("comp").as("cb"))
+    val mapped = newEdges.join(la, Seq("id_a"), "left").join(lb, Seq("id_b"), "left")
+      .select(coalesce(col("ca"), col("id_a")).as("id_a"),
+              coalesce(col("cb"), col("id_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+      .distinct()
+    val qlab = labels(compNodes, mapped, maxRounds, checkpointDir)
+    val relabeledOld = oldLabels
+      .join(qlab.select(col("id").as("comp"), col("comp").as("nc")), Seq("comp"))
+      .select(col("id"), col("nc").as("comp"))
+    val newOnly = newNodes.select("id")
+      .join(oldLabels.select("id"), Seq("id"), "left_anti")
+      .join(qlab, Seq("id"))
+      .select(col("id"), col("comp"))
+    relabeledOld.union(newOnly)
+  }
 }

@@ -82,6 +82,33 @@ class ConnectedComponentsSpec extends SparkSpecBase {
     assert(fromPairs === standalone)
   }
 
+  test("incremental mergeLabels equals the full recompute (x42's batch split)") {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("id"), split(col("text"), " ").as("toks"))
+    val corpus = toks.filter(col("id") % 7 =!= 0)
+    val batch = toks.filter(col("id") % 7 === 0)
+    // standing state: labels over the corpus's own near-dup graph
+    val corpusPairs = graft.functions.MinHashLSH.verifiedPairs(corpus, 0.8)
+      .select(col("id_a"), col("id_b"))
+    val oldLabels = graft.functions.ConnectedComponents.labels(
+      corpus.select("id"), corpusPairs)
+    // the increment: batch↔corpus pairs (x42's contract) + batch-internal
+    val crossPairs = graft.functions.MinHashLSH.crossVerifiedPairs(batch, corpus, 0.8)
+      .select(col("id_a"), col("id_b"))
+    val batchPairs = graft.functions.MinHashLSH.verifiedPairs(batch, 0.8)
+      .select(col("id_a"), col("id_b"))
+    val merged = graft.functions.ConnectedComponents.mergeLabels(
+        oldLabels, batch.select("id"), crossPairs.union(batchPairs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    // reference: one CC over everything
+    val allPairs = graft.functions.MinHashLSH.verifiedPairs(toks, 0.8)
+      .select(col("id_a"), col("id_b"))
+    val full = graft.functions.ConnectedComponents.labels(toks.select("id"), allPairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(merged.length === full.length)
+    assert(merged === full)
+  }
+
   test("x33 pipeline overload over precomputed pairs equals the standalone query") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id").as("id"), split(col("text"), " ").as("toks"))
