@@ -174,6 +174,7 @@ object SparkEntry {
     "x62_unpivot"         -> (AnalyticOps.x62Unpivot _),
     "x63_sketch_union"    -> (RelationalOps.x63SketchUnion _),
     "x64_range_agg"       -> (TimeSeriesOps.x64RangeAgg _),
+    "x65_time_window"     -> (TimeSeriesOps.x65TimeWindow _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1278,6 +1279,21 @@ object SparkEntry {
          |AND ts >= TIMESTAMP '2024-01-10 00:00:00'
          |AND ts < TIMESTAMP '2024-01-15 00:00:00'
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // x65: value-bounded RANGE frame — tie-proof by construction (the
+    // frame is a µs-interval SET, no total order needed)
+    "x65_time_window" ->
+      s"""WITH e AS ($E),
+         |g AS (SELECT user_id, value, epoch_us(ts) AS us FROM e),
+         |wnd AS (SELECT user_id,
+         |  COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+         |    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS n_24h,
+         |  AVG(value) OVER (PARTITION BY user_id ORDER BY us
+         |    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS avg_24h
+         |  FROM g)
+         |SELECT user_id, CAST(SUM(n_24h) AS BIGINT) AS sum_n,
+         |ROUND(SUM(avg_24h), 4) AS checksum
+         |FROM wnd GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // x59: x20's session CTE + three shrinking stage aggregates; the
     // strict `>` ordering inside a session is on µs, tie-free per stage

@@ -467,6 +467,31 @@ object TimeSeriesOps {
       col("mx").as("max_value"), dround(col("avg"), 4).as("avg_value"))
       .orderBy("event_type")
 
+  /** x65 time-based RANGE window — the trailing-24h rolling feature
+    * (events and mean value in the preceding day, per user) that q30–q32's
+    * ROW frames cannot express: a row's frame is VALUE-bounded
+    * (`rangeBetween` on µs), so it holds however many events fall in the
+    * day, and ties in ts are frame-equivalent by definition — the
+    * set-based frame is tie-proof cross-engine where a row frame needs a
+    * total order. Declared output is the per-user checksum reduction
+    * (q31/q32's convention) over the full per-event window columns.
+    *
+    * Scale: one user_id shuffle (high-cardinality), one sort per
+    * partition; the range frame is a sliding two-pointer over the sorted
+    * run — O(n) amortized per partition, state bounded by the 24 h span,
+    * the same shape at any corpus size. */
+  def x65TimeWindow(s: SparkSession, d: String): DataFrame = {
+    val dayUs = 24L * 3600L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("us").rangeBetween(-dayUs, 0)
+    Tables.events(s, d)
+      .select(col("user_id"), col("value"), unix_micros(col("ts")).as("us"))
+      .withColumn("n_24h", count(lit(1)).over(w))
+      .withColumn("avg_24h", avg("value").over(w))
+      .groupBy("user_id")
+      .agg(sum("n_24h").as("sum_n"), dround(sum("avg_24h"), 4).as("checksum"))
+      .orderBy("user_id")
+  }
+
   def x57Transitions(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val pairs = Tables.events(s, d)
