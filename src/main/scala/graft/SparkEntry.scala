@@ -175,6 +175,7 @@ object SparkEntry {
     "x63_sketch_union"    -> (RelationalOps.x63SketchUnion _),
     "x64_range_agg"       -> (TimeSeriesOps.x64RangeAgg _),
     "x65_time_window"     -> (TimeSeriesOps.x65TimeWindow _),
+    "x66_interval_union"  -> (TimeSeriesOps.x66IntervalUnion _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1294,6 +1295,23 @@ object SparkEntry {
          |SELECT user_id, CAST(SUM(n_24h) AS BIGINT) AS sum_n,
          |ROUND(SUM(avg_24h), 4) AS checksum
          |FROM wnd GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // x66: same gaps-and-islands algebra — strict `>` on the running max
+    // of previous ends; all-integer µs
+    "x66_interval_union" ->
+      s"""WITH e AS ($E),
+         |g AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+         |  epoch_us(ts) + 300000000 AS e FROM e),
+         |m AS (SELECT *, MAX(e) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM g),
+         |f AS (SELECT *, CASE WHEN prev_max IS NULL OR us > prev_max THEN 1 ELSE 0 END AS new_span FROM m),
+         |sp AS (SELECT *, CAST(SUM(new_span) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS span FROM f),
+         |spans AS (SELECT user_id, span, MIN(us) AS s0, MAX(e) AS s1
+         |  FROM sp GROUP BY user_id, span)
+         |SELECT user_id, COUNT(*) AS n_spans,
+         |CAST(SUM(s1 - s0) // 1000000 AS BIGINT) AS covered_s
+         |FROM spans GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // x59: x20's session CTE + three shrinking stage aggregates; the
     // strict `>` ordering inside a session is on µs, tie-free per stage

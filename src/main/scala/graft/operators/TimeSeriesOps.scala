@@ -492,6 +492,42 @@ object TimeSeriesOps {
       .orderBy("user_id")
   }
 
+  /** x66 interval union — gaps-and-islands coalescing: each event opens a
+    * 5-minute activity interval [ts, ts+300 s); overlapping/touching
+    * intervals per user merge into maximal covered spans. The declared
+    * output is per-user span count + exact covered seconds — the
+    * "total active time" readout that raw event counts overstate whenever
+    * activity bursts overlap, and the building block for uptime/SLA and
+    * ad-exposure dedup calculations.
+    *
+    * Algebra: sort a user's intervals by start; an interval starts a NEW
+    * span iff its start exceeds the running max of all previous ends
+    * (strictly — touching intervals merge). That running max is one
+    * window over the user partition; the span id is the running sum of
+    * start flags; spans then reduce by (user, span). All integer µs.
+    *
+    * Scale: one user_id shuffle feeds both windows and the reduction —
+    * the same single-shuffle profile as q31; no self-join of intervals
+    * (the naive overlap join is quadratic per user). */
+  def x66IntervalUnion(s: SparkSession, d: String): DataFrame = {
+    val lenUs = 300L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val prevMax = max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("end", col("us") + lenUs)
+      .withColumn("new_span",
+        when(prevMax.isNull || col("us") > prevMax, 1L).otherwise(0L))
+      .withColumn("span",
+        sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "span")
+      .agg(min("us").as("s0"), max("end").as("s1"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_spans"),
+           expr("sum(s1 - s0) div 1000000").as("covered_s"))
+      .orderBy("user_id")
+  }
+
   def x57Transitions(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val pairs = Tables.events(s, d)
