@@ -176,6 +176,8 @@ object SparkEntry {
     "x64_range_agg"       -> (TimeSeriesOps.x64RangeAgg _),
     "x65_time_window"     -> (TimeSeriesOps.x65TimeWindow _),
     "x66_interval_union"  -> (TimeSeriesOps.x66IntervalUnion _),
+    "x67_source_kl"       -> (TextOps.x67SourceKl _),
+    "x68_norm_audit"      -> (VectorOps.x68NormAudit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1312,6 +1314,31 @@ object SparkEntry {
          |SELECT user_id, COUNT(*) AS n_spans,
          |CAST(SUM(s1 - s0) // 1000000 AS BIGINT) AS covered_s
          |FROM spans GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // x67: the corpus marginal derives from the same (source, tok) CTE;
+    // ln-sum rounding under x18's precedent
+    "x67_source_kl" ->
+      """WITH toks AS (SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+        |sc AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        |st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM sc GROUP BY 1),
+        |cc AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS cc FROM sc GROUP BY 1),
+        |ct AS (SELECT CAST(SUM(cc) AS DOUBLE) AS nn FROM cc)
+        |SELECT source, MAX(n) AS n_tokens,
+        |ROUND(SUM((CAST(c AS DOUBLE) / n) *
+        |  LN((CAST(c AS DOUBLE) / n) / (CAST(sc_cc.cc AS DOUBLE) / nn))), 4) AS kl
+        |FROM sc JOIN st USING (source) JOIN cc sc_cc USING (tok) CROSS JOIN ct
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    // x68: same fixed-order double dot product + IEEE sqrt both engines
+    "x68_norm_audit" ->
+      """WITH n AS (SELECT label,
+        |  SQRT(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                        CAST(embedding AS DOUBLE[]))) AS norm
+        |  FROM embeddings)
+        |SELECT label, COUNT(*) AS n, ROUND(AVG(norm), 4) AS avg_norm,
+        |ROUND(MIN(norm), 4) AS min_norm, ROUND(MAX(norm), 4) AS max_norm,
+        |CAST(SUM(CASE WHEN norm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
 
     // x59: x20's session CTE + three shrinking stage aggregates; the
     // strict `>` ordering inside a session is on µs, tie-free per stage

@@ -1243,6 +1243,37 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** x67 per-source KL divergence — the mixture diagnostic that ranks how
+    * far each source's unigram distribution sits from the corpus blend:
+    * KL(source ‖ corpus) = Σ_tok p_s·ln(p_s/p_c). A near-zero source is
+    * redundant with the mixture; a high one shifts it — the number a
+    * mixing-weight search reads next to x30's pairwise overlap (which
+    * sees shared SHINGLES, not distributional distance).
+    *
+    * Every source token appears in the corpus, so p_c > 0 and the sum is
+    * finite by construction. Scale: one explode + one (source, tok) hash
+    * agg (the corpus marginal derives from the SAME aggregate — no second
+    * corpus scan), a broadcast of the |sources| totals and the 1-row
+    * corpus total, then a |sources|-row reduction. ln-sum rounding under
+    * x18's precedent. */
+  def x67SourceKl(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+    val sc = toks.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val st = sc.groupBy("source").agg(sum("c").as("n"))
+    val cc = sc.groupBy("tok").agg(sum("c").as("cc"))
+    val ct = cc.agg(sum("cc").as("nn"))
+    sc.join(broadcast(st), "source")
+      .join(cc, "tok")
+      .crossJoin(broadcast(ct))
+      .withColumn("ps", col("c").cast("double") / col("n").cast("double"))
+      .withColumn("pc", col("cc").cast("double") / col("nn").cast("double"))
+      .groupBy("source")
+      .agg(max("n").as("n_tokens"),
+           dround(sum(col("ps") * log(col("ps") / col("pc"))), 4).as("kl"))
+      .orderBy("source")
+  }
+
   def x53LabelProp(s: SparkSession, d: String): DataFrame = {
     val pairs = MinHashLSH.verifiedPairs(docTokens(s, d), 0.8)
       .select("id_a", "id_b")

@@ -687,4 +687,26 @@ object VectorOps {
         col("y_scaled"))
       .orderBy("dim")
   }
+
+  /** x68 embedding norm audit — the vector data-quality gate an index
+    * build runs first: per label, count + L2-norm stats + zero-vector
+    * count. Zero or wildly-scaled vectors poison cosine math (x07/x08's
+    * normalization divides by the norm) and degrade IVF cell balance;
+    * this is the readout that decides whether to L2-normalize at ingest.
+    *
+    * Norms accumulate in DOUBLE with a fixed left-to-right fold
+    * ([[graft.functions.FloatDotProduct]], the same kernel every pairwise
+    * operator uses), then sqrt (IEEE correctly-rounded, engine-identical).
+    * One scan + one label-keyed hash agg — q19's shape. */
+  def x68NormAudit(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .withColumn("norm",
+        sqrt(graft.functions.VectorExpressions.vecDot(col("embedding"), col("embedding"))))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+           dround(avg("norm"), 4).as("avg_norm"),
+           dround(min("norm"), 4).as("min_norm"),
+           dround(max("norm"), 4).as("max_norm"),
+           sum(when(col("norm") === 0.0, 1).otherwise(0)).cast("long").as("n_zero"))
+      .orderBy("label")
 }
