@@ -178,6 +178,9 @@ object SparkEntry {
     "x66_interval_union"  -> (TimeSeriesOps.x66IntervalUnion _),
     "x67_source_kl"       -> (TextOps.x67SourceKl _),
     "x68_norm_audit"      -> (VectorOps.x68NormAudit _),
+    "x69_trend"           -> (TimeSeriesOps.x69Trend _),
+    "x70_mad_outliers"    -> (TimeSeriesOps.x70MadOutliers _),
+    "x71_user_entropy"    -> (TimeSeriesOps.x71UserEntropy _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1339,6 +1342,46 @@ object SparkEntry {
         |ROUND(MIN(norm), 4) AS min_norm, ROUND(MAX(norm), 4) AS max_norm,
         |CAST(SUM(CASE WHEN norm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
         |FROM n GROUP BY label ORDER BY label""".stripMargin,
+
+    // x69: regression aggregates over integer-derived day offsets
+    "x69_trend" ->
+      s"""WITH e AS ($E),
+         |g AS (SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS DOUBLE) AS x,
+         |  value AS y FROM e)
+         |SELECT event_type, COUNT(*) AS n,
+         |ROUND(regr_slope(y, x), 4) AS slope,
+         |ROUND(regr_intercept(y, x), 4) AS intercept,
+         |ROUND(regr_r2(y, x), 6) AS r2
+         |FROM g GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // x70: q25's exact interpolated percentile (quantile_cont) twin for
+    // both the median and the MAD median
+    "x70_mad_outliers" ->
+      s"""WITH e AS ($E),
+         |med AS (SELECT event_type, quantile_cont(value, 0.5) AS med FROM e GROUP BY 1),
+         |mad AS (SELECT e.event_type, quantile_cont(ABS(value - med), 0.5) AS mad
+         |  FROM e JOIN med USING (event_type) GROUP BY 1)
+         |SELECT e.event_type, COUNT(*) AS n,
+         |ROUND(MAX(med), 4) AS median, ROUND(MAX(mad), 4) AS mad,
+         |CAST(SUM(CASE WHEN ABS(value - med) > 3.0 * mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+         |FROM e JOIN med USING (event_type) JOIN mad USING (event_type)
+         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+
+    // x71: entropy + count-argmax, tiebreak = MIN(event_type) among
+    // max-count rows — same semantics as the Spark side's reverse-alphabet
+    // struct-max involution
+    "x71_user_entropy" ->
+      s"""WITH e AS ($E),
+         |c AS (SELECT user_id, event_type, COUNT(*) AS c FROM e GROUP BY 1, 2),
+         |t AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1),
+         |ent AS (SELECT user_id, MAX(n) AS n_events,
+         |  ROUND(-SUM((CAST(c AS DOUBLE) / n) * LN(CAST(c AS DOUBLE) / n)), 4) AS entropy
+         |  FROM c JOIN t USING (user_id) GROUP BY user_id),
+         |mx AS (SELECT user_id, MAX(c) AS top_n FROM c GROUP BY 1),
+         |top AS (SELECT user_id, MIN(event_type) AS top_type, MAX(c) AS top_n
+         |  FROM c JOIN mx USING (user_id) WHERE c = top_n GROUP BY user_id)
+         |SELECT user_id, n_events, entropy, top_type, top_n
+         |FROM ent JOIN top USING (user_id) ORDER BY user_id""".stripMargin,
 
     // x59: x20's session CTE + three shrinking stage aggregates; the
     // strict `>` ordering inside a session is on µs, tie-free per stage

@@ -528,6 +528,90 @@ object TimeSeriesOps {
       .orderBy("user_id")
   }
 
+  /** x69 per-series trend — least-squares slope/intercept of value over
+    * time per event_type via the REGRESSION AGGREGATES (`regr_slope`,
+    * `regr_intercept`, `regr_r2`): the drift detector that turns "is this
+    * metric creeping up?" into one number per series, and the aggregate
+    * family none of q19–q28 exercises. Time is DAYS since the corpus
+    * epoch (integer-derived, so the x-axis is identical in both engines;
+    * slope is then per-day drift).
+    *
+    * Scale: regression aggregates are one-pass sums of (x, y, xy, x², y²)
+    * — map-side-combined hash agg onto |types| rows, q19's shape; no
+    * window, no sort. Rounded at 4 under the usual FP-sum precedent. */
+  def x69Trend(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").cast("double").as("x"),
+        col("value").as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           dround(expr("regr_slope(y, x)"), 4).as("slope"),
+           dround(expr("regr_intercept(y, x)"), 4).as("intercept"),
+           dround(expr("regr_r2(y, x)"), 6).as("r2"))
+      .orderBy("event_type")
+
+  /** x70 MAD robust outliers — the outlier gate x25's z-score cannot give
+    * on heavy-tailed metrics: per event_type, exact median, MAD
+    * (median |v − med|), and the count of points beyond 3·MAD. Mean/σ are
+    * dragged by the outliers they are supposed to find; the median/MAD
+    * pair is breakdown-50% robust, which is why metric-quality monitors
+    * use it.
+    *
+    * Two grouped exact-percentile passes (q25's interpolation contract,
+    * identical formula both engines) + one broadcast-join back + one
+    * conditional count — three scans bounded by |types| intermediate
+    * rows, no window. At 100 TB the exact median swaps for x34's sketch
+    * with the same downstream algebra. */
+  def x70MadOutliers(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("event_type"), col("value"))
+    val med = e.groupBy("event_type").agg(expr("percentile(value, 0.5)").as("med"))
+    val mad = e.join(broadcast(med), "event_type")
+      .select(col("event_type"), abs(col("value") - col("med")).as("ad"))
+      .groupBy("event_type").agg(expr("percentile(ad, 0.5)").as("mad"))
+    e.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+           dround(max("med"), 4).as("median"),
+           dround(max("mad"), 4).as("mad"),
+           sum(when(abs(col("value") - col("med")) > lit(3.0) * col("mad"), 1)
+             .otherwise(0)).cast("long").as("n_outliers"))
+      .orderBy("event_type")
+  }
+
+  /** x71 behavioral entropy — per-user Shannon entropy of the event-type
+    * mix + the dominant type (min-alphabetical on count ties): the
+    * diversity score a segmentation/sampling pipeline keys on (entropy 0 =
+    * single-behavior user, ln 5 = uniform). One (user, type) hash agg →
+    * per-user reduction; the argmax is a 2-level aggregate over ≤5 rows
+    * per user, not a window. ln-sum rounding under x18's precedent. */
+  def x71UserEntropy(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+    val tot = counts.groupBy("user_id").agg(sum("c").as("n"))
+    val ent = counts.join(tot, "user_id")
+      .withColumn("p", col("c").cast("double") / col("n").cast("double"))
+      .groupBy("user_id")
+      .agg(max("n").as("n_events"),
+           dround(-sum(col("p") * log(col("p"))), 4).as("entropy"))
+    val top = counts
+      .groupBy("user_id")
+      .agg(max(struct(col("c").as("c"), reverseLex(col("event_type")).as("rt"))).as("m"))
+      .select(col("user_id"), col("m.c").as("top_n"),
+              reverseLex(col("m.rt")).as("top_type"))
+    ent.join(top, "user_id")
+      .select(col("user_id"), col("n_events"), col("entropy"),
+              col("top_type"), col("top_n"))
+      .orderBy("user_id")
+  }
+
+  /** Order-reversing string involution over the events fixture's
+    * lowercase-ascii type names: max(struct(c, reverseLex(t))) then picks
+    * the SMALLEST type name among count ties — an argmax with a
+    * deterministic alphabetical tiebreak, no window needed. */
+  private def reverseLex(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    translate(c, "abcdefghijklmnopqrstuvwxyz", "zyxwvutsrqponmlkjihgfedcba")
+
   def x57Transitions(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val pairs = Tables.events(s, d)
