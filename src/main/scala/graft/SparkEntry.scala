@@ -181,6 +181,7 @@ object SparkEntry {
     "x69_trend"           -> (TimeSeriesOps.x69Trend _),
     "x70_mad_outliers"    -> (TimeSeriesOps.x70MadOutliers _),
     "x71_user_entropy"    -> (TimeSeriesOps.x71UserEntropy _),
+    "x72_retention"       -> (TimeSeriesOps.x72Retention _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1382,6 +1383,23 @@ object SparkEntry {
          |  FROM c JOIN mx USING (user_id) WHERE c = top_n GROUP BY user_id)
          |SELECT user_id, n_events, entropy, top_type, top_n
          |FROM ent JOIN top USING (user_id) ORDER BY user_id""".stripMargin,
+
+    // x72: distinct activity days -> min-day cohorts -> offset matrix
+    "x72_retention" ->
+      s"""WITH e AS ($E),
+         |act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM e),
+         |coh AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY 1),
+         |sz AS (SELECT cohort_day, COUNT(*) AS n_cohort FROM coh GROUP BY 1),
+         |m AS (SELECT cohort_day, date_diff('day', cohort_day, day) AS "offset",
+         |  COUNT(*) AS n_active
+         |  FROM act JOIN coh USING (user_id)
+         |  WHERE date_diff('day', cohort_day, day) BETWEEN 0 AND 7
+         |  GROUP BY 1, 2)
+         |SELECT cohort_day, CAST("offset" AS BIGINT) AS "offset",
+         |n_active, n_cohort,
+         |ROUND(CAST(n_active AS DOUBLE) / n_cohort, 4) AS rate
+         |FROM m JOIN sz USING (cohort_day)
+         |ORDER BY cohort_day, "offset"""".stripMargin,
 
     // x59: x20's session CTE + three shrinking stage aggregates; the
     // strict `>` ordering inside a session is on µs, tie-free per stage

@@ -612,6 +612,33 @@ object TimeSeriesOps {
   private def reverseLex(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     translate(c, "abcdefghijklmnopqrstuvwxyz", "zyxwvutsrqponmlkjihgfedcba")
 
+  /** x72 retention cohorts — the activation readout: users cohorted by
+    * first-seen day; for each (cohort, day offset 0–7), how many cohort
+    * members were active and the retention rate. The curve that separates
+    * "acquired users" from "retained users" — and the aggregate shape
+    * (small dense matrix from a big sparse log) that makes it a good
+    * stress of the distinct→join→rate pipeline.
+    *
+    * Scale: one (user, day) DISTINCT (the only corpus-sized shuffle),
+    * one per-user min for the cohort (same shuffle key — co-planned), a
+    * user-keyed join back, then a |days|×8 aggregate with a broadcast of
+    * cohort sizes. No window, no self-join of the activity log. */
+  def x72Retention(s: SparkSession, d: String): DataFrame = {
+    val act = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val cohort = act.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val sizes = cohort.groupBy("cohort_day").agg(count(lit(1)).as("n_cohort"))
+    act.join(cohort, "user_id")
+      .withColumn("offset", datediff(col("day"), col("cohort_day")).cast("long"))
+      .filter(col("offset").between(0, 7))
+      .groupBy("cohort_day", "offset")
+      .agg(count(lit(1)).as("n_active"))
+      .join(broadcast(sizes), "cohort_day")
+      .select(col("cohort_day"), col("offset"), col("n_active"), col("n_cohort"),
+        dround(col("n_active").cast("double") / col("n_cohort").cast("double"), 4).as("rate"))
+      .orderBy("cohort_day", "offset")
+  }
+
   def x57Transitions(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val pairs = Tables.events(s, d)
