@@ -48,4 +48,21 @@ class ReadersSpec extends SparkSpecBase {
     assert(!clean.columns.contains(Readers.CorruptCol))
     df.unpersist()
   }
+
+  test("a corrupt parquet FILE is skipped under ignoreCorruptFiles; healthy files still read") {
+    val dir = java.nio.file.Files.createTempDirectory("corrupt-pq").toString
+    val docs = Tables.documents(spark, sfDir)
+    docs.repartition(2).write.mode("overwrite").parquet(dir)
+    // drop garbage claiming to be a parquet file into the directory —
+    // the partial-write/bitrot case a 1000-node ingest meets eventually
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/part-junk.parquet"),
+      "not a parquet file".getBytes("UTF-8"))
+    // default posture is fail-fast: the job must surface the corruption
+    intercept[org.apache.spark.SparkException] {
+      spark.read.parquet(dir).count()
+    }
+    // opt-in skip: the healthy files' rows all arrive, the junk is logged
+    val tolerated = spark.read.option("ignoreCorruptFiles", "true").parquet(dir)
+    assert(tolerated.count() === docs.count())
+  }
 }
