@@ -182,6 +182,7 @@ object SparkEntry {
     "x70_mad_outliers"    -> (TimeSeriesOps.x70MadOutliers _),
     "x71_user_entropy"    -> (TimeSeriesOps.x71UserEntropy _),
     "x72_retention"       -> (TimeSeriesOps.x72Retention _),
+    "x73_convert_time"    -> (TimeSeriesOps.x73ConvertTime _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1400,6 +1401,31 @@ object SparkEntry {
          |ROUND(CAST(n_active AS DOUBLE) / n_cohort, 4) AS rate
          |FROM m JOIN sz USING (cohort_day)
          |ORDER BY cohort_day, "offset"""".stripMargin,
+
+    // x73: x59's staged CTEs reduced to the converted-session delta
+    // distribution; integer-second deltas before quantile_cont
+    "x73_convert_time" ->
+      s"""WITH e AS ($E),
+         |g AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e),
+         |b AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 21600000000 THEN 1 ELSE 0 END AS brk FROM g),
+         |s AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session FROM b),
+         |tv AS (SELECT user_id, session, MIN(us) AS t_v FROM s
+         |  WHERE event_type = 'view' GROUP BY 1, 2),
+         |tc AS (SELECT s.user_id, s.session, MIN(us) AS t_c FROM s
+         |  JOIN tv USING (user_id, session)
+         |  WHERE event_type = 'click' AND us > t_v GROUP BY 1, 2),
+         |tp AS (SELECT s.user_id, s.session, MIN(us) AS t_p FROM s
+         |  JOIN tc USING (user_id, session)
+         |  WHERE event_type = 'purchase' AND us > t_c GROUP BY 1, 2),
+         |dl AS (SELECT (t_p - t_v) // 1000000 AS sec
+         |  FROM tp JOIN tv USING (user_id, session))
+         |SELECT COUNT(*) AS n_converted,
+         |ROUND(quantile_cont(sec, 0.5), 4) AS p50_s,
+         |ROUND(quantile_cont(sec, 0.9), 4) AS p90_s,
+         |ROUND(AVG(sec), 4) AS mean_s
+         |FROM dl""".stripMargin,
 
     // x59: x20's session CTE + three shrinking stage aggregates; the
     // strict `>` ordering inside a session is on µs, tie-free per stage

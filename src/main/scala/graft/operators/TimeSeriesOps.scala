@@ -389,7 +389,10 @@ object TimeSeriesOps {
     * aggregate joined forward — three session-keyed shuffles over
     * ever-SHRINKING stage tables, never a corpus self-join; the final
     * table is 4 rows + one broadcast of a 1-row total. */
-  def x59Funnel(s: SparkSession, d: String): DataFrame = {
+  /** x59/x73's shared machinery: 6h-gap sessions + staged firsts (first
+    * view; first click strictly after it; first purchase after that). */
+  private def funnelStages(s: SparkSession, d: String):
+      (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val gapUs = 6L * 3600L * 1000000L
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -410,6 +413,11 @@ object TimeSeriesOps {
     val tp = sess.join(tc, Seq("user_id", "session"))
       .filter(col("event_type") === "purchase" && col("us") > col("t_c"))
       .groupBy("user_id", "session").agg(min("us").as("t_p"))
+    (sess, tv, tc, tp)
+  }
+
+  def x59Funnel(s: SparkSession, d: String): DataFrame = {
+    val (sess, tv, tc, tp) = funnelStages(s, d)
     val total = sess.select("user_id", "session").distinct()
       .agg(count(lit(1)).as("n_sessions"))
     def stageRow(df: DataFrame, name: String) =
@@ -422,6 +430,28 @@ object TimeSeriesOps {
       .select(col("stage"), col("n_sessions"),
         dround(col("n_sessions").cast("double") / col("n_all").cast("double"), 4).as("frac"))
       .orderBy("stage")
+  }
+
+  /** x73 time-to-convert distribution — the latency readout behind x59's
+    * counts: over CONVERTED sessions (the funnel's last stage), exact
+    * p50/p90 and mean of seconds from the first view to the converting
+    * purchase, corpus-wide. Conversion RATE says whether users convert;
+    * this says how long the intent-to-purchase window stays open — the
+    * number attribution windows (ST16's join bound) are calibrated from.
+    *
+    * Reuses x59's staged-firsts machinery; the reduction is one exact
+    * percentile over the |converted sessions| deltas (q25's interpolation
+    * contract, x34's sketch at 100 TB). Integer µs → integer-seconds
+    * deltas before the percentile, so the interpolated values are exact
+    * halves at worst. */
+  def x73ConvertTime(s: SparkSession, d: String): DataFrame = {
+    val (_, tv, _, tp) = funnelStages(s, d)
+    tp.join(tv, Seq("user_id", "session"))
+      .select(expr("(t_p - t_v) div 1000000").as("sec"))
+      .agg(count(lit(1)).as("n_converted"),
+           dround(expr("percentile(sec, 0.5)"), 4).as("p50_s"),
+           dround(expr("percentile(sec, 0.9)"), 4).as("p90_s"),
+           dround(avg("sec"), 4).as("mean_s"))
   }
 
   /** x60 recency-decay engagement score — the freshness weighting a
