@@ -39,6 +39,30 @@ class PlanSpec extends SparkSpecBase {
            s"no upper ts bound pushed:\n$p")
   }
 
+  test("x65: RANGE-frame window rides ONE user_id exchange; frame is value-bounded") {
+    val p = planOf(operators.TimeSeriesOps.x65TimeWindow(spark, sfDir))
+    assert(p.contains("specifiedwindowframe(RangeFrame"),
+           s"no value-bounded frame in plan:\n$p")
+    val shuffles = p.linesIterator
+      .count(l => l.contains("Exchange") && !l.trim.startsWith("("))
+    // one shuffle for the window partition + one for the final user agg
+    // (AQE may coalesce but not multiply); a third would mean the frame
+    // broke the single-pass shape
+    assert(shuffles <= 2, s"too many exchanges ($shuffles):\n$p")
+  }
+
+  test("x61: explicit-values pivot plans as hash aggregates, no corpus distinct job") {
+    val p = planOf(operators.AnalyticOps.x61Pivot(spark, sfDir))
+    assert(p.contains("HashAggregate"), s"pivot not aggregate-shaped:\n$p")
+    assert(!p.contains("CollectLimit"), s"unexpected driver collect in plan:\n$p")
+  }
+
+  test("x72: retention is window-free — distinct + aggregates + one broadcast join") {
+    val p = planOf(operators.TimeSeriesOps.x72Retention(spark, sfDir))
+    assert(!p.contains("Window"), s"unexpected window in retention plan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"cohort-size join should broadcast:\n$p")
+  }
+
   test("Q02: column pruning — scan reads exactly the 3 needed columns") {
     val p = planOf(operators.RelationalOps.q02(spark, sfDir))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
