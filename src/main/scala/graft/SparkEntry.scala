@@ -183,6 +183,8 @@ object SparkEntry {
     "x71_user_entropy"    -> (TimeSeriesOps.x71UserEntropy _),
     "x72_retention"       -> (TimeSeriesOps.x72Retention _),
     "x73_convert_time"    -> (TimeSeriesOps.x73ConvertTime _),
+    "x74_pmi"             -> (TextOps.x74Pmi _),
+    "x75_stickiness"      -> (TimeSeriesOps.x75Stickiness _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1426,6 +1428,38 @@ object SparkEntry {
          |ROUND(quantile_cont(sec, 0.9), 4) AS p90_s,
          |ROUND(AVG(sec), 4) AS mean_s
          |FROM dl""".stripMargin,
+
+    // x74: rank on the ROUNDED pmi with the pair tiebreak, both engines
+    "x74_pmi" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |uni AS (SELECT u AS t, COUNT(*) AS cu FROM toks, UNNEST(t) AS z(u) GROUP BY 1),
+        |nut AS (SELECT CAST(SUM(cu) AS DOUBLE) AS nu FROM uni),
+        |bg AS (SELECT array_to_string(t[i:i+1], ' ') AS p FROM toks,
+        |  UNNEST(generate_series(1, len(t) - 1)) AS g(i)),
+        |bi AS (SELECT p, COUNT(*) AS cb FROM bg GROUP BY 1 HAVING COUNT(*) >= 5),
+        |nbt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nb FROM bg),
+        |sc AS (SELECT bi.p AS pair, bi.cb AS n,
+        |  ROUND(LN((CAST(bi.cb AS DOUBLE) / nb) / ((CAST(ua.cu AS DOUBLE) / nu)
+        |    * (CAST(ub.cu AS DOUBLE) / nu))), 4) AS pmi
+        |  FROM bi CROSS JOIN nbt CROSS JOIN nut
+        |  JOIN uni ua ON ua.t = string_split(bi.p, ' ')[1]
+        |  JOIN uni ub ON ub.t = string_split(bi.p, ' ')[2])
+        |SELECT pair, n, pmi FROM
+        |(SELECT *, row_number() OVER (ORDER BY pmi DESC, pair) AS r FROM sc) q
+        |WHERE r <= 20 ORDER BY pmi DESC, pair""".stripMargin,
+
+    // x75: same join-free explode of each active day onto its 7 covering
+    // windows; inner join with DAU prunes past-corpus days
+    "x75_stickiness" ->
+      s"""WITH e AS ($E),
+         |act AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM e),
+         |dau AS (SELECT day, COUNT(DISTINCT user_id) AS dau FROM act GROUP BY 1),
+         |wx AS (SELECT day + CAST(i AS INTEGER) AS d, user_id FROM act,
+         |  UNNEST(generate_series(0, 6)) AS g(i)),
+         |wau AS (SELECT d, COUNT(DISTINCT user_id) AS wau FROM wx GROUP BY 1)
+         |SELECT day, dau, wau,
+         |ROUND(CAST(dau AS DOUBLE) / wau, 4) AS stickiness
+         |FROM dau JOIN wau ON wau.d = dau.day ORDER BY day""".stripMargin,
 
     // x59: x20's session CTE + three shrinking stage aggregates; the
     // strict `>` ordering inside a session is on µs, tie-free per stage

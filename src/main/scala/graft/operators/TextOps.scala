@@ -1274,6 +1274,48 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** x74 PMI phrase mining — the association score behind collocation /
+    * phrase-vocabulary induction: for adjacent token pairs with count ≥ 5,
+    * PMI = ln(p(ab) / (p(a)·p(b))) against the unigram marginals; top-20
+    * by (rounded PMI DESC, pair ASC). Raw bigram counts (x31) rank
+    * frequency; PMI ranks ASSOCIATION — "new york" beats "of the" — which
+    * is what a tokenizer/phrase-merge step actually wants.
+    *
+    * The unigram denominator counts each token ONCE per bigram position
+    * convention: p(a)/p(b) use the corpus unigram distribution, p(ab) the
+    * adjacent-pair distribution — both derive from one explode each, two
+    * hash aggs bounded by vocab/vocab². The rank window runs over the
+    * count-filtered aggregate (vocab-bounded), never the corpus (x31's
+    * discipline). Ties pinned by the pair string both engines. */
+  def x74Pmi(s: SparkSession, d: String): DataFrame = {
+    val toks = docTokens(s, d)
+    val uni = toks.select(explode(col("toks")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("cu"))
+    val uniTotal = uni.agg(sum("cu").as("nu"))
+    val bi = toks.select(explode(
+        graft.functions.TextExpressions.wordShingles(col("toks"), 2)).as("p"))
+      .groupBy("p").agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= 5)
+    val biTotal = toks.select(explode(
+        graft.functions.TextExpressions.wordShingles(col("toks"), 2)).as("p"))
+      .agg(count(lit(1)).as("nb"))
+    val parts = bi
+      .withColumn("a", split(col("p"), " ").getItem(0))
+      .withColumn("b", split(col("p"), " ").getItem(1))
+    val scored = parts
+      .join(uni.select(col("t").as("a"), col("cu").as("ca")), "a")
+      .join(uni.select(col("t").as("b"), col("cu").as("cb2")), "b")
+      .crossJoin(broadcast(biTotal)).crossJoin(broadcast(uniTotal))
+      .select(col("p").as("pair"), col("cb").as("n"),
+        dround(log((col("cb").cast("double") / col("nb").cast("double")) /
+          ((col("ca").cast("double") / col("nu").cast("double")) *
+           (col("cb2").cast("double") / col("nu").cast("double")))), 4).as("pmi"))
+    val w = Window.orderBy(col("pmi").desc, col("pair"))
+    scored.withColumn("r", row_number().over(w)).filter(col("r") <= 20)
+      .select("pair", "n", "pmi")
+      .orderBy(col("pmi").desc, col("pair"))
+  }
+
   def x53LabelProp(s: SparkSession, d: String): DataFrame = {
     val pairs = MinHashLSH.verifiedPairs(docTokens(s, d), 0.8)
       .select("id_a", "id_b")

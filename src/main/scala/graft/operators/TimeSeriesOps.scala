@@ -669,6 +669,28 @@ object TimeSeriesOps {
       .orderBy("cohort_day", "offset")
   }
 
+  /** x75 DAU/WAU stickiness — the engagement-intensity ratio: per day,
+    * distinct daily actives over distinct trailing-7-day actives. The
+    * trailing window is computed JOIN-FREE: each (user, active-day) row
+    * map-side explodes to the ≤7 future days whose window it falls in,
+    * then one distinct aggregate per day — no day-spine range join (a
+    * nested loop at any scale), no window function; work is a flat 7×
+    * multiplier on the |user × day| distinct activity table. Days past
+    * the corpus end are pruned by the inner join with the DAU side. */
+  def x75Stickiness(s: SparkSession, d: String): DataFrame = {
+    val act = Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val dau = act.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val wau = act
+      .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("day"),
+              col("user_id"))
+      .groupBy("day").agg(countDistinct("user_id").as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        dround(col("dau").cast("double") / col("wau").cast("double"), 4).as("stickiness"))
+      .orderBy("day")
+  }
+
   def x57Transitions(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val pairs = Tables.events(s, d)
