@@ -676,7 +676,10 @@ object TimeSeriesOps {
     * then one distinct aggregate per day — no day-spine range join (a
     * nested loop at any scale), no window function; work is a flat 7×
     * multiplier on the |user × day| distinct activity table. Days past
-    * the corpus end are pruned by the inner join with the DAU side. */
+    * the corpus end are pruned by the inner join with the DAU side.
+    * At 100 TB the per-day exact distinct finalizes one hash set per day
+    * (bounded by that day's actives); past that, swap both counts for
+    * x63's mergeable HLL sketches — the explode/agg shape is unchanged. */
   def x75Stickiness(s: SparkSession, d: String): DataFrame = {
     val act = Tables.events(s, d)
       .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
