@@ -1302,7 +1302,7 @@ object SparkEntry {
          |    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW) AS avg_24h
          |  FROM g)
          |SELECT user_id, CAST(SUM(n_24h) AS BIGINT) AS sum_n,
-         |ROUND(SUM(avg_24h), 4) AS checksum
+         |ROUND(SUM(ROUND(avg_24h, 4)), 4) AS checksum
          |FROM wnd GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // x66: same gaps-and-islands algebra — strict `>` on the running max

@@ -518,7 +518,11 @@ object TimeSeriesOps {
       .withColumn("n_24h", count(lit(1)).over(w))
       .withColumn("avg_24h", avg("value").over(w))
       .groupBy("user_id")
-      .agg(sum("n_24h").as("sum_n"), dround(sum("avg_24h"), 4).as("checksum"))
+      // each summand is pre-rounded to the 1e-4 grid, so the checksum is a
+      // sum of exact 4-dp decimals — it lands ON the grid, never at
+      // half-grid, killing the q48 knife-edge class the scanner flagged
+      // for the raw-sum form at sf0.1 (values exactly X.xxxx5)
+      .agg(sum("n_24h").as("sum_n"), dround(sum(dround(col("avg_24h"), 4)), 4).as("checksum"))
       .orderBy("user_id")
   }
 
