@@ -185,6 +185,7 @@ object SparkEntry {
     "x73_convert_time"    -> (TimeSeriesOps.x73ConvertTime _),
     "x74_pmi"             -> (TextOps.x74Pmi _),
     "x75_stickiness"      -> (TimeSeriesOps.x75Stickiness _),
+    "x76_typicality"      -> (TimeSeriesOps.x76Typicality _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1460,6 +1461,21 @@ object SparkEntry {
          |SELECT day, dau, wau,
          |ROUND(CAST(dau AS DOUBLE) / wau, 4) AS stickiness
          |FROM dau JOIN wau ON wau.d = dau.day ORDER BY day""".stripMargin,
+
+    // x76: x57's transition CTEs + a per-user cross-entropy reduction
+    "x76_typicality" ->
+      s"""WITH e AS ($E),
+         |nx AS (SELECT user_id, event_type, lead(event_type) OVER
+         |  (PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM e),
+         |pairs AS (SELECT * FROM nx WHERE next_type IS NOT NULL),
+         |c AS (SELECT event_type, next_type, COUNT(*) AS n FROM pairs GROUP BY 1, 2),
+         |t AS (SELECT event_type, CAST(SUM(n) AS DOUBLE) AS tot FROM c GROUP BY 1),
+         |m AS (SELECT c.event_type, c.next_type, CAST(n AS DOUBLE) / tot AS p
+         |  FROM c JOIN t USING (event_type))
+         |SELECT user_id, COUNT(*) AS n_trans,
+         |ROUND(AVG(-LN(p)), 4) AS xent
+         |FROM pairs JOIN m USING (event_type, next_type)
+         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     // x59: x20's session CTE + three shrinking stage aggregates; the
     // strict `>` ordering inside a session is on µs, tie-free per stage

@@ -698,6 +698,36 @@ object TimeSeriesOps {
       .orderBy("day")
   }
 
+  /** x76 behavioral typicality — each user's sequence scored under the
+    * CORPUS transition model (x57's matrix): mean −ln P(next | cur) over
+    * the user's adjacent event pairs. Low = textbook behavior, high =
+    * anomalous path — x18's LM-scoring idea lifted from token unigrams to
+    * event bigrams, and the per-user readout an abuse/quality triage
+    * ranks on.
+    *
+    * Every observed user transition exists in the corpus matrix by
+    * construction (the corpus includes the user), so P > 0 and the score
+    * is finite. Scale: the lead pass is x57's one user-shuffle; the model
+    * is ≤|types|² rows broadcast back onto the pair stream; one per-user
+    * aggregate. ln-sum rounding under x18's precedent. */
+  def x76Typicality(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val counts = pairs.groupBy("event_type", "next_type").agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("event_type").agg(sum("n").as("tot"))
+    val model = counts.join(totals, "event_type")
+      .select(col("event_type"), col("next_type"),
+        (col("n").cast("double") / col("tot").cast("double")).as("p"))
+    pairs.join(broadcast(model), Seq("event_type", "next_type"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_trans"),
+           dround(avg(-log(col("p"))), 4).as("xent"))
+      .orderBy("user_id")
+  }
+
   def x57Transitions(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val pairs = Tables.events(s, d)
