@@ -1,0 +1,156 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Manifest-based versioned store — MergeStore's copy-on-write upgraded to
+  * SNAPSHOT ISOLATION and TIME TRAVEL (the mini-lakehouse pattern: what
+  * Delta/Iceberg do with a commit log, re-expressed minimally on open
+  * parquet + atomic rename).
+  *
+  * Layout:
+  *   dir/gen=N/bucket=K/part-*.parquet   -- immutable once written
+  *   dir/_graft_manifest/v<V>.manifest   -- version V: bucket -> gen map
+  *   dir/_graft_manifest/current         -- atomic pointer: latest V
+  *
+  * Every `merge` writes ONLY the changed buckets into a fresh `gen=`
+  * directory, then publishes a new manifest that maps changed buckets to
+  * the new gen and inherits every untouched bucket's EXISTING entry — the
+  * unchanged data is SHARED between versions (same physical files, zero
+  * copies), so a version costs O(changed buckets) in both write IO and
+  * storage. The publish is one atomic rename of the `current` pointer:
+  *
+  *  - Readers resolve a manifest ONCE and then read immutable files, so a
+  *    concurrent merge can never show them a mixed snapshot — the caveat
+  *    MergeStore's in-place dynamic overwrite documents is structurally
+  *    gone here.
+  *  - `read(version = Some(v))` is time travel: any retained version
+  *    reconstructs exactly, because its gen dirs are immutable.
+  *  - A crash BEFORE the pointer rename leaves a garbage gen dir and a
+  *    v<V>.json no pointer names — invisible to every reader; the retry
+  *    overwrites both. A crash AFTER is a completed commit.
+  *  - `vacuum(keep)` deletes gen dirs no retained manifest references —
+  *    the GC that bounds storage to the retention window.
+  *
+  * Scale: the manifest is |buckets| entries of a few bytes — one small
+  * JSON per version (4096 buckets ≈ 60 KB); reads list only the gen dirs
+  * the manifest names (partition values arrive via `basePath`), and the
+  * per-bucket read set is exactly one generation's files. */
+class VersionedStore(spark: SparkSession, dir: String) {
+
+  private val fs = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+  private def mpath(s: String) = new org.apache.hadoop.fs.Path(s"$dir/_graft_manifest/$s")
+
+  private def writeFile(p: org.apache.hadoop.fs.Path, body: String): Unit = {
+    val o = fs.create(p, true); o.write(body.getBytes("UTF-8")); o.close()
+  }
+  private def readFile(p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in).mkString finally in.close()
+  }
+
+  /** bucket -> gen, serialized one `bucket:gen` pair per line (no JSON
+    * library needed; the format is the contract, pinned by the spec). */
+  private def writeManifest(v: Long, m: Map[Long, Long]): Unit =
+    writeFile(mpath(s"v$v.manifest"),
+      m.toSeq.sorted.map { case (b, g) => s"$b:$g" }.mkString("\n"))
+  private def readManifest(v: Long): Map[Long, Long] =
+    readFile(mpath(s"v$v.manifest")).split("\n").filter(_.nonEmpty)
+      .map { l => val Array(b, g) = l.split(":"); b.toLong -> g.toLong }.toMap
+
+  def currentVersion: Long = readFile(mpath("current")).trim.toLong
+
+  /** Publish version `v`: write the pointer to a temp name, then rename
+    * over `current` — the one atomic step of every commit. */
+  private def publish(v: Long): Unit = {
+    val tmp = mpath(s".current-$v")
+    writeFile(tmp, v.toString)
+    fs.delete(mpath("current"), false)
+    require(fs.rename(tmp, mpath("current")), s"publish of v$v failed")
+  }
+
+  def buckets: Int = readFile(mpath("buckets")).trim.toInt
+
+  private def bucketOf(n: Int) = pmod(col("doc_id"), lit(n.toLong))
+
+  /** Initial load: everything lands in gen 0, manifest v0. */
+  def write(docs: DataFrame, nBuckets: Int = 16): Unit = {
+    docs.withColumn("bucket", bucketOf(nBuckets))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/gen=0")
+    writeFile(mpath("buckets"), nBuckets.toString)
+    val present = spark.read.parquet(s"$dir/gen=0")
+      .select(col("bucket").cast("long")).distinct().collect().map(_.getLong(0))
+    writeManifest(0L, present.map(_ -> 0L).toMap)
+    publish(0L)
+  }
+
+  /** Snapshot read. `version = None` resolves the current pointer ONCE;
+    * the returned frame is pinned to that manifest forever after. */
+  def read(version: Option[Long] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion)
+    val m = readManifest(v)
+    if (m.isEmpty) return spark.read.parquet(s"$dir/gen=0").limit(0).drop("bucket")
+    val paths = m.toSeq.map { case (b, g) => s"$dir/gen=$g/bucket=$b" }
+    spark.read.option("basePath", dir).parquet(paths: _*)
+      .drop("gen", "bucket")
+  }
+
+  /** Copy-on-write merge → a NEW published version; never touches
+    * resident files. Returns the committed version number. */
+  def merge(upserts: DataFrame, deleteIds: DataFrame): Long = {
+    val n = buckets
+    val v = currentVersion
+    val manifest = readManifest(v)
+    val touched = upserts.select(bucketOf(n).as("bucket"))
+      .union(deleteIds.select(bucketOf(n).as("bucket")))
+      .distinct().collect().map(_.getLong(0)).sorted
+    if (touched.isEmpty) return v
+    val newV = v + 1
+    val changedIds = upserts.select("doc_id")
+      .union(deleteIds.select("doc_id")).distinct()
+    val residentPaths = touched.filter(manifest.contains)
+      .map(b => s"$dir/gen=${manifest(b)}/bucket=$b")
+    val resident =
+      if (residentPaths.isEmpty) upserts.limit(0)
+      else spark.read.option("basePath", dir).parquet(residentPaths: _*)
+        .drop("gen", "bucket")
+    val survivors = resident.join(changedIds, Seq("doc_id"), "left_anti")
+    val newData = survivors.unionByName(upserts)
+      .withColumn("bucket", bucketOf(n))
+      .repartition(col("bucket"))
+    newData.write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/gen=$newV")
+    val written = spark.read.parquet(s"$dir/gen=$newV")
+      .select(col("bucket").cast("long")).distinct().collect().map(_.getLong(0)).toSet
+    // changed buckets point to the new gen; emptied buckets drop out of
+    // the manifest entirely; untouched buckets inherit their entries
+    val next = (manifest -- touched.filterNot(written)) ++
+      written.map(_ -> newV.toLong)
+    writeManifest(newV, next)
+    publish(newV)
+    newV
+  }
+
+  /** Delete gen dirs referenced by NO retained version (the newest
+    * `keep` versions survive). Returns the deleted gen ids. */
+  def vacuum(keep: Int = 2): Seq[Long] = {
+    val cur = currentVersion
+    val retained = (math.max(0L, cur - keep + 1) to cur)
+    val live = retained.flatMap(v => readManifest(v).values).toSet
+    val all = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).filter(_.startsWith("gen="))
+      .map(_.stripPrefix("gen=").toLong)
+    val dead = all.filterNot(live).sorted
+    dead.foreach { g =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/gen=$g"), true)
+    }
+    // manifests older than the retention window are no longer readable
+    fs.listStatus(mpath("current").getParent).map(_.getPath.getName)
+      .filter(_.startsWith("v")).map(_.stripPrefix("v").stripSuffix(".manifest"))
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .filter(_ < retained.head)
+      .foreach(v => fs.delete(mpath(s"v$v.manifest"), false))
+    dead.toSeq
+  }
+}
