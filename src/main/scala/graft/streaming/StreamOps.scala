@@ -609,6 +609,30 @@ object StreamOps {
       }
       .start()
 
+  /** ST19: continuous VERSIONED CDC — ST17's apply loop upgraded to the
+    * [[graft.sources.VersionedStore]]: each micro-batch commits exactly
+    * one store version (an atomic manifest publish), so concurrent
+    * readers see version N or N+1, never a mixed snapshot — the gap
+    * ST17's in-place dynamic overwrite documents is closed by the store,
+    * not by coordination. Crash-replay is content-idempotent WITHOUT
+    * exactly-once machinery: replaying a committed batch merges a change
+    * set the store already absorbed, producing a new version with
+    * IDENTICAL content (upserts re-upsert equal rows, deletes find
+    * nothing) — the version counter moves, the data does not, and time
+    * travel shows the replay honestly. */
+  def versionedIngest(changes: DataFrame, storeDir: String,
+                      checkpointDir: String): StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val ups = batch.filter(col("op") === "upsert").drop("op")
+        val dels = batch.filter(col("op") === "delete").select("doc_id")
+        new graft.sources.VersionedStore(batch.sparkSession, storeDir)
+          .merge(ups, dels)
+        ()
+      }
+      .start()
+
   case class GramCount(gram: String, cnt: Long)
 
   /** ST14: continuous heavy hitters — the streaming twin of

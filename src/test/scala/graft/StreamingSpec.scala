@@ -527,6 +527,41 @@ class StreamingSpec extends SparkSpecBase {
     assert(routed === direct)
   }
 
+  test("ST19 versioned CDC: one atomic version per batch; replay moves the counter, not the data") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+    val oldSnap = docs.filter(col("doc_id") % 10 =!= 1)
+    val newSnap = docs.filter(col("doc_id") % 10 =!= 2)
+      .withColumn("text", when(col("doc_id") % 10 === 3,
+        concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      .withColumn("n_chars", when(col("doc_id") % 10 === 3,
+        col("n_chars") + 5).otherwise(col("n_chars")))
+    val storeDir = tmp("vstore")
+    val store = new graft.sources.VersionedStore(spark, storeDir)
+    store.write(oldSnap, nBuckets = 8)
+    def changeRow(r: org.apache.spark.sql.Row, op: String) = StreamOps.DocChange(
+      r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4), op)
+    val ups = newSnap.filter(col("doc_id") % 10 === 1 || col("doc_id") % 10 === 3)
+      .collect().map(changeRow(_, "upsert"))
+    val dels = docs.filter(col("doc_id") % 10 === 2).collect().map(changeRow(_, "delete"))
+    val all = (ups ++ dels).sortBy(_.doc_id)
+    val input = MemoryStream[StreamOps.DocChange]
+    val q = StreamOps.versionedIngest(input.toDF(), storeDir, tmp("ckpt"))
+    val chunks = all.grouped((all.length + 1) / 2).toSeq
+    chunks.foreach { c => input.addData(c.toSeq); q.processAllAvailable() }
+    val vAfter = store.currentVersion
+    assert(vAfter === chunks.length.toLong, s"one version per batch, got $vAfter")
+    assert(store.read().count() === newSnap.count())
+    assert(store.read().except(newSnap).isEmpty && newSnap.except(store.read()).isEmpty)
+    // crash-replay: the last chunk re-arrives → a NEW version, SAME content
+    input.addData(chunks.last.toSeq); q.processAllAvailable()
+    q.stop()
+    assert(store.currentVersion === vAfter + 1)
+    assert(store.read().except(store.read(Some(vAfter))).isEmpty &&
+           store.read(Some(vAfter)).except(store.read()).isEmpty)
+  }
+
   test("ST16b interval-join state eviction: a click behind the watermark never joins") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
