@@ -527,6 +527,38 @@ class StreamingSpec extends SparkSpecBase {
     assert(routed === direct)
   }
 
+  test("ST18b late event re-derives ONLY its day; still equals batch build") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val rawSink = tmp("raw"); val rollupDir = tmp("rollup")
+    val all = Tables.eventsDs(spark, sfDir).collect()
+    // hold back one mid-corpus event; stream everything else first
+    val held = all.minBy(e => (math.abs(e.ts.getTime - all.map(_.ts.getTime).sorted.apply(all.length / 2)), e.event_id))
+    val rest = all.filterNot(_.event_id == held.event_id)
+    val input = MemoryStream[Event]
+    val q = StreamOps.rollupIngest(input.toDF(), rawSink, rollupDir, tmp("ckpt"))
+    input.addData(rest.toSeq); q.processAllAvailable()
+    def listing() = new java.io.File(s"$rollupDir/hour").listFiles()
+      .filter(_.getName.startsWith("day=")).map(p =>
+        p.getName -> p.listFiles().map(f => s"${f.getName}:${f.lastModified()}").toSeq.sorted).toMap
+    val before = listing()
+    val heldDay = s"day=${held.ts.getTime / 86400000L}"
+    input.addData(held); q.processAllAvailable() // the straggler arrives
+    q.stop()
+    val after = listing()
+    assert(after(heldDay) !== before(heldDay), "late event's day must refresh")
+    (before.keySet - heldDay).foreach { k =>
+      assert(after(k) === before(k), s"unrelated day $k rewritten by a late event")
+    }
+    // and the store equals the batch build over the FULL corpus
+    val refDir = tmp("rollupref")
+    graft.sources.RollupStore.build(Tables.events(spark, sfDir), refDir)
+    def canon(dir: String) = spark.read.parquet(s"$dir/hour")
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[Long]("bucket"),
+        r.getAs[Long]("cnt"), math.rint(r.getAs[Double]("s") * 1e6))).sortBy(t => (t._1, t._2))
+    assert(canon(rollupDir) === canon(refDir))
+  }
+
   test("ST19 versioned CDC: one atomic version per batch; replay moves the counter, not the data") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
