@@ -186,6 +186,7 @@ object SparkEntry {
     "x74_pmi"             -> (TextOps.x74Pmi _),
     "x75_stickiness"      -> (TimeSeriesOps.x75Stickiness _),
     "x76_typicality"      -> (TimeSeriesOps.x76Typicality _),
+    "x77_fuzzy"           -> (TextOps.x77Fuzzy _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1476,6 +1477,20 @@ object SparkEntry {
          |ROUND(AVG(-LN(p)), 4) AS xent
          |FROM pairs JOIN m USING (event_type, next_type)
          |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // x77: same lang-blocked probe set, same 40-char prefixes, same
+    // (dist, cand_id) argmin
+    "x77_fuzzy" ->
+      """WITH pref AS (SELECT doc_id, lang, substr(text, 1, 40) AS p40 FROM documents),
+        |probes AS (SELECT doc_id AS probe_id, lang, p40 AS probe_p FROM pref
+        |  WHERE doc_id % 100 = 0),
+        |sc AS (SELECT probe_id, c.doc_id AS cand_id,
+        |  levenshtein(probe_p, c.p40) AS dist
+        |  FROM probes JOIN pref c USING (lang) WHERE c.doc_id <> probe_id)
+        |SELECT probe_id, cand_id AS best_id, CAST(dist AS BIGINT) AS dist FROM
+        |(SELECT *, row_number() OVER (PARTITION BY probe_id
+        |  ORDER BY dist, cand_id) AS r FROM sc) q
+        |WHERE r = 1 ORDER BY probe_id""".stripMargin,
 
     // x59: x20's session CTE + three shrinking stage aggregates; the
     // strict `>` ordering inside a session is on µs, tie-free per stage

@@ -1316,6 +1316,37 @@ object TextOps {
       .orderBy(col("pmi").desc, col("pair"))
   }
 
+  /** x77 fuzzy prefix match — edit-distance retrieval for the near-match
+    * class token-set similarity misses (transposed/truncated/typo'd
+    * titles): for each probe doc (ids ≡ 0 mod 100), the other same-lang
+    * doc whose 40-char prefix has minimum Levenshtein distance
+    * (doc_id tiebreak). Jaccard (q53/x02) sees token SETS — it cannot
+    * distinguish "abc def" from "abd cef"; edit distance can, which is
+    * why record-linkage stacks keep both.
+    *
+    * Scale honesty: the candidate set here is blocked by (lang) with a
+    * ~1% probe side — |probes|·|lang partition| pairs, fine at fixture
+    * scale and NOT the 100 TB shape. At scale the same contract runs
+    * behind q53's band-bucket blocking (LSH candidates → exact
+    * Levenshtein verify), exactly like x02's verify stage — the kernel
+    * (codegen'd `levenshtein`) and the argmin are unchanged; only the
+    * candidate generator swaps. */
+  def x77Fuzzy(s: SparkSession, d: String): DataFrame = {
+    val pref = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), substring(col("text"), 1, 40).as("p40"))
+    val probes = pref.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("probe_id"), col("lang"), col("p40").as("probe_p"))
+    val cands = pref.select(col("doc_id").as("cand_id"), col("lang"), col("p40").as("cand_p"))
+    val scored = probes.join(cands, "lang")
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("cand_id"),
+        levenshtein(col("probe_p"), col("cand_p")).as("dist"))
+    val w = Window.partitionBy("probe_id").orderBy(col("dist"), col("cand_id"))
+    scored.withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("probe_id"), col("cand_id").as("best_id"), col("dist"))
+      .orderBy("probe_id")
+  }
+
   def x53LabelProp(s: SparkSession, d: String): DataFrame = {
     val pairs = MinHashLSH.verifiedPairs(docTokens(s, d), 0.8)
       .select("id_a", "id_b")
