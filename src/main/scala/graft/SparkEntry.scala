@@ -187,6 +187,7 @@ object SparkEntry {
     "x75_stickiness"      -> (TimeSeriesOps.x75Stickiness _),
     "x76_typicality"      -> (TimeSeriesOps.x76Typicality _),
     "x77_fuzzy"           -> (TextOps.x77Fuzzy _),
+    "x78_length_pr"       -> (TextOps.x78LengthPr _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1491,6 +1492,14 @@ object SparkEntry {
         |(SELECT *, row_number() OVER (PARTITION BY probe_id
         |  ORDER BY dist, cand_id) AS r FROM sc) q
         |WHERE r = 1 ORDER BY probe_id""".stripMargin,
+
+    // x78: the window-function STATEMENT of the same semantics — the
+    // Spark side derives identical values from cumulative counts
+    "x78_length_pr" ->
+      """SELECT doc_id, source, n_chars,
+        |ROUND(percent_rank() OVER (PARTITION BY source ORDER BY n_chars), 4) AS pr,
+        |ROUND(cume_dist() OVER (PARTITION BY source ORDER BY n_chars), 4) AS cd
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // x59: x20's session CTE + three shrinking stage aggregates; the
     // strict `>` ordering inside a session is on µs, tie-free per stage

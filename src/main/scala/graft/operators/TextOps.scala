@@ -1347,6 +1347,40 @@ object TextOps {
       .orderBy("probe_id")
   }
 
+  /** x78 length percentile-rank normalization — each doc's length scored
+    * against its OWN source's distribution (percent_rank + cume_dist):
+    * the per-source normalization a mixing/quality pipeline applies
+    * before comparing lengths across sources with wildly different
+    * length profiles.
+    *
+    * The declared semantics are the window functions' — but the PLAN is
+    * not a per-source window (20 sources ⇒ the q29 serialization trap).
+    * rank and cume_dist are pure functions of the (source, length)
+    * CUMULATIVE COUNTS: #smaller/(N−1) and cum/N — so the corpus gets one
+    * (source, n_chars) hash aggregate, the tiny aggregate gets the
+    * cumulative window (|sources|·|distinct lengths| rows), and per-doc
+    * scores arrive by joining back on (source, n_chars). Identical output
+    * to the window form under ANY partitioning, no corpus-sized window
+    * task anywhere — x16's two-level discipline applied to rank
+    * functions. */
+  def x78LengthPr(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"))
+    val hist = docs.groupBy("source", "n_chars").agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy("source").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.groupBy("source").agg(sum("c").as("n"))
+    val ranks = hist
+      .withColumn("cum", sum("c").over(wc))
+      .join(broadcast(tot), "source")
+      .select(col("source"), col("n_chars"),
+        ((col("cum") - col("c")).cast("double") / (col("n") - 1).cast("double")).as("pr_raw"),
+        (col("cum").cast("double") / col("n").cast("double")).as("cd_raw"))
+    docs.join(ranks, Seq("source", "n_chars"))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        dround(col("pr_raw"), 4).as("pr"), dround(col("cd_raw"), 4).as("cd"))
+      .orderBy("doc_id")
+  }
+
   def x53LabelProp(s: SparkSession, d: String): DataFrame = {
     val pairs = MinHashLSH.verifiedPairs(docTokens(s, d), 0.8)
       .select("id_a", "id_b")
