@@ -380,6 +380,53 @@ object Dev {
       s.stop()
       return
     }
+    if (names.length == 1 && names.head.startsWith("mergestress")) {
+      // Scale stress of the VersionedStore copy-on-write claim: a synthetic
+      // corpus of n docs, a churn confined to `churnB` of `buckets` hash
+      // buckets, one merge. Measures (a) merge wall; (b) the PROPORTIONALITY
+      // claim directly — bytes written by the new generation over the
+      // store's resident bytes must track churnB/buckets, since untouched
+      // buckets are manifest-shared, not copied.
+      // Usage: mergestress[:nDocs[:churnBuckets[:buckets]]]
+      val parts = names.head.split(":")
+      val nDocs = parts.lift(1).map(_.toInt).getOrElse(1000000)
+      val churnB = parts.lift(2).map(_.toInt).getOrElse(4)
+      val buckets = parts.lift(3).map(_.toInt).getOrElse(64)
+      val s = GraftSession.build("graft-dev")
+      import org.apache.spark.sql.functions._
+      def corpus(tag: String) = s.range(nDocs).select(col("id").as("doc_id"))
+        .withColumn("text",
+          expr(s"concat('$tag ', repeat(cast(xxhash64(doc_id) as string), 10))"))
+        .withColumn("lang", expr(
+          "element_at(array('de','en','es','fr','zh'), cast(pmod(doc_id, 5) + 1 as int))"))
+        .withColumn("source", concat(lit("src"), pmod(col("doc_id"), lit(20L))))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      val dir = java.nio.file.Files.createTempDirectory("mergestress").toString
+      val store = new graft.sources.VersionedStore(s, dir)
+      store.write(corpus("v0"), buckets)
+      def dirBytes(p: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isFile) f.length()
+          else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+        walk(new java.io.File(p))
+      }
+      val residentBytes = dirBytes(s"$dir/gen=0")
+      val ups = corpus("v1")
+        .filter(pmod(col("doc_id"), lit(buckets.toLong)) < churnB)
+      val nUps = ups.count()
+      val noDeletes = s.range(0).select(col("id").as("doc_id"))
+      val t0 = System.nanoTime()
+      store.merge(ups, noDeletes)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val newBytes = dirBytes(s"$dir/gen=1")
+      println(f"mergestress docs=$nDocs%,d churn_buckets=$churnB/$buckets " +
+        f"upserts=$nUps%,d wall=$wall%.2f s " +
+        f"new_gen_bytes=$newBytes%,d resident_bytes=$residentBytes%,d " +
+        f"rewrite_frac=${newBytes.toDouble / residentBytes}%.4f " +
+        f"(bucket_frac=${churnB.toDouble / buckets}%.4f)")
+      s.stop()
+      return
+    }
     val spark = GraftSession.build("graft-dev")
     // GRAFT_DEV_CATALOG=1 reproduces Bench/Verify's stats-driven planning
     if (sys.env.get("GRAFT_DEV_CATALOG").contains("1"))
