@@ -132,6 +132,35 @@ class VersionedStore(spark: SparkSession, dir: String) {
     newV
   }
 
+  /** Change feed between two retained versions — x56's digest diff run
+    * against the store's own time travel (the Delta CDF analogue): per
+    * doc_id present in either snapshot, its status added / removed /
+    * changed (unchanged rows are omitted — a feed, not a report). The
+    * bucket→gen manifests make this cheaper than a generic diff: a bucket
+    * mapped to the SAME gen in both versions is byte-identical by
+    * construction and is skipped before any IO — only buckets whose gen
+    * changed between v0 and v1 are read and digest-joined. */
+  def diffVersions(v0: Long, v1: Long): DataFrame = {
+    val (m0, m1) = (readManifest(v0), readManifest(v1))
+    val changedBuckets = (m0.keySet ++ m1.keySet)
+      .filter(b => m0.get(b) != m1.get(b)).toSeq.sorted
+    def side(m: Map[Long, Long]): DataFrame = {
+      val paths = changedBuckets.flatMap(b => m.get(b).map(g => s"$dir/gen=$g/bucket=$b"))
+      if (paths.isEmpty)
+        return read(Some(v0)).limit(0).select(col("doc_id"), sha2(col("text"), 256).as("h"))
+      spark.read.option("basePath", dir).parquet(paths: _*)
+        .select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    }
+    val a = side(m0).withColumnRenamed("h", "h0")
+    val b = side(m1).withColumnRenamed("h", "h1")
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h0").isNull, "added")
+          .when(col("h1").isNull, "removed")
+          .when(col("h0") =!= col("h1"), "changed").as("status"))
+      .filter(col("status").isNotNull)
+  }
+
   /** Delete gen dirs referenced by NO retained version (the newest
     * `keep` versions survive). Returns the deleted gen ids. */
   def vacuum(keep: Int = 2): Seq[Long] = {

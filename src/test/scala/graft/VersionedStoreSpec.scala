@@ -77,6 +77,24 @@ class VersionedStoreSpec extends SparkSpecBase {
     same(st.read(), oldSnap) // reader never sees the orphan
   }
 
+  test("diffVersions is the exact change feed between two snapshots") {
+    val (st, _) = fresh()
+    st.merge(upserts, deletes)
+    val feed = st.diffVersions(0L, 1L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val expAdded = docs.filter(col("doc_id") % 10 === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expRemoved = docs.filter(col("doc_id") % 10 === 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expChanged = docs.filter(col("doc_id") % 10 === 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(feed.filter(_._2 == "added").keySet === expAdded)
+    assert(feed.filter(_._2 == "removed").keySet === expRemoved)
+    assert(feed.filter(_._2 == "changed").keySet === expChanged)
+    assert(feed.size === expAdded.size + expRemoved.size + expChanged.size,
+      "unchanged docs must not appear in the feed")
+  }
+
   test("vacuum deletes generations no retained version references") {
     val (st, dir) = fresh()
     st.merge(upserts, deletes)                       // v1
