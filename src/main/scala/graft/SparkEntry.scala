@@ -188,6 +188,8 @@ object SparkEntry {
     "x76_typicality"      -> (TimeSeriesOps.x76Typicality _),
     "x77_fuzzy"           -> (TextOps.x77Fuzzy _),
     "x78_length_pr"       -> (TextOps.x78LengthPr _),
+    "x79_attribution"     -> (TimeSeriesOps.x79Attribution _),
+    "x80_backtest"        -> (TimeSeriesOps.x80Backtest _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1500,6 +1502,41 @@ object SparkEntry {
         |ROUND(percent_rank() OVER (PARTITION BY source ORDER BY n_chars), 4) AS pr,
         |ROUND(cume_dist() OVER (PARTITION BY source ORDER BY n_chars), 4) AS cd
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // x79: same U-shaped weights (1 / 0.5 / 0.4-edges / 0.2 split), same
+    // (c_ts, click_id) ordering inside each purchase window
+    "x79_attribution" ->
+      s"""WITH e AS ($E),
+         |c AS (SELECT user_id, event_id AS click_id, ts AS c_ts,
+         |  CAST(ts AS DATE) AS c_day FROM e WHERE event_type = 'click'),
+         |p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM e
+         |  WHERE event_type = 'purchase'),
+         |cand AS (SELECT p_id, click_id, c_ts, c_day FROM p JOIN c USING (user_id)
+         |  WHERE c_ts < p_ts AND c_ts >= p_ts - INTERVAL 24 HOURS),
+         |wtd AS (SELECT c_day,
+         |  row_number() OVER (PARTITION BY p_id ORDER BY c_ts, click_id) AS rn,
+         |  COUNT(*) OVER (PARTITION BY p_id) AS k
+         |  FROM cand)
+         |SELECT c_day AS day, COUNT(*) AS n_clicks,
+         |ROUND(SUM(CASE WHEN k = 1 THEN 1.0 WHEN k = 2 THEN 0.5
+         |  WHEN rn = 1 OR rn = k THEN 0.4
+         |  ELSE 0.2 / (k - 2) END), 4) AS credit
+         |FROM wtd GROUP BY c_day ORDER BY day""".stripMargin,
+
+    // x80: lag-7 on the (type, day) aggregate with the calendar-gap guard
+    "x80_backtest" ->
+      s"""WITH e AS ($E),
+         |daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |  SUM(value) / COUNT(*) AS m FROM e GROUP BY 1, 2),
+         |lagd AS (SELECT event_type, day, m,
+         |  lag(m, 7) OVER (PARTITION BY event_type ORDER BY day) AS f,
+         |  lag(day, 7) OVER (PARTITION BY event_type ORDER BY day) AS fday
+         |  FROM daily)
+         |SELECT event_type, COUNT(*) AS n_days,
+         |ROUND(AVG(ABS(m - f)), 4) AS mae,
+         |ROUND(AVG(ABS(m - f) / ABS(m)), 4) AS mape
+         |FROM lagd WHERE f IS NOT NULL AND date_diff('day', fday, day) = 7
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     // x59: x20's session CTE + three shrinking stage aggregates; the
     // strict `>` ordering inside a session is on µs, tie-free per stage

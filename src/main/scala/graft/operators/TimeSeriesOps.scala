@@ -728,6 +728,76 @@ object TimeSeriesOps {
       .orderBy("user_id")
   }
 
+  /** x79 U-shaped multi-touch attribution — each purchase distributes one
+    * unit of credit over the same user's clicks in the preceding 24 h:
+    * first click 0.4, last 0.4, middles split 0.2 (k = 1 → 1.0, k = 2 →
+    * 0.5/0.5) — the position-based model growth teams use between
+    * last-touch (all to the last) and linear (flat). Declared output is
+    * credit mass per click DAY — the budget-allocation readout.
+    *
+    * The candidate join is user-keyed equi + a 24 h residual — per-user
+    * click×purchase pairing, bounded by per-user activity at fixture
+    * scale; at 100 TB the same contract joins day-banded keys (q16's
+    * banding) so candidates are bounded per (user, day), or streams
+    * through ST16's watermarked interval join. Weights are exact decimal
+    * constants and one k−2 division; per-purchase credit sums to 1 by
+    * construction, making the day aggregate a conservation check. */
+  def x79Attribution(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+              col("ts").as("c_ts"), to_date(col("ts")).as("c_day"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val cand = purchases.join(clicks, "user_id")
+      .filter(col("c_ts") < col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 24 HOURS"))
+    val w = Window.partitionBy("p_id").orderBy("c_ts", "click_id")
+    val k = Window.partitionBy("p_id")
+    val weighted = cand
+      .withColumn("rn", row_number().over(w))
+      .withColumn("k", count(lit(1)).over(k))
+      .withColumn("credit",
+        when(col("k") === 1, 1.0)
+          .when(col("k") === 2, 0.5)
+          .when(col("rn") === 1 || col("rn") === col("k"), 0.4)
+          .otherwise(lit(0.2) / (col("k") - 2).cast("double")))
+    weighted.groupBy(col("c_day").as("day"))
+      .agg(count(lit(1)).as("n_clicks"),
+           dround(sum("credit"), 4).as("credit"))
+      .orderBy("day")
+  }
+
+  /** x80 seasonal-naive forecast backtest — the baseline every real
+    * forecaster must beat, evaluated in one pass: predict each day's
+    * per-type mean value with the SAME WEEKDAY's mean a week earlier,
+    * then score MAE / MAPE per type over the evaluable days. Shipping the
+    * backtest (not a forecast) is the honest engine primitive: it turns
+    * "is our fancy model any good" into a join.
+    *
+    * One corpus scan → the (type, day) daily-mean aggregate (the x64/ST18
+    * rollup shape — at scale this READS the day rollup instead); the
+    * 7-day lag is a window over the |types|·|days| AGGREGATE (x31's
+    * discipline — aggregate-sized input, never the corpus). */
+  def x80Backtest(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum("value").as("sv"), count(lit(1)).as("n"))
+      .withColumn("m", col("sv") / col("n").cast("double"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily
+      .withColumn("f", lag("m", 7).over(w))
+      .withColumn("fday", lag("day", 7).over(w))
+      // a gap in the day sequence would silently misalign lag-7; restrict
+      // to rows whose lag really is 7 calendar days back (both engines)
+      .filter(col("f").isNotNull && datediff(col("day"), col("fday")) === 7)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+           dround(avg(abs(col("m") - col("f"))), 4).as("mae"),
+           dround(avg(abs(col("m") - col("f")) / abs(col("m"))), 4).as("mape"))
+      .orderBy("event_type")
+  }
+
   def x57Transitions(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val pairs = Tables.events(s, d)
