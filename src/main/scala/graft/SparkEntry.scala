@@ -190,6 +190,7 @@ object SparkEntry {
     "x78_length_pr"       -> (TextOps.x78LengthPr _),
     "x79_attribution"     -> (TimeSeriesOps.x79Attribution _),
     "x80_backtest"        -> (TimeSeriesOps.x80Backtest _),
+    "x81_weekday"         -> (TimeSeriesOps.x81Weekday _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1537,6 +1538,19 @@ object SparkEntry {
          |ROUND(AVG(ABS(m - f) / ABS(m)), 4) AS mape
          |FROM lagd WHERE f IS NOT NULL AND date_diff('day', fday, day) = 7
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // x81: DuckDB dayofweek (0=Sun) ≡ Spark dayofweek−1; integer calendar
+    // lookups, no FP in the key
+    "x81_weekday" ->
+      s"""WITH e AS ($E),
+         |a AS (SELECT event_type, CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) AS dow,
+         |  COUNT(*) AS n, SUM(value) AS sv FROM e GROUP BY 1, 2),
+         |t AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS tot FROM a GROUP BY 1)
+         |SELECT a.event_type, dow, n,
+         |ROUND(CAST(n AS DOUBLE) / tot, 4) AS share,
+         |ROUND(sv / n, 4) AS avg_value
+         |FROM a JOIN t USING (event_type)
+         |ORDER BY event_type, dow""".stripMargin,
 
     // x59: x20's session CTE + three shrinking stage aggregates; the
     // strict `>` ordering inside a session is on µs, tie-free per stage

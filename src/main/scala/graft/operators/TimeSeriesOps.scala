@@ -798,6 +798,28 @@ object TimeSeriesOps {
       .orderBy("event_type")
   }
 
+  /** x81 weekday seasonality profile — the day-of-week shape x80's
+    * seasonal-naive forecast presumes: per (type, weekday 0=Sun..6=Sat),
+    * event count, share of the type's weekly mass, and mean value. The
+    * readout that justifies (or kills) a lag-7 model before anyone fits
+    * one. One map-side-combined hash agg onto ≤|types|·7 rows + a
+    * broadcast totals join — q19's shape; weekday derives integer-only
+    * (Spark dayofweek−1 ≡ DuckDB dayofweek, both calendar-table lookups,
+    * no FP). */
+  def x81Weekday(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.events(s, d)
+      .select(col("event_type"), (dayofweek(col("ts")) - 1).cast("long").as("dow"),
+              col("value"))
+    val agg = base.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+    val tot = agg.groupBy("event_type").agg(sum("n").as("tot"))
+    agg.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("dow"), col("n"),
+        dround(col("n").cast("double") / col("tot").cast("double"), 4).as("share"),
+        dround(col("sv") / col("n").cast("double"), 4).as("avg_value"))
+      .orderBy("event_type", "dow")
+  }
+
   def x57Transitions(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val pairs = Tables.events(s, d)
