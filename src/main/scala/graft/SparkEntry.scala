@@ -191,6 +191,7 @@ object SparkEntry {
     "x79_attribution"     -> (TimeSeriesOps.x79Attribution _),
     "x80_backtest"        -> (TimeSeriesOps.x80Backtest _),
     "x81_weekday"         -> (TimeSeriesOps.x81Weekday _),
+    "x82_cluster_sizes"   -> (TextOps.x82ClusterSizes _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -951,6 +952,29 @@ object SparkEntry {
         |SELECT id AS doc_id, MIN(comp) AS cluster_id,
         |CAST(id = MIN(comp) AS INT) AS is_keeper
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // x82: x14's recursive-CTE labels reduced to the size histogram
+    "x82_cluster_sizes" ->
+      """WITH RECURSIVE t AS (SELECT DISTINCT doc_id, tok FROM
+        |  (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents) u),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b
+        |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS id, doc_id AS comp FROM documents
+        |  UNION
+        |  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id
+        |  WHERE r.comp < e.dst),
+        |lab AS (SELECT id, MIN(comp) AS cluster_id FROM reach GROUP BY id),
+        |cs AS (SELECT cluster_id, COUNT(*) AS size FROM lab GROUP BY 1)
+        |SELECT size, COUNT(*) AS n_clusters,
+        |CAST(size * COUNT(*) AS BIGINT) AS n_docs
+        |FROM cs GROUP BY size ORDER BY size""".stripMargin,
 
     // x48: x14's recursive-CTE cluster labels + the x15 md5-prefix split
     // rule applied to the CLUSTER id, so near-dup pairs can never straddle

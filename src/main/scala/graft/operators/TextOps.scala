@@ -261,6 +261,20 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** x82 cluster-size histogram — the dedup report's headline chart: how
+    * many near-dup clusters exist at each size (singletons = unique docs;
+    * the tail is where the duplicated mass hides). The pair cost is q53's
+    * (irreducible, BASELINE.md); everything past the labels is two
+    * aggregate-sized reductions: cluster → size, size → count. The
+    * duplicate-mass summary a curator reads is this table times its
+    * index — reported here exactly, per size. */
+  def x82ClusterSizes(s: SparkSession, d: String): DataFrame =
+    x14DedupClustersFrom(s, d, MinHashLSH.verifiedPairs(docTokens(s, d), 0.8))
+      .groupBy("cluster_id").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("size") * col("n_clusters"))
+      .orderBy("size")
+
   /** x15 deterministic stratified sampling: per-language sampling rates
     * applied as a pure hash filter — `md5(doc_id)` is uniform over hex
     * strings, so a lexicographic prefix bound IS the rate (bound '19' ≈
