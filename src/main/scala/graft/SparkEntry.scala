@@ -192,6 +192,7 @@ object SparkEntry {
     "x80_backtest"        -> (TimeSeriesOps.x80Backtest _),
     "x81_weekday"         -> (TimeSeriesOps.x81Weekday _),
     "x82_cluster_sizes"   -> (TextOps.x82ClusterSizes _),
+    "x83_bm25"            -> (TextOps.x83Bm25 _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -975,6 +976,24 @@ object SparkEntry {
         |SELECT size, COUNT(*) AS n_clusters,
         |CAST(size * COUNT(*) AS BIGINT) AS n_docs
         |FROM cs GROUP BY size ORDER BY size""".stripMargin,
+
+    // x83: same Lucene-form idf, same k1/b constants, rank on the rounded
+    // score with the doc_id tiebreak
+    "x83_bm25" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS len FROM documents),
+        |st AS (SELECT COUNT(*) AS n_docs, AVG(len) AS avglen FROM d),
+        |tf AS (SELECT doc_id, len, tok AS term, COUNT(*) AS tf FROM
+        |  (SELECT doc_id, len, UNNEST(toks) AS tok FROM d) u
+        |  WHERE tok IN ('hash', 'join', 'filter') GROUP BY 1, 2, 3),
+        |dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT doc_id, COUNT(*) AS n_terms,
+        |  ROUND(SUM(LN(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * 2.2 /
+        |    (tf + 1.2 * (0.25 + 0.75 * len / avglen))), 4) AS score
+        |  FROM tf JOIN dfr USING (term) CROSS JOIN st GROUP BY doc_id)
+        |SELECT doc_id, n_terms, score FROM
+        |(SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM sc) q
+        |WHERE r <= 20 ORDER BY score DESC, doc_id""".stripMargin,
 
     // x48: x14's recursive-CTE cluster labels + the x15 md5-prefix split
     // rule applied to the CLUSTER id, so near-dup pairs can never straddle

@@ -275,6 +275,43 @@ object TextOps {
       .withColumn("n_docs", col("size") * col("n_clusters"))
       .orderBy("size")
 
+  /** x83 BM25 retrieval — the canonical sparse ranking function, scored
+    * for a fixed 3-term query ("hash join filter", k1 = 1.2, b = 0.75,
+    * Lucene's idf = ln(1 + (N − df + 0.5)/(df + 0.5))): top-20 docs by
+    * (rounded score DESC, doc_id). The lexical half of every retrieval
+    * stack next to x08's dense ANN — hybrid search is exactly these two
+    * rankers' lists fused.
+    *
+    * Scale: term frequencies come from one explode + (doc, term) hash agg
+    * FILTERED to the query terms at the scan (3-term IN pushdown — the
+    * postings read, not a corpus tokenization); df/avglen are tiny
+    * broadcast aggregates; the rank window runs over matched docs only.
+    * All FP inputs are integer-derived (tf, df, lengths), one rounded
+    * score. */
+  def x83Bm25(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("hash", "join", "filter")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("len"), col("toks"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), avg("len").as("avglen"))
+    val tf = docs.select(col("doc_id"), col("len"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "len", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "term").crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("part",
+        col("idf") * col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("len") / col("avglen"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), dround(sum("part"), 4).as("score"))
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("r", row_number().over(w)).filter(col("r") <= 20)
+      .select("doc_id", "n_terms", "score")
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
   /** x15 deterministic stratified sampling: per-language sampling rates
     * applied as a pure hash filter — `md5(doc_id)` is uniform over hex
     * strings, so a lexicographic prefix bound IS the rate (bound '19' ≈
