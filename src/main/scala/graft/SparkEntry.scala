@@ -193,6 +193,7 @@ object SparkEntry {
     "x81_weekday"         -> (TimeSeriesOps.x81Weekday _),
     "x82_cluster_sizes"   -> (TextOps.x82ClusterSizes _),
     "x83_bm25"            -> (TextOps.x83Bm25 _),
+    "x84_rrf"             -> (TextOps.x84Rrf _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -994,6 +995,38 @@ object SparkEntry {
         |SELECT doc_id, n_terms, score FROM
         |(SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM sc) q
         |WHERE r <= 20 ORDER BY score DESC, doc_id""".stripMargin,
+
+    // x84: x83's BM25 CTE + q54's cosine form for probe 0, fused on rank
+    "x84_rrf" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS len FROM documents),
+        |st AS (SELECT COUNT(*) AS n_docs, AVG(len) AS avglen FROM d),
+        |tf AS (SELECT doc_id, len, tok AS term, COUNT(*) AS tf FROM
+        |  (SELECT doc_id, len, UNNEST(toks) AS tok FROM d) u
+        |  WHERE tok IN ('hash', 'join', 'filter') GROUP BY 1, 2, 3),
+        |dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT doc_id, ROUND(SUM(LN(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        |  * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * len / avglen))), 4) AS score
+        |  FROM tf JOIN dfr USING (term) CROSS JOIN st GROUP BY doc_id),
+        |sp AS (SELECT doc_id AS id, row_number() OVER
+        |  (ORDER BY score DESC, doc_id) AS rank_s FROM sc
+        |  QUALIFY rank_s <= 20),
+        |p AS (SELECT embedding AS p_emb FROM embeddings WHERE vec_id = 0),
+        |co AS (SELECT vec_id AS id,
+        |  ROUND(list_dot_product(CAST(p_emb AS DOUBLE[]), CAST(embedding AS DOUBLE[]))
+        |   / (SQRT(list_dot_product(CAST(p_emb AS DOUBLE[]), CAST(p_emb AS DOUBLE[])))
+        |    * SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 4) AS cos
+        |  FROM embeddings CROSS JOIN p WHERE vec_id <> 0),
+        |de AS (SELECT id, row_number() OVER (ORDER BY cos DESC, id) AS rank_d
+        |  FROM co QUALIFY rank_d <= 20),
+        |f AS (SELECT COALESCE(sp.id, de.id) AS id,
+        |  ROUND(COALESCE(1.0 / (rank_s + 60), 0) + COALESCE(1.0 / (rank_d + 60), 0), 4) AS rrf,
+        |  CAST(rank_s IS NOT NULL AS INT) AS in_sparse,
+        |  CAST(rank_d IS NOT NULL AS INT) AS in_dense
+        |  FROM sp FULL OUTER JOIN de ON sp.id = de.id)
+        |SELECT id, rrf, in_sparse, in_dense FROM
+        |(SELECT *, row_number() OVER (ORDER BY rrf DESC, id) AS r FROM f) q
+        |WHERE r <= 10 ORDER BY rrf DESC, id""".stripMargin,
 
     // x48: x14's recursive-CTE cluster labels + the x15 md5-prefix split
     // rule applied to the CLUSTER id, so near-dup pairs can never straddle

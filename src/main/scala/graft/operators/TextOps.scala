@@ -312,6 +312,44 @@ object TextOps {
       .orderBy(col("score").desc, col("doc_id"))
   }
 
+  /** x84 hybrid fusion (RRF) — the step that makes x83 + dense search a
+    * retrieval SYSTEM: reciprocal-rank fusion (k = 60) of x83's BM25
+    * top-20 with the dense top-20 around probe vector 0 (q54's exact
+    * cosine machinery), fused top-10 by (rounded RRF, id). RRF is the
+    * production fusion default because it needs no score calibration —
+    * only ranks — which also makes it oracle-friendly: every input is an
+    * integer rank, the score a sum of ≤2 exact divisions.
+    *
+    * Scale: both lists are top-k (tiny) before the fusion join touches
+    * them — the fusion itself is k-sized work regardless of corpus size;
+    * the candidate generators carry the scale story (x83's postings
+    * pushdown, x08's IVF for the dense side in production). */
+  def x84Rrf(s: SparkSession, d: String): DataFrame = {
+    val sparse = x83Bm25(s, d)
+    val ws = Window.orderBy(col("score").desc, col("doc_id"))
+    val sparseTop = sparse.withColumn("rank_s", row_number().over(ws))
+      .select(col("doc_id").as("id"), col("rank_s"))
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val probe = e.filter(col("vec_id") === 0).select(col("embedding").as("p_emb"))
+    val dense = e.crossJoin(broadcast(probe)).filter(col("vec_id") =!= 0)
+      .select(col("vec_id").as("id"),
+        dround(graft.functions.VectorExpressions.vecCosine(col("embedding"), col("p_emb")), 4).as("cos"))
+    val wd = Window.orderBy(col("cos").desc, col("id"))
+    val denseTop = dense.withColumn("rank_d", row_number().over(wd))
+      .filter(col("rank_d") <= 20).select("id", "rank_d")
+    val fused = sparseTop.join(denseTop, Seq("id"), "full_outer")
+      .select(col("id"),
+        (coalesce(lit(1.0) / (col("rank_s") + 60).cast("double"), lit(0.0)) +
+         coalesce(lit(1.0) / (col("rank_d") + 60).cast("double"), lit(0.0))).as("rrf_raw"),
+        col("rank_s").isNotNull.cast("int").as("in_sparse"),
+        col("rank_d").isNotNull.cast("int").as("in_dense"))
+      .withColumn("rrf", dround(col("rrf_raw"), 4))
+    val wf = Window.orderBy(col("rrf").desc, col("id"))
+    fused.withColumn("r", row_number().over(wf)).filter(col("r") <= 10)
+      .select("id", "rrf", "in_sparse", "in_dense")
+      .orderBy(col("rrf").desc, col("id"))
+  }
+
   /** x15 deterministic stratified sampling: per-language sampling rates
     * applied as a pure hash filter — `md5(doc_id)` is uniform over hex
     * strings, so a lexicographic prefix bound IS the rate (bound '19' ≈
