@@ -194,6 +194,7 @@ object SparkEntry {
     "x82_cluster_sizes"   -> (TextOps.x82ClusterSizes _),
     "x83_bm25"            -> (TextOps.x83Bm25 _),
     "x84_rrf"             -> (TextOps.x84Rrf _),
+    "x85_search_eval"     -> (VectorOps.x85SearchEval _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1027,6 +1028,27 @@ object SparkEntry {
         |SELECT id, rrf, in_sparse, in_dense FROM
         |(SELECT *, row_number() OVER (ORDER BY rrf DESC, id) AS r FROM f) q
         |WHERE r <= 10 ORDER BY rrf DESC, id""".stripMargin,
+
+    // x85: q54's cosine/rank form at k=10 + the label-relevance join
+    "x85_search_eval" ->
+      """WITH p AS (SELECT vec_id AS probe_id, embedding AS p_emb, label AS p_label
+        |  FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT probe_id, p_label, vec_id, label,
+        |  ROUND(list_dot_product(CAST(p_emb AS DOUBLE[]), CAST(embedding AS DOUBLE[]))
+        |   / (SQRT(list_dot_product(CAST(p_emb AS DOUBLE[]), CAST(p_emb AS DOUBLE[])))
+        |    * SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 4) AS cos
+        |  FROM embeddings CROSS JOIN p WHERE vec_id <> probe_id),
+        |t AS (SELECT probe_id, p_label, label FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY cos DESC, vec_id) AS rnk FROM c) q WHERE rnk <= 10),
+        |h AS (SELECT probe_id, p_label,
+        |  CAST(SUM(CASE WHEN label = p_label THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        |  FROM t GROUP BY 1, 2),
+        |rl AS (SELECT label AS p_label, COUNT(*) AS n_label FROM embeddings GROUP BY 1)
+        |SELECT probe_id, n_hits, CAST(n_label - 1 AS BIGINT) AS n_relevant,
+        |ROUND(CAST(n_hits AS DOUBLE) / 10.0, 4) AS p_at_10,
+        |ROUND(CAST(n_hits AS DOUBLE) / (n_label - 1), 4) AS r_at_10
+        |FROM h JOIN rl USING (p_label) ORDER BY probe_id""".stripMargin,
 
     // x48: x14's recursive-CTE cluster labels + the x15 md5-prefix split
     // rule applied to the CLUSTER id, so near-dup pairs can never straddle

@@ -75,6 +75,45 @@ object VectorOps {
       .orderBy("probe_id", "rnk")
   }
 
+  /** x85 retrieval evaluation — the IR scorecard for the exact dense
+    * searcher: per probe (vec_id < 10), precision@10 and recall@10 of the
+    * cosine top-10 against the LABEL ground truth (same-label vectors are
+    * the relevant set). x37 gates the IVF index against the exact
+    * searcher; THIS gates the exact searcher against semantics — together
+    * they are the two rungs of a retrieval-quality ladder (index ≈ exact,
+    * exact ≈ relevant). On the near-uniform fixture precision is honestly
+    * low (documented like x37's fixture rejection); on clustered corpora
+    * the same scorecard certifies.
+    *
+    * Scale: the top-10 ranking is q54's broadcast probe pattern; the
+    * relevance join is |probes·10| rows against a broadcast label map;
+    * ratios are exact integer divisions rounded once. */
+  def x85SearchEval(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"),
+              col("label").as("p_label"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    val top = e.select(col("vec_id"), col("embedding"), col("label"))
+      .crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", dround(cosine(col("p_emb"), col("embedding")), 4))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+    val hits = top.groupBy("probe_id", "p_label")
+      .agg(sum((col("label") === col("p_label")).cast("long")).as("n_hits"))
+    val relevant = e.select(col("label").as("p_label"))
+      .groupBy("p_label").agg(count(lit(1)).as("n_label"))
+    hits.join(broadcast(relevant), "p_label")
+      .select(col("probe_id"), col("n_hits"),
+        // the probe itself is excluded from candidates, so its own row
+        // does not count as relevant mass either
+        (col("n_label") - 1).as("n_relevant"),
+        dround(col("n_hits").cast("double") / 10.0, 4).as("p_at_10"),
+        dround(col("n_hits").cast("double") / (col("n_label") - 1).cast("double"), 4).as("r_at_10"))
+      .orderBy("probe_id")
+  }
+
   /** Q57 multimodal column checksum: ARRAY<FLOAT> stored/retrieved natively;
     * per-label element-sum checksums. */
   def q57(s: SparkSession, d: String): DataFrame =
