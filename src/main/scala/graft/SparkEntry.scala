@@ -195,6 +195,13 @@ object SparkEntry {
     "x83_bm25"            -> (TextOps.x83Bm25 _),
     "x84_rrf"             -> (TextOps.x84Rrf _),
     "x85_search_eval"     -> (VectorOps.x85SearchEval _),
+    "x86_cusum"           -> (TimeSeriesOps.x86Cusum _),
+    "x87_ewma"            -> (TimeSeriesOps.x87Ewma _),
+    "x88_benford"         -> (RelationalOps.x88Benford _),
+    "x89_kanon"           -> (TextOps.x89KAnon _),
+    "x90_path_trigrams"   -> (TimeSeriesOps.x90PathTrigrams _),
+    "x91_scd2"            -> (TimeSeriesOps.x91Scd2 _),
+    "x92_corr_pairs"      -> (TimeSeriesOps.x92CorrPairs _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1979,5 +1986,126 @@ object SparkEntry {
         |ROUND(CAST(COALESCE(novel, 0) AS DOUBLE) / n_distinct, 4) AS novelty
         |FROM tot LEFT JOIN nv ON tot.source = nv.source
         |ORDER BY tot.source""".stripMargin,
+
+    // x86: all-integer CUSUM — exact cents, BIGINT prefix sums, the peak
+    // position tie-broken to the smallest event_id via FILTER on the
+    // windowed max
+    "x86_cusum" ->
+      s"""WITH e AS ($E),
+         |g AS (SELECT user_id, ts, event_id,
+         |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents FROM e),
+         |w AS (SELECT user_id, event_id,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS i,
+         |  CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c FROM g),
+         |t AS (SELECT user_id, COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS tot FROM g GROUP BY 1),
+         |dv AS (SELECT w.user_id, event_id, n, ABS(n * c - i * tot) AS dev
+         |  FROM w JOIN t USING (user_id)),
+         |mx AS (SELECT *, MAX(dev) OVER (PARTITION BY user_id) AS md FROM dv)
+         |SELECT user_id, n, MAX(dev) AS peak_dev,
+         |MIN(event_id) FILTER (WHERE dev = md) AS peak_event
+         |FROM mx GROUP BY user_id, n ORDER BY user_id""".stripMargin,
+
+    // x87: the weight ladder 3^(r−1)·4^(8−r) as an exact literal list on
+    // both sides; numerator/denominator are BIGINT sums, one rounded divide
+    "x87_ewma" ->
+      s"""WITH e AS ($E),
+         |g AS (SELECT user_id,
+         |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS BIGINT) AS r
+         |  FROM e),
+         |k AS (SELECT user_id, cents,
+         |  [16384, 12288, 9216, 6912, 5184, 3888, 2916, 2187][CAST(r AS INT)] AS wt
+         |  FROM g WHERE r <= 8)
+         |SELECT user_id, COUNT(*) AS n_taps,
+         |ROUND(CAST(SUM(cents * wt) AS DOUBLE) / CAST(SUM(wt) * 100 AS DOUBLE), 4) AS ewma
+         |FROM k GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // x88: digit from the exact-cents integer STRING — no log10 (libm
+    // last-ulp differences flip the digit exactly at powers of ten)
+    "x88_benford" ->
+      """WITH d AS (SELECT SUBSTR(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS digit FROM lineitem),
+        |a AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM a)
+        |SELECT digit, n, ROUND(CAST(n AS DOUBLE) / tot, 4) AS share
+        |FROM a, t ORDER BY digit""".stripMargin,
+
+    // x89: integer floor-division length buckets (n_chars > 0, so Spark's
+    // truncating cast ≡ DuckDB's //)
+    "x89_kanon" ->
+      """WITH c AS (SELECT lang, source, CAST(n_chars AS BIGINT) // 100 AS len_bucket,
+        |  COUNT(*) AS sz FROM documents GROUP BY 1, 2, 3)
+        |SELECT lang, COUNT(*) AS n_groups,
+        |CAST(SUM(CASE WHEN sz < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
+        |MIN(sz) AS min_size,
+        |ROUND(CAST(SUM(CASE WHEN sz < 5 THEN sz ELSE 0 END) AS DOUBLE)
+        |  / CAST(SUM(sz) AS DOUBLE), 4) AS risk_share
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // x90: x20's session CTE + two leads; the same-island equality filter
+    // replaces any pairwise join
+    "x90_path_trigrams" ->
+      s"""WITH e AS ($E),
+         |g AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e),
+         |b AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 21600000000 THEN 1 ELSE 0 END AS brk FROM g),
+         |s AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess FROM b),
+         |tri AS (SELECT event_type AS t1,
+         |  lead(event_type, 1) OVER w AS t2, lead(event_type, 2) OVER w AS t3,
+         |  sess, lead(sess, 2) OVER w AS s3 FROM s
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+         |SELECT t1, t2, t3, COUNT(*) AS n FROM tri
+         |WHERE t3 IS NOT NULL AND s3 = sess
+         |GROUP BY 1, 2, 3 ORDER BY n DESC, t1, t2, t3 LIMIT 20""".stripMargin,
+
+    // x91: rn − rn_by_type islands; all-integer until the one rounded mean
+    "x91_scd2" ->
+      s"""WITH e AS ($E),
+         |r AS (SELECT user_id, event_type,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+         |  - CAST(ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS BIGINT) AS island
+         |  FROM e),
+         |runs AS (SELECT user_id, event_type, island, COUNT(*) AS len FROM r GROUP BY 1, 2, 3)
+         |SELECT event_type, COUNT(*) AS n_intervals,
+         |ROUND(CAST(SUM(len) AS DOUBLE) / COUNT(*), 4) AS avg_run,
+         |MAX(len) AS max_run
+         |FROM runs GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // x92: long-form self-join twin of the pivot+constant-width-moments
+    // plan; every moment is exact (HUGEINT ≡ Spark DECIMAL(38,0)), the
+    // single double step is the same sqrt-of-one-product divide
+    "x92_corr_pairs" ->
+      s"""WITH e AS ($E),
+         |cell AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, event_type,
+         |  SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+         |  FROM e GROUP BY 1, 2, 3),
+         |p AS (SELECT user_id, day,
+         |  COALESCE(SUM(CASE WHEN event_type = 'click' THEN cents END), 0) AS click,
+         |  COALESCE(SUM(CASE WHEN event_type = 'error' THEN cents END), 0) AS error,
+         |  COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN cents END), 0) AS purchase,
+         |  COALESCE(SUM(CASE WHEN event_type = 'signup' THEN cents END), 0) AS signup,
+         |  COALESCE(SUM(CASE WHEN event_type = 'view' THEN cents END), 0) AS view
+         |  FROM cell GROUP BY 1, 2),
+         |l AS (SELECT user_id, day, 'click' AS t, click AS v FROM p
+         |  UNION ALL SELECT user_id, day, 'error', error FROM p
+         |  UNION ALL SELECT user_id, day, 'purchase', purchase FROM p
+         |  UNION ALL SELECT user_id, day, 'signup', signup FROM p
+         |  UNION ALL SELECT user_id, day, 'view', view FROM p),
+         |j AS (SELECT a.t AS type_a, b.t AS type_b, a.v AS x, b.v AS y
+         |  FROM l a JOIN l b ON a.user_id = b.user_id AND a.day = b.day
+         |  WHERE a.t < b.t),
+         |mo AS (SELECT type_a, type_b, CAST(COUNT(*) AS HUGEINT) AS n,
+         |  CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+         |  SUM(CAST(x AS HUGEINT) * x) AS sxx, SUM(CAST(y AS HUGEINT) * y) AS syy,
+         |  SUM(CAST(x AS HUGEINT) * y) AS sxy
+         |  FROM j GROUP BY 1, 2)
+         |SELECT type_a, type_b,
+         |ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+         |  / SQRT(CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE)), 4) AS corr
+         |FROM mo
+         |WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+         |ORDER BY type_a, type_b""".stripMargin,
   )
 }

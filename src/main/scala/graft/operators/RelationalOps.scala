@@ -351,4 +351,24 @@ object RelationalOps {
       .select("event_type", "user_id")
       .distinct()
       .orderBy("event_type", "user_id")
+
+  /** x88 Benford first-digit audit — the fabricated-data smell test a
+    * data-quality gate runs over monetary columns: the distribution of
+    * leading significant digits of l_extendedprice. The digit derives
+    * INTEGER-only: exact cents (decimal(18,2) cast, the x25/x86 path)
+    * formatted as an integer string, first character — no log10, whose
+    * last-ulp libm differences across engines would flip the digit
+    * exactly at powers of ten. One map-side-combined hash agg onto ≤9
+    * rows + a scalar total broadcast; trivially 100 TB-safe. */
+  def x88Benford(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(substring((col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long").cast("string"), 1, 1).as("digit"))
+    val agg = li.groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = agg.agg(sum("n").as("tot"))
+    agg.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        dround(col("n").cast("double") / col("tot").cast("double"), 4).as("share"))
+      .orderBy("digit")
+  }
 }

@@ -1489,4 +1489,28 @@ object TextOps {
               (col("pred_lang") === col("lang")).cast("int").as("hit"))
       .orderBy("doc_id")
   }
+
+  /** x89 k-anonymity audit — the re-identification readout a privacy
+    * review runs before releasing a corpus: group documents by the
+    * quasi-identifier (lang, source, n_chars÷100 length bucket) and
+    * report, per lang, how many QI groups exist, how many fall below
+    * k = 5 members, the smallest group, and the fraction of documents
+    * sitting in a below-k group (the rows actually at risk). Two
+    * map-side-combined hash aggs (QI cells, then per-lang rollup) —
+    * group count is bounded by the QI domain, not the corpus, so the
+    * reduction is constant-width at any scale. All-integer until the
+    * one final rounded share. */
+  def x89KAnon(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"),
+        (col("n_chars").cast("long") / 100).cast("long").as("len_bucket"))
+      .agg(count(lit(1)).as("sz"))
+    cells.groupBy("lang")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("sz") < 5, 1L).otherwise(0L)).as("n_small"),
+        min("sz").as("min_size"),
+        dround(sum(when(col("sz") < 5, col("sz")).otherwise(0L)).cast("double")
+          / sum("sz").cast("double"), 4).as("risk_share"))
+      .orderBy("lang")
+  }
 }

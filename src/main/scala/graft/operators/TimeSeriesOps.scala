@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.Rounding.dround
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -832,5 +832,179 @@ object TimeSeriesOps {
       .select(col("event_type"), col("next_type"), col("n"),
         dround(col("n").cast("double") / col("tot").cast("double"), 4).as("p"))
       .orderBy("event_type", "next_type")
+  }
+
+  /** x86 CUSUM change scan — the changepoint readout a drift monitor runs
+    * per series: for each user's value stream (ts, event_id order), the
+    * peak absolute CUSUM deviation. The statistic is kept ALL-INTEGER so
+    * the hash is exact across engines: with cents v_i = ts-ordered values
+    * at 2 decimals ×100, prefix sums C_i and total T over n points, the
+    * deviation at i is |n·C_i − i·T| (the mean-centered CUSUM scaled by
+    * n·100 — scale-free for argmax/threshold purposes, no double mean, no
+    * σ division anywhere). Reported: n, the peak, and the event_id where
+    * the peak is first attained (min event_id among argmax positions — a
+    * deterministic tie-break).
+    *
+    * Scale: one shuffle on user_id (high-cardinality — the q29 lesson),
+    * two window passes over the same sort, one hash agg. Peak magnitudes
+    * bound by n·Σ|v| ≤ 1e5·1e9 per user — BIGINT-safe by orders of
+    * magnitude. */
+  def x86Cusum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scanned = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("c", sum("cents").over(run))
+    val totals = scanned.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("cents").as("t"))
+    scanned.join(totals, "user_id")
+      .withColumn("dev", abs(col("n") * col("c") - col("i") * col("t")))
+      .groupBy("user_id")
+      .agg(max("n").as("n"), max("dev").as("peak_dev"),
+        min_by(col("event_id"), struct(-col("dev"), col("event_id")))
+          .as("peak_event"))
+      .orderBy("user_id")
+  }
+
+  /** x87 finite-window EWMA — the last-value smoother a feature store
+    * materializes per entity: over each user's final up-to-8 events
+    * (recency rank r = 1 newest), weights (1−α)^(r−1) with α = 1/4,
+    * normalized over the taps present. The weight ladder is EXACT
+    * integers: (3/4)^(r−1) × 4^7 = 3^(r−1)·4^(8−r), so numerator
+    * Σ cents·w and denominator Σ w are BIGINT sums and the ONLY double is
+    * the final rounded division — no float accumulation order anywhere.
+    *
+    * Scale: rank + filter keeps ≤8 rows per user before the aggregate, so
+    * the shuffle after the window carries 8·|users| tiny rows; the window
+    * itself is the one user_id shuffle every per-series op here shares. */
+  def x87Ewma(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("r", row_number().over(w).cast("long"))
+      .filter(col("r") <= 8)
+      // 3^(r−1)·4^(8−r) for r = 1..8, spelled as an exact literal ladder —
+      // no libm pow whose cast-truncation could flip a weight by one
+      .withColumn("wt", element_at(
+        array(Seq(16384L, 12288L, 9216L, 6912L, 5184L, 3888L, 2916L, 2187L)
+          .map(lit): _*), col("r").cast("int")))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_taps"),
+        dround(sum(col("cents") * col("wt")).cast("double")
+          / (sum("wt") * 100).cast("double"), 4).as("ewma"))
+      .orderBy("user_id")
+  }
+
+  /** x90 session path trigrams — the sequential-pattern mining step a
+    * behavioral model starts from: within x20's 6-hour-gap sessions,
+    * every three consecutive event types, counted corpus-wide, top 20 by
+    * (n DESC, path). Two leads over the one user-shuffled sort; the
+    * session-id equality filter (same island for all three) replaces a
+    * pairwise self-join — no quadratic candidate step. Count-ordered
+    * with the full path as tie-break: deterministic. */
+  def x90PathTrigrams(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 6L * 3600L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .withColumn("brk",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum("brk").over(run))
+      .withColumn("t2", lead("event_type", 1).over(w))
+      .withColumn("t3", lead("event_type", 2).over(w))
+      .withColumn("s3", lead("sess", 2).over(w))
+      .filter(col("t3").isNotNull && col("s3") === col("sess"))
+      .groupBy(col("event_type").as("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+      .limit(20)
+  }
+
+  /** x91 SCD2 state intervals — the slowly-changing-dimension build every
+    * warehouse runs over an event stream: per user, maximal runs of equal
+    * event_type in (ts, event_id) order (the current-state intervals a
+    * type-2 dimension row would carry), summarized per type as interval
+    * count, mean run length, and longest run. Islands come from the
+    * rn − rn_by_type difference — two window passes over the SAME
+    * user_id sort (one shuffle; the per-(user,type) rank reuses the
+    * partition), then one hash agg. All-integer until the final rounded
+    * mean. */
+  def x91Scd2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wt = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    val runs = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("island",
+        row_number().over(w).cast("long") - row_number().over(wt).cast("long"))
+      .groupBy("user_id", "event_type", "island")
+      .agg(count(lit(1)).as("len"))
+    runs.groupBy("event_type")
+      .agg(count(lit(1)).as("n_intervals"),
+        dround(sum("len").cast("double") / count(lit(1)).cast("double"), 4)
+          .as("avg_run"),
+        max("len").as("max_run"))
+      .orderBy("event_type")
+  }
+
+  /** x92 cross-metric correlation — the dependence matrix a feature
+    * auditor reads before co-training on per-entity daily aggregates:
+    * Pearson correlation between event types over per-(user, day) value
+    * sums, one row per unordered type pair. The moments are EXACT:
+    * per-cell sums are cents (BIGINT), and nΣxy − ΣxΣy / variance terms
+    * are computed in DECIMAL(38,0) (bounded ~1e22 here — far inside 38
+    * digits), so both engines divide the SAME two exact integers; the
+    * single double step is sqrt(d1·d2) of one exact product, then the
+    * rounded division. Zero-variance guard is an explicit filter (the
+    * x25 knife-edge rule).
+    *
+    * Scale: one (user, day) hash agg (map-side combined), a 5-way pivot
+    * to one row per cell, then a CONSTANT-width aggregate (10 pairs ×
+    * 5 moments) — the reduction is independent of corpus size, x51's
+    * tree-aggregate shape. */
+  def x92CorrPairs(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val cells = Tables.events(s, d)
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("event_type"))
+      .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("cents"))
+      .groupBy("user_id", "day")
+      .pivot("event_type", types)
+      .agg(first("cents"))
+      .na.fill(0L, types)
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val pairs = for {
+      i <- types.indices; j <- types.indices if i < j
+    } yield (types(i), types(j))
+    val moments = cells.agg(
+      count(lit(1)).as("n"),
+      pairs.flatMap { case (a, b) => Seq(
+        sum(col(a)).as(s"sx_$a$b"), sum(col(b)).as(s"sy_$a$b"),
+        sum(dec(col(a)) * dec(col(a))).as(s"sxx_$a$b"),
+        sum(dec(col(b)) * dec(col(b))).as(s"syy_$a$b"),
+        sum(dec(col(a)) * dec(col(b))).as(s"sxy_$a$b"))
+      }: _*)
+    val rows = pairs.map { case (a, b) =>
+      val n = dec(col("n")); val k = s"$a$b"
+      val num = n * col(s"sxy_$k") - dec(col(s"sx_$k")) * dec(col(s"sy_$k"))
+      val d1 = n * col(s"sxx_$k") - dec(col(s"sx_$k")) * dec(col(s"sx_$k"))
+      val d2 = n * col(s"syy_$k") - dec(col(s"sy_$k")) * dec(col(s"sy_$k"))
+      struct(lit(a).as("type_a"), lit(b).as("type_b"),
+        d1.as("d1"), d2.as("d2"),
+        num.cast("double").as("numd"), (d1 * d2).cast("double").as("dend"))
+    }
+    moments.select(explode(array(rows: _*)).as("p"))
+      .select(col("p.*"))
+      .filter(col("d1") > 0 && col("d2") > 0)
+      .select(col("type_a"), col("type_b"),
+        dround(col("numd") / sqrt(col("dend")), 4).as("corr"))
+      .orderBy("type_a", "type_b")
   }
 }
