@@ -736,4 +736,80 @@ object StreamOps {
         ()
       }
       .start()
+
+  /** Running exact moments per series: point count, Σcents, Σcents². */
+  case class AnomState(n: Long, s: Long, q: Long)
+  case class AnomPoint(user_id: Long, event_type: String, event_id: Long,
+                       us: Long, cents: Long)
+  case class AnomFlag(user_id: Long, event_type: String, event_id: Long,
+                      cents: Long, n_prior: Long)
+
+  /** ST20: continuous anomaly flagging — the streaming counterpart of
+    * x25's z-score gate, per (user_id, event_type) series. State is the
+    * EXACT integer moment triple (n, Σv, Σv²) over all previously
+    * processed points of the series; an arriving point with cents v is
+    * flagged when its z-score against that PRIOR history satisfies
+    * |z| ≥ λ, evaluated entirely in integers:
+    *
+    *   (v·n − S)²·(n−1) ≥ λ²·n·(n·Q − S²),  requiring n ≥ minN and
+    *   n·Q − S² > 0 (constant-history series never flag — the x25
+    *   divide-by-zero knife-edge rule, applied at the source).
+    *
+    * No float accumulates across points, so the emitted flag set is
+    * bit-determined by the point order alone — StreamingSpec asserts it
+    * equals the batch exclusive-prefix-window computation over the same
+    * rows, whole-stream and split across micro-batches. The predicate is
+    * evaluated in BigInt: n·Q reaches ~1e19 (past Long) for a
+    * 100k-point series of full-range cents, and the state triple itself
+    * stays in Long territory to ~1e14 points per series.
+    *
+    * Within one micro-batch the per-key rows are sorted by (us,
+    * event_id) before folding — shuffle order into handleInputRows is
+    * not deterministic, series time order is the declared order. Across
+    * batches, arrival order IS the stream's time order (ingest is
+    * source-ordered per series; late points belong to ST9's buffered
+    * as-of machinery, not here). State is one 24-byte triple per LIVE
+    * series — O(cardinality), not O(points); age out retired series
+    * with a TTL exactly as ST10 does. */
+  class AnomalyProcessor(minN: Long, lambda2: Long)
+      extends StatefulProcessor[(Long, String), AnomPoint, AnomFlag] {
+    @transient private var st: ValueState[AnomState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[AnomState]("mom",
+        Encoders.product[AnomState], TTLConfig.NONE)
+
+    override def handleInputRows(key: (Long, String), rows: Iterator[AnomPoint],
+                                 timerValues: TimerValues): Iterator[AnomFlag] = {
+      var cur = if (st.exists()) st.get() else AnomState(0L, 0L, 0L)
+      val out = scala.collection.mutable.ArrayBuffer[AnomFlag]()
+      rows.toArray.sortBy(p => (p.us, p.event_id)).foreach { p =>
+        val n = BigInt(cur.n); val s = BigInt(cur.s); val q = BigInt(cur.q)
+        val v = BigInt(p.cents)
+        if (cur.n >= minN) {
+          val d   = n * q - s * s
+          val dev = v * n - s
+          if (d > 0 && dev * dev * (n - 1) >= BigInt(lambda2) * n * d)
+            out += AnomFlag(p.user_id, p.event_type, p.event_id, p.cents, cur.n)
+        }
+        cur = AnomState(cur.n + 1, cur.s + p.cents, cur.q + p.cents * p.cents)
+      }
+      st.update(cur)
+      out.iterator
+    }
+  }
+
+  /** ST20 entry: events with a `cents` column keyed by series, folded
+    * through [[AnomalyProcessor]] (λ² = 9 i.e. |z| ≥ 3, minN = 8). */
+  def anomalyFlags(events: DataFrame, minN: Long = 8L,
+                   lambda2: Long = 9L): Dataset[AnomFlag] = {
+    import events.sparkSession.implicits._
+    events.select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as[AnomPoint]
+      .groupByKey(p => (p.user_id, p.event_type))
+      .transformWithState(new AnomalyProcessor(minN, lambda2),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

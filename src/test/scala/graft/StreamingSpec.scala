@@ -618,4 +618,84 @@ class StreamingSpec extends SparkSpecBase {
     val got = spark.table("st16b").select("click_id").as[Long].collect().toSet
     assert(got === Set(2L), s"late click must not produce a join row, got $got")
   }
+
+  /** The batch reference for ST20: the identical integer predicate over
+    * EXCLUSIVE prefix moments per (user_id, event_type) in (ts, event_id)
+    * order. */
+  private def batchAnomalyFlags(minN: Long, lambda2: Long): Set[Long] = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    batchEvents
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", coalesce(sum("cents").over(w), lit(0L)))
+      .withColumn("q", coalesce(sum(col("cents") * col("cents")).over(w), lit(0L)))
+      .filter(col("n") >= minN)
+      .filter(col("n") * col("q") - col("s") * col("s") > 0)
+      // exact decimal arithmetic — dev² would overrun double's 2^53 on
+      // long full-range series, and the stream side is BigInt-exact
+      .withColumn("dev", (col("cents") * col("n") - col("s")).cast("decimal(38,0)"))
+      .withColumn("d", (col("n") * col("q") - col("s") * col("s")).cast("decimal(38,0)"))
+      .filter(col("dev") * col("dev") * (col("n") - 1).cast("decimal(38,0)")
+        >= lit(lambda2).cast("decimal(38,0)") * col("n").cast("decimal(38,0)") * col("d"))
+      .select("event_id").collect().map(_.getLong(0)).toSet
+  }
+
+  test("ST20 streaming anomaly flags equal the batch prefix z-score gate") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      val expect = batchAnomalyFlags(8L, 9L)
+      val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+      val src = Tables.normalizeTs(spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+      val q = StreamOps.anomalyFlags(src).toDF()
+        .writeStream.format("memory").queryName("st20").outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val got = spark.table("st20").select("event_id").as[Long].collect()
+      assert(got.length === got.toSet.size, "a point was flagged twice")
+      assert(got.toSet === expect)
+      assert(expect.nonEmpty, "fixture produced no anomalies — test is vacuous")
+    } finally {
+      prior match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
+  test("ST20 state carries moments across micro-batches") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long, Timestamp, Double)]
+    val events = input.toDF()
+      .toDF("user_id", "event_type", "event_id", "ts", "value")
+    val q = StreamOps.anomalyFlags(events, minN = 4L, lambda2 = 9L).toDF()
+      .writeStream.format("memory").queryName("st20b").outputMode("append").start()
+    def p(id: Long, mm: Int, v: Double) =
+      (7L, "click", id, Timestamp.valueOf(f"2024-01-01 10:$mm%02d:00"), v)
+    // batch 1: a flat history — nothing flaggable yet (n < minN at each)
+    input.addData(p(1, 1, 10.0), p(2, 2, 10.2), p(3, 3, 9.8), p(4, 4, 10.1))
+    q.processAllAvailable()
+    assert(spark.table("st20b").count() === 0)
+    // batch 2: a wild point against the CARRIED 4-point history flags;
+    // the follow-up normal point (history now includes the spike) does not
+    input.addData(p(5, 5, 500.0), p(6, 6, 10.0))
+    q.processAllAvailable()
+    q.stop()
+    val flagged = spark.table("st20b").select("event_id").as[Long].collect().toSet
+    assert(flagged === Set(5L), s"expected exactly the spike, got $flagged")
+    } finally {
+      prior match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
 }
