@@ -406,6 +406,60 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("Window"), s"unexpected window:\n$p")
   }
 
+  test("x86/x87/x90/x91: every series window partitions by user_id, never by type") {
+    // the q29 lesson, pinned for the round-8 series ops: window partition
+    // keys must be the high-cardinality series key (user_id[, event_type]),
+    // never the 5-value event_type alone
+    for (df <- Seq(operators.TimeSeriesOps.x86Cusum(spark, sfDir),
+                   operators.TimeSeriesOps.x87Ewma(spark, sfDir),
+                   operators.TimeSeriesOps.x90PathTrigrams(spark, sfDir),
+                   operators.TimeSeriesOps.x91Scd2(spark, sfDir))) {
+      import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+      val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(windows.nonEmpty, "expected at least one window")
+      windows.foreach { w =>
+        val keys = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+        assert(keys.contains("user_id"),
+          s"window partitions by $keys — missing the high-cardinality series key")
+      }
+      val p = planOf(df)
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    }
+  }
+
+  test("x87: rank ≤ 8 compiles to a map-side WindowGroupLimit under the shuffle") {
+    // the rank filter must become Spark's WindowGroupLimit with a PARTIAL
+    // pass below the exchange: each map task forwards at most 8 rows per
+    // user, so the user_id shuffle carries ≤8·|users| rows — not the corpus
+    val p = planOf(operators.TimeSeriesOps.x87Ewma(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"), s"rank filter not group-limited:\n$p")
+    assert(p.contains("Partial"), s"no map-side window group limit:\n$p")
+  }
+
+  test("x92: constant-width moment reduction — no window, no join over cells") {
+    val p = planOf(operators.TimeSeriesOps.x92CorrPairs(spark, sfDir))
+    // the twin's long-form self-join is the SEMANTICS; the plan must be the
+    // pivot + one constant-width aggregate (x51's tree-reduce shape):
+    // a self-join or per-pair window over cells would rescan per pair
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"pair moments must not join cell tables:\n$p")
+    assert(!p.contains("Window"), s"unexpected window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("HashAggregate"), s"moment aggregate not hash-based:\n$p")
+  }
+
+  test("x88/x89: pure hash-aggregate audits — no window, no product joins") {
+    for (df <- Seq(operators.RelationalOps.x88Benford(spark, sfDir),
+                   operators.TextOps.x89KAnon(spark, sfDir))) {
+      val p = planOf(df)
+      assert(p.contains("HashAggregate"), s"hash agg missing:\n$p")
+      assert(!p.contains("Window"), s"unexpected window:\n$p")
+      assert(!p.contains("CartesianProduct"), p)
+      // the only tolerated nested loop is x88's broadcast of its 1-row total
+      assert(!p.replace("BroadcastNestedLoopJoin", "").contains("NestedLoop"), p)
+    }
+  }
+
   test("nanos pushdown rule is a no-op on non-matching filters") {
     // value is a plain double column: the rule must not touch this plan
     val df = Tables.events(spark, sfDir).filter("value > 100")
