@@ -202,6 +202,10 @@ object SparkEntry {
     "x90_path_trigrams"   -> (TimeSeriesOps.x90PathTrigrams _),
     "x91_scd2"            -> (TimeSeriesOps.x91Scd2 _),
     "x92_corr_pairs"      -> (TimeSeriesOps.x92CorrPairs _),
+    "x93_containment"     -> (TextOps.x93Containment _),
+    "x94_stopwords"       -> (TextOps.x94Stopwords _),
+    "x95_bpe_pairs"       -> (TextOps.x95BpePairs _),
+    "x98_psi_drift"       -> (TimeSeriesOps.x98PsiDrift _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2107,5 +2111,65 @@ object SparkEntry {
          |FROM mo
          |WHERE (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
          |ORDER BY type_a, type_b""".stripMargin,
+
+    // x93: q53's pair CTE at the 0.5 floor + the integer containment gate
+    // (10·|∩| ≥ 9·min) — no double in either engine's filter
+    "x93_containment" ->
+      """WITH t AS (SELECT DISTINCT doc_id, tok FROM
+        |  (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents) u),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS j,
+        |ROUND(CAST(i AS DOUBLE) / LEAST(sa.n, sb.n), 4) AS containment
+        |FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+        |AND i * 10 >= LEAST(sa.n, sb.n) * 9
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // x94: distinct (doc, tok) df counts; deterministic (df DESC, tok) top-30
+    "x94_stopwords" ->
+      """WITH t AS (SELECT DISTINCT doc_id, tok FROM
+        |  (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents) u),
+        |d AS (SELECT tok, COUNT(*) AS df FROM t GROUP BY tok),
+        |n AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT tok, df, ROUND(CAST(df AS DOUBLE) / n, 4) AS df_share
+        |FROM d, n ORDER BY df DESC, tok LIMIT 30""".stripMargin,
+
+    // x95: adjacent char pairs inside words — substr is character-based
+    // (UTF-8-aware) in BOTH engines, so the zh docs pair identically
+    "x95_bpe_pairs" ->
+      """WITH w AS (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents),
+        |p AS (SELECT UNNEST(list_transform(generate_series(1, length(word) - 1),
+        |  i -> substr(word, i, 2))) AS pair FROM w WHERE length(word) >= 2)
+        |SELECT pair, COUNT(*) AS n FROM p GROUP BY 1
+        |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    // x98: fixed bin edges + full 14-bin Laplace grid on both sides;
+    // ln-sum rounding under x18/x67's precedent
+    "x98_psi_drift" ->
+      s"""WITH e AS ($E),
+         |b AS (SELECT event_type,
+         |  CASE WHEN ts < TIMESTAMP '2024-01-15 12:00:00' THEN 'a' ELSE 'b' END AS half,
+         |  LEAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 2500, 13) AS bin FROM e),
+         |c AS (SELECT event_type, half, bin, COUNT(*) AS c FROM b GROUP BY 1, 2, 3),
+         |grid AS (SELECT DISTINCT event_type, g.bin FROM c,
+         |  (SELECT UNNEST(generate_series(0, 13)) AS bin) g),
+         |na AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_a FROM c WHERE half = 'a' GROUP BY 1),
+         |nb AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_b FROM c WHERE half = 'b' GROUP BY 1),
+         |pa AS (SELECT g.event_type, g.bin,
+         |  CAST(COALESCE(ca.c, 0) + 1 AS DOUBLE) / (n_a + 14) AS p_a, n_a
+         |  FROM grid g LEFT JOIN (SELECT * FROM c WHERE half = 'a') ca
+         |    ON g.event_type = ca.event_type AND g.bin = ca.bin
+         |  JOIN na ON na.event_type = g.event_type),
+         |pb AS (SELECT g.event_type, g.bin,
+         |  CAST(COALESCE(cb.c, 0) + 1 AS DOUBLE) / (n_b + 14) AS p_b, n_b
+         |  FROM grid g LEFT JOIN (SELECT * FROM c WHERE half = 'b') cb
+         |    ON g.event_type = cb.event_type AND g.bin = cb.bin
+         |  JOIN nb ON nb.event_type = g.event_type)
+         |SELECT event_type, MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+         |ROUND(SUM((p_a - p_b) * LN(p_a / p_b)), 4) AS psi
+         |FROM pa JOIN pb USING (event_type, bin)
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

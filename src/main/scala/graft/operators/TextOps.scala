@@ -1490,6 +1490,89 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** x93 containment near-dup — the subset-duplication readout Jaccard
+    * misses by construction: among structural near-dups (exact Jaccard ≥
+    * 0.5 over word sets, LSH-generated candidates), every pair whose
+    * CONTAINMENT |A∩B| / min(|A|,|B|) ≥ 0.9 — the smaller document is
+    * essentially inside the larger. Reported with both coefficients, so a
+    * dedup policy can kill subset-copies that a pure j ≥ 0.8 gate keeps.
+    *
+    * The Jaccard floor is part of the declared semantics: candidates come
+    * from the j ≥ 0.5 band index, so a tiny doc buried in a 100× larger
+    * one (containment 1.0, Jaccard ≈ 0.01) is out of scope here — that
+    * regime needs a prefix-filtering index keyed on the smaller side's
+    * rare tokens, which is a different storage structure, not a variant
+    * of this query. Scale = verifiedPairs' (band equi-join, early-exit
+    * verify); the containment arithmetic is two integer set sizes already
+    * carried by the pair list.
+    *
+    * The 0.5 floor needs a deeper band index than the 0.8-tuned default:
+    * at r=2, b=32 a true pair AT j=0.5 is missed with (1−0.25)^32 ≈ 1e-4 —
+    * measured as 4 lost pairs in 6M at sf0.1. r=2, b=128 puts the miss at
+    * (1−0.25)^128 ≈ 1e-16: verified-exact again, for 4× the signature
+    * kernel work (still one scan) and 4× the banded probe rows — the
+    * low-threshold recall/candidate-mass trade the Params scaladoc
+    * derives. */
+  def x93Containment(s: SparkSession, d: String): DataFrame = {
+    val sets = docTokens(s, d)
+      .select(col("id"), array_sort(transform(array_distinct(col("toks")),
+        t => xxhash64(t))).as("set"))
+      .select(col("id"), col("set"), size(col("set")).cast("long").as("sz"))
+    MinHashLSH.verifiedPairs(docTokens(s, d), 0.5,
+        p = MinHashLSH.Params(numPerm = 256, rows = 2))
+      .join(sets.select(col("id").as("id_a"), col("sz").as("sz_a"),
+        col("set").as("set_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sz").as("sz_b"),
+        col("set").as("set_b")), "id_b")
+      .withColumn("inter", graft.functions.VectorExpressions
+        .sortedIntersect(col("set_a"), col("set_b")).cast("long"))
+      // integer containment gate: 10·|∩| ≥ 9·min — no double in the filter
+      .filter(col("inter") * 10 >= least(col("sz_a"), col("sz_b")) * 9)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("j"),
+        dround(col("inter").cast("double")
+          / least(col("sz_a"), col("sz_b")).cast("double"), 4).as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** x94 corpus-driven stopword discovery — the df-ratio list a retrieval
+    * or quality pipeline derives BEFORE hand-curating stopwords: distinct
+    * (doc, token) document frequencies, top 30 tokens by (df DESC, token).
+    * One explode→distinct→hash-agg cascade; the top-k is
+    * TakeOrderedAndProject over the token-count table, never a full sort
+    * of the vocabulary. */
+  def x94Stopwords(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.documents(s, d).count()
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+      .select(col("tok"), col("df"),
+        dround(col("df").cast("double") / lit(n.toDouble), 4).as("df_share"))
+      .orderBy(col("df").desc, col("tok"))
+      .limit(30)
+  }
+
+  /** x95 BPE merge-pair step — the inner loop of byte-pair-encoding
+    * tokenizer training, as one corpus query: count every ADJACENT
+    * character pair inside words (no cross-word pairs — the word boundary
+    * is BPE's merge fence), return the top 20 merge candidates by
+    * (count DESC, pair). One explode of per-word pair arrays into a
+    * map-side-combined hash agg; iterating the trainer = re-running this
+    * query over the re-paired vocabulary, each step one scan. The pair
+    * derives from the (distinct-per-word? no — BPE counts OCCURRENCES)
+    * full word stream, so frequency-weighted exactly as Sennrich's
+    * algorithm counts. */
+  def x95BpePairs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substr(word, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+
   /** x89 k-anonymity audit — the re-identification readout a privacy
     * review runs before releasing a corpus: group documents by the
     * quasi-identifier (lang, source, n_chars÷100 length bucket) and

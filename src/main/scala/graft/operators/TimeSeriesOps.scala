@@ -954,6 +954,48 @@ object TimeSeriesOps {
       .orderBy("event_type")
   }
 
+  /** x98 population-stability drift — the PSI readout a serving monitor
+    * computes between a reference window and a live window: per
+    * event_type, value histograms over FIXED bins (cents ÷ 2500, capped
+    * at bin 13 — edges are part of the declared contract, so both halves
+    * and both engines bin identically), Laplace-smoothed shares over the
+    * full 14-bin grid, PSI = Σ (p_a − p_b)·ln(p_a / p_b). The split point
+    * is a fixed timestamp literal (the fixture midpoint), standing in for
+    * the train-snapshot vs live-window pair a deployment would plug in.
+    *
+    * Scale: two corpus-partition hash aggs onto ≤|types|·14 cells each,
+    * grid completion via a broadcast 14-row bin spine, constant-width
+    * final reduce. ln-sum rounding under x18/x67's precedent. */
+  def x98PsiDrift(s: SparkSession, d: String): DataFrame = {
+    val mid = lit("2024-01-15 12:00:00").cast("timestamp")
+    val binned = Tables.events(s, d)
+      .select(col("event_type"),
+        when(col("ts") < mid, lit("a")).otherwise(lit("b")).as("half"),
+        least(((col("value").cast("decimal(18,2)") * 100).cast("long")
+          / 2500).cast("long"), lit(13L)).as("bin"))
+      .groupBy("event_type", "half", "bin").agg(count(lit(1)).as("c"))
+    val grid = binned.select("event_type").distinct()
+      .crossJoin(broadcast(s.range(0, 14).toDF("bin")))
+    val halves = Seq("a", "b").map { h =>
+      val counts = binned.filter(col("half") === h)
+        .select(col("event_type"), col("bin"), col("c"))
+      val tot = counts.groupBy("event_type").agg(sum("c").as(s"n_$h"))
+      grid.join(counts, Seq("event_type", "bin"), "left")
+        .na.fill(0L, Seq("c"))
+        .join(broadcast(tot), "event_type")
+        .select(col("event_type"), col("bin"),
+          ((col("c") + 1).cast("double")
+            / (col(s"n_$h") + 14).cast("double")).as(s"p_$h"),
+          col(s"n_$h"))
+    }
+    halves(0).join(halves(1), Seq("event_type", "bin"))
+      .groupBy("event_type")
+      .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+        dround(sum((col("p_a") - col("p_b")) * log(col("p_a") / col("p_b"))), 4)
+          .as("psi"))
+      .orderBy("event_type")
+  }
+
   /** x92 cross-metric correlation — the dependence matrix a feature
     * auditor reads before co-training on per-entity daily aggregates:
     * Pearson correlation between event types over per-(user, day) value
