@@ -205,6 +205,8 @@ object SparkEntry {
     "x93_containment"     -> (TextOps.x93Containment _),
     "x94_stopwords"       -> (TextOps.x94Stopwords _),
     "x95_bpe_pairs"       -> (TextOps.x95BpePairs _),
+    "x96_key_skew"        -> (TimeSeriesOps.x96KeySkew _),
+    "x97_cluster_audit"   -> (TextOps.x97ClusterAudit _),
     "x98_psi_drift"       -> (TimeSeriesOps.x98PsiDrift _),
   )
 
@@ -2144,6 +2146,46 @@ object SparkEntry {
         |  i -> substr(word, i, 2))) AS pair FROM w WHERE length(word) >= 2)
         |SELECT pair, COUNT(*) AS n FROM p GROUP BY 1
         |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    // x96: Q25's quantile_cont ≡ Spark percentile twinning for the median
+    "x96_key_skew" ->
+      s"""WITH e AS ($E),
+         |c AS (SELECT user_id, COUNT(*) AS n FROM e GROUP BY 1),
+         |st AS (SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS total,
+         |  quantile_cont(n, 0.5) AS med FROM c)
+         |SELECT user_id, n, ROUND(CAST(n AS DOUBLE) / total, 4) AS share,
+         |ROUND(CAST(n AS DOUBLE) / med, 2) AS x_median
+         |FROM c, st ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
+
+    // x97: x82's recursive-CTE labels + a per-cluster direct-edge count;
+    // size ≥ 2 clusters always have ≥ 1 edge, so the join is inner
+    "x97_cluster_audit" ->
+      """WITH RECURSIVE t AS (SELECT DISTINCT doc_id, tok FROM
+        |  (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents) u),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b
+        |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS id, doc_id AS comp FROM documents
+        |  UNION
+        |  SELECT e.dst AS id, r.comp FROM reach r JOIN edges e ON e.src = r.id
+        |  WHERE r.comp < e.dst),
+        |lab AS (SELECT id, MIN(comp) AS cluster_id FROM reach GROUP BY id),
+        |cs AS (SELECT cluster_id, COUNT(*) AS size FROM lab GROUP BY 1),
+        |direct AS (SELECT l.cluster_id, COUNT(*) AS direct
+        |  FROM pairs p JOIN lab l ON l.id = p.doc_a GROUP BY 1),
+        |aud AS (SELECT size, cs.cluster_id, direct, size * (size - 1) // 2 AS possible
+        |  FROM cs JOIN direct USING (cluster_id) WHERE size >= 2)
+        |SELECT size, COUNT(*) AS n_clusters,
+        |CAST(SUM(direct) AS BIGINT) AS direct_pairs,
+        |CAST(SUM(possible) AS BIGINT) AS possible_pairs,
+        |ROUND(1.0 - CAST(SUM(direct) AS DOUBLE) / SUM(possible), 4) AS gap
+        |FROM aud GROUP BY size ORDER BY size""".stripMargin,
 
     // x98: fixed bin edges + full 14-bin Laplace grid on both sides;
     // ln-sum rounding under x18/x67's precedent

@@ -275,6 +275,41 @@ object TextOps {
       .withColumn("n_docs", col("size") * col("n_clusters"))
       .orderBy("size")
 
+  /** x97 cluster transitivity audit — the dedup-quality readout that tells
+    * a curator whether clusters are cliques (every member pair directly
+    * verified ≥ 0.8) or chains (members joined only transitively through
+    * intermediates — the "semantic drift" failure where A~B~C but A and C
+    * share little). Per cluster size: cluster count, directly-verified
+    * pairs, possible pairs s·(s−1)/2, and the transitive-gap share. A gap
+    * near 0 says threshold-0.8 clusters are tight; a gap growing with size
+    * says big clusters are chain artifacts and the threshold (or a
+    * max-diameter cut) needs revisiting.
+    *
+    * Scale: q53's pair list + x14's labels (both already costed); past
+    * those, one |pairs| join onto labels and two aggregate-sized
+    * reductions. All-integer until the one rounded share. */
+  def x97ClusterAudit(s: SparkSession, d: String): DataFrame = {
+    val pairs = MinHashLSH.verifiedPairs(docTokens(s, d), 0.8)
+      .select("id_a", "id_b")
+    val labels = x14DedupClustersFrom(s, d, pairs)
+      .select(col("doc_id"), col("cluster_id"))
+    val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("size"))
+      .filter(col("size") >= 2)
+    // an edge's endpoints share a cluster by construction — label via id_a
+    val direct = pairs
+      .join(labels.select(col("doc_id").as("id_a"), col("cluster_id")), "id_a")
+      .groupBy("cluster_id").agg(count(lit(1)).as("direct"))
+    sizes.join(direct, "cluster_id")
+      .withColumn("possible", expr("size * (size - 1) div 2"))
+      .groupBy("size")
+      .agg(count(lit(1)).as("n_clusters"),
+        sum("direct").as("direct_pairs"),
+        sum("possible").as("possible_pairs"),
+        dround(lit(1.0) - sum("direct").cast("double")
+          / sum("possible").cast("double"), 4).as("gap"))
+      .orderBy("size")
+  }
+
   /** x83 BM25 retrieval — the canonical sparse ranking function, scored
     * for a fixed 3-term query ("hash join filter", k1 = 1.2, b = 0.75,
     * Lucene's idf = ln(1 + (N − df + 0.5)/(df + 0.5))): top-20 docs by

@@ -954,6 +954,28 @@ object TimeSeriesOps {
       .orderBy("event_type")
   }
 
+  /** x96 join-key skew audit — the pre-flight a 100 TB join runs before
+    * choosing SMJ vs salting: per-key row counts for the prospective join
+    * key, the 10 heaviest keys with their corpus share and
+    * multiple-of-median, computed from one hash agg + one
+    * TakeOrderedAndProject over the key-count table + a broadcast 1-row
+    * stats aggregate. The median is the exact interpolated percentile
+    * (Q25's cross-engine-validated quantile_cont twin). This readout IS
+    * the evidence behind this repo's own AQE-vs-salting calls
+    * (BASELINE.md's skew-stress sections). */
+  def x96KeySkew(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d).groupBy("user_id")
+      .agg(count(lit(1)).as("n"))
+    val stats = counts.agg(count(lit(1)).as("n_keys"), sum("n").as("total"),
+      expr("percentile(n, 0.5d)").as("med"))
+    counts.orderBy(col("n").desc, col("user_id")).limit(10)
+      .crossJoin(broadcast(stats))
+      .select(col("user_id"), col("n"),
+        dround(col("n").cast("double") / col("total").cast("double"), 4).as("share"),
+        dround(col("n").cast("double") / col("med"), 2).as("x_median"))
+      .orderBy(col("n").desc, col("user_id"))
+  }
+
   /** x98 population-stability drift — the PSI readout a serving monitor
     * computes between a reference window and a live window: per
     * event_type, value histograms over FIXED bins (cents ÷ 2500, capped
