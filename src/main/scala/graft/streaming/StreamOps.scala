@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
@@ -797,6 +797,71 @@ object StreamOps {
       st.update(cur)
       out.iterator
     }
+  }
+
+  /** x98's fixed value-bin: cents ÷ 2500, capped at bin 13. Shared by the
+    * batch PSI contract and the ST21 monitor so both histogram identically. */
+  private def valueBin(value: Column): Column =
+    least(((value.cast("decimal(18,2)") * 100).cast("long") / 2500).cast("long"),
+      lit(13L))
+
+  /** ST21 stage 1: continuous windowed value histograms — the live side of
+    * x98's PSI drift gate. One watermarked tumbling-window aggregate onto
+    * ≤|types|·14 cells per window; `startTime` lets a deployment align
+    * window edges to its reference snapshot boundary. */
+  def driftHistogram(events: DataFrame, windowDur: String = "1 day",
+                     startTime: String = "0 seconds"): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), windowDur, windowDur, startTime),
+        col("event_type"), valueBin(col("value")).as("bin"))
+      .agg(count(lit(1)).as("c"))
+
+  /** The frozen reference histogram ST21 compares against — built ONCE
+    * from the training/reference snapshot and broadcast into every
+    * micro-batch's PSI fold. */
+  def referenceHistogram(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"), valueBin(col("value")).as("bin"))
+      .agg(count(lit(1)).as("c_ref"))
+
+  /** ST21 stage 2: PSI of each finalized (window, event_type) histogram
+    * against the reference — x98's Laplace-smoothed 14-bin-grid math
+    * exactly (same bins, same smoothing, same ln-sum rounding), applied
+    * per window. Pure batch: in production it runs inside the monitor's
+    * `foreachBatch` over finalized append-mode windows (ST17/ST18's
+    * pattern), landing one PSI row per (window, type) on the alert sink;
+    * in the spec it runs over the complete-mode table. StreamingSpec pins
+    * the contract: a window spanning exactly x98's live half reproduces
+    * x98's psi column bit-for-bit. */
+  def psiOfWindows(histIn: DataFrame, ref: DataFrame): DataFrame = {
+    val s = histIn.sparkSession
+    // re-root the histogram: the window spine below self-joins it, and a
+    // watermark-tagged window attribute (as delivered by a streaming
+    // aggregate's sink table) trips Catalyst's self-join dedup. hist is
+    // aggregate-sized (windows·types·14 rows), so the fresh-attribute
+    // round-trip costs nothing at any corpus scale.
+    val hist = s.createDataFrame(histIn.rdd, histIn.schema)
+    val grid = hist.select("window", "event_type").distinct()
+      .crossJoin(broadcast(s.range(0, 14).toDF("bin")))
+    val nW = hist.groupBy("window", "event_type").agg(sum("c").as("n_w"))
+    val nR = ref.groupBy("event_type").agg(sum("c_ref").as("n_r"))
+    grid.join(hist, Seq("window", "event_type", "bin"), "left")
+      .na.fill(0L, Seq("c"))
+      .join(broadcast(ref), Seq("event_type", "bin"), "left")
+      .na.fill(0L, Seq("c_ref"))
+      .join(nW, Seq("window", "event_type"))
+      .join(broadcast(nR), "event_type")
+      .withColumn("p_w", (col("c") + 1).cast("double")
+        / (col("n_w") + 14).cast("double"))
+      .withColumn("p_r", (col("c_ref") + 1).cast("double")
+        / (col("n_r") + 14).cast("double"))
+      .groupBy("window", "event_type")
+      // term orientation matches x98's (reference − live)·ln(reference/live)
+      // EXACTLY: PSI is symmetric in ℝ but ln(a/b) ≠ −ln(b/a) in doubles,
+      // and the spec asserts bit-identity with the batch contract
+      .agg(max("n_w").as("n_w"),
+        graft.functions.Rounding.dround(
+          sum((col("p_r") - col("p_w")) * log(col("p_r") / col("p_w"))), 4)
+          .as("psi"))
   }
 
   /** ST20 entry: events with a `cents` column keyed by series, folded

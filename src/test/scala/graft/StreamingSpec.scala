@@ -698,4 +698,25 @@ class StreamingSpec extends SparkSpecBase {
       prior match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
     }
   }
+
+  test("ST21 windowed PSI over the live half reproduces x98's batch drift") {
+    val mid = Timestamp.valueOf("2024-01-15 12:00:00")
+    val ref = StreamOps.referenceHistogram(
+      batchEvents.filter(col("ts") < lit(mid)))
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val src = Tables.normalizeTs(spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+      .filter(col("ts") >= lit(mid))
+    // align a 16-day window edge exactly to the reference boundary: the
+    // single populated window [Jan 15 12:00, Jan 31 12:00) IS x98's live
+    // half (fixture events end Jan 30)
+    val off = (mid.getTime / 1000) % (16L * 86400L)
+    runToMemory(StreamOps.driftHistogram(src, "16 days", s"$off seconds"), "st21")
+    val psi = StreamOps.psiOfWindows(spark.table("st21"), ref)
+      .select(col("event_type"), col("n_w"), col("psi"))
+    val batch = operators.TimeSeriesOps.x98PsiDrift(spark, sfDir)
+      .select(col("event_type"), col("n_b").as("n_w"), col("psi"))
+    assert(psi.except(batch).isEmpty && batch.except(psi).isEmpty,
+      s"stream PSI ${psi.collect().mkString(",")} vs batch ${batch.collect().mkString(",")}")
+  }
 }
