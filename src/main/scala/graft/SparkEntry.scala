@@ -208,6 +208,9 @@ object SparkEntry {
     "x96_key_skew"        -> (TimeSeriesOps.x96KeySkew _),
     "x97_cluster_audit"   -> (TextOps.x97ClusterAudit _),
     "x98_psi_drift"       -> (TimeSeriesOps.x98PsiDrift _),
+    "x99_align"           -> (TimeSeriesOps.x99Align _),
+    "x100_ohlc"           -> (TimeSeriesOps.x100Ohlc _),
+    "x101_matryoshka"     -> (VectorOps.x101Matryoshka _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2213,5 +2216,71 @@ object SparkEntry {
          |ROUND(SUM((p_a - p_b) * LN(p_a / p_b)), 4) AS psi
          |FROM pa JOIN pb USING (event_type, bin)
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // x99: fixture-anchored hourly spine; LOCF via IGNORE NULLS last_value
+    // over the same ROWS frame; exact-cents payload end to end
+    "x99_align" ->
+      s"""WITH e AS ($E),
+         |hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+         |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS observed
+         |  FROM e GROUP BY 1, 2),
+         |spine AS (SELECT t.event_type, g.h
+         |  FROM (SELECT DISTINCT event_type FROM hourly) t,
+         |  (SELECT UNNEST(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+         |    TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS h) g)
+         |SELECT event_type, h,
+         |CAST(observed IS NOT NULL AS INT) AS is_observed,
+         |last_value(observed IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+         |FROM spine LEFT JOIN hourly USING (event_type, h)
+         |ORDER BY event_type, h""".stripMargin,
+
+    // x100: open/close via rn-1 conditional aggregates over the total
+    // (ts, event_id) order — the twin of Spark's min_by/max_by on structs;
+    // picked values are raw doubles, volume exact cents
+    "x100_ohlc" ->
+      s"""WITH e AS ($E),
+         |r AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value,
+         |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         |  row_number() OVER (PARTITION BY event_type, strftime(ts, '%Y-%m-%d')
+         |    ORDER BY ts, event_id) AS ra,
+         |  row_number() OVER (PARTITION BY event_type, strftime(ts, '%Y-%m-%d')
+         |    ORDER BY ts DESC, event_id DESC) AS rd
+         |  FROM e)
+         |SELECT event_type, day,
+         |MAX(CASE WHEN ra = 1 THEN value END) AS open,
+         |MAX(value) AS high, MIN(value) AS low,
+         |MAX(CASE WHEN rd = 1 THEN value END) AS close,
+         |COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS volume_cents
+         |FROM r GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
+
+    // x101: x85's exact rounded-cos ranking twice (full dims and the
+    // [1:16] prefix slice), overlap joined on (probe, vec)
+    "x101_matryoshka" ->
+      """WITH p AS (SELECT vec_id AS probe_id, embedding AS p_emb
+        |  FROM embeddings WHERE vec_id < 10),
+        |cf AS (SELECT probe_id, vec_id,
+        |  ROUND(list_dot_product(CAST(p_emb AS DOUBLE[]), CAST(embedding AS DOUBLE[]))
+        |   / (SQRT(list_dot_product(CAST(p_emb AS DOUBLE[]), CAST(p_emb AS DOUBLE[])))
+        |    * SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 4) AS cos
+        |  FROM embeddings CROSS JOIN p WHERE vec_id <> probe_id),
+        |ct AS (SELECT probe_id, vec_id,
+        |  ROUND(list_dot_product(CAST(p_emb AS DOUBLE[])[1:16], CAST(embedding AS DOUBLE[])[1:16])
+        |   / (SQRT(list_dot_product(CAST(p_emb AS DOUBLE[])[1:16], CAST(p_emb AS DOUBLE[])[1:16]))
+        |    * SQRT(list_dot_product(CAST(embedding AS DOUBLE[])[1:16], CAST(embedding AS DOUBLE[])[1:16]))), 4) AS cos
+        |  FROM embeddings CROSS JOIN p WHERE vec_id <> probe_id),
+        |tf AS (SELECT probe_id, vec_id FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
+        |   FROM cf) q WHERE rnk <= 10),
+        |tt AS (SELECT probe_id, vec_id FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rnk
+        |   FROM ct) q WHERE rnk <= 10),
+        |ov AS (SELECT tf.probe_id, COUNT(*) AS n_common
+        |  FROM tf JOIN tt ON tf.probe_id = tt.probe_id AND tf.vec_id = tt.vec_id
+        |  GROUP BY 1)
+        |SELECT p.probe_id AS probe_id, COALESCE(n_common, 0) AS n_common,
+        |ROUND(CAST(COALESCE(n_common, 0) AS DOUBLE) / 10.0, 4) AS recall
+        |FROM p LEFT JOIN ov ON p.probe_id = ov.probe_id
+        |ORDER BY p.probe_id""".stripMargin,
   )
 }

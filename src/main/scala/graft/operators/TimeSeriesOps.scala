@@ -954,6 +954,60 @@ object TimeSeriesOps {
       .orderBy("event_type")
   }
 
+  /** x99 grid alignment with LOCF — the resampling step that puts ragged
+    * series onto a common clock before any cross-series math (x92's
+    * correlations, x80's backtests): per event_type, the fixture-anchored
+    * hourly spine [2024-01-01 00:00, 2024-01-30 23:00], each hour carrying
+    * the observed cents sum or the last observation carried forward
+    * (leading holes stay NULL — no back-fill, same no-extrapolation rule
+    * as x26). All-integer payload (exact cents), so LOCF propagates exact
+    * values.
+    *
+    * Scale: the corpus collapses to the (type, hour) hash agg FIRST; the
+    * spine join and the LOCF window run over the grid (types·hours rows —
+    * aggregate-sized, corpus-independent), which is why the 5-partition
+    * window here is NOT the q29 trap: its input is already tiny. */
+  def x99Align(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .as("observed"))
+    val spine = hourly.select("event_type").distinct()
+      .crossJoin(broadcast(Tables.events(s, d).sparkSession.sql(
+        """SELECT explode(sequence(TIMESTAMP '2024-01-01 00:00:00',
+          |TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS h""".stripMargin)))
+    val w = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("event_type", "h"), "left")
+      .withColumn("filled", last("observed", ignoreNulls = true).over(w))
+      .select(col("event_type"), col("h"),
+        col("observed").isNotNull.cast("int").as("is_observed"),
+        col("filled").as("filled_cents"))
+      .orderBy("event_type", "h")
+  }
+
+  /** x100 OHLC downsample — the finance-canonical bar aggregation, which
+    * is also exactly catena's per-series rollup shape: per (event_type,
+    * day), the first value (open), max (high), min (low), last value
+    * (close), event count, and exact cents volume. Open/close are argmin/
+    * argmax aggregates over the total (ts, event_id) order — hash
+    * aggregates with map-side combine, NOT per-group windows, so a
+    * hot series never serializes onto one task (the q29 rule applied to
+    * bars). Picked values are raw doubles (no arithmetic — exact on both
+    * engines); volume is exact cents. */
+  def x100Ohlc(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("ts"), col("event_id"), col("value"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy("event_type", "day")
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max("value").as("high"), min("value").as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("n"), sum("cents").as("volume_cents"))
+      .orderBy("event_type", "day")
+
   /** x96 join-key skew audit — the pre-flight a 100 TB join runs before
     * choosing SMJ vs salting: per-key row counts for the prospective join
     * key, the 10 heaviest keys with their corpus share and

@@ -114,6 +114,42 @@ object VectorOps {
       .orderBy("probe_id")
   }
 
+  /** x101 Matryoshka truncation eval — the dimension-budget readout for
+    * MRL-style embeddings: per probe, how much of the full-64-dim exact
+    * top-10 survives when search runs on the FIRST 16 dims only
+    * (`recall = |top10_full ∩ top10_16| / 10`). Near-1 recall says the
+    * prefix dims carry the ranking and the index can store quarter-width
+    * vectors (4× memory/bandwidth); low recall says these embeddings were
+    * not trained matryoshka and truncation is not free. Companion to x47
+    * (PQ compression recall) and x37 (IVF recall) — three compression
+    * axes, one gate pattern.
+    *
+    * Both rankings are x85's exact machinery (broadcast probes, one
+    * corpus scan each, rounded-cos + vec_id total order); the overlap is
+    * an equi-join of two 10·|probes|-row lists. */
+  def x101Matryoshka(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    def topBy(c: (Column, Column) => Column): DataFrame =
+      e.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("cos", dround(c(col("p_emb"), col("embedding")), 4))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .select(col("probe_id"), col("vec_id"))
+    val full  = topBy(cosine)
+    val trunc = topBy((a, b) => cosine(slice(a, 1, 16), slice(b, 1, 16)))
+    val overlap = full.join(trunc, Seq("probe_id", "vec_id"))
+      .groupBy("probe_id").agg(count(lit(1)).as("n_common"))
+    probes.select("probe_id").join(overlap, Seq("probe_id"), "left")
+      .na.fill(0L, Seq("n_common"))
+      .select(col("probe_id"), col("n_common"),
+        dround(col("n_common").cast("double") / 10.0, 4).as("recall"))
+      .orderBy("probe_id")
+  }
+
   /** Q57 multimodal column checksum: ARRAY<FLOAT> stored/retrieved natively;
     * per-label element-sum checksums. */
   def q57(s: SparkSession, d: String): DataFrame =
