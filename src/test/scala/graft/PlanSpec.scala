@@ -460,6 +460,41 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("x99/x100: bar and LOCF ops aggregate first; no corpus-wide window") {
+    // x100: open/close are min_by/max_by hash aggregates — a per-(type,day)
+    // row_number window over the corpus would serialize hot days
+    val p100 = planOf(operators.TimeSeriesOps.x100Ohlc(spark, sfDir))
+    assert(!p100.contains("Window"), s"OHLC must not window the corpus:\n$p100")
+    // min_by/max_by on a struct ordering plans as SortAggregate — still a
+    // partial+final aggregate pair (map-side combine), never a per-group
+    // serialization; either aggregate node satisfies the scale posture
+    assert(p100.contains("HashAggregate") || p100.contains("SortAggregate"), p100)
+    // x99: the LOCF window's input must be the (type, hour) aggregate —
+    // i.e. a HashAggregate strictly below the Window in the tree
+    val df99 = operators.TimeSeriesOps.x99Align(spark, sfDir)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val windowsOverAgg = df99.queryExecution.optimizedPlan.collect {
+      case w: LWindow if w.collect { case a: Aggregate => a }.nonEmpty => w
+    }
+    assert(windowsOverAgg.nonEmpty, "LOCF window does not sit above the hourly aggregate")
+  }
+
+  test("x94: df-ratio top-30 compiles to TakeOrderedAndProject over the token table") {
+    val p = planOf(operators.TextOps.x94Stopwords(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), s"full sort of the vocabulary:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("x101: both rankings broadcast the probe set; no vector self-join") {
+    val p = planOf(operators.VectorOps.x101Matryoshka(spark, sfDir))
+    // each ranking is corpus × broadcast(10 probes) — a BroadcastNestedLoop
+    // over the tiny probe side, never a shuffled corpus×corpus join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), s"non-broadcast product join:\n$p")
+    // any remaining equi-joins (overlap, final probe join) operate on the
+    // 10·|probes|-row lists — corpus-independent either way
+  }
+
   test("nanos pushdown rule is a no-op on non-matching filters") {
     // value is a plain double column: the rule must not touch this plan
     val df = Tables.events(spark, sfDir).filter("value > 100")
