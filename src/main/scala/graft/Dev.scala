@@ -109,6 +109,26 @@ object Dev {
       s.stop()
       return
     }
+    if (names == Seq("bandstress")) {
+      // x93's band-depth trade, measured: at threshold 0.5 the default
+      // 2×32 index under-recalls (miss p ≈ (1−0.25)^32 ≈ 1e-4 per
+      // boundary pair); 2×128 is verified-exact for 4× band rows. This
+      // mode times both shapes over the sfDir word-set corpus and counts
+      // the pairs each finds — the delta IS the measured miss mass.
+      import org.apache.spark.sql.functions._
+      val s = GraftSession.build("graft-dev")
+      val docs = Tables.documents(s, sfDir)
+        .select(col("doc_id").as("id"), split(col("text"), " ").as("toks"))
+      for (perms <- Seq(64, 256)) {
+        val p = graft.functions.MinHashLSH.Params(numPerm = perms, rows = 2)
+        val t0 = System.nanoTime()
+        val n = graft.functions.MinHashLSH.verifiedPairs(docs, 0.5, p).count()
+        println(f"bandstress perms=$perms bands=${p.bands} pairs=$n%,d " +
+          f"wall=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      s.stop()
+      return
+    }
     if (names == Seq("x02prof")) {
       // stage anatomy for x02 (the slowest declared query): where do the
       // seconds go — gram generation, dictionary encode, candidates, or

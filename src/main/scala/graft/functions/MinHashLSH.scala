@@ -225,7 +225,19 @@ object MinHashLSH {
     * tiny rows AQE coalesced to one partition — the distinct is gone, and
     * at sf0.1 the redundant 12M-pair shuffle cost x14 4s of its 11.5s. */
   def verifiedPairs(items: DataFrame, threshold: Double,
-                    p: Params = Params(), s: Salt = Salt()): DataFrame = {
+                    p: Params = Params(), s: Salt = Salt()): DataFrame =
+    verifiedPairsDetailed(items, threshold, p, s)
+      .select(col("id_a"), col("id_b"), col("j"))
+
+  /** [[verifiedPairs]] with the verify's working columns kept on the
+    * output — `inter` (exact |A∩B|) and `sz_a`/`sz_b` (distinct set
+    * sizes) beside `j`. Consumers computing DERIVED coefficients over the
+    * same sets (x93's containment |∩|/min, overlap Szymkiewicz–Simpson,
+    * Dice) read them here instead of re-joining the O(corpus) set table
+    * and re-running the intersect kernel over the full pair list — at
+    * sf0.1's 6M pairs that second pass was ~40% of x93's wall. */
+  def verifiedPairsDetailed(items: DataFrame, threshold: Double,
+                            p: Params = Params(), s: Salt = Salt()): DataFrame = {
     // Per-doc ONCE: distinct tokens → 64-bit hashes → sorted array. The
     // per-pair exact intersection is then a codegen'd two-pointer merge
     // (SortedIntersectCount) instead of array_intersect's interpreted
@@ -234,8 +246,7 @@ object MinHashLSH {
     // across a ~100-element union are ~1e-16 per pair — below any ROUND(4)
     // boundary's practical risk. |a ∪ b| = |a| + |b| − |a ∩ b| from
     // precomputed sizes (no union materialization).
-    val sets = items.select(col("id"),
-        array_sort(transform(array_distinct(col("toks")), t => xxhash64(t))).as("set"))
+    //
     // Payload joins are UNHINTED: the per-doc token-set table is O(corpus),
     // so forcing broadcast() here would OOM every executor at 100 TB. Left
     // to the planner, AQE broadcasts while the measured build side is small
@@ -247,7 +258,12 @@ object MinHashLSH {
     // a candidate that cannot reach the j ≥ t intersection bound returns -1
     // (jac goes negative, the SAME threshold filter drops it); a candidate
     // that can is counted exactly — survivors are bitwise-identical to the
-    // plain kernel (MinHashLSHSpec asserts it).
+    // plain kernel (MinHashLSHSpec asserts it). No repartition between
+    // candidates and verify: the band join upstream is already pinned at
+    // full width, and first-match dedup emits each pair exactly once
+    // map-side, so the verify joins fuse into that same wide stage.
+    val sets = items.select(col("id"),
+        array_sort(transform(array_distinct(col("toks")), t => xxhash64(t))).as("set"))
     candidatePairsSized(items, threshold, p, s)
       .join(sets.select(col("id").as("id_a"), col("set").as("set_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("set").as("set_b")), "id_b")
@@ -257,7 +273,8 @@ object MinHashLSH {
       .withColumn("uni", (col("sz_a") + col("sz_b")).cast("double") - col("inter"))
       .withColumn("jac", col("inter") / col("uni"))
       .filter(col("jac") >= threshold)
-      .select(col("id_a"), col("id_b"), Rounding.dround(col("jac"), 4).as("j"))
+      .select(col("id_a"), col("id_b"), Rounding.dround(col("jac"), 4).as("j"),
+        col("inter").cast("long").as("inter"), col("sz_a"), col("sz_b"))
   }
 
   /** [[verifiedPairs]] across TWO disjoint corpora — the INCREMENTAL-dedup

@@ -1548,26 +1548,17 @@ object TextOps {
     * kernel work (still one scan) and 4× the banded probe rows — the
     * low-threshold recall/candidate-mass trade the Params scaladoc
     * derives. */
-  def x93Containment(s: SparkSession, d: String): DataFrame = {
-    val sets = docTokens(s, d)
-      .select(col("id"), array_sort(transform(array_distinct(col("toks")),
-        t => xxhash64(t))).as("set"))
-      .select(col("id"), col("set"), size(col("set")).cast("long").as("sz"))
-    MinHashLSH.verifiedPairs(docTokens(s, d), 0.5,
+  def x93Containment(s: SparkSession, d: String): DataFrame =
+    MinHashLSH.verifiedPairsDetailed(docTokens(s, d), 0.5,
         p = MinHashLSH.Params(numPerm = 256, rows = 2))
-      .join(sets.select(col("id").as("id_a"), col("sz").as("sz_a"),
-        col("set").as("set_a")), "id_a")
-      .join(sets.select(col("id").as("id_b"), col("sz").as("sz_b"),
-        col("set").as("set_b")), "id_b")
-      .withColumn("inter", graft.functions.VectorExpressions
-        .sortedIntersect(col("set_a"), col("set_b")).cast("long"))
-      // integer containment gate: 10·|∩| ≥ 9·min — no double in the filter
+      // inter/sz ride the verified pair list (verifiedPairsDetailed) — no
+      // second set join, no second intersect pass over the 6M pairs.
+      // Integer containment gate: 10·|∩| ≥ 9·min — no double in the filter
       .filter(col("inter") * 10 >= least(col("sz_a"), col("sz_b")) * 9)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("j"),
         dround(col("inter").cast("double")
           / least(col("sz_a"), col("sz_b")).cast("double"), 4).as("containment"))
       .orderBy("doc_a", "doc_b")
-  }
 
   /** x94 corpus-driven stopword discovery — the df-ratio list a retrieval
     * or quality pipeline derives BEFORE hand-curating stopwords: distinct
