@@ -211,6 +211,8 @@ object SparkEntry {
     "x99_align"           -> (TimeSeriesOps.x99Align _),
     "x100_ohlc"           -> (TimeSeriesOps.x100Ohlc _),
     "x101_matryoshka"     -> (VectorOps.x101Matryoshka _),
+    "x102_seq_pack"       -> (TextOps.x102SeqPack _),
+    "x103_length_auc"     -> (TextOps.x103LengthAuc _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2282,5 +2284,37 @@ object SparkEntry {
         |ROUND(CAST(COALESCE(n_common, 0) AS DOUBLE) / 10.0, 4) AS recall
         |FROM p LEFT JOIN ov ON p.probe_id = ov.probe_id
         |ORDER BY p.probe_id""".stripMargin,
+
+    // x102: per-lang running token total via a window, each doc unnested
+    // into the 256-token chunks it overlaps; all-integer per-chunk manifest
+    "x102_seq_pack" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        |c AS (SELECT doc_id, lang, n,
+        |  CAST(SUM(n) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum FROM d),
+        |e AS (SELECT lang, doc_id, n, cum,
+        |  UNNEST(generate_series((cum - n) // 256, (cum - 1) // 256)) AS chunk FROM c)
+        |SELECT lang, chunk, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN (cum - n) // 256 = chunk THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+        |  MIN(doc_id) AS head_doc,
+        |  CAST(LEAST(256 * (chunk + 1), MAX(cum)) - 256 * chunk AS BIGINT) AS n_fill
+        |FROM e GROUP BY lang, chunk ORDER BY lang, chunk""".stripMargin,
+
+    // x103: tie-aware Mann–Whitney AUC from the length histogram; U doubled
+    // to stay integral, one rounded divide at the end
+    "x103_length_auc" ->
+      """WITH h AS (SELECT n_chars,
+        |  CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+        |  CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS neg
+        |  FROM documents GROUP BY 1),
+        |c AS (SELECT n_chars, pos, neg,
+        |  CAST(COALESCE(SUM(neg) OVER (ORDER BY n_chars
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cnb
+        |  FROM h)
+        |SELECT CAST(SUM(pos) AS BIGINT) AS n_pos, CAST(SUM(neg) AS BIGINT) AS n_neg,
+        |  CAST(SUM(pos * (2 * cnb + neg)) AS BIGINT) AS u2,
+        |  ROUND(CAST(SUM(pos * (2 * cnb + neg)) AS DOUBLE)
+        |    / (2.0 * SUM(pos) * SUM(neg)), 4) AS auc
+        |FROM c""".stripMargin,
   )
 }

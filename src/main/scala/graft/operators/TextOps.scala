@@ -473,7 +473,19 @@ object TextOps {
     * [[x16TokenShards]]. Exposed with tunable sizes for the equivalence
     * property test. */
   private[graft] def x16ShardsScan(docs: DataFrame, budget: Long = 2000L,
-                                   bucketDocs: Long = 256L): DataFrame = {
+                                   bucketDocs: Long = 256L): DataFrame =
+    prefixCum(docs, bucketDocs)
+      .withColumn("shard", expr(s"(cum - n_tok) div $budget"))
+      .groupBy("lang", "shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .orderBy("lang", "shard")
+
+  /** Doc-level per-language running token total (`cum`, inclusive of the
+    * row's own `n_tok`) via the two-level prefix scan documented at
+    * [[x16TokenShards]] — factored out so the sharder (x16) and the
+    * sequence packer (x102) share one scan. Input must carry
+    * (doc_id, lang, n_tok); output adds `cum` (and the internal `bkt`). */
+  private[graft] def prefixCum(docs: DataFrame, bucketDocs: Long = 256L): DataFrame = {
     val base = docs.withColumn("bkt", expr(s"doc_id div $bucketDocs"))
     val sub = base.groupBy("lang", "bkt").agg(sum("n_tok").as("sub"))
     val wb = Window.partitionBy("lang").orderBy("bkt")
@@ -486,10 +498,7 @@ object TextOps {
     base.join(broadcast(offsets),
         col("lang") === col("o_lang") && col("bkt") === col("o_bkt"))
       .withColumn("cum", col("off") + sum("n_tok").over(wl))
-      .withColumn("shard", expr(s"(cum - n_tok) div $budget"))
-      .groupBy("lang", "shard")
-      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
-      .orderBy("lang", "shard")
+      .drop("o_lang", "o_bkt", "off")
   }
 
   /** The single-window reference form of [[x16TokenShards]] — one task per
@@ -1621,5 +1630,72 @@ object TextOps {
         dround(sum(when(col("sz") < 5, col("sz")).otherwise(0L)).cast("double")
           / sum("sz").cast("double"), 4).as("risk_share"))
       .orderBy("lang")
+  }
+
+  /** x102 sequence packing (concat-and-chunk) — the step that actually
+    * fills a model's context windows: per language, concatenate documents
+    * in doc_id order and cut the token stream into fixed 256-token
+    * contexts (the GPT-style packer; x16's sharder never splits a doc,
+    * this one does — both exist in real pipelines and they answer
+    * different questions). Declared output is the per-chunk manifest:
+    * how many docs overlap the chunk, how many START inside it, the
+    * first overlapping doc, and the tokens filled (256 everywhere except
+    * each language's final partial chunk — i.e. the padding waste is
+    * exactly readable off `n_fill`).
+    *
+    * Plan: the same two-level [[prefixCum]] scan as x16 (NO corpus-wide
+    * window task at any scale), then each doc explodes into only the
+    * chunks it overlaps — `sequence((cum−n)÷256, (cum−1)÷256)` — so the
+    * explode's output mass is `n_tokens/256 + n_docs` rows, linear in
+    * the corpus, and the one shuffle is the (lang, chunk) hash agg.
+    * All-integer end to end. */
+  def x102SeqPack(s: SparkSession, d: String): DataFrame = {
+    val C = 256L
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    prefixCum(docs)
+      .withColumn("chunk",
+        explode(sequence(expr(s"(cum - n_tok) div $C"), expr(s"(cum - 1) div $C"))))
+      .groupBy("lang", "chunk")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(expr(s"(cum - n_tok) div $C") === col("chunk"), 1L)
+          .otherwise(0L)).as("n_starts"),
+        min("doc_id").as("head_doc"),
+        max("cum").as("max_cum"))
+      .select(col("lang"), col("chunk"), col("n_docs"), col("n_starts"),
+        col("head_doc"),
+        (least(lit(C) * (col("chunk") + 1), col("max_cum"))
+          - lit(C) * col("chunk")).as("n_fill"))
+      .orderBy("lang", "chunk")
+  }
+
+  /** x103 exact AUC — the Mann–Whitney readout a data-quality team runs
+    * to ask "does this cheap signal separate the classes?": here, how
+    * well document length (n_chars) predicts lang = 'en'. Exact
+    * tie-aware AUC, computed WITHOUT ranking the corpus: group into the
+    * score histogram first (one hash agg onto ≤|distinct lengths| cells
+    * — bounded by the score's domain, not the corpus), then one ordered
+    * scan over the HISTOGRAM (aggregate-sized; the x78/x96 spine
+    * precedent) accumulates, per score value v,
+    * `pos_v · (2·negBelow_v + neg_v)` — the average-rank U statistic
+    * doubled to stay in BIGINT. The only double is the final
+    * `u2 / (2·n_pos·n_neg)` divide, rounded once. A per-row rank window
+    * would sort the corpus on one task chain; the histogram form moves
+    * |cells| rows after the map-side-combined agg. */
+  def x103LengthAuc(s: SparkSession, d: String): DataFrame = {
+    val hist = Tables.documents(s, d)
+      .groupBy("n_chars")
+      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("pos"),
+           sum(when(col("lang") === "en", 0L).otherwise(1L)).as("neg"))
+    val w = Window.orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("cnb", coalesce(sum("neg").over(w), lit(0L)))
+      .agg(sum("pos").as("n_pos"), sum("neg").as("n_neg"),
+           sum(col("pos") * (lit(2L) * col("cnb") + col("neg"))).as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        dround(col("u2").cast("double")
+          / (lit(2.0) * col("n_pos") * col("n_neg")), 4).as("auc"))
   }
 }

@@ -485,6 +485,36 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
   }
 
+  test("x102: packer windows are bucket-scoped or aggregate-fed; explode present") {
+    val df = operators.TextOps.x102SeqPack(spark, sfDir)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // every Window must either be intra-bucket (partition spec includes bkt —
+    // task size bounded by bucketDocs) or run over the bucket AGGREGATE
+    // (corpus/256 rows); a per-lang window over raw docs would serialize
+    // each language onto one task at scale
+    val bad = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow
+        if !w.partitionSpec.exists(_.references.exists(_.name == "bkt")) &&
+           w.collect { case a: Aggregate => a }.isEmpty => w
+    }
+    assert(bad.isEmpty, s"corpus-scoped window in packer plan:\n${bad.mkString}")
+    val p = planOf(df)
+    assert(p.contains("Generate"), s"chunk explode missing:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("x103: AUC scan runs over the length histogram, never ranks the corpus") {
+    val df = operators.TextOps.x103LengthAuc(spark, sfDir)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // the one (unpartitioned) window must sit ABOVE the histogram aggregate —
+    // its input is |distinct n_chars| cells, not corpus rows; and there must
+    // be no rank/row_number over raw documents anywhere
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected the histogram prefix window")
+    assert(windows.forall(_.collect { case a: Aggregate => a }.nonEmpty),
+      "AUC window does not sit above the histogram aggregate")
+  }
+
   test("x101: both rankings broadcast the probe set; no vector self-join") {
     val p = planOf(operators.VectorOps.x101Matryoshka(spark, sfDir))
     // each ranking is corpus × broadcast(10 probes) — a BroadcastNestedLoop
