@@ -470,7 +470,9 @@ object Dev {
             println(f"$n run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
           }
         } else df.show(10, truncate = false)
-      } catch { case e: Throwable => println(s"FAILED: ${e.getMessage}") }
+      } catch { case e: Throwable =>
+        println(s"FAILED: ${e.getMessage}"); e.printStackTrace()
+      }
     }
     spark.stop()
   }

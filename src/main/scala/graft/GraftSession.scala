@@ -119,11 +119,18 @@ object GraftCatalog {
       spark.catalog.createTable(t, s"$dir/$t.parquet", "parquet")
       spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS")
       // column stats (NDV/min/max/null-count) only exist for atomic types —
-      // ANALYZE rejects ARRAY/MAP/STRUCT columns (embeddings.embedding)
+      // ANALYZE rejects ARRAY/MAP/STRUCT columns (embeddings.embedding).
+      // TimestampNTZ (orders.o_orderdate under timestamp[us] parquet) is
+      // excluded too: Spark 4.1's FilterEstimation.evaluateBinary has no
+      // case for TimestampNTZType, so a range predicate over a column WITH
+      // stats throws MatchError at optimization time (x104's date slice
+      // found it). A missing stat only costs default selectivity; a
+      // present one crashes the plan.
       val atomic = spark.table(s"default.$t").schema.fields.collect {
         case f if !f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
                   !f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] &&
-                  !f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] =>
+                  !f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] &&
+                  f.dataType != org.apache.spark.sql.types.TimestampNTZType =>
           s"`${f.name}`"
       }
       if (atomic.nonEmpty)

@@ -213,6 +213,8 @@ object SparkEntry {
     "x101_matryoshka"     -> (VectorOps.x101Matryoshka _),
     "x102_seq_pack"       -> (TextOps.x102SeqPack _),
     "x103_length_auc"     -> (TextOps.x103LengthAuc _),
+    "x104_star_join"      -> (RelationalOps.x104StarJoin _),
+    "x105_margin_mine"    -> (VectorOps.x105MarginMine _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2316,5 +2318,43 @@ object SparkEntry {
         |  ROUND(CAST(SUM(pos * (2 * cnb + neg)) AS DOUBLE)
         |    / (2.0 * SUM(pos) * SUM(neg)), 4) AS auc
         |FROM c""".stripMargin,
+
+    // x104: the TPC-H Q5 shape verbatim — six tables, the correlated
+    // local-supplier constraint, one-year date slice, ASIA region
+    "x104_star_join" ->
+      """SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    // x105: cosines snapped to integer ten-thousandths once, both
+    // neighborhood sums exact BIGINTs, margin = one rounded double divide
+    "x105_margin_mine" ->
+      """WITH p AS (SELECT vec_id AS probe_id, embedding AS p_emb
+        |  FROM embeddings WHERE vec_id < 10),
+        |pr AS (SELECT probe_id, vec_id,
+        |  CAST(ROUND(10000 * (list_dot_product(CAST(p_emb AS DOUBLE[]), CAST(embedding AS DOUBLE[]))
+        |   / (SQRT(list_dot_product(CAST(p_emb AS DOUBLE[]), CAST(p_emb AS DOUBLE[])))
+        |    * SQRT(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))))) AS BIGINT) AS cos4
+        |  FROM embeddings CROSS JOIN p WHERE vec_id >= 10),
+        |sa AS (SELECT probe_id, CAST(SUM(cos4) AS BIGINT) AS sum_a FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos4 DESC, vec_id) AS rnk
+        |   FROM pr) q WHERE rnk <= 10 GROUP BY 1),
+        |sb AS (SELECT vec_id, CAST(SUM(cos4) AS BIGINT) AS sum_b FROM pr GROUP BY 1),
+        |m AS (SELECT pr.probe_id, pr.vec_id, pr.cos4,
+        |  ROUND(20.0 * pr.cos4 / CAST(sum_a + sum_b AS DOUBLE), 4) AS margin
+        |  FROM pr JOIN sa USING (probe_id) JOIN sb USING (vec_id)
+        |  WHERE sum_a + sum_b <> 0)
+        |SELECT probe_id, vec_id AS match_id,
+        |  ROUND(CAST(cos4 AS DOUBLE) / 10000.0, 4) AS cos, margin
+        |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY margin DESC, vec_id) AS rnk
+        |  FROM m) q WHERE rnk = 1 ORDER BY probe_id""".stripMargin,
   )
 }

@@ -371,4 +371,39 @@ object RelationalOps {
         dround(col("n").cast("double") / col("tot").cast("double"), 4).as("share"))
       .orderBy("digit")
   }
+
+  /** x104 star-join revenue rollup — the TPC-H Q5 shape, the canonical
+    * join-ORDER workload: lineitem ⋈ orders (selective one-year date
+    * filter) ⋈ customer ⋈ supplier ⋈ nation ⋈ region('ASIA'), with Q5's
+    * correlated "local supplier" constraint (c_nationkey = s_nationkey)
+    * riding the supplier join. The suite's Q09–Q18 pin each join
+    * ALGORITHM in isolation; this row pins the composite: one query where
+    * picking the wrong join order or missing the date pushdown costs 10×.
+    *
+    * Plan posture: nation/region are hint-broadcast (constant-size dims);
+    * supplier and the fact chain are left to stats+AQE — supplier is
+    * 1e4·SF rows, broadcastable at this fixture but legitimately a
+    * shuffle join at 100 TB, exactly the call AQE should make from
+    * runtime sizes, not a hardcoded hint. The o_orderdate range reaches
+    * the orders scan as a pushed filter (PlanSpec), so the fact⋈fact
+    * SMJ/SHJ shuffles one year of orders, not six. Revenue sums go
+    * through dround (order-insensitive at 4dp; DeterminismSpec). */
+  def x104StarJoin(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01")
+            && col("o_orderdate") < lit("1997-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(s, d),
+        col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
 }

@@ -784,4 +784,50 @@ object VectorOps {
            dround(max("norm"), 4).as("max_norm"),
            sum(when(col("norm") === 0.0, 1).otherwise(0)).cast("long").as("n_zero"))
       .orderBy("label")
+
+  /** x105 margin-based pair mining — the Artetxe–Schwenk margin criterion
+    * bitext/near-pair miners use instead of a raw cosine threshold: a
+    * candidate's score is its cosine NORMALIZED by both endpoints'
+    * neighborhood density, so a vector that is "close to everything" (a
+    * hub) stops winning every probe. Probe set A = vec_id < 10; candidate
+    * set B = the rest; margin(a,b) = 2·cos(a,b) / (avgTop10(a over B) +
+    * avg(b over A)); declared output is each probe's best-margin match.
+    *
+    * Cross-engine FP discipline: cosines are snapped ONCE to integer
+    * ten-thousandths (cos4 = ROUND(1e4·cos), the x86/x92 all-integer
+    * pattern), so both neighborhood sums are exact BIGINTs and the margin
+    * is the single double divide 20·cos4/(sumA+sumB), rounded once —
+    * no order-sensitive double accumulation anywhere.
+    *
+    * Scale: one broadcast-probe pass computes cos4 (the x85/x101
+    * brute-force baseline; the SRP band index (x12) is the production
+    * candidate generator at corpus×corpus scale), both rank filters
+    * compile to map-side WindowGroupLimit (≤10 rows per probe forwarded
+    * per task), and sumB is one high-cardinality vec_id hash agg. */
+  def x105MarginMine(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    val pairs = e.crossJoin(broadcast(probes))
+      .filter(col("vec_id") >= 10)
+      .withColumn("cos4",
+        round(cosine(col("p_emb"), col("embedding")) * lit(10000.0), 0).cast("long"))
+      .select("probe_id", "vec_id", "cos4")
+    val wTop = Window.partitionBy("probe_id").orderBy(col("cos4").desc, col("vec_id"))
+    val sumA = pairs.withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= 10)
+      .groupBy("probe_id").agg(sum("cos4").as("sum_a"))
+    val sumB = pairs.groupBy("vec_id").agg(sum("cos4").as("sum_b"))
+    val wBest = Window.partitionBy("probe_id").orderBy(col("margin").desc, col("vec_id"))
+    pairs.join(broadcast(sumA), "probe_id")
+      .join(sumB, "vec_id")
+      .filter(col("sum_a") + col("sum_b") =!= 0L)
+      .withColumn("margin",
+        dround(lit(20.0) * col("cos4") / (col("sum_a") + col("sum_b")).cast("double"), 4))
+      .withColumn("rnk", row_number().over(wBest))
+      .filter(col("rnk") === 1)
+      .select(col("probe_id"), col("vec_id").as("match_id"),
+        dround(col("cos4").cast("double") / 10000.0, 4).as("cos"), col("margin"))
+      .orderBy("probe_id")
+  }
 }

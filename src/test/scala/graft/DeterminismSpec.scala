@@ -35,7 +35,11 @@ class DeterminismSpec extends SparkSpecBase {
     "x31_top_bigrams", "x34_quantile_sketch", "x35_fixed_k_sample",
     // x37: the recall verdict composes two FP-ranked top-k sets; both must
     // select identical finalists at any width for ok to be stable
-    "x37_ann_recall")
+    "x37_ann_recall",
+    // round-8 additions: x104's revenue is an order-sensitive double sum
+    // under dround; x105 ranks on a rounded ratio of integer sums — the
+    // snap-to-cos4 step must make the ranking partition-blind
+    "x104_star_join", "x105_margin_mine")
 
   private def canon(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted.toSeq

@@ -515,6 +515,31 @@ class PlanSpec extends SparkSpecBase {
       "AUC window does not sit above the histogram aggregate")
   }
 
+  test("x104: date slice pushed to the orders scan; dims broadcast; no product join") {
+    val p = planOf(operators.RelationalOps.x104StarJoin(spark, sfDir))
+    // the one-year slice must reach the parquet scan — the fact⋈fact join
+    // then shuffles one year of orders, not the full table
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,"),
+      s"o_orderdate lower bound not pushed:\n$p")
+    assert(p.contains("LessThan(o_orderdate,"),
+      s"o_orderdate upper bound not pushed:\n$p")
+    // nation/region ride broadcasts; nothing degenerates to a product
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("x105: both rank filters group-limit map-side; probes broadcast") {
+    val p = planOf(operators.VectorOps.x105MarginMine(spark, sfDir))
+    // top-10 neighborhood and best-margin rn=1 must both compile to
+    // WindowGroupLimit — each map task forwards ≤10/1 rows per probe
+    // before any shuffle; the corpus never serializes through one window
+    assert(p.contains("WindowGroupLimit"), s"rank filters not group-limited:\n$p")
+    // the probe side rides a broadcast; the only corpus-sized shuffles are
+    // the vec_id hash agg + its equi-join back
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), s"non-broadcast product:\n$p")
+  }
+
   test("x101: both rankings broadcast the probe set; no vector self-join") {
     val p = planOf(operators.VectorOps.x101Matryoshka(spark, sfDir))
     // each ranking is corpus × broadcast(10 probes) — a BroadcastNestedLoop
