@@ -864,6 +864,66 @@ object StreamOps {
           .as("psi"))
   }
 
+  case class PackDoc(doc_id: Long, lang: String, n_tok: Long)
+  case class PackAssign(lang: String, doc_id: Long, first_chunk: Long,
+                        last_chunk: Long, cum: Long)
+
+  /** ST22: continuous sequence packing — the streaming counterpart of
+    * x102's concat-and-chunk packer. As documents arrive per language,
+    * state is ONE running token total per lang; each doc is assigned, at
+    * arrival, the span of fixed-size contexts it will occupy
+    * (first_chunk = (cum−n)÷C, last_chunk = (cum−1)÷C) — exactly what an
+    * incremental packer writing docs into context buffers needs to know
+    * the moment the doc lands. All-integer; nothing FP-accumulates.
+    *
+    * Ordering contract: arrival order IS the pack order. Within a
+    * micro-batch the per-lang rows are sorted by doc_id before folding
+    * (shuffle order into handleInputRows is not deterministic); across
+    * batches the stream's arrival order defines the concatenation — so a
+    * stream delivered in doc_id order reproduces x102's batch spans
+    * bit-for-bit (StreamingSpec asserts this, whole-stream and split
+    * across micro-batches).
+    *
+    * Scale posture: state is O(|langs|) single longs — but the packer is
+    * the ORDER-DEFINING sequential stage, so per-lang throughput is one
+    * task's fold rate (each row is O(1) work). For a static 100 TB corpus
+    * run x102's two-level scan; this continuous form exists for the
+    * ingest tail, where docs trickle in and the arrival sequence is the
+    * declared concatenation order. Lang keys are few and permanent →
+    * TTLConfig.NONE is the honest setting (nothing to expire). */
+  class PackProcessor(chunkTok: Long)
+      extends StatefulProcessor[String, PackDoc, PackAssign] {
+    @transient private var st: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[Long]("cum", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[PackDoc],
+                                 timerValues: TimerValues): Iterator[PackAssign] = {
+      var cum = if (st.exists()) st.get() else 0L
+      val out = scala.collection.mutable.ArrayBuffer[PackAssign]()
+      rows.toArray.sortBy(_.doc_id).foreach { d =>
+        cum += d.n_tok
+        out += PackAssign(d.lang, d.doc_id,
+          (cum - d.n_tok) / chunkTok, (cum - 1) / chunkTok, cum)
+      }
+      st.update(cum)
+      out.iterator
+    }
+  }
+
+  /** ST22 entry: documents keyed by language, folded through
+    * [[PackProcessor]] (C = 256, x102's chunk size). */
+  def packAssignments(docs: DataFrame, chunkTok: Long = 256L): Dataset[PackAssign] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .as[PackDoc]
+      .groupByKey(_.lang)
+      .transformWithState(new PackProcessor(chunkTok),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** ST20 entry: events with a `cents` column keyed by series, folded
     * through [[AnomalyProcessor]] (λ² = 9 i.e. |z| ≥ 3, minN = 8). */
   def anomalyFlags(events: DataFrame, minN: Long = 8L,

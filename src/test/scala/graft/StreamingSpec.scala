@@ -719,4 +719,70 @@ class StreamingSpec extends SparkSpecBase {
     assert(psi.except(batch).isEmpty && batch.except(psi).isEmpty,
       s"stream PSI ${psi.collect().mkString(",")} vs batch ${batch.collect().mkString(",")}")
   }
+
+  /** Batch reference for ST22: per-doc chunk spans from x102's prefixCum. */
+  private def batchPackSpans: Set[(String, Long, Long, Long, Long)] =
+    operators.TextOps.prefixCum(
+        spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("lang"),
+            size(split(col("text"), " ")).cast("long").as("n_tok")))
+      .select(col("lang"), col("doc_id"),
+        expr("(cum - n_tok) div 256").as("first_chunk"),
+        expr("(cum - 1) div 256").as("last_chunk"), col("cum"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+
+  test("ST22 streaming pack assignments equal x102's batch chunk spans") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+      val src = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      val q = StreamOps.packAssignments(src).toDF()
+        .writeStream.format("memory").queryName("st22").outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val got = spark.table("st22").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSet
+      val expect = batchPackSpans
+      assert(expect.nonEmpty, "fixture produced no spans — test is vacuous")
+      assert(got === expect)
+    } finally {
+      prior match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
+  test("ST22 running token total carries across micro-batches") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      implicit val ctx = spark.sqlContext
+      val input = MemoryStream[(Long, String, String)]
+      val docs = input.toDF().toDF("doc_id", "lang", "text")
+      val q = StreamOps.packAssignments(docs, chunkTok = 10L).toDF()
+        .writeStream.format("memory").queryName("st22b").outputMode("append").start()
+      def doc(id: Long, n: Int) = (id, "en", Seq.fill(n)("w").mkString(" "))
+      // batch 1: 7 + 6 tokens — doc 2 straddles the first 10-token boundary
+      input.addData(doc(1, 7), doc(2, 6))
+      q.processAllAvailable()
+      // batch 2: 4 more tokens — must continue from cum=13, not restart
+      input.addData(doc(3, 4))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("st22b").collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      assert(got === Set((1L, 0L, 0L, 7L), (2L, 0L, 1L, 13L), (3L, 1L, 1L, 17L)),
+        s"spans drifted: $got")
+    } finally {
+      prior match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
 }
