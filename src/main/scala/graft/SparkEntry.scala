@@ -215,6 +215,7 @@ object SparkEntry {
     "x103_length_auc"     -> (TextOps.x103LengthAuc _),
     "x104_star_join"      -> (RelationalOps.x104StarJoin _),
     "x105_margin_mine"    -> (VectorOps.x105MarginMine _),
+    "x106_exact_pairs"    -> (TextOps.x106ExactPairs _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2356,5 +2357,19 @@ object SparkEntry {
         |  ROUND(CAST(cos4 AS DOUBLE) / 10000.0, 4) AS cos, margin
         |FROM (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY margin DESC, vec_id) AS rnk
         |  FROM m) q WHERE rnk = 1 ORDER BY probe_id""".stripMargin,
+
+    // x106: the exhaustive shared-token join states the same exact-pair
+    // contract as q53's twin (prefix filtering is an execution strategy,
+    // not a semantic); only the output column names differ
+    "x106_exact_pairs" ->
+      """WITH t AS (SELECT DISTINCT doc_id, tok FROM
+        |  (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents) u),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+        |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS j
+        |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

@@ -1670,6 +1670,19 @@ object TextOps {
       .orderBy("lang", "chunk")
   }
 
+  /** x106 exact near-dup pairs via prefix filtering — q53's contract
+    * (all pairs, exact Jaccard ≥ 0.8 over word sets) computed by the
+    * deterministic-exact AllPairs/PPJoin algorithm instead of MinHash
+    * banding: candidates come from an equi-join on df-ordered PREFIX
+    * tokens, whose completeness is a theorem about the token order, not
+    * a band-collision probability. See [[graft.functions.AllPairsJoin]]
+    * for the anatomy and the t-boundary FP discipline. The two engines
+    * answering one declared contract lets the bench put a number on what
+    * the probabilistic index buys (or costs) per corpus. */
+  def x106ExactPairs(s: SparkSession, d: String): DataFrame =
+    graft.functions.AllPairsJoin.exactPairs(docTokens(s, d), 0.8)
+      .orderBy("id_a", "id_b")
+
   /** x103 exact AUC — the Mann–Whitney readout a data-quality team runs
     * to ask "does this cheap signal separate the classes?": here, how
     * well document length (n_chars) predicts lang = 'en'. Exact

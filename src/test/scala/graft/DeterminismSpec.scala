@@ -39,7 +39,10 @@ class DeterminismSpec extends SparkSpecBase {
     // round-8 additions: x104's revenue is an order-sensitive double sum
     // under dround; x105 ranks on a rounded ratio of integer sums — the
     // snap-to-cos4 step must make the ranking partition-blind
-    "x104_star_join", "x105_margin_mine")
+    "x104_star_join", "x105_margin_mine",
+    // x106: the prefix-filtered pair list must be identical at any width —
+    // candidate completeness is order-theoretic, not partitioning-lucky
+    "x106_exact_pairs")
 
   private def canon(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted.toSeq

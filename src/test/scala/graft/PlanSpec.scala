@@ -540,6 +540,15 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), s"non-broadcast product:\n$p")
   }
 
+  test("x106: candidate generation is equi-joins + aggregates; no product join") {
+    val p = planOf(operators.TextOps.x106ExactPairs(spark, sfDir))
+    // the exact join must never degenerate to a pairwise product — every
+    // stage is a token/id equi-join or a hash aggregate; the oracle's
+    // exhaustive shared-token shape exists ONLY on the DuckDB side
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("x101: both rankings broadcast the probe set; no vector self-join") {
     val p = planOf(operators.VectorOps.x101Matryoshka(spark, sfDir))
     // each ranking is corpus × broadcast(10 probes) — a BroadcastNestedLoop
