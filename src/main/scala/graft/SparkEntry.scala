@@ -216,6 +216,7 @@ object SparkEntry {
     "x104_star_join"      -> (RelationalOps.x104StarJoin _),
     "x105_margin_mine"    -> (VectorOps.x105MarginMine _),
     "x106_exact_pairs"    -> (TextOps.x106ExactPairs _),
+    "x107_peak_concurrency" -> (TimeSeriesOps.x107PeakConcurrency _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2371,5 +2372,27 @@ object SparkEntry {
         |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // x107: x20's session CTE → ±1 boundary sweep; the twin's single
+    // global running sum (default RANGE frame — tie peers included, same
+    // as the Spark side's RANGE window) states the semantics the two-level
+    // hour-carry plan executes
+    "x107_peak_concurrency" ->
+      s"""WITH e AS ($E),
+         |g AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+         |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e),
+         |b AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 21600000000 THEN 1 ELSE 0 END AS brk FROM g),
+         |s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session FROM b),
+         |iv AS (SELECT user_id, session, MIN(us) AS start_us, MAX(us) AS end_us
+         |  FROM s GROUP BY 1, 2),
+         |bd AS (SELECT start_us AS us, 0 AS kind, 1 AS delta FROM iv
+         |  UNION ALL SELECT end_us, 1, -1 FROM iv),
+         |c AS (SELECT us, kind, delta,
+         |  CAST(SUM(delta) OVER (ORDER BY us, kind) AS BIGINT) AS cum FROM bd)
+         |SELECT us // 86400000000 AS epoch_day, MAX(cum) AS peak,
+         |  CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+         |  CAST(SUM(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ends
+         |FROM c GROUP BY 1 ORDER BY epoch_day""".stripMargin,
   )
 }

@@ -1125,4 +1125,61 @@ object TimeSeriesOps {
         dround(col("numd") / sqrt(col("dend")), 4).as("corr"))
       .orderBy("type_a", "type_b")
   }
+
+  /** x107 peak session concurrency — the capacity-planning readout: per
+    * day, the maximum number of simultaneously-open user sessions (x20's
+    * 6-hour-gap sessions, inclusive [start, end] intervals) plus the
+    * day's start/end counts. The classic ±1 boundary sweep, but the
+    * running count is NEVER one global window task:
+    *
+    *  1. sessions → boundary events (+1 at start, −1 at end);
+    *  2. per-HOUR subtotals → exclusive prefix over the hour spine (an
+    *     aggregate of ≤ years·8760 rows — x16/x102's two-level trick with
+    *     time itself as the bucket) → broadcast carry-in per hour;
+    *  3. intra-hour running sum windowed by hour — parallelism = live
+    *     hours, each task bounded by that hour's boundary count;
+    *  4. per-day max. At 100 TB the sweep shuffles boundaries (2 rows per
+    *     session), never events.
+    *
+    * Tie discipline: the intra-hour frame is RANGE (peers included), so
+    * every boundary in a (us, kind) tie group carries the AFTER-GROUP
+    * total — order within the group can't change any emitted value in
+    * either engine — and kind orders starts (0) before ends (1), so
+    * back-to-back sessions at the same microsecond count as overlapping
+    * (inclusive-interval semantics, declared). All-integer. */
+  def x107PeakConcurrency(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 6L * 3600L * 1000000L
+    val hourUs = 3600L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .withColumn("brk",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session", sum("brk").over(run))
+      .groupBy("user_id", "session")
+      .agg(min("us").as("start_us"), max("us").as("end_us"))
+    val bounds = sessions
+      .select(col("start_us").as("us"), lit(0L).as("kind"), lit(1L).as("delta"))
+      .unionAll(sessions.select(col("end_us"), lit(1L), lit(-1L)))
+      .withColumn("hr", expr(s"us div $hourUs"))
+    val sub = bounds.groupBy("hr").agg(sum("delta").as("sub"))
+    val wh = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, -1)
+    val carry = sub
+      .withColumn("carry", coalesce(sum("sub").over(wh), lit(0L)))
+      .select(col("hr").as("c_hr"), col("carry"))
+    val wi = Window.partitionBy("hr").orderBy("us", "kind")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds.join(broadcast(carry), col("hr") === col("c_hr"))
+      .withColumn("cum", col("carry") + sum("delta").over(wi))
+      .withColumn("epoch_day", expr("hr div 24"))
+      .groupBy("epoch_day")
+      .agg(max("cum").as("peak"),
+           sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"),
+           sum(when(col("delta") === -1L, 1L).otherwise(0L)).as("n_ends"))
+      .orderBy("epoch_day")
+  }
 }

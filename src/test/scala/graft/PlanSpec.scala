@@ -549,6 +549,24 @@ class PlanSpec extends SparkSpecBase {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("x107: sweep windows are per-user, per-hour, or spine-over-aggregate") {
+    val df = operators.TimeSeriesOps.x107PeakConcurrency(spark, sfDir)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // every window must partition on a high-cardinality key (user_id for
+    // sessionization, hr for the intra-hour sweep) or run over the hour
+    // AGGREGATE spine — a single global boundary-ordered window would be
+    // the classic sweep-line scale-killer
+    val bad = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow
+        if !w.partitionSpec.exists(_.references.exists(r =>
+             r.name == "user_id" || r.name == "hr")) &&
+           w.collect { case a: Aggregate => a }.isEmpty => w
+    }
+    assert(bad.isEmpty, s"global sweep window:\n${bad.mkString}")
+    val p = planOf(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
   test("x101: both rankings broadcast the probe set; no vector self-join") {
     val p = planOf(operators.VectorOps.x101Matryoshka(spark, sfDir))
     // each ranking is corpus × broadcast(10 probes) — a BroadcastNestedLoop
