@@ -217,6 +217,7 @@ object SparkEntry {
     "x105_margin_mine"    -> (VectorOps.x105MarginMine _),
     "x106_exact_pairs"    -> (TextOps.x106ExactPairs _),
     "x107_peak_concurrency" -> (TimeSeriesOps.x107PeakConcurrency _),
+    "x108_length_match"   -> (TextOps.x108LengthMatch _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2394,5 +2395,19 @@ object SparkEntry {
          |  CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
          |  CAST(SUM(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ends
          |FROM c GROUP BY 1 ORDER BY epoch_day""".stripMargin,
+
+    // x108: the twin states nearest-match directly as a ranked cross join
+    // per lang (fine at oracle scale); the Spark side's two-level
+    // directional scans execute the same (|Δ|, len, id) pick
+    "x108_length_match" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars FROM documents WHERE source = 'src0'),
+        |c AS (SELECT doc_id, lang, n_chars FROM documents WHERE source <> 'src0')
+        |SELECT doc_id, lang, n_chars, match_id, match_chars, delta FROM (
+        |  SELECT t.doc_id, t.lang, t.n_chars, c.doc_id AS match_id,
+        |    c.n_chars AS match_chars, ABS(c.n_chars - t.n_chars) AS delta,
+        |    row_number() OVER (PARTITION BY t.doc_id
+        |      ORDER BY ABS(c.n_chars - t.n_chars), c.n_chars, c.doc_id) AS rnk
+        |  FROM t JOIN c ON c.lang = t.lang) q
+        |WHERE rnk = 1 ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1683,6 +1683,26 @@ object TextOps {
     graft.functions.AllPairsJoin.exactPairs(docTokens(s, d), 0.8)
       .orderBy("id_a", "id_b")
 
+  /** x108 length-matched control pairing — the case-control matching step
+    * of an evaluation pipeline: every doc from the "treatment" source
+    * (src0) paired, within its language, to the control-corpus doc of
+    * nearest character length (ties: shorter control, then lower doc_id)
+    * — so downstream metric deltas aren't confounded by length. Executed
+    * by [[NearestJoin]] — the value-axis as-of operator — whose two-level
+    * scan keeps the per-lang matching off a single task (lang is exactly
+    * the low-cardinality q29 key the two-level shape exists for). */
+  def x108LengthMatch(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    NearestJoin.nearest(
+        docs.filter(col("source") === "src0").drop("source"),
+        docs.filter(col("source") =!= "src0").drop("source"),
+        "lang", "n_chars", "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("match_id"),
+        col("match_axis").as("match_chars"), col("delta"))
+      .orderBy("doc_id")
+  }
+
   /** x103 exact AUC — the Mann–Whitney readout a data-quality team runs
     * to ask "does this cheap signal separate the classes?": here, how
     * well document length (n_chars) predicts lang = 'en'. Exact

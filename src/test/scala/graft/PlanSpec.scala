@@ -567,6 +567,22 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
   }
 
+  test("x108: matcher windows are bucket-scoped or spine-over-aggregate") {
+    val df = operators.TextOps.x108LengthMatch(spark, sfDir)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // lang is a low-cardinality key: every window must be intra-bucket
+    // (partition spec includes bkt) or run over the bucket-spine aggregate
+    // — a plain per-lang window over the corpus is the q29 serialization
+    val bad = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow
+        if !w.partitionSpec.exists(_.references.exists(_.name == "bkt")) &&
+           w.collect { case a: Aggregate => a }.isEmpty => w
+    }
+    assert(bad.isEmpty, s"per-lang corpus window in matcher plan:\n${bad.mkString}")
+    val p = planOf(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
   test("x101: both rankings broadcast the probe set; no vector self-join") {
     val p = planOf(operators.VectorOps.x101Matryoshka(spark, sfDir))
     // each ranking is corpus × broadcast(10 probes) — a BroadcastNestedLoop
