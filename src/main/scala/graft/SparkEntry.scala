@@ -218,6 +218,7 @@ object SparkEntry {
     "x106_exact_pairs"    -> (TextOps.x106ExactPairs _),
     "x107_peak_concurrency" -> (TimeSeriesOps.x107PeakConcurrency _),
     "x108_length_match"   -> (TextOps.x108LengthMatch _),
+    "x109_ks_drift"       -> (TimeSeriesOps.x109KsDrift _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2409,5 +2410,28 @@ object SparkEntry {
         |      ORDER BY ABS(c.n_chars - t.n_chars), c.n_chars, c.doc_id) AS rnk
         |  FROM t JOIN c ON c.lang = t.lang) q
         |WHERE rnk = 1 ORDER BY doc_id""".stripMargin,
+
+    // x109: exact KS over the cents histogram; numerator in HUGEINT
+    // (Spark side: DECIMAL(38,0)), one rounded divide
+    "x109_ks_drift" ->
+      s"""WITH e AS ($E),
+         |h AS (SELECT event_type,
+         |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         |  CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-15 12:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |  CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-15 12:00:00' THEN 0 ELSE 1 END) AS BIGINT) AS cb
+         |  FROM e GROUP BY 1, 2),
+         |t AS (SELECT event_type, CAST(SUM(ca) AS BIGINT) AS n_a,
+         |  CAST(SUM(cb) AS BIGINT) AS n_b FROM h GROUP BY 1),
+         |c AS (SELECT event_type, cents, ca, cb,
+         |  CAST(SUM(ca) OVER (PARTITION BY event_type ORDER BY cents
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+         |  CAST(SUM(cb) OVER (PARTITION BY event_type ORDER BY cents
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b FROM h)
+         |SELECT c.event_type AS event_type, n_a, n_b,
+         |  MAX(ABS(n_b * cum_a - n_a * cum_b)) AS d_num,
+         |  ROUND(CAST(MAX(ABS(n_b * cum_a - n_a * cum_b)) AS DOUBLE)
+         |    / (CAST(n_a AS DOUBLE) * n_b), 4) AS ks
+         |FROM c JOIN t ON t.event_type = c.event_type
+         |GROUP BY 1, 2, 3 ORDER BY c.event_type""".stripMargin,
   )
 }

@@ -1126,6 +1126,50 @@ object TimeSeriesOps {
       .orderBy("type_a", "type_b")
   }
 
+  /** x109 exact two-sample Kolmogorov–Smirnov drift — the nonparametric
+    * companion to x98's PSI gate, over the SAME reference/live split: per
+    * event_type, D = max over the pooled support of |CDF_ref − CDF_live|,
+    * computed EXACTLY. x98 answers "how far apart are the fixed-bin
+    * histograms" (bin edges are part of its contract); KS answers "how far
+    * apart are the distributions, bin-free" — the test that catches a
+    * within-bin shift PSI's 2500-cent bins smooth away.
+    *
+    * Exactness discipline: values snap to integer cents; the per-type
+    * VALUE HISTOGRAM (cells bounded by the cents domain, not the corpus —
+    * the x103/x78 spine argument) carries integer running counts; the
+    * statistic's numerator max|n_b·cumₐ − n_a·cum_b| is DECIMAL(38,0)
+    * (x92's rule — n·cum overflows Long at ~1e9×1e9 corpus scale); the
+    * one double is the final rounded divide by n_a·n_b. D only changes at
+    * support points, so evaluating after each histogram cell IS the exact
+    * supremum. One corpus-sized hash agg; everything after runs on
+    * aggregate-sized cell tables. */
+  def x109KsDrift(s: SparkSession, d: String): DataFrame = {
+    val mid = lit("2024-01-15 12:00:00").cast("timestamp")
+    val hist = Tables.events(s, d)
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        when(col("ts") < mid, 1L).otherwise(0L).as("ina"))
+      .groupBy("event_type", "cents")
+      .agg(sum(col("ina")).as("ca"), sum(lit(1L) - col("ina")).as("cb"))
+    val tot = hist.groupBy("event_type").agg(sum("ca").as("n_a"), sum("cb").as("n_b"))
+    val w = Window.partitionBy("event_type").orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hist
+      .withColumn("cum_a", sum("ca").over(w))
+      .withColumn("cum_b", sum("cb").over(w))
+      .join(broadcast(tot), "event_type")
+      .withColumn("dn", abs(
+        col("n_b").cast("decimal(38,0)") * col("cum_a").cast("decimal(38,0)")
+          - col("n_a").cast("decimal(38,0)") * col("cum_b").cast("decimal(38,0)")))
+      .groupBy("event_type")
+      .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+           max("dn").cast("decimal(38,0)").as("d_num"))
+      .select(col("event_type"), col("n_a"), col("n_b"), col("d_num"),
+        dround(col("d_num").cast("double")
+          / (col("n_a").cast("double") * col("n_b").cast("double")), 4).as("ks"))
+      .orderBy("event_type")
+  }
+
   /** x107 peak session concurrency — the capacity-planning readout: per
     * day, the maximum number of simultaneously-open user sessions (x20's
     * 6-hour-gap sessions, inclusive [start, end] intervals) plus the

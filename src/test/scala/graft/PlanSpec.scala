@@ -583,6 +583,17 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
   }
 
+  test("x109: KS scan runs over the cents histogram, never sorts the corpus") {
+    val df = operators.TimeSeriesOps.x109KsDrift(spark, sfDir)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // the CDF windows' input must be the (type, cents) aggregate — cells
+    // bounded by the value domain, not the corpus
+    val windows = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected the histogram CDF window")
+    assert(windows.forall(_.collect { case a: Aggregate => a }.nonEmpty),
+      "CDF window does not sit above the histogram aggregate")
+  }
+
   test("x101: both rankings broadcast the probe set; no vector self-join") {
     val p = planOf(operators.VectorOps.x101Matryoshka(spark, sfDir))
     // each ranking is corpus × broadcast(10 probes) — a BroadcastNestedLoop
