@@ -219,6 +219,7 @@ object SparkEntry {
     "x107_peak_concurrency" -> (TimeSeriesOps.x107PeakConcurrency _),
     "x108_length_match"   -> (TextOps.x108LengthMatch _),
     "x109_ks_drift"       -> (TimeSeriesOps.x109KsDrift _),
+    "x110_canon_dedup"    -> (TextOps.x110CanonDedup _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2433,5 +2434,19 @@ object SparkEntry {
          |    / (CAST(n_a AS DOUBLE) * n_b), 4) AS ks
          |FROM c JOIN t ON t.event_type = c.event_type
          |GROUP BY 1, 2, 3 ORDER BY c.event_type""".stripMargin,
+
+    // x110: byte-level ASCII casefold via translate (no Unicode case
+    // tables in a contract key), literal-space regex with DuckDB's 'g'
+    "x110_canon_dedup" ->
+      """WITH c AS (SELECT doc_id,
+        |  CAST(translate(trim(regexp_replace(text, ' +', ' ', 'g')),
+        |    'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') <> text AS INT)
+        |    AS changed,
+        |  sha256(translate(trim(regexp_replace(text, ' +', ' ', 'g')),
+        |    'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS ch
+        |  FROM documents),
+        |g AS (SELECT ch, COUNT(*) AS group_n FROM c GROUP BY 1)
+        |SELECT doc_id, substring(ch, 1, 16) AS canon_fp, changed, group_n
+        |FROM c JOIN g USING (ch) ORDER BY doc_id""".stripMargin,
   )
 }

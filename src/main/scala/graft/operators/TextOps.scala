@@ -1703,6 +1703,37 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** x110 canonicalization dedup audit — the C4/CCNet-style normalization
+    * pass BEFORE exact dedup: whitespace runs collapse, edges trim, ASCII
+    * letters casefold, and the dedup key becomes sha256 of the CANONICAL
+    * text — catching the "same page, different whitespace/case" copies
+    * that q52's raw-byte hash treats as distinct. Per doc: the canonical
+    * fingerprint, whether canonicalization changed the text, and its
+    * canonical-group size (group_n > 1 where raw sha256 said unique =
+    * exactly the catch).
+    *
+    * Cross-engine discipline: the fold is `translate` over the 26 ASCII
+    * letters — pure byte mapping, no Unicode case tables (JVM and ICU
+    * disagree on locale-sensitive mappings; a contract key must not) —
+    * and the whitespace regex is literal `' +'` (DuckDB needs the 'g'
+    * flag for replace-all; Spark replaces all by default).
+    *
+    * Scale: one projection + one sha256 hash-agg (q52's exact shape — the
+    * group key is the 32-byte digest, never the text) + one digest-keyed
+    * join back. */
+  def x110CanonDedup(s: SparkSession, d: String): DataFrame = {
+    val uc = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    val canon = Tables.documents(s, d).select(col("doc_id"),
+      (translate(trim(regexp_replace(col("text"), " +", " ")), uc, uc.toLowerCase)
+        =!= col("text")).cast("int").as("changed"),
+      sha2(translate(trim(regexp_replace(col("text"), " +", " ")), uc, uc.toLowerCase),
+        256).as("ch"))
+    canon.join(canon.groupBy("ch").agg(count(lit(1)).as("group_n")), "ch")
+      .select(col("doc_id"), substring(col("ch"), 1, 16).as("canon_fp"),
+        col("changed"), col("group_n"))
+      .orderBy("doc_id")
+  }
+
   /** x103 exact AUC — the Mann–Whitney readout a data-quality team runs
     * to ask "does this cheap signal separate the classes?": here, how
     * well document length (n_chars) predicts lang = 'en'. Exact
