@@ -220,6 +220,8 @@ object SparkEntry {
     "x108_length_match"   -> (TextOps.x108LengthMatch _),
     "x109_ks_drift"       -> (TimeSeriesOps.x109KsDrift _),
     "x110_canon_dedup"    -> (TextOps.x110CanonDedup _),
+    "x111_m4"             -> (TimeSeriesOps.x111M4 _),
+    "x112_triangles"      -> (TextOps.x112Triangles _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2448,5 +2450,47 @@ object SparkEntry {
         |g AS (SELECT ch, COUNT(*) AS group_n FROM c GROUP BY 1)
         |SELECT doc_id, substring(ch, 1, 16) AS canon_fp, changed, group_n
         |FROM c JOIN g USING (ch) ORDER BY doc_id""".stripMargin,
+
+    // x111: first/last are ROW_NUMBER picks over the same (ts, event_id)
+    // total order the Spark side encodes as a min_by/max_by struct key;
+    // all four values are selected stored doubles — no rounding needed
+    "x111_m4" ->
+      s"""WITH e AS ($E),
+         |b AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, value,
+         |  ROW_NUMBER() OVER (PARTITION BY event_type, epoch_us(ts) // 3600000000
+         |    ORDER BY ts, event_id) AS rf,
+         |  ROW_NUMBER() OVER (PARTITION BY event_type, epoch_us(ts) // 3600000000
+         |    ORDER BY ts DESC, event_id DESC) AS rl
+         |  FROM e)
+         |SELECT event_type, hr, COUNT(*) AS n,
+         |MIN(value) AS v_min, MAX(value) AS v_max,
+         |MAX(CASE WHEN rf = 1 THEN value END) AS v_first,
+         |MAX(CASE WHEN rl = 1 THEN value END) AS v_last
+         |FROM b GROUP BY 1, 2 ORDER BY event_type, hr""".stripMargin,
+
+    // x112: same exact-Jaccard pair base as x97's twin; the twin counts
+    // triangles with the naive ordered 3-way join (a<b<c once each) —
+    // orientation on the Spark side is a physical strategy, not a
+    // semantic difference
+    "x112_triangles" ->
+      """WITH t AS (SELECT DISTINCT doc_id, tok FROM
+        |  (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents) u),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT doc_a, doc_b
+        |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+        |deg AS (SELECT v, COUNT(*) AS deg FROM
+        |  (SELECT doc_a AS v FROM pairs UNION ALL SELECT doc_b FROM pairs) GROUP BY 1),
+        |tri AS (SELECT COUNT(*) AS n_triangles FROM pairs e1
+        |  JOIN pairs e2 ON e2.doc_a = e1.doc_b
+        |  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+        |base AS (SELECT COUNT(*) AS n_nodes,
+        |  CAST(SUM(deg) // 2 AS BIGINT) AS n_edges,
+        |  CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |ROUND(3.0 * n_triangles / n_wedges, 4) AS global_cc
+        |FROM base, tri""".stripMargin,
   )
 }

@@ -1762,4 +1762,53 @@ object TextOps {
         dround(col("u2").cast("double")
           / (lit(2.0) * col("n_pos") * col("n_neg")), 4).as("auc"))
   }
+
+  /** x112 triangle census of the near-dup graph — the structural readout
+    * past x97's per-cluster transitivity: edge/wedge/triangle counts and
+    * the global clustering coefficient 3·Δ/wedges. Near 1 ⇒ dup clusters
+    * are cliques (true copies); low with big components ⇒ chains (the
+    * threshold is gluing unrelated docs through intermediates).
+    *
+    * Scale — the degree-orientation algorithm, not the naive 3-way join:
+    * each undirected edge is oriented from its (deg, id)-smaller endpoint
+    * to the larger, so every out-degree is ≤ √(2m) and the wedge self-join
+    * on the source node generates Σ d_out(v)² = O(m^1.5) candidate wedges
+    * worst-case — on a 10k-doc clique orientation caps the join at ~m·√m
+    * instead of the naive Σ deg² ≈ m·n. Closing wedge→triangle is one
+    * equi-join back onto the oriented edge list; every triangle is counted
+    * exactly once (its orientation-least vertex generates it). Wedges and
+    * degrees are all-integer; the one double is the final rounded ratio.
+    * Edges come from q53's verified pair list (already costed there). */
+  def x112Triangles(s: SparkSession, d: String): DataFrame = {
+    val e = MinHashLSH.verifiedPairs(docTokens(s, d), 0.8)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    // orient: src = (deg, id)-smaller endpoint; total order via unique ids
+    val withDeg = e
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+    val o = withDeg.select(
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("src"), col("b").as("dst"), col("db").as("ddeg")))
+        .otherwise(struct(col("b").as("src"), col("a").as("dst"), col("da").as("ddeg")))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.ddeg").as("ddeg"))
+    // order each out-neighbor pair by the SAME (deg, id) key the orientation
+    // uses, so the closing edge — if present — is oriented exactly v→w and
+    // the triangle close is a single equi-join (no OR predicate, no BNL)
+    val wedges = o.select(col("src"), col("dst").as("v"), col("ddeg").as("dv"))
+      .join(o.select(col("src"), col("dst").as("w"), col("ddeg").as("dw")), "src")
+      .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
+    val tri = wedges.join(
+        o.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val base = deg.agg(count(lit(1)).as("n_nodes"), sum("deg").as("deg2x"),
+        sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
+    base.crossJoin(tri)
+      .select(col("n_nodes"), (col("deg2x") / 2).cast("long").as("n_edges"),
+        col("n_wedges"), col("n_triangles"),
+        dround(lit(3.0) * col("n_triangles").cast("double")
+          / col("n_wedges").cast("double"), 4).as("global_cc"))
+  }
 }

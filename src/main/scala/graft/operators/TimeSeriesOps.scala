@@ -1226,4 +1226,34 @@ object TimeSeriesOps {
            sum(when(col("delta") === -1L, 1L).otherwise(0L)).as("n_ends"))
       .orderBy("epoch_day")
   }
+
+  /** x111 M4 downsample — the error-free visualization downsample
+    * (Jugel et al., VLDB 2014): per (series, pixel-column time bucket),
+    * the min, max, FIRST, and LAST values. Unlike q48's avg rollup, M4
+    * guarantees the rendered line through the four extrema is pixel-exact
+    * for any width-aligned chart, which is why every production TSDB
+    * (including the reference's rollup surface) ships it.
+    *
+    * Scale: ONE partial+final hash agg — `min_by`/`max_by` over the
+    * (µs, event_id) order key are declarative aggregates, so first/last
+    * selection map-side-combines like min/max and the shuffle carries one
+    * row per (series, bucket) regardless of corpus size; no window, no
+    * sort. Bucket count is bounded by chart width × series, so the result
+    * is screen-sized at any data scale. All four outputs are SELECTED
+    * stored doubles (no arithmetic) — bit-identical across engines with
+    * no rounding step. Ties: event_id is unique, so the (us, event_id)
+    * struct order is total in both engines. */
+  def x111M4(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    Tables.events(s, d)
+      .select(col("event_type"), col("value"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("hr", expr(s"us div $hourUs"))
+      .groupBy("event_type", "hr")
+      .agg(count(lit(1)).as("n"),
+        min("value").as("v_min"), max("value").as("v_max"),
+        min_by(col("value"), struct(col("us"), col("event_id"))).as("v_first"),
+        max_by(col("value"), struct(col("us"), col("event_id"))).as("v_last"))
+      .orderBy("event_type", "hr")
+  }
 }
