@@ -222,6 +222,9 @@ object SparkEntry {
     "x110_canon_dedup"    -> (TextOps.x110CanonDedup _),
     "x111_m4"             -> (TimeSeriesOps.x111M4 _),
     "x112_triangles"      -> (TextOps.x112Triangles _),
+    "x113_snm_dedup"      -> (TextOps.x113SnmDedup _),
+    "x114_mass_quantiles" -> (TextOps.x114MassQuantiles _),
+    "x115_two_pass_median" -> (RelationalOps.x115TwoPassMedian _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2492,5 +2495,58 @@ object SparkEntry {
         |SELECT n_nodes, n_edges, n_wedges, n_triangles,
         |ROUND(3.0 * n_triangles / n_wedges, 4) AS global_cc
         |FROM base, tri""".stripMargin,
+
+    // x113: the twin takes the SAME (k, doc_id) sort order via one
+    // ROW_NUMBER (fine at oracle scale; the Spark side's bucket-carry
+    // rank is the scale rewrite) and the same exact-Jaccard verify
+    "x113_snm_dedup" ->
+      """WITH dk AS (SELECT doc_id, lower(substring(text, 1, 24)) AS k FROM documents),
+        |r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rk FROM dk),
+        |cand AS (SELECT a.doc_id AS ia, b.doc_id AS ib FROM r a
+        |  JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 8),
+        |t AS (SELECT DISTINCT doc_id, tok FROM
+        |  (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents) u),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+        |iv AS (SELECT ia, ib, COUNT(*) AS i FROM cand
+        |  JOIN t a ON a.doc_id = ia JOIN t b ON b.doc_id = ib AND b.tok = a.tok
+        |  GROUP BY 1, 2),
+        |jj AS (SELECT LEAST(ia, ib) AS doc_a, GREATEST(ia, ib) AS doc_b,
+        |  CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jac
+        |  FROM iv JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.7)
+        |SELECT doc_a, doc_b, ROUND(jac, 4) AS j FROM jj ORDER BY doc_a, doc_b""".stripMargin,
+
+    // x114: all-integer threshold arithmetic — no quantile interpolation,
+    // no rounding discipline needed on either side
+    "x114_mass_quantiles" ->
+      """WITH h AS (SELECT lang, n_chars,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS wsum
+        |  FROM documents GROUP BY 1, 2),
+        |c AS (SELECT lang, n_chars, wsum,
+        |  SUM(wsum) OVER (PARTITION BY lang ORDER BY n_chars
+        |    ROWS UNBOUNDED PRECEDING) AS cum,
+        |  SUM(wsum) OVER (PARTITION BY lang) AS wtot FROM h)
+        |SELECT lang, CAST(MAX(wtot) AS BIGINT) AS total_tokens,
+        |MIN(CASE WHEN cum * 100 >= wtot * 50 THEN n_chars END) AS p50_len,
+        |MIN(CASE WHEN cum * 100 >= wtot * 90 THEN n_chars END) AS p90_len,
+        |MIN(CASE WHEN cum * 100 >= wtot * 99 THEN n_chars END) AS p99_len
+        |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // x115: the twin states the contract directly as order statistics
+    // (ranks ⌈n/2⌉ and ⌊n/2⌋+1) + the declared lo + 0.5·(hi−lo)
+    // interpolation; the Spark side's histogram refinement is a physical
+    // strategy for the same selection
+    "x115_two_pass_median" ->
+      s"""WITH e AS ($E),
+         |r AS (SELECT event_type, value,
+         |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+         |  COUNT(*) OVER (PARTITION BY event_type) AS n FROM e)
+         |SELECT event_type, MAX(n) AS n,
+         |MIN(CASE WHEN rk = (n + 1) // 2 THEN value END) AS v_lo,
+         |MIN(CASE WHEN rk = n // 2 + 1 THEN value END) AS v_hi,
+         |ROUND(MIN(CASE WHEN rk = (n + 1) // 2 THEN value END)
+         |  + 0.5 * (MIN(CASE WHEN rk = n // 2 + 1 THEN value END)
+         |           - MIN(CASE WHEN rk = (n + 1) // 2 THEN value END)), 4) AS median
+         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.Rounding.dround
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY.md §2.1–§2.4: scans, filters/predicates, joins, aggregation.
@@ -406,4 +407,51 @@ object RelationalOps {
       .agg(dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
         .as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
+
+  /** x115 exact median by two-pass histogram refinement — the 100 TB way
+    * to get an EXACT order statistic without ever totally sorting a
+    * group. q25's exact percentiles pay a per-group sort whose partition
+    * is the whole group; this pays:
+    *
+    *  1. pass 1: an integer-bucket histogram (floor(value)) — one
+    *     map-side-combined hash agg, aggregate-sized result;
+    *  2. a cumulative count over the HISTOGRAM locates, per group, the
+    *     bucket(s) holding the two middle order statistics (ranks
+    *     ⌈n/2⌉ and ⌊n/2⌋+1) plus each bucket's rank offset;
+    *  3. pass 2: a broadcast semi-join refilters the corpus to ONLY the
+    *     winning buckets (selectivity ≈ 1/|buckets|) and ranks within
+    *     them — the per-task sort is one bucket's residents, bounded by
+    *     the histogram's resolution, not the group.
+    *
+    * The two middle values ship RAW (selection, no arithmetic); the one
+    * double op is the declared lo + 0.5·(hi − lo) interpolation, rounded
+    * once. Identical output contract to a sort-based median, priced
+    * against it in the bench. */
+  def x115TwoPassMedian(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("value"), floor(col("value")).cast("long").as("bkt"))
+    val hist = ev.groupBy("event_type", "bkt").agg(count(lit(1)).as("c"))
+    val wb = Window.partitionBy("event_type").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = hist.groupBy("event_type").agg(sum("c").as("n"))
+    val marked = hist
+      .withColumn("prev", coalesce(sum("c").over(wb), lit(0L)))
+      .join(broadcast(tot), "event_type")
+      .withColumn("k1", expr("(n + 1) div 2"))
+      .withColumn("k2", expr("n div 2 + 1"))
+      .filter((col("prev") < col("k1") && col("k1") <= col("prev") + col("c"))
+           || (col("prev") < col("k2") && col("k2") <= col("prev") + col("c")))
+      .select(col("event_type"), col("bkt"), col("prev"), col("n"), col("k1"), col("k2"))
+    val wr = Window.partitionBy("event_type", "bkt").orderBy("value")
+    ev.join(broadcast(marked), Seq("event_type", "bkt"))
+      .withColumn("rk", col("prev") + row_number().over(wr))
+      .filter(col("rk") === col("k1") || col("rk") === col("k2"))
+      .groupBy("event_type")
+      .agg(max("n").as("n"),
+        min(when(col("rk") === col("k1"), col("value"))).as("v_lo"),
+        min(when(col("rk") === col("k2"), col("value"))).as("v_hi"))
+      .select(col("event_type"), col("n"), col("v_lo"), col("v_hi"),
+        dround(col("v_lo") + lit(0.5) * (col("v_hi") - col("v_lo")), 4).as("median"))
+      .orderBy("event_type")
+  }
 }

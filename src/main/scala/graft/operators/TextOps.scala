@@ -1811,4 +1811,86 @@ object TextOps {
         dround(lit(3.0) * col("n_triangles").cast("double")
           / col("n_wedges").cast("double"), 4).as("global_cc"))
   }
+
+  /** x113 sorted-neighborhood near-dup (Hernández–Stolfo SNM) — the third
+    * blocking family next to LSH (q53) and prefix filtering (x106): sort
+    * the corpus by a canonical blocking key (lowercased 24-char prefix),
+    * compare each doc only to its w = 8 successors in sort order, verify
+    * exact Jaccard ≥ 0.7. Candidate mass is EXACTLY n·w by construction —
+    * no skew case exists, which is SNM's selling point on corpora whose
+    * hot keys break hash blocking; its documented blind spot (a dup whose
+    * edit falls inside the key prefix sorts far away) is priced against
+    * q53's probabilistic miss rate in the bench.
+    *
+    * Scale — the global sort position WITHOUT a one-task global window:
+    * buckets = the key's first character (a PREFIX of the sort key, so
+    * bucket order respects key order); per-bucket counts make an
+    * aggregate-sized exclusive-prefix carry (x107's hour-carry trick,
+    * broadcast back), and row_number runs per bucket. Neighbor pairing is
+    * sequence-explode + one rank equi-join (dense integer key, uniform by
+    * construction). Verify is per-candidate array intersection — n·w
+    * pairs, map-side, no shuffle beyond the rank join. At 100 TB widen
+    * the bucket prefix to keep per-bucket mass executor-sized. */
+  def x113SnmDedup(s: SparkSession, d: String): DataFrame = {
+    val w = 8
+    val dk = Tables.documents(s, d)
+      .select(col("doc_id"), lower(substring(col("text"), 1, 24)).as("k"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+      .withColumn("bkt", substring(col("k"), 1, 1))
+    val cnt = dk.groupBy("bkt").agg(count(lit(1)).as("c"))
+    val wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val off = cnt.withColumn("off", coalesce(sum("c").over(wb), lit(0L)))
+      .select(col("bkt"), col("off"))
+    val wr = Window.partitionBy("bkt").orderBy("k", "doc_id")
+    val ranked = dk.join(broadcast(off), "bkt")
+      .withColumn("rk", col("off") + row_number().over(wr))
+      .select(col("rk"), col("doc_id"), col("toks"))
+    val cand = ranked
+      .select(col("rk"), col("doc_id").as("ia"), col("toks").as("ta"),
+        explode(sequence(lit(1), lit(w))).as("i"))
+      .withColumn("rk2", col("rk") + col("i"))
+      .join(ranked.select(col("rk").as("rk2"), col("doc_id").as("ib"),
+        col("toks").as("tb")), "rk2")
+    cand
+      .withColumn("na", size(col("ta")).cast("long"))
+      .withColumn("nb", size(col("tb")).cast("long"))
+      .withColumn("ix", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .withColumn("jac", col("ix").cast("double")
+        / (col("na") + col("nb") - col("ix")).cast("double"))
+      .filter(col("jac") >= 0.7)
+      .select(least(col("ia"), col("ib")).as("doc_a"),
+        greatest(col("ia"), col("ib")).as("doc_b"), dround(col("jac"), 4).as("j"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** x114 token-mass-weighted length percentiles — "what max sequence
+    * length covers 50/90/99% of the corpus' TOKEN MASS per language?",
+    * the context-length sizing question every training run asks. This is
+    * a WEIGHTED quantile (weight = the doc's token count), which q25/x34's
+    * unweighted row quantiles cannot answer: one 100k-token doc moves the
+    * mass cut as much as ten thousand 10-token docs.
+    *
+    * Exactness and scale in one shape: a (lang, n_chars) histogram with
+    * summed token weights (one map-side-combined hash agg over the
+    * corpus), a cumulative window over the AGGREGATE-sized histogram, and
+    * the cut per level p as MIN(n_chars | 100·cum ≥ p·W) — pure BIGINT
+    * threshold arithmetic, no float quantile interpolation anywhere, so
+    * no rounding discipline is even needed. */
+  def x114MassQuantiles(s: SparkSession, d: String): DataFrame = {
+    val hist = Tables.documents(s, d)
+      .select(col("lang"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("ntok"))
+      .groupBy("lang", "n_chars").agg(sum("ntok").as("wsum"))
+    val wc = Window.partitionBy("lang").orderBy("n_chars")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.groupBy("lang").agg(sum("wsum").as("wtot"))
+    hist.withColumn("cum", sum("wsum").over(wc))
+      .join(broadcast(tot), "lang")
+      .groupBy("lang")
+      .agg(max("wtot").as("total_tokens"),
+        min(when(col("cum") * 100 >= col("wtot") * 50, col("n_chars"))).as("p50_len"),
+        min(when(col("cum") * 100 >= col("wtot") * 90, col("n_chars"))).as("p90_len"),
+        min(when(col("cum") * 100 >= col("wtot") * 99, col("n_chars"))).as("p99_len"))
+      .orderBy("lang")
+  }
 }

@@ -1241,19 +1241,29 @@ object TimeSeriesOps {
     * sort. Bucket count is bounded by chart width × series, so the result
     * is screen-sized at any data scale. All four outputs are SELECTED
     * stored doubles (no arithmetic) — bit-identical across engines with
-    * no rounding step. Ties: event_id is unique, so the (us, event_id)
-    * struct order is total in both engines. */
+    * no rounding step.
+    *
+    * The first/last order key (µs, event_id) is packed into ONE
+    * DECIMAL(31,0): offset-in-hour (≤ 3.6e9, 10 digits) × 10¹⁹ +
+    * event_id (any 63-bit id, 19 digits) — order-isomorphic to the pair
+    * within a bucket (the hour start is constant there). A STRUCT order
+    * key would demote the whole agg to SortAggregate (struct buffers
+    * aren't UnsafeRow-mutable — measured on this very query); the decimal
+    * buffer keeps HashAggregate + map-side combine (PlanSpec pin). */
   def x111M4(s: SparkSession, d: String): DataFrame = {
     val hourUs = 3600L * 1000000L
+    val p19 = lit(new java.math.BigDecimal("10000000000000000000")) // 10^19
     Tables.events(s, d)
       .select(col("event_type"), col("value"), col("event_id"),
         unix_micros(col("ts")).as("us"))
       .withColumn("hr", expr(s"us div $hourUs"))
+      .withColumn("pack",
+        (col("us") - col("hr") * hourUs).cast("decimal(10,0)") * p19 + col("event_id"))
       .groupBy("event_type", "hr")
       .agg(count(lit(1)).as("n"),
         min("value").as("v_min"), max("value").as("v_max"),
-        min_by(col("value"), struct(col("us"), col("event_id"))).as("v_first"),
-        max_by(col("value"), struct(col("us"), col("event_id"))).as("v_last"))
+        min_by(col("value"), col("pack")).as("v_first"),
+        max_by(col("value"), col("pack")).as("v_last"))
       .orderBy("event_type", "hr")
   }
 }

@@ -594,6 +594,65 @@ class PlanSpec extends SparkSpecBase {
       "CDF window does not sit above the histogram aggregate")
   }
 
+  test("x111: M4 is ONE hash aggregate — no window, no join, no sort before agg") {
+    val df = operators.TimeSeriesOps.x111M4(spark, sfDir)
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    val plan = df.queryExecution.optimizedPlan
+    assert(plan.collect { case w: LWindow => w }.isEmpty,
+      "M4 must not use windows — min_by/max_by are declarative aggregates")
+    assert(plan.collect { case j: Join => j }.isEmpty, "M4 must not join")
+    // partial aggregation must survive to the physical plan AND stay hash-based:
+    // a struct order key would demote to SortAggregate (sorts the corpus per
+    // partition); the decimal pack keeps HashAggregate + map-side combine
+    val p = planOf(df)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("SortAggregate"), p)
+  }
+
+  test("x112: triangle close is equi-join only — no OR-predicate BNL, no product") {
+    val p = planOf(operators.TextOps.x112Triangles(spark, sfDir))
+    assert(!p.contains("CartesianProduct"), p)
+    // allowed BNLs: the declared 1×1 base × tri combine plus the LSH verify's
+    // own single-row threshold broadcast (already pinned at q53) — never an
+    // edge-sized nest, which would blow past 2
+    assert(p.sliding("BroadcastNestedLoop".length).count(_ == "BroadcastNestedLoop") <= 2, p)
+  }
+
+  test("x113: SNM windows are bucket-scoped or spine-over-aggregate") {
+    val df = operators.TextOps.x113SnmDedup(spark, sfDir)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // the global sort position must come from the bucket-carry rewrite: every
+    // window either partitions on bkt (intra-bucket row_number) or runs over
+    // the bucket-count aggregate (the offset spine) — never one global
+    // corpus-ordered window
+    val bad = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow
+        if !w.partitionSpec.exists(_.references.exists(_.name == "bkt")) &&
+           w.collect { case a: Aggregate => a }.isEmpty => w
+    }
+    assert(bad.isEmpty, s"global rank window in SNM plan:\n${bad.mkString}")
+    val p = planOf(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+  }
+
+  test("x114/x115: quantile windows run over histograms, never rank the corpus") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // x114: the mass-cut window's input is the (lang, n_chars) aggregate
+    val w114 = operators.TextOps.x114MassQuantiles(spark, sfDir)
+      .queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(w114.nonEmpty && w114.forall(_.collect { case a: Aggregate => a }.nonEmpty),
+      "x114 window does not sit above the histogram aggregate")
+    // x115: the locate window runs over the histogram; the refine window
+    // partitions on (event_type, bkt) — per-bucket residents, not the group
+    val bad115 = operators.RelationalOps.x115TwoPassMedian(spark, sfDir)
+      .queryExecution.optimizedPlan.collect {
+        case w: LWindow
+          if !w.partitionSpec.exists(_.references.exists(_.name == "bkt")) &&
+             w.collect { case a: Aggregate => a }.isEmpty => w
+      }
+    assert(bad115.isEmpty, s"corpus-wide median window:\n${bad115.mkString}")
+  }
+
   test("x101: both rankings broadcast the probe set; no vector self-join") {
     val p = planOf(operators.VectorOps.x101Matryoshka(spark, sfDir))
     // each ranking is corpus × broadcast(10 probes) — a BroadcastNestedLoop
