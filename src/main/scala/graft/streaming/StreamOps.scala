@@ -73,6 +73,31 @@ object StreamOps {
       .groupBy(window(col("ts"), "1 hour", "15 minutes"))
       .agg(count(lit(1)).as("n"))
 
+  /** ST23: continuous M4 downsample — the streaming twin of x111's chart
+    * downsample, as a PLAIN watermarked windowed aggregation: min/max are
+    * bog-standard, and first/last ride the same DECIMAL(31,0)-packed
+    * (offset-in-hour, event_id) order key via min_by/max_by, which are
+    * declarative aggregates and therefore merge correctly in the state
+    * store across micro-batches regardless of arrival order — no custom
+    * processor, no arrival-order assumption, late rows within the
+    * watermark fold into the right bucket like any windowed agg. State is
+    * one row per open (window, series): O(live buckets), evicted by the
+    * watermark. StreamingSpec asserts stream == x111's batch contract. */
+  def m4Downsample(events: DataFrame): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val p19 = lit(new java.math.BigDecimal("10000000000000000000")) // 10^19
+    events.withWatermark("ts", "2 hours")
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("hr", expr(s"us div $hourUs"))
+      .withColumn("pack",
+        (col("us") - col("hr") * hourUs).cast("decimal(10,0)") * p19 + col("event_id"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min("value").as("v_min"), max("value").as("v_max"),
+        min_by(col("value"), col("pack")).as("v_first"),
+        max_by(col("value"), col("pack")).as("v_last"))
+  }
+
   /** ST4 session windows: per-user sessions with a 30-minute gap. */
   def sessionCounts(events: DataFrame): DataFrame =
     events.withWatermark("ts", "2 hours")

@@ -55,6 +55,20 @@ class RocksDbStateSpec extends SparkSpecBase {
     assert(stream.except(batch).isEmpty && batch.except(stream).isEmpty)
   }
 
+  test("ST23 M4 downsample under RocksDB == x111 batch contract") {
+    withProductionStateStore {
+      runToMemory(StreamOps.m4Downsample(StreamOps.eventsStream(spark, sfDir)),
+                  "rdb_st23", mode = "complete")
+    }
+    val hourUs = 3600L * 1000000L
+    val stream = spark.table("rdb_st23")
+      .withColumn("hr", expr(s"unix_micros(window.start) div $hourUs"))
+      .select(col("event_type"), col("hr"), col("n"), col("v_min"), col("v_max"),
+        col("v_first"), col("v_last"))
+    val batch = graft.operators.TimeSeriesOps.x111M4(spark, sfDir)
+    assert(stream.except(batch).isEmpty && batch.except(stream).isEmpty)
+  }
+
   test("session window under RocksDB == batch") {
     withProductionStateStore {
       runToMemory(StreamOps.sessionCounts(StreamOps.eventsStream(spark, sfDir)),

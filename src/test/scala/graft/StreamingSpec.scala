@@ -91,6 +91,18 @@ class StreamingSpec extends SparkSpecBase {
     assert(stream.except(batch).isEmpty && batch.except(stream).isEmpty)
   }
 
+  test("ST23 continuous M4 downsample: stream == x111's batch contract") {
+    runToMemory(StreamOps.m4Downsample(StreamOps.eventsStream(spark, sfDir)), "st23")
+    val hourUs = 3600L * 1000000L
+    val stream = spark.table("st23")
+      .withColumn("hr", expr(s"unix_micros(window.start) div $hourUs"))
+      .select(col("event_type"), col("hr"), col("n"), col("v_min"), col("v_max"),
+        col("v_first"), col("v_last"))
+    val batch = graft.operators.TimeSeriesOps.x111M4(spark, sfDir)
+    assert(stream.except(batch).isEmpty && batch.except(stream).isEmpty)
+    assert(stream.count() === batch.count())
+  }
+
   test("ST4 session window: stream == batch") {
     runToMemory(StreamOps.sessionCounts(StreamOps.eventsStream(spark, sfDir)), "st4")
     val stream = spark.table("st4").select(col("user_id"), col("n"))
