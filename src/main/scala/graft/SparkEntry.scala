@@ -2471,10 +2471,12 @@ object SparkEntry {
          |MAX(CASE WHEN rl = 1 THEN value END) AS v_last
          |FROM b GROUP BY 1, 2 ORDER BY event_type, hr""".stripMargin,
 
-    // x112: same exact-Jaccard pair base as x97's twin; the twin counts
-    // triangles with the naive ordered 3-way join (a<b<c once each) —
-    // orientation on the Spark side is a physical strategy, not a
-    // semantic difference
+    // x112: same exact-Jaccard pair base as x97's twin; the declared
+    // census covers the deg ≤ 256 core (the unbounded census is
+    // Ω(wedges) — ~2.4e9 on this corpus' giant near-clique at sf0.1);
+    // the twin counts core triangles with the naive ordered 3-way join
+    // (a<b<c once each) — orientation on the Spark side is a physical
+    // strategy, not a semantic difference
     "x112_triangles" ->
       """WITH t AS (SELECT DISTINCT doc_id, tok FROM
         |  (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents) u),
@@ -2486,15 +2488,21 @@ object SparkEntry {
         |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
         |deg AS (SELECT v, COUNT(*) AS deg FROM
         |  (SELECT doc_a AS v FROM pairs UNION ALL SELECT doc_b FROM pairs) GROUP BY 1),
-        |tri AS (SELECT COUNT(*) AS n_triangles FROM pairs e1
-        |  JOIN pairs e2 ON e2.doc_a = e1.doc_b
-        |  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
-        |base AS (SELECT COUNT(*) AS n_nodes,
-        |  CAST(SUM(deg) // 2 AS BIGINT) AS n_edges,
-        |  CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
-        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
-        |ROUND(3.0 * n_triangles / n_wedges, 4) AS global_cc
-        |FROM base, tri""".stripMargin,
+        |kept AS (SELECT doc_a, doc_b FROM pairs
+        |  JOIN deg xa ON xa.v = doc_a JOIN deg xb ON xb.v = doc_b
+        |  WHERE xa.deg <= 256 AND xb.deg <= 256),
+        |kdeg AS (SELECT v, COUNT(*) AS deg FROM
+        |  (SELECT doc_a AS v FROM kept UNION ALL SELECT doc_b FROM kept) GROUP BY 1),
+        |tri AS (SELECT COUNT(*) AS n_triangles FROM kept e1
+        |  JOIN kept e2 ON e2.doc_a = e1.doc_b
+        |  JOIN kept e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b),
+        |fg AS (SELECT COUNT(*) AS n_nodes,
+        |  CAST(SUM(deg) // 2 AS BIGINT) AS n_edges FROM deg),
+        |core AS (SELECT CAST(SUM(deg) // 2 AS BIGINT) AS n_kept_edges,
+        |  CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges FROM kdeg)
+        |SELECT n_nodes, n_edges, n_kept_edges, n_wedges, n_triangles,
+        |ROUND(3.0 * n_triangles / n_wedges, 4) AS core_cc
+        |FROM fg, core, tri""".stripMargin,
 
     // x113: the twin takes the SAME (k, doc_id) sort order via one
     // ROW_NUMBER (fine at oracle scale; the Spark side's bucket-carry

@@ -1763,32 +1763,50 @@ object TextOps {
           / (lit(2.0) * col("n_pos") * col("n_neg")), 4).as("auc"))
   }
 
-  /** x112 triangle census of the near-dup graph — the structural readout
-    * past x97's per-cluster transitivity: edge/wedge/triangle counts and
-    * the global clustering coefficient 3·Δ/wedges. Near 1 ⇒ dup clusters
-    * are cliques (true copies); low with big components ⇒ chains (the
-    * threshold is gluing unrelated docs through intermediates).
+  /** x112 triangle census of the near-dup graph's degree-bounded core —
+    * the structural readout past x97's per-cluster transitivity:
+    * edge/wedge/triangle counts and the clustering coefficient 3·Δ/wedges
+    * over the subgraph whose endpoints have degree ≤ 256. Near 1 ⇒ dup
+    * clusters are cliques (true copies); low ⇒ chains (the threshold is
+    * gluing unrelated docs through intermediates).
     *
-    * Scale — the degree-orientation algorithm, not the naive 3-way join:
-    * each undirected edge is oriented from its (deg, id)-smaller endpoint
-    * to the larger, so every out-degree is ≤ √(2m) and the wedge self-join
-    * on the source node generates Σ d_out(v)² = O(m^1.5) candidate wedges
-    * worst-case — on a 10k-doc clique orientation caps the join at ~m·√m
-    * instead of the naive Σ deg² ≈ m·n. Closing wedge→triangle is one
-    * equi-join back onto the oriented edge list; every triangle is counted
-    * exactly once (its orientation-least vertex generates it). Wedges and
-    * degrees are all-integer; the one double is the final rounded ratio.
+    * Why the degree bound is the DECLARED semantics and not a shortcut:
+    * a triangle census is inherently Ω(wedges), and on this corpus' 0.8
+    * graph the giant near-clique component alone holds ~2.4e9 wedges at
+    * sf0.1 (measured — the unbounded census ran >10 min where everything
+    * else in the suite is seconds); a 10⁹-row wedge shuffle answers no
+    * question x97's direct/possible ratio doesn't already answer for
+    * that component. The operational census (x38's lesson: remove the
+    * adversarial mass, REPORT it) bounds endpoint degree: hubs and giant
+    * near-cliques are excluded from the wedge join and surfaced as the
+    * explicit n_edges − n_kept_edges gap, while the long tail of small
+    * clusters — where triangle structure is actually informative — is
+    * censused exactly. Wedge mass is ≤ 256·m_kept by construction (the bound keeps the
+    * sf0.01 oracle corpus — degrees ≈ 160 — fully censused while the
+    * sf0.1 giant component — degrees ≈ 1600 — stays out).
+    *
+    * Algorithm on the kept subgraph: degree orientation (each edge from
+    * its (full-deg, id)-smaller endpoint — any acyclic orientation is
+    * exact; out-degrees additionally ≤ √(2m)), wedge self-join on the
+    * source, and the wedge pair ordered by the SAME (deg, id) key so the
+    * triangle close is one equi-join — no OR predicate, no BNL. Wedges
+    * and degrees all-integer; the one double is the final rounded ratio.
     * Edges come from q53's verified pair list (already costed there). */
   def x112Triangles(s: SparkSession, d: String): DataFrame = {
+    val maxDeg = 256
     val e = MinHashLSH.verifiedPairs(docTokens(s, d), 0.8)
       .select(col("id_a").as("a"), col("id_b").as("b"))
     val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
-    // orient: src = (deg, id)-smaller endpoint; total order via unique ids
     val withDeg = e
       .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
-    val o = withDeg.select(
+    val kept = withDeg.filter(col("da") <= maxDeg && col("db") <= maxDeg)
+    // kept-subgraph degrees drive the wedge denominator; the full-graph
+    // (deg, id) key still orients (any acyclic orientation counts exactly)
+    val kdeg = kept.select(col("a").as("v")).unionAll(kept.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val o = kept.select(
       when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
         struct(col("a").as("src"), col("b").as("dst"), col("db").as("ddeg")))
         .otherwise(struct(col("b").as("src"), col("a").as("dst"), col("da").as("ddeg")))
@@ -1803,13 +1821,15 @@ object TextOps {
     val tri = wedges.join(
         o.select(col("src").as("v"), col("dst").as("w")), Seq("v", "w"))
       .agg(count(lit(1)).as("n_triangles"))
-    val base = deg.agg(count(lit(1)).as("n_nodes"), sum("deg").as("deg2x"),
+    val full = deg.agg(count(lit(1)).as("n_nodes"), sum("deg").as("deg2x"))
+    val core = kdeg.agg(sum("deg").as("kdeg2x"),
         sum(expr("deg * (deg - 1) div 2")).as("n_wedges"))
-    base.crossJoin(tri)
+    full.crossJoin(core).crossJoin(tri)
       .select(col("n_nodes"), (col("deg2x") / 2).cast("long").as("n_edges"),
+        (col("kdeg2x") / 2).cast("long").as("n_kept_edges"),
         col("n_wedges"), col("n_triangles"),
         dround(lit(3.0) * col("n_triangles").cast("double")
-          / col("n_wedges").cast("double"), 4).as("global_cc"))
+          / col("n_wedges").cast("double"), 4).as("core_cc"))
   }
 
   /** x113 sorted-neighborhood near-dup (Hernández–Stolfo SNM) — the third

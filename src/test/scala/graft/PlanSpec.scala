@@ -610,12 +610,21 @@ class PlanSpec extends SparkSpecBase {
   }
 
   test("x112: triangle close is equi-join only — no OR-predicate BNL, no product") {
-    val p = planOf(operators.TextOps.x112Triangles(spark, sfDir))
+    val df = operators.TextOps.x112Triangles(spark, sfDir)
+    val p = planOf(df)
     assert(!p.contains("CartesianProduct"), p)
-    // allowed BNLs: the declared 1×1 base × tri combine plus the LSH verify's
-    // own single-row threshold broadcast (already pinned at q53) — never an
-    // edge-sized nest, which would blow past 2
-    assert(p.sliding("BroadcastNestedLoop".length).count(_ == "BroadcastNestedLoop") <= 2, p)
+    // structural pin: every non-equi join (cross, or OR-predicate — the trap
+    // the orientation-ordered wedge pair exists to avoid) must have an
+    // aggregate on at least one side (single-row combines / threshold
+    // broadcasts); an edge-sized×edge-sized nest has aggregates on neither
+    import org.apache.spark.sql.catalyst.expressions.Or
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val bad = df.queryExecution.optimizedPlan.collect {
+      case j: Join if j.condition.isEmpty ||
+          j.condition.exists(c => c.exists(_.isInstanceOf[Or])) => j
+    }.filterNot(j => Seq(j.left, j.right).exists(
+      _.collectFirst { case a: Aggregate => a }.isDefined))
+    assert(bad.isEmpty, s"edge-sized non-equi join:\n${bad.mkString("\n")}")
   }
 
   test("x113: SNM windows are bucket-scoped or spine-over-aggregate") {
