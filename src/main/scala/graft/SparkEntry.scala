@@ -225,6 +225,9 @@ object SparkEntry {
     "x113_snm_dedup"      -> (TextOps.x113SnmDedup _),
     "x114_mass_quantiles" -> (TextOps.x114MassQuantiles _),
     "x115_two_pass_median" -> (RelationalOps.x115TwoPassMedian _),
+    "x116_assoc_rules"    -> (TextOps.x116AssocRules _),
+    "x117_burstiness"     -> (TimeSeriesOps.x117Burstiness _),
+    "x118_blocker_ablation" -> (TextOps.x118BlockerAblation _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2556,5 +2559,92 @@ object SparkEntry {
          |  + 0.5 * (MIN(CASE WHEN rk = n // 2 + 1 THEN value END)
          |           - MIN(CASE WHEN rk = (n + 1) // 2 THEN value END)), 4) AS median
          |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "x116_assoc_rules" ->
+      """WITH inc AS (SELECT DISTINCT doc_id, tok FROM
+        |  (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents) u),
+        |nn AS (SELECT COUNT(*) AS nd FROM documents),
+        |v AS (SELECT tok, COUNT(*) AS df FROM inc GROUP BY 1
+        |  ORDER BY df DESC, tok LIMIT 100),
+        |h AS (SELECT doc_id, tok, df FROM inc JOIN v USING (tok)),
+        |p AS (SELECT a.tok AS tok_a, b.tok AS tok_b, a.df AS n_a, b.df AS n_b,
+        |  COUNT(*) AS n_ab
+        |  FROM h a JOIN h b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT tok_a, tok_b, n_ab,
+        |ROUND(CAST(n_ab AS DOUBLE) / nd, 4) AS support,
+        |ROUND(CAST(n_ab AS DOUBLE) / n_a, 4) AS conf_ab,
+        |ROUND(CAST(n_ab AS DOUBLE) / n_b, 4) AS conf_ba,
+        |ROUND(CAST(n_ab AS DOUBLE) * nd / (CAST(n_a AS DOUBLE) * n_b), 4) AS lift
+        |FROM p, nn ORDER BY lift DESC, tok_a, tok_b LIMIT 20""".stripMargin,
+
+    // x117: HUGEINT twins the DECIMAL(38,0) moment arithmetic; sqrt is
+    // correctly rounded IEEE in both engines, so only the final ROUND
+    // needs the dround discipline
+    "x117_burstiness" ->
+      s"""WITH e AS ($E),
+         |g AS (SELECT event_type, epoch_us(ts) - LAG(epoch_us(ts)) OVER
+         |  (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap FROM e),
+         |m AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(gap) AS BIGINT) AS sg,
+         |  SUM(CAST(gap AS HUGEINT) * gap) AS sq FROM g WHERE gap IS NOT NULL
+         |  GROUP BY 1),
+         |x AS (SELECT event_type, n, sg,
+         |  CAST(n AS HUGEINT) * sq - CAST(sg AS HUGEINT) * sg AS varnum FROM m),
+         |f AS (SELECT event_type, n,
+         |  CAST(sg AS DOUBLE) / n AS mean,
+         |  SQRT(CAST(varnum AS DOUBLE)) / n AS sigma FROM x)
+         |SELECT event_type, n, ROUND(mean, 4) AS mean_gap_us,
+         |ROUND(sigma / mean, 4) AS cv,
+         |ROUND((sigma - mean) / (sigma + mean), 4) AS burstiness
+         |FROM f ORDER BY event_type""".stripMargin,
+
+    // x118: all-integer pair-set algebra; the three blockers' pair CTEs
+    // are each the same formulations their own twins use
+    "x118_blocker_ablation" ->
+      """WITH t AS (SELECT DISTINCT doc_id, tok FROM
+        |  (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents) u),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |lshp AS (SELECT doc_a AS a, doc_b AS b
+        |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+        |dk AS (SELECT doc_id, lower(substring(text, 1, 24)) AS k FROM documents),
+        |r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rk FROM dk),
+        |scand AS (SELECT a.doc_id AS ia, b.doc_id AS ib FROM r a
+        |  JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 8),
+        |siv AS (SELECT ia, ib, COUNT(*) AS i FROM scand
+        |  JOIN t a ON a.doc_id = ia JOIN t b ON b.doc_id = ib AND b.tok = a.tok
+        |  GROUP BY 1, 2),
+        |snmp AS (SELECT LEAST(ia, ib) AS a, GREATEST(ia, ib) AS b
+        |  FROM siv JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+        |cn AS (SELECT doc_id, sha256(translate(trim(regexp_replace(text, ' +', ' ', 'g')),
+        |  'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS ch
+        |  FROM documents),
+        |canp AS (SELECT x.doc_id AS a, y.doc_id AS b FROM cn x
+        |  JOIN cn y ON x.ch = y.ch AND x.doc_id < y.doc_id),
+        |tagged AS (SELECT a, b, 'lsh' AS blocker FROM lshp
+        |  UNION ALL SELECT a, b, 'snm' FROM snmp
+        |  UNION ALL SELECT a, b, 'canon' FROM canp),
+        |bp AS (SELECT a, b, COUNT(*) AS nb,
+        |  MAX(CASE WHEN blocker = 'lsh' THEN 1 ELSE 0 END) AS f_lsh,
+        |  MAX(CASE WHEN blocker = 'snm' THEN 1 ELSE 0 END) AS f_snm,
+        |  MAX(CASE WHEN blocker = 'canon' THEN 1 ELSE 0 END) AS f_canon
+        |  FROM tagged GROUP BY 1, 2),
+        |ag AS (SELECT
+        |  CAST(SUM(f_lsh) AS BIGINT) AS lsh_n,
+        |  CAST(SUM(CASE WHEN f_lsh = 1 AND nb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS lsh_o,
+        |  CAST(SUM(f_snm) AS BIGINT) AS snm_n,
+        |  CAST(SUM(CASE WHEN f_snm = 1 AND nb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS snm_o,
+        |  CAST(SUM(f_canon) AS BIGINT) AS can_n,
+        |  CAST(SUM(CASE WHEN f_canon = 1 AND nb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS can_o,
+        |  COUNT(*) AS u_n,
+        |  CAST(SUM(CASE WHEN nb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS u_o FROM bp)
+        |SELECT 'canon' AS blocker, can_n AS n_pairs, can_o AS n_only FROM ag
+        |UNION ALL SELECT 'lsh', lsh_n, lsh_o FROM ag
+        |UNION ALL SELECT 'snm', snm_n, snm_o FROM ag
+        |UNION ALL SELECT 'union', u_n, u_o FROM ag
+        |ORDER BY blocker""".stripMargin,
   )
 }

@@ -1763,6 +1763,48 @@ object TextOps {
           / (lit(2.0) * col("n_pos") * col("n_neg")), 4).as("auc"))
   }
 
+  /** x116 association-rule mining over the top-100 vocabulary — doc-level
+    * token co-occurrence with the three classic rule metrics: support
+    * (share of docs holding both), the two directional confidences, and
+    * lift n_ab·N/(n_a·n_b). PMI (x74) scores ADJACENT bigram phrases;
+    * this scores whole-document co-presence — the curator's "which
+    * markers travel together" signal (boilerplate kits, license headers,
+    * template families).
+    *
+    * Scale is bounded by the VOCABULARY, not the corpus: itemsets are
+    * restricted to the top-100-df tokens (an aggregate-sized broadcast),
+    * so per-doc pair expansion is ≤ C(100,2) and — the load-bearing part
+    * — the pair aggregation has at most 4,950 DISTINCT keys, so map-side
+    * combine collapses every partition's expansion before the shuffle:
+    * the exchange moves O(partitions · 4950) rows at any corpus size.
+    * All counts integer; ratios are one rounded divide each. Top-20 by
+    * lift over the ≤4,950-row result is aggregate-sized. */
+  def x116AssocRules(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.count()
+    val inc = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .distinct()
+    val vocab = inc.groupBy("tok").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok")).limit(100)
+    val hits = inc.join(broadcast(vocab), "tok")
+      .select(col("doc_id"), col("tok"), col("df"))
+    val pairs = hits.select(col("doc_id"), col("tok").as("tok_a"), col("df").as("n_a"))
+      .join(hits.select(col("doc_id"), col("tok").as("tok_b"), col("df").as("n_b")),
+        "doc_id")
+      .filter(col("tok_a") < col("tok_b"))
+      .groupBy("tok_a", "tok_b", "n_a", "n_b").agg(count(lit(1)).as("n_ab"))
+    pairs
+      .select(col("tok_a"), col("tok_b"), col("n_ab"),
+        dround(col("n_ab").cast("double") / lit(nDocs.toDouble), 4).as("support"),
+        dround(col("n_ab").cast("double") / col("n_a").cast("double"), 4).as("conf_ab"),
+        dround(col("n_ab").cast("double") / col("n_b").cast("double"), 4).as("conf_ba"),
+        dround(col("n_ab").cast("double") * lit(nDocs.toDouble)
+          / (col("n_a").cast("double") * col("n_b").cast("double")), 4).as("lift"))
+      .orderBy(col("lift").desc, col("tok_a"), col("tok_b"))
+      .limit(20)
+  }
+
   /** x112 triangle census of the near-dup graph's degree-bounded core —
     * the structural readout past x97's per-cluster transitivity:
     * edge/wedge/triangle counts and the clustering coefficient 3·Δ/wedges
@@ -1851,8 +1893,16 @@ object TextOps {
     * construction). Verify is per-candidate array intersection — n·w
     * pairs, map-side, no shuffle beyond the rank join. At 100 TB widen
     * the bucket prefix to keep per-bucket mass executor-sized. */
-  def x113SnmDedup(s: SparkSession, d: String): DataFrame = {
-    val w = 8
+  def x113SnmDedup(s: SparkSession, d: String): DataFrame =
+    snmPairs(s, d, w = 8, thresh = 0.7)
+      .select(col("doc_a"), col("doc_b"), dround(col("jac"), 4).as("j"))
+      .orderBy("doc_a", "doc_b")
+
+  /** The SNM pair generator behind x113 (and x118's ablation): verified
+    * pairs (doc_a < doc_b, raw exact Jaccard) from a w-successor scan of
+    * the (lowercased 24-char prefix, doc_id) sort order. */
+  private[graft] def snmPairs(s: SparkSession, d: String, w: Int,
+                              thresh: Double): DataFrame = {
     val dk = Tables.documents(s, d)
       .select(col("doc_id"), lower(substring(col("text"), 1, 24)).as("k"),
         array_distinct(split(col("text"), " ")).as("toks"))
@@ -1877,10 +1927,66 @@ object TextOps {
       .withColumn("ix", size(array_intersect(col("ta"), col("tb"))).cast("long"))
       .withColumn("jac", col("ix").cast("double")
         / (col("na") + col("nb") - col("ix")).cast("double"))
-      .filter(col("jac") >= 0.7)
+      .filter(col("jac") >= thresh)
       .select(least(col("ia"), col("ib")).as("doc_a"),
-        greatest(col("ia"), col("ib")).as("doc_b"), dround(col("jac"), 4).as("j"))
-      .orderBy("doc_a", "doc_b")
+        greatest(col("ia"), col("ib")).as("doc_b"), col("jac"))
+  }
+
+  /** x118 blocker ablation — the pair-set overlap audit across the three
+    * blocking families this engine ships: LSH (q53's verified ≥ 0.8
+    * list — COMPLETE over exact-Jaccard pairs by its hash-checked
+    * contract), sorted-neighborhood (x113's machinery at the same 0.8
+    * threshold — a strict subset; its n_only row measures SNM's recall
+    * gap directly), and canonicalization (x110's whitespace/casefold
+    * groups — which can find pairs token-Jaccard MISSES, since casefolded
+    * copies tokenize differently). Per blocker: pairs found, and pairs
+    * found by NO other blocker; plus the union row (n_only there = pairs
+    * with exactly one finder). This is the ablation a pipeline owner runs
+    * before deleting a blocker from the stack.
+    *
+    * Scale: each blocker's pair list is already scale-audited in its own
+    * row; past those, one (a, b) hash-agg over the tagged union and
+    * aggregate-sized rollups. */
+  def x118BlockerAblation(s: SparkSession, d: String): DataFrame = {
+    val lsh = MinHashLSH.verifiedPairs(docTokens(s, d), 0.8)
+      .select(col("id_a").as("a"), col("id_b").as("b"), lit("lsh").as("blocker"))
+    val snm = snmPairs(s, d, w = 8, thresh = 0.8)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"), lit("snm").as("blocker"))
+    val uc = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    val ch = Tables.documents(s, d).select(col("doc_id"),
+      sha2(translate(trim(regexp_replace(col("text"), " +", " ")), uc, uc.toLowerCase),
+        256).as("ch"))
+    val canon = ch.join(ch.select(col("doc_id").as("id2"), col("ch")), "ch")
+      .filter(col("doc_id") < col("id2"))
+      .select(col("doc_id").as("a"), col("id2").as("b"), lit("canon").as("blocker"))
+    val byPair = lsh.unionAll(snm).unionAll(canon)
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("nb"),
+        max(when(col("blocker") === "lsh", 1).otherwise(0)).as("f_lsh"),
+        max(when(col("blocker") === "snm", 1).otherwise(0)).as("f_snm"),
+        max(when(col("blocker") === "canon", 1).otherwise(0)).as("f_canon"))
+    byPair.agg(
+        sum("f_lsh").as("lsh_pairs"),
+        sum(when(col("f_lsh") === 1 && col("nb") === 1, 1L).otherwise(0L)).as("lsh_only"),
+        sum("f_snm").as("snm_pairs"),
+        sum(when(col("f_snm") === 1 && col("nb") === 1, 1L).otherwise(0L)).as("snm_only"),
+        sum("f_canon").as("canon_pairs"),
+        sum(when(col("f_canon") === 1 && col("nb") === 1, 1L).otherwise(0L)).as("canon_only"),
+        count(lit(1)).as("union_pairs"),
+        sum(when(col("nb") === 1, 1L).otherwise(0L)).as("union_single_finder"))
+      .select(
+        explode(array(
+          struct(lit("canon").as("blocker"), col("canon_pairs").cast("long").as("n_pairs"),
+            col("canon_only").cast("long").as("n_only")),
+          struct(lit("lsh").as("blocker"), col("lsh_pairs").cast("long").as("n_pairs"),
+            col("lsh_only").cast("long").as("n_only")),
+          struct(lit("snm").as("blocker"), col("snm_pairs").cast("long").as("n_pairs"),
+            col("snm_only").cast("long").as("n_only")),
+          struct(lit("union").as("blocker"), col("union_pairs").cast("long").as("n_pairs"),
+            col("union_single_finder").cast("long").as("n_only")))).as("r"))
+      .select(col("r.blocker").as("blocker"), col("r.n_pairs").as("n_pairs"),
+        col("r.n_only").as("n_only"))
+      .orderBy("blocker")
   }
 
   /** x114 token-mass-weighted length percentiles — "what max sequence

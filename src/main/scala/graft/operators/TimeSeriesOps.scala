@@ -1227,6 +1227,50 @@ object TimeSeriesOps {
       .orderBy("epoch_day")
   }
 
+  /** x117 inter-arrival burstiness — point-process statistics per event
+    * type over PER-USER event streams: coefficient of variation and the
+    * Goh–Barabási burstiness index B = (σ−μ)/(σ+μ) of the inter-arrival
+    * gaps. A Poisson stream scores B ≈ 0, periodic < 0, bursty → 1 — the
+    * capacity/anomaly readout that says whether load arrives smoothly or
+    * in spikes.
+    *
+    * Scale discipline: the lag window partitions by (user_id,
+    * event_type) — high-cardinality series keys (x20's rule), never by
+    * the 5-value event_type alone. Gap moments then reduce in ONE
+    * map-side-combined agg per type: n, Σg (Long — µs gaps over a month
+    * sum to ~1e12·rows/series, safe), and Σg² in DECIMAL(38,0) (x92's
+    * overflow rule: a single month-long µs gap squares to ~7e24, past
+    * Long). σ uses the n-divisor (population) form computed from exact
+    * integer sums: σ² = (n·Q − S²)/n², evaluated in DECIMAL then ONE
+    * divide to double; sqrt is IEEE-correctly-rounded in both engines,
+    * so the only rounding discipline needed is the final dround. */
+  def x117Burstiness(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    val gaps = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap", col("us") - lag("us", 1).over(w))
+      .filter(col("gap").isNotNull)
+    gaps.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("gap").as("sg"),
+        sum(col("gap").cast("decimal(38,0)") * col("gap").cast("decimal(38,0)"))
+          .as("sq"))
+      .withColumn("varNum",
+        (col("n").cast("decimal(38,0)") * col("sq")
+          - col("sg").cast("decimal(38,0)") * col("sg").cast("decimal(38,0)")))
+      .withColumn("mean", col("sg").cast("double") / col("n").cast("double"))
+      .withColumn("sigma",
+        sqrt(col("varNum").cast("double"))
+          / (col("n").cast("double")))
+      .select(col("event_type"), col("n"),
+        dround(col("mean"), 4).as("mean_gap_us"),
+        dround(col("sigma") / col("mean"), 4).as("cv"),
+        dround((col("sigma") - col("mean")) / (col("sigma") + col("mean")), 4)
+          .as("burstiness"))
+      .orderBy("event_type")
+  }
+
   /** x111 M4 downsample — the error-free visualization downsample
     * (Jugel et al., VLDB 2014): per (series, pixel-column time bucket),
     * the min, max, FIRST, and LAST values. Unlike q48's avg rollup, M4

@@ -662,6 +662,26 @@ class PlanSpec extends SparkSpecBase {
     assert(bad115.isEmpty, s"corpus-wide median window:\n${bad115.mkString}")
   }
 
+  test("x116: vocab joins broadcast; pair agg collapses map-side (hash agg)") {
+    val p = planOf(operators.TextOps.x116AssocRules(spark, sfDir))
+    // the ≤100-row vocab must broadcast onto the incidence table, and the
+    // ≤4950-key pair aggregation must be hash (map-side combine is what
+    // bounds the exchange at any corpus size)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x117: gap window partitions on the (user_id, event_type) series key") {
+    val df = operators.TimeSeriesOps.x117Burstiness(spark, sfDir)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val bad = df.queryExecution.optimizedPlan.collect {
+      case w: LWindow
+        if !w.partitionSpec.exists(_.references.exists(_.name == "user_id")) => w
+    }
+    assert(bad.isEmpty, s"lag window not keyed by user_id:\n${bad.mkString}")
+  }
+
   test("x101: both rankings broadcast the probe set; no vector self-join") {
     val p = planOf(operators.VectorOps.x101Matryoshka(spark, sfDir))
     // each ranking is corpus × broadcast(10 probes) — a BroadcastNestedLoop
