@@ -356,6 +356,50 @@ object Dev {
       s.stop()
       return
     }
+    if (names.length == 1 && names.head.startsWith("snmstress")) {
+      // Adversarial hot-PREFIX stress of x113's sorted-neighborhood scan:
+      // `clusterSize` docs share ONE 24-char blocking prefix AND identical
+      // bodies — the worst case for any value-bucketed global rank (a
+      // first-char bucket scheme serializes the whole cluster onto one
+      // window task; the shipped repartitionByRange rank splits on the
+      // composite (k, doc_id), so the hot key spreads across partitions).
+      // The rest carry xxhash64-distinct prefixes/bodies (digit-leading, so
+      // they sort BEFORE the all-'a' cluster and the cluster stays
+      // contiguous). True pair count is closed-form: the cluster is
+      // adjacent in sort order and verifies at j=1 within the w-window —
+      // clusterSize·w − w(w+1)/2 pairs, random docs contribute none.
+      // Usage: snmstress[:nDocs[:clusterSize[:partitions]]]
+      val parts = names.head.split(":")
+      val nDocs = parts.lift(1).map(_.toInt).getOrElse(50000)
+      val clusterSize = parts.lift(2).map(_.toInt).getOrElse(10000)
+      val s = GraftSession.build("graft-dev")
+      parts.lift(3).foreach(p => s.conf.set("spark.sql.shuffle.partitions", p))
+      import org.apache.spark.sql.functions._
+      val hot = ("a" * 24) + " hot cluster body shared tokens"
+      val docs = s.range(nDocs).select(col("id").as("doc_id"))
+        .withColumn("text", when(col("doc_id") < clusterSize, lit(hot))
+          .otherwise(expr("concat(cast(xxhash64(doc_id) as string), " +
+            "' body', cast(doc_id as string))")))
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+        .localCheckpoint(true) // corpus materialized once, like a real table
+      val skew = new SkewTracker(s)
+      val wN = 8
+      val outDir = java.nio.file.Files.createTempDirectory("snmpairs").toString
+      val t0 = System.nanoTime()
+      graft.operators.TextOps.snmPairsOf(docs, wN, 0.8)
+        .write.mode("overwrite").parquet(outDir)
+      val tPairs = (System.nanoTime() - t0) / 1e9
+      skew.report("snm")
+      val got = s.read.parquet(outDir)
+      val nPairs = got.count()
+      val inCluster = got.filter(col("doc_b") < clusterSize).count()
+      val expected = clusterSize.toLong * wN - wN.toLong * (wN + 1) / 2
+      println(f"snmstress docs=$nDocs cluster=$clusterSize " +
+        f"pairs=$nPairs%,d cluster_pairs=$inCluster%,d expected=$expected%,d " +
+        f"exact=${inCluster == expected} wall_sec=$tPairs%.1f")
+      s.stop()
+      return
+    }
     if (names.length == 1 && names.head.startsWith("vecskewstress")) {
       // Adversarial-skew stress of x12's SRP band join — the embedding
       // analogue of skewstress: `clusterSize` vectors are byte-IDENTICAL

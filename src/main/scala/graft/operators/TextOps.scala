@@ -1884,15 +1884,23 @@ object TextOps {
     * edit falls inside the key prefix sorts far away) is priced against
     * q53's probabilistic miss rate in the bench.
     *
-    * Scale — the global sort position WITHOUT a one-task global window:
-    * buckets = the key's first character (a PREFIX of the sort key, so
-    * bucket order respects key order); per-bucket counts make an
-    * aggregate-sized exclusive-prefix carry (x107's hour-carry trick,
-    * broadcast back), and row_number runs per bucket. Neighbor pairing is
-    * sequence-explode + one rank equi-join (dense integer key, uniform by
-    * construction). Verify is per-candidate array intersection — n·w
-    * pairs, map-side, no shuffle beyond the rank join. At 100 TB widen
-    * the bucket prefix to keep per-bucket mass executor-sized. */
+    * Scale — the global sort position WITHOUT a one-task global window,
+    * and WITHOUT a hot-key failure mode: `repartitionByRange(k, doc_id)`
+    * splits on the full COMPOSITE key, so its equal-frequency sampling
+    * balances partitions even when millions of docs share one blocking
+    * key (a value-bucket scheme — e.g. first-char buckets — serializes
+    * exactly there, the q29 hazard); per-partition counts make a
+    * P-row exclusive-prefix carry (broadcast back), and row_number runs
+    * per range partition. The emitted rank is identical wherever the
+    * sampled boundaries fall — offsets + local ranks compose to the same
+    * global position — and the count/rank branches are guaranteed the
+    * SAME boundaries because RangePartitioner's reservoir sampling is
+    * seeded by byteswap32(partitionIndex), i.e. deterministic in the
+    * input alone (AQE's runtime stage reuse additionally collapses the
+    * repeated exchanges). Neighbor pairing is sequence-explode + one rank
+    * equi-join (dense integer key, uniform by construction). Verify is
+    * per-candidate array intersection — n·w pairs, map-side, no shuffle
+    * beyond the rank join. */
   def x113SnmDedup(s: SparkSession, d: String): DataFrame =
     snmPairs(s, d, w = 8, thresh = 0.7)
       .select(col("doc_a"), col("doc_b"), dround(col("jac"), 4).as("j"))
@@ -1902,11 +1910,17 @@ object TextOps {
     * pairs (doc_a < doc_b, raw exact Jaccard) from a w-successor scan of
     * the (lowercased 24-char prefix, doc_id) sort order. */
   private[graft] def snmPairs(s: SparkSession, d: String, w: Int,
-                              thresh: Double): DataFrame = {
-    val dk = Tables.documents(s, d)
+                              thresh: Double): DataFrame =
+    snmPairsOf(Tables.documents(s, d), w, thresh)
+
+  /** snmPairs over any (doc_id, text) frame — the Dev snmstress entry. */
+  private[graft] def snmPairsOf(docs: DataFrame, w: Int,
+                                thresh: Double): DataFrame = {
+    val dk = docs
       .select(col("doc_id"), lower(substring(col("text"), 1, 24)).as("k"),
         array_distinct(split(col("text"), " ")).as("toks"))
-      .withColumn("bkt", substring(col("k"), 1, 1))
+      .repartitionByRange(col("k"), col("doc_id"))
+      .withColumn("bkt", spark_partition_id().cast("long"))
     val cnt = dk.groupBy("bkt").agg(count(lit(1)).as("c"))
     val wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
     val off = cnt.withColumn("off", coalesce(sum("c").over(wb), lit(0L)))

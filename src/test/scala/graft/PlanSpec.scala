@@ -642,6 +642,16 @@ class PlanSpec extends SparkSpecBase {
     assert(bad.isEmpty, s"global rank window in SNM plan:\n${bad.mkString}")
     val p = planOf(df)
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    // the rank's correctness rests on the offset branch and the row_number
+    // branch seeing the SAME range boundaries. RangePartitioner's sampling
+    // is seeded by byteswap32(partitionIndex) — deterministic in the input
+    // alone — so every instantiation of the same exchange computes identical
+    // boundaries (and AQE's runtime stage reuse typically collapses them);
+    // pin that all k-range exchanges at least agree on keys + width
+    val ranges = p.linesIterator.filter(_.contains("rangepartitioning(k#")).map(
+      _.replaceAll("#\\d+", "#").replaceAll("plan_id=\\d+", "plan_id=")
+        .trim).toSet
+    assert(ranges.size <= 1, s"divergent range exchanges:\n$ranges")
   }
 
   test("x114/x115: quantile windows run over histograms, never rank the corpus") {
