@@ -1109,7 +1109,7 @@ object SparkEntry {
         |       ELSE 'test' END AS split
         |  FROM lab l JOIN documents d ON d.doc_id = l.doc_id)
         |SELECT split, COUNT(DISTINCT cluster_id) AS n_clusters,
-        |  COUNT(*) AS n_docs, SUM(n_chars) AS n_chars
+        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars
         |FROM sp GROUP BY split ORDER BY split""".stripMargin,
 
     "x15_stratified_sample" ->
@@ -1165,7 +1165,7 @@ object SparkEntry {
         |t AS (SELECT i - 1 AS dim,
         |  CAST(ROUND(dt * v[i] * 1000000) AS BIGINT) AS term
         |  FROM d, UNNEST(generate_series(1, len(v))) AS g(i)),
-        |y AS (SELECT dim, SUM(term) AS y_scaled FROM t GROUP BY dim),
+        |y AS (SELECT dim, CAST(SUM(term) AS BIGINT) AS y_scaled FROM t GROUP BY dim),
         |n AS (SELECT SUM(CAST(y_scaled AS HUGEINT) * y_scaled) AS n2 FROM y)
         |SELECT dim, ROUND(CAST(y_scaled AS DOUBLE) / SQRT(CAST(n2 AS DOUBLE)), 6) AS comp,
         |y_scaled FROM y, n ORDER BY dim""".stripMargin,
@@ -1239,7 +1239,7 @@ object SparkEntry {
         |  sha256(text) AS h FROM documents),
         |c AS (SELECT h, COUNT(*) AS nh FROM d GROUP BY h)
         |SELECT source, lang, COUNT(*) AS n_docs,
-        |SUM(n_tok) AS n_tokens, SUM(n_chars) AS n_chars,
+        |CAST(SUM(n_tok) AS BIGINT) AS n_tokens, CAST(SUM(n_chars) AS BIGINT) AS n_chars,
         |CAST(SUM(CASE WHEN nh > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
         |ROUND(CAST(SUM(CASE WHEN nh > 1 THEN 1 ELSE 0 END) AS DOUBLE)
         |  / COUNT(*), 4) AS dup_frac
