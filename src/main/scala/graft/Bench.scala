@@ -132,7 +132,16 @@ object Bench {
     val wantCc   = only.forall(_("x14_cc_only"))
     val wantSurv = only.forall(_("x33_survivors_only"))
     val wantSplit = only.forall(_("x48_split_only"))
-    val ccOnly = if (!wantCc && !wantSurv && !wantSplit) Nil
+    // r8 verdict item 5: every graph CONSUMER gets a *_only staged row over
+    // the same materialized pair parquet, so the bench separates "pair
+    // scan" (priced once, q53's row) from each marginal analytic.
+    val wantHist  = only.forall(_("x82_hist_only"))
+    val wantAudit = only.forall(_("x97_audit_only"))
+    val wantTri   = only.forall(_("x112_tri_only"))
+    val wantAbl   = only.forall(_("x118_abl_only"))
+    val anyGraph = wantCc || wantSurv || wantSplit ||
+      wantHist || wantAudit || wantTri || wantAbl
+    val ccOnly = if (!anyGraph) Nil
     else try {
       import org.apache.spark.sql.functions.{col, split}
       val pairsDir = java.nio.file.Files.createTempDirectory("x14pairs").toString
@@ -170,9 +179,34 @@ object Bench {
         }
         survRow ++ splitRow
       }
-      ccRow ++ downstream
+      def staged(want: Boolean, name: String)(q: => org.apache.spark.sql.DataFrame) =
+        if (!want) Nil else {
+          val t = System.nanoTime()
+          q.write.format("noop").mode("overwrite").save()
+          Seq(name -> (System.nanoTime() - t) / 1e9)
+        }
+      val consumerRows =
+        staged(wantHist, "x82_hist_only")(
+          operators.TextOps.x82From(spark, sfDir, pairs)) ++
+        staged(wantAudit, "x97_audit_only")(
+          operators.TextOps.x97From(spark, sfDir, pairs)) ++
+        staged(wantTri, "x112_tri_only")(
+          operators.TextOps.x112From(spark, sfDir, pairs)) ++
+        staged(wantAbl, "x118_abl_only")(
+          operators.TextOps.x118From(spark, sfDir, pairs))
+      ccRow ++ downstream ++ consumerRows
     } catch { case e: Throwable =>
       System.err.println(s"[bench] x14_cc_only failed: ${e.getMessage}"); Nil
+    }
+    // x77's production path: LSH-blocked candidates → levenshtein verify —
+    // priced against the declared brute-force x77 row (r8 verdict item 3)
+    val x77Lsh = if (only.exists(!_("x77_lsh"))) Nil else try {
+      val t0 = System.nanoTime()
+      operators.TextOps.x77FuzzyLsh(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      Seq("x77_lsh" -> (System.nanoTime() - t0) / 1e9)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] x77_lsh failed: ${e.getMessage}"); Nil
     }
     // Layout measurement: q10's exact contract query over the co-bucketed
     // orders/lineitem pair (write cost untimed — bucketing is a write-once
@@ -360,7 +394,8 @@ object Bench {
     // FRESH JVM (child process → cold JIT/GC, the same protocol a judge
     // uses to separate real regressions from shared-run interference), and
     // emit both numbers side by side so the round artifact carries its own
-    // isolated figures. Defaults to slowest:5 on full runs —
+    // isolated figures. Defaults to slowest:10 on full runs (r8 item 7:
+    // every row over ~5 s ships an isolated number) —
     // SPARK_GRAFT_ISOLATE=slowest:N overrides, =off disables. Child
     // failures/timeouts degrade softly (row skipped, shared line intact).
     // The parent session stops BEFORE the children run: a live local[32]
@@ -368,7 +403,7 @@ object Bench {
     // ~70% (x14 9.9 s with the parent alive vs 5.85 s on an idle machine
     // — measured 2026-08-13), defeating the pass's whole purpose.
     val isolated: Seq[(String, Double, Option[Double])] = Some(
-        sys.env.getOrElse("SPARK_GRAFT_ISOLATE", "slowest:5"))
+        sys.env.getOrElse("SPARK_GRAFT_ISOLATE", "slowest:10"))
       .filter(_ => only.isEmpty) // only meaningful after a full shared pass
       .collect { case s if s.startsWith("slowest:") => s.stripPrefix("slowest:").trim.toInt }
       .map { n =>
@@ -376,7 +411,7 @@ object Bench {
         val slowest = results.sortBy(-_._2).take(n).map(_._1)
         slowest.flatMap(name => isolateOne(name, sfDir, cpus))
       }.getOrElse(Nil)
-    val qs = (results ++ ccOnly ++ q10Bucketed ++ tsStore ++ x42Store ++ x42CcIncr ++ x08Store ++ x58Store ++ mergeRows ++ x64Rollup)
+    val qs = (results ++ ccOnly ++ x77Lsh ++ q10Bucketed ++ tsStore ++ x42Store ++ x42CcIncr ++ x08Store ++ x58Store ++ mergeRows ++ x64Rollup)
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val warm = warmRows.map { case (k, v) => "\"" + k + "\":" + v }

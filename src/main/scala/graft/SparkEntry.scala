@@ -2511,7 +2511,8 @@ object SparkEntry {
     // ROW_NUMBER (fine at oracle scale; the Spark side's bucket-carry
     // rank is the scale rewrite) and the same exact-Jaccard verify
     "x113_snm_dedup" ->
-      """WITH dk AS (SELECT doc_id, lower(substring(text, 1, 24)) AS k FROM documents),
+      """WITH dk AS (SELECT doc_id, translate(substring(text, 1, 24),
+        |  'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS k FROM documents),
         |r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rk FROM dk),
         |cand AS (SELECT a.doc_id AS ia, b.doc_id AS ib FROM r a
         |  JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 8),
@@ -2609,7 +2610,8 @@ object SparkEntry {
         |lshp AS (SELECT doc_a AS a, doc_b AS b
         |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
         |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
-        |dk AS (SELECT doc_id, lower(substring(text, 1, 24)) AS k FROM documents),
+        |dk AS (SELECT doc_id, translate(substring(text, 1, 24),
+        |  'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz') AS k FROM documents),
         |r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY k, doc_id) AS rk FROM dk),
         |scand AS (SELECT a.doc_id AS ia, b.doc_id AS ib FROM r a
         |  JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 8),

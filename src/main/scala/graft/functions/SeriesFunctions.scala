@@ -10,6 +10,23 @@ import org.apache.spark.sql.graftbridge.Bridge
 /** Time-series scalar/aggregate helpers beyond the §2 contract. */
 object SeriesFunctions {
 
+  /** FLOOR division on longs — the time-bucket contract semantics.
+    *
+    * Spark's `div` truncates toward zero while DuckDB's `//` (and
+    * `window(ts, …)`'s bucket assignment) FLOOR — so a pre-epoch
+    * timestamp would land in a different bucket across engines, and a
+    * batch `div` bucketing would diverge from its Structured Streaming
+    * window twin (r8 advice; latent on the 2024-epoch fixture, real for
+    * any historical corpus). `x − pmod(x, d)` is the exact largest
+    * multiple of d ≤ x (pmod is nonnegative for positive d), and the
+    * division of an exact multiple through decimal(38,0) is exact for
+    * the full long range — no double rounding anywhere. */
+  def floorDiv(x: Column, d: Long): Column = {
+    require(d > 0, "floorDiv divisor must be positive")
+    ((x - pmod(x, lit(d))).cast("decimal(38,0)") /
+      lit(java.math.BigDecimal.valueOf(d))).cast("long")
+  }
+
   /** EMA over an array of (already time-sorted) values: a single
     * `aggregate()` scan with a (ema, seeded) struct accumulator — order is
     * explicit in the array, so this is deterministic under any partitioning

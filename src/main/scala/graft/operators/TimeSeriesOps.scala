@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import graft.functions.Rounding.dround
+import graft.functions.SeriesFunctions.floorDiv
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -576,7 +577,7 @@ object TimeSeriesOps {
   def x69Trend(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .select(col("event_type"),
-        expr("unix_micros(ts) div 86400000000").cast("double").as("x"),
+        floorDiv(unix_micros(col("ts")), 86400000000L).cast("double").as("x"),
         col("value").as("y"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
@@ -1209,7 +1210,7 @@ object TimeSeriesOps {
     val bounds = sessions
       .select(col("start_us").as("us"), lit(0L).as("kind"), lit(1L).as("delta"))
       .unionAll(sessions.select(col("end_us"), lit(1L), lit(-1L)))
-      .withColumn("hr", expr(s"us div $hourUs"))
+      .withColumn("hr", floorDiv(col("us"), hourUs))
     val sub = bounds.groupBy("hr").agg(sum("delta").as("sub"))
     val wh = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, -1)
     val carry = sub
@@ -1300,7 +1301,7 @@ object TimeSeriesOps {
     Tables.events(s, d)
       .select(col("event_type"), col("value"), col("event_id"),
         unix_micros(col("ts")).as("us"))
-      .withColumn("hr", expr(s"us div $hourUs"))
+      .withColumn("hr", floorDiv(col("us"), hourUs))
       .withColumn("pack",
         (col("us") - col("hr") * hourUs).cast("decimal(10,0)") * p19 + col("event_id"))
       .groupBy("event_type", "hr")

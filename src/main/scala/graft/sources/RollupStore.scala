@@ -42,8 +42,8 @@ object RollupStore {
     * partition column — the unit sealed/rewritten by [[updateDays]]. */
   private def rollup(events: DataFrame, widthUs: Long): DataFrame =
     events.select(col("event_type"), unix_micros(col("ts")).as("us"), col("value"))
-      .withColumn("bucket", expr(s"us div $widthUs"))
-      .withColumn("day", expr(s"(bucket * $widthUs) div $DayUs"))
+      .withColumn("bucket", graft.functions.SeriesFunctions.floorDiv(col("us"), widthUs))
+      .withColumn("day", graft.functions.SeriesFunctions.floorDiv(col("bucket") * widthUs, DayUs))
       .groupBy("event_type", "bucket", "day")
       .agg(count(lit(1)).as("cnt"), sum("value").as("s"),
            min("value").as("mn"), max("value").as("mx"))

@@ -88,7 +88,7 @@ object StreamOps {
     val p19 = lit(new java.math.BigDecimal("10000000000000000000")) // 10^19
     events.withWatermark("ts", "2 hours")
       .withColumn("us", unix_micros(col("ts")))
-      .withColumn("hr", expr(s"us div $hourUs"))
+      .withColumn("hr", graft.functions.SeriesFunctions.floorDiv(col("us"), hourUs))
       .withColumn("pack",
         (col("us") - col("hr") * hourUs).cast("decimal(10,0)") * p19 + col("event_id"))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -626,7 +626,7 @@ object StreamOps {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.write.mode("append").parquet(rawSink)
-        val days = batch.select(expr("unix_micros(ts) div 86400000000").as("d"))
+        val days = batch.select(graft.functions.SeriesFunctions.floorDiv(unix_micros(col("ts")), 86400000000L).as("d"))
           .distinct().collect().map(_.getLong(0)).toSeq
         graft.sources.RollupStore.updateDays(batch.sparkSession, rollupDir,
           batch.sparkSession.read.parquet(rawSink), days)

@@ -482,7 +482,10 @@ class PlanSpec extends SparkSpecBase {
   test("x94: df-ratio top-30 compiles to TakeOrderedAndProject over the token table") {
     val p = planOf(operators.TextOps.x94Stopwords(spark, sfDir))
     assert(p.contains("TakeOrderedAndProject"), s"full sort of the vocabulary:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    // the corpus total rides a 1-row broadcast cross join (the in-plan
+    // count subtree) — a BroadcastNestedLoopJoin over ONE row is the
+    // intended shape, not a scale hazard; only a non-broadcast product is
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("x102: packer windows are bucket-scoped or aggregate-fed; explode present") {
@@ -643,11 +646,11 @@ class PlanSpec extends SparkSpecBase {
     val p = planOf(df)
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
     // the rank's correctness rests on the offset branch and the row_number
-    // branch seeing the SAME range boundaries. RangePartitioner's sampling
-    // is seeded by byteswap32(partitionIndex) — deterministic in the input
-    // alone — so every instantiation of the same exchange computes identical
-    // boundaries (and AQE's runtime stage reuse typically collapses them);
-    // pin that all k-range exchanges at least agree on keys + width
+    // branch seeing the SAME range boundaries. snmPairsOf materializes the
+    // range-bucketed frame ONCE (eager localCheckpoint), so both branches
+    // structurally read the same pinned partitions; pin that no residual
+    // k-range exchange instantiations disagree (there should be none left
+    // in the optimized plan — the checkpoint swallowed the exchange)
     val ranges = p.linesIterator.filter(_.contains("rangepartitioning(k#")).map(
       _.replaceAll("#\\d+", "#").replaceAll("plan_id=\\d+", "plan_id=")
         .trim).toSet
@@ -700,6 +703,24 @@ class PlanSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"), s"non-broadcast product join:\n$p")
     // any remaining equi-joins (overlap, final probe join) operate on the
     // 10·|probes|-row lists — corpus-independent either way
+  }
+
+  test("x94/x116: corpus total is an in-plan grand-total aggregate, one job") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    // the corpus count must ride a broadcast 1-row aggregate INSIDE the
+    // plan (crossJoin), not a driver-side .count() action — one job, one
+    // scan pass at the driver level (r8 verdict item 6)
+    for (df <- Seq(operators.TextOps.x94Stopwords(spark, sfDir),
+                   operators.TextOps.x116AssocRules(spark, sfDir))) {
+      val grandTotalJoins = df.queryExecution.optimizedPlan.collect {
+        case j: Join if Seq(j.left, j.right).exists(
+          _.collectFirst {
+            case a: Aggregate if a.groupingExpressions.isEmpty => a
+          }.isDefined) => j
+      }
+      assert(grandTotalJoins.nonEmpty,
+        s"no grand-total aggregate join in plan:\n${df.queryExecution.optimizedPlan}")
+    }
   }
 
   test("nanos pushdown rule is a no-op on non-matching filters") {

@@ -67,6 +67,9 @@ class RocksDbStateSpec extends SparkSpecBase {
         col("v_first"), col("v_last"))
     val batch = graft.operators.TimeSeriesOps.x111M4(spark, sfDir)
     assert(stream.except(batch).isEmpty && batch.except(stream).isEmpty)
+    // except() is distinct-based — the count equality closes the
+    // duplicate-row divergence hole (matches StreamingSpec's ST23 check)
+    assert(stream.count() === batch.count())
   }
 
   test("session window under RocksDB == batch") {
