@@ -228,6 +228,12 @@ object SparkEntry {
     "x116_assoc_rules"    -> (TextOps.x116AssocRules _),
     "x117_burstiness"     -> (TimeSeriesOps.x117Burstiness _),
     "x118_blocker_ablation" -> (TextOps.x118BlockerAblation _),
+    "x119_boilerplate"    -> (TextOps.x119Boilerplate _),
+    "x120_hourly_acf"     -> (TimeSeriesOps.x120HourlyAcf _),
+    "x121_syndication"    -> (TextOps.x121Syndication _),
+    "x122_budget_cut"     -> ((s, d) => TextOps.x122BudgetCut(s, d)),
+    "x123_retention"      -> (TimeSeriesOps.x123Retention _),
+    "x124_rolling_active" -> (TimeSeriesOps.x124RollingActive _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2648,5 +2654,118 @@ object SparkEntry {
         |UNION ALL SELECT 'snm', snm_n, snm_o FROM ag
         |UNION ALL SELECT 'union', u_n, u_o FROM ag
         |ORDER BY blocker""".stripMargin,
+
+    // x119: all-integer gram counts; 8-token shingles via the same list
+    // slicing the x17/x21 twins use (inclusive slice [i, i+7])
+    "x119_boilerplate" ->
+      """WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, source, array_to_string(w[i:i+7], ' ') AS gram
+        |  FROM t, UNNEST(generate_series(1, len(w) - 7)) AS u(i)),
+        |df AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+        |  GROUP BY gram HAVING COUNT(*) >= 10),
+        |sg AS (SELECT source, gram, COUNT(*) AS occ FROM g GROUP BY 1, 2),
+        |j AS (SELECT sg.source, sg.occ,
+        |  CASE WHEN df.gram IS NOT NULL THEN sg.occ ELSE 0 END AS bocc
+        |  FROM sg LEFT JOIN df USING (gram))
+        |SELECT source, CAST(SUM(occ) AS BIGINT) AS n_grams,
+        |CAST(SUM(bocc) AS BIGINT) AS n_boiler,
+        |ROUND(CAST(SUM(bocc) AS DOUBLE) / CAST(SUM(occ) AS DOUBLE), 4) AS boiler_share
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
+    // x120: zero-filled global hour spine; ACF assembled from integer
+    // sums scaled by n² so the one double divide matches bit-for-bit
+    "x120_hourly_acf" ->
+      s"""WITH e AS ($E),
+         |c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, COUNT(*) AS c
+         |  FROM e GROUP BY 1, 2),
+         |b AS (SELECT MIN(hr) AS hlo, MAX(hr) AS hhi FROM c),
+         |sp AS (SELECT et.event_type, g.hr
+         |  FROM (SELECT DISTINCT event_type FROM c) et, b,
+         |  UNNEST(generate_series(b.hlo, b.hhi)) AS g(hr)),
+         |s AS (SELECT sp.event_type, sp.hr, COALESCE(c.c, 0) AS c
+         |  FROM sp LEFT JOIN c ON c.event_type = sp.event_type AND c.hr = sp.hr),
+         |l AS (SELECT event_type, c,
+         |  LEAD(c, 1) OVER w AS c1, LEAD(c, 2) OVER w AS c2, LEAD(c, 3) OVER w AS c3
+         |  FROM s WINDOW w AS (PARTITION BY event_type ORDER BY hr)),
+         |m AS (SELECT event_type, COUNT(*) AS n, SUM(c) AS ss, SUM(c * c) AS qq,
+         |  SUM(c * c1) AS xy1, SUM(CASE WHEN c1 IS NOT NULL THEN c END) AS hd1, SUM(c1) AS tl1,
+         |  SUM(c * c2) AS xy2, SUM(CASE WHEN c2 IS NOT NULL THEN c END) AS hd2, SUM(c2) AS tl2,
+         |  SUM(c * c3) AS xy3, SUM(CASE WHEN c3 IS NOT NULL THEN c END) AS hd3, SUM(c3) AS tl3
+         |  FROM l GROUP BY 1)
+         |SELECT event_type, lag, ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4) AS r
+         |FROM (
+         |  SELECT event_type, 1 AS lag,
+         |    n*n*xy1 - n*ss*(hd1+tl1) + (n-1)*ss*ss AS num, n*n*qq - n*ss*ss AS den FROM m
+         |  UNION ALL SELECT event_type, 2,
+         |    n*n*xy2 - n*ss*(hd2+tl2) + (n-2)*ss*ss, n*n*qq - n*ss*ss FROM m
+         |  UNION ALL SELECT event_type, 3,
+         |    n*n*xy3 - n*ss*(hd3+tl3) + (n-3)*ss*ss, n*n*qq - n*ss*ss FROM m)
+         |ORDER BY event_type, lag""".stripMargin,
+
+    // x121: q53's exact-Jaccard pair semantics (threshold on the unrounded
+    // divide, j rounded at 4), rolled up per straddled source pair;
+    // min/max of rounded j are order-independent
+    "x121_syndication" ->
+      """WITH t AS (SELECT DISTINCT doc_id, tok FROM
+        |  (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents) u),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY 1),
+        |iv AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+        |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |p AS (SELECT da, db, ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS j
+        |  FROM iv JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+        |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+        |d AS (SELECT doc_id, source FROM documents)
+        |SELECT LEAST(x.source, y.source) AS src_a, GREATEST(x.source, y.source) AS src_b,
+        |CAST(COUNT(*) AS BIGINT) AS n_pairs, MIN(j) AS min_j, MAX(j) AS max_j
+        |FROM p JOIN d x ON x.doc_id = da JOIN d y ON y.doc_id = db
+        |WHERE x.source <> y.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // x122: the twin walks the declared prefix order directly (oracle
+    // scale); the Spark side's histogram cut is provably the same prefix
+    "x122_budget_cut" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+        |r AS (SELECT lang, n_tok, SUM(n_tok) OVER (PARTITION BY lang
+        |  ORDER BY n_tok DESC, doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_selected,
+        |CAST(SUM(n_tok) AS BIGINT) AS tokens_used,
+        |CAST(MIN(n_tok) AS BIGINT) AS cut_len
+        |FROM r WHERE cum <= 20000 GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // x123: all-integer cohort matrix, one rounded share
+    "x123_retention" ->
+      s"""WITH e AS ($E),
+         |act AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM e),
+         |f AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY 1),
+         |sz AS (SELECT cohort_day, COUNT(*) AS cohort_users FROM f GROUP BY 1),
+         |m AS (SELECT f.cohort_day, a.day - f.cohort_day AS off, COUNT(*) AS n_active
+         |  FROM act a JOIN f USING (user_id)
+         |  WHERE a.day - f.cohort_day BETWEEN 0 AND 13 GROUP BY 1, 2)
+         |SELECT m.cohort_day, m.off AS "offset",
+         |CAST(m.n_active AS BIGINT) AS n_active,
+         |CAST(sz.cohort_users AS BIGINT) AS cohort_users,
+         |ROUND(CAST(m.n_active AS DOUBLE) / CAST(sz.cohort_users AS DOUBLE), 4) AS retained
+         |FROM m JOIN sz USING (cohort_day) ORDER BY cohort_day, "offset"""".stripMargin,
+
+    // x124: exact rolling distinct via 7-day coverage expansion — the
+    // twin runs the same algebra (the per-window correlated COUNT
+    // DISTINCT is equivalent but quadratic even at oracle scale)
+    "x124_rolling_active" ->
+      s"""WITH e AS ($E),
+         |act AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM e),
+         |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM act),
+         |cov AS (SELECT DISTINCT user_id, day + i AS wday FROM act,
+         |  UNNEST(generate_series(0, 6)) AS g(i)),
+         |wk AS (SELECT wday, COUNT(*) AS active_7d FROM cov, b
+         |  WHERE wday BETWEEN b.d0 AND b.d1 GROUP BY wday),
+         |dy AS (SELECT day, COUNT(*) AS active_1d FROM act GROUP BY day)
+         |SELECT wk.wday AS day,
+         |CAST(COALESCE(dy.active_1d, 0) AS BIGINT) AS active_1d,
+         |CAST(wk.active_7d AS BIGINT) AS active_7d,
+         |ROUND(CAST(COALESCE(dy.active_1d, 0) AS DOUBLE)
+         |  / CAST(wk.active_7d AS DOUBLE), 4) AS stickiness
+         |FROM wk LEFT JOIN dy ON dy.day = wk.wday ORDER BY day""".stripMargin,
   )
 }

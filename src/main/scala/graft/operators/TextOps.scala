@@ -2131,4 +2131,105 @@ object TextOps {
         min(when(col("cum") * 100 >= col("wtot") * 99, col("n_chars"))).as("p99_len"))
       .orderBy("lang")
   }
+
+  /** x119 cross-doc boilerplate share — per source, what fraction of
+    * word-8-gram OCCURRENCES belong to grams appearing in ≥ 10 distinct
+    * documents corpus-wide (license headers, navigation chrome, template
+    * scaffolding — the CROSS-doc sibling of x21's within-doc repetition:
+    * x21 flags a doc repeating itself, this flags text the CORPUS
+    * repeats). The canonical C4/RefinedWeb cleanup signal before
+    * paragraph-level boilerplate stripping.
+    *
+    * Scale: gram df comes from distinct (doc, gram) → gram hash agg (the
+    * x94 cascade over [[graft.functions.TextExpressions.wordShingles]]'s
+    * codegen kernel); per-source occurrence counts aggregate to (source,
+    * gram) BEFORE the df join, so the join probes distinct grams per
+    * source, not raw occurrences; the final rollup is |sources| rows.
+    * All integers until one rounded share. */
+  def x119Boilerplate(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.TextExpressions.wordShingles(
+          split(col("text"), " "), 8)).as("gram"))
+    val df = grams.select(col("doc_id"), col("gram")).distinct()
+      .groupBy("gram").agg(count(lit(1)).as("gdf"))
+      .filter(col("gdf") >= 10)
+      .select(col("gram"), lit(1L).as("is_boiler"))
+    val perSrcGram = grams.groupBy("source", "gram").agg(count(lit(1)).as("occ"))
+    perSrcGram.join(df, Seq("gram"), "left")
+      .groupBy("source")
+      .agg(sum("occ").cast("long").as("n_grams"),
+        coalesce(sum(when(col("is_boiler").isNotNull, col("occ"))), lit(0L))
+          .cast("long").as("n_boiler"))
+      .withColumn("boiler_share",
+        dround(col("n_boiler").cast("double") / col("n_grams").cast("double"), 4))
+      .orderBy("source")
+  }
+
+  /** x121 cross-source near-dup syndication matrix — per unordered source
+    * pair, how many VERIFIED near-dup pairs (exact Jaccard ≥ 0.8, q53's
+    * contract) straddle the two, with the min/max similarity of the
+    * straddling pairs. The provenance audit a curator runs before
+    * weighting sources as if they were independent: syndicated/rescraped
+    * feeds double-count into mixing weights exactly as this matrix
+    * quantifies. Distinct from x30 (shingle-VOCABULARY overlap — shared
+    * words) and from exact-hash grouping (which this fixture's dup
+    * structure never crosses sources with — measured zero; near-dup
+    * pairs cross 20 source pairs at sf0.01): this counts whole-DOCUMENT
+    * near-copies across source boundaries.
+    *
+    * Scale: q53's pair machinery (banded, verified, already priced);
+    * past it, two doc_id→source joins (corpus-sized equi-joins, the only
+    * additional shuffles) and an |sources|²-bounded agg. min/max of the
+    * ROUNDED j are order-independent — no FP-sum hazard. */
+  def x121Syndication(s: SparkSession, d: String): DataFrame = {
+    val pairs = MinHashLSH.verifiedPairs(docTokens(s, d), 0.8)
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+      .filter(col("sa") =!= col("sb"))
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"), col("j"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_pairs"), min("j").as("min_j"), max("j").as("max_j"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** x122 token-budget prefix-cut selection — per language, walk docs in
+    * (n_tok DESC, doc_id) order and take the longest PREFIX whose
+    * cumulative token count stays ≤ 20,000: the deterministic "fill the
+    * training budget, longest-first" selection rule. Declared output per
+    * lang: docs selected, tokens used, and the last selected doc's
+    * length.
+    *
+    * The declared semantics are the per-doc prefix walk — but the PLAN
+    * never ranks the corpus: selection by a prefix rule over a sort
+    * order whose FIRST key is n_tok reduces to the (lang, n_tok)
+    * histogram (x114's spine): whole cells admit while the running mass
+    * fits, and the BOUNDARY cell — where the budget runs out — admits
+    * exactly floor(remaining / n_tok) docs, which by the doc_id
+    * tiebreak are the cell's lowest doc_ids; no per-doc window exists
+    * anywhere, so the one corpus-sized operation is the histogram hash
+    * agg. All-integer. */
+  def x122BudgetCut(s: SparkSession, d: String, budget: Long = 20000L): DataFrame = {
+    val hist = Tables.documents(s, d)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("lang", "n_tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("mass", col("n_tok") * col("cnt"))
+    val wc = Window.partitionBy("lang").orderBy(col("n_tok").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("cum_before", coalesce(sum("mass").over(wc), lit(0L)))
+      .filter(col("cum_before") < budget) // cells with at least one admit
+      .withColumn("n_take",
+        least(col("cnt"), floor((lit(budget) - col("cum_before")) / col("n_tok"))
+          .cast("long")))
+      .filter(col("n_take") > 0)
+      .groupBy("lang")
+      .agg(sum("n_take").cast("long").as("n_selected"),
+        sum(col("n_take") * col("n_tok")).cast("long").as("tokens_used"),
+        min(when(col("n_take") > 0, col("n_tok"))).as("cut_len"))
+      .orderBy("lang")
+  }
 }

@@ -1311,4 +1311,120 @@ object TimeSeriesOps {
         max_by(col("value"), col("pack")).as("v_last"))
       .orderBy("event_type", "hr")
   }
+
+  /** x120 hourly-count autocorrelation — per event type, the sample ACF
+    * of the hourly event-count series at lags 1–3 (zero-filled over the
+    * GLOBAL hour spine, so silent hours count as 0 — dropping them would
+    * alias the very periodicity the ACF measures). The seasonality
+    * readout behind capacity planning and anomaly baselines: r₁ ≈ 1 says
+    * smooth load, a daily cycle shows as structure at lag 24 (the
+    * contract keeps 1–3; the mechanics are lag-generic).
+    *
+    * Determinism/scale in one shape: the corpus collapses to the (type,
+    * hour) count agg FIRST (map-side combined, x99's spine precedent);
+    * the spine join, lead windows, and moment sums all run over the
+    * AGGREGATE (|types|·|hours| rows). The ACF itself is assembled from
+    * INTEGER sums only — with m = S/n, both numerator and denominator
+    * scale by n² into exact BIGINTs:
+    *   num_k·n² = n²·Σc_t·c_{t+k} − n·S·(H_k+T_k) + (n−k)·S²
+    *   den·n²   = n²·Σc² − n·S²
+    * so each engine performs ONE double divide on identical integers. */
+  def x120HourlyAcf(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val counts = Tables.events(s, d)
+      .select(col("event_type"), floorDiv(unix_micros(col("ts")), hourUs).as("hr"))
+      .groupBy("event_type", "hr").agg(count(lit(1)).as("c"))
+    val bounds = counts.agg(min("hr").as("h0"), max("hr").as("h1"))
+    val spine = counts.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+    val series = spine.join(counts, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), col("hr"), coalesce(col("c"), lit(0L)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("hr")
+    val led = series
+      .withColumn("c1", lead("c", 1).over(w))
+      .withColumn("c2", lead("c", 2).over(w))
+      .withColumn("c3", lead("c", 3).over(w))
+    def lagSums(k: Int) = Seq(
+      sum(col("c") * col(s"c$k")).as(s"xy$k"),
+      sum(when(col(s"c$k").isNotNull, col("c"))).as(s"h$k"),
+      sum(col(s"c$k")).as(s"t$k"))
+    val aggCols = Seq(count(lit(1)).as("n"), sum("c").as("ss"),
+      sum(col("c") * col("c")).as("qq")) ++ lagSums(1) ++ lagSums(2) ++ lagSums(3)
+    val m = led.groupBy("event_type").agg(aggCols.head, aggCols.tail: _*)
+    def r(k: Int) = {
+      val num = col("n") * col("n") * col(s"xy$k") -
+        col("n") * col("ss") * (col(s"h$k") + col(s"t$k")) +
+        (col("n") - k) * col("ss") * col("ss")
+      val den = col("n") * col("n") * col("qq") - col("n") * col("ss") * col("ss")
+      struct(lit(k).as("lag"),
+        dround(num.cast("double") / den.cast("double"), 4).as("r"))
+    }
+    m.select(col("event_type"), explode(array(r(1), r(2), r(3))).as("a"))
+      .select(col("event_type"), col("a.lag").as("lag"), col("a.r").as("r"))
+      .orderBy("event_type", "lag")
+  }
+
+  /** x123 retention cohorts — the product-analytics daily retention
+    * triangle: users grouped by FIRST-ACTIVE day (cohort), and for each
+    * day offset 0–13, how many of that cohort were active (any event)
+    * that day, with the retention share. x72's sibling question at day
+    * granularity over the full user base.
+    *
+    * Scale: raw events collapse to distinct (user, day) FIRST (one hash
+    * shuffle — the only corpus-sized exchange); first-day is a per-user
+    * min over that (user-sized); offsets join activity back to first-day
+    * per user (user-sized equi-join) and everything after is the
+    * |cohorts|·14 matrix. All-integer until the rounded share. */
+  def x123Retention(s: SparkSession, d: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val act = Tables.events(s, d)
+      .select(col("user_id"), floorDiv(unix_micros(col("ts")), dayUs).as("day"))
+      .distinct()
+    val first = act.groupBy("user_id").agg(min("day").as("cohort_day"))
+    val size = first.groupBy("cohort_day").agg(count(lit(1)).as("cohort_users"))
+    act.join(first, "user_id")
+      .select(col("cohort_day"), (col("day") - col("cohort_day")).as("offset"))
+      .filter(col("offset").between(0, 13))
+      .groupBy("cohort_day", "offset").agg(count(lit(1)).as("n_active"))
+      .join(broadcast(size), "cohort_day")
+      .select(col("cohort_day"), col("offset"), col("n_active"), col("cohort_users"),
+        dround(col("n_active").cast("double") / col("cohort_users").cast("double"), 4)
+          .as("retained"))
+      .orderBy("cohort_day", "offset")
+  }
+
+  /** x124 rolling active users — per day in the observed range: distinct
+    * daily actives (DAU), distinct 7-day-window actives (WAU, window
+    * [d−6, d]), and the DAU/WAU stickiness ratio. The engagement
+    * trendline next to x123's cohort triangle; exact (no sketch), which
+    * matters because stickiness moves in percents.
+    *
+    * Exact rolling DISTINCT without re-scanning per window: each distinct
+    * (user, day) activity COVERS the 7 window-days it is visible to —
+    * explode day..day+6, distinct (user, window day) again (a user
+    * active twice inside one window must count once), then a count per
+    * window day. Expansion mass is exactly 7·|user-days| rows — linear,
+    * shuffled once on the (user, wday) distinct; every aggregate after
+    * is |days|-sized. All-integer until the rounded ratio. */
+  def x124RollingActive(s: SparkSession, d: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val act = Tables.events(s, d)
+      .select(col("user_id"), floorDiv(unix_micros(col("ts")), dayUs).as("day"))
+      .distinct()
+    val bounds = act.agg(min("day").as("d0"), max("day").as("d1"))
+    val weekly = act
+      .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("wday"))
+      .distinct()
+      .crossJoin(broadcast(bounds))
+      .filter(col("wday").between(col("d0"), col("d1")))
+      .groupBy("wday").agg(count(lit(1)).as("active_7d"))
+    val daily = act.groupBy("day").agg(count(lit(1)).as("active_1d"))
+    weekly.join(daily, col("wday") === col("day"), "left")
+      .select(col("wday").as("day"),
+        coalesce(col("active_1d"), lit(0L)).as("active_1d"), col("active_7d"),
+        dround(coalesce(col("active_1d"), lit(0L)).cast("double")
+          / col("active_7d").cast("double"), 4).as("stickiness"))
+      .orderBy("day")
+  }
 }

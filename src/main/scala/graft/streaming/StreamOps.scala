@@ -949,6 +949,62 @@ object StreamOps {
         TimeMode.None(), OutputMode.Append())
   }
 
+  case class AdmitState(used: Long, closed: Boolean)
+  case class AdmitOut(lang: String, doc_id: Long, admitted: Boolean,
+                      tokens_used: Long)
+
+  /** ST24: continuous budget-capped admission — x122's token-budget
+    * prefix cut as an online gate: per language, admit arriving docs
+    * while the running token total fits the budget; the FIRST overflow
+    * CLOSES the gate permanently (the prefix rule — smaller later docs
+    * do not re-open it, so the admitted set is exactly the longest
+    * admissible prefix of the arrival order). The streaming face of the
+    * same contract ST22 gives x102: an ingest that stops filling a
+    * training mix the moment its budget is spent, instead of a batch
+    * recut after the fact.
+    *
+    * Ordering contract (ST22's): arrival order is the walk order; within
+    * a micro-batch rows fold in (n_tok DESC, doc_id) order — so a
+    * single-batch stream reproduces x122's declared walk exactly
+    * (StreamingSpec pins admitted count + tokens_used per lang ==
+    * x122BudgetCut), and across batches the gate's closed flag carries
+    * the prefix-rule semantics forward. State is O(|langs|) (a long + a
+    * bool); lang keys are few and permanent → TTLConfig.NONE. */
+  class BudgetProcessor(budget: Long)
+      extends StatefulProcessor[String, PackDoc, AdmitOut] {
+    @transient private var st: ValueState[AdmitState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[AdmitState]("gate",
+        Encoders.product[AdmitState], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[PackDoc],
+                                 timerValues: TimerValues): Iterator[AdmitOut] = {
+      var s = if (st.exists()) st.get() else AdmitState(0L, closed = false)
+      val out = scala.collection.mutable.ArrayBuffer[AdmitOut]()
+      rows.toArray.sortBy(d => (-d.n_tok, d.doc_id)).foreach { d =>
+        val fits = !s.closed && s.used + d.n_tok <= budget
+        if (fits) s = AdmitState(s.used + d.n_tok, s.closed)
+        else s = AdmitState(s.used, closed = true)
+        out += AdmitOut(d.lang, d.doc_id, fits, s.used)
+      }
+      st.update(s)
+      out.iterator
+    }
+  }
+
+  /** ST24 entry: documents keyed by language through [[BudgetProcessor]]
+    * (20k budget, x122's contract). */
+  def budgetAdmission(docs: DataFrame, budget: Long = 20000L): Dataset[AdmitOut] = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .as[PackDoc]
+      .groupByKey(_.lang)
+      .transformWithState(new BudgetProcessor(budget),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** ST20 entry: events with a `cents` column keyed by series, folded
     * through [[AnomalyProcessor]] (λ² = 9 i.e. |z| ≥ 3, minN = 8). */
   def anomalyFlags(events: DataFrame, minN: Long = 8L,

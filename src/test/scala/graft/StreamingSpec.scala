@@ -797,4 +797,59 @@ class StreamingSpec extends SparkSpecBase {
       prior match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
     }
   }
+
+  test("ST24 single-batch budget admission equals x122's prefix cut") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+      val src = spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+      val q = StreamOps.budgetAdmission(src).toDF()
+        .writeStream.format("memory").queryName("st24").outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // per-lang admitted count + final running total vs the declared cut
+      val got = spark.table("st24")
+        .groupBy("lang")
+        .agg(sum(col("admitted").cast("long")).as("n_selected"),
+          max(when(col("admitted"), col("tokens_used"))).as("tokens_used"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val expect = operators.TextOps.x122BudgetCut(spark, sfDir)
+        .select("lang", "n_selected", "tokens_used")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(expect.nonEmpty && got === expect, s"stream $got vs batch $expect")
+    } finally {
+      prior match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
+  test("ST24 gate closes at first overflow and stays closed across batches") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      implicit val ctx = spark.sqlContext
+      val input = MemoryStream[(Long, String, String)]
+      val docs = input.toDF().toDF("doc_id", "lang", "text")
+      val q = StreamOps.budgetAdmission(docs, budget = 10L).toDF()
+        .writeStream.format("memory").queryName("st24b").outputMode("append").start()
+      def doc(id: Long, n: Int) = (id, "en", Seq.fill(n)("w").mkString(" "))
+      input.addData(doc(1, 7), doc(2, 6)) // 7 admits; 6 overflows -> closed
+      q.processAllAvailable()
+      input.addData(doc(3, 2)) // would fit numerically; gate is closed
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("st24b").collect()
+        .map(r => (r.getLong(1), r.getBoolean(2), r.getLong(3))).toSet
+      assert(got === Set((1L, true, 7L), (2L, false, 7L), (3L, false, 7L)),
+        s"gate drifted: $got")
+    } finally {
+      prior match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
 }
