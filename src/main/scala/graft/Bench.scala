@@ -139,8 +139,9 @@ object Bench {
     val wantAudit = only.forall(_("x97_audit_only"))
     val wantTri   = only.forall(_("x112_tri_only"))
     val wantAbl   = only.forall(_("x118_abl_only"))
+    val wantSynd  = only.forall(_("x121_synd_only"))
     val anyGraph = wantCc || wantSurv || wantSplit ||
-      wantHist || wantAudit || wantTri || wantAbl
+      wantHist || wantAudit || wantTri || wantAbl || wantSynd
     val ccOnly = if (!anyGraph) Nil
     else try {
       import org.apache.spark.sql.functions.{col, split}
@@ -148,7 +149,7 @@ object Bench {
       val toks = Tables.documents(spark, sfDir)
         .select(col("doc_id").as("id"), split(col("text"), " ").as("toks"))
       graft.functions.MinHashLSH.verifiedPairs(toks, 0.8)
-        .select("id_a", "id_b").write.mode("overwrite").parquet(pairsDir)
+        .select("id_a", "id_b", "j").write.mode("overwrite").parquet(pairsDir)
       val pairs = spark.read.parquet(pairsDir)
       val ccRow = if (!wantCc) Nil else {
         val t0 = System.nanoTime()
@@ -193,7 +194,9 @@ object Bench {
         staged(wantTri, "x112_tri_only")(
           operators.TextOps.x112From(spark, sfDir, pairs)) ++
         staged(wantAbl, "x118_abl_only")(
-          operators.TextOps.x118From(spark, sfDir, pairs))
+          operators.TextOps.x118From(spark, sfDir, pairs)) ++
+        staged(wantSynd, "x121_synd_only")(
+          operators.TextOps.x121From(spark, sfDir, pairs))
       ccRow ++ downstream ++ consumerRows
     } catch { case e: Throwable =>
       System.err.println(s"[bench] x14_cc_only failed: ${e.getMessage}"); Nil

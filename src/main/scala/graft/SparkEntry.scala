@@ -234,6 +234,7 @@ object SparkEntry {
     "x122_budget_cut"     -> ((s, d) => TextOps.x122BudgetCut(s, d)),
     "x123_retention"      -> (TimeSeriesOps.x123Retention _),
     "x124_rolling_active" -> (TimeSeriesOps.x124RollingActive _),
+    "x125_cluster_sep"    -> (VectorOps.x125ClusterSep _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2767,5 +2768,37 @@ object SparkEntry {
          |ROUND(CAST(COALESCE(dy.active_1d, 0) AS DOUBLE)
          |  / CAST(wk.active_7d AS DOUBLE), 4) AS stickiness
          |FROM wk LEFT JOIN dy ON dy.day = wk.wday ORDER BY day""".stripMargin,
+
+    // x125: both moments exact in scaled integers (HUGEINT twin of the
+    // DECIMAL(38,0) Spark sums); every double is the same divide of the
+    // same exact integers, so min/max/rounds agree bit-for-bit
+    "x125_cluster_sep" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |x AS (SELECT vec_id, label, i - 1 AS dim,
+        |  CAST(ROUND(v[i] * 1000000) AS BIGINT) AS sv
+        |  FROM e, UNNEST(generate_series(1, len(v))) AS g(i)),
+        |n AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY 1),
+        |q AS (SELECT label, SUM(CAST(sv AS HUGEINT) * sv) AS q FROM x GROUP BY 1),
+        |sd AS (SELECT label, dim, SUM(sv) AS sd FROM x GROUP BY 1, 2),
+        |s2 AS (SELECT label, SUM(CAST(sd AS HUGEINT) * sd) AS s2 FROM sd GROUP BY 1),
+        |msd AS (SELECT n.label, n.n,
+        |  CAST(CAST(n.n AS HUGEINT) * q.q - s2.s2 AS DOUBLE)
+        |    / (CAST(n.n AS DOUBLE) * CAST(n.n AS DOUBLE)) / 1000000000000.0 AS msd_raw
+        |  FROM n JOIN q ON q.label = n.label JOIN s2 ON s2.label = n.label),
+        |sda AS (SELECT sd.label, sd.dim, sd.sd, n.n FROM sd JOIN n ON n.label = sd.label),
+        |pd AS (SELECT a.label AS la, b.label AS lb, a.n AS na, b.n AS nb,
+        |  SUM(CAST(b.n * a.sd - a.n * b.sd AS HUGEINT) * (b.n * a.sd - a.n * b.sd)) AS pd2
+        |  FROM sda a JOIN sda b ON a.dim = b.dim AND a.label <> b.label
+        |  GROUP BY 1, 2, 3, 4),
+        |sep AS (SELECT la, lb, CAST(pd2 AS DOUBLE)
+        |  / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) * CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+        |  / 1000000000000.0 AS sep FROM pd),
+        |db AS (SELECT sep.la, MIN(sep.sep) AS min_sep,
+        |  MAX((ma.msd_raw + mb.msd_raw) / sep.sep) AS dbv
+        |  FROM sep JOIN msd ma ON ma.label = sep.la JOIN msd mb ON mb.label = sep.lb
+        |  GROUP BY 1)
+        |SELECT msd.label, CAST(msd.n AS BIGINT) AS n, ROUND(msd.msd_raw, 6) AS msd,
+        |ROUND(db.min_sep, 6) AS min_sep, ROUND(db.dbv, 4) AS db_index
+        |FROM msd JOIN db ON db.la = msd.label ORDER BY label""".stripMargin,
   )
 }

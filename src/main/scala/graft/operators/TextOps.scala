@@ -2182,8 +2182,12 @@ object TextOps {
     * past it, two doc_id→source joins (corpus-sized equi-joins, the only
     * additional shuffles) and an |sources|²-bounded agg. min/max of the
     * ROUNDED j are order-independent — no FP-sum hazard. */
-  def x121Syndication(s: SparkSession, d: String): DataFrame = {
-    val pairs = MinHashLSH.verifiedPairs(docTokens(s, d), 0.8)
+  def x121Syndication(s: SparkSession, d: String): DataFrame =
+    x121From(s, d, MinHashLSH.verifiedPairs(docTokens(s, d), 0.8))
+
+  /** x121 over a PRECOMPUTED (id_a, id_b, j) pair frame — Bench's
+    * `x121_synd_only` row: two source joins + the |sources|² agg. */
+  def x121From(s: SparkSession, d: String, pairs: DataFrame): DataFrame = {
     val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
     pairs
       .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")

@@ -830,4 +830,66 @@ object VectorOps {
         dround(col("cos4").cast("double") / 10000.0, 4).as("cos"), col("margin"))
       .orderBy("probe_id")
   }
+
+  /** x125 cluster separation audit over the labeled embedding space — the
+    * index-quality readout a vector pipeline runs before trusting labels
+    * (or a clustering) for IVF routing, stratified eval, or contrastive
+    * sampling: per label, the within-cluster mean squared distance to the
+    * centroid (scatter), the squared distance to the NEAREST other
+    * centroid, and a Davies–Bouldin-style worst ratio
+    * max_m (scatter_l + scatter_m) / d²(c_l, c_m) — low db = compact,
+    * well-separated clusters; ≥ 1 = clusters overlap their neighbors.
+    *
+    * Exactness (the x45/x51 integer discipline, pushed through BOTH
+    * moments): components scale to ×1e6 BIGINTs at the scan; per-label
+    * Q = Σ‖x‖² and per-(label, dim) S = Σx are exact integer sums, so
+    *   scatter·n² = n·Q − ‖S‖²             (DECIMAL(38,0), exact)
+    *   d²(cₗ,cₘ)·(nₗnₘ)² = ‖nₘSₗ − nₗSₘ‖²  (exact)
+    * and every double that follows is the same divide of the same exact
+    * integers on both engines — min/max over identical doubles are
+    * order-free, so the audit hash-matches with no FP-sum anywhere.
+    *
+    * Scale: one corpus scan into two map-side-combined aggregates
+    * ((label) and (label, dim) — constant-width, L·d ≤ a few thousand
+    * rows at ANY corpus size); everything pairwise runs on the L·d
+    * aggregate (L² pair rows). The corpus never self-joins. */
+  def x125ClusterSep(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val x = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "xf")))
+      .select(col("label"), col("dim"),
+        round(col("xf").cast("double") * lit(1000000.0)).cast("long").as("sv"))
+    val n = Tables.embeddings(s, d).groupBy("label").agg(count(lit(1)).as("n"))
+    val q = x.groupBy("label").agg(sum(dec(col("sv")) * col("sv")).as("q"))
+    val sd = x.groupBy("label", "dim").agg(sum("sv").as("sd"))
+    val s2 = sd.groupBy("label").agg(sum(dec(col("sd")) * col("sd")).as("s2"))
+    val msd = n.join(q, "label").join(s2, "label")
+      .select(col("label"), col("n"),
+        ((dec(col("n")) * col("q") - col("s2")).cast("double")
+          / (col("n").cast("double") * col("n").cast("double"))
+          / lit(1.0e12)).as("msd_raw"))
+    def side(la: String, sa: String, na: String) = sd.join(n, "label")
+      .select(col("label").as(la), col("dim"), col("sd").as(sa), col("n").as(na))
+    val pd = side("la", "sa", "na").join(side("lb", "sb", "nb"), "dim")
+      .filter(col("la") =!= col("lb"))
+      .select(col("la"), col("lb"), col("na"), col("nb"),
+        (col("nb") * col("sa") - col("na") * col("sb")).as("df"))
+      .groupBy("la", "lb", "na", "nb")
+      .agg(sum(dec(col("df")) * col("df")).as("pd2"))
+      .select(col("la"), col("lb"),
+        (col("pd2").cast("double")
+          / (col("na").cast("double") * col("nb").cast("double")
+             * col("na").cast("double") * col("nb").cast("double"))
+          / lit(1.0e12)).as("sep"))
+    val db = pd
+      .join(msd.select(col("label").as("la"), col("msd_raw").as("msd_a")), "la")
+      .join(msd.select(col("label").as("lb"), col("msd_raw").as("msd_b")), "lb")
+      .groupBy("la")
+      .agg(min("sep").as("min_sep"),
+        max((col("msd_a") + col("msd_b")) / col("sep")).as("dbv"))
+    msd.join(db, col("label") === col("la"))
+      .select(col("label"), col("n"), dround(col("msd_raw"), 6).as("msd"),
+        dround(col("min_sep"), 6).as("min_sep"), dround(col("dbv"), 4).as("db_index"))
+      .orderBy("label")
+  }
 }

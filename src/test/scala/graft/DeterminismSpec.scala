@@ -42,7 +42,12 @@ class DeterminismSpec extends SparkSpecBase {
     "x104_star_join", "x105_margin_mine",
     // x106: the prefix-filtered pair list must be identical at any width —
     // candidate completeness is order-theoretic, not partitioning-lucky
-    "x106_exact_pairs")
+    "x106_exact_pairs",
+    // round-9 additions: x120's ACF divide must see the same integer sums
+    // at any width (lead windows over the spine merge in partition order);
+    // x121's min/max of rounded j must be partition-blind; x122's
+    // histogram cut must equal the same prefix under any partitioning
+    "x120_hourly_acf", "x121_syndication", "x122_budget_cut")
 
   private def canon(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted.toSeq
