@@ -235,6 +235,7 @@ object SparkEntry {
     "x123_retention"      -> (TimeSeriesOps.x123Retention _),
     "x124_rolling_active" -> (TimeSeriesOps.x124RollingActive _),
     "x125_cluster_sep"    -> (VectorOps.x125ClusterSep _),
+    "x126_path_trigrams"  -> (TimeSeriesOps.x126PathTrigrams _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2800,5 +2801,22 @@ object SparkEntry {
         |SELECT msd.label, CAST(msd.n AS BIGINT) AS n, ROUND(msd.msd_raw, 6) AS msd,
         |ROUND(db.min_sep, 6) AS min_sep, ROUND(db.dbv, 4) AS db_index
         |FROM msd JOIN db ON db.la = msd.label ORDER BY label""".stripMargin,
+
+    // x126: the x20 sessionization CTEs + ordered per-session type list,
+    // 3-slices via the x17-style inclusive list slicing; all-integer
+    "x126_path_trigrams" ->
+      s"""WITH e AS ($E),
+         |g AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+         |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e),
+         |b AS (SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 21600000000
+         |  THEN 1 ELSE 0 END AS brk FROM g),
+         |s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session FROM b),
+         |p AS (SELECT user_id, session,
+         |  list(event_type ORDER BY us, event_id) AS types FROM s GROUP BY 1, 2),
+         |t AS (SELECT array_to_string(types[i:i+2], ' ') AS path FROM p,
+         |  UNNEST(generate_series(1, len(types) - 2)) AS u(i))
+         |SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM t
+         |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin,
   )
 }

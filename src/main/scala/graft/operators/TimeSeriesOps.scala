@@ -1427,4 +1427,43 @@ object TimeSeriesOps {
           / col("active_7d").cast("double"), 4).as("stickiness"))
       .orderBy("day")
   }
+
+  /** x126 session path mining — the top 20 three-step event-type paths
+    * users actually walk inside x20's 6-hour-gap sessions. x59's funnel
+    * asks "how many users complete THIS path"; this is its discovery
+    * dual: which paths dominate, the input a funnel analysis starts
+    * from (and a Markov attribution model's transition counts).
+    *
+    * Plan: the x20 sessionization windows (per-user, bounded), one
+    * per-session collect into the ordered type sequence (sessions are
+    * gap-bounded — the array is a session's events, never a user's
+    * history), then the SAME [[graft.functions.TextExpressions
+    * .wordShingles]] codegen kernel the text stack uses cuts 3-step
+    * paths — one explode into a map-side-combined count whose key space
+    * is ≤ |event types|³ = 125, so the final exchange is constant-width.
+    * Order inside a session is (µs, event_id) — unique tiebreak, so the
+    * collected sequence is deterministic under any partitioning. */
+  def x126PathTrigrams(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 6L * 3600L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .withColumn("brk",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session", sum("brk").over(run))
+    val paths = sess.groupBy("user_id", "session")
+      .agg(transform(
+        array_sort(collect_list(struct(col("us"), col("event_id"), col("event_type")))),
+        x => x.getField("event_type")).as("types"))
+    paths
+      .select(explode(
+        graft.functions.TextExpressions.wordShingles(col("types"), 3)).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
 }

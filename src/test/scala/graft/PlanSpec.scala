@@ -723,6 +723,32 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("round-9 ops: windows aggregate-fed or per-user; no corpus window/product") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // x120/x122: every window sits above an aggregate (hour spine /
+    // length histogram) — aggregate-sized tasks at any corpus scale
+    for (df <- Seq(operators.TimeSeriesOps.x120HourlyAcf(spark, sfDir),
+                   operators.TextOps.x122BudgetCut(spark, sfDir))) {
+      val ws = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(ws.nonEmpty && ws.forall(_.collect { case a: Aggregate => a }.nonEmpty),
+        s"corpus-fed window:\n${df.queryExecution.optimizedPlan}")
+    }
+    // x123/x124: pure aggregate pipelines — no window operator anywhere
+    for (df <- Seq(operators.TimeSeriesOps.x123Retention(spark, sfDir),
+                   operators.TimeSeriesOps.x124RollingActive(spark, sfDir)))
+      assert(df.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+        "unexpected window in an aggregate-only plan")
+    // x126: sessionization windows keyed per user, never global
+    val w126 = operators.TimeSeriesOps.x126PathTrigrams(spark, sfDir)
+      .queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(w126.nonEmpty && w126.forall(
+      _.partitionSpec.exists(_.references.exists(_.name == "user_id"))))
+    // x125: all pairwise work on the (label, dim) aggregate — the
+    // embedding table must never product-join itself
+    val p125 = planOf(operators.VectorOps.x125ClusterSep(spark, sfDir))
+    assert(!p125.contains("CartesianProduct"), p125)
+  }
+
   test("nanos pushdown rule is a no-op on non-matching filters") {
     // value is a plain double column: the rule must not touch this plan
     val df = Tables.events(spark, sfDir).filter("value > 100")
