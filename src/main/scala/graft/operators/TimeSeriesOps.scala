@@ -1220,7 +1220,7 @@ object TimeSeriesOps {
       .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     bounds.join(broadcast(carry), col("hr") === col("c_hr"))
       .withColumn("cum", col("carry") + sum("delta").over(wi))
-      .withColumn("epoch_day", expr("hr div 24"))
+      .withColumn("epoch_day", floorDiv(col("hr"), 24L))
       .groupBy("epoch_day")
       .agg(max("cum").as("peak"),
            sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"),
@@ -1378,9 +1378,17 @@ object TimeSeriesOps {
     * |cohorts|·14 matrix. All-integer until the rounded share. */
   def x123Retention(s: SparkSession, d: String): DataFrame = {
     val dayUs = 86400L * 1000000L
-    val act = Tables.events(s, d)
+    x123FromActivity(Tables.events(s, d)
       .select(col("user_id"), floorDiv(unix_micros(col("ts")), dayUs).as("day"))
-      .distinct()
+      .distinct())
+  }
+
+  /** x123's matrix over any distinct (user_id, day) activity frame — the
+    * entry point ST25's continuously-maintained activity store derives
+    * the retention triangle from (first-day is re-derived here, so a
+    * LATE row for an earlier day correctly reassigns its user's cohort —
+    * the failure mode an incrementally-cached first-day would have). */
+  def x123FromActivity(act: DataFrame): DataFrame = {
     val first = act.groupBy("user_id").agg(min("day").as("cohort_day"))
     val size = first.groupBy("cohort_day").agg(count(lit(1)).as("cohort_users"))
     act.join(first, "user_id")

@@ -64,7 +64,8 @@ object RollupStore {
                  days: Seq[Long]): Unit = {
     if (days.isEmpty) return
     val touched = rawEvents.filter(
-      expr(s"unix_micros(ts) div $DayUs").isin(days: _*))
+      graft.functions.SeriesFunctions.floorDiv(unix_micros(col("ts")), DayUs)
+        .isin(days: _*))
     Seq(("hour", HourUs), ("day", DayUs)).foreach { case (name, w) =>
       rollup(touched, w).write.partitionBy("day").mode("overwrite")
         .option("partitionOverwriteMode", "dynamic").parquet(s"$dir/$name")

@@ -1018,4 +1018,63 @@ object StreamOps {
       .transformWithState(new AnomalyProcessor(minN, lambda2),
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** ST25: continuous retention maintenance — x123's cohort triangle kept
+    * fresh by maintaining a day-partitioned distinct (user, day) ACTIVITY
+    * store per micro-batch, with the matrix derived from the store on
+    * read ([[graft.operators.TimeSeriesOps.x123FromActivity]]).
+    *
+    * Why the store holds activity and NOT the matrix: first-active-day is
+    * a corpus-wide MIN, so a late batch carrying an EARLIER day for a
+    * known user must reassign that user's whole cohort row — an
+    * incrementally-cached matrix (or first-day table) silently keeps the
+    * stale cohort; re-deriving the matrix from the activity store gets
+    * reassignment for free, and the matrix derivation is
+    * aggregate-bounded (|user-days| → |cohorts|·14) anyway. The per-batch
+    * write is the bounded part: only the batch's TOUCHED day partitions
+    * rewrite (dynamic partition overwrite of merged-distinct day rows —
+    * the ST18/RollupStore shape), so a steady stream pays O(today's
+    * activity) per batch regardless of history size, and replaying a
+    * batch after a crash re-derives the same partitions (idempotent —
+    * RetentionIngestSpec kills nothing but asserts merged-distinct
+    * convergence and touched-day file turnover). */
+  def retentionIngest(events: DataFrame, storeDir: String,
+                      checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val dayUs = 86400L * 1000000L
+        val act = batch.select(col("user_id"),
+            graft.functions.SeriesFunctions.floorDiv(unix_micros(col("ts")), dayUs)
+              .as("day"))
+          .distinct()
+        val days = act.select("day").distinct().collect().map(_.getLong(0)).toSeq
+        if (days.nonEmpty) {
+          val dir = s"$storeDir/activity"
+          val existing =
+            if (new java.io.File(dir).exists())
+              s.read.parquet(dir).filter(col("day").isin(days: _*))
+                .select("user_id", "day")
+            else act.limit(0).select("user_id", "day")
+          // eager checkpoint: the merged frame must stop referencing the
+          // files the dynamic overwrite is about to replace (MergeStore's
+          // two-phase shape)
+          val merged = existing.unionAll(act.select("user_id", "day"))
+            .distinct().localCheckpoint(true)
+          merged.write.partitionBy("day").mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic").parquet(dir)
+        }
+        ()
+      }
+      .start()
+
+  /** The served retention triangle over ST25's store — row-identical to
+    * x123 over the same raw events (RetentionIngestSpec). */
+  def retentionMatrix(s: SparkSession, storeDir: String): DataFrame =
+    graft.operators.TimeSeriesOps.x123FromActivity(
+      // `day` is a PARTITION column on read-back — inference narrows it
+      // to INT, so cast back to the activity contract's LONG
+      s.read.parquet(s"$storeDir/activity")
+        .select(col("user_id"), col("day").cast("long").as("day")))
 }
