@@ -236,6 +236,7 @@ object SparkEntry {
     "x124_rolling_active" -> (TimeSeriesOps.x124RollingActive _),
     "x125_cluster_sep"    -> (VectorOps.x125ClusterSep _),
     "x126_path_trigrams"  -> (TimeSeriesOps.x126PathTrigrams _),
+    "x127_chunk_manifest" -> ((s, d) => MultimodalOps.x127ChunkManifest(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2818,5 +2819,20 @@ object SparkEntry {
          |  UNNEST(generate_series(1, len(types) - 2)) AS u(i))
          |SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM t
          |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin,
+
+    // x127: byte-level chunking over the ASCII slice (byte k IS char k —
+    // x19's trick), sha256 prefixes; both engines hash the same bytes
+    "x127_chunk_manifest" ->
+      """WITH a AS (SELECT doc_id AS media_id, text, CAST(n_chars AS BIGINT) AS n_bytes
+        |  FROM documents
+        |  WHERE lang = 'en' AND octet_length(encode(text)) = n_chars AND n_chars > 0),
+        |c AS (SELECT media_id, i AS chunk_idx, i * 64 AS off,
+        |  LEAST(64, n_bytes - i * 64) AS length,
+        |  sha256(substring(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS sha
+        |  FROM a, UNNEST(generate_series(0, (n_bytes - 1) // 64)) AS g(i))
+        |SELECT media_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |CAST(off AS BIGINT) AS "offset", CAST(length AS BIGINT) AS length,
+        |substring(sha, 1, 16) AS sha FROM c
+        |ORDER BY media_id, chunk_idx""".stripMargin,
   )
 }

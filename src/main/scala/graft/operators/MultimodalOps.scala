@@ -148,4 +148,39 @@ object MultimodalOps {
       .as[MediaRecord]
     byteMoments(ascii).toDF().orderBy("media_id")
   }
+
+  /** x127 binary chunk manifest — the blob-chunking layer every multimodal
+    * store needs under its opaque payloads (content-addressed 64-byte
+    * chunks here; production uses ~1 MB): per payload, one manifest row
+    * per chunk with (offset, length, sha256 prefix). This is what makes
+    * payloads dedupable at SUB-object granularity (two videos sharing an
+    * intro share those chunk digests), resumable to upload, and
+    * range-readable without touching the object.
+    *
+    * Fully declarative — no mapPartitions: chunk indices explode from a
+    * `sequence`, the chunk bytes come from `substring` ON THE BINARY
+    * column (codegen'd), the digest from `sha2`. Declared over the ASCII
+    * slice (x19's trick) so the byte-level Spark computation has an exact
+    * char-level DuckDB twin; the operator itself never assumes text.
+    * Output mass is Σ⌈bytes/chunk⌉ rows — linear, no shuffle before the
+    * final sort. */
+  def x127ChunkManifest(s: SparkSession, d: String, chunk: Int = 64): DataFrame = {
+    val ascii = Tables.documents(s, d)
+      .filter(col("lang") === "en" &&
+        octet_length(encode(col("text"), "utf-8")) === col("n_chars") &&
+        col("n_chars") > 0)
+      .select(col("doc_id").as("media_id"),
+              encode(col("text"), "utf-8").as("payload"),
+              col("n_chars").cast("long").as("n_bytes"))
+    ascii
+      .select(col("media_id"), col("payload"), col("n_bytes"),
+        explode(sequence(lit(0L), expr(s"(n_bytes - 1) div $chunk"))).as("chunk_idx"))
+      .select(col("media_id"), col("chunk_idx"),
+        (col("chunk_idx") * chunk).as("offset"),
+        least(lit(chunk).cast("long"),
+          col("n_bytes") - col("chunk_idx") * chunk).as("length"),
+        substring(sha2(expr(s"substring(payload, chunk_idx * $chunk + 1, $chunk)"),
+          256), 1, 16).as("sha"))
+      .orderBy("media_id", "chunk_idx")
+  }
 }
