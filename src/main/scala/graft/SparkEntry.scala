@@ -237,6 +237,7 @@ object SparkEntry {
     "x125_cluster_sep"    -> (VectorOps.x125ClusterSep _),
     "x126_path_trigrams"  -> (TimeSeriesOps.x126PathTrigrams _),
     "x127_chunk_manifest" -> ((s, d) => MultimodalOps.x127ChunkManifest(s, d)),
+    "x128_grouping_sets"  -> (RelationalOps.x128GroupingSets _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2834,5 +2835,17 @@ object SparkEntry {
         |CAST(off AS BIGINT) AS "offset", CAST(length AS BIGINT) AS length,
         |substring(sha, 1, 16) AS sha FROM c
         |ORDER BY media_id, chunk_idx""".stripMargin,
+
+    // x128: identical set list + grouping flags; COALESCE'd names keep
+    // the output NULL-free so neither engine's NULL ordering matters
+    "x128_grouping_sets" ->
+      """SELECT CAST(GROUPING(source) AS INT) AS g_s, CAST(GROUPING(lang) AS INT) AS g_l,
+        |COALESCE(source, 'ALL') AS source, COALESCE(lang, 'ALL') AS lang,
+        |COUNT(*) AS n_docs,
+        |CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        |FROM documents
+        |GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+        |ORDER BY g_s, g_l, source, lang""".stripMargin,
   )
 }

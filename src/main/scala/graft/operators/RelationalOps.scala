@@ -454,4 +454,30 @@ object RelationalOps {
         dround(col("v_lo") + lit(0.5) * (col("v_hi") - col("v_lo")), 4).as("median"))
       .orderBy("event_type")
   }
+
+  /** x128 GROUPING SETS — the ARBITRARY multi-granularity aggregation
+    * surface next to Q22's hierarchical ROLLUP and Q23's full CUBE: the
+    * exact set list ((source, lang), (source), (lang), ()) a dataset
+    * card computes in one pass instead of four scans-with-union. Grouping
+    * flags disambiguate which granularity a row belongs to; COALESCE'd
+    * names keep the output NULL-free (no cross-engine NULL-ordering
+    * dependence). Via the SQL entry point for the same reason as Q22
+    * (DataFrame-side grouping-column reuse trips Spark 4.1's
+    * DetectAmbiguousSelfJoin on the Expand duplicates).
+    *
+    * Scale: ONE scan — Expand replicates each row once per matching set
+    * (4× here) into a single map-side-combined hash aggregate; grouping
+    * keys are low-cardinality, so the exchange is aggregate-sized. */
+  def x128GroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql("""
+      SELECT CAST(GROUPING(source) AS INT) AS g_s, CAST(GROUPING(lang) AS INT) AS g_l,
+             COALESCE(source, 'ALL') AS source, COALESCE(lang, 'ALL') AS lang,
+             COUNT(*) AS n_docs,
+             CAST(SUM(size(split(text, ' '))) AS BIGINT) AS n_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+      FROM documents
+      GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+      ORDER BY g_s, g_l, source, lang""")
+  }
 }

@@ -1417,9 +1417,15 @@ object TimeSeriesOps {
     * is |days|-sized. All-integer until the rounded ratio. */
   def x124RollingActive(s: SparkSession, d: String): DataFrame = {
     val dayUs = 86400L * 1000000L
-    val act = Tables.events(s, d)
+    x124FromActivity(Tables.events(s, d)
       .select(col("user_id"), floorDiv(unix_micros(col("ts")), dayUs).as("day"))
-      .distinct()
+      .distinct())
+  }
+
+  /** x124 over any distinct (user_id, day) activity frame — like
+    * [[x123FromActivity]], servable from ST25's continuously-maintained
+    * activity store. */
+  def x124FromActivity(act: DataFrame): DataFrame = {
     val bounds = act.agg(min("day").as("d0"), max("day").as("d1"))
     val weekly = act
       .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("wday"))

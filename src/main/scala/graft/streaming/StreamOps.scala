@@ -1071,10 +1071,18 @@ object StreamOps {
 
   /** The served retention triangle over ST25's store — row-identical to
     * x123 over the same raw events (RetentionIngestSpec). */
+  /** ST25's activity store read back under the (user_id, day: LONG)
+    * activity contract (`day` is a partition column on read-back —
+    * inference narrows it to INT, so cast back). */
+  private def activityOf(s: SparkSession, storeDir: String): DataFrame =
+    s.read.parquet(s"$storeDir/activity")
+      .select(col("user_id"), col("day").cast("long").as("day"))
+
   def retentionMatrix(s: SparkSession, storeDir: String): DataFrame =
-    graft.operators.TimeSeriesOps.x123FromActivity(
-      // `day` is a PARTITION column on read-back — inference narrows it
-      // to INT, so cast back to the activity contract's LONG
-      s.read.parquet(s"$storeDir/activity")
-        .select(col("user_id"), col("day").cast("long").as("day")))
+    graft.operators.TimeSeriesOps.x123FromActivity(activityOf(s, storeDir))
+
+  /** x124's DAU/WAU/stickiness served from the same ST25 store — one
+    * maintained activity table feeds every engagement view. */
+  def rollingActiveMatrix(s: SparkSession, storeDir: String): DataFrame =
+    graft.operators.TimeSeriesOps.x124FromActivity(activityOf(s, storeDir))
 }

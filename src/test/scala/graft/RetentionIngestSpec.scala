@@ -23,6 +23,11 @@ class RetentionIngestSpec extends SparkSpecBase {
     assert(batch.count() > 0)
     assert(served.except(batch).isEmpty && batch.except(served).isEmpty)
     assert(served.count() === batch.count())
+    // the SAME store serves x124's rolling-active view
+    val servedRa = StreamOps.rollingActiveMatrix(spark, store)
+    val batchRa = operators.TimeSeriesOps.x124RollingActive(spark, sfDir)
+    assert(servedRa.except(batchRa).isEmpty && batchRa.except(servedRa).isEmpty)
+    assert(servedRa.count() === batchRa.count())
   }
 
   test("ST25 late earlier-day row reassigns the cohort; sealed days untouched") {
