@@ -238,6 +238,8 @@ object SparkEntry {
     "x126_path_trigrams"  -> (TimeSeriesOps.x126PathTrigrams _),
     "x127_chunk_manifest" -> ((s, d) => MultimodalOps.x127ChunkManifest(s, d)),
     "x128_grouping_sets"  -> (RelationalOps.x128GroupingSets _),
+    "x129_streaks"        -> (TimeSeriesOps.x129Streaks _),
+    "x130_burst_flags"    -> (TimeSeriesOps.x130BurstFlags _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2847,5 +2849,37 @@ object SparkEntry {
         |FROM documents
         |GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
         |ORDER BY g_s, g_l, source, lang""".stripMargin,
+
+    // x129: gaps-and-islands on distinct active days; all-integer
+    "x129_streaks" ->
+      s"""WITH e AS ($E),
+         |act AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM e),
+         |r AS (SELECT user_id, day,
+         |  day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp FROM act),
+         |runs AS (SELECT user_id, grp, COUNT(*) AS len FROM r GROUP BY 1, 2),
+         |pu AS (SELECT user_id, MAX(len) AS best_streak, COUNT(*) AS n_streaks
+         |  FROM runs GROUP BY 1)
+         |SELECT best_streak, CAST(COUNT(*) AS BIGINT) AS n_users,
+         |CAST(SUM(n_streaks) AS BIGINT) AS total_streaks
+         |FROM pu GROUP BY best_streak ORDER BY best_streak""".stripMargin,
+
+    // x130: zero-filled spine + trailing-24h frame; integer-only flags
+    "x130_burst_flags" ->
+      s"""WITH e AS ($E),
+         |c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, COUNT(*) AS c
+         |  FROM e GROUP BY 1, 2),
+         |b AS (SELECT MIN(hr) AS hlo, MAX(hr) AS hhi FROM c),
+         |sp AS (SELECT et.event_type, g.hr
+         |  FROM (SELECT DISTINCT event_type FROM c) et, b,
+         |  UNNEST(generate_series(b.hlo, b.hhi)) AS g(hr)),
+         |s AS (SELECT sp.event_type, sp.hr, COALESCE(c.c, 0) AS c
+         |  FROM sp LEFT JOIN c ON c.event_type = sp.event_type AND c.hr = sp.hr),
+         |t AS (SELECT event_type, hr, c,
+         |  SUM(c) OVER w AS sum24, COUNT(*) OVER w AS n24
+         |  FROM s WINDOW w AS (PARTITION BY event_type ORDER BY hr
+         |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+         |SELECT event_type, hr, CAST(c AS BIGINT) AS n, CAST(sum24 AS BIGINT) AS sum24
+         |FROM t WHERE n24 = 24 AND c >= 10 AND c * 24 >= sum24 * 3
+         |ORDER BY event_type, hr""".stripMargin,
   )
 }

@@ -1442,6 +1442,66 @@ object TimeSeriesOps {
       .orderBy("day")
   }
 
+  /** x129 activity streaks — per user, the longest run of CONSECUTIVE
+    * active days and the number of distinct streaks, rolled up into a
+    * per-streak-length histogram (how many users peak at a k-day
+    * streak). The engagement readout next to x124's rolling actives:
+    * streaks measure habit, windows measure reach. Gaps-and-islands via
+    * the classic (day − dense-position) constancy: within a user, day −
+    * row_number() is constant exactly along a consecutive run. The
+    * per-user window is bounded by a user's ACTIVE-DAY count (≤ span
+    * days, not events — the distinct collapses first); everything after
+    * is user-sized then histogram-sized. All-integer. */
+  def x129Streaks(s: SparkSession, d: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val act = Tables.events(s, d)
+      .select(col("user_id"), floorDiv(unix_micros(col("ts")), dayUs).as("day"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val runs = act
+      .withColumn("grp", col("day") - row_number().over(w))
+      .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+    val perUser = runs.groupBy("user_id")
+      .agg(max("len").as("best_streak"), count(lit(1)).as("n_streaks"))
+    perUser.groupBy("best_streak")
+      .agg(count(lit(1)).as("n_users"),
+        sum("n_streaks").cast("long").as("total_streaks"))
+      .orderBy("best_streak")
+  }
+
+  /** x130 hourly burst flags — the rate-anomaly readout at SERIES level
+    * (x25 flags per-point value outliers; this flags HOURS whose event
+    * count spikes vs the trailing day): per event type over the
+    * zero-filled hour spine, flag hours with a full 24h of history where
+    * `24·n ≥ 3·sum24` (count ≥ 3× the trailing-24h mean) and n ≥ 10 —
+    * entirely INTEGER predicates, no rate division anywhere, so there is
+    * no rounding discipline to even apply. Output: the flagged hours
+    * with their counts and trailing sums.
+    *
+    * Scale: the corpus collapses to the (type, hour) agg first; the
+    * trailing-sum window runs over the AGGREGATE-sized spine (x120's
+    * shape). */
+  def x130BurstFlags(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val counts = Tables.events(s, d)
+      .select(col("event_type"), floorDiv(unix_micros(col("ts")), hourUs).as("hr"))
+      .groupBy("event_type", "hr").agg(count(lit(1)).as("c"))
+    val bounds = counts.agg(min("hr").as("h0"), max("hr").as("h1"))
+    val spine = counts.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+    val series = spine.join(counts, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), col("hr"), coalesce(col("c"), lit(0L)).as("c"))
+    val w24 = Window.partitionBy("event_type").orderBy("hr").rowsBetween(-24, -1)
+    series
+      .withColumn("sum24", sum("c").over(w24))
+      .withColumn("n24", count(lit(1)).over(w24))
+      .filter(col("n24") === 24 && col("c") >= 10 &&
+        col("c") * 24 >= col("sum24") * 3)
+      .select(col("event_type"), col("hr"), col("c").as("n"), col("sum24"))
+      .orderBy("event_type", "hr")
+  }
+
   /** x126 session path mining — the top 20 three-step event-type paths
     * users actually walk inside x20's 6-hour-gap sessions. x59's funnel
     * asks "how many users complete THIS path"; this is its discovery
