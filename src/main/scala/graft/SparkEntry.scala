@@ -240,6 +240,8 @@ object SparkEntry {
     "x128_grouping_sets"  -> (RelationalOps.x128GroupingSets _),
     "x129_streaks"        -> (TimeSeriesOps.x129Streaks _),
     "x130_burst_flags"    -> (TimeSeriesOps.x130BurstFlags _),
+    "x131_ship_priority"  -> (RelationalOps.x131ShipPriority _),
+    "x132_dominant_supplier" -> (RelationalOps.x132DominantSupplier _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2881,5 +2883,35 @@ object SparkEntry {
          |SELECT event_type, hr, CAST(c AS BIGINT) AS n, CAST(sum24 AS BIGINT) AS sum24
          |FROM t WHERE n24 = 24 AND c >= 10 AND c * 24 >= sum24 * 3
          |ORDER BY event_type, hr""".stripMargin,
+
+    // x131: TPC-H Q3 shape; order date as a formatted string so neither
+    // engine's timestamp rendering is in the hash
+    "x131_ship_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+        |ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    // x132: per-part argmax over the (part, supp) aggregate; quantities
+    // are integral doubles — exact sums carried as BIGINT
+    "x132_dominant_supplier" ->
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |  CAST(SUM(l_quantity) AS BIGINT) AS qty, COUNT(*) AS n_ship
+        |  FROM lineitem GROUP BY 1, 2),
+        |tot AS (SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS part_qty
+        |  FROM ps GROUP BY 1),
+        |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey
+        |  ORDER BY qty DESC, l_suppkey) AS rk FROM ps)
+        |SELECT rk.l_partkey, rk.l_suppkey AS top_supp, rk.qty, rk.n_ship,
+        |tot.part_qty,
+        |ROUND(CAST(rk.qty AS DOUBLE) / CAST(tot.part_qty AS DOUBLE), 4) AS share
+        |FROM rk JOIN tot ON tot.l_partkey = rk.l_partkey
+        |WHERE rk.rk = 1 ORDER BY rk.l_partkey""".stripMargin,
   )
 }

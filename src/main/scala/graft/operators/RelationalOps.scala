@@ -408,6 +408,59 @@ object RelationalOps {
         .as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
 
+  /** x131 shipping-priority candidates — the TPC-H Q3 shape: orders from
+    * one market segment placed before a cut date with lineitems still
+    * shipping after it, top 10 by outstanding revenue. Q3 is the
+    * canonical "selective dim filter + two-fact join + top-k" pattern:
+    * the segment filter reaches the customer SCAN (1/5 selectivity,
+    * broadcastable side), the date predicates reach both fact scans as
+    * pushed filters, and the top-10 compiles to TakeOrderedAndProject —
+    * never a full sort of the group table. Revenue through dround (q10's
+    * order-insensitivity precedent); order date emitted as a formatted
+    * DATE STRING so neither engine's timestamp rendering is in the hash. */
+  def x131ShipPriority(s: SparkSession, d: String): DataFrame = {
+    val cut = "1998-01-01"
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, d).filter(col("o_orderdate") < lit(cut)),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d).filter(col("l_shipdate") > lit(cut)),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .agg(dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** x132 dominant-supplier assignment — the ARGMAX join TPC-H Q2 poses
+    * (no partsupp table in this fixture, so the cost axis is shipped
+    * QUANTITY): for each part, the supplier that shipped the most units
+    * (ties → lowest suppkey), with its share of the part's total. The
+    * pattern — per-group argmax over a two-key aggregate, then a
+    * share against the group total — is the "preferred vendor/primary
+    * replica/top referrer" query shape.
+    *
+    * Scale: one (part, supp) hash agg over the fact table (map-side
+    * combined), then the argmax window runs per PART over that
+    * aggregate — partition size = suppliers-per-part, bounded by
+    * |suppliers|, never corpus-sized; the part total is a second
+    * aggregate of the same table joined back. Quantities are integral
+    * doubles — summed exactly and carried as BIGINT. */
+  def x132DominantSupplier(s: SparkSession, d: String): DataFrame = {
+    val ps = Tables.lineitem(s, d)
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum("l_quantity").cast("long").as("qty"), count(lit(1)).as("n_ship"))
+    val tot = ps.groupBy("l_partkey").agg(sum("qty").cast("long").as("part_qty"))
+    val w = Window.partitionBy("l_partkey").orderBy(col("qty").desc, col("l_suppkey"))
+    ps.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .join(tot, "l_partkey")
+      .select(col("l_partkey"), col("l_suppkey").as("top_supp"),
+        col("qty"), col("n_ship"), col("part_qty"),
+        dround(col("qty").cast("double") / col("part_qty").cast("double"), 4)
+          .as("share"))
+      .orderBy("l_partkey")
+  }
+
   /** x115 exact median by two-pass histogram refinement — the 100 TB way
     * to get an EXACT order statistic without ever totally sorting a
     * group. q25's exact percentiles pay a per-group sort whose partition
