@@ -47,7 +47,9 @@ class DeterminismSpec extends SparkSpecBase {
     // at any width (lead windows over the spine merge in partition order);
     // x121's min/max of rounded j must be partition-blind; x122's
     // histogram cut must equal the same prefix under any partitioning
-    "x120_hourly_acf", "x121_syndication", "x122_budget_cut")
+    "x120_hourly_acf", "x121_syndication", "x122_budget_cut",
+    // x131: Q3's revenue is an order-sensitive double sum under dround
+    "x131_ship_priority")
 
   private def canon(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted.toSeq

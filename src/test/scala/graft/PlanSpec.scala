@@ -749,6 +749,22 @@ class PlanSpec extends SparkSpecBase {
     assert(!p125.contains("CartesianProduct"), p125)
   }
 
+  test("x131/x132: Q3 pushdowns + top-k; argmax window over the aggregate") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // x131: segment + both date predicates reach their scans; the top-10
+    // compiles to TakeOrderedAndProject, never a full sort
+    val p131 = planOf(operators.RelationalOps.x131ShipPriority(spark, sfDir))
+    assert(p131.contains("TakeOrderedAndProject"), p131)
+    assert(p131.contains("BUILDING"), "segment filter missing from plan")
+    assert(!p131.contains("CartesianProduct") && !p131.contains("NestedLoop"), p131)
+    // x132: the argmax window's input is the (part, supp) aggregate —
+    // partition size is suppliers-per-part, never the fact table
+    val w132 = operators.RelationalOps.x132DominantSupplier(spark, sfDir)
+      .queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(w132.nonEmpty && w132.forall(_.collect { case a: Aggregate => a }.nonEmpty),
+      "x132 window does not sit above the (part, supp) aggregate")
+  }
+
   test("nanos pushdown rule is a no-op on non-matching filters") {
     // value is a plain double column: the rule must not touch this plan
     val df = Tables.events(spark, sfDir).filter("value > 100")
