@@ -242,6 +242,12 @@ object SparkEntry {
     "x130_burst_flags"    -> (TimeSeriesOps.x130BurstFlags _),
     "x131_ship_priority"  -> (RelationalOps.x131ShipPriority _),
     "x132_dominant_supplier" -> (RelationalOps.x132DominantSupplier _),
+    "x133_trade_volume"   -> (RelationalOps.x133TradeVolume _),
+    "x134_returned_revenue" -> (RelationalOps.x134ReturnedRevenue _),
+    "x135_promo_share"    -> (RelationalOps.x135PromoShare _),
+    "x136_disjunctive_revenue" -> (RelationalOps.x136DisjunctiveRevenue _),
+    "x137_dormant_rich"   -> (RelationalOps.x137DormantRich _),
+    "x138_market_share"   -> (RelationalOps.x138MarketShare _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2913,5 +2919,101 @@ object SparkEntry {
         |ROUND(CAST(rk.qty AS DOUBLE) / CAST(tot.part_qty AS DOUBLE), 4) AS share
         |FROM rk JOIN tot ON tot.l_partkey = rk.l_partkey
         |WHERE rk.rk = 1 ORDER BY rk.l_partkey""".stripMargin,
+
+    // x133: TPC-H Q7 shape; the pair disjunction keeps both directions
+    "x133_trade_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |CAST(year(l_shipdate) AS INT) AS yr, COUNT(*) AS n_items,
+        |ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // x134: TPC-H Q10 shape; c_acctbal ships raw (selection, no math)
+    "x134_returned_revenue" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    // x135: TPC-H Q14 shape; share divides the ROUNDED sums
+    "x135_promo_share" ->
+      """WITH a AS (SELECT
+        |  ROUND(SUM(CASE WHEN p_type = 'PROMO'
+        |    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 4) AS promo_rev,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00')
+        |SELECT promo_rev, total_rev,
+        |ROUND(promo_rev / total_rev, 6) AS promo_share FROM a""".stripMargin,
+
+    // x136: TPC-H Q19 shape; OR of brand/size/quantity conjunction blocks
+    "x136_disjunctive_revenue" ->
+      """SELECT COUNT(*) AS n_items,
+        |ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |        AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |        AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    // x137: TPC-H Q22 shape; exact integer-cents threshold (cross-multiplied,
+    // no division) + NOT EXISTS anti-join; cent sums exact → /100 once
+    "x137_dormant_rich" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |t AS (SELECT CAST(SUM(bal_cents) AS BIGINT) AS sum_cents,
+        |  COUNT(*) AS n_pos FROM c WHERE bal_cents > 0)
+        |SELECT n_name, COUNT(*) AS n_cust,
+        |ROUND(CAST(CAST(SUM(bal_cents) AS BIGINT) AS DOUBLE) / 100.0, 2) AS total_bal
+        |FROM c CROSS JOIN t
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE bal_cents * n_pos > sum_cents
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    // x138: TPC-H Q8 shape; numerator and denominator from ONE pass,
+    // share divides the rounded sums
+    "x138_market_share" ->
+      """WITH f AS (SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |  n2.n_name AS supp_nation,
+        |  l_extendedprice * (1 - l_discount) AS rev
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |    AND o_custkey IN (SELECT c_custkey FROM customer
+        |      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |      JOIN region ON n1.n_regionkey = r_regionkey
+        |      WHERE r_name = 'EUROPE')),
+        |a AS (SELECT yr,
+        |  ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0.0 END), 4)
+        |    AS nation_rev,
+        |  ROUND(SUM(rev), 4) AS mkt_rev
+        |  FROM f GROUP BY yr)
+        |SELECT yr, nation_rev, mkt_rev,
+        |ROUND(nation_rev / mkt_rev, 6) AS share FROM a ORDER BY yr""".stripMargin,
   )
 }

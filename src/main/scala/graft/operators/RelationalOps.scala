@@ -533,4 +533,202 @@ object RelationalOps {
       GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
       ORDER BY g_s, g_l, source, lang""")
   }
+
+  /** x133 bilateral trade volume — the TPC-H Q7 shape: revenue flowing
+    * between two specific nations (in BOTH directions), by ship year.
+    * The distinguishing plan problem: the two nation constraints sit on
+    * OPPOSITE ends of the fact chain (supplier side and customer side),
+    * tied together by a DISJUNCTIVE pair filter that neither dim can
+    * evaluate alone.
+    *
+    * Scale posture: each nation dim is pre-filtered to the two named
+    * nations BEFORE its join — so the supplier and customer joins are
+    * each ~2/25 selective semi-filters on the fact chain (broadcast
+    * dims), and only the pair disjunction (FRANCE→GERMANY or
+    * GERMANY→FRANCE, here NATION_1/NATION_2) evaluates post-join on the
+    * already-shrunk stream. The two-year l_shipdate range reaches the
+    * lineitem scan as a pushed filter. Revenue through dround. */
+  def x133TradeVolume(s: SparkSession, d: String): DataFrame = {
+    val n1 = broadcast(Tables.nation(s, d)
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+    val n2 = broadcast(Tables.nation(s, d)
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01")
+        && col("l_shipdate") < lit("1999-01-01"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+      .join(n1, col("s_nationkey") === col("s_nk"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(n2, col("c_nationkey") === col("c_nk"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2")
+           || (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("yr"))
+      .agg(count(lit(1)).as("n_items"),
+        dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "yr")
+  }
+
+  /** x134 returned-revenue customers — the TPC-H Q10 shape: rank
+    * customers by revenue LOST to returned items in one quarter, top 20
+    * with their nation. The pattern is "top offenders with dim context":
+    * a quarter-selective fact join, a returnflag filter on the line
+    * side, a wide customer payload carried THROUGH the aggregate (all
+    * customer attributes ride the grouping key — no second join back),
+    * and a top-k that compiles to TakeOrderedAndProject, never a full
+    * sort of the customer table.
+    *
+    * Scale: both selective predicates (quarter, returnflag) reach their
+    * scans as pushed filters; nation is broadcast; c_acctbal ships RAW
+    * (selection, no arithmetic — no FP ordering in the hash). */
+  def x134ReturnedRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1997-01-01")
+            && col("o_orderdate") < lit("1997-04-01")),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  /** x135 promo revenue share — the TPC-H Q14 shape: the fraction of one
+    * month's revenue earned by parts of one type, as a CONDITIONAL
+    * aggregate — two sums in ONE pass over the joined stream (never two
+    * scans + a join of scalars). The month filter reaches the lineitem
+    * scan; part is the broadcast side; output is a single row.
+    *
+    * Determinism: both sums dround at 4dp first; the share divides the
+    * ROUNDED values (deterministic inputs → deterministic ratio) and
+    * rounds once more at 6dp — same arithmetic in the twin. */
+  def x135PromoShare(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-03-01")
+        && col("l_shipdate") < lit("1997-04-01"))
+      .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+      .agg(
+        dround(sum(when(col("p_type") === "PROMO",
+          col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .otherwise(lit(0.0))), 4).as("promo_rev"),
+        dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("total_rev"))
+      .select(col("promo_rev"), col("total_rev"),
+        dround(col("promo_rev") / col("total_rev"), 6).as("promo_share"))
+
+  /** x136 disjunctive-predicate revenue — the TPC-H Q19 shape: an OR of
+    * three conjunctive blocks, each tying PART attributes (brand, size)
+    * to LINEITEM attributes (quantity band), so no single block is
+    * evaluable before the join. The optimizer test it encodes: the
+    * union of each side's constraints IS extractable — brand ∈ {12,23,34}
+    * and size ≤ 15 push to the part SCAN, quantity ≤ 30 pushes to the
+    * lineitem scan — so the BHJ probes a pre-shrunk build side and the
+    * full disjunction evaluates only on join survivors. Single-row
+    * output: item count + dround revenue. */
+  def x136DisjunctiveRevenue(s: SparkSession, d: String): DataFrame = {
+    val p = broadcast(Tables.part(s, d)
+      .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+        && col("p_size") <= 15))
+    Tables.lineitem(s, d).filter(col("l_quantity") <= 30)
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5)
+          && col("l_quantity").between(1, 11))
+      || (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)
+          && col("l_quantity").between(10, 20))
+      || (col("p_brand") === "Brand#34" && col("p_size").between(1, 15)
+          && col("l_quantity").between(20, 30)))
+      .agg(count(lit(1)).as("n_items"),
+        dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
+  }
+
+  /** x137 dormant rich customers — the TPC-H Q22 shape: customers whose
+    * balance beats the average POSITIVE balance yet who placed no order
+    * in the trailing window (this fixture gives EVERY customer some
+    * order, so Q22's "never ordered" is vacuous; "no order since
+    * 2000-01-01" keeps the identical anti-join shape non-degenerate at
+    * every SF — 5/55/646 rows). Two classic sub-shapes in one query: a
+    * scalar-subquery threshold and a NOT EXISTS anti-join.
+    *
+    * Determinism is EXACT, not rounded: balances convert to integer
+    * cents (decimal(18,2) cast → ×100 → long, the x88 trick), the
+    * threshold compare is cross-multiplied — bal_cents · n_pos >
+    * sum_cents — so no division, no doubles, no FP order anywhere in
+    * the predicate; the output balance total divides the exact cent sum
+    * by 100 once. Scale: the threshold is a broadcast 1-row aggregate;
+    * the anti-join shuffles the DATE-PRUNED order custkeys only (the
+    * range predicate reaches the orders scan; AQE picks BHJ when the
+    * recent-customer set fits); nation is broadcast. */
+  def x137DormantRich(s: SparkSession, d: String): DataFrame = {
+    val cust = Tables.customer(s, d)
+      .withColumn("bal_cents",
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long"))
+    val thr = cust.filter(col("bal_cents") > 0)
+      .agg(sum("bal_cents").as("sum_cents"), count(lit(1)).as("n_pos"))
+    cust.crossJoin(broadcast(thr))
+      .filter(col("bal_cents") * col("n_pos") > col("sum_cents"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("2000-01-01"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_cust"),
+        dround(sum("bal_cents").cast("double") / lit(100.0), 2).as("total_bal"))
+      .orderBy("n_name")
+  }
+
+  /** x138 national market share — the TPC-H Q8 shape: within one
+    * region's customer market, the share of each ship-year's revenue
+    * supplied by ONE nation's suppliers. The shape is a conditional
+    * share over a scoped market: region scopes the CUSTOMER side (semi
+    * filter through broadcast dims), the measured nation sits on the
+    * SUPPLIER side, and both the national numerator and the market
+    * denominator come out of ONE aggregate pass (no self-join of two
+    * rollups).
+    *
+    * Scale: nation/region dims broadcast; the order-date range is the
+    * only fact filter and reaches the orders scan; share divides the
+    * two ROUNDED sums (x135's determinism pattern). */
+  def x138MarketShare(s: SparkSession, d: String): DataFrame = {
+    val custEur = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))),
+        col("c_nationkey") === col("c_nk"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val suppN = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("s_nk"))
+      .select("s_suppkey", "supp_nation")
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01")
+            && col("o_orderdate") < lit("1998-01-01")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custEur, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(suppN, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("yr"))
+      .agg(
+        dround(sum(when(col("supp_nation") === "NATION_3",
+          col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .otherwise(lit(0.0))), 4).as("nation_rev"),
+        dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("mkt_rev"))
+      .select(col("yr"), col("nation_rev"), col("mkt_rev"),
+        dround(col("nation_rev") / col("mkt_rev"), 6).as("share"))
+      .orderBy("yr")
+  }
 }

@@ -49,7 +49,13 @@ class DeterminismSpec extends SparkSpecBase {
     // histogram cut must equal the same prefix under any partitioning
     "x120_hourly_acf", "x121_syndication", "x122_budget_cut",
     // x131: Q3's revenue is an order-sensitive double sum under dround
-    "x131_ship_priority")
+    "x131_ship_priority",
+    // x133-x136/x138: every revenue figure is an order-sensitive double sum
+    // under dround; x135/x138 additionally divide two rounded sums (the
+    // ratio is deterministic only because its inputs are post-round);
+    // x134's top-20 cut ranks on the rounded revenue
+    "x133_trade_volume", "x134_returned_revenue", "x135_promo_share",
+    "x136_disjunctive_revenue", "x138_market_share")
 
   private def canon(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted.toSeq

@@ -765,6 +765,40 @@ class PlanSpec extends SparkSpecBase {
       "x132 window does not sit above the (part, supp) aggregate")
   }
 
+  test("x133-x138: TPC-H shape pins — pushdowns, join strategies, one-pass aggregates") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    // x133: both nation dims broadcast; shipdate range pushed to lineitem;
+    // the pair disjunction never degrades the join tree to a product
+    val p133 = planOf(operators.RelationalOps.x133TradeVolume(spark, sfDir))
+    assert(p133.contains("GreaterThanOrEqual(l_shipdate,"), s"shipdate not pushed:\n$p133")
+    assert(!p133.contains("CartesianProduct"), p133)
+    assert(p133.split("BroadcastHashJoin").length - 1 >= 2, "nation dims not broadcast")
+    // x134: quarter + returnflag pushed; top-20 is TakeOrderedAndProject
+    val p134 = planOf(operators.RelationalOps.x134ReturnedRevenue(spark, sfDir))
+    assert(p134.contains("TakeOrderedAndProject"), p134)
+    assert(p134.contains("EqualTo(l_returnflag,R)"), s"returnflag not pushed:\n$p134")
+    assert(p134.contains("GreaterThanOrEqual(o_orderdate,"), s"quarter not pushed:\n$p134")
+    // x135/x138: numerator+denominator from ONE logical aggregate pass
+    for (df <- Seq(operators.RelationalOps.x135PromoShare(spark, sfDir),
+                   operators.RelationalOps.x138MarketShare(spark, sfDir)))
+      assert(df.queryExecution.optimizedPlan.collect { case a: Aggregate => a }.size == 1,
+        "conditional share must be a single aggregate pass, not a join of rollups")
+    // x136: the extractable union constraints reach both scans; part is the
+    // broadcast build side
+    val p136 = planOf(operators.RelationalOps.x136DisjunctiveRevenue(spark, sfDir))
+    assert(p136.contains("LessThanOrEqual(l_quantity,30.0)"), s"qty bound not pushed:\n$p136")
+    assert(p136.contains("LessThanOrEqual(p_size,15)"), s"size bound not pushed:\n$p136")
+    assert(p136.contains("BroadcastHashJoin"), p136)
+    // x137: threshold rides a 1-row broadcast; dormancy is an ANTI join over
+    // the date-pruned orders scan
+    val p137 = planOf(operators.RelationalOps.x137DormantRich(spark, sfDir))
+    assert(p137.contains("LeftAnti"), p137)
+    assert(p137.contains("GreaterThanOrEqual(o_orderdate,"), s"dormancy date not pushed:\n$p137")
+    // x138: the region scope is a LeftSemi — customer payload never joins in
+    val p138 = planOf(operators.RelationalOps.x138MarketShare(spark, sfDir))
+    assert(p138.contains("LeftSemi"), p138)
+  }
+
   test("nanos pushdown rule is a no-op on non-matching filters") {
     // value is a plain double column: the rule must not touch this plan
     val df = Tables.events(spark, sfDir).filter("value > 100")
