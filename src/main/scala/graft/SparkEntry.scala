@@ -248,6 +248,8 @@ object SparkEntry {
     "x136_disjunctive_revenue" -> (RelationalOps.x136DisjunctiveRevenue _),
     "x137_dormant_rich"   -> (RelationalOps.x137DormantRich _),
     "x138_market_share"   -> (RelationalOps.x138MarketShare _),
+    "x139_above_avg"      -> (RelationalOps.x139AboveAvg _),
+    "x140_brand_coverage" -> (RelationalOps.x140BrandCoverage _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3015,5 +3017,34 @@ object SparkEntry {
         |  FROM f GROUP BY yr)
         |SELECT yr, nation_rev, mkt_rev,
         |ROUND(nation_rev / mkt_rev, 6) AS share FROM a ORDER BY yr""".stripMargin,
+
+    // x139: "beats 1.5x own-customer average" — the correlated scalar
+    // subquery, written decorrelated with the exact integer-cents
+    // cross-multiplied predicate (2·tp·n > 3·Σ; no FP boundary)
+    "x139_above_avg" ->
+      """WITH o AS (SELECT o_orderpriority, o_custkey, o_totalprice,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS tp_cents
+        |  FROM orders),
+        |c AS (SELECT o_custkey, COUNT(*) AS n_ord,
+        |  CAST(SUM(tp_cents) AS BIGINT) AS sum_cents FROM o GROUP BY 1)
+        |SELECT o_orderpriority, COUNT(*) AS n_above,
+        |MAX(o_totalprice) AS top_price
+        |FROM o JOIN c USING (o_custkey)
+        |WHERE 2 * tp_cents * n_ord > 3 * sum_cents
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // x140: relational division via the aggregation form — cover all 5
+    // brands within the window; integer/string output only
+    "x140_brand_coverage" ->
+      """SELECT s_suppkey, s_name, COUNT(*) AS n_ship
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE p_brand IN ('Brand#1','Brand#2','Brand#3','Brand#4','Brand#5')
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+        |GROUP BY 1, 2
+        |HAVING COUNT(DISTINCT p_brand) = 5
+        |ORDER BY 1""".stripMargin,
   )
 }

@@ -731,4 +731,63 @@ object RelationalOps {
         dround(col("nation_rev") / col("mkt_rev"), 6).as("share"))
       .orderBy("yr")
   }
+
+  /** x139 above-average orders — the CORRELATED SCALAR SUBQUERY shape
+    * ("rows beating their own group's average"): orders whose total
+    * exceeds 1.5× their customer's average order value, counted per
+    * order priority. SQL engines decorrelate this into exactly the plan
+    * written here — a per-customer aggregate joined back to the fact on
+    * the correlation key — so the DataFrame side IS the decorrelated
+    * form, co-partitioned on o_custkey (one shuffle feeds both the
+    * aggregate and the join probe).
+    *
+    * Determinism is EXACT (x137's discipline): totals convert to
+    * integer cents, and "tp > 1.5 × sum/n" cross-multiplies to
+    * 2·tp_cents·n_ord > 3·Σcents — no division, no doubles anywhere in
+    * the predicate, so no FP boundary can flip a row between engines.
+    * The output max-price ships RAW (selection, no arithmetic). */
+  def x139AboveAvg(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .withColumn("tp_cents",
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+    val perCust = o.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_ord"), sum("tp_cents").as("sum_cents"))
+    o.join(perCust.withColumnRenamed("o_custkey", "pc_custkey"),
+        col("o_custkey") === col("pc_custkey"))
+      .filter(lit(2) * col("tp_cents") * col("n_ord") > lit(3) * col("sum_cents"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_above"), max("o_totalprice").as("top_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** x140 brand-coverage division — textbook RELATIONAL DIVISION
+    * ("suppliers who shipped EVERY brand in the set"), the universal
+    * quantifier neither TPC-H nor the join suite exercises: suppliers
+    * whose H1-1997 shipments cover all five target brands. Division
+    * compiles to the aggregation form — filter to the divisor set,
+    * count DISTINCT divisor members per candidate, keep counts equal to
+    * |set| — never to the nested NOT EXISTS(NOT EXISTS(...)) double
+    * negation (a correlated anti-join per candidate×member).
+    *
+    * Scale: the brand filter + date range reach the scans (part is the
+    * broadcast side, pre-shrunk to 5 brands); the distinct-count runs
+    * over (suppkey, brand) — ≤ 5 rows per supplier after partial
+    * dedup — and supplier names ride a broadcast join AFTER the
+    * division, touching only the qualifying ≈38% of suppliers. All
+    * integer/string output — no FP discipline needed. */
+  def x140BrandCoverage(s: SparkSession, d: String): DataFrame = {
+    val brands = Seq("Brand#1", "Brand#2", "Brand#3", "Brand#4", "Brand#5")
+    val shipped = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01")
+        && col("l_shipdate") < lit("1997-07-01"))
+      .join(broadcast(Tables.part(s, d).filter(col("p_brand").isin(brands: _*))),
+        col("l_partkey") === col("p_partkey"))
+    shipped.groupBy("l_suppkey")
+      .agg(countDistinct("p_brand").as("n_brands"), count(lit(1)).as("n_ship"))
+      .filter(col("n_brands") === brands.size)
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_ship"))
+      .orderBy("s_suppkey")
+  }
 }

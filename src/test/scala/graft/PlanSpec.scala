@@ -797,6 +797,15 @@ class PlanSpec extends SparkSpecBase {
     // x138: the region scope is a LeftSemi — customer payload never joins in
     val p138 = planOf(operators.RelationalOps.x138MarketShare(spark, sfDir))
     assert(p138.contains("LeftSemi"), p138)
+    // x139: the decorrelated form — per-customer aggregate joined back on
+    // the correlation key, never a per-row nested subquery plan
+    val p139 = planOf(operators.RelationalOps.x139AboveAvg(spark, sfDir))
+    assert(!p139.contains("CartesianProduct") && !p139.contains("BroadcastNestedLoop"), p139)
+    // x140: division via aggregation — brand set + window pushed, part broadcast
+    val p140 = planOf(operators.RelationalOps.x140BrandCoverage(spark, sfDir))
+    assert(p140.contains("In(p_brand"), s"brand set not pushed:\n$p140")
+    assert(p140.contains("GreaterThanOrEqual(l_shipdate,"), s"window not pushed:\n$p140")
+    assert(p140.contains("BroadcastHashJoin"), p140)
   }
 
   test("nanos pushdown rule is a no-op on non-matching filters") {
