@@ -1085,4 +1085,84 @@ object StreamOps {
     * maintained activity table feeds every engagement view. */
   def rollingActiveMatrix(s: SparkSession, storeDir: String): DataFrame =
     graft.operators.TimeSeriesOps.x124FromActivity(activityOf(s, storeDir))
+
+  case class Span(s0: Long, s1: Long)
+  case class CoverBase(n_sealed: Long, sealed_us: Long, n_iv: Long)
+  case class CoverOut(user_id: Long, n_iv: Long, n_spans: Long, covered_s: Long)
+
+  /** ST26: continuous interval-union coverage — x66's gaps-and-islands
+    * span merge kept live per user: each arriving event opens a 5-minute
+    * activity interval, and the state holds the user's MERGED maximal
+    * spans, so "total active time" / SLA-style coverage is readable after
+    * every micro-batch instead of a batch recompute. Unlike ST11's
+    * sessionization (gap splits on event POINTS), this is set-union of
+    * INTERVALS — a late event can BRIDGE two existing spans into one, so
+    * the merge must re-coalesce against state, not just extend a tail.
+    *
+    * Algebra per batch and key: (state spans ∪ batch intervals) sorted by
+    * start, coalesced with x66's touch-merges rule (new span iff start >
+    * running max end). Union is idempotent and order-insensitive, so
+    * replays and arbitrary batch splits converge to the same spans —
+    * batch-equivalence holds for ANY split of the input (StreamingSpec
+    * runs whole-stream and split cases).
+    *
+    * State bound: spans wholly below the event-time watermark are SEALED
+    * — no in-horizon event can touch a span whose end precedes the
+    * watermark (late rows beyond the delay are dropped upstream by the
+    * watermark contract) — their count/length fold into a constant-size
+    * base and the list drops them, so live state is O(spans inside the
+    * horizon), not O(history). Output after each batch is the key's
+    * current snapshot (sealed + live); `n_iv` (events folded so far) is
+    * monotone, so the final snapshot per key is its max-n_iv row. */
+  class IntervalUnionProcessor(lenUs: Long)
+      extends StatefulProcessor[Long, SessEvent, CoverOut] {
+    @transient private var live: ListState[Span] = _
+    @transient private var base: ValueState[CoverBase] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      live = getHandle.getListState[Span]("live", Encoders.product[Span], TTLConfig.NONE)
+      base = getHandle.getValueState[CoverBase](
+        "base", Encoders.product[CoverBase], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[SessEvent],
+                                 timerValues: TimerValues): Iterator[CoverOut] = {
+      val buf = scala.collection.mutable.ArrayBuffer[Span]()
+      live.get().foreach(buf += _)
+      var b = if (base.exists()) base.get() else CoverBase(0L, 0L, 0L)
+      rows.foreach { e =>
+        val us = micros(e.ts)
+        buf += Span(us, us + lenUs)
+        b = b.copy(n_iv = b.n_iv + 1)
+      }
+      val merged = scala.collection.mutable.ArrayBuffer[Span]()
+      buf.sortInPlaceBy(s => (s.s0, s.s1)).foreach { s =>
+        if (merged.nonEmpty && s.s0 <= merged.last.s1)
+          merged(merged.size - 1) =
+            Span(merged.last.s0, math.max(merged.last.s1, s.s1))
+        else merged += s
+      }
+      // seal immutable spans (end strictly below the event-time watermark)
+      val wmUs = timerValues.getCurrentWatermarkInMs * 1000L
+      val (frozen, alive) = merged.partition(_.s1 < wmUs)
+      b = b.copy(n_sealed = b.n_sealed + frozen.size,
+        sealed_us = b.sealed_us + frozen.map(s => s.s1 - s.s0).sum)
+      base.update(b)
+      if (alive.isEmpty) live.clear() else live.put(alive.toArray)
+      Iterator.single(CoverOut(key, b.n_iv, b.n_sealed + alive.size,
+        (b.sealed_us + alive.map(s => s.s1 - s.s0).sum) / 1000000L))
+    }
+  }
+
+  /** ST26 entry: events keyed by user, folded through
+    * [[IntervalUnionProcessor]] (5-minute intervals, x66's length). */
+  def intervalCoverage(events: Dataset[SessEvent], lenUs: Long = 300L * 1000000L,
+                       watermarkDelay: String = "2 hours"): Dataset[CoverOut] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermarkDelay)
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new IntervalUnionProcessor(lenUs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

@@ -852,4 +852,69 @@ class StreamingSpec extends SparkSpecBase {
       prior match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
     }
   }
+
+  test("ST26 continuous interval coverage: final snapshots equal batch x66") {
+    import spark.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    val src = StreamOps.eventsStream(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[StreamOps.SessEvent]
+    val q = StreamOps.intervalCoverage(src).toDF()
+      .writeStream.format("memory").queryName("st26").outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // n_iv is strictly monotone per key, so the final snapshot is the
+    // max-n_iv row; max(struct(...)) selects it without a window
+    val stream = spark.table("st26")
+      .groupBy("user_id")
+      .agg(max(struct(col("n_iv"), col("n_spans"), col("covered_s"))).as("m"))
+      .select(col("user_id"), col("m.n_spans").as("n_spans"),
+        col("m.covered_s").as("covered_s"))
+    val batch = graft.operators.TimeSeriesOps.x66IntervalUnion(spark, sfDir)
+      .select(col("user_id"), col("n_spans"), col("covered_s"))
+    assert(stream.except(batch).isEmpty && batch.except(stream).isEmpty)
+    assert(stream.count() === batch.count())
+    } finally {
+      prior match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
+  test("ST26 late interval bridges spans; union is replay-idempotent; sealed spans stay counted") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    val input = MemoryStream[StreamOps.SessEvent]
+    val q = StreamOps.intervalCoverage(input.toDS(), watermarkDelay = "1 hour").toDF()
+      .writeStream.format("memory").queryName("st26b").outputMode("append").start()
+    def ev(id: Long, hhmm: String) =
+      StreamOps.SessEvent(7L, id, Timestamp.valueOf(s"2024-01-01 $hhmm:00"), 0.0)
+    // two disjoint 5-min intervals -> 2 spans, 600 s
+    input.addData(ev(1, "00:00"), ev(2, "00:08")); q.processAllAvailable()
+    // a LATE interval bridging both -> one span [00:00,00:13), 780 s
+    input.addData(ev(3, "00:04")); q.processAllAvailable()
+    // exact replay of an existing interval -> union no-op
+    input.addData(ev(4, "00:08")); q.processAllAvailable()
+    // far-future event opens a new span (watermark still behind: nothing sealed)
+    input.addData(ev(5, "06:00")); q.processAllAvailable()
+    // this batch runs with watermark 05:00 -> the old span SEALS; overlap extends the live one
+    input.addData(ev(6, "06:04")); q.processAllAvailable()
+    // post-seal growth: snapshot must still include the sealed span
+    input.addData(ev(7, "06:08")); q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("st26b").orderBy("n_iv").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows == Seq((2L, 2L, 600L), (3L, 1L, 780L), (4L, 1L, 780L),
+      (5L, 2L, 1080L), (6L, 2L, 1320L), (7L, 2L, 1560L)), s"got $rows")
+    } finally {
+      prior match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
 }
