@@ -250,6 +250,7 @@ object SparkEntry {
     "x138_market_share"   -> (RelationalOps.x138MarketShare _),
     "x139_above_avg"      -> (RelationalOps.x139AboveAvg _),
     "x140_brand_coverage" -> (RelationalOps.x140BrandCoverage _),
+    "x141_oov_rate"       -> (TextOps.x141OovRate _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3046,5 +3047,20 @@ object SparkEntry {
         |GROUP BY 1, 2
         |HAVING COUNT(DISTINCT p_brand) = 5
         |ORDER BY 1""".stripMargin,
+
+    // x141: top-1000 vocab (count DESC, word ASC — exact boundary), then
+    // per-lang OOV occurrence share against the broadcast vocab
+    "x141_oov_rate" ->
+      """WITH toks AS (SELECT lang, UNNEST(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |v AS (SELECT tok AS vtok FROM (
+        |  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY 1)
+        |  ORDER BY cnt DESC, tok LIMIT 1000),
+        |a AS (SELECT lang, COUNT(*) AS n_tok,
+        |  CAST(SUM(CASE WHEN vtok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |  FROM toks LEFT JOIN v ON tok = vtok GROUP BY lang)
+        |SELECT lang, n_tok, n_oov,
+        |ROUND(CAST(n_oov AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS oov_rate
+        |FROM a ORDER BY lang""".stripMargin,
   )
 }

@@ -2236,4 +2236,36 @@ object TextOps {
         min(when(col("n_take") > 0, col("n_tok"))).as("cut_len"))
       .orderBy("lang")
   }
+
+  /** x141 OOV rate — the tokenizer-coverage readout every vocabulary
+    * decision needs: fix the corpus's top-1000-word vocabulary, then
+    * measure per language what fraction of token OCCURRENCES fall
+    * outside it. x32 tracks vocabulary GROWTH and x94 finds stopwords
+    * (the head); this measures the TAIL a fixed vocab abandons — the
+    * number that says whether a shared vocab starves a minority
+    * language (high OOV = its text degrades to UNK spam).
+    *
+    * Determinism at the vocab boundary: rank-1000 ties break by (count
+    * DESC, word ASC) in both engines — the cut set is exact, never
+    * partitioning-lucky. Scale: the vocab is a TakeOrdered top-k over
+    * the map-side-combined word-count aggregate (|distinct words|-sized,
+    * never corpus-sized); scoring joins the token stream against the
+    * BROADCAST 1000-word set and folds to a |langs|-row aggregate. The
+    * token stream is scanned twice (vocab build + scoring) — a real
+    * pipeline persists the vocab once and pays only the scoring pass. */
+  def x141OovRate(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+    val vocab = words.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(1000)
+      .select(col("w").as("vw"))
+    words.join(broadcast(vocab), col("w") === col("vw"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("vw").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("lang"), col("n_tok"), col("n_oov"),
+        dround(col("n_oov").cast("double") / col("n_tok").cast("double"), 6)
+          .as("oov_rate"))
+      .orderBy("lang")
+  }
 }

@@ -55,7 +55,11 @@ class DeterminismSpec extends SparkSpecBase {
     // ratio is deterministic only because its inputs are post-round);
     // x134's top-20 cut ranks on the rounded revenue
     "x133_trade_volume", "x134_returned_revenue", "x135_promo_share",
-    "x136_disjunctive_revenue", "x138_market_share")
+    "x136_disjunctive_revenue", "x138_market_share",
+    // x141: the top-1000 vocab cut must select the identical boundary
+    // words at any width (integer counts, full tiebreak — but the cut IS
+    // the contract, so pin it)
+    "x141_oov_rate")
 
   private def canon(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted.toSeq

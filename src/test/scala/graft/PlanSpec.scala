@@ -806,6 +806,11 @@ class PlanSpec extends SparkSpecBase {
     assert(p140.contains("In(p_brand"), s"brand set not pushed:\n$p140")
     assert(p140.contains("GreaterThanOrEqual(l_shipdate,"), s"window not pushed:\n$p140")
     assert(p140.contains("BroadcastHashJoin"), p140)
+    // x141: vocab is a top-k over the word-count AGGREGATE (TakeOrdered,
+    // never a full sort) and joins back as the broadcast side
+    val p141 = planOf(operators.TextOps.x141OovRate(spark, sfDir))
+    assert(p141.contains("TakeOrderedAndProject"), p141)
+    assert(p141.contains("BroadcastHashJoin"), p141)
   }
 
   test("nanos pushdown rule is a no-op on non-matching filters") {
