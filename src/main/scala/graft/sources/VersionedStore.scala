@@ -35,7 +35,14 @@ import org.apache.spark.sql.functions._
   * Scale: the manifest is |buckets| entries of a few bytes — one small
   * JSON per version (4096 buckets ≈ 60 KB); reads list only the gen dirs
   * the manifest names (partition values arrive via `basePath`), and the
-  * per-bucket read set is exactly one generation's files. */
+  * per-bucket read set is exactly one generation's files.
+  *
+  * Schema evolution (ADDITIVE): a merge may carry columns the resident
+  * data predates — survivors null-fill them, the union schema is recorded
+  * as the new version's schema, and older files read under it null-fill
+  * the new columns. Time travel reads each version under the schema it
+  * was committed with. The per-version schema lives in the manifest dir,
+  * so no read ever footer-sniffs or `mergeSchema`-scans 10⁶ files. */
 class VersionedStore(spark: SparkSession, dir: String) {
 
   private val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -74,6 +81,18 @@ class VersionedStore(spark: SparkSession, dir: String) {
 
   private def bucketOf(n: Int) = pmod(col("doc_id"), lit(n.toLong))
 
+  /** Each version records its LOGICAL schema in the manifest dir, so a
+    * read never sniffs parquet footers to discover columns (at 10⁶ files
+    * that sniff — or a `mergeSchema` union — is a driver-side scan of
+    * every footer; here it's one tiny file, the Delta/Iceberg posture).
+    * Older stores without a schema file fall back to `mergeSchema`. */
+  private def writeSchema(v: Long, schema: org.apache.spark.sql.types.StructType): Unit =
+    writeFile(mpath(s"v$v.schema"), schema.json)
+  private def readSchema(v: Long): Option[org.apache.spark.sql.types.StructType] =
+    if (!fs.exists(mpath(s"v$v.schema"))) None
+    else Some(org.apache.spark.sql.types.DataType.fromJson(
+      readFile(mpath(s"v$v.schema"))).asInstanceOf[org.apache.spark.sql.types.StructType])
+
   /** Initial load: everything lands in gen 0, manifest v0. */
   def write(docs: DataFrame, nBuckets: Int = 16): Unit = {
     docs.withColumn("bucket", bucketOf(nBuckets))
@@ -83,18 +102,25 @@ class VersionedStore(spark: SparkSession, dir: String) {
     val present = spark.read.parquet(s"$dir/gen=0")
       .select(col("bucket").cast("long")).distinct().collect().map(_.getLong(0))
     writeManifest(0L, present.map(_ -> 0L).toMap)
+    writeSchema(0L, docs.schema)
     publish(0L)
   }
 
   /** Snapshot read. `version = None` resolves the current pointer ONCE;
-    * the returned frame is pinned to that manifest forever after. */
+    * the returned frame is pinned to that manifest forever after. Columns
+    * a version's schema declares that an older resident file lacks
+    * null-fill (additive schema evolution); each version reads under ITS
+    * OWN recorded schema, so time travel shows the shape the version had. */
   def read(version: Option[Long] = None): DataFrame = {
     val v = version.getOrElse(currentVersion)
     val m = readManifest(v)
     if (m.isEmpty) return spark.read.parquet(s"$dir/gen=0").limit(0).drop("bucket")
     val paths = m.toSeq.map { case (b, g) => s"$dir/gen=$g/bucket=$b" }
-    spark.read.option("basePath", dir).parquet(paths: _*)
-      .drop("gen", "bucket")
+    val rd = readSchema(v) match {
+      case Some(st) => spark.read.schema(st).option("basePath", dir)
+      case None     => spark.read.option("mergeSchema", "true").option("basePath", dir)
+    }
+    rd.parquet(paths: _*).drop("gen", "bucket")
   }
 
   /** Copy-on-write merge → a NEW published version; never touches
@@ -116,11 +142,22 @@ class VersionedStore(spark: SparkSession, dir: String) {
       if (residentPaths.isEmpty) upserts.limit(0)
       else spark.read.option("basePath", dir).parquet(residentPaths: _*)
         .drop("gen", "bucket")
+    // allowMissingColumns = ADDITIVE schema evolution: upserts may carry
+    // columns the residents predate (survivors null-fill them) and vice
+    // versa — the union schema becomes the new version's recorded schema
     val survivors = resident.join(changedIds, Seq("doc_id"), "left_anti")
-    val newData = survivors.unionByName(upserts)
+    val newData = survivors.unionByName(upserts, allowMissingColumns = true)
       .withColumn("bucket", bucketOf(n))
       .repartition(col("bucket"))
     newData.write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/gen=$newV")
+    // new version's logical schema = the union schema widened by any
+    // column earlier versions had that this merge's inputs didn't mention
+    // (untouched buckets still hold it on disk)
+    val priorCols = readSchema(v).map(_.fields.toSeq).getOrElse(Seq.empty)
+    val unionSchema = newData.drop("bucket").schema
+    val widened = org.apache.spark.sql.types.StructType(
+      unionSchema.fields ++ priorCols.filterNot(f => unionSchema.fieldNames.contains(f.name)))
+    writeSchema(newV, widened)
     val written = spark.read.parquet(s"$dir/gen=$newV")
       .select(col("bucket").cast("long")).distinct().collect().map(_.getLong(0)).toSet
     // changed buckets point to the new gen; emptied buckets drop out of
@@ -179,7 +216,10 @@ class VersionedStore(spark: SparkSession, dir: String) {
       .filter(_.startsWith("v")).map(_.stripPrefix("v").stripSuffix(".manifest"))
       .flatMap(s => scala.util.Try(s.toLong).toOption)
       .filter(_ < retained.head)
-      .foreach(v => fs.delete(mpath(s"v$v.manifest"), false))
+      .foreach { v =>
+        fs.delete(mpath(s"v$v.manifest"), false)
+        fs.delete(mpath(s"v$v.schema"), false)
+      }
     dead.toSeq
   }
 }

@@ -111,4 +111,42 @@ class VersionedStoreSpec extends SparkSpecBase {
     // current version still reads completely after GC
     same(live, st.read(Some(st.currentVersion)))
   }
+
+  test("additive schema evolution: new column null-fills residents; time travel keeps old shape") {
+    val (st, _) = fresh()
+    // v1 upserts carry a column v0 has never seen
+    val evolved = upserts.withColumn("quality", col("doc_id") % 7)
+    val v1 = st.merge(evolved, deletes)
+    val r1 = st.read(Some(v1))
+    assert(r1.columns.contains("quality"), "new column missing from v1 schema")
+    // upserted rows carry values; untouched residents null-fill
+    assert(r1.filter(col("doc_id") % 10 === 3 && col("quality").isNull).count() === 0)
+    assert(r1.filter(col("quality").isNull).count() ===
+      r1.count() - evolved.count())
+    // time travel: v0 reads under ITS schema — no quality column
+    assert(!st.read(Some(0L)).columns.contains("quality"),
+      "v0 must keep the shape it was committed with")
+    // rows themselves round-trip identically modulo the new column
+    same(r1.drop("quality"), newSnap)
+  }
+
+  test("schema evolution: a later merge NOT mentioning the column keeps it (widened schema)") {
+    val (st, _) = fresh()
+    val v1 = st.merge(upserts.withColumn("quality", col("doc_id") % 7), deletes)
+    // v2's upserts predate the column (e.g. an old writer) — the recorded
+    // schema must stay widened and the v1-gen rows must keep their values
+    val v2 = st.merge(
+      newSnap.filter(col("doc_id") % 10 === 4)
+        .withColumn("text", concat(col("text"), lit(" rev3"))),
+      deletes.limit(0))
+    val r2 = st.read(Some(v2))
+    assert(r2.columns.contains("quality"), "widened schema lost the evolved column")
+    assert(r2.filter(col("doc_id") % 10 === 3 && col("quality").isNull).count() === 0,
+      "v1-gen rows lost their evolved values")
+    assert(r2.filter(col("doc_id") % 10 === 4 && col("quality").isNotNull).count() === 0,
+      "old-writer rows must null-fill the evolved column")
+    // the change feed still works across the schema change
+    val feed = st.diffVersions(v1, v2).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(feed.nonEmpty && feed.forall(_._2 == "changed"))
+  }
 }
