@@ -251,6 +251,7 @@ object SparkEntry {
     "x139_above_avg"      -> (RelationalOps.x139AboveAvg _),
     "x140_brand_coverage" -> (RelationalOps.x140BrandCoverage _),
     "x141_oov_rate"       -> (TextOps.x141OovRate _),
+    "x142_day_rank"       -> (TimeSeriesOps.x142DayRank _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3062,5 +3063,21 @@ object SparkEntry {
         |SELECT lang, n_tok, n_oov,
         |ROUND(CAST(n_oov AS DOUBLE) / CAST(n_tok AS DOUBLE), 6) AS oov_rate
         |FROM a ORDER BY lang""".stripMargin,
+
+    // x142: distribution windows over the (type, day) aggregate; full
+    // (n, day) tiebreak makes every rank position unique; nth_value needs
+    // the explicit full frame in both engines
+    "x142_day_rank" ->
+      s"""WITH e AS ($E),
+         |d AS (SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+         |  COUNT(*) AS n FROM e GROUP BY 1, 2)
+         |SELECT event_type, day, n,
+         |ROUND(percent_rank() OVER w, 6) AS pr,
+         |ROUND(cume_dist() OVER w, 6) AS cd,
+         |CAST(nth_value(n, 3) OVER (PARTITION BY event_type ORDER BY n, day
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT)
+         |  AS third_low
+         |FROM d WINDOW w AS (PARTITION BY event_type ORDER BY n, day)
+         |ORDER BY event_type, day""".stripMargin,
   )
 }

@@ -821,6 +821,36 @@ object TimeSeriesOps {
       .orderBy("event_type", "dow")
   }
 
+  /** x142 day-volume distribution positions — the remaining DISTRIBUTION
+    * window family (percent_rank, cume_dist, nth_value), deliberately
+    * aggregate-fed: each (type, day) daily volume placed within its
+    * type's empirical day-volume distribution, plus the type's
+    * 3rd-lowest daily volume as the trim floor a "drop the 2 quietest
+    * days" robustness rule would use.
+    *
+    * Determinism: the window orders by (n, day) — a FULL tiebreak, so
+    * rank/frame positions are unique; percent_rank = (rn−1)/(N−1) and
+    * cume_dist = rn/N are then exact rationals of integers, identical in
+    * both engines, rounded at 6dp only for the hash. nth_value reads the
+    * explicit full frame (the default frame stops at CURRENT ROW and
+    * would null the first two rows — the classic nth_value trap).
+    *
+    * Scale: the window input is the (type, day) aggregate — |types|·days
+    * rows from one map-side-combined hash agg; partitions are days-per-
+    * type, never corpus-sized (the q29/x86 rule this suite pins). */
+  def x142DayRank(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.events(s, d)
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("n", "day")
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    daily
+      .withColumn("pr", dround(percent_rank().over(w), 6))
+      .withColumn("cd", dround(cume_dist().over(w), 6))
+      .withColumn("third_low", nth_value(col("n"), 3).over(full))
+      .orderBy("event_type", "day")
+  }
+
   def x57Transitions(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val pairs = Tables.events(s, d)

@@ -59,7 +59,10 @@ class DeterminismSpec extends SparkSpecBase {
     // x141: the top-1000 vocab cut must select the identical boundary
     // words at any width (integer counts, full tiebreak — but the cut IS
     // the contract, so pin it)
-    "x141_oov_rate")
+    "x141_oov_rate",
+    // x142: percent_rank/cume_dist are rationals of window positions —
+    // the full (n, day) tiebreak must make positions width-invariant
+    "x142_day_rank")
 
   private def canon(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted.toSeq

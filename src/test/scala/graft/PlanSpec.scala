@@ -725,10 +725,12 @@ class PlanSpec extends SparkSpecBase {
 
   test("round-9 ops: windows aggregate-fed or per-user; no corpus window/product") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
-    // x120/x122: every window sits above an aggregate (hour spine /
-    // length histogram) — aggregate-sized tasks at any corpus scale
+    // x120/x122/x142: every window sits above an aggregate (hour spine /
+    // length histogram / daily-volume spine) — aggregate-sized tasks at
+    // any corpus scale
     for (df <- Seq(operators.TimeSeriesOps.x120HourlyAcf(spark, sfDir),
-                   operators.TextOps.x122BudgetCut(spark, sfDir))) {
+                   operators.TextOps.x122BudgetCut(spark, sfDir),
+                   operators.TimeSeriesOps.x142DayRank(spark, sfDir))) {
       val ws = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
       assert(ws.nonEmpty && ws.forall(_.collect { case a: Aggregate => a }.nonEmpty),
         s"corpus-fed window:\n${df.queryExecution.optimizedPlan}")
