@@ -169,6 +169,31 @@ class VersionedStore(spark: SparkSession, dir: String) {
     newV
   }
 
+  /** Compaction — the OPTIMIZE analogue: rewrite the CURRENT snapshot
+    * into one fresh generation and publish it as a new version. After
+    * many merges a snapshot's buckets scatter across generations (read
+    * fan-in grows, and vacuum can reclaim nothing a retained manifest
+    * still touches); compaction collapses the mapping to a single gen,
+    * so the next `vacuum` reclaims every older generation outright.
+    * Same commit protocol as merge — copy-on-write into a new gen, then
+    * one atomic pointer rename; concurrent pinned readers and time
+    * travel to pre-compact versions are untouched (their gens are
+    * immutable until vacuumed). */
+  def compact(): Long = {
+    val v = currentVersion
+    val newV = v + 1
+    val snap = read(Some(v))
+    val n = buckets
+    snap.withColumn("bucket", bucketOf(n)).repartition(col("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/gen=$newV")
+    val written = spark.read.parquet(s"$dir/gen=$newV")
+      .select(col("bucket").cast("long")).distinct().collect().map(_.getLong(0))
+    writeManifest(newV, written.map(_ -> newV.toLong).toMap)
+    writeSchema(newV, snap.schema)
+    publish(newV)
+    newV
+  }
+
   /** Change feed between two retained versions — x56's digest diff run
     * against the store's own time travel (the Delta CDF analogue): per
     * doc_id present in either snapshot, its status added / removed /

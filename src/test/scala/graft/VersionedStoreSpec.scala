@@ -149,4 +149,23 @@ class VersionedStoreSpec extends SparkSpecBase {
     val feed = st.diffVersions(v1, v2).collect().map(r => (r.getLong(0), r.getString(1)))
     assert(feed.nonEmpty && feed.forall(_._2 == "changed"))
   }
+
+  test("compact collapses the snapshot into one generation; vacuum then reclaims all older gens") {
+    val (st, dir) = fresh()
+    val v1 = st.merge(upserts, deletes)
+    val vc = st.compact()
+    // read equality through the compaction; pre-compact version still travels
+    same(st.read(), newSnap)
+    same(st.read(Some(v1)), newSnap)
+    // every bucket now maps to the compacted gen (one-gen read fan-in)
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/_graft_manifest/v$vc.manifest")), "UTF-8")
+    assert(manifest.split("\n").forall(_.endsWith(s":$vc")), manifest)
+    // vacuum(keep=1) can now reclaim EVERY older generation
+    val dead = st.vacuum(keep = 1)
+    val remaining = new java.io.File(dir).listFiles()
+      .map(_.getName).filter(_.startsWith("gen=")).toSet
+    assert(remaining === Set(s"gen=$vc"), s"expected one live gen, got $remaining; dead=$dead")
+    same(st.read(), newSnap)
+  }
 }
