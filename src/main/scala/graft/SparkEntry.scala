@@ -252,6 +252,7 @@ object SparkEntry {
     "x140_brand_coverage" -> (RelationalOps.x140BrandCoverage _),
     "x141_oov_rate"       -> (TextOps.x141OovRate _),
     "x142_day_rank"       -> (TimeSeriesOps.x142DayRank _),
+    "x143_late_ship"      -> (RelationalOps.x143LateShipOrders _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3079,5 +3080,17 @@ object SparkEntry {
          |  AS third_low
          |FROM d WINDOW w AS (PARTITION BY event_type ORDER BY n, day)
          |ORDER BY event_type, day""".stripMargin,
+
+    // x143: TPC-H Q4 shape — correlated EXISTS with a cross-table date
+    // inequality; integer calendar arithmetic only
+    "x143_late_ship" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_late
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -732,6 +732,34 @@ object RelationalOps {
       .orderBy("yr")
   }
 
+  /** x143 delayed-shipment priority check — the TPC-H Q4 shape: per
+    * order priority, how many of one quarter's orders had AT LEAST ONE
+    * lineitem still shipping 90+ days after the order date (Q4's
+    * commit-vs-receipt lateness recast onto this fixture's date axes).
+    * The distinguishing feature is the CORRELATED EXISTS whose predicate
+    * crosses tables — l_shipdate > o_orderdate + 90 days can only
+    * evaluate inside the join — compiled as a LEFT SEMI with the
+    * inequality riding the equi-join as a residual condition: each order
+    * emits at most once however many lineitems qualify, and no lineitem
+    * payload survives the join.
+    *
+    * Scale: the quarter filter reaches the orders scan; the semi join
+    * shuffles on orderkey with the residual evaluated post-probe; the
+    * date arithmetic is integer calendar math (no FP). Output is the
+    * 5-row priority rollup. */
+  def x143LateShipOrders(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-07-01")
+        && col("o_orderdate") < lit("1997-10-01"))
+    o.join(Tables.lineitem(s, d).select("l_orderkey", "l_shipdate"),
+        col("o_orderkey") === col("l_orderkey")
+          && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_late"))
+      .orderBy("o_orderpriority")
+  }
+
   /** x139 above-average orders — the CORRELATED SCALAR SUBQUERY shape
     * ("rows beating their own group's average"): orders whose total
     * exceeds 1.5× their customer's average order value, counted per

@@ -813,6 +813,12 @@ class PlanSpec extends SparkSpecBase {
     val p141 = planOf(operators.TextOps.x141OovRate(spark, sfDir))
     assert(p141.contains("TakeOrderedAndProject"), p141)
     assert(p141.contains("BroadcastHashJoin"), p141)
+    // x143: the correlated EXISTS is a LEFT SEMI (quarter pushed); the
+    // cross-table inequality must not degrade it to a nested-loop join
+    val p143 = planOf(operators.RelationalOps.x143LateShipOrders(spark, sfDir))
+    assert(p143.contains("LeftSemi"), p143)
+    assert(p143.contains("GreaterThanOrEqual(o_orderdate,"), s"quarter not pushed:\n$p143")
+    assert(!p143.contains("CartesianProduct") && !p143.contains("BroadcastNestedLoop"), p143)
   }
 
   test("nanos pushdown rule is a no-op on non-matching filters") {
