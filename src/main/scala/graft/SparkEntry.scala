@@ -253,6 +253,8 @@ object SparkEntry {
     "x141_oov_rate"       -> (TextOps.x141OovRate _),
     "x142_day_rank"       -> (TimeSeriesOps.x142DayRank _),
     "x143_late_ship"      -> (RelationalOps.x143LateShipOrders _),
+    "x144_scan_revenue"   -> (RelationalOps.x144ScanRevenue _),
+    "x145_sla_flags"      -> (RelationalOps.x145SlaFlags _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3092,5 +3094,25 @@ object SparkEntry {
         |    WHERE l.l_orderkey = o.o_orderkey
         |      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // x144: TPC-H Q6 shape — every predicate scan-evaluable, one agg
+    "x144_scan_revenue" ->
+      """SELECT COUNT(*) AS n_items,
+        |ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    // x145: bool_and / bool_or / count_if in one pass; predicates compare
+    // stored doubles to literals (no arithmetic)
+    "x145_sla_flags" ->
+      s"""WITH e AS ($E)
+         |SELECT event_type, COUNT(*) AS n,
+         |bool_and(value < 400) AS all_below_400,
+         |bool_or(value > 400) AS any_over_400,
+         |CAST(COUNT(*) FILTER (WHERE value > 100) AS BIGINT) AS n_over_100
+         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

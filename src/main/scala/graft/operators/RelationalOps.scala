@@ -760,6 +760,44 @@ object RelationalOps {
       .orderBy("o_orderpriority")
   }
 
+  /** x144 full-pushdown scan revenue — the TPC-H Q6 shape: one
+    * fact-table pass where EVERY predicate (ship-year, discount band,
+    * quantity cap) is scan-evaluable and the whole query is a single
+    * partial+final aggregate of two columns. Q6 is the canonical
+    * scan-efficiency CANARY: there is no join or shuffle to hide behind,
+    * so a missing pushdown or a too-wide ReadSchema shows up directly as
+    * scan bytes/time (PlanSpec pins all three PushedFilters and the
+    * 4-column ReadSchema). Predicates compare the SAME stored doubles
+    * against the same literals in both engines — no arithmetic before
+    * the comparison, so no FP boundary can disagree. */
+  def x144ScanRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01")
+        && col("l_shipdate") < lit("1998-01-01")
+        && col("l_discount").between(0.05, 0.07)
+        && col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_items"),
+        dround(sum(col("l_extendedprice") * col("l_discount")), 4).as("revenue"))
+
+  /** x145 boolean-aggregate SLA flags — the BOOL_AND / BOOL_OR /
+    * COUNT_IF aggregate family (universal/existential/conditional-count
+    * in ONE pass), the remaining §2.4 aggregate surface: per event type,
+    * whether every value stays under the 400 ceiling, whether any value
+    * breaches it, and how many exceed 100. The operational readout shape
+    * — "all probes healthy / any probe failing / how many degraded" —
+    * folded map-side like any other partial aggregate (bool AND/OR are
+    * associative-commutative; the count is a conditional sum), onto
+    * |types| rows. Predicates compare stored doubles to literals — no
+    * arithmetic, no FP boundary. */
+  def x145SlaFlags(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        expr("bool_and(value < 400)").as("all_below_400"),
+        expr("bool_or(value > 400)").as("any_over_400"),
+        expr("count_if(value > 100)").as("n_over_100"))
+      .orderBy("event_type")
+
   /** x139 above-average orders — the CORRELATED SCALAR SUBQUERY shape
     * ("rows beating their own group's average"): orders whose total
     * exceeds 1.5× their customer's average order value, counted per

@@ -62,7 +62,9 @@ class DeterminismSpec extends SparkSpecBase {
     "x141_oov_rate",
     // x142: percent_rank/cume_dist are rationals of window positions —
     // the full (n, day) tiebreak must make positions width-invariant
-    "x142_day_rank")
+    "x142_day_rank",
+    // x144: Q6's revenue is an order-sensitive double sum under dround
+    "x144_scan_revenue")
 
   private def canon(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted.toSeq

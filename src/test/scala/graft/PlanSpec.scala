@@ -819,6 +819,16 @@ class PlanSpec extends SparkSpecBase {
     assert(p143.contains("LeftSemi"), p143)
     assert(p143.contains("GreaterThanOrEqual(o_orderdate,"), s"quarter not pushed:\n$p143")
     assert(!p143.contains("CartesianProduct") && !p143.contains("BroadcastNestedLoop"), p143)
+    // x144: the Q6 canary — ALL predicates reach the scan and the read
+    // schema is exactly the 4 touched columns
+    val p144 = planOf(operators.RelationalOps.x144ScanRevenue(spark, sfDir))
+    assert(p144.contains("GreaterThanOrEqual(l_shipdate,"), s"shipdate not pushed:\n$p144")
+    assert(p144.contains("GreaterThanOrEqual(l_discount,0.05)"), s"discount not pushed:\n$p144")
+    assert(p144.contains("LessThan(l_quantity,24.0)"), s"quantity not pushed:\n$p144")
+    val rs144 = p144.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"))
+      assert(rs144.contains(c), s"$c missing from ReadSchema: $rs144")
+    assert(!rs144.contains("l_orderkey"), s"scan reads untouched columns: $rs144")
   }
 
   test("nanos pushdown rule is a no-op on non-matching filters") {
