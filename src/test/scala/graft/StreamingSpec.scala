@@ -9,6 +9,12 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
+/** A second-deployment CDC row: the v1 [[StreamOps.DocChange]] schema plus
+  * a column the store has never seen (top-level so its product Encoder
+  * resolves cleanly). */
+case class DocChangeV2(doc_id: Long, text: String, lang: String,
+                       source: String, n_chars: Long, quality: Long, op: String)
+
 /** SURVEY §2.9 ST1–ST8: every streaming op is checked for stream-vs-batch
   * equivalence (the Structured Streaming unification guarantee is the test
   * oracle), plus WAL-style exactly-once replay and watermark late-drop. */
@@ -604,6 +610,34 @@ class StreamingSpec extends SparkSpecBase {
     assert(store.currentVersion === vAfter + 1)
     assert(store.read().except(store.read(Some(vAfter))).isEmpty &&
            store.read(Some(vAfter)).except(store.read()).isEmpty)
+  }
+
+  test("ST19 schema evolution across deployments: a new-column CDC stream upgrades the store") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val docs = Tables.documents(spark, sfDir)
+    val storeDir = tmp("vstore2")
+    val store = new graft.sources.VersionedStore(spark, storeDir)
+    store.write(docs, nBuckets = 8)
+    // deployment 2: the CDC producer ships a column the store predates —
+    // versionedIngest's merge path must widen the schema, null-fill the
+    // untouched residents, and keep v0's time-travel shape
+    def v2Row(r: org.apache.spark.sql.Row) = DocChangeV2(
+      r.getLong(0), r.getString(1) + " rev2", r.getString(2), r.getString(3),
+      r.getLong(4), r.getLong(0) % 7, "upsert")
+    val ups = docs.filter(col("doc_id") % 10 === 5).collect().map(v2Row)
+    val input = MemoryStream[DocChangeV2]
+    val q = StreamOps.versionedIngest(input.toDF(), storeDir, tmp("ckpt2"))
+    input.addData(ups.toSeq); q.processAllAvailable(); q.stop()
+    val r = store.read()
+    assert(r.columns.contains("quality"), "CDC-shipped column missing from store schema")
+    assert(r.filter(col("doc_id") % 10 === 5 && col("quality").isNull).count() === 0,
+      "upserted rows lost their new-column values")
+    assert(r.filter(col("doc_id") % 10 =!= 5 && col("quality").isNotNull).count() === 0,
+      "untouched residents must null-fill the new column")
+    assert(r.count() === docs.count())
+    assert(!store.read(Some(0L)).columns.contains("quality"),
+      "v0 must keep its committed shape")
   }
 
   test("ST16b interval-join state eviction: a click behind the watermark never joins") {
