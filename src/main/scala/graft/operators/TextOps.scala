@@ -1624,8 +1624,16 @@ object TextOps {
     * low-threshold recall/candidate-mass trade the Params scaladoc
     * derives. */
   def x93Containment(s: SparkSession, d: String): DataFrame =
+    x93ContainmentWith(s, d, numPerm = 256)
+
+  /** [[x93Containment]] with a configurable signature depth — the declared
+    * row uses 2×128 bands (verified-exact at j ≥ 0.5); the bench's staged
+    * `x93_b32` row prices the 2×32 shape (≈1e-4 miss at the floor, 4 lost
+    * pairs in 6M at sf0.1 — BASELINE bandstress table) for pipelines that
+    * accept that tolerance in exchange for 4× less band-join mass. */
+  def x93ContainmentWith(s: SparkSession, d: String, numPerm: Int): DataFrame =
     MinHashLSH.verifiedPairsDetailed(docTokens(s, d), 0.5,
-        p = MinHashLSH.Params(numPerm = 256, rows = 2))
+        p = MinHashLSH.Params(numPerm = numPerm, rows = 2))
       // inter/sz ride the verified pair list (verifiedPairsDetailed) — no
       // second set join, no second intersect pass over the 6M pairs.
       // Integer containment gate: 10·|∩| ≥ 9·min — no double in the filter

@@ -136,4 +136,17 @@ class MinHashLSHSpec extends SparkSpecBase {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((1L, 2L)))
   }
+
+  test("x93's shallow-band variant is sound: b=32 pairs are a subset of the b=128 contract") {
+    // fewer bands can only LOSE candidates; the verify stage is exact on
+    // whatever survives — so every shallow-index row must be a declared row
+    val deep = graft.operators.TextOps.x93Containment(spark, sfDir).cache()
+    val shallow = graft.operators.TextOps
+      .x93ContainmentWith(spark, sfDir, numPerm = 64).cache()
+    try {
+      assert(shallow.count() > 0, "fixture should contain containment pairs")
+      assert(shallow.except(deep).count() === 0L,
+        "shallow-band rows must verify to the same exact pairs")
+    } finally { deep.unpersist(); shallow.unpersist(); () }
+  }
 }
