@@ -222,6 +222,21 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] x93_b32 failed: ${e.getMessage}"); Nil
     }
+    // Layout measurement: x83's BM25 served from the persisted postings
+    // store (build untimed — write-once index, amortized like bucketing).
+    // Quantifies the inverted-index contract vs the inline scan+explode.
+    val x83Store = if (only.exists(!_("x83_store"))) Nil else try {
+      val idxDir = java.nio.file.Files.createTempDirectory("postings").toString
+      val store = new sources.PostingsStore(spark, idxDir)
+      store.build(Tables.documents(spark, sfDir))
+      def q = store.bm25(Seq("hash", "join", "filter"), k = 20)
+      q.write.format("noop").mode("overwrite").save() // warm (codegen/JIT)
+      val t0 = System.nanoTime()
+      q.write.format("noop").mode("overwrite").save()
+      Seq("x83_store" -> (System.nanoTime() - t0) / 1e9)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] x83_store failed: ${e.getMessage}"); Nil
+    }
     // Layout measurement: q10's exact contract query over the co-bucketed
     // orders/lineitem pair (write cost untimed — bucketing is a write-once
     // layout decision amortized over every subsequent join). Quantifies
@@ -425,7 +440,7 @@ object Bench {
         val slowest = results.sortBy(-_._2).take(n).map(_._1)
         slowest.flatMap(name => isolateOne(name, sfDir, cpus))
       }.getOrElse(Nil)
-    val qs = (results ++ ccOnly ++ x77Lsh ++ x93B32 ++ q10Bucketed ++ tsStore ++ x42Store ++ x42CcIncr ++ x08Store ++ x58Store ++ mergeRows ++ x64Rollup)
+    val qs = (results ++ ccOnly ++ x77Lsh ++ x93B32 ++ x83Store ++ q10Bucketed ++ tsStore ++ x42Store ++ x42CcIncr ++ x08Store ++ x58Store ++ mergeRows ++ x64Rollup)
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val warm = warmRows.map { case (k, v) => "\"" + k + "\":" + v }

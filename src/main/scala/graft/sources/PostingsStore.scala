@@ -1,0 +1,90 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted inverted index (postings) store — the retrieval-stack member
+  * of the engine's index-store family (SignatureStore = near-dup,
+  * VectorStore = ANN, this = lexical search): the corpus is tokenized and
+  * aggregated ONCE into (term, doc_id, tf, len, df) postings, and every
+  * subsequent BM25 query reads ONLY its own terms' postings instead of
+  * re-exploding the corpus (x83's inline form pays the full scan+explode
+  * per query — correct as a declared query, wrong as a serving plan).
+  *
+  * Layout:
+  *   dir/postings/tb=K/part-*.parquet  -- term-hash buckets, rows sorted
+  *                                        by (term, doc_id) inside each
+  *   dir/stats/part-*.parquet          -- 1 row: (n_docs, avglen)
+  *
+  * Read path: the query's bucket ids are computed from the SAME xxhash64
+  * expression the writer used (evaluated on a |terms|-row frame — a
+  * bounded control-plane collect, the VectorStore probe-cluster pattern),
+  * so the scan lists only the matching `tb=` directories; within them the
+  * `term IN (...)` predicate reaches parquet row groups, which the
+  * per-bucket (term, doc_id) sort keeps clustered. Per-term df rides
+  * denormalized on each posting row (8 bytes) so scoring needs no second
+  * index table: postings ⋈ broadcast stats → BM25 → top-k, all
+  * aggregate-sized from the first operator on.
+  *
+  * Scale: the index build is one shuffle of the exploded corpus into
+  * term-hash buckets (write-once, amortized like every store here); a
+  * query's work is proportional to its terms' posting lists — the
+  * inverted-index contract — and the top-k is a TakeOrdered, never a
+  * corpus sort. */
+class PostingsStore(spark: SparkSession, dir: String) {
+
+  private val k1 = 1.2
+  private val b  = 0.75
+
+  def build(docs: DataFrame, buckets: Int = 64): Unit = {
+    val toks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("len"),
+        explode(col("toks")).as("term"))
+    val tf = toks.groupBy("term", "doc_id", "len").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(df, "term")
+      .withColumn("tb", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+      .repartition(col("tb"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.partitionBy("tb").mode("overwrite").parquet(s"$dir/postings")
+    docs.select(size(split(col("text"), " ")).cast("long").as("len"))
+      .agg(count(lit(1)).as("n_docs"), avg("len").as("avglen"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+    val o = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .create(new org.apache.hadoop.fs.Path(s"$dir/buckets"), true)
+    o.write(buckets.toString.getBytes("UTF-8")); o.close()
+  }
+
+  private def bucketCount: Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new org.apache.hadoop.fs.Path(s"$dir/buckets"))
+    try scala.io.Source.fromInputStream(in).mkString.trim.toInt finally in.close()
+  }
+
+  /** BM25 top-k over the stored postings for `terms`. Reads only the
+    * buckets the query terms hash to (same xxhash64 as the writer). */
+  def bm25(terms: Seq[String], k: Int = 20): DataFrame = {
+    val n = bucketCount
+    import spark.implicits._
+    // bucket ids via the writer's own hash expression — |terms| rows
+    val tbs = terms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(n.toLong)).as("tb"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val paths = tbs.map(t => s"$dir/postings/tb=$t")
+    val p = spark.read.option("basePath", s"$dir/postings").parquet(paths: _*)
+      .filter(col("term").isin(terms: _*))
+    val stats = spark.read.parquet(s"$dir/stats")
+    p.crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("part",
+        col("idf") * col("tf") * lit(1.0 + k1) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("len") / col("avglen"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"),
+        graft.functions.Rounding.dround(sum("part"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+}
