@@ -21,10 +21,12 @@ import org.apache.spark.sql.functions._
   * bounded control-plane collect, the VectorStore probe-cluster pattern),
   * so the scan lists only the matching `tb=` directories; within them the
   * `term IN (...)` predicate reaches parquet row groups, which the
-  * per-bucket (term, doc_id) sort keeps clustered. Per-term df rides
-  * denormalized on each posting row (8 bytes) so scoring needs no second
-  * index table: postings ⋈ broadcast stats → BM25 → top-k, all
-  * aggregate-sized from the first operator on.
+  * per-bucket (term, doc_id) sort keeps clustered. Per-term df derives
+  * from the FILTERED postings at query time (one tiny aggregate of the
+  * posting lists already in hand — broadcast back onto them), so nothing
+  * term-global is materialized in the index and appends can never leave
+  * a stale denormalized df behind: postings ⋈ broadcast df ⋈ broadcast
+  * stats → BM25 → top-k, all posting-list-sized from the first operator.
   *
   * Scale: the index build is one shuffle of the exploded corpus into
   * term-hash buckets (write-once, amortized like every store here); a
@@ -33,18 +35,13 @@ import org.apache.spark.sql.functions._
   * corpus sort. */
 class PostingsStore(spark: SparkSession, dir: String) {
 
-  private val k1 = 1.2
-  private val b  = 0.75
-
   def build(docs: DataFrame, buckets: Int = 64): Unit = {
     val toks = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("len"),
         explode(col("toks")).as("term"))
     val tf = toks.groupBy("term", "doc_id", "len").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    tf.join(df, "term")
-      .withColumn("tb", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+    tf.withColumn("tb", pmod(xxhash64(col("term")), lit(buckets.toLong)))
       .repartition(col("tb"))
       .sortWithinPartitions("term", "doc_id")
       .write.partitionBy("tb").mode("overwrite").parquet(s"$dir/postings")
@@ -75,7 +72,21 @@ class PostingsStore(spark: SparkSession, dir: String) {
     val p = spark.read.option("basePath", s"$dir/postings").parquet(paths: _*)
       .filter(col("term").isin(terms: _*))
     val stats = spark.read.parquet(s"$dir/stats")
-    p.crossJoin(broadcast(stats))
+    PostingsStore.score(p, stats, k)
+  }
+}
+
+object PostingsStore {
+
+  private val k1 = 1.2
+  private val b  = 0.75
+
+  /** BM25 over an already-filtered postings frame: df derives from the
+    * posting lists themselves (a ≤|terms|-row aggregate, broadcast back),
+    * so the index never stores a term-global that appends could stale. */
+  private[graft] def score(p: DataFrame, stats: DataFrame, k: Int): DataFrame = {
+    val df = p.groupBy("term").agg(count(lit(1)).as("df"))
+    p.join(broadcast(df), "term").crossJoin(broadcast(stats))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
       .withColumn("part",

@@ -1154,6 +1154,63 @@ object StreamOps {
     }
   }
 
+  /** ST27: continuous postings maintenance — the PostingsStore's ingest
+    * tail, completing the index-store symmetry (signature → ST12, vector
+    * → ST15, postings → this): arriving documents become (term, doc_id,
+    * tf, len, tb) posting rows written to the SAME term-hash-bucketed
+    * layout the batch store uses, through Spark's parquet file sink —
+    * whose commit manifest makes replay exactly-once (the ST1 mechanism;
+    * StreamingSpec re-runs a finished checkpoint and pins zero growth).
+    *
+    * The transform is STATELESS by construction: tf is within-document,
+    * and each document arrives whole in one batch, so per-doc term
+    * counts come from array HOFs (distinct → per-term filter count) with
+    * no streaming aggregate and therefore no state store at all — the
+    * sink manifest is the only cross-batch structure. Per-doc cost is
+    * O(distinct_terms · len) — fine at document sizes; the batch build's
+    * explode+groupBy shape is the bulk path.
+    *
+    * Serving reads the sink ROOT (manifest-aware), so the tb filter
+    * prunes partitions and uncommitted files are invisible; df derives
+    * from the filtered posting lists ([[graft.sources.PostingsStore]]'s
+    * query-time rule — nothing term-global to go stale), and the corpus
+    * stats derive from the per-doc (doc_id, len) rows the postings
+    * already carry (one column-pruned dedup — the single corpus-∝ touch,
+    * rollup-able if it ever dominates). */
+  def postingsIngest(docs: DataFrame, indexDir: String, checkpointDir: String,
+                     buckets: Int = 64): StreamingQuery =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("len"), col("toks"))
+      .withColumn("e", explode(expr(
+        "transform(array_distinct(toks), t -> " +
+          "struct(t AS term, CAST(size(filter(toks, x -> x = t)) AS BIGINT) AS tf))")))
+      .select(col("e.term").as("term"), col("doc_id"), col("len"), col("e.tf").as("tf"),
+        pmod(xxhash64(col("e.term")), lit(buckets.toLong)).as("tb"))
+      .writeStream
+      .format("parquet")
+      .option("path", s"$indexDir/postings")
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("tb")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** BM25 over an ST27-maintained sink — identical scoring contract to
+    * the batch store's `bm25` (same bucket computation, same query-time
+    * df, same arithmetic). */
+  def bm25FromSink(s: SparkSession, indexDir: String, terms: Seq[String],
+                   buckets: Int = 64, k: Int = 20): DataFrame = {
+    import s.implicits._
+    val tbs = terms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(buckets.toLong)).as("tb"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val root = s.read.parquet(s"$indexDir/postings")
+    val p = root.filter(col("tb").isin(tbs: _*) && col("term").isin(terms: _*))
+    val stats = root.select(col("doc_id"), col("len")).dropDuplicates("doc_id")
+      .agg(count(lit(1)).as("n_docs"), avg("len").as("avglen"))
+    graft.sources.PostingsStore.score(p, stats, k)
+  }
+
   /** ST26 entry: events keyed by user, folded through
     * [[IntervalUnionProcessor]] (5-minute intervals, x66's length). */
   def intervalCoverage(events: Dataset[SessEvent], lenUs: Long = 300L * 1000000L,

@@ -640,6 +640,23 @@ class StreamingSpec extends SparkSpecBase {
       "v0 must keep its committed shape")
   }
 
+  test("ST27 continuous postings ingest: sink-served BM25 equals declared x83; replay adds nothing") {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    def src = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(sfDir)
+    val idx = tmp("pidx"); val ck = tmp("pck")
+    StreamOps.postingsIngest(src, idx, ck).awaitTermination()
+    val served = StreamOps.bm25FromSink(spark, idx, Seq("hash", "join", "filter"))
+    val declared = operators.TextOps.x83Bm25(spark, sfDir)
+    assert(served.count() === declared.count())
+    assert(served.except(declared).isEmpty && declared.except(served).isEmpty)
+    // exactly-once: re-running the finished checkpoint commits nothing new
+    val n0 = spark.read.parquet(s"$idx/postings").count()
+    StreamOps.postingsIngest(src, idx, ck).awaitTermination()
+    assert(spark.read.parquet(s"$idx/postings").count() === n0,
+      "file-sink manifest must make replay exactly-once")
+  }
+
   test("ST16b interval-join state eviction: a click behind the watermark never joins") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
