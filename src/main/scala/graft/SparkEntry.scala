@@ -255,6 +255,7 @@ object SparkEntry {
     "x143_late_ship"      -> (RelationalOps.x143LateShipOrders _),
     "x144_scan_revenue"   -> (RelationalOps.x144ScanRevenue _),
     "x145_sla_flags"      -> (RelationalOps.x145SlaFlags _),
+    "x146_waterfill"      -> (TextOps.x146Waterfill _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3114,5 +3115,33 @@ object SparkEntry {
          |bool_or(value > 400) AS any_over_400,
          |CAST(COUNT(*) FILTER (WHERE value > 100) AS BIGINT) AS n_over_100
          |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // x146: exact integer waterfilling — saturation via the cross-multiplied
+    // prefix condition (provably a prefix of ascending-supply order);
+    // remainder to the alphabetically-first unsaturated langs
+    "x146_waterfill" ->
+      """WITH sup AS (SELECT lang,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS supply
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(SUM(supply) AS BIGINT) AS tot, COUNT(*) AS k FROM sup),
+        |m AS (SELECT lang, supply, tot * 8 // 10 AS budget, k,
+        |  ROW_NUMBER() OVER w AS rn,
+        |  COALESCE(CAST(SUM(supply) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND 1 PRECEDING) AS BIGINT), 0) AS pfx
+        |  FROM sup CROSS JOIN t
+        |  WINDOW w AS (ORDER BY supply, lang)),
+        |f AS (SELECT *, supply * (k - rn + 1) <= budget - pfx AS sat FROM m),
+        |g AS (SELECT COALESCE(CAST(SUM(CASE WHEN sat THEN supply END) AS BIGINT), 0)
+        |  AS sat_sum, COALESCE(SUM(CASE WHEN sat THEN 1 END), 0) AS m FROM f),
+        |h AS (SELECT f.*, budget - sat_sum AS r_budget,
+        |  GREATEST(k - g.m, 1) AS u,
+        |  SUM(CASE WHEN NOT sat THEN 1 ELSE 0 END) OVER (ORDER BY lang
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS urk
+        |  FROM f CROSS JOIN g)
+        |SELECT lang, supply,
+        |CAST(CASE WHEN sat THEN supply
+        |  ELSE r_budget // u + (CASE WHEN urk <= r_budget % u THEN 1 ELSE 0 END)
+        |END AS BIGINT) AS alloc, sat AS saturated
+        |FROM h ORDER BY lang""".stripMargin,
   )
 }

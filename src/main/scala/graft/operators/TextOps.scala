@@ -2245,6 +2245,54 @@ object TextOps {
       .orderBy("lang")
   }
 
+  /** x146 data-mix waterfilling — the EXACT token-budget allocation
+    * across languages that a training-mix designer computes when a
+    * global budget B (here 80% of corpus tokens) must split "as evenly
+    * as possible" without asking any language for more than it has:
+    * languages whose whole supply fits under the water level keep it all
+    * (saturated); the rest split the remainder evenly, with the integer
+    * remainder going to the alphabetically-first unsaturated languages.
+    * x122 cuts WITHIN a language; this allocates ACROSS them — together
+    * they're the two halves of budgeted mix construction.
+    *
+    * The level search is closed-form, not iterative: in ascending-supply
+    * order, row i is saturated iff s_i·(k−i+1) ≤ B − prefix_{i−1}
+    * (cross-multiplied — no division), and saturation is provably a
+    * PREFIX of that order (if row i fails, B − P_i < s_i·(k−i) ≤
+    * s_{i+1}·(k−i), so row i+1 fails too) — one window pass decides
+    * every row. ALL-INTEGER arithmetic end to end: supplies, budget
+    * (tot·8 div 10), the saturation compare, base = R div u, remainder
+    * ranks — Σ alloc = min(B, Σs) holds exactly, and the hash has no FP
+    * anywhere. Every window runs over the |langs|-row aggregate. */
+  def x146Waterfill(s: SparkSession, d: String): DataFrame = {
+    val sup = Tables.documents(s, d)
+      .select(col("lang"), size(split(col("text"), " ")).cast("long").as("t"))
+      .groupBy("lang").agg(sum("t").as("supply"))
+    val tot = sup.agg(sum("supply").as("tot"), count(lit(1)).as("k"))
+    val wAsc = Window.orderBy("supply", "lang")
+    val marked = sup.crossJoin(broadcast(tot))
+      .withColumn("budget", expr("tot * 8 div 10"))
+      .withColumn("rn", row_number().over(wAsc))
+      .withColumn("pfx", coalesce(
+        sum("supply").over(wAsc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("sat",
+        col("supply") * (col("k") - col("rn") + 1) <= col("budget") - col("pfx"))
+    val satAgg = marked.agg(
+      coalesce(sum(when(col("sat"), col("supply"))), lit(0L)).as("sat_sum"),
+      coalesce(sum(when(col("sat"), 1L)), lit(0L)).as("m"))
+    val wLang = Window.orderBy("lang").rowsBetween(Window.unboundedPreceding, 0)
+    marked.crossJoin(broadcast(satAgg))
+      .withColumn("r_budget", col("budget") - col("sat_sum"))
+      .withColumn("u", greatest(col("k") - col("m"), lit(1L)))
+      .withColumn("base", expr("r_budget div u"))
+      .withColumn("rem", expr("r_budget % u"))
+      .withColumn("urk", sum(when(!col("sat"), 1L).otherwise(0L)).over(wLang))
+      .withColumn("alloc", when(col("sat"), col("supply"))
+        .otherwise(col("base") + when(col("urk") <= col("rem"), 1L).otherwise(0L)))
+      .select(col("lang"), col("supply"), col("alloc"), col("sat").as("saturated"))
+      .orderBy("lang")
+  }
+
   /** x141 OOV rate — the tokenizer-coverage readout every vocabulary
     * decision needs: fix the corpus's top-1000-word vocabulary, then
     * measure per language what fraction of token OCCURRENCES fall

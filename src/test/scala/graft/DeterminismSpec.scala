@@ -64,7 +64,10 @@ class DeterminismSpec extends SparkSpecBase {
     // the full (n, day) tiebreak must make positions width-invariant
     "x142_day_rank",
     // x144: Q6's revenue is an order-sensitive double sum under dround
-    "x144_scan_revenue")
+    "x144_scan_revenue",
+    // x146: the saturation prefix + remainder assignment rank on fully
+    // tiebroken integer orders — the allocation must be width-invariant
+    "x146_waterfill")
 
   private def canon(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted.toSeq

@@ -730,7 +730,8 @@ class PlanSpec extends SparkSpecBase {
     // any corpus scale
     for (df <- Seq(operators.TimeSeriesOps.x120HourlyAcf(spark, sfDir),
                    operators.TextOps.x122BudgetCut(spark, sfDir),
-                   operators.TimeSeriesOps.x142DayRank(spark, sfDir))) {
+                   operators.TimeSeriesOps.x142DayRank(spark, sfDir),
+                   operators.TextOps.x146Waterfill(spark, sfDir))) {
       val ws = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
       assert(ws.nonEmpty && ws.forall(_.collect { case a: Aggregate => a }.nonEmpty),
         s"corpus-fed window:\n${df.queryExecution.optimizedPlan}")
