@@ -35,22 +35,51 @@ import org.apache.spark.sql.functions._
   * corpus sort. */
 class PostingsStore(spark: SparkSession, dir: String) {
 
-  def build(docs: DataFrame, buckets: Int = 64): Unit = {
+  private def postingsOf(docs: DataFrame, buckets: Int): DataFrame = {
     val toks = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("len"),
         explode(col("toks")).as("term"))
-    val tf = toks.groupBy("term", "doc_id", "len").agg(count(lit(1)).as("tf"))
-    tf.withColumn("tb", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+    toks.groupBy("term", "doc_id", "len").agg(count(lit(1)).as("tf"))
+      .withColumn("tb", pmod(xxhash64(col("term")), lit(buckets.toLong)))
+  }
+
+  def build(docs: DataFrame, buckets: Int = 64): Unit = {
+    postingsOf(docs, buckets)
       .repartition(col("tb"))
       .sortWithinPartitions("term", "doc_id")
       .write.partitionBy("tb").mode("overwrite").parquet(s"$dir/postings")
+    // stats are ADDITIVE (n_docs, sum_len) — avglen derives at query time,
+    // so append can grow them by addition instead of a corpus re-agg
     docs.select(size(split(col("text"), " ")).cast("long").as("len"))
-      .agg(count(lit(1)).as("n_docs"), avg("len").as("avglen"))
+      .agg(count(lit(1)).as("n_docs"), sum("len").as("sum_len"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
     val o = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
       .create(new org.apache.hadoop.fs.Path(s"$dir/buckets"), true)
     o.write(buckets.toString.getBytes("UTF-8")); o.close()
+  }
+
+  /** Incremental index growth — the SignatureStore/VectorStore `append`
+    * analogue: the batch's postings land in the SAME term-hash buckets
+    * (mode append — new files beside the resident ones), and the 1-row
+    * stats grow by addition (query-time df + additive stats mean nothing
+    * else in the index depends on the corpus as a whole). NOT idempotent
+    * under replay (a re-appended batch doubles its tf rows) — retrying
+    * callers need external coordination; the exactly-once continuous
+    * path is ST27's file-sink ingest, whose manifest closes that window. */
+  def append(docs: DataFrame): Unit = {
+    val n = bucketCount
+    val add = docs.select(size(split(col("text"), " ")).cast("long").as("len"))
+      .agg(count(lit(1)).as("n_docs"), sum("len").as("sum_len")).collect()(0)
+    postingsOf(docs, n)
+      .repartition(col("tb"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.partitionBy("tb").mode("append").parquet(s"$dir/postings")
+    val old = spark.read.parquet(s"$dir/stats").collect()(0)
+    import spark.implicits._
+    Seq((old.getLong(0) + add.getLong(0), old.getLong(1) + add.getLong(1)))
+      .toDF("n_docs", "sum_len")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
   }
 
   private def bucketCount: Int = {
@@ -83,10 +112,14 @@ object PostingsStore {
 
   /** BM25 over an already-filtered postings frame: df derives from the
     * posting lists themselves (a ≤|terms|-row aggregate, broadcast back),
-    * so the index never stores a term-global that appends could stale. */
+    * so the index never stores a term-global that appends could stale.
+    * `stats` is the additive (n_docs, sum_len) row; avglen derives here —
+    * sum/count in double, bit-identical to Spark's `avg` over longs. */
   private[graft] def score(p: DataFrame, stats: DataFrame, k: Int): DataFrame = {
     val df = p.groupBy("term").agg(count(lit(1)).as("df"))
-    p.join(broadcast(df), "term").crossJoin(broadcast(stats))
+    val st = stats.select(col("n_docs"),
+      (col("sum_len").cast("double") / col("n_docs")).as("avglen"))
+    p.join(broadcast(df), "term").crossJoin(broadcast(st))
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
       .withColumn("part",

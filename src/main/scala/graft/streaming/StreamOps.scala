@@ -1207,7 +1207,7 @@ object StreamOps {
     val root = s.read.parquet(s"$indexDir/postings")
     val p = root.filter(col("tb").isin(tbs: _*) && col("term").isin(terms: _*))
     val stats = root.select(col("doc_id"), col("len")).dropDuplicates("doc_id")
-      .agg(count(lit(1)).as("n_docs"), avg("len").as("avglen"))
+      .agg(count(lit(1)).as("n_docs"), sum("len").as("sum_len"))
     graft.sources.PostingsStore.score(p, stats, k)
   }
 

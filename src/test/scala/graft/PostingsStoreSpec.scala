@@ -34,6 +34,23 @@ class PostingsStoreSpec extends SparkSpecBase {
     assert(plan.contains("In(term"), s"term filter not pushed:\n$plan")
   }
 
+  test("append grows the index incrementally: build(A)+append(B) serves build(A∪B)'s rows") {
+    val docs = Tables.documents(spark, sfDir)
+    val a = docs.filter(col("doc_id") % 3 =!= 0)
+    val b = docs.filter(col("doc_id") % 3 === 0)
+    val incDir = java.nio.file.Files.createTempDirectory("postings_inc").toString
+    val inc = new PostingsStore(spark, incDir)
+    inc.build(a, buckets = 32)
+    inc.append(b)
+    val fullDir = java.nio.file.Files.createTempDirectory("postings_full").toString
+    val full = new PostingsStore(spark, fullDir)
+    full.build(docs, buckets = 32)
+    val servedInc = inc.bm25(queryTerms, k = 20)
+    val servedFull = full.bm25(queryTerms, k = 20)
+    assert(servedInc.count() === servedFull.count())
+    assert(servedInc.except(servedFull).isEmpty && servedFull.except(servedInc).isEmpty)
+  }
+
   test("an unindexed term contributes nothing; empty query intersection returns no rows") {
     val dir = java.nio.file.Files.createTempDirectory("postings2").toString
     val st = new PostingsStore(spark, dir)
