@@ -256,6 +256,7 @@ object SparkEntry {
     "x144_scan_revenue"   -> (RelationalOps.x144ScanRevenue _),
     "x145_sla_flags"      -> (RelationalOps.x145SlaFlags _),
     "x146_waterfill"      -> (TextOps.x146Waterfill _),
+    "x147_next_incident"  -> (TimeSeriesOps.x147NextIncident _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3143,5 +3144,20 @@ object SparkEntry {
         |  ELSE r_budget // u + (CASE WHEN urk <= r_budget % u THEN 1 ELSE 0 END)
         |END AS BIGINT) AS alloc, sat AS saturated
         |FROM h ORDER BY lang""".stripMargin,
+
+    // x147: forward conditional carry — next error strictly after each
+    // purchase via a (1 FOLLOWING, ∞) frame; all-integer µs, null gap
+    // when no error follows
+    "x147_next_incident" ->
+      s"""WITH e AS ($E),
+         |s AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM e),
+         |m AS (SELECT *, MIN(CASE WHEN event_type = 'error' THEN us END) OVER
+         |  (PARTITION BY user_id ORDER BY us, event_id
+         |   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_err_us
+         |  FROM s)
+         |SELECT user_id, event_id,
+         |CAST((next_err_us - us) // 1000000 AS BIGINT) AS gap_s
+         |FROM m WHERE event_type = 'purchase'
+         |ORDER BY user_id, event_id""".stripMargin,
   )
 }

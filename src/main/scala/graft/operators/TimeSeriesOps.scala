@@ -821,6 +821,36 @@ object TimeSeriesOps {
       .orderBy("event_type", "dow")
   }
 
+  /** x147 next-incident carry — the FORWARD-looking as-of: for every
+    * purchase, the user's next error event strictly after it (and the
+    * gap in seconds; null when no error follows). q17/x13 look BACKWARD
+    * (latest quote at or before); x57's lead() sees only the next ROW
+    * regardless of type; this carries the next row OF A GIVEN TYPE — the
+    * "time from action to first incident" primitive behind churn-risk
+    * and incident-attribution readouts.
+    *
+    * Mechanics: one window over (user, time, event_id) with a FORWARD
+    * frame (1 FOLLOWING → ∞) and a conditional min — no self-join, no
+    * second shuffle; "strictly after" is the frame bound plus the
+    * event_id tiebreak (a same-timestamp error with a later event_id
+    * counts as after — the declared tie rule). All-integer µs.
+    *
+    * Scale: the q31 profile — one user_id shuffle, per-user partitions,
+    * never corpus-sized; output is the purchase subset only. */
+  def x147NextIncident(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      .rowsBetween(1, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("next_err_us",
+        min(when(col("event_type") === "error", col("us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        expr("(next_err_us - us) div 1000000").as("gap_s"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** x142 day-volume distribution positions — the remaining DISTRIBUTION
     * window family (percent_rank, cume_dist, nth_value), deliberately
     * aggregate-fed: each (type, day) daily volume placed within its

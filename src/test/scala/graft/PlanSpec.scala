@@ -741,11 +741,13 @@ class PlanSpec extends SparkSpecBase {
                    operators.TimeSeriesOps.x124RollingActive(spark, sfDir)))
       assert(df.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
         "unexpected window in an aggregate-only plan")
-    // x126: sessionization windows keyed per user, never global
-    val w126 = operators.TimeSeriesOps.x126PathTrigrams(spark, sfDir)
-      .queryExecution.optimizedPlan.collect { case w: LWindow => w }
-    assert(w126.nonEmpty && w126.forall(
-      _.partitionSpec.exists(_.references.exists(_.name == "user_id"))))
+    // x126/x147: per-user windows, never global
+    for (df <- Seq(operators.TimeSeriesOps.x126PathTrigrams(spark, sfDir),
+                   operators.TimeSeriesOps.x147NextIncident(spark, sfDir))) {
+      val ws = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(ws.nonEmpty && ws.forall(
+        _.partitionSpec.exists(_.references.exists(_.name == "user_id"))))
+    }
     // x125: all pairwise work on the (label, dim) aggregate — the
     // embedding table must never product-join itself
     val p125 = planOf(operators.VectorOps.x125ClusterSep(spark, sfDir))
