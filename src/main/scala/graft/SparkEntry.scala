@@ -257,6 +257,7 @@ object SparkEntry {
     "x145_sla_flags"      -> (RelationalOps.x145SlaFlags _),
     "x146_waterfill"      -> (TextOps.x146Waterfill _),
     "x147_next_incident"  -> (TimeSeriesOps.x147NextIncident _),
+    "x148_mutual_nn"      -> (VectorOps.x148MutualNn _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3159,5 +3160,19 @@ object SparkEntry {
          |CAST((next_err_us - us) // 1000000 AS BIGINT) AS gap_s
          |FROM m WHERE event_type = 'purchase'
          |ORDER BY user_id, event_id""".stripMargin,
+
+    // x148: reciprocal top-1 on rounded cosine; ties to the lowest
+    // neighbor id; mutual join on the per-vector argmax rows
+    "x148_mutual_nn" ->
+      s"""WITH p AS (SELECT a.vec_id AS id_a, a.label AS l_a,
+         |  b.vec_id AS id_b, b.label AS l_b,
+         |  ${cosSql("a.embedding", "b.embedding")} AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+         |n AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a
+         |  ORDER BY cos DESC, id_b) AS rk FROM p),
+         |nn AS (SELECT id_a, l_a, id_b, l_b, cos FROM n WHERE rk = 1)
+         |SELECT x.id_a, x.id_b, x.cos, x.l_a = x.l_b AS same_label
+         |FROM nn x JOIN nn y ON x.id_b = y.id_a AND y.id_b = x.id_a
+         |WHERE x.id_a < x.id_b ORDER BY x.id_a""".stripMargin,
   )
 }

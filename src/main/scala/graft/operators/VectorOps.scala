@@ -189,6 +189,45 @@ object VectorOps {
       .select(col("id_a"), col("id_b"), col("cos"))
       .orderBy("id_a", "id_b")
 
+  /** x148 mutual nearest neighbors — the reciprocal-top-1 pairs (a's
+    * nearest is b AND b's nearest is a): the classic high-precision seed
+    * for clustering/dedup (a mutual edge is far stronger evidence than a
+    * one-directional kNN edge) and for bitext-style alignment mining,
+    * plus the label-agreement flag that scores the embedding space
+    * against the fixture's ground-truth labels.
+    *
+    * The per-vector argmax is a map-side-combinable max(struct(cos4,
+    * −id, payload…)) — ordered fields first, so ties break to the LOWEST
+    * neighbor id on the ROUNDED cosine, partition-blind; no per-vector
+    * window over the corpus. Brute-force n² pair generation is the
+    * DECLARED exactness semantics (x07's precedent); the scale path is
+    * the same family as always — x08's IVF probes or x12's SRP bands
+    * generate the candidate lists and the identical mutual-join runs on
+    * top-1-per-vector rows (n rows, one self-equi-join, trivially
+    * scale-safe: the quadratic part is the candidate generator, already
+    * solved elsewhere in this suite). */
+  def x148MutualNn(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val pairs = wide(s, e.select(col("vec_id").as("id_a"),
+        col("embedding").as("e_a"), col("label").as("l_a")))
+      .join(broadcast(e.select(col("vec_id").as("id_b"),
+          col("embedding").as("e_b"), col("label").as("l_b"))),
+        col("id_a") =!= col("id_b"))
+      .withColumn("cos", dround(cosine(col("e_a"), col("e_b")), 4))
+    val nn = pairs
+      .groupBy("id_a", "l_a")
+      .agg(max(struct(col("cos"), (-col("id_b")).as("nid"),
+        col("id_b").as("id_b"), col("l_b").as("l_b"))).as("m"))
+      .select(col("id_a"), col("l_a"),
+        col("m.id_b").as("nn"), col("m.l_b").as("l_b"), col("m.cos").as("cos"))
+    val back = nn.select(col("id_a").as("y_id"), col("nn").as("y_nn"))
+    nn.join(back, col("nn") === col("y_id") && col("y_nn") === col("id_a"))
+      .filter(col("id_a") < col("nn"))
+      .select(col("id_a"), col("nn").as("id_b"), col("cos"),
+        (col("l_a") === col("l_b")).as("same_label"))
+      .orderBy("id_a")
+  }
+
   /** x12 embedding near-dup, PRODUCTION PATH: signed-random-projection
     * banding replaces x07's all-pairs join. The plan at any corpus size:
     *

@@ -67,7 +67,10 @@ class DeterminismSpec extends SparkSpecBase {
     "x144_scan_revenue",
     // x146: the saturation prefix + remainder assignment rank on fully
     // tiebroken integer orders — the allocation must be width-invariant
-    "x146_waterfill")
+    "x146_waterfill",
+    // x148: the per-vector argmax on rounded cosine (map-side-combined
+    // struct max) must pick identical neighbors at any width
+    "x148_mutual_nn")
 
   private def canon(df: DataFrame): Seq[String] = {
     val cols = df.columns.sorted.toSeq

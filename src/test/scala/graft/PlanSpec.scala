@@ -748,6 +748,11 @@ class PlanSpec extends SparkSpecBase {
       assert(ws.nonEmpty && ws.forall(
         _.partitionSpec.exists(_.references.exists(_.name == "user_id"))))
     }
+    // x148: the per-vector argmax is an AGGREGATE (map-side combinable),
+    // never a per-vector window over the corpus
+    assert(operators.VectorOps.x148MutualNn(spark, sfDir)
+      .queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+      "x148 must argmax via aggregate, not a corpus window")
     // x125: all pairwise work on the (label, dim) aggregate — the
     // embedding table must never product-join itself
     val p125 = planOf(operators.VectorOps.x125ClusterSep(spark, sfDir))
