@@ -82,14 +82,22 @@ class PostingsStore(spark: SparkSession, dir: String) {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
   }
 
+  private def fsys = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+
   private def bucketCount: Int = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(new org.apache.hadoop.fs.Path(s"$dir/buckets"))
+    val in = fsys.open(new org.apache.hadoop.fs.Path(s"$dir/buckets"))
     try scala.io.Source.fromInputStream(in).mkString.trim.toInt finally in.close()
   }
 
   /** BM25 top-k over the stored postings for `terms`. Reads only the
-    * buckets the query terms hash to (same xxhash64 as the writer). */
+    * buckets the query terms hash to (same xxhash64 as the writer). A
+    * term can hash to a bucket NO write has ever populated (sparse
+    * corpus, unlucky hash) — those paths are dropped by an existence
+    * probe (|terms| cheap metadata calls, control-plane-sized) instead
+    * of letting the parquet reader throw on a legitimate query; no
+    * surviving bucket means no posting can match, so the result is the
+    * empty top-k, not an error. */
   def bm25(terms: Seq[String], k: Int = 20): DataFrame = {
     val n = bucketCount
     import spark.implicits._
@@ -98,10 +106,43 @@ class PostingsStore(spark: SparkSession, dir: String) {
       .select(pmod(xxhash64(col("term")), lit(n.toLong)).as("tb"))
       .distinct().collect().map(_.getLong(0)).sorted
     val paths = tbs.map(t => s"$dir/postings/tb=$t")
+      .filter(p => fsys.exists(new org.apache.hadoop.fs.Path(p)))
+    if (paths.isEmpty) return PostingsStore.emptyResult(spark)
     val p = spark.read.option("basePath", s"$dir/postings").parquet(paths: _*)
       .filter(col("term").isin(terms: _*))
     val stats = spark.read.parquet(s"$dir/stats")
     PostingsStore.score(p, stats, k)
+  }
+
+  /** Collapse every term-hash bucket back to ONE file generation — the
+    * SignatureStore.compact analogue closing `append`'s small-files
+    * decay (each append lands a new file set beside the residents of
+    * every touched bucket; after B batches a bucket holds B generations
+    * and the per-query open cost grows linearly for no data reason).
+    *
+    * Shape: stage the full rewrite into a fresh sibling directory (one
+    * shuffle into term-hash buckets, the build's own layout — re-sorted
+    * so the (term, doc_id) row-group clustering survives), then swap by
+    * two renames and delete the old generation. A crash before the
+    * second rename leaves the old `postings` dir live (stage dirs are
+    * invisible to readers — bm25 only ever lists `postings/`); a crash
+    * between the renames is the one non-atomic window, same single-writer
+    * assumption SignatureStore.compact documents. Stats and the bucket
+    * count are untouched — compaction moves bytes, never meaning. */
+  def compact(): Unit = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/postings")
+    val gen = java.lang.System.nanoTime()
+    val staged = new org.apache.hadoop.fs.Path(s"$dir/postings_compact_$gen")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/postings_old_$gen")
+    // eager checkpoint is NOT needed here: the rewrite targets a sibling
+    // dir, so the read and the write never touch the same files
+    spark.read.parquet(root.toString)
+      .repartition(col("tb"))
+      .sortWithinPartitions("term", "doc_id")
+      .write.partitionBy("tb").mode("overwrite").parquet(staged.toString)
+    require(fsys.rename(root, old), s"compact: could not retire $root")
+    require(fsys.rename(staged, root), s"compact: could not publish $staged")
+    fsys.delete(old, true)
   }
 }
 
@@ -109,6 +150,18 @@ object PostingsStore {
 
   private val k1 = 1.2
   private val b  = 0.75
+
+  /** The zero-row BM25 result (schema matches [[score]]'s output) — what
+    * a query whose terms all hash to never-written buckets returns. */
+  private[graft] def emptyResult(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("n_terms", LongType, nullable = false),
+        StructField("score", DoubleType))))
+  }
 
   /** BM25 over an already-filtered postings frame: df derives from the
     * posting lists themselves (a ≤|terms|-row aggregate, broadcast back),

@@ -138,10 +138,22 @@ class VersionedStore(spark: SparkSession, dir: String) {
       .union(deleteIds.select("doc_id")).distinct()
     val residentPaths = touched.filter(manifest.contains)
       .map(b => s"$dir/gen=${manifest(b)}/bucket=$b")
+    // Residents are read under version v's RECORDED schema (mirroring
+    // read()): after an additive-schema merge, a touched bucket set can
+    // span generations with different physical schemas, and plain parquet
+    // inference picks a single file's footer — survivors from newer-gen
+    // buckets would silently lose the evolved column and the copy-on-write
+    // rewrite would make the loss permanent (masked as nulls by the
+    // widened recorded schema).
     val resident =
       if (residentPaths.isEmpty) upserts.limit(0)
-      else spark.read.option("basePath", dir).parquet(residentPaths: _*)
-        .drop("gen", "bucket")
+      else {
+        val rd = readSchema(v) match {
+          case Some(st) => spark.read.schema(st).option("basePath", dir)
+          case None     => spark.read.option("mergeSchema", "true").option("basePath", dir)
+        }
+        rd.parquet(residentPaths: _*).drop("gen", "bucket")
+      }
     // allowMissingColumns = ADDITIVE schema evolution: upserts may carry
     // columns the residents predate (survivors null-fill them) and vice
     // versa — the union schema becomes the new version's recorded schema

@@ -1052,8 +1052,13 @@ object StreamOps {
         val days = act.select("day").distinct().collect().map(_.getLong(0)).toSeq
         if (days.nonEmpty) {
           val dir = s"$storeDir/activity"
+          // Hadoop FS probe, not java.io.File: the store dir may live on
+          // HDFS/S3-style paths where a local-file exists() is always
+          // false and the ingest would silently re-create existing state.
+          val fsys = org.apache.hadoop.fs.FileSystem.get(
+            s.sparkContext.hadoopConfiguration)
           val existing =
-            if (new java.io.File(dir).exists())
+            if (fsys.exists(new org.apache.hadoop.fs.Path(dir)))
               s.read.parquet(dir).filter(col("day").isin(days: _*))
                 .select("user_id", "day")
             else act.limit(0).select("user_id", "day")

@@ -51,6 +51,62 @@ class PostingsStoreSpec extends SparkSpecBase {
     assert(servedInc.except(servedFull).isEmpty && servedFull.except(servedInc).isEmpty)
   }
 
+  test("a term hashing to a NEVER-WRITTEN bucket returns empty, not a read error") {
+    // sparse corpus + many buckets: most tb= dirs never exist on disk
+    val dir = java.nio.file.Files.createTempDirectory("postings_ghost").toString
+    val st = new PostingsStore(spark, dir)
+    st.build(Tables.documents(spark, sfDir).filter(col("doc_id") < 5), buckets = 512)
+    val written = new java.io.File(s"$dir/postings").listFiles()
+      .map(_.getName).filter(_.startsWith("tb="))
+      .map(_.stripPrefix("tb=").toLong).toSet
+    assert(written.size < 512, "fixture too dense for a ghost bucket to exist")
+    // find a probe term whose bucket was never written (writer's own hash)
+    val ghost = (0 until 64).map(i => s"ghost_term_$i").find { t =>
+      val tb = spark.range(1).select(
+        pmod(xxhash64(lit(t)), lit(512L)).as("tb")).head().getLong(0)
+      !written.contains(tb)
+    }
+    assert(ghost.isDefined, "no probe term hashed outside the written buckets")
+    // the serving path must return the empty top-k, not throw
+    assert(st.bm25(Seq(ghost.get)).count() === 0)
+    // and a mixed query ignores the ghost-bucket term entirely
+    val mixed = st.bm25(queryTerms :+ ghost.get, k = 20)
+    val base = st.bm25(queryTerms, k = 20)
+    assert(mixed.except(base).isEmpty && base.except(mixed).isEmpty)
+  }
+
+  test("compact collapses append's file generations; served rows and stats unchanged") {
+    val docs = Tables.documents(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("postings_cpt").toString
+    val st = new PostingsStore(spark, dir)
+    st.build(docs.filter(col("doc_id") % 3 === 1), buckets = 16)
+    st.append(docs.filter(col("doc_id") % 3 === 2))
+    st.append(docs.filter(col("doc_id") % 3 === 0))
+    def files(tb: java.io.File) =
+      tb.listFiles().map(_.getName).filter(_.endsWith(".parquet"))
+    val dirsBefore = new java.io.File(s"$dir/postings").listFiles()
+      .filter(_.getName.startsWith("tb="))
+    assert(dirsBefore.exists(files(_).length >= 3),
+      "appends should have left multiple file generations per bucket")
+    val before = st.bm25(queryTerms, k = 20).collect().toSet
+    val statsBefore = spark.read.parquet(s"$dir/stats").head()
+    st.compact()
+    // one file generation per bucket after
+    val dirsAfter = new java.io.File(s"$dir/postings").listFiles()
+      .filter(_.getName.startsWith("tb="))
+    assert(dirsAfter.nonEmpty && dirsAfter.forall(files(_).length === 1),
+      s"buckets still fragmented: ${dirsAfter.map(d => files(d).length).toSeq}")
+    assert(dirsAfter.map(_.getName).toSet === dirsBefore.map(_.getName).toSet,
+      "compact must preserve the bucket spec")
+    // read equality through the compaction; stats untouched
+    assert(st.bm25(queryTerms, k = 20).collect().toSet === before)
+    assert(spark.read.parquet(s"$dir/stats").head() === statsBefore)
+    // pruning still bites: a query touches ≤ |terms| of the 16 buckets
+    val touched = st.bm25(queryTerms, k = 20).inputFiles
+      .filter(_.contains("/tb=")).map(_.split("/tb=")(1).split("/")(0)).toSet
+    assert(touched.size <= queryTerms.size)
+  }
+
   test("an unindexed term contributes nothing; empty query intersection returns no rows") {
     val dir = java.nio.file.Files.createTempDirectory("postings2").toString
     val st = new PostingsStore(spark, dir)

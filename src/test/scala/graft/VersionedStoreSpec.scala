@@ -150,6 +150,37 @@ class VersionedStoreSpec extends SparkSpecBase {
     assert(feed.nonEmpty && feed.forall(_._2 == "changed"))
   }
 
+  test("subset-bucket merge after an evolving merge keeps evolved values (mixed-gen resident read)") {
+    val (st, dir) = fresh()
+    // v1: evolving merge touching ONLY buckets {1,3,5,7} (doc_id%10∈{1,3},
+    // no deletes) — buckets {0,2,4,6} stay on gen 0 without the column
+    val v1 = st.merge(upserts.withColumn("quality", col("doc_id") % 7),
+      deletes.limit(0))
+    // v2: a merge whose touched buckets span BOTH generations — doc 4 is
+    // in a gen-0 bucket (no quality on disk), doc 5's bucket is gen-1
+    // (quality present). The resident read must use v1's recorded schema;
+    // single-footer parquet inference could drop the evolved column from
+    // the gen-1 survivors and the rewrite would make that loss permanent.
+    val v2 = st.merge(
+      newSnap.filter(col("doc_id").isin(4L, 5L))
+        .withColumn("text", concat(col("text"), lit(" rev3"))),
+      deletes.limit(0))
+    // strict subset of buckets rewritten
+    val g2 = new java.io.File(s"$dir/gen=$v2").listFiles()
+      .map(_.getName).filter(_.startsWith("bucket=")).toSet
+    assert(g2.nonEmpty && g2.size < 8, s"expected a strict bucket subset: $g2")
+    val r2 = st.read(Some(v2))
+    // every v1-upserted row still carries its evolved value — including
+    // the SURVIVORS rewritten as residents of v2's touched buckets
+    assert(r2.filter(col("doc_id") % 10 === 3 && col("quality").isNull).count() === 0,
+      "gen-1 survivors lost their evolved column through the subset merge")
+    assert(r2.filter(pmod(col("doc_id"), lit(8L)) === 5 && col("doc_id") % 10 === 3
+        && col("quality").isNull).count() === 0,
+      "rows co-bucketed with the merge lost quality")
+    same(r2.drop("quality").filter(!col("doc_id").isin(4L, 5L)),
+      st.read(Some(v1)).drop("quality").filter(!col("doc_id").isin(4L, 5L)))
+  }
+
   test("compact collapses the snapshot into one generation; vacuum then reclaims all older gens") {
     val (st, dir) = fresh()
     val v1 = st.merge(upserts, deletes)
