@@ -235,7 +235,7 @@ object SparkEntry {
     "x123_retention"      -> (TimeSeriesOps.x123Retention _),
     "x124_rolling_active" -> (TimeSeriesOps.x124RollingActive _),
     "x125_cluster_sep"    -> (VectorOps.x125ClusterSep _),
-    "x126_path_trigrams"  -> (TimeSeriesOps.x126PathTrigrams _),
+    "x126_markov_trans"   -> (TimeSeriesOps.x126MarkovTransitions _),
     "x127_chunk_manifest" -> ((s, d) => MultimodalOps.x127ChunkManifest(s, d)),
     "x128_grouping_sets"  -> (RelationalOps.x128GroupingSets _),
     "x129_streaks"        -> (TimeSeriesOps.x129Streaks _),
@@ -2824,9 +2824,10 @@ object SparkEntry {
         |ROUND(db.min_sep, 6) AS min_sep, ROUND(db.dbv, 4) AS db_index
         |FROM msd JOIN db ON db.la = msd.label ORDER BY label""".stripMargin,
 
-    // x126: the x20 sessionization CTEs + ordered per-session type list,
-    // 3-slices via the x17-style inclusive list slicing; all-integer
-    "x126_path_trigrams" ->
+    // x126: the x20 sessionization CTEs + one lead pair with the
+    // same-session filter (x90's island trick); all-integer counts, one
+    // rounded divide; window SUM over BIGINT is HUGEINT in DuckDB → CAST
+    "x126_markov_trans" ->
       s"""WITH e AS ($E),
          |g AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
          |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us FROM e),
@@ -2834,12 +2835,15 @@ object SparkEntry {
          |  THEN 1 ELSE 0 END AS brk FROM g),
          |s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session FROM b),
-         |p AS (SELECT user_id, session,
-         |  list(event_type ORDER BY us, event_id) AS types FROM s GROUP BY 1, 2),
-         |t AS (SELECT array_to_string(types[i:i+2], ' ') AS path FROM p,
-         |  UNNEST(generate_series(1, len(types) - 2)) AS u(i))
-         |SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM t
-         |GROUP BY path ORDER BY n DESC, path LIMIT 20""".stripMargin,
+         |t AS (SELECT event_type AS t_from, session,
+         |  lead(event_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS t_to,
+         |  lead(session) OVER (PARTITION BY user_id ORDER BY us, event_id) AS s2 FROM s),
+         |m AS (SELECT t_from, t_to, COUNT(*) AS n FROM t
+         |  WHERE t_to IS NOT NULL AND s2 = session GROUP BY 1, 2)
+         |SELECT t_from, t_to, CAST(n AS BIGINT) AS n,
+         |CAST(SUM(n) OVER (PARTITION BY t_from) AS BIGINT) AS n_from,
+         |ROUND(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY t_from) AS DOUBLE), 4) AS p
+         |FROM m ORDER BY t_from, t_to""".stripMargin,
 
     // x127: byte-level chunking over the ASCII slice (byte k IS char k —
     // x19's trick), sha256 prefixes; both engines hash the same bytes

@@ -966,7 +966,11 @@ object TimeSeriesOps {
     * (n DESC, path). Two leads over the one user-shuffled sort; the
     * session-id equality filter (same island for all three) replaces a
     * pairwise self-join — no quadratic candidate step. Count-ordered
-    * with the full path as tie-break: deterministic. */
+    * with the full path as tie-break: deterministic. The same
+    * sessionization's BIGRAM statistic, row-normalized into transition
+    * probabilities, is [[x126MarkovTransitions]] — complementary, not
+    * overlapping: this is a top-k pattern cut, that is the complete
+    * fitted matrix. */
   def x90PathTrigrams(s: SparkSession, d: String): DataFrame = {
     val gapUs = 6L * 3600L * 1000000L
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1562,42 +1566,45 @@ object TimeSeriesOps {
       .orderBy("event_type", "hr")
   }
 
-  /** x126 session path mining — the top 20 three-step event-type paths
-    * users actually walk inside x20's 6-hour-gap sessions. x59's funnel
-    * asks "how many users complete THIS path"; this is its discovery
-    * dual: which paths dominate, the input a funnel analysis starts
-    * from (and a Markov attribution model's transition counts).
+  /** x126 session Markov transition matrix — the exact first-order
+    * transition probabilities between consecutive event types inside
+    * x20's 6-hour-gap sessions: for every ordered pair (t_from, t_to)
+    * observed, the integer transition count, the t_from row marginal,
+    * and p = n / n_from. This is the statistic a Markov attribution /
+    * next-action model is FIT from — [[x90PathTrigrams]] (top-20 trigram
+    * COUNTS, same sessionization) cannot express it: the matrix is
+    * complete (no top-k cut), bigram-granular, and row-normalized.
+    * Re-specced in round 10 from a trigram-path form that duplicated x90.
     *
-    * Plan: the x20 sessionization windows (per-user, bounded), one
-    * per-session collect into the ordered type sequence (sessions are
-    * gap-bounded — the array is a session's events, never a user's
-    * history), then the SAME [[graft.functions.TextExpressions
-    * .wordShingles]] codegen kernel the text stack uses cuts 3-step
-    * paths — one explode into a map-side-combined count whose key space
-    * is ≤ |event types|³ = 125, so the final exchange is constant-width.
-    * Order inside a session is (µs, event_id) — unique tiebreak, so the
-    * collected sequence is deterministic under any partitioning. */
-  def x126PathTrigrams(s: SparkSession, d: String): DataFrame = {
+    * Plan: ONE `lead` pair over the one user-shuffled (µs, event_id)
+    * sort (x90's same-island filter — no session array is ever
+    * materialized), then a map-side-combined count whose key space is
+    * ≤ |event types|² = 25; the row-marginal window runs over that
+    * aggregate (constant-width — not the q29 unpartitioned-window trap),
+    * so nothing after the first shuffle is corpus-sized. All-integer
+    * until the single rounded divide. */
+  def x126MarkovTransitions(s: SparkSession, d: String): DataFrame = {
     val gapUs = 6L * 3600L * 1000000L
     val w = Window.partitionBy("user_id").orderBy("us", "event_id")
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sess = Tables.events(s, d)
+    val trans = Tables.events(s, d)
       .select(col("user_id"), col("event_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))
       .withColumn("prev_us", lag("us", 1).over(w))
       .withColumn("brk",
         when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
           .otherwise(0L))
-      .withColumn("session", sum("brk").over(run))
-    val paths = sess.groupBy("user_id", "session")
-      .agg(transform(
-        array_sort(collect_list(struct(col("us"), col("event_id"), col("event_type")))),
-        x => x.getField("event_type")).as("types"))
-    paths
-      .select(explode(
-        graft.functions.TextExpressions.wordShingles(col("types"), 3)).as("path"))
-      .groupBy("path").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("path"))
-      .limit(20)
+      .withColumn("sess", sum("brk").over(run))
+      .withColumn("t_to", lead("event_type", 1).over(w))
+      .withColumn("s2", lead("sess", 1).over(w))
+      .filter(col("t_to").isNotNull && col("s2") === col("sess"))
+      .groupBy(col("event_type").as("t_from"), col("t_to"))
+      .agg(count(lit(1)).as("n"))
+    val wf = Window.partitionBy("t_from")
+    trans
+      .withColumn("n_from", sum("n").over(wf))
+      .withColumn("p",
+        dround(col("n").cast("double") / col("n_from").cast("double"), 4))
+      .orderBy("t_from", "t_to")
   }
 }

@@ -741,12 +741,22 @@ class PlanSpec extends SparkSpecBase {
                    operators.TimeSeriesOps.x124RollingActive(spark, sfDir)))
       assert(df.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
         "unexpected window in an aggregate-only plan")
-    // x126/x147: per-user windows, never global
-    for (df <- Seq(operators.TimeSeriesOps.x126PathTrigrams(spark, sfDir),
-                   operators.TimeSeriesOps.x147NextIncident(spark, sfDir))) {
+    // x147: per-user windows, never global
+    for (df <- Seq(operators.TimeSeriesOps.x147NextIncident(spark, sfDir))) {
       val ws = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
       assert(ws.nonEmpty && ws.forall(
         _.partitionSpec.exists(_.references.exists(_.name == "user_id"))))
+    }
+    // x126: sessionization windows are per-user; the row-marginal window
+    // is allowed only because it runs over the (t_from, t_to) AGGREGATE
+    // (≤ |types|² rows) — any other corpus-fed global window is a bug
+    locally {
+      val df = operators.TimeSeriesOps.x126MarkovTransitions(spark, sfDir)
+      val ws = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(ws.nonEmpty && ws.forall { w =>
+        w.partitionSpec.exists(_.references.exists(_.name == "user_id")) ||
+          w.collect { case a: Aggregate => a }.nonEmpty
+      }, s"corpus-fed window in x126:\n${df.queryExecution.optimizedPlan}")
     }
     // x148: the per-vector argmax is an AGGREGATE (map-side combinable),
     // never a per-vector window over the corpus

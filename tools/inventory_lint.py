@@ -16,11 +16,24 @@ Exit 1 on any mismatch.
 
 Usage: python3 tools/inventory_lint.py
 """
+import os
 import re
 import sys
 
 SURVEY = "SURVEY.md"
 ENTRY = "src/main/scala/graft/SparkEntry.scala"
+GOLDEN = "src/test/resources/golden"
+
+# Intentional output-identical pairs: each is a declared exactness/production
+# twin whose EQUALITY is the point (spec-pinned), not registry padding.
+# Any OTHER pair of registry keys with identical golden (hash, rows) is the
+# x90≈x126 self-duplication class the r9 verdict flagged — a FAIL.
+ALLOWED_TWINS = {
+    frozenset({"q17_asof", "x13_asof_exec"}),          # same as-of join, custom exec path
+    frozenset({"x17_contamination", "x50_bloom_contamination"}),  # bloom ≡ exact
+    frozenset({"q21_approx_distinct", "x63_sketch_union"}),       # sketch-union ≡ direct HLL
+    frozenset({"x07_embed_neardup", "x12_embed_neardup_lsh"}),    # LSH ≡ exact pairs
+}
 
 
 def main() -> int:
@@ -51,6 +64,30 @@ def main() -> int:
         bad += 1
     for k in missing_twin:
         print(f"queries key {k} has no oracleSql twin")
+        bad += 1
+
+    # Semantic-duplication guard (GoldenSpec's sf0.001 canonical hashes are
+    # checked in — two registry keys with the same (hash, rows) compute the
+    # same statistic unless allowlisted above as an intentional twin).
+    by_hash = {}
+    for f in os.listdir(GOLDEN):
+        if f.endswith(".sha256"):
+            key = f[: -len(".sha256")]
+            sig = open(os.path.join(GOLDEN, f)).read().strip()
+            by_hash.setdefault(sig, []).append(key)
+    for sig, keys in sorted(by_hash.items()):
+        if len(keys) < 2:
+            continue
+        rows = sig.split()[1]
+        if frozenset(keys) in ALLOWED_TWINS:
+            if rows == "0":
+                print(f"note: twin pair {sorted(keys)} is vacuously equal "
+                      f"(0 rows at sf0.001) — equality is spec-pinned elsewhere")
+            continue
+        print(f"DUPLICATE: {sorted(keys)} share golden output "
+              f"({rows} rows, {sig.split()[0][:12]}…) — same statistic "
+              f"under two registry keys (x90/x126 class); allowlist only "
+              f"if the equality is intentional AND spec-pinned")
         bad += 1
 
     n = len(reg_x)

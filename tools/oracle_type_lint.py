@@ -22,6 +22,7 @@ Binding only (duckdb relation .types) — no query executes, so this is
 seconds even with 175 twins.  Exit 1 on any hit.
 """
 import json
+import re
 import sys
 
 import duckdb
@@ -43,6 +44,24 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
     oracle = json.load(open(ORACLE))
+    # Staleness gate (r9 verdict: the lint ran against a round-old dump and
+    # silently type-checked only 175 of 205 twins).  The dump must carry
+    # exactly the oracleSql registry of the CURRENT SparkEntry.scala — count
+    # twinned keys the same way inventory_lint does and hard-fail on drift.
+    entry = open("src/main/scala/graft/SparkEntry.scala", encoding="utf-8").read()
+    counts = {}
+    for k in re.findall(r'"((?:x|q)\d+[a-z0-9_]*)"\s*->', entry):
+        counts[k] = counts.get(k, 0) + 1
+    registry = {k for k, c in counts.items() if c >= 2}
+    if set(oracle) != registry:
+        stale = sorted(set(oracle) - registry)
+        missing = sorted(registry - set(oracle))
+        print(f"STALE-DUMP: oracle_sql.json has {len(oracle)} twins, "
+              f"SparkEntry has {len(registry)} — re-dump via graft.Verify "
+              f"(tools/lint.sh does this). "
+              f"stale={stale[:5]}{'…' if len(stale) > 5 else ''} "
+              f"missing={missing[:5]}{'…' if len(missing) > 5 else ''}")
+        sys.exit(1)
     bad = 0
     for name in sorted(oracle):
         try:
