@@ -211,6 +211,16 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] x77_lsh failed: ${e.getMessage}"); Nil
     }
+    // x148's production path: IVF candidate edges → the same mutual-top-1
+    // kernel — priced against the declared brute-force n² row (r9 item 1)
+    val x148Ivf = if (only.exists(!_("x148_ivf"))) Nil else try {
+      val t0 = System.nanoTime()
+      operators.VectorOps.x148MutualNnIvf(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      Seq("x148_ivf" -> (System.nanoTime() - t0) / 1e9)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] x148_ivf failed: ${e.getMessage}"); Nil
+    }
     // x93's tolerance-accepting shape: 2×32 bands (≈1e-4 miss at the j=0.5
     // floor) vs the declared verified-exact 2×128 row — the band-depth
     // trade priced per-round instead of only in BASELINE's bandstress table
@@ -440,7 +450,7 @@ object Bench {
         val slowest = results.sortBy(-_._2).take(n).map(_._1)
         slowest.flatMap(name => isolateOne(name, sfDir, cpus))
       }.getOrElse(Nil)
-    val qs = (results ++ ccOnly ++ x77Lsh ++ x93B32 ++ x83Store ++ q10Bucketed ++ tsStore ++ x42Store ++ x42CcIncr ++ x08Store ++ x58Store ++ mergeRows ++ x64Rollup)
+    val qs = (results ++ ccOnly ++ x77Lsh ++ x148Ivf ++ x93B32 ++ x83Store ++ q10Bucketed ++ tsStore ++ x42Store ++ x42CcIncr ++ x08Store ++ x58Store ++ mergeRows ++ x64Rollup)
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val warm = warmRows.map { case (k, v) => "\"" + k + "\":" + v }

@@ -200,30 +200,84 @@ object VectorOps {
     * −id, payload…)) — ordered fields first, so ties break to the LOWEST
     * neighbor id on the ROUNDED cosine, partition-blind; no per-vector
     * window over the corpus. Brute-force n² pair generation is the
-    * DECLARED exactness semantics (x07's precedent); the scale path is
-    * the same family as always — x08's IVF probes or x12's SRP bands
-    * generate the candidate lists and the identical mutual-join runs on
-    * top-1-per-vector rows (n rows, one self-equi-join, trivially
-    * scale-safe: the quadratic part is the candidate generator, already
-    * solved elsewhere in this suite). */
-  def x148MutualNn(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-    val pairs = wide(s, e.select(col("vec_id").as("id_a"),
-        col("embedding").as("e_a"), col("label").as("l_a")))
-      .join(broadcast(e.select(col("vec_id").as("id_b"),
-          col("embedding").as("e_b"), col("label").as("l_b"))),
+    * DECLARED exactness semantics (x07's precedent); the PRODUCTION path
+    * is [[x148MutualNnIvf]] — x08's IVF probes generate ~2·n^1.5 candidate
+    * edges and the identical [[mutualTop1]] kernel runs on top; X148Spec
+    * pins candidate-fed ≡ exact on a planted clustered corpus. */
+  def x148MutualNn(s: SparkSession, d: String): DataFrame =
+    withSameLabel(s, d, mutualTop1(mutualExactEdges(wide(s, emb(s, d)), emb(s, d))))
+
+  /** x148's candidate-fed PRODUCTION path: mutual nearest neighbors where
+    * each vector's top-1 comes from its IVF candidate set instead of the
+    * full corpus. Candidate generation is x08's machinery verbatim —
+    * [[seedCents]] (√n centroids), [[assignCells]] (one corpus scan,
+    * broadcast centroids), [[probeClusters]] with the WHOLE corpus as the
+    * probe set (nprobe closest cells each) — then one shuffled equi-join
+    * on cluster id yields directed candidate edges: each cell holds ~√n
+    * members and receives ~nprobe·√n probes, so total edge volume is
+    * ~nprobe·n^1.5, never n². The probe-cluster frame is NOT broadcast
+    * here (it is corpus-sized — unlike x08's 10-probe search). On top,
+    * the identical [[mutualTop1]] argmax + reciprocal join as the declared
+    * exactness twin. Same trust contract as x08/x12: the x37 recall gate
+    * decides per-corpus whether the index's candidates are faithful; on a
+    * clustered corpus the output is row-identical to [[x148MutualNn]]
+    * (X148Spec), on the near-uniform fixture the gate says to use the
+    * exact path. */
+  def x148MutualNnIvf(s: SparkSession, d: String, nprobe: Int = 2): DataFrame =
+    withSameLabel(s, d, mutualTop1(mutualIvfEdges(wide(s, emb(s, d)), emb(s, d), nprobe)))
+
+  /** Exact directed edge set over an arbitrary corpus: all n² ordered
+    * pairs with the rounded cosine. `narrow` re-supplies the broadcast
+    * build side (the fixture passes the raw scan, not the widened frame). */
+  private[graft] def mutualExactEdges(wideCorpus: DataFrame, narrow: DataFrame): DataFrame =
+    wideCorpus.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
+      .join(broadcast(narrow.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))),
         col("id_a") =!= col("id_b"))
-      .withColumn("cos", dround(cosine(col("e_a"), col("e_b")), 4))
-    val nn = pairs
-      .groupBy("id_a", "l_a")
+      .select(col("id_a"), col("id_b"),
+        dround(cosine(col("e_a"), col("e_b")), 4).as("cos"))
+
+  /** IVF directed candidate edges over an arbitrary corpus — see
+    * [[x148MutualNnIvf]] for the plan and volume math. */
+  private[graft] def mutualIvfEdges(wideCorpus: DataFrame, narrow: DataFrame,
+                                    nprobe: Int): DataFrame = {
+    val cents = seedCents(narrow)
+    val assigned = assignCells(wideCorpus, cents)
+    val probes = narrow
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    assigned.join(probeClusters(cents, probes, nprobe), Seq("cluster"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id").as("id_a"), col("vec_id").as("id_b"),
+        dround(cosine(col("p_emb"), col("embedding")), 4).as("cos"))
+  }
+
+  /** The mutual-top-1 kernel over DIRECTED candidate edges (id_a, id_b,
+    * cos) — candidate-blind: [[x148MutualNn]] feeds it the exact n² edges,
+    * [[x148MutualNnIvf]] the IVF candidates. Per-source argmax as a
+    * map-side-combinable max(struct(cos, −id_b)) — ordered fields first,
+    * so ties break to the LOWEST neighbor id on the ROUNDED cosine,
+    * partition-blind; no per-vector window over the edge set. Then the
+    * reciprocal self-equi-join runs on n top-1 rows. */
+  private[graft] def mutualTop1(directed: DataFrame): DataFrame = {
+    val nn = directed
+      .groupBy("id_a")
       .agg(max(struct(col("cos"), (-col("id_b")).as("nid"),
-        col("id_b").as("id_b"), col("l_b").as("l_b"))).as("m"))
-      .select(col("id_a"), col("l_a"),
-        col("m.id_b").as("nn"), col("m.l_b").as("l_b"), col("m.cos").as("cos"))
+        col("id_b").as("id_b"))).as("m"))
+      .select(col("id_a"), col("m.id_b").as("nn"), col("m.cos").as("cos"))
     val back = nn.select(col("id_a").as("y_id"), col("nn").as("y_nn"))
     nn.join(back, col("nn") === col("y_id") && col("y_nn") === col("id_a"))
       .filter(col("id_a") < col("nn"))
-      .select(col("id_a"), col("nn").as("id_b"), col("cos"),
+      .select(col("id_a"), col("nn").as("id_b"), col("cos"))
+  }
+
+  /** x148's output tail: attach both labels (two n-row equi-joins — AQE
+    * broadcasts at fixture scale, co-shuffles at 100 TB) and flag
+    * same-label agreement. */
+  private def withSameLabel(s: SparkSession, d: String, pairs: DataFrame): DataFrame = {
+    val lab = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    pairs
+      .join(lab.select(col("vec_id").as("id_a"), col("label").as("l_a")), "id_a")
+      .join(lab.select(col("vec_id").as("id_b"), col("label").as("l_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("cos"),
         (col("l_a") === col("l_b")).as("same_label"))
       .orderBy("id_a")
   }
