@@ -3,7 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.MinHashLSH
 import graft.functions.Rounding.dround
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1142,8 +1142,9 @@ object TextOps {
     val n     = cms.totalCount()
     val thr   = n / 800
     val slack = math.ceil(eps * n).toLong
-    val bc    = s.sparkContext.broadcast(cms)
-    val est   = udf((g: String) => bc.value.estimateCount(g))
+    // codegen point query (graft.functions.CmsEstimate) — the sketch rides
+    // the plan, no per-row String decode/boxing in the scan stage
+    def est(c: Column): Column = graft.functions.SketchExpressions.cmsEstimate(c, cms)
     grams.filter(est(col("gram")) >= thr)
       .groupBy("gram").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= thr)
@@ -1186,10 +1187,8 @@ object TextOps {
     val bench = shingles(docs.filter(col("doc_id") < 20)).distinct()
       .select(col("doc_id").as("bench_id"), col("shingle"))
     val bloom = bench.stat.bloomFilter("shingle", 1 << 16, 0.01)
-    val bc    = s.sparkContext.broadcast(bloom)
-    val hit   = udf((sh: String) => bc.value.mightContainString(sh))
     shingles(docs.filter(col("doc_id") >= 20))
-      .filter(hit(col("shingle")))
+      .filter(graft.functions.SketchExpressions.bloomMightContain(col("shingle"), bloom))
       .distinct()
       .join(bench, "shingle")
       .groupBy("doc_id", "bench_id")
@@ -1228,8 +1227,8 @@ object TextOps {
     val docs = Tables.documents(s, d)
     val ref = sh(docs.filter(col("doc_id") < 100)).select("shingle").distinct()
     val bloom = ref.stat.bloomFilter("shingle", 1 << 16, 0.01)
-    val bc = s.sparkContext.broadcast(bloom)
-    val maybeSeen = udf((sh: String) => bc.value.mightContainString(sh))
+    def maybeSeen(c: Column): Column =
+      graft.functions.SketchExpressions.bloomMightContain(c, bloom)
     val tagged = sh(docs.filter(col("doc_id") >= 100))
     val sureNovel = tagged.filter(!maybeSeen(col("shingle")))
       .select(col("doc_id"), lit(1).as("novel"))

@@ -1389,7 +1389,8 @@ object TimeSeriesOps {
     * the spine join, lead windows, and moment sums all run over the
     * AGGREGATE (|types|·|hours| rows). The ACF itself is assembled from
     * INTEGER sums only — with m = S/n, both numerator and denominator
-    * scale by n² into exact BIGINTs:
+    * scale by n² into exact integers (decimal(38,0) here ↔ HUGEINT in
+    * the twin — the 100 TB posture: S² wraps a long at S ≈ 3e9):
     *   num_k·n² = n²·Σc_t·c_{t+k} − n·S·(H_k+T_k) + (n−k)·S²
     *   den·n²   = n²·Σc² − n·S²
     * so each engine performs ONE double divide on identical integers. */
@@ -1417,10 +1418,16 @@ object TimeSeriesOps {
       sum(col("c") * col("c")).as("qq")) ++ lagSums(1) ++ lagSums(2) ++ lagSums(3)
     val m = led.groupBy("event_type").agg(aggCols.head, aggCols.tail: _*)
     def r(k: Int) = {
-      val num = col("n") * col("n") * col(s"xy$k") -
-        col("n") * col("ss") * (col(s"h$k") + col(s"t$k")) +
-        (col("n") - k) * col("ss") * col("ss")
-      val den = col("n") * col("n") * col("qq") - col("n") * col("ss") * col("ss")
+      // moment products in decimal(38,0) (the x125 idiom): LongType would
+      // wrap silently at S ≈ 3e9 events per type (S² term) while the
+      // twin's uncast HUGEINT sums stay exact — the n²-scaled terms top
+      // out ~1e29 at a 100 TB corpus, well inside 38 digits
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val (dn, dss, dqq) = (dec(col("n")), dec(col("ss")), dec(col("qq")))
+      val num = dn * dn * dec(col(s"xy$k")) -
+        dn * dss * dec(col(s"h$k") + col(s"t$k")) +
+        dec(col("n") - k) * dss * dss
+      val den = dn * dn * dqq - dn * dss * dss
       struct(lit(k).as("lag"),
         dround(num.cast("double") / den.cast("double"), 4).as("r"))
     }

@@ -173,6 +173,40 @@ class FunctionsSpec extends SparkSpecBase {
     assert(short.isEmpty)
   }
 
+  test("sketch probe kernels are bitwise-identical to the udf path") {
+    // the r9 item-7 contract: BloomMightContain / CmsEstimate (UTF8String
+    // bytes, codegen) must agree row-for-row with the String-decoding udf
+    // probes they replaced — spark-sketch hashes the UTF-8 bytes either way
+    import org.apache.spark.sql.functions.udf
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val bloom = toks.filter(length(col("tok")) > 4).stat.bloomFilter("tok", 1 << 12, 0.01)
+    val cms = toks.stat.countMinSketch("tok", 1e-3, 0.99, 42)
+    val udfBloom = udf((t: String) => bloom.mightContainString(t))
+    val udfCms = udf((t: String) => cms.estimateCount(t))
+    val diff = toks
+      .select(col("tok"),
+        graft.functions.SketchExpressions.bloomMightContain(col("tok"), bloom).as("kb"),
+        udfBloom(col("tok")).as("ub"),
+        graft.functions.SketchExpressions.cmsEstimate(col("tok"), cms).as("kc"),
+        udfCms(col("tok")).as("uc"))
+      .filter(col("kb") =!= col("ub") || col("kc") =!= col("uc"))
+      .count()
+    assert(diff === 0L)
+    // multibyte path: non-ASCII keys hash the same bytes too
+    import spark.implicits._
+    val uni = Seq("héllo wörld ", "日本語テキスト", "emoji 🎄 tail").toDF("tok")
+    val uniDiff = uni
+      .select(
+        graft.functions.SketchExpressions.bloomMightContain(col("tok"), bloom).as("kb"),
+        udfBloom(col("tok")).as("ub"),
+        graft.functions.SketchExpressions.cmsEstimate(col("tok"), cms).as("kc"),
+        udfCms(col("tok")).as("uc"))
+      .filter(col("kb") =!= col("ub") || col("kc") =!= col("uc"))
+      .count()
+    assert(uniDiff === 0L)
+  }
+
   test("vec_dot SQL registration works") {
     graft.functions.VectorExpressions.register(spark)
     Tables.embeddings(spark, sfDir).limit(5).createOrReplaceTempView("emb_t")

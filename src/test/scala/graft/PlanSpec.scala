@@ -328,8 +328,10 @@ class PlanSpec extends SparkSpecBase {
   test("x49: sketch screen sits below the only data shuffle") {
     val df = operators.TextOps.x49HeavyHitters(spark, sfDir)
     val p = planOf(df)
-    // the CMS point-query filter screens in the scan stage...
-    assert(p.contains("UDF"), s"sketch screen filter missing:\n$p")
+    // the CMS point-query filter screens in the scan stage (the codegen
+    // kernel, not a ScalaUDF — r9 item 7)...
+    assert(p.contains("cms_estimate"), s"sketch screen filter missing:\n$p")
+    assert(!p.contains("UDF"), s"ScalaUDF crept back into the screen:\n$p")
     // ...so the single hash exchange carries candidate occurrences only;
     // a second hash exchange would mean a vocabulary-wide shuffle crept in
     val simple = df.queryExecution.explainString(ExplainMode.fromString("simple"))
@@ -341,13 +343,13 @@ class PlanSpec extends SparkSpecBase {
   test("x50: Bloom screen filters the corpus before distinct and join") {
     val df = operators.TextOps.x50BloomContamination(spark, sfDir)
     // structural: the corpus-side distinct aggregate must sit ABOVE a
-    // Filter holding the Bloom UDF probe — i.e. the screen runs in the
+    // Filter holding the Bloom probe kernel — i.e. the screen runs in the
     // scan stage and the corpus never shuffles unscreened
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter => LFilter}
-    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    import graft.functions.BloomMightContain
     val screened = df.queryExecution.optimizedPlan.collect {
       case a: Aggregate if a.collectLeaves().nonEmpty &&
-        a.collect { case f: LFilter if f.condition.exists(_.isInstanceOf[ScalaUDF]) => f }.nonEmpty => a
+        a.collect { case f: LFilter if f.condition.exists(_.isInstanceOf[BloomMightContain]) => f }.nonEmpty => a
     }
     assert(screened.nonEmpty, "no aggregate found above the Bloom-probe filter")
     val p = planOf(df)
@@ -386,12 +388,12 @@ class PlanSpec extends SparkSpecBase {
   test("x54: the exact join's input is Bloom-prescreened; no product joins") {
     val df = operators.TextOps.x54Novelty(spark, sfDir)
     // the join must consume only "maybe seen" shingles: a Filter holding
-    // the Bloom UDF probe sits below the join (x50's assertion, transposed)
+    // the Bloom probe kernel sits below the join (x50's assertion, transposed)
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, Join}
-    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    import graft.functions.BloomMightContain
     val screenedJoins = df.queryExecution.optimizedPlan.collect {
       case j: Join if j.collect {
-        case f: LFilter if f.condition.exists(_.isInstanceOf[ScalaUDF]) => f
+        case f: LFilter if f.condition.exists(_.isInstanceOf[BloomMightContain]) => f
       }.nonEmpty => j
     }
     assert(screenedJoins.nonEmpty, "no join found above a Bloom-probe filter")
