@@ -1118,16 +1118,36 @@ object StreamOps {
     * base and the list drops them, so live state is O(spans inside the
     * horizon), not O(history). Output after each batch is the key's
     * current snapshot (sealed + live); `n_iv` (events folded so far) is
-    * monotone, so the final snapshot per key is its max-n_iv row. */
-  class IntervalUnionProcessor(lenUs: Long)
+    * monotone, so the final snapshot per key is its max-n_iv row.
+    *
+    * Key retirement: sealing bounds the SPAN lists, but the per-key base
+    * survives forever — on a production key space (users are open-ended,
+    * unlike ST24's langs) that is O(every user ever seen). TTLConfig is
+    * processing-time-only in Spark and this processor is event-time, so
+    * `idleRetirement` wires the event-time equivalent: each batch re-arms
+    * a per-key timer at (latest span end + idle); when the WATERMARK
+    * passes it — the user produced nothing in-horizon for the whole idle
+    * window, so every span is sealed and the last emitted snapshot is
+    * final — the key's state drops entirely. A user returning later
+    * restarts from zero, the same documented trade as ST10's TTL (an
+    * aged-out member stops pairing); leave it None to keep full history.
+    * RocksDbStateSpec pins: retired keys hold zero state rows under a
+    * long replay, in-horizon results are unchanged, and a post-retirement
+    * return restarts the fold. */
+  class IntervalUnionProcessor(lenUs: Long,
+                               idleRetirement: Option[java.time.Duration] = None)
       extends StatefulProcessor[Long, SessEvent, CoverOut] {
     @transient private var live: ListState[Span] = _
     @transient private var base: ValueState[CoverBase] = _
+    @transient private var retireAt: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       live = getHandle.getListState[Span]("live", Encoders.product[Span], TTLConfig.NONE)
       base = getHandle.getValueState[CoverBase](
         "base", Encoders.product[CoverBase], TTLConfig.NONE)
+      if (idleRetirement.isDefined)
+        retireAt = getHandle.getValueState[Long](
+          "retireAt", Encoders.scalaLong, TTLConfig.NONE)
     }
 
     override def handleInputRows(key: Long, rows: Iterator[SessEvent],
@@ -1154,8 +1174,30 @@ object StreamOps {
         sealed_us = b.sealed_us + frozen.map(s => s.s1 - s.s0).sum)
       base.update(b)
       if (alive.isEmpty) live.clear() else live.put(alive.toArray)
+      // re-arm the idle-retirement timer: spans are disjoint and sorted,
+      // so merged.last.s1 is the user's latest covered instant
+      idleRetirement.foreach { idle =>
+        getHandle.listTimers().foreach(getHandle.deleteTimer)
+        val at = merged.last.s1 / 1000L + idle.toMillis
+        getHandle.registerTimer(at)
+        retireAt.update(at)
+      }
       Iterator.single(CoverOut(key, b.n_iv, b.n_sealed + alive.size,
         (b.sealed_us + alive.map(s => s.s1 - s.s0).sum) / 1000000L))
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+                                    expiredTimerInfo: ExpiredTimerInfo): Iterator[CoverOut] = {
+      // watermark passed latest-end + idle: nothing in-horizon can touch
+      // this key again without a NEW event, and the last snapshot already
+      // carried every span — retire the key wholesale. The retireAt guard
+      // makes this robust to a same-batch return: if handleInputRows just
+      // re-armed PAST this expiry, the firing timer is stale and must not
+      // clear the fresh fold.
+      if (retireAt.exists() && expiredTimerInfo.getExpiryTimeInMs() >= retireAt.get()) {
+        live.clear(); base.clear(); retireAt.clear()
+      }
+      Iterator.empty
     }
   }
 
@@ -1219,12 +1261,13 @@ object StreamOps {
   /** ST26 entry: events keyed by user, folded through
     * [[IntervalUnionProcessor]] (5-minute intervals, x66's length). */
   def intervalCoverage(events: Dataset[SessEvent], lenUs: Long = 300L * 1000000L,
-                       watermarkDelay: String = "2 hours"): Dataset[CoverOut] = {
+                       watermarkDelay: String = "2 hours",
+                       idleRetirement: Option[java.time.Duration] = None): Dataset[CoverOut] = {
     import events.sparkSession.implicits._
     events.withWatermark("ts", watermarkDelay)
       .as[SessEvent]
       .groupByKey(_.user_id)
-      .transformWithState(new IntervalUnionProcessor(lenUs),
+      .transformWithState(new IntervalUnionProcessor(lenUs, idleRetirement),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -192,6 +192,65 @@ class RocksDbStateSpec extends SparkSpecBase {
     }
   }
 
+  test("ST26 idle retirement under RocksDB: retired keys drop ALL state; a return restarts the fold") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def ev(u: Long, id: Long, hhmm: String) =
+      StreamOps.SessEvent(u, id, Timestamp.valueOf(s"2024-01-01 $hhmm:00"), 0.0)
+    withProductionStateStore {
+      // --- with retirement (event-time timers; TTLConfig is
+      // processing-time-only, so ST26 retires via the watermark) ---
+      val input = MemoryStream[StreamOps.SessEvent]
+      val q = StreamOps.intervalCoverage(input.toDS(), watermarkDelay = "1 hour",
+          idleRetirement = Some(java.time.Duration.ofHours(2))).toDF()
+        .writeStream.format("memory").queryName("rdb_st26_ret")
+        .outputMode("append").start()
+      // user 1: two disjoint intervals in one batch -> snapshot n_iv=2
+      input.addData(ev(1, 1, "00:00"), ev(1, 2, "00:08")); q.processAllAvailable()
+      // clock carriers march the watermark; user 1's latest end is 00:13,
+      // so its retire timer (00:13 + 2h = 02:13) fires once the
+      // watermark passes it
+      input.addData(ev(2, 3, "09:00")); q.processAllAvailable() // wm -> 08:00 next batch
+      // long replay: a one-shot user per batch, each retiring as the
+      // clock moves on — the open-ended key space ST26 must bound
+      (0 until 8).foreach { i =>
+        input.addData(ev(100L + i, 10L + i, f"${10 + i}%02d:00"))
+        q.processAllAvailable()
+      }
+      // user 1 (retired at wm 08:00) and user 100 (retired later) return:
+      // base was DROPPED, so each fold restarts at n_iv = 1 with only the
+      // fresh 5-minute interval — proof the retired keys held zero state
+      input.addData(ev(1, 90, "18:00"), ev(100, 91, "18:00")); q.processAllAvailable()
+      q.stop()
+      val ret = spark.table("rdb_st26_ret")
+        .select("user_id", "n_iv", "n_spans", "covered_s")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(ret.contains((1L, 2L, 2L, 600L)), s"pre-retirement snapshot lost: $ret")
+      assert(ret.contains((1L, 1L, 1L, 300L)),
+        s"user 1's return must RESTART (state dropped on retirement): $ret")
+      assert(ret.contains((100L, 1L, 1L, 300L)),
+        s"one-shot user 100's return must restart too: $ret")
+      assert(!ret.exists(r => r._1 == 1L && r._2 == 3L),
+        s"retired user continued its old fold — state survived retirement: $ret")
+
+      // --- same input WITHOUT retirement: the fold must CONTINUE (the
+      // default keeps full history; retirement is the opt-in trade) ---
+      val input2 = MemoryStream[StreamOps.SessEvent]
+      val q2 = StreamOps.intervalCoverage(input2.toDS(), watermarkDelay = "1 hour").toDF()
+        .writeStream.format("memory").queryName("rdb_st26_noret")
+        .outputMode("append").start()
+      input2.addData(ev(1, 1, "00:00"), ev(1, 2, "00:08")); q2.processAllAvailable()
+      input2.addData(ev(2, 3, "09:00")); q2.processAllAvailable()
+      input2.addData(ev(1, 90, "18:00")); q2.processAllAvailable()
+      q2.stop()
+      val noRet = spark.table("rdb_st26_noret")
+        .select("user_id", "n_iv", "n_spans", "covered_s")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(noRet.contains((1L, 3L, 3L, 900L)),
+        s"without retirement the fold must continue across the idle gap: $noRet")
+    }
+  }
+
   test("ST10 TTL under RocksDB: candidates within the live window equal the batch set") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
