@@ -441,14 +441,28 @@ object Bench {
     // executor pool holding the shared pass's heap inflated child timings
     // ~70% (x14 9.9 s with the parent alive vs 5.85 s on an idle machine
     // — measured 2026-08-13), defeating the pass's whole purpose.
+    // Round-curated watchlist (r9 item 4): rows whose SHARED figure moved
+    // suspiciously vs the prior round get pinned isolated numbers in the
+    // artifact regardless of rank. One name per line, '#' comments; the
+    // file is re-curated each round (absent → no extras).
+    val watch: Seq[String] = try {
+      val p = java.nio.file.Paths.get("tools/isolate_watch.txt")
+      if (java.nio.file.Files.exists(p))
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(p)).asScala.toSeq
+          .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      else Nil
+    } catch { case _: Throwable => Nil }
     val isolated: Seq[(String, Double, Option[Double])] = Some(
         sys.env.getOrElse("SPARK_GRAFT_ISOLATE", "slowest:10"))
       .filter(_ => only.isEmpty) // only meaningful after a full shared pass
       .collect { case s if s.startsWith("slowest:") => s.stripPrefix("slowest:").trim.toInt }
       .map { n =>
         spark.stop()
+        val have = results.map(_._1).toSet
         val slowest = results.sortBy(-_._2).take(n).map(_._1)
-        slowest.flatMap(name => isolateOne(name, sfDir, cpus))
+        (slowest ++ watch.filter(have)).distinct
+          .flatMap(name => isolateOne(name, sfDir, cpus))
       }.getOrElse(Nil)
     val qs = (results ++ ccOnly ++ x77Lsh ++ x148Ivf ++ x93B32 ++ x83Store ++ q10Bucketed ++ tsStore ++ x42Store ++ x42CcIncr ++ x08Store ++ x58Store ++ mergeRows ++ x64Rollup)
       .map { case (k, v) => "\"" + k + "\":" + v }
