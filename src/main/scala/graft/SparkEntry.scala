@@ -258,6 +258,18 @@ object SparkEntry {
     "x146_waterfill"      -> (TextOps.x146Waterfill _),
     "x147_next_incident"  -> (TimeSeriesOps.x147NextIncident _),
     "x148_mutual_nn"      -> (VectorOps.x148MutualNn _),
+    "x149_priority_split" -> (RelationalOps.x149PrioritySplit _),
+    "x150_order_count_dist" -> (RelationalOps.x150OrderCountDist _),
+    "x151_top_supplier"   -> (RelationalOps.x151TopSupplier _),
+    "x152_small_qty_rev"  -> (RelationalOps.x152SmallQtyRevenue _),
+    "x153_whale_orders"   -> (RelationalOps.x153WhaleOrders _),
+    "x154_sole_blame"     -> (RelationalOps.x154SoleBlame _),
+    "x155_replica_diff"   -> (TimeSeriesOps.x155ReplicaDiff _),
+    "x156_shard_move"     -> (TextOps.x156ShardMove _),
+    "x157_gram_commonness" -> (TextOps.x157GramCommonness _),
+    "x158_labeler_kappa"  -> (TextOps.x158LabelerKappa _),
+    "x159_tfidf_terms"    -> (TextOps.x159TfidfTerms _),
+    "x160_source_gini"    -> (TextOps.x160SourceGini _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3178,5 +3190,193 @@ object SparkEntry {
          |SELECT x.id_a, x.id_b, x.cos, x.l_a = x.l_b AS same_label
          |FROM nn x JOIN nn y ON x.id_b = y.id_a AND y.id_b = x.id_a
          |WHERE x.id_a < x.id_b ORDER BY x.id_a""".stripMargin,
+
+    // x149: TPC-H Q12 shape — conditional two-way counts, all-integer
+    "x149_priority_split" ->
+      """SELECT l_linestatus,
+        |CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |  THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // x150: TPC-H Q13 shape — LEFT JOIN keeps the zero-order bucket;
+    // COUNT(o_orderkey) (not COUNT(*)) zeroes the null matches
+    "x150_order_count_dist" ->
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN
+        |    (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderstatus <> 'P') o
+        |    ON c_custkey = o_custkey
+        |  GROUP BY 1) t
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // x151: TPC-H Q15 shape — revenue in exact integer 1e-4 dollars
+    // (cents × (100 − disc%)), so max-equality can't be FP-flipped
+    "x151_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        |    * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS rev4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name,
+        |ROUND(CAST(rev4 AS DOUBLE) / 10000.0, 4) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev4 = (SELECT MAX(rev4) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    // x152: TPC-H Q17 shape — the correlated avg decorrelated; the
+    // predicate cross-multiplied into exact integers (qty < sum/(5n))
+    "x152_small_qty_rev" ->
+      """WITH li AS (SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#3'),
+        |ag AS (SELECT l_partkey AS a_partkey,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qsum,
+        |  COUNT(*) AS qn FROM li GROUP BY 1)
+        |SELECT COUNT(*) AS n_items,
+        |ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly
+        |FROM li JOIN ag ON l_partkey = a_partkey
+        |WHERE CAST(l_quantity AS BIGINT) * 5 * qn < qsum""".stripMargin,
+
+    // x153: TPC-H Q18 shape — HAVING on the order-level quantity sum
+    "x153_whale_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        |strftime(o_orderdate, '%Y-%m-%d') AS order_date, total_qty
+        |FROM (SELECT l_orderkey,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING SUM(CAST(l_quantity AS BIGINT)) > 250) b
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
+
+    // x154: TPC-H Q21 shape — positive EXISTS + negative EXISTS against
+    // the same fact, both over dedup'd (orderkey, suppkey) pair sets
+    "x154_sole_blame" ->
+      """WITH r AS (SELECT l_orderkey, l_suppkey FROM lineitem
+        |  WHERE l_returnflag = 'R'),
+        |rp AS (SELECT DISTINCT l_orderkey AS r_ok, l_suppkey AS r_sk FROM r),
+        |ap AS (SELECT DISTINCT l_orderkey AS a_ok, l_suppkey AS a_sk FROM lineitem)
+        |SELECT s_suppkey, s_name, numwait FROM (
+        |  SELECT l_suppkey, COUNT(*) AS numwait FROM r
+        |  WHERE EXISTS (SELECT 1 FROM ap
+        |      WHERE a_ok = r.l_orderkey AND a_sk <> r.l_suppkey)
+        |    AND NOT EXISTS (SELECT 1 FROM rp
+        |      WHERE r_ok = r.l_orderkey AND r_sk <> r.l_suppkey)
+        |  GROUP BY 1) t
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY numwait DESC, s_suppkey""".stripMargin,
+
+    // x155: day fingerprints (order-insensitive md5-prefix sums) → the
+    // mismatched-day shortlist → row repair restricted to those days
+    "x155_replica_diff" ->
+      s"""WITH e AS ($E),
+         |k AS (SELECT epoch_us(ts) // 86400000000 AS day, event_id,
+         |  ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT AS h
+         |  FROM e),
+         |b AS (SELECT * FROM k
+         |  WHERE NOT (day % 7 = 3 AND event_id % 97 = 0)),
+         |fa AS (SELECT day, COUNT(*) AS n, CAST(SUM(h) AS BIGINT) AS fp
+         |  FROM k GROUP BY 1),
+         |fb AS (SELECT day AS b_day, COUNT(*) AS n_b, CAST(SUM(h) AS BIGINT) AS fp_b
+         |  FROM b GROUP BY 1),
+         |bad AS (SELECT day, n AS n_a, COALESCE(n_b, 0) AS n_b
+         |  FROM fa LEFT JOIN fb ON day = b_day
+         |  WHERE fp_b IS NULL OR fp <> fp_b OR n <> n_b)
+         |SELECT k.day, k.event_id, bad.n_a, bad.n_b
+         |FROM k JOIN bad USING (day)
+         |WHERE NOT EXISTS (SELECT 1 FROM b
+         |  WHERE b.day = k.day AND b.event_id = k.event_id)
+         |ORDER BY day, event_id""".stripMargin,
+
+    // x156: HRW argmax via arg_max; minimal movement pinned by `ok`
+    "x156_shard_move" ->
+      """WITH h AS (SELECT doc_id, s,
+        |  md5(CAST(doc_id AS VARCHAR) || '#' || CAST(s AS VARCHAR)) AS h
+        |  FROM documents, UNNEST(generate_series(0, 16)) AS u(s)),
+        |a AS (SELECT doc_id,
+        |  arg_max(s, h) FILTER (WHERE s < 16) AS shard_before,
+        |  arg_max(s, h) AS shard_after
+        |  FROM h GROUP BY 1)
+        |SELECT shard_before, shard_after, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |shard_before <> shard_after AS moved,
+        |CAST(shard_before = shard_after OR shard_after = 16 AS INT) AS ok
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // x157: trigram corpus counts joined back per doc; all-integer mean
+    "x157_gram_commonness" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (SELECT doc_id, gram FROM t,
+        |  UNNEST(list_transform(generate_series(1, len(tk) - 2),
+        |    i -> array_to_string(tk[i:i+2], ' '))) AS u(gram)),
+        |ct AS (SELECT gram, COUNT(*) AS c FROM sh GROUP BY 1)
+        |SELECT doc_id, COUNT(*) AS n_grams,
+        |ROUND(CAST(SUM(c) AS DOUBLE) / COUNT(*), 4) AS mean_df,
+        |CAST(MIN(c) AS BIGINT) AS rarest,
+        |CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        |FROM sh JOIN ct USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // x158: κ cleared of nested divisions — exact integer confusion
+    // moments, one double divide each for po/pe/κ
+    "x158_labeler_kappa" ->
+      """WITH l AS (SELECT
+        |  CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS a,
+        |  CASE WHEN len(string_split(text, ' ')) >= 40 THEN 1 ELSE 0 END AS b
+        |  FROM documents),
+        |m AS (SELECT COUNT(*) AS n,
+        |  CAST(SUM(a*b) AS BIGINT) AS n11, CAST(SUM(a*(1-b)) AS BIGINT) AS n10,
+        |  CAST(SUM((1-a)*b) AS BIGINT) AS n01,
+        |  CAST(SUM((1-a)*(1-b)) AS BIGINT) AS n00 FROM l)
+        |SELECT n, n11, n10, n01, n00,
+        |ROUND(CAST(n11 + n00 AS DOUBLE) / n, 4) AS po,
+        |ROUND(CAST((n11+n10)*(n11+n01) + (n00+n01)*(n00+n10) AS DOUBLE)
+        |  / CAST(n*n AS DOUBLE), 4) AS pe,
+        |ROUND(CAST(n*(n11+n00) - ((n11+n10)*(n11+n01) + (n00+n01)*(n00+n10)) AS DOUBLE)
+        |  / CAST(n*n - ((n11+n10)*(n11+n01) + (n00+n01)*(n00+n10)) AS DOUBLE), 4)
+        |  AS kappa
+        |FROM m""".stripMargin,
+
+    // x159: tf·ln(N/df), ranked on the ROUNDED score (x83's ln precedent)
+    "x159_tfidf_terms" ->
+      """WITH tf AS (SELECT source, t, COUNT(*) AS tf FROM
+        |  (SELECT source, UNNEST(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY 1, 2),
+        |df AS (SELECT t, COUNT(*) AS df FROM
+        |  (SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS t
+        |   FROM documents) GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS nn FROM documents),
+        |sc AS (SELECT source, t, tf, df,
+        |  ROUND(tf * LN(CAST(nn AS DOUBLE) / df), 4) AS score
+        |  FROM tf JOIN df USING (t) CROSS JOIN n),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |  ORDER BY score DESC, t) AS rk FROM sc)
+        |SELECT source, CAST(rk AS BIGINT) AS rk, t AS term,
+        |CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+        |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+
+    // x160: Lorenz curve + closed-form Gini over the |sources| aggregate
+    "x160_source_gini" ->
+      """WITH m AS (SELECT source,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT source, tokens,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY tokens ASC, source ASC) AS BIGINT) AS rk,
+        |  CAST(SUM(tokens) OVER (ORDER BY tokens ASC, source ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_tokens FROM m),
+        |t AS (SELECT COUNT(*) AS k, CAST(SUM(tokens) AS BIGINT) AS total,
+        |  CAST(SUM(rk * tokens) AS BIGINT) AS iwx FROM r)
+        |SELECT rk, source, tokens,
+        |ROUND(CAST(cum_tokens AS DOUBLE) / total, 6) AS cum_share,
+        |ROUND(CAST(2*iwx - (k+1)*total AS DOUBLE) / CAST(k*total AS DOUBLE), 6)
+        |  AS gini
+        |FROM r CROSS JOIN t ORDER BY rk""".stripMargin,
   )
 }

@@ -856,4 +856,173 @@ object RelationalOps {
       .select(col("s_suppkey"), col("s_name"), col("n_ship"))
       .orderBy("s_suppkey")
   }
+
+  /** x149 priority split by line status — the TPC-H Q12 shape (this
+    * fixture has no l_shipmode/commitdate, so the bucketing axis is
+    * l_linestatus and the year filter rides l_shipdate): per status, how
+    * many 1997-shipped lineitems belong to critical-priority orders
+    * (1-URGENT / 2-HIGH) vs everything else. The distinguishing surface
+    * is the TWO-WAY CONDITIONAL COUNT inside one aggregate — a CASE
+    * split, not two scans and not a pivot — after a fact-to-fact join
+    * where the selective date predicate must reach the lineitem scan.
+    *
+    * Scale: the year filter prunes the fact scan; the orderkey join
+    * shuffles only survivors; the aggregate is map-side combined onto
+    * |statuses| rows. Pure integer counts. */
+  def x149PrioritySplit(s: SparkSession, d: String): DataFrame = {
+    val crit = Seq("1-URGENT", "2-HIGH")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01")
+        && col("l_shipdate") < lit("1998-01-01"))
+      .select("l_orderkey", "l_linestatus")
+      .join(Tables.orders(s, d).select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(sum(when(col("o_orderpriority").isin(crit: _*), 1L).otherwise(0L))
+             .as("high_line_count"),
+           sum(when(col("o_orderpriority").isin(crit: _*), 0L).otherwise(1L))
+             .as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  /** x150 customer order-count distribution — the TPC-H Q13 shape: how
+    * many customers placed 0, 1, 2 … qualifying orders (here: orders not
+    * in 'P' processing status — Q13's NOT LIKE exclusion recast onto this
+    * fixture's columns). The distinguishing surfaces are the LEFT OUTER
+    * join that must keep zero-order customers (an inner join silently
+    * drops the c_count=0 bucket — the classic Q13 bug) and the
+    * HISTOGRAM-OF-AGGREGATE double grouping.
+    *
+    * Scale: the exclusion filter reaches the orders scan; one
+    * custkey-shuffled left join; the first aggregate is customer-sized,
+    * the second |distinct counts|-sized. count(o_orderkey) (not
+    * count(*)) makes the null-match rows count zero. All-integer. */
+  def x150OrderCountDist(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select("c_custkey")
+      .join(Tables.orders(s, d).filter(col("o_orderstatus") =!= "P")
+          .select("o_orderkey", "o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** x151 top supplier vs a global scalar — the TPC-H Q15 shape: each
+    * supplier's revenue over one quarter, returning the supplier(s)
+    * whose revenue EQUALS the global maximum (Q15's view + scalar
+    * subquery; ties must all surface, which is why this is not a
+    * LIMIT 1). Revenue is computed in exact integer 1e-4 dollars
+    * (cents × (100 − discount-percent), the x139 discipline), so the
+    * max-equality join can never be flipped by a last-bit double
+    * difference between engines — the one FP hazard this shape has.
+    *
+    * Scale: the quarter filter reaches the fact scan; one supplier-keyed
+    * map-side-combined aggregate; the 1-row max broadcasts back onto the
+    * supplier-sized aggregate. The displayed revenue is the same integer
+    * divided once. */
+  def x151TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01")
+        && col("l_shipdate") < lit("1997-04-01"))
+      .groupBy("l_suppkey")
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")
+        * (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev4"))
+    val top = rev.agg(max("rev4").as("max4"))
+    rev.join(broadcast(top), col("rev4") === col("max4"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        dround(col("rev4").cast("double") / 10000.0, 4).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  /** x152 small-quantity-outlier revenue — the TPC-H Q17 shape: the
+    * revenue locked in orders whose quantity is far below the PART's own
+    * average ("what would we gain by batching micro-orders"). The
+    * distinguishing surface is the correlated aggregate against the SAME
+    * fact table (qty < 0.2 · avg(qty per part)), decorrelated into a
+    * per-part aggregate joined back on the correlation key — and made
+    * FP-exact by cross-multiplying the predicate: quantities are
+    * integral doubles, so qty < sum/(5·n) ⟺ 5·qty·n < sum in exact
+    * BIGINTs (no division, no doubles, no boundary to disagree on).
+    *
+    * Scale: both sides of the self-join shuffle once on partkey (the
+    * aggregate is map-side combined first); a brand filter narrows to
+    * Q17's selective slice. Output is the single Q17 scalar. */
+  def x152SmallQtyRevenue(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_brand") === "Brand#3")
+        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val avgq = li.groupBy(col("l_partkey").as("a_partkey"))
+      .agg(sum(col("l_quantity")).cast("long").as("qsum"),
+           count(lit(1)).as("qn"))
+    li.join(avgq, col("l_partkey") === col("a_partkey"))
+      .filter(col("l_quantity").cast("long") * 5L * col("qn") < col("qsum"))
+      .agg(count(lit(1)).as("n_items"),
+        dround(sum(col("l_extendedprice")) / 7.0, 4).as("avg_yearly"))
+  }
+
+  /** x153 large-volume customers — the TPC-H Q18 shape: customers whose
+    * single order aggregates past a quantity threshold (the "whale
+    * orders" report). The distinguishing surface is HAVING on an
+    * aggregate driving a SEMI join back into the fact/dim chain: the
+    * order-level sum(qty) > 250 gate runs FIRST (orderkey-keyed,
+    * map-side combined), and only qualifying orderkeys re-join orders
+    * and customers — never the reverse join order, which would carry
+    * every order through the customer join just to drop it.
+    *
+    * Scale: the heavy aggregate touches only (orderkey, qty); the
+    * qualifying set is tiny (threshold above the p99 per-order mass), so
+    * the re-joins probe with a sliver. Quantities are integral doubles →
+    * exact BIGINT sums. */
+  def x153WhaleOrders(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity")).cast("long").as("total_qty"))
+      .filter(col("total_qty") > 250L)
+    big.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+        col("total_qty"))
+      .orderBy(col("total_qty").desc, col("o_orderkey"))
+  }
+
+  /** x154 sole-blame suppliers — the TPC-H Q21 shape recast onto this
+    * fixture's axes (no commit/receipt dates, so "kept the order
+    * waiting" becomes "shipped the order's only RETURNED items"): count,
+    * per supplier, their returned lineitems on multi-supplier orders
+    * where NO OTHER supplier had a return. The distinguishing surface is
+    * the DOUBLE CORRELATION against the same fact table — a positive
+    * EXISTS (another supplier shipped on this order) AND a negative
+    * EXISTS (no other supplier's return) — compiled as a LEFT SEMI plus
+    * a LEFT ANTI on orderkey with the supplier-inequality as the
+    * residual, both probing dedup'd (orderkey, suppkey) pair sets rather
+    * than raw lineitems.
+    *
+    * Scale: three passes over (orderkey, suppkey[, returnflag]) columns
+    * only; each join shuffles on orderkey with map-side-dedup'd build
+    * sides; the aggregate is supplier-sized. All-integer. */
+  def x154SoleBlame(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_suppkey")
+    val rPairs = r.distinct()
+      .select(col("l_orderkey").as("r_ok"), col("l_suppkey").as("r_sk"))
+    val allPairs = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("a_ok"), col("l_suppkey").as("a_sk"))
+      .distinct()
+    r.join(allPairs,
+        col("l_orderkey") === col("a_ok") && col("l_suppkey") =!= col("a_sk"),
+        "left_semi")
+      .join(rPairs,
+        col("l_orderkey") === col("r_ok") && col("l_suppkey") =!= col("r_sk"),
+        "left_anti")
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+  }
 }

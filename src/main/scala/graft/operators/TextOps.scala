@@ -2323,4 +2323,184 @@ object TextOps {
           .as("oov_rate"))
       .orderBy("lang")
   }
+
+  /** x156 rendezvous (HRW) shard rebalance plan — the movement matrix a
+    * consistent-placement layer computes before growing a 16-shard layout
+    * to 17: every doc's shard under k is argmax over s<k of
+    * md5(doc_id#s), so the PLAN is the (shard_before, shard_after,
+    * n_docs) matrix, and rendezvous hashing's minimal-movement guarantee
+    * — a doc either stays put or moves to the NEW shard, never between
+    * old shards — ships as a per-row `ok` flag the oracle pins true.
+    * This is the reshard-cost estimator for every hash-placed store in
+    * this repo (PostingsStore/SignatureStore term buckets are mod-hash:
+    * growing them moves ~15/16 of all keys; HRW moves exactly ~1/17).
+    *
+    * Plan: ONE pass — each doc explodes to its 17 candidate hashes
+    * map-side, and BOTH argmaxes come from one map-side-combinable
+    * aggregate (max(struct) over all 17 = the k=17 shard; the same max
+    * FILTERed to s<16 = the k=16 shard — fixed-width lowercase hex
+    * compares like the value it encodes, x06's discipline). The movement
+    * matrix is a ≤(16+17)-row second aggregate. No join anywhere. */
+  def x156ShardMove(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"))
+      .select(col("doc_id"), explode(sequence(lit(0L), lit(16L))).as("sh"))
+      .withColumn("h",
+        md5(concat(col("doc_id").cast("string"), lit("#"), col("sh").cast("string"))))
+      .groupBy("doc_id")
+      .agg(max(when(col("sh") < 16L, struct(col("h"), col("sh")))).as("m16"),
+           max(struct(col("h"), col("sh"))).as("m17"))
+      .groupBy(col("m16.sh").as("shard_before"), col("m17.sh").as("shard_after"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("moved", col("shard_before") =!= col("shard_after"))
+      .withColumn("ok",
+        (!col("moved") || col("shard_after") === 16).cast("int"))
+      .orderBy("shard_before", "shard_after")
+
+  /** x157 n-gram commonness audit — the CCNet-style "how ordinary is
+    * this document" score that LM-filtering pipelines compute against a
+    * reference corpus (here: the corpus itself): per doc, over its word
+    * trigrams, the mean corpus frequency of those grams, the rarest
+    * gram's count, and the hapax share (grams occurring exactly once
+    * corpus-wide — the novelty/noise end). High mean + zero hapax =
+    * boilerplate-adjacent; low mean + high hapax = novel or garbage —
+    * the two tails a curation run routes differently (x54 scores
+    * novelty against a DIFFERENT corpus; this scores self-typicality).
+    *
+    * ALL-INTEGER by design: the mean is Σc/n with exact BIGINT sums, one
+    * rounded divide (no per-gram log, no FP accumulation ordering). One
+    * gram explode → map-side-combined count table → one gram-keyed join
+    * back → doc-sized aggregate. Docs with <3 tokens emit no row (x54's
+    * convention). */
+  def x157GramCommonness(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), explode(graft.functions.TextExpressions.wordShingles(
+        split(col("text"), " "), 3)).as("g"))
+    val cnt = grams.groupBy("g").agg(count(lit(1)).as("c"))
+    grams.join(cnt, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum("c").as("sum_c"),
+        min("c").as("rarest"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("doc_id"), col("n_grams"),
+        dround(col("sum_c").cast("double") / col("n_grams").cast("double"), 4)
+          .as("mean_df"),
+        col("rarest"), col("n_hapax"))
+      .orderBy("doc_id")
+  }
+
+  /** x158 labeling-function agreement (Cohen's κ) — the weak-supervision
+    * audit run before trusting programmatic labels: two deterministic
+    * binary labelers over the same corpus (A: char mass ≥ 200; B: token
+    * count ≥ 40 — the length-family pair a curation run actually
+    * cross-checks), their 2×2 confusion counts, observed agreement p_o,
+    * chance agreement p_e, and κ = (p_o − p_e)/(1 − p_e). κ near 1 says
+    * the cheap labeler can stand in for the expensive one; κ near 0
+    * says their agreement is coincidence.
+    *
+    * Exactness: κ's textbook form divides two divisions; clearing n²
+    * gives κ = (n·agree − Σ_k a_k·b_k) / (n² − Σ_k a_k·b_k) — every term
+    * an exact integer, ONE double divide (the x139 cross-multiply
+    * discipline). Products run in decimal(38,0) (n² wraps a long at
+    * n ≈ 3e9 — the x120/x125 posture). One scan, one constant-width
+    * aggregate, no shuffle beyond the 1-row fold. */
+  def x158LabelerKappa(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val lab = Tables.documents(s, d).select(
+      (col("n_chars") >= 200L).cast("long").as("a"),
+      (size(split(col("text"), " ")) >= 40).cast("long").as("b"))
+    lab.agg(
+        count(lit(1)).as("n"),
+        sum(col("a") * col("b")).as("n11"),
+        sum(col("a") * (lit(1L) - col("b"))).as("n10"),
+        sum((lit(1L) - col("a")) * col("b")).as("n01"),
+        sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        dround((col("n11") + col("n00")).cast("double") / col("n").cast("double"), 4)
+          .as("po"),
+        dround(((dec(col("n11") + col("n10")) * dec(col("n11") + col("n01"))
+          + dec(col("n00") + col("n01")) * dec(col("n00") + col("n10")))
+          .cast("double")) / (dec(col("n")) * dec(col("n"))).cast("double"), 4)
+          .as("pe"),
+        dround((dec(col("n")) * dec(col("n11") + col("n00"))
+            - (dec(col("n11") + col("n10")) * dec(col("n11") + col("n01"))
+              + dec(col("n00") + col("n01")) * dec(col("n00") + col("n10"))))
+          .cast("double")
+          / (dec(col("n")) * dec(col("n"))
+            - (dec(col("n11") + col("n10")) * dec(col("n11") + col("n01"))
+              + dec(col("n00") + col("n01")) * dec(col("n00") + col("n10"))))
+          .cast("double"), 4).as("kappa"))
+  }
+
+  /** x159 TF-IDF top terms per source — the per-collection keyword
+    * readout next to x83's per-query BM25: for every source, the 5 terms
+    * maximizing tf·ln(N/df) (tf = occurrences within the source, df =
+    * docs containing the term corpus-wide, N = corpus size). The
+    * source-profile a mix-curation run eyeballs for contamination or
+    * topic drift.
+    *
+    * Scale shape: q29's TWO-LEVEL top-k transposed onto the (source,
+    * term) aggregate — a per-(source, hash-bucket) top-5 prunes the
+    * vocab-sized table to ≤ 64·5 candidates per source BEFORE the
+    * per-source final window, so no window partition is ever
+    * vocab-sized (exact: a global top-5 member is its bucket's top-5).
+    * N rides in-plan as a 1-row broadcast (x94's grand-total pattern);
+    * df comes from a distinct'd doc-term explode. Ranking is on the
+    * ROUNDED score with term tie-break (x83's ln discipline — both
+    * engines divide the same exact integers before one libm call). */
+  def x159TfidfTerms(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tf = docs.select(col("source"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("tf"))
+    val df = docs.select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("nn"))
+    val scored = tf.join(df, "t").crossJoin(broadcast(n))
+      .withColumn("score",
+        dround(col("tf").cast("double")
+          * log(col("nn").cast("double") / col("df").cast("double")), 4))
+    val wLocal = Window.partitionBy(col("source"), pmod(xxhash64(col("t")), lit(64)))
+      .orderBy(col("score").desc, col("t"))
+    val wFinal = Window.partitionBy("source").orderBy(col("score").desc, col("t"))
+    scored
+      .withColumn("lrk", row_number().over(wLocal)).filter(col("lrk") <= 5)
+      .withColumn("rk", row_number().over(wFinal).cast("long")).filter(col("rk") <= 5)
+      .select(col("source"), col("rk"), col("t").as("term"),
+        col("tf"), col("df"), col("score"))
+      .orderBy("source", "rk")
+  }
+
+  /** x160 source-concentration audit (Lorenz curve + Gini) — "how
+    * unevenly is the token mass spread across sources": sources ranked
+    * by ascending token mass, each with its cumulative share, plus the
+    * exact Gini coefficient. The mix-diversity readout next to x67's KL
+    * (KL says HOW a source differs; Gini says whether a few sources ARE
+    * the corpus — the first number a data-mix review asks for).
+    *
+    * Exactness: with sources ranked 1..k ascending by (mass, name), Gini
+    * = (2·Σᵢ i·xᵢ − (k+1)·Σx) / (k·Σx) — integer numerator/denominator,
+    * ONE divide; cum shares are exact integer ratios rounded once. All
+    * windows run over the |sources|-row AGGREGATE (the corpus collapses
+    * in one map-side-combined pass), so nothing after the first shuffle
+    * is corpus-sized. Long bounds: Σx ≈ 1e14 tokens at 100 TB and
+    * i ≤ |sources| keeps i·xᵢ sums ≪ 2⁶³. */
+  def x160SourceGini(s: SparkSession, d: String): DataFrame = {
+    val mass = Tables.documents(s, d)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("tok"))
+      .groupBy("source").agg(sum("tok").as("tokens"))
+    val w = Window.orderBy(col("tokens").asc, col("source").asc)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = mass
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum_tokens", sum("tokens").over(cum))
+    val tot = ranked.agg(count(lit(1)).as("k"), sum("tokens").as("total"),
+      sum(col("rk") * col("tokens")).as("iwx"))
+    ranked.crossJoin(broadcast(tot))
+      .select(col("rk"), col("source"), col("tokens"),
+        dround(col("cum_tokens").cast("double") / col("total").cast("double"), 6)
+          .as("cum_share"),
+        dround((lit(2L) * col("iwx") - (col("k") + 1L) * col("total")).cast("double")
+          / (col("k") * col("total")).cast("double"), 6).as("gini"))
+      .orderBy("rk")
+  }
 }

@@ -1614,4 +1614,58 @@ object TimeSeriesOps {
         dround(col("n").cast("double") / col("n_from").cast("double"), 4))
       .orderBy("t_from", "t_to")
   }
+
+  /** x155 anti-entropy replica reconciliation — the Merkle-style repair
+    * plan two copies of a partitioned table compute WITHOUT shipping
+    * rows: each replica folds every day-partition to a constant-size
+    * fingerprint (row count + an ORDER-INSENSITIVE sum of per-row md5
+    * prefixes — commutative, so partitioning/arrival order can't change
+    * it), the day fingerprints are diffed, and ONLY mismatched days get
+    * the row-level anti-join that names the missing event_ids. Replica B
+    * is derived in-query (on days ≡ 3 mod 7 only, drop event_id ≡ 0 mod
+    * 97 — a deterministic, DAY-LOCALIZED simulated partition loss), so
+    * the operator is self-contained and the shortlist genuinely prunes.
+    *
+    * Scale story: at 100 TB the fingerprint pass is two map-side-combined
+    * scans onto |days| rows each; the compare moves only day rows; the
+    * repair anti-join re-reads the fixture pruned by the (broadcast)
+    * mismatched-day shortlist — repair cost ∝ damaged days, never corpus
+    * size. PlanSpec pins the shortlist join under the anti-join. Output:
+    * the missing rows (day, event_id) with each day's replica counts. */
+  def x155ReplicaDiff(s: SparkSession, d: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    def keyed(df: DataFrame): DataFrame = df.select(
+      floorDiv(unix_micros(col("ts")), dayUs).as("day"),
+      col("event_id"),
+      conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("long").as("h"))
+    val a = keyed(Tables.events(s, d))
+    val b = a.filter(!(pmod(col("day"), lit(7L)) === 3L
+      && pmod(col("event_id"), lit(97L)) === 0L))
+    def fp(df: DataFrame) = df.groupBy("day")
+      .agg(count(lit(1)).as("n"), sum("h").as("fp"))
+    val bad = fp(a)
+      .join(fp(b).select(col("day").as("b_day"), col("n").as("n_b"),
+          col("fp").as("fp_b")),
+        col("day") === col("b_day"), "left")
+      .filter(col("fp_b").isNull
+        || col("fp") =!= col("fp_b") || col("n") =!= col("n_b"))
+      .select(col("day"), col("n").as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    // BOTH repair inputs are day-pruned by the broadcast shortlist BEFORE
+    // the row-level anti-join. The anti condition references n_a (a
+    // shortlist column) so PushDownLeftSemiAntiJoin can NEVER sink the
+    // anti-join below the pruning join — without it Catalyst reorders the
+    // anti onto the UNPRUNED corpus and the fingerprint pass buys nothing
+    // (observed; PlanSpec pins both pruned shapes).
+    val damagedA = a.join(broadcast(bad), Seq("day"))
+    val damagedB = b.join(broadcast(bad.select("day")), Seq("day"), "left_semi")
+    damagedA
+      .join(damagedB.select(col("day").as("r_day"), col("event_id").as("r_id")),
+        col("day") === col("r_day") && col("event_id") === col("r_id")
+          && col("n_a") >= 0L,
+        "left_anti")
+      .select(col("day"), col("event_id"), col("n_a"), col("n_b"))
+      .orderBy("day", "event_id")
+  }
 }

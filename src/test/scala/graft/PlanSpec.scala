@@ -771,6 +771,97 @@ class PlanSpec extends SparkSpecBase {
     assert(!p125.contains("CartesianProduct"), p125)
   }
 
+  test("round-10 TPC-H shapes: pushdowns, join strategies, staged gates") {
+    // x149: the year filter reaches the lineitem scan; one hash agg
+    locally {
+      val p = planOf(operators.RelationalOps.x149PrioritySplit(spark, sfDir))
+      assert(p.contains("PushedFilters") && p.contains("l_shipdate"), p)
+      assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+    }
+    // x150: the join must stay LEFT OUTER (an inner join drops the
+    // zero-order bucket — the classic Q13 bug)
+    locally {
+      import org.apache.spark.sql.catalyst.plans.LeftOuter
+      import org.apache.spark.sql.catalyst.plans.logical.Join
+      val df = operators.RelationalOps.x150OrderCountDist(spark, sfDir)
+      val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+      assert(joins.exists(_.joinType == LeftOuter),
+        s"Q13 left outer lost:\n${df.queryExecution.optimizedPlan}")
+    }
+    // x151: the 1-row max broadcasts back; no window, no product
+    locally {
+      val p = planOf(operators.RelationalOps.x151TopSupplier(spark, sfDir))
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"), p)
+      assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+    }
+    // x152: correlated avg decorrelated — no window, no product; the
+    // brand dim broadcasts
+    locally {
+      val p = planOf(operators.RelationalOps.x152SmallQtyRevenue(spark, sfDir))
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+    }
+    // x153: the quantity gate is an aggregate BELOW the dim joins (the
+    // whale shortlist probes orders, never the reverse)
+    locally {
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+      val df = operators.RelationalOps.x153WhaleOrders(spark, sfDir)
+      val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+      assert(joins.nonEmpty && joins.forall(
+        _.collect { case a: Aggregate => a }.nonEmpty),
+        s"whale gate not below the joins:\n${df.queryExecution.optimizedPlan}")
+    }
+    // x154: the double correlation compiles to LEFT SEMI + LEFT ANTI
+    locally {
+      import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+      import org.apache.spark.sql.catalyst.plans.logical.Join
+      val df = operators.RelationalOps.x154SoleBlame(spark, sfDir)
+      val jts = df.queryExecution.optimizedPlan.collect { case j: Join => j.joinType }
+      assert(jts.contains(LeftSemi) && jts.contains(LeftAnti), s"got $jts")
+      val p = planOf(df)
+      assert(!p.contains("CartesianProduct"), p)
+    }
+  }
+
+  test("round-10 pipeline ops: one-pass shards, pruned repair, aggregate-fed windows") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, Window => LWindow}
+    // x156: ONE pass — no join anywhere (both argmaxes come from one
+    // map-side-combinable aggregate)
+    locally {
+      val df = operators.TextOps.x156ShardMove(spark, sfDir)
+      assert(df.queryExecution.optimizedPlan.collect { case j: Join => j }.isEmpty,
+        s"x156 must be join-free:\n${df.queryExecution.optimizedPlan}")
+      assert(!planOf(df).contains("Window"), planOf(df))
+    }
+    // x155: the row-level repair is a LEFT ANTI whose probe side is
+    // pruned by a broadcast join with the mismatched-day shortlist
+    locally {
+      import org.apache.spark.sql.catalyst.plans.LeftAnti
+      val df = operators.TimeSeriesOps.x155ReplicaDiff(spark, sfDir)
+      val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+      assert(joins.exists(_.joinType == LeftAnti), "repair anti-join missing")
+      val anti = joins.filter(_.joinType == LeftAnti)
+      assert(anti.forall(_.left.collect { case j: Join => j }.nonEmpty),
+        "anti-join PROBE not pruned by the day shortlist")
+      assert(anti.forall(_.right.collect { case j: Join => j }.nonEmpty),
+        "anti-join BUILD not pruned by the day shortlist")
+      assert(planOf(df).contains("BroadcastHashJoin"), planOf(df))
+    }
+    // x157/x158: no window anywhere (pure aggregate pipelines)
+    for (df <- Seq(operators.TextOps.x157GramCommonness(spark, sfDir),
+                   operators.TextOps.x158LabelerKappa(spark, sfDir)))
+      assert(df.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+        "unexpected window in an aggregate-only plan")
+    // x159/x160: every window runs over an aggregate (vocab/source-sized,
+    // never corpus-sized)
+    for (df <- Seq(operators.TextOps.x159TfidfTerms(spark, sfDir),
+                   operators.TextOps.x160SourceGini(spark, sfDir))) {
+      val ws = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(ws.nonEmpty && ws.forall(_.collect { case a: Aggregate => a }.nonEmpty),
+        s"corpus-fed window:\n${df.queryExecution.optimizedPlan}")
+    }
+  }
+
   test("x131/x132: Q3 pushdowns + top-k; argmax window over the aggregate") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     // x131: segment + both date predicates reach their scans; the top-10
