@@ -1074,6 +1074,102 @@ object StreamOps {
       }
       .start()
 
+  /** ST28: continuous anti-entropy fingerprint maintenance — x155's
+    * per-day replica fingerprints (row count + ORDER-INSENSITIVE sum of
+    * per-row md5 prefixes) kept fresh per micro-batch. The fingerprint
+    * is an additive commutative monoid, which picks the store layout:
+    * each batch writes its day-partials under `parts/batch=<id>/`
+    * (dynamic partition overwrite on the batch id), so a REPLAYED batch
+    * overwrites ITSELF — idempotence without read-merge-write, the
+    * double-add hazard an additive fold would otherwise have. Serving
+    * sums base + partials per day (partial count × |days| rows — tiny);
+    * [[compactFingerprints]] folds partials into `base` with the
+    * stage-swap shape every store here uses, and the monoid makes the
+    * fold safe at any moment. Long-sum wraparound is mod-2⁶⁴ arithmetic
+    * — still a valid fingerprint (both replicas wrap identically).
+    *
+    * This is the ingest tail of the x155 reconciliation: two sites each
+    * run this against their copy; the day-level compare + pruned repair
+    * is x155's query over the two stores. */
+  def fingerprintIngest(events: DataFrame, storeDir: String,
+                        checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyFingerprintBatch(batch, batchId, storeDir); ()
+      }
+      .start()
+
+  private def compactedUpto(fsys: org.apache.hadoop.fs.FileSystem,
+                            storeDir: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$storeDir/_compacted_upto")
+    if (!fsys.exists(p)) -1L
+    else {
+      val in = fsys.open(p)
+      try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  private[graft] def applyFingerprintBatch(batch: DataFrame, batchId: Long,
+                                           storeDir: String): Unit = {
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    // a batch at or below the compaction watermark is already folded into
+    // base AND its partial is gone — re-applying it would double-add (the
+    // replay-after-compact ordering); skip it instead
+    if (batchId <= compactedUpto(fsys, storeDir)) return
+    val dayUs = 86400L * 1000000L
+    val part = batch.select(
+        graft.functions.SeriesFunctions.floorDiv(unix_micros(col("ts")), dayUs)
+          .as("day"),
+        conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .groupBy("day").agg(count(lit(1)).as("n"), sum("h").as("fp"))
+    part.withColumn("batch", lit(batchId))
+      .write.partitionBy("batch").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(s"$storeDir/parts")
+  }
+
+  /** The served day fingerprints: base (compacted) + live partials. */
+  def fingerprints(s: SparkSession, storeDir: String): DataFrame = {
+    val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    def readIf(dir: String): Option[DataFrame] =
+      if (fsys.exists(new org.apache.hadoop.fs.Path(dir)))
+        Some(s.read.parquet(dir).select(col("day"), col("n"), col("fp")))
+      else None
+    val frames = readIf(s"$storeDir/base").toSeq ++ readIf(s"$storeDir/parts").toSeq
+    require(frames.nonEmpty, s"no fingerprint store at $storeDir")
+    frames.reduce(_ unionAll _)
+      .groupBy("day")
+      .agg(sum("n").as("n"), sum("fp").as("fp"))
+  }
+
+  /** Fold live partials into the base (stage → swap → drop parts), and
+    * advance the compaction watermark so a batch REPLAYED after its
+    * partial was folded is skipped, not double-added. */
+  def compactFingerprints(s: SparkSession, storeDir: String): Unit = {
+    val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val partsPath = new org.apache.hadoop.fs.Path(s"$storeDir/parts")
+    val maxBatch: Long =
+      if (!fsys.exists(partsPath)) -1L
+      else fsys.listStatus(partsPath).map(_.getPath.getName)
+        .collect { case n if n.startsWith("batch=") => n.stripPrefix("batch=").toLong }
+        .foldLeft(-1L)(math.max)
+    val staged = fingerprints(s, storeDir).localCheckpoint(true)
+    val tmp = new org.apache.hadoop.fs.Path(s"$storeDir/base__staging")
+    staged.write.mode("overwrite").parquet(tmp.toString)
+    val base = new org.apache.hadoop.fs.Path(s"$storeDir/base")
+    fsys.delete(base, true)
+    fsys.rename(tmp, base)
+    if (maxBatch >= 0L) {
+      val out = fsys.create(new org.apache.hadoop.fs.Path(s"$storeDir/_compacted_upto"), true)
+      try out.write(maxBatch.toString.getBytes("UTF-8")) finally out.close()
+    }
+    fsys.delete(partsPath, true)
+  }
+
   /** The served retention triangle over ST25's store — row-identical to
     * x123 over the same raw events (RetentionIngestSpec). */
   /** ST25's activity store read back under the (user_id, day: LONG)

@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.StreamOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** ST28: continuous anti-entropy fingerprint maintenance — the store's
+  * day fingerprints equal the batch fold under any batch split, a
+  * REPLAYED batch is a no-op (the additive monoid's one hazard), and
+  * compaction preserves the served view while dropping the partials. */
+class FingerprintIngestSpec extends SparkSpecBase {
+
+  private def tmp() = java.nio.file.Files.createTempDirectory("st28").toString
+
+  /** The batch reference fold — x155's fingerprint stage over a frame. */
+  private def batchFp(df: org.apache.spark.sql.DataFrame) = {
+    val dayUs = 86400L * 1000000L
+    df.select(
+        graft.functions.SeriesFunctions.floorDiv(unix_micros(col("ts")), dayUs)
+          .as("day"),
+        conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("h"))
+      .groupBy("day").agg(count(lit(1)).as("n"), sum("h").as("fp"))
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.collect().map(r => (r.getAs[Long]("day"), r.getAs[Long]("n"),
+      r.getAs[Long]("fp"))).toSet
+
+  test("ST28 store fingerprints equal the batch fold over the fixture stream") {
+    val store = tmp()
+    val q = StreamOps.fingerprintIngest(
+      StreamOps.eventsStream(spark, sfDir), store, tmp())
+    try q.processAllAvailable() finally q.stop()
+    val batch = rows(batchFp(Tables.events(spark, sfDir)))
+    assert(batch.nonEmpty)
+    assert(rows(StreamOps.fingerprints(spark, store)) === batch)
+    // compaction folds partials into base; the served view is unchanged
+    StreamOps.compactFingerprints(spark, store)
+    assert(rows(StreamOps.fingerprints(spark, store)) === batch)
+    assert(!new java.io.File(s"$store/parts").exists(),
+      "compaction must drop the partials")
+    assert(new java.io.File(s"$store/base").exists())
+  }
+
+  test("ST28 split batches converge to the same fingerprints; replay is a no-op") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val store = tmp()
+    val input = MemoryStream[(Long, Timestamp)]
+    val events = input.toDF().toDF("event_id", "ts")
+    val q = StreamOps.fingerprintIngest(events, store, tmp())
+    def at(day: Int, id: Long) = (id, Timestamp.valueOf(f"2024-01-$day%02d 08:00:00"))
+    val all = Seq(at(10, 1L), at(10, 2L), at(11, 3L), at(10, 4L), at(12, 5L))
+    try {
+      input.addData(all.take(2)); q.processAllAvailable()
+      input.addData(all.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    val expect = rows(batchFp(all.toDF("event_id", "ts")))
+    assert(rows(StreamOps.fingerprints(spark, store)) === expect,
+      "split-batch fold diverged from the whole-input fold")
+    // REPLAY the second batch verbatim (same batch id): the dynamic
+    // overwrite on batch=<id> must overwrite itself, never double-add
+    StreamOps.applyFingerprintBatch(all.drop(2).toDF("event_id", "ts"), 1L, store)
+    assert(rows(StreamOps.fingerprints(spark, store)) === expect,
+      "replayed batch double-added — idempotence broken")
+    // replay AFTER compaction: the partial is gone and its mass lives in
+    // base, so a naive re-apply would re-create the partial and double-
+    // count — the compaction watermark must make it a no-op instead
+    StreamOps.compactFingerprints(spark, store)
+    StreamOps.applyFingerprintBatch(all.drop(2).toDF("event_id", "ts"), 1L, store)
+    assert(rows(StreamOps.fingerprints(spark, store)) === expect,
+      "batch replayed after compaction double-added — watermark broken")
+  }
+}
