@@ -270,6 +270,9 @@ object SparkEntry {
     "x158_labeler_kappa"  -> (TextOps.x158LabelerKappa _),
     "x159_tfidf_terms"    -> (TextOps.x159TfidfTerms _),
     "x160_source_gini"    -> (TextOps.x160SourceGini _),
+    "x161_important_parts" -> (RelationalOps.x161ImportantParts _),
+    "x162_supp_diversity" -> (RelationalOps.x162SupplierDiversity _),
+    "x163_dominant_ship"  -> (RelationalOps.x163DominantShippers _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3378,5 +3381,47 @@ object SparkEntry {
         |ROUND(CAST(2*iwx - (k+1)*total AS DOUBLE) / CAST(k*total AS DOUBLE), 6)
         |  AS gini
         |FROM r CROSS JOIN t ORDER BY rk""".stripMargin,
+
+    // x161: TPC-H Q11 shape — HAVING vs a global scalar, integer-exact
+    // (rev4·10⁴ > total4·5; uncast sums stay HUGEINT only inside the CTE)
+    "x161_important_parts" ->
+      """WITH rev AS (SELECT l_partkey,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        |    * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS rev4
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT SUM(rev4) AS total4 FROM rev)
+        |SELECT l_partkey,
+        |ROUND(CAST(rev4 AS DOUBLE) / 10000.0, 4) AS revenue,
+        |ROUND(CAST(rev4 AS DOUBLE) / CAST(total4 AS DOUBLE), 6) AS share
+        |FROM rev CROSS JOIN tot
+        |WHERE rev4 * 10000 > total4 * 5
+        |ORDER BY revenue DESC, l_partkey""".stripMargin,
+
+    // x162: TPC-H Q16 shape — NOT IN → anti join + COUNT(DISTINCT)
+    "x162_supp_diversity" ->
+      """WITH excluded AS (SELECT DISTINCT l_suppkey AS x_supp FROM lineitem
+        |  WHERE l_returnflag = 'R' AND l_quantity = 50 AND l_discount = 0.1)
+        |SELECT p_brand, p_size,
+        |CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_suppkey NOT IN (SELECT x_supp FROM excluded)
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+
+    // x163: TPC-H Q20 shape — the nested chain flattened into ONE
+    // conditional-sum aggregate; exact integral-quantity sums
+    "x163_dominant_ship" ->
+      """WITH p AS (SELECT l_partkey, l_suppkey,
+        |  CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |    THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS qty97,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_all
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT s_suppkey, s_name, n_parts, qty97_sum FROM (
+        |  SELECT l_suppkey, COUNT(*) AS n_parts,
+        |  CAST(SUM(qty97) AS BIGINT) AS qty97_sum
+        |  FROM p WHERE qty97 > 0 AND qty97 * 2 > qty_all GROUP BY 1) t
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |ORDER BY n_parts DESC, s_suppkey""".stripMargin,
   )
 }

@@ -1025,4 +1025,85 @@ object RelationalOps {
       .select(col("s_suppkey"), col("s_name"), col("numwait"))
       .orderBy(col("numwait").desc, col("s_suppkey"))
   }
+
+  /** x161 important parts — the TPC-H Q11 shape: parts whose revenue is
+    * more than 0.05% of the WHOLE corpus's revenue (Q11's
+    * "important stock" HAVING against a global scalar subquery). The
+    * distinguishing surface is an aggregate filtered by a GRAND-TOTAL
+    * scalar derived from the same table — the x94 in-plan-total pattern
+    * applied as a HAVING — with the share predicate cross-multiplied
+    * into integers (rev4·10⁴ > total4·5 in decimal(38,0): exact at any
+    * corpus size; the 1e-4-dollar integers are the x151 discipline).
+    *
+    * Scale: one partkey-keyed map-side-combined aggregate; the 1-row
+    * total broadcasts back; output is the qualifying sliver. */
+  def x161ImportantParts(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val rev = Tables.lineitem(s, d)
+      .groupBy("l_partkey")
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")
+        * (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev4"))
+    val tot = rev.agg(sum("rev4").as("total4"))
+    rev.crossJoin(broadcast(tot))
+      .filter(dec(col("rev4")) * 10000L > dec(col("total4")) * 5L)
+      .select(col("l_partkey"),
+        dround(col("rev4").cast("double") / 10000.0, 4).as("revenue"),
+        dround(col("rev4").cast("double") / col("total4").cast("double"), 6)
+          .as("share"))
+      .orderBy(col("revenue").desc, col("l_partkey"))
+  }
+
+  /** x162 supplier diversity per part class — the TPC-H Q16 shape: per
+    * (brand, size), how many DISTINCT suppliers ship that class,
+    * excluding a disqualified-supplier set (Q16's NOT-IN complaints
+    * subquery recast: suppliers with a max-quantity, max-discount
+    * RETURNED lineitem anywhere — selective at every sf, measured
+    * 3/10 then 14/100 excluded). The distinguishing surfaces are the NOT IN →
+    * LEFT ANTI against a derived exclusion set and COUNT(DISTINCT)
+    * after it.
+    *
+    * Scale: the exclusion set is supplier-sized (dedup'd map-side) and
+    * broadcasts into the anti join; the part dim broadcasts; the
+    * count-distinct aggregate is (brand, size, supp)-keyed — two-level,
+    * never row-explosive. */
+  def x162SupplierDiversity(s: SparkSession, d: String): DataFrame = {
+    val excluded = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R" && col("l_quantity") === 50
+        && col("l_discount") === 0.1)
+      .select(col("l_suppkey").as("x_supp")).distinct()
+    Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+      .join(broadcast(excluded), col("l_suppkey") === col("x_supp"), "left_anti")
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
+  /** x163 dominant recent shippers — the TPC-H Q20 shape (no partsupp,
+    * so availability becomes shipped mass): suppliers who, for at least
+    * one part, shipped MORE in 1997 than half of that part's all-time
+    * total — Q20's nested IN-chain (supplier ⊇ partsupp ⊇ lineitem
+    * threshold) flattened into aggregate-join-aggregate. The predicate
+    * 2·qty97 > qtyAll is exact (integral quantities → BIGINT sums).
+    *
+    * Scale: BOTH aggregates hash on (part[, supp]) with map-side
+    * combine; the threshold join is (part)-keyed between two
+    * aggregate-sized tables; the supplier dim broadcasts at the end.
+    * Per-supplier part counts are the output — supplier-sized. */
+  def x163DominantShippers(s: SparkSession, d: String): DataFrame = {
+    val in97 = col("l_shipdate") >= lit("1997-01-01") &&
+      col("l_shipdate") < lit("1998-01-01")
+    Tables.lineitem(s, d)
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(when(in97, col("l_quantity")).otherwise(lit(0.0))).cast("long")
+             .as("qty97"),
+           sum(col("l_quantity")).cast("long").as("qty_all"))
+      .filter(col("qty97") > 0L && col("qty97") * 2L > col("qty_all"))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_parts"), sum("qty97").as("qty97_sum"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_parts"), col("qty97_sum"))
+      .orderBy(col("n_parts").desc, col("s_suppkey"))
+  }
 }

@@ -821,6 +821,29 @@ class PlanSpec extends SparkSpecBase {
       val p = planOf(df)
       assert(!p.contains("CartesianProduct"), p)
     }
+    // x161: one fact aggregate + the grand-total scalar broadcast back
+    locally {
+      val p = planOf(operators.RelationalOps.x161ImportantParts(spark, sfDir))
+      assert(!p.contains("Window") && !p.contains("CartesianProduct"), p)
+    }
+    // x162: the NOT IN exclusion is a LEFT ANTI, never a product
+    locally {
+      import org.apache.spark.sql.catalyst.plans.LeftAnti
+      import org.apache.spark.sql.catalyst.plans.logical.Join
+      val df = operators.RelationalOps.x162SupplierDiversity(spark, sfDir)
+      val jts = df.queryExecution.optimizedPlan.collect { case j: Join => j.joinType }
+      assert(jts.contains(LeftAnti), s"got $jts")
+      assert(!planOf(df).contains("CartesianProduct"), planOf(df))
+    }
+    // x163: NO self-join — the nested chain must stay one conditional-sum
+    // aggregate (the only join is the broadcast supplier dim)
+    locally {
+      import org.apache.spark.sql.catalyst.plans.logical.Join
+      val df = operators.RelationalOps.x163DominantShippers(spark, sfDir)
+      val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+      assert(joins.size === 1, s"x163 must join only the supplier dim:\n$joins")
+      assert(!planOf(df).contains("Window"), planOf(df))
+    }
   }
 
   test("round-10 pipeline ops: one-pass shards, pruned repair, aggregate-fed windows") {
