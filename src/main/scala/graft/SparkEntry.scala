@@ -273,6 +273,8 @@ object SparkEntry {
     "x161_important_parts" -> (RelationalOps.x161ImportantParts _),
     "x162_supp_diversity" -> (RelationalOps.x162SupplierDiversity _),
     "x163_dominant_ship"  -> (RelationalOps.x163DominantShippers _),
+    "x164_ab_test"        -> (TimeSeriesOps.x164AbTest _),
+    "x165_hazard_curve"   -> (TimeSeriesOps.x165HazardCurve _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3423,5 +3425,54 @@ object SparkEntry {
         |  FROM p WHERE qty97 > 0 AND qty97 * 2 > qty_all GROUP BY 1) t
         |JOIN supplier ON l_suppkey = s_suppkey
         |ORDER BY n_parts DESC, s_suppkey""".stripMargin,
+
+    // x164: md5-parity assignment; z² cleared of nested divisions —
+    // HUGEINT moments, one double divide each (the x158 discipline)
+    "x164_ab_test" ->
+      s"""WITH e AS ($E),
+         |u AS (SELECT user_id,
+         |  CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 10
+         |    THEN 1 ELSE 0 END AS conv,
+         |  ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS variant
+         |  FROM e GROUP BY user_id),
+         |m AS (SELECT
+         |  CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |  CAST(SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS c1,
+         |  CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         |  CAST(SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS c2
+         |  FROM u)
+         |SELECT n1, c1, n2, c2,
+         |ROUND(CAST(c1 AS DOUBLE) / n1, 6) AS p1,
+         |ROUND(CAST(c2 AS DOUBLE) / n2, 6) AS p2,
+         |ROUND(CAST(c2 * n1 AS DOUBLE) / CAST(c1 * n2 AS DOUBLE), 6) AS lift,
+         |ROUND(CAST((c1*n2 - c2*n1) * (c1*n2 - c2*n1) * (n1+n2) AS DOUBLE)
+         |  / CAST(n1 * n2 * (c1+c2) * (n1+n2-c1-c2) AS DOUBLE), 4) AS z2,
+         |CAST(CAST((c1*n2 - c2*n1) * (c1*n2 - c2*n1) * (n1+n2) AS DOUBLE)
+         |  / CAST(n1 * n2 * (c1+c2) * (n1+n2-c1-c2) AS DOUBLE) > 3.841459 AS INT)
+         |  AS significant
+         |FROM m""".stripMargin,
+
+    // x165: distinct (user, day) → per-user lifetime → age histogram →
+    // reversed cumulative risk set; censored users never count as deaths
+    "x165_hazard_curve" ->
+      s"""WITH e AS ($E),
+         |act AS (SELECT DISTINCT user_id,
+         |  epoch_us(ts) // 86400000000 AS day FROM e),
+         |h AS (SELECT MAX(day) AS h_day FROM act),
+         |life AS (SELECT MAX(day) - MIN(day) AS age,
+         |  CASE WHEN MAX(day) >= (SELECT h_day FROM h) - 7 THEN 1 ELSE 0 END
+         |    AS censored
+         |  FROM act GROUP BY user_id),
+         |byage AS (SELECT age, COUNT(*) AS n_ending,
+         |  CAST(SUM(1 - censored) AS BIGINT) AS d FROM life GROUP BY 1)
+         |SELECT age,
+         |CAST(SUM(n_ending) OVER (ORDER BY age DESC
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |  AS n_at_risk,
+         |d AS n_churned,
+         |ROUND(CAST(d AS DOUBLE) / CAST(SUM(n_ending) OVER (ORDER BY age DESC
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
+         |  AS hazard
+         |FROM byage ORDER BY age""".stripMargin,
   )
 }

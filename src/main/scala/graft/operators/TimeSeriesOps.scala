@@ -1668,4 +1668,100 @@ object TimeSeriesOps {
       .select(col("day"), col("event_id"), col("n_a"), col("n_b"))
       .orderBy("day", "event_id")
   }
+
+  /** x164 A/B experiment readout — the two-proportion test an
+    * experimentation platform runs over behavioral data: users are
+    * deterministically hash-assigned to control/treatment (md5 parity —
+    * replayable, engine-independent, the x15 split discipline),
+    * conversion = the user fired ≥ 10 purchase events (every user in
+    * this dense fixture purchases at least once, so the frequent-buyer
+    * gate is what leaves BOTH outcome classes populated at every sf —
+    * measured 13/15, 129/150, 1282/1500), and the readout
+    * is per-variant counts, rates, the lift, and the pooled two-sample
+    * z² statistic with its 95% verdict. The suite's first inferential
+    * surface: x103's AUC ranks a score, this TESTS a difference.
+    *
+    * Exactness (the x139/x158 discipline): z² is a ratio of integer
+    * moments once cleared of nested divisions —
+    *   z² = (c₁n₂ − c₂n₁)² · (n₁+n₂) / (n₁n₂ · C · (N − C))
+    * with C = c₁+c₂, N = n₁+n₂ — every term an exact integer in
+    * decimal(38,0) (the long-wrapping cross term squared stays exact
+    * through ~1e9 users per variant; past that — where HUGEINT saturates
+    * identically — run the same clearing in doubles over the exact
+    * moments), ONE double divide, and the significance flag compares
+    * that one double to the χ²₁ 95% critical value both engines hold
+    * literally.
+    *
+    * Scale: the corpus collapses to per-user (converted) FIRST (one
+    * user-keyed map-side-combined aggregate — the only corpus-sized
+    * exchange); assignment is a map-side hash on the user-sized frame;
+    * the readout is a 1-row fold. */
+  def x164AbTest(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val users = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg((sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 10L)
+        .cast("long").as("conv"))
+      .withColumn("variant",
+        pmod(conv(substring(md5(col("user_id").cast("string")), 1, 8), 16, 10)
+          .cast("long"), lit(2L)))
+    val m = users.agg(
+      sum(when(col("variant") === 0L, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("variant") === 0L, col("conv")).otherwise(0L)).as("c1"),
+      sum(when(col("variant") === 1L, 1L).otherwise(0L)).as("n2"),
+      sum(when(col("variant") === 1L, col("conv")).otherwise(0L)).as("c2"))
+    val cross = dec(col("c1")) * dec(col("n2")) - dec(col("c2")) * dec(col("n1"))
+    val cTot = dec(col("c1") + col("c2"))
+    val nTot = dec(col("n1") + col("n2"))
+    val z2 = (cross * cross * nTot).cast("double") /
+      (dec(col("n1")) * dec(col("n2")) * cTot * (nTot - cTot)).cast("double")
+    m.select(col("n1"), col("c1"), col("n2"), col("c2"),
+      dround(col("c1").cast("double") / col("n1").cast("double"), 6).as("p1"),
+      dround(col("c2").cast("double") / col("n2").cast("double"), 6).as("p2"),
+      dround((dec(col("c2")) * dec(col("n1"))).cast("double")
+        / (dec(col("c1")) * dec(col("n2"))).cast("double"), 6).as("lift"),
+      dround(z2, 4).as("z2"),
+      (z2 > 3.841459).cast("int").as("significant"))
+  }
+
+  /** x165 churn hazard curve — the survival-analysis readout x123's
+    * cohort triangle cannot express: per lifetime age a (days between a
+    * user's first and last activity), how many users were still AT RISK
+    * at that age and how many CHURNED exactly there, with the discrete
+    * hazard d/n — censoring handled the Kaplan–Meier way: users whose
+    * last activity is within 7 days of the corpus horizon are censored
+    * (still alive — they leave the risk set after their observed age
+    * but never count as deaths).
+    *
+    * All-integer: lifetimes collapse from distinct (user, day) to
+    * per-user (first, last) (user-sized); the age histogram is
+    * |ages|-sized; n_at_risk is a REVERSED cumulative sum over that
+    * aggregate (aggregate-fed window); hazard is the one rounded
+    * divide. The product-limit curve itself is deliberately NOT output:
+    * a cumulative float product has no cross-engine exactness story,
+    * and the (n, d) pairs ARE the sufficient statistic it derives from. */
+  def x165HazardCurve(s: SparkSession, d: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val act = Tables.events(s, d)
+      .select(col("user_id"),
+        floorDiv(unix_micros(col("ts")), dayUs).as("day"))
+      .distinct()
+    val horizon = act.agg(max("day").as("h_day"))
+    val life = act.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .crossJoin(broadcast(horizon))
+      .select((col("d1") - col("d0")).as("age"),
+        (col("d1") >= col("h_day") - 7L).cast("long").as("censored"))
+    val byAge = life.groupBy("age")
+      .agg(count(lit(1)).as("n_ending"),
+        sum(lit(1L) - col("censored")).as("d"))
+    val wRisk = Window.orderBy(col("age").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byAge
+      .withColumn("n_at_risk", sum("n_ending").over(wRisk))
+      .select(col("age"), col("n_at_risk"), col("d").as("n_churned"),
+        dround(col("d").cast("double") / col("n_at_risk").cast("double"), 6)
+          .as("hazard"))
+      .orderBy("age")
+  }
 }

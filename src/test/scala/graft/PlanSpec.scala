@@ -870,15 +870,17 @@ class PlanSpec extends SparkSpecBase {
         "anti-join BUILD not pruned by the day shortlist")
       assert(planOf(df).contains("BroadcastHashJoin"), planOf(df))
     }
-    // x157/x158: no window anywhere (pure aggregate pipelines)
+    // x157/x158/x164: no window anywhere (pure aggregate pipelines)
     for (df <- Seq(operators.TextOps.x157GramCommonness(spark, sfDir),
-                   operators.TextOps.x158LabelerKappa(spark, sfDir)))
+                   operators.TextOps.x158LabelerKappa(spark, sfDir),
+                   operators.TimeSeriesOps.x164AbTest(spark, sfDir)))
       assert(df.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
         "unexpected window in an aggregate-only plan")
-    // x159/x160: every window runs over an aggregate (vocab/source-sized,
-    // never corpus-sized)
+    // x159/x160/x165: every window runs over an aggregate (vocab/source/
+    // age-sized, never corpus-sized)
     for (df <- Seq(operators.TextOps.x159TfidfTerms(spark, sfDir),
-                   operators.TextOps.x160SourceGini(spark, sfDir))) {
+                   operators.TextOps.x160SourceGini(spark, sfDir),
+                   operators.TimeSeriesOps.x165HazardCurve(spark, sfDir))) {
       val ws = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
       assert(ws.nonEmpty && ws.forall(_.collect { case a: Aggregate => a }.nonEmpty),
         s"corpus-fed window:\n${df.queryExecution.optimizedPlan}")
