@@ -275,6 +275,7 @@ object SparkEntry {
     "x163_dominant_ship"  -> (RelationalOps.x163DominantShippers _),
     "x164_ab_test"        -> (TimeSeriesOps.x164AbTest _),
     "x165_hazard_curve"   -> (TimeSeriesOps.x165HazardCurve _),
+    "x166_cusum_cp"       -> (TimeSeriesOps.x166CusumChangepoint _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3474,5 +3475,29 @@ object SparkEntry {
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 6)
          |  AS hazard
          |FROM byage ORDER BY age""".stripMargin,
+
+    // x166: n-scaled integer CUSUM; argmax ties to the earliest split;
+    // shift = raw-ratio difference rounded ONCE (mirrors the Spark side)
+    "x166_cusum_cp" ->
+      s"""WITH e AS ($E),
+         |cnt AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |  COUNT(*) AS c FROM e GROUP BY 1, 2),
+         |px AS (SELECT event_type, day, c,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS t,
+         |  CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+         |  FROM cnt),
+         |tt AS (SELECT event_type AS g_type, MAX(t) AS n, MAX(p) AS s_tot
+         |  FROM px GROUP BY 1),
+         |dv AS (SELECT px.*, n, s_tot, ABS(n*px.p - t*s_tot) AS absd
+         |  FROM px JOIN tt ON event_type = g_type WHERE t < n),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+         |  ORDER BY absd DESC, t ASC) AS rk FROM dv)
+         |SELECT event_type, day AS cp_day, t, n AS n_days, absd,
+         |ROUND(CAST(p AS DOUBLE) / t, 4) AS before_mean,
+         |ROUND(CAST(s_tot - p AS DOUBLE) / (n - t), 4) AS after_mean,
+         |ROUND(CAST(s_tot - p AS DOUBLE) / (n - t)
+         |  - CAST(p AS DOUBLE) / t, 4) AS shift
+         |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
   )
 }

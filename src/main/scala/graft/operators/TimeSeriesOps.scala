@@ -1764,4 +1764,56 @@ object TimeSeriesOps {
           .as("hazard"))
       .orderBy("age")
   }
+
+  /** x166 CUSUM changepoint — WHERE each series' level shifted, the
+    * question x25 (pointwise z-score outliers) and x130 (burst flags)
+    * don't answer: per event type, the single split of the daily-count
+    * series maximizing the cumulative-sum deviation |D_t| = |n·P_t −
+    * t·S| (the classic CUSUM statistic, n-scaled so it stays in exact
+    * integers — P_t the count prefix at day-index t, S the series
+    * total), with the before/after means and the shift. The first
+    * readout of a "did the pipeline's volume regime change, and when"
+    * incident review.
+    *
+    * Exactness/scale: the corpus collapses to (type, day) counts first
+    * (map-side combined); the prefix runs per type over that
+    * |types|·|days| aggregate; the argmax is a map-side-combinable
+    * max(struct(absD, −t)) — ties break to the EARLIEST split; means
+    * are exact integer ratios rounded once. n·P_t stays far inside a
+    * long (days ≈ 3.7e3 at a decade, counts 1e12 → ~4e15). Splits
+    * range t ∈ [1, n−1] so both sides are nonempty. */
+  def x166CusumChangepoint(s: SparkSession, d: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val counts = Tables.events(s, d)
+      .select(col("event_type"),
+        floorDiv(unix_micros(col("ts")), dayUs).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = counts
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("p", sum("c").over(run))
+    val tot = pre.groupBy(col("event_type").as("g_type"))
+      .agg(max("t").as("n"), max("p").as("s_tot"))
+    pre.join(tot, col("event_type") === col("g_type"))
+      .filter(col("t") < col("n"))
+      .withColumn("dev", col("n") * col("p") - col("t") * col("s_tot"))
+      .withColumn("absd", abs(col("dev")))
+      .groupBy("event_type")
+      .agg(max(struct(col("absd"), (-col("t")).as("nt"), col("day").as("day"),
+        col("t").as("t"), col("p").as("p"), col("n").as("n"),
+        col("s_tot").as("s_tot"))).as("m"))
+      .select(col("event_type"),
+        col("m.day").as("cp_day"), col("m.t").as("t"), col("m.n").as("n_days"),
+        col("m.absd").as("absd"),
+        dround(col("m.p").cast("double") / col("m.t").cast("double"), 4)
+          .as("before_mean"),
+        dround((col("m.s_tot") - col("m.p")).cast("double")
+          / (col("m.n") - col("m.t")).cast("double"), 4).as("after_mean"),
+        dround((col("m.s_tot") - col("m.p")).cast("double")
+          / (col("m.n") - col("m.t")).cast("double")
+          - col("m.p").cast("double") / col("m.t").cast("double"), 4)
+          .as("shift"))
+      .orderBy("event_type")
+  }
 }

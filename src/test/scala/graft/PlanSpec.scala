@@ -880,7 +880,8 @@ class PlanSpec extends SparkSpecBase {
     // age-sized, never corpus-sized)
     for (df <- Seq(operators.TextOps.x159TfidfTerms(spark, sfDir),
                    operators.TextOps.x160SourceGini(spark, sfDir),
-                   operators.TimeSeriesOps.x165HazardCurve(spark, sfDir))) {
+                   operators.TimeSeriesOps.x165HazardCurve(spark, sfDir),
+                   operators.TimeSeriesOps.x166CusumChangepoint(spark, sfDir))) {
       val ws = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
       assert(ws.nonEmpty && ws.forall(_.collect { case a: Aggregate => a }.nonEmpty),
         s"corpus-fed window:\n${df.queryExecution.optimizedPlan}")
