@@ -276,6 +276,10 @@ object SparkEntry {
     "x164_ab_test"        -> (TimeSeriesOps.x164AbTest _),
     "x165_hazard_curve"   -> (TimeSeriesOps.x165HazardCurve _),
     "x166_cusum_cp"       -> (TimeSeriesOps.x166CusumChangepoint _),
+    "x167_local_volume"   -> (RelationalOps.x167LocalSupplierVolume _),
+    "x168_product_profit" -> (RelationalOps.x168ProductProfit _),
+    "x169_cheapest_supp"  -> (RelationalOps.x169CheapestSupplier _),
+    "x170_column_profile" -> (TextOps.x170ColumnProfile _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3499,5 +3503,100 @@ object SparkEntry {
          |ROUND(CAST(s_tot - p AS DOUBLE) / (n - t)
          |  - CAST(p AS DOUBLE) / t, 4) AS shift
          |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
+    // x167: TPC-H Q5 shape — cyclic join (customer and supplier must
+    // share a nation); revenue in exact integer 1e-4 dollars
+    "x167_local_volume" ->
+      """SELECT n_name,
+        |ROUND(CAST(rev4 AS DOUBLE) / 10000.0, 4) AS revenue
+        |FROM (SELECT n_name,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        |    * (100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS BIGINT) AS rev4
+        |  FROM customer
+        |  JOIN nation   ON c_nationkey = n_nationkey
+        |  JOIN region   ON n_regionkey = r_regionkey
+        |  JOIN orders   ON c_custkey = o_custkey
+        |  JOIN lineitem ON o_orderkey = l_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |              AND c_nationkey = s_nationkey
+        |  WHERE r_name = 'ASIA'
+        |    AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |  GROUP BY 1)
+        |ORDER BY rev4 DESC, n_name""".stripMargin,
+
+    // x168: TPC-H Q9 shape recast — profit vs catalog price (no
+    // partsupp in the fixture), exact integer 1e-4 dollars per row
+    "x168_product_profit" ->
+      """SELECT n_name, yr,
+        |ROUND(CAST(profit4 AS DOUBLE) / 10000.0, 4) AS profit
+        |FROM (SELECT n_name, CAST(year(l_shipdate) AS INT) AS yr,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+        |      * (100 - CAST(ROUND(l_discount*100) AS BIGINT))
+        |    - CAST(ROUND(p_retailprice*100) AS BIGINT)
+        |      * CAST(l_quantity AS BIGINT) * 100) AS BIGINT) AS profit4
+        |  FROM lineitem
+        |  JOIN part     ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation   ON s_nationkey = n_nationkey
+        |  WHERE p_name LIKE '%rod%'
+        |  GROUP BY 1, 2)
+        |ORDER BY n_name, yr DESC""".stripMargin,
+
+    // x169: TPC-H Q2 shape recast — part↔supplier link derived from
+    // lineitem; min unit price in exact integer 1e-4 dollars (floor
+    // division of positives: DuckDB // ≡ Spark div)
+    "x169_cheapest_supp" ->
+      """WITH eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |sl AS (SELECT p_partkey, p_name FROM part WHERE p_size = 5),
+        |off AS (SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+        |  MIN(CAST(ROUND(l_extendedprice*100) AS BIGINT) * 100
+        |      // CAST(l_quantity AS BIGINT)) AS unit4
+        |  FROM lineitem
+        |  JOIN sl ON l_partkey = p_partkey
+        |  JOIN eu ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2, 3, 4, 5, 6),
+        |best AS (SELECT p_partkey AS b_key, MIN(unit4) AS best4
+        |  FROM off GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, s_suppkey,
+        |ROUND(CAST(unit4 AS DOUBLE) / 10000.0, 4) AS unit_price
+        |FROM off JOIN best ON p_partkey = b_key AND unit4 = best4
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    // x170: per-column profile card over the derived dirty view (the
+    // x56 precedent); mode = max-count + min-value-at-max, no window
+    "x170_column_profile" ->
+      """WITH dirty AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 13 = 3 THEN NULL ELSE lang END AS lang,
+        |  CASE WHEN doc_id % 17 = 5 THEN NULL ELSE source END AS source,
+        |  CASE WHEN doc_id % 19 = 7 THEN NULL ELSE n_chars END AS n_chars
+        |  FROM documents),
+        |lg AS (
+        |  SELECT 'doc_id' AS colname, CAST(doc_id AS VARCHAR) AS v FROM dirty
+        |  UNION ALL SELECT 'lang', lang FROM dirty
+        |  UNION ALL SELECT 'source', source FROM dirty
+        |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM dirty),
+        |counts AS (SELECT colname, v, COUNT(*) AS cnt FROM lg GROUP BY 1, 2),
+        |stats AS (SELECT colname,
+        |  CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN v IS NULL THEN cnt ELSE 0 END) AS BIGINT) AS n_null,
+        |  COUNT(v) AS n_distinct
+        |  FROM counts GROUP BY 1),
+        |mx AS (SELECT colname AS x_col, MAX(cnt) AS top_cnt
+        |  FROM counts WHERE v IS NOT NULL GROUP BY 1),
+        |md AS (SELECT colname AS m_col, MIN(v) AS mode_value,
+        |  MAX(top_cnt) AS mode_count
+        |  FROM counts JOIN mx ON colname = x_col AND cnt = top_cnt
+        |  WHERE v IS NOT NULL GROUP BY 1)
+        |SELECT colname, n_rows, n_null, n_distinct,
+        |ROUND(CAST(n_rows - n_null AS DOUBLE) / n_rows, 4) AS completeness,
+        |mode_value, mode_count
+        |FROM stats JOIN md ON colname = m_col
+        |ORDER BY colname""".stripMargin,
   )
 }

@@ -1106,4 +1106,136 @@ object RelationalOps {
       .select(col("s_suppkey"), col("s_name"), col("n_parts"), col("qty97_sum"))
       .orderBy(col("n_parts").desc, col("s_suppkey"))
   }
+
+  /** x167 local-supplier volume — the TPC-H Q5 shape: revenue per nation
+    * within one region and one year, counting ONLY lineitems where the
+    * supplier and the ordering customer share a nation. The
+    * distinguishing surface is the CYCLIC join graph — customer→orders→
+    * lineitem→supplier plus the c_nationkey = s_nationkey equality that
+    * closes the cycle — which a left-deep plan must carry as a residual
+    * on the LAST fact join (no join reorder can make it a key); the
+    * classic Q5 bug (joining supplier on nationkey alone, multiplying
+    * rows) is what the oracle hash pins against.
+    *
+    * Scale: the year filter reaches the orders scan and the region
+    * filter prunes nation to |region| keys BEFORE touching any fact
+    * (nation⋈region broadcast, then customers semi-filtered through it);
+    * the two fact joins shuffle on their natural keys (custkey then
+    * orderkey); supplier broadcasts with the nation equality as the
+    * residual. Revenue in exact integer 1e-4 dollars (the x151
+    * discipline) — ranking nations by revenue cannot flip on a last-bit
+    * double. */
+  def x167LocalSupplierVolume(s: SparkSession, d: String): DataFrame = {
+    val asiaNations = broadcast(
+      Tables.nation(s, d)
+        .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name")))
+    Tables.customer(s, d).select("c_custkey", "c_nationkey")
+      .join(asiaNations, col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1997-01-01")
+            && col("o_orderdate") < lit("1998-01-01"))
+          .select("o_orderkey", "o_custkey"),
+        col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(s, d)
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")
+        * (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev4"))
+      .select(col("n_name"),
+        dround(col("rev4").cast("double") / 10000.0, 4).as("revenue"))
+      .orderBy(col("rev4").desc, col("n_name"))
+  }
+
+  /** x168 product-line profit — the TPC-H Q9 shape recast onto this
+    * fixture (no partsupp, so ps_supplycost becomes the part's LIST
+    * price: profit = discounted revenue − retailprice·quantity, i.e.
+    * margin vs catalog). Per (supplier nation, ship year), over parts
+    * whose name contains one product word — Q9's surfaces intact: a
+    * LIKE-filtered part dim driving two fact dims (supplier for the
+    * nation, part for the cost), a profit expression mixing columns of
+    * BOTH joined tables per row, and a (nation × year) rollup.
+    *
+    * Scale: the LIKE prunes part BEFORE broadcast (the only
+    * non-broadcast table is the fact); profit is computed per-row in
+    * exact integer 1e-4 dollars — price4·(100−disc) − retail4·qty·100 —
+    * summed as BIGINT (|profit4| ≤ 1e9 per row, corpus sum ≪ 2^63), one
+    * divide at the end. Output is |nations|·|years| rows. */
+  def x168ProductProfit(s: SparkSession, d: String): DataFrame = {
+    val rods = broadcast(Tables.part(s, d)
+      .filter(col("p_name").contains("rod"))
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("retail2")))
+    Tables.lineitem(s, d)
+      .join(rods, col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("l_shipdate")).as("yr"))
+      .agg(sum(
+        round(col("l_extendedprice") * 100).cast("long")
+          * (lit(100L) - round(col("l_discount") * 100).cast("long"))
+        - col("retail2") * col("l_quantity").cast("long") * 100L)
+        .as("profit4"))
+      .select(col("n_name"), col("yr"),
+        dround(col("profit4").cast("double") / 10000.0, 4).as("profit"))
+      .orderBy(col("n_name"), col("yr").desc)
+  }
+
+  /** x169 cheapest qualified supplier — the TPC-H Q2 shape recast onto
+    * this fixture (no partsupp: the part↔supplier relation and its
+    * "cost" are DERIVED from lineitem — each supplier's best observed
+    * unit sell price per part), completing the battery: for every part
+    * in one size class, the EUROPE supplier(s) whose minimum unit price
+    * equals the part's minimum across all Europe suppliers. Q2's
+    * surfaces intact: a correlated MIN over the link relation with an
+    * outer reference (the partkey), decorrelated into an aggregate
+    * joined back on (partkey, min-equality) so ties ALL surface; a
+    * supplier→nation→region qualification chain; the acctbal-desc
+    * output order with a LIMIT.
+    *
+    * Determinism: unit price is exact integer 1e-4 dollars/unit —
+    * (cents·100) div integral-quantity, floor==truncate since both
+    * positive — so the min-equality join can never flip on a double
+    * (the x151/x152 discipline).
+    *
+    * Scale: region prunes supplier BEFORE the fact join (broadcast);
+    * the size filter prunes part likewise; the fact scans once,
+    * aggregates map-side onto (part, supp) pairs; the per-part best is
+    * an aggregate-sized self-join on partkey. LIMIT compiles to
+    * TakeOrderedAndProject. */
+  def x169CheapestSupplier(s: SparkSession, d: String): DataFrame = {
+    val euSupp = broadcast(Tables.supplier(s, d)
+      .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d).filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name")))
+    val slice = broadcast(Tables.part(s, d).filter(col("p_size") === 5)
+      .select(col("p_partkey"), col("p_name")))
+    val offers = Tables.lineitem(s, d)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+      .join(slice, col("l_partkey") === col("p_partkey"))
+      .join(euSupp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+      .agg(min(expr(
+        "CAST(ROUND(l_extendedprice*100) AS BIGINT) * 100 div CAST(l_quantity AS BIGINT)"))
+        .as("unit4"))
+    val best = offers.groupBy(col("p_partkey").as("b_key"))
+      .agg(min("unit4").as("best4"))
+    offers.join(best, col("p_partkey") === col("b_key")
+        && col("unit4") === col("best4"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("s_suppkey"),
+        dround(col("unit4").cast("double") / 10000.0, 4).as("unit_price"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
 }

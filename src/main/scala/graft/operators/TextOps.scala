@@ -2503,4 +2503,60 @@ object TextOps {
           / (col("k") * col("total")).cast("double"), 6).as("gini"))
       .orderBy("rk")
   }
+
+  /** x170 column profile card — the per-COLUMN data-quality surface
+    * (Deequ/Great-Expectations style), the schema-axis complement to
+    * x55's per-(source, lang) row-slice card: for each profiled column,
+    * row count, null count, completeness, exact distinct count, and the
+    * mode (most frequent value, ties to the lexicographically smallest)
+    * with its count. The fixture is fully clean, so — the x56 precedent
+    * of deriving the test surface in-query — the profiler runs over a
+    * DIRTY derived view: lang/source/n_chars are NULLed on disjoint
+    * prime-mod doc_id rules (13/17/19), so every null-handling branch is
+    * exercised and oracle-pinned.
+    *
+    * Shape (the 100 TB one): ONE scan → a 4-way `stack` expand (cheap:
+    * values project, never copy the text column) → a (column, value)
+    * map-side-combined count aggregate → two aggregate-sized folds: the
+    * per-column stats (null mass, distinct = surviving rows), and the
+    * mode as max-count + min-value-at-max — NO window anywhere, so the
+    * unique-valued doc_id column cannot serialize into one partition
+    * (the q29 trap; a naive rank-over-column mode hits it). At 100 TB
+    * the exact distinct/mode on high-cardinality columns swap for x34's
+    * sketch + x49's heavy-hitter machinery; the card's algebra is
+    * unchanged. */
+  def x170ColumnProfile(s: SparkSession, d: String): DataFrame = {
+    val dirty = Tables.documents(s, d).select(
+      col("doc_id"),
+      when(pmod(col("doc_id"), lit(13L)) === 3L, lit(null))
+        .otherwise(col("lang")).as("lang"),
+      when(pmod(col("doc_id"), lit(17L)) === 5L, lit(null))
+        .otherwise(col("source")).as("source"),
+      when(pmod(col("doc_id"), lit(19L)) === 7L, lit(null))
+        .otherwise(col("n_chars")).as("n_chars"))
+    val long = dirty.select(expr(
+      """stack(4,
+        |  'doc_id',  CAST(doc_id AS STRING),
+        |  'lang',    lang,
+        |  'source',  source,
+        |  'n_chars', CAST(n_chars AS STRING)) AS (colname, v)""".stripMargin))
+    val counts = long.groupBy("colname", "v").agg(count(lit(1)).as("cnt"))
+    val stats = counts.groupBy("colname").agg(
+      sum("cnt").as("n_rows"),
+      sum(when(col("v").isNull, col("cnt")).otherwise(lit(0L))).as("n_null"),
+      count(col("v")).as("n_distinct"))
+    val maxc = counts.filter(col("v").isNotNull)
+      .groupBy(col("colname").as("x_col")).agg(max("cnt").as("top_cnt"))
+    val mode = counts.filter(col("v").isNotNull)
+      .join(broadcast(maxc),
+        col("colname") === col("x_col") && col("cnt") === col("top_cnt"))
+      .groupBy(col("colname").as("m_col"))
+      .agg(min("v").as("mode_value"), max("top_cnt").as("mode_count"))
+    stats.join(broadcast(mode), col("colname") === col("m_col"))
+      .select(col("colname"), col("n_rows"), col("n_null"), col("n_distinct"),
+        dround((col("n_rows") - col("n_null")).cast("double")
+          / col("n_rows").cast("double"), 4).as("completeness"),
+        col("mode_value"), col("mode_count"))
+      .orderBy("colname")
+  }
 }

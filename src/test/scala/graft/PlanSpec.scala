@@ -844,6 +844,33 @@ class PlanSpec extends SparkSpecBase {
       assert(joins.size === 1, s"x163 must join only the supplier dim:\n$joins")
       assert(!planOf(df).contains("Window"), planOf(df))
     }
+    // x167: the Q5 cycle — year filter at the orders scan, region at the
+    // nation dim, supplier broadcast; no product, no window
+    locally {
+      val p = planOf(operators.RelationalOps.x167LocalSupplierVolume(spark, sfDir))
+      assert(p.contains("PushedFilters") && p.contains("o_orderdate"), p)
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+      assert(!p.contains("Window"), p)
+    }
+    // x168: the LIKE prunes part BEFORE the broadcast; all dims broadcast
+    // (the fact never shuffles pre-aggregate: exactly one hash agg pair)
+    locally {
+      val df = operators.RelationalOps.x168ProductProfit(spark, sfDir)
+      val p = planOf(df)
+      assert(p.contains("rod"), s"p_name LIKE not pushed toward the part scan:\n$p")
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    }
+    // x169: the Q2 recast — LIMIT compiles to TakeOrderedAndProject
+    // (never a full sort); region + size prune dims that broadcast
+    locally {
+      val p = planOf(operators.RelationalOps.x169CheapestSupplier(spark, sfDir))
+      assert(p.contains("TakeOrderedAndProject"), p)
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+      assert(!p.contains("Window"), p)
+    }
   }
 
   test("round-10 pipeline ops: one-pass shards, pruned repair, aggregate-fed windows") {
@@ -870,10 +897,13 @@ class PlanSpec extends SparkSpecBase {
         "anti-join BUILD not pruned by the day shortlist")
       assert(planOf(df).contains("BroadcastHashJoin"), planOf(df))
     }
-    // x157/x158/x164: no window anywhere (pure aggregate pipelines)
+    // x157/x158/x164/x170: no window anywhere (pure aggregate
+    // pipelines; x170's mode is max-count + min-at-max folds — a
+    // rank-based mode would serialize doc_id into one window partition)
     for (df <- Seq(operators.TextOps.x157GramCommonness(spark, sfDir),
                    operators.TextOps.x158LabelerKappa(spark, sfDir),
-                   operators.TimeSeriesOps.x164AbTest(spark, sfDir)))
+                   operators.TimeSeriesOps.x164AbTest(spark, sfDir),
+                   operators.TextOps.x170ColumnProfile(spark, sfDir)))
       assert(df.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
         "unexpected window in an aggregate-only plan")
     // x159/x160/x165: every window runs over an aggregate (vocab/source/
