@@ -280,6 +280,13 @@ object SparkEntry {
     "x168_product_profit" -> (RelationalOps.x168ProductProfit _),
     "x169_cheapest_supp"  -> (RelationalOps.x169CheapestSupplier _),
     "x170_column_profile" -> (TextOps.x170ColumnProfile _),
+    "x171_edit_distance"  -> (TextOps.x171EditDistance _),
+    "x172_ref_integrity"  -> (RelationalOps.x172RefIntegrity _),
+    "x173_l_diversity"    -> (TimeSeriesOps.x173LDiversity _),
+    "x174_pareto_skyline" -> (RelationalOps.x174ParetoSkyline _),
+    "x175_contingency"    -> (TextOps.x175ContingencyAudit _),
+    "x176_ols_fit"        -> (TimeSeriesOps.x176OlsFit _),
+    "x177_pattern_match"  -> (TimeSeriesOps.x177PatternMatch _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3598,5 +3605,151 @@ object SparkEntry {
         |mode_value, mode_count
         |FROM stats JOIN md ON colname = m_col
         |ORDER BY colname""".stripMargin,
+
+    // x171: length-blocked Levenshtein adjudication; both engines run the
+    // classic DP on pure-ASCII 160-char prefixes, so distances are exact
+    "x171_edit_distance" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars, substr(text, 1, 160) AS pfx,
+        |  n_chars // 32 AS b FROM documents)
+        |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+        |CAST(levenshtein(a.pfx, c.pfx) AS BIGINT) AS dist,
+        |ROUND(1.0 - CAST(levenshtein(a.pfx, c.pfx) AS DOUBLE)
+        |  / greatest(length(a.pfx), length(c.pfx)), 4) AS sim
+        |FROM d a JOIN d c ON a.lang = c.lang
+        |  AND c.b BETWEEN a.b - 1 AND a.b + 1
+        |  AND a.doc_id < c.doc_id AND abs(a.n_chars - c.n_chars) <= 12
+        |WHERE levenshtein(a.pfx, c.pfx) <= 40
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // x172: per-FK-edge orphan audit over prime-mod derived parent loss;
+    // all-integer counts + one rounded share per edge
+    "x172_ref_integrity" ->
+      """WITH ok AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 997 <> 13),
+        |pk AS (SELECT p_partkey FROM part WHERE p_partkey % 193 <> 7),
+        |ck AS (SELECT c_custkey FROM customer WHERE c_custkey % 89 <> 11),
+        |nk AS (SELECT n_nationkey FROM nation WHERE n_nationkey % 7 <> 3)
+        |SELECT * FROM (
+        |SELECT 'lineitem->orders' AS edge, COUNT(*) AS n_child,
+        |  CAST(SUM(CASE WHEN ok.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan,
+        |  COUNT(DISTINCT CASE WHEN ok.o_orderkey IS NULL THEN l.l_orderkey END) AS n_orphan_keys,
+        |  ROUND(CAST(SUM(CASE WHEN ok.o_orderkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS orphan_share
+        |FROM lineitem l LEFT JOIN ok ON l.l_orderkey = ok.o_orderkey
+        |UNION ALL
+        |SELECT 'lineitem->part', COUNT(*),
+        |  CAST(SUM(CASE WHEN pk.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT CASE WHEN pk.p_partkey IS NULL THEN l.l_partkey END),
+        |  ROUND(CAST(SUM(CASE WHEN pk.p_partkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+        |FROM lineitem l LEFT JOIN pk ON l.l_partkey = pk.p_partkey
+        |UNION ALL
+        |SELECT 'orders->customer', COUNT(*),
+        |  CAST(SUM(CASE WHEN ck.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT CASE WHEN ck.c_custkey IS NULL THEN o.o_custkey END),
+        |  ROUND(CAST(SUM(CASE WHEN ck.c_custkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+        |FROM orders o LEFT JOIN ck ON o.o_custkey = ck.c_custkey
+        |UNION ALL
+        |SELECT 'supplier->nation', COUNT(*),
+        |  CAST(SUM(CASE WHEN nk.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(DISTINCT CASE WHEN nk.n_nationkey IS NULL THEN s.s_nationkey END),
+        |  ROUND(CAST(SUM(CASE WHEN nk.n_nationkey IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+        |FROM supplier s LEFT JOIN nk ON s.s_nationkey = nk.n_nationkey
+        |) ORDER BY edge""".stripMargin,
+
+    // x173: QI cells then per-type rollup; l = exact distinct users per
+    // (type, day, hour-of-day) cell, all-integer + one rounded share
+    "x173_l_diversity" ->
+      s"""WITH e AS ($E),
+         |cells AS (SELECT event_type,
+         |  epoch_us(ts) // 86400000000 AS day,
+         |  (epoch_us(ts) // 3600000000) % 24 AS hod,
+         |  COUNT(DISTINCT user_id) AS l, COUNT(*) AS n_rows
+         |  FROM e GROUP BY 1, 2, 3)
+         |SELECT event_type, COUNT(*) AS n_cells,
+         |CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+         |MIN(l) AS min_l,
+         |ROUND(CAST(SUM(CASE WHEN l < 3 THEN n_rows ELSE 0 END) AS DOUBLE)
+         |  / SUM(n_rows), 4) AS risk_share
+         |FROM cells GROUP BY 1 ORDER BY event_type""".stripMargin,
+
+    // x174: 2-D skyline via per-size max + running max over strictly
+    // smaller sizes; frontier membership in exact integer cents
+    "x174_pareto_skyline" ->
+      """WITH p AS (SELECT p_partkey, p_size,
+        |  CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents FROM part),
+        |s AS (SELECT p_size, MAX(cents) AS max_at FROM p GROUP BY 1),
+        |f AS (SELECT p_size, max_at, MAX(max_at) OVER (ORDER BY p_size
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_prev FROM s)
+        |SELECT p_partkey, p.p_size, ROUND(CAST(cents AS DOUBLE) / 100.0, 2) AS price
+        |FROM p JOIN f ON p.p_size = f.p_size
+        |WHERE (max_prev IS NULL OR max_at > max_prev) AND cents = max_at
+        |ORDER BY p.p_size, p_partkey""".stripMargin,
+
+    // x175: contingency cells + window marginals over the aggregate;
+    // expected/PMI/chi2 each one divide of exact HUGEINT products
+    "x175_contingency" ->
+      """WITH cells AS (SELECT lang, source, COUNT(*) AS n_xy
+        |  FROM documents GROUP BY 1, 2),
+        |m AS (SELECT lang, source, n_xy,
+        |  CAST(SUM(n_xy) OVER (PARTITION BY lang) AS HUGEINT) AS hx,
+        |  CAST(SUM(n_xy) OVER (PARTITION BY source) AS HUGEINT) AS hy,
+        |  CAST(SUM(n_xy) OVER () AS HUGEINT) AS hn FROM cells)
+        |SELECT lang, source, n_xy,
+        |ROUND(CAST(hx * hy AS DOUBLE) / CAST(hn AS DOUBLE), 4) AS expected,
+        |ROUND(LN(CAST(hn * n_xy AS DOUBLE) / CAST(hx * hy AS DOUBLE)), 4) AS pmi,
+        |ROUND(CAST((hn * n_xy - hx * hy) * (hn * n_xy - hx * hy) AS DOUBLE)
+        |  / CAST(hn * hx * hy AS DOUBLE), 6) AS chi2_cell
+        |FROM m ORDER BY lang, source""".stripMargin,
+
+    // x176: normal equations by Cramer over exact HUGEINT moments; each
+    // coefficient is one double divide of two exact determinants
+    "x176_ols_fit" ->
+      s"""WITH e AS ($E),
+         |u AS (SELECT user_id,
+         |  COUNT(DISTINCT epoch_us(ts) // 86400000000) AS x1,
+         |  COUNT(*) AS x2,
+         |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+         |  FROM e GROUP BY 1),
+         |mo AS (SELECT CAST(COUNT(*) AS BIGINT) AS nu,
+         |  CAST(COUNT(*) AS HUGEINT) AS s00,
+         |  CAST(SUM(x1) AS HUGEINT) AS s01, CAST(SUM(x2) AS HUGEINT) AS s02,
+         |  CAST(SUM(x1 * x1) AS HUGEINT) AS s11,
+         |  CAST(SUM(x1 * x2) AS HUGEINT) AS s12,
+         |  CAST(SUM(x2 * x2) AS HUGEINT) AS s22,
+         |  CAST(SUM(y) AS HUGEINT) AS t0, CAST(SUM(x1 * y) AS HUGEINT) AS t1,
+         |  CAST(SUM(x2 * y) AS HUGEINT) AS t2 FROM u)
+         |SELECT nu AS n_users,
+         |ROUND(CAST(t0 * (s11 * s22 - s12 * s12) - s01 * (t1 * s22 - s12 * t2)
+         |    + s02 * (t1 * s12 - s11 * t2) AS DOUBLE)
+         |  / CAST(s00 * (s11 * s22 - s12 * s12) - s01 * (s01 * s22 - s12 * s02)
+         |    + s02 * (s01 * s12 - s11 * s02) AS DOUBLE), 6) AS b0,
+         |ROUND(CAST(s00 * (t1 * s22 - s12 * t2) - t0 * (s01 * s22 - s12 * s02)
+         |    + s02 * (s01 * t2 - t1 * s02) AS DOUBLE)
+         |  / CAST(s00 * (s11 * s22 - s12 * s12) - s01 * (s01 * s22 - s12 * s02)
+         |    + s02 * (s01 * s12 - s11 * s02) AS DOUBLE), 6) AS b1,
+         |ROUND(CAST(s00 * (s11 * t2 - t1 * s12) - s01 * (s01 * t2 - t1 * s02)
+         |    + t0 * (s01 * s12 - s11 * s02) AS DOUBLE)
+         |  / CAST(s00 * (s11 * s22 - s12 * s12) - s01 * (s01 * s22 - s12 * s02)
+         |    + s02 * (s01 * s12 - s11 * s02) AS DOUBLE), 6) AS b2
+         |FROM mo""".stripMargin,
+
+    // x177: conditional forward-frame mins (next purchase / next error)
+    // off ONE user-ordered window; latency exact integer µs, one divide
+    "x177_pattern_match" ->
+      s"""WITH e AS ($E),
+         |m AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+         |  MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) OVER w AS np,
+         |  MIN(CASE WHEN event_type = 'error' THEN epoch_us(ts) END) OVER w AS ne
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+         |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)),
+         |v AS (SELECT user_id, COUNT(*) AS n_views,
+         |  CAST(SUM(CASE WHEN np IS NOT NULL AND np - us <= 21600000000
+         |    AND (ne IS NULL OR ne > np) THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+         |  SUM(CASE WHEN np IS NOT NULL AND np - us <= 21600000000
+         |    AND (ne IS NULL OR ne > np) THEN np - us END) AS lat
+         |  FROM m WHERE event_type = 'view' GROUP BY 1)
+         |SELECT user_id, n_views, n_matched,
+         |ROUND(CAST(n_matched AS DOUBLE) / n_views, 4) AS match_rate,
+         |CASE WHEN n_matched > 0 THEN
+         |  ROUND(CAST(lat AS DOUBLE) / (n_matched * 1e6), 3) END AS avg_latency_s
+         |FROM v ORDER BY user_id""".stripMargin,
   )
 }

@@ -1238,4 +1238,87 @@ object RelationalOps {
         col("p_partkey"))
       .limit(100)
   }
+
+  /** x172 referential-integrity audit — the FK-orphan scan a warehouse
+    * runs before trusting a load: per foreign-key edge, how many child
+    * rows point at a missing parent, and how many DISTINCT dangling keys
+    * there are (one bad parent vs many decides the repair strategy). The
+    * fixture is referentially clean, so — the x56/x170 derive-in-query
+    * precedent — each parent is read through a deterministic prime-mod
+    * LOSS rule (orders %997, part %193, customer %89, nation %7), which
+    * exercises all four edge classes: fact→fact (lineitem→orders),
+    * fact→broadcast dim twice, and dim→tiny-dim with a high orphan share
+    * (4 of 25 nations gone).
+    *
+    * Shape: each edge is ONE left join on its natural key (parent
+    * broadcast when a dim, shuffled on the key when fact-sized) feeding
+    * a 1-row fold — count, conditional orphan count, and a conditional
+    * COUNT DISTINCT over only the orphaned keys. No edge re-scans
+    * another's tables; the 4-row union is plan-parallel. At 100 TB each
+    * edge is exactly the join the load pipeline already pays, so the
+    * audit rides the same shuffle. */
+  def x172RefIntegrity(s: SparkSession, d: String): DataFrame = {
+    def audit(edge: String, child: DataFrame, fk: String,
+              parent: DataFrame, pk: String, bcast: Boolean): DataFrame = {
+      val par0 = parent.select(col(pk).as("pk"))
+      val par  = if (bcast) broadcast(par0) else par0
+      child.select(col(fk).as("fk"))
+        .join(par, col("fk") === col("pk"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("pk").isNull, 1L).otherwise(0L)).as("n_orphan"),
+          countDistinct(when(col("pk").isNull, col("fk"))).as("n_orphan_keys"))
+        .select(lit(edge).as("edge"), col("n_child"), col("n_orphan"),
+          col("n_orphan_keys"),
+          dround(col("n_orphan").cast("double")
+            / col("n_child").cast("double"), 6).as("orphan_share"))
+    }
+    val orders = Tables.orders(s, d)
+      .filter(!(pmod(col("o_orderkey"), lit(997L)) === 13L))
+    val part = Tables.part(s, d)
+      .filter(!(pmod(col("p_partkey"), lit(193L)) === 7L))
+    val cust = Tables.customer(s, d)
+      .filter(!(pmod(col("c_custkey"), lit(89L)) === 11L))
+    val nat = Tables.nation(s, d)
+      .filter(!(pmod(col("n_nationkey"), lit(7L)) === 3L))
+    audit("lineitem->orders", Tables.lineitem(s, d), "l_orderkey",
+        orders, "o_orderkey", bcast = false)
+      .unionAll(audit("lineitem->part", Tables.lineitem(s, d), "l_partkey",
+        part, "p_partkey", bcast = true))
+      .unionAll(audit("orders->customer", Tables.orders(s, d), "o_custkey",
+        cust, "c_custkey", bcast = true))
+      .unionAll(audit("supplier->nation", Tables.supplier(s, d), "s_nationkey",
+        nat, "n_nationkey", bcast = true))
+      .orderBy("edge")
+  }
+
+  /** x174 Pareto frontier (skyline) — the multi-objective shortlist a
+    * buyer query wants and no single ORDER BY can express: parts not
+    * DOMINATED on (size ↓, retail price ↑) — no other part is
+    * smaller-or-equal AND priced higher-or-equal with one strict. The
+    * suite's first skyline; x29's top-k and x111's M4 both collapse to
+    * one axis.
+    *
+    * Shape: the 2-D skyline never needs the O(n²) dominance self-join —
+    * fold to per-size max price (|sizes| ≤ 50 rows, map-side combined),
+    * take the running max over strictly smaller sizes (window over the
+    * AGGREGATE — never the part table), and keep sizes that strictly
+    * improve it; parts qualify by equality join-back against the
+    * broadcast frontier, so price ties at a frontier size ALL surface
+    * (the x151 ties discipline). Price compared in exact integer cents —
+    * frontier membership can't flip on a double. One scan + one
+    * |sizes|-row window + one broadcast join at any corpus size. */
+  def x174ParetoSkyline(s: SparkSession, d: String): DataFrame = {
+    val parts = Tables.part(s, d).select(col("p_partkey"), col("p_size"),
+      round(col("p_retailprice") * 100).cast("long").as("cents"))
+    val bySize = parts.groupBy("p_size").agg(max("cents").as("max_at"))
+    val w = Window.orderBy("p_size")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = bySize.withColumn("max_prev", max("max_at").over(w))
+      .filter(col("max_prev").isNull || col("max_at") > col("max_prev"))
+    parts.join(broadcast(frontier), Seq("p_size"))
+      .filter(col("cents") === col("max_at"))
+      .select(col("p_partkey"), col("p_size"),
+        dround(col("cents").cast("double") / 100.0, 2).as("price"))
+      .orderBy("p_size", "p_partkey")
+  }
 }

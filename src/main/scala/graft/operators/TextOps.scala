@@ -2559,4 +2559,112 @@ object TextOps {
         col("mode_value"), col("mode_count"))
       .orderBy("colname")
   }
+
+  /** x171 edit-distance adjudication — the CHARACTER-level verify kernel
+    * the near-dup family lacks: x01/x02 verify candidates by set overlap
+    * (order-insensitive), this one by Levenshtein distance on a 160-char
+    * prefix — the metric that distinguishes a light edit from a token
+    * reshuffle. Candidates come from deterministic length blocking
+    * ((lang, n_chars÷32) with ±1-bucket adjacency — each probe row
+    * expands to its three adjacent block keys so the join stays a pure
+    * EQUI-join, never an OR condition that would nested-loop) plus the
+    * |lenA−lenB| ≤ 12 lower-bound prune (edit distance ≥ length gap, so
+    * longer gaps can't pass the ≤ 40 gate). Reported: distance and the
+    * prefix similarity 1 − d/max(|pa|,|pb|), rounded once.
+    *
+    * Scale: candidate volume is Σ|block|² over length-local blocks —
+    * near-dups share length, so blocks bound the quadratic the way x113's
+    * sorted neighborhood does; the DP kernel is capped at 160² per pair
+    * regardless of document size. The block join runs on NARROW rows
+    * (ids + lengths only — measured 88 M raw pair formations at sf0.1,
+    * which must not each drag 2×160 chars of payload); the surviving
+    * candidates (~0.2%) re-join their prefixes by doc_id afterwards —
+    * x01's unhinted payload-rejoin discipline, AQE broadcasts the prefix
+    * table only while it measures small. Both engines run the same
+    * classic Levenshtein on pure-ASCII prefixes (n_chars ≡ length(text)
+    * on this fixture), so the integer distances agree exactly. */
+  /** x171's pre-checkpoint stage (blocking join → payload rejoin →
+    * repartition → DP), exposed so PlanSpec can pin the candidate plan
+    * the eager checkpoint below otherwise hides behind a LogicalRDD. */
+  private[graft] def x171Scored(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      col("n_chars"), expr("n_chars div 32").as("b"))
+    val probe = docs.select(col("doc_id").as("id_a"), col("lang"),
+      col("n_chars").as("len_a"),
+      explode(array(col("b") - 1, col("b"), col("b") + 1)).as("bk"))
+    val build = docs.select(col("doc_id").as("id_b"), col("lang"),
+      col("n_chars").as("len_b"), col("b").as("bk"))
+    // widen before the DP: the ~0.2%-surviving candidate set is tiny in
+    // BYTES, so AQE coalesces it to ~1 partition — but its cost is the
+    // downstream 160² Levenshtein per ROW (measured 64 s serialized vs ~5 s
+    // wide at sf0.1); pin the kernel's parallelism explicitly (the x12/x01
+    // band-join rule from SURVEY §4.3)
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val cand = probe.join(build, Seq("lang", "bk"))
+      .filter(col("id_a") < col("id_b")
+        && abs(col("len_a") - col("len_b")) <= 12)
+      .select("id_a", "id_b")
+    val pfx = Tables.documents(s, d)
+      .select(col("doc_id"), substring(col("text"), 1, 160).as("pfx"))
+    cand
+      .join(pfx.select(col("doc_id").as("id_a"), col("pfx").as("pfx_a")),
+        Seq("id_a"))
+      .join(pfx.select(col("doc_id").as("id_b"), col("pfx").as("pfx_b")),
+        Seq("id_b"))
+      .repartition(nPart)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("pfx_a"), col("pfx_b")).cast("long").as("dist"),
+        greatest(length(col("pfx_a")), length(col("pfx_b")))
+          .cast("long").as("mx"))
+  }
+
+  def x171EditDistance(s: SparkSession, d: String): DataFrame =
+    // the eager localCheckpoint PINS the wide DP stage: the dist ≤ 40
+    // filter would otherwise inline the levenshtein alias and push below
+    // the repartition, landing the whole DP back in the coalesced stage
+    // (measured at sf0.1: 64 s naive, 33 s repartition-only, 2.7 s pinned)
+    x171Scored(s, d).localCheckpoint(true)
+      .filter(col("dist") <= 40L)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("dist"),
+        dround(lit(1.0) - col("dist").cast("double")
+          / col("mx").cast("double"), 4).as("sim"))
+      .orderBy("doc_a", "doc_b")
+
+  /** x175 contingency independence audit — ARE two metadata columns
+    * independent? The schema-level dependence surface next to x74 (which
+    * mines token-pair PMI inside text) and x67 (distribution distance):
+    * the full lang × source contingency table with, per cell, the
+    * observed count, the independence-expected count, the pointwise
+    * mutual information, and the χ² cell contribution — the table a mix
+    * auditor reads to see WHICH (lang, source) cells are over/under-fed
+    * before x146 rebalances them.
+    *
+    * Exactness (the x164/x158 moment discipline): marginals and N ride
+    * window sums OVER THE |langs|·|sources| AGGREGATE (never the
+    * corpus); expected = n_x·n_y/N and the χ² cell
+    * (N·n_xy − n_x·n_y)²/(N·n_x·n_y) are each ONE divide of exact
+    * decimal(38,0) integer products (HUGEINT in the twin); PMI's ln
+    * takes the one exact ratio (x83's ln-then-round precedent). Per-cell
+    * contributions are deliberately NOT summed to a single χ²/MI scalar
+    * here — a cross-cell double sum is order-sensitive; the cells are
+    * the sufficient statistic and the x164 machinery tests any 2×2. */
+  def x175ContingencyAudit(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = Tables.documents(s, d)
+      .groupBy("lang", "source").agg(count(lit(1)).as("n_xy"))
+    val m = cells
+      .withColumn("n_x", sum("n_xy").over(Window.partitionBy("lang")))
+      .withColumn("n_y", sum("n_xy").over(Window.partitionBy("source")))
+      .withColumn("n", sum("n_xy").over(Window.partitionBy()))
+    val diff = dec(col("n")) * dec(col("n_xy")) - dec(col("n_x")) * dec(col("n_y"))
+    m.select(col("lang"), col("source"), col("n_xy"),
+        dround((dec(col("n_x")) * dec(col("n_y"))).cast("double")
+          / col("n").cast("double"), 4).as("expected"),
+        dround(log((dec(col("n")) * dec(col("n_xy"))).cast("double")
+          / (dec(col("n_x")) * dec(col("n_y"))).cast("double")), 4).as("pmi"),
+        dround((diff * diff).cast("double")
+          / (dec(col("n")) * dec(col("n_x")) * dec(col("n_y"))).cast("double"),
+          6).as("chi2_cell"))
+      .orderBy("lang", "source")
+  }
 }

@@ -1816,4 +1816,133 @@ object TimeSeriesOps {
           .as("shift"))
       .orderBy("event_type")
   }
+
+  /** x173 l-diversity audit — the privacy readout x89's k-anonymity
+    * cannot give: a QI group can be LARGE (k-safe) yet still leak if all
+    * its rows share one sensitive value. Here the quasi-identifier is
+    * the (event_type, day, hour-of-day) cell an attacker can observe,
+    * the sensitive attribute is user_id, and l = the count of DISTINCT
+    * users per cell; per event type we report cells, low-diversity cells
+    * (l < 3), the worst l, and the share of event rows sitting in a
+    * low-l cell — the rows where observing the QI pins the user to < 3
+    * candidates.
+    *
+    * Shape mirrors x89's two-fold: one (QI → l, rows) hash aggregate
+    * whose output is bounded by the QI domain (|types|·days·24), then a
+    * per-type rollup — the corpus is touched once and the distinct-user
+    * count is the only expand. All-integer until the one rounded share. */
+  def x173LDiversity(s: SparkSession, d: String): DataFrame = {
+    val dayUs = 24L * 3600L * 1000000L
+    val hourUs = 3600L * 1000000L
+    val cells = Tables.events(s, d)
+      .select(col("event_type"), col("user_id"),
+        floorDiv(unix_micros(col("ts")), dayUs).as("day"),
+        pmod(floorDiv(unix_micros(col("ts")), hourUs), lit(24L)).as("hod"))
+      .groupBy("event_type", "day", "hod")
+      .agg(countDistinct("user_id").as("l"), count(lit(1)).as("n_rows"))
+    cells.groupBy("event_type")
+      .agg(count(lit(1)).as("n_cells"),
+        sum(when(col("l") < 3L, 1L).otherwise(0L)).as("n_low"),
+        min("l").as("min_l"),
+        dround(sum(when(col("l") < 3L, col("n_rows")).otherwise(0L))
+            .cast("double") / sum("n_rows").cast("double"), 4).as("risk_share"))
+      .orderBy("event_type")
+  }
+
+  /** x176 two-feature OLS fit — the suite's first multivariate MODEL
+    * fit (x69 fits one slope per series, x164 tests one difference):
+    * regress each user's purchase count on (active days, total events)
+    * by solving the 3×3 normal equations with Cramer's rule over EXACT
+    * integer moments — n, Σx₁, Σx₂, Σx₁², Σx₁x₂, Σx₂², Σy, Σx₁y, Σx₂y
+    * are all BIGINT sums off one user-sized aggregate; each 3×3
+    * determinant is a sum of six triple products in decimal(38,0)
+    * (HUGEINT in the twin), and each coefficient is ONE double divide of
+    * two exact determinants. No per-user residual pass, no iterative
+    * solver, no FP accumulation order anywhere.
+    *
+    * Scale: the corpus collapses to per-user (x₁, x₂, y) first — the
+    * only corpus-sized exchange — then a 1-row moment fold; the normal
+    * matrix never materializes. Past ~1e9 users the triple products
+    * leave decimal(38,0)/HUGEINT range together (the x164 saturation
+    * note); run the identical Cramer clearing in doubles over the exact
+    * moments there — the algebra is unchanged. */
+  def x176OlsFit(s: SparkSession, d: String): DataFrame = {
+    val dayUs = 24L * 3600L * 1000000L
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val users = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"),
+        floorDiv(unix_micros(col("ts")), dayUs).as("day"))
+      .groupBy("user_id")
+      .agg(countDistinct("day").as("x1"), count(lit(1)).as("x2"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    val mo = users.agg(
+      count(lit(1)).as("s00"), sum("x1").as("s01"), sum("x2").as("s02"),
+      sum(col("x1") * col("x1")).as("s11"),
+      sum(col("x1") * col("x2")).as("s12"),
+      sum(col("x2") * col("x2")).as("s22"),
+      sum("y").as("t0"), sum(col("x1") * col("y")).as("t1"),
+      sum(col("x2") * col("y")).as("t2"))
+    def det3(a: Column, b: Column, c: Column, dd: Column, e: Column,
+             f: Column, g: Column, h: Column, i: Column): Column =
+      dec(a) * (dec(e) * dec(i) - dec(f) * dec(h)) -
+      dec(b) * (dec(dd) * dec(i) - dec(f) * dec(g)) +
+      dec(c) * (dec(dd) * dec(h) - dec(e) * dec(g))
+    val A  = det3(col("s00"), col("s01"), col("s02"),
+                  col("s01"), col("s11"), col("s12"),
+                  col("s02"), col("s12"), col("s22"))
+    val A0 = det3(col("t0"), col("s01"), col("s02"),
+                  col("t1"), col("s11"), col("s12"),
+                  col("t2"), col("s12"), col("s22"))
+    val A1 = det3(col("s00"), col("t0"), col("s02"),
+                  col("s01"), col("t1"), col("s12"),
+                  col("s02"), col("t2"), col("s22"))
+    val A2 = det3(col("s00"), col("s01"), col("t0"),
+                  col("s01"), col("s11"), col("t1"),
+                  col("s02"), col("s12"), col("t2"))
+    mo.select(col("s00").as("n_users"),
+      dround(A0.cast("double") / A.cast("double"), 6).as("b0"),
+      dround(A1.cast("double") / A.cast("double"), 6).as("b1"),
+      dround(A2.cast("double") / A.cast("double"), 6).as("b2"))
+  }
+
+  /** x177 temporal pattern match — the CEP surface x59's strict-funnel
+    * counting cannot express: per user, 'view' events FOLLOWED BY a
+    * 'purchase' within 6 hours with NO 'error' strictly between — a
+    * MATCH_RECOGNIZE-class pattern (positive step + deadline + negative
+    * condition). Built on x147's conditional forward-frame machinery:
+    * one window partitioned by user over (µs, event_id) order computes,
+    * per row, the next purchase time and next error time (min over a
+    * 1-FOLLOWING..UNBOUNDED frame of the type-gated timestamp); a view
+    * matches iff its next purchase beats both the deadline and the next
+    * error. Per user: views, matches, match rate, and the mean
+    * view→purchase latency over matches (exact integer µs sum, one
+    * rounded divide; null when no match).
+    *
+    * Scale: ONE user-keyed shuffle and sort serves both forward mins —
+    * no self-join against future events, no per-pattern pass; adding
+    * pattern steps adds window columns, not shuffles. */
+  def x177PatternMatch(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val deadline = 6L * 3600L * 1000000L
+    val m = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("np", min(when(col("event_type") === "purchase", col("us"))).over(w))
+      .withColumn("ne", min(when(col("event_type") === "error", col("us"))).over(w))
+    val matched = col("np").isNotNull && col("np") - col("us") <= deadline &&
+      (col("ne").isNull || col("ne") > col("np"))
+    m.filter(col("event_type") === "view")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_views"),
+        sum(when(matched, 1L).otherwise(0L)).as("n_matched"),
+        sum(when(matched, col("np") - col("us"))).as("lat_us"))
+      .select(col("user_id"), col("n_views"), col("n_matched"),
+        dround(col("n_matched").cast("double")
+          / col("n_views").cast("double"), 4).as("match_rate"),
+        when(col("n_matched") > 0L,
+          dround(col("lat_us").cast("double")
+            / (col("n_matched").cast("double") * 1e6), 3)).as("avg_latency_s"))
+      .orderBy("user_id")
+  }
 }

@@ -1366,4 +1366,119 @@ object StreamOps {
       .transformWithState(new IntervalUnionProcessor(lenUs, idleRetirement),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  case class CepEvent(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+                      event_type: String)
+  case class PendView(us: Long, event_id: Long)
+  case class CepMatch(user_id: Long, view_id: Long, view_us: Long,
+                      purchase_id: Long, lat_us: Long)
+
+  /** ST29: continuous temporal pattern detection — x177's CEP contract
+    * (view → purchase within the deadline with NO error strictly
+    * between) evaluated ONLINE, the way a real-time alerting/journey
+    * engine runs it. Order-SENSITIVITY is the whole problem: the
+    * negative condition means one late error must retroactively kill a
+    * match a naive in-arrival-order fold would already have emitted — so
+    * this reuses ST9b's buffered-drain discipline
+    * ([[AsOfEnrichBufferedProcessor]]): rows buffer per user until the
+    * event-time watermark passes them, then fold in exact
+    * (µs, event_id) order through the pattern automaton, emitting a
+    * match only once it is WATERMARK-FINAL (both the view and its
+    * resolving purchase below the watermark, no in-contract error can
+    * slip between). Automaton per user: views join the pending set; the
+    * first purchase resolves every pending view (match iff within
+    * deadline) and clears it; an error clears it unconditionally —
+    * one pass, no backtracking, pattern steps are state fields, not
+    * re-scans.
+    *
+    * State is doubly bounded: the buffer by rate × watermark delay (the
+    * ST9b contract), and the pending set by the DEADLINE — a pending
+    * view whose match window has fallen below the watermark can never
+    * resolve and is pruned at every drain, so an eternally-browsing
+    * user who never purchases carries at most deadline-worth of views
+    * (the ST26 idleRetirement concern, answered structurally here). One
+    * event-time timer per key re-drains keys that stop receiving input
+    * (late-buffer flush + pending prune both ride it).
+    *
+    * Tie caveat, documented not hidden: if an error and the resolving
+    * purchase share one exact microsecond, x177's batch twin compares
+    * raw µs (`ne > np` — the tie BLOCKS) while this row-ordered
+    * automaton resolves by event_id. The fixture has zero per-user µs
+    * collisions at every sf (checked 2026-08-15), so the equivalence
+    * spec is exact; an engine whose clock can tie should order the
+    * automaton on (µs, kind-rank, id) and mirror that rank into the
+    * batch frame. */
+  class PatternMatchProcessor(deadlineUs: Long)
+      extends StatefulProcessor[Long, CepEvent, CepMatch] {
+    @transient private var buf: ListState[CepEvent] = _
+    @transient private var pend: ListState[PendView] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[CepEvent](
+        "buf", Encoders.product[CepEvent], TTLConfig.NONE)
+      pend = getHandle.getListState[PendView](
+        "pend", Encoders.product[PendView], TTLConfig.NONE)
+    }
+
+    private def drain(key: Long, wmMs: Long): Iterator[CepMatch] = {
+      val wmUs = wmMs * 1000L
+      val all = buf.get().toVector
+      val (ready, pending) = all.partition(e => micros(e.ts) <= wmUs)
+      val out = Vector.newBuilder[CepMatch]
+      var pendBuf = pend.get().toVector.sortBy(v => (v.us, v.event_id))
+      if (ready.nonEmpty) {
+        ready.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+          val us = micros(e.ts)
+          e.event_type match {
+            case "view" => pendBuf :+= PendView(us, e.event_id)
+            case "purchase" =>
+              pendBuf.foreach { v =>
+                if (us - v.us <= deadlineUs)
+                  out += CepMatch(key, v.event_id, v.us, e.event_id, us - v.us)
+              }
+              pendBuf = Vector.empty
+            case "error" => pendBuf = Vector.empty
+            case _ => ()
+          }
+        }
+        buf.clear()
+        if (pending.nonEmpty) buf.appendList(pending.toArray)
+      }
+      // deadline prune: every future purchase folds at us > wmUs, so a
+      // view with us + deadline < wmUs is unresolvable — drop it
+      pendBuf = pendBuf.filter(v => v.us + deadlineUs >= wmUs)
+      if (pendBuf.isEmpty) pend.clear() else pend.put(pendBuf.toArray)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      val next = (pending.map(e => micros(e.ts) / 1000L + 1L) ++
+        pendBuf.map(v => (v.us + deadlineUs) / 1000L + 1L))
+      if (next.nonEmpty) getHandle.registerTimer(next.min)
+      out.result().iterator
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[CepEvent],
+                                 timerValues: TimerValues): Iterator[CepMatch] = {
+      val fresh = rows.toVector
+      if (fresh.nonEmpty) buf.appendList(fresh.toArray)
+      drain(key, timerValues.getCurrentWatermarkInMs)
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[CepMatch] =
+      drain(key, timerValues.getCurrentWatermarkInMs)
+  }
+
+  /** ST29 entry: the three pattern-relevant event kinds, keyed by user,
+    * folded through [[PatternMatchProcessor]] (x177's 6-hour deadline). */
+  def patternMatches(events: Dataset[CepEvent],
+                     deadlineUs: Long = 6L * 3600L * 1000000L,
+                     watermarkDelay: String = "1 hour"): Dataset[CepMatch] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "view" || e.event_type == "purchase" ||
+        e.event_type == "error")
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new PatternMatchProcessor(deadlineUs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

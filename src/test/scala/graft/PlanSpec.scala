@@ -918,6 +918,65 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("round-10 audit/model ops: equi-only candidates, broadcast dims, aggregate-fed windows") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // x171: the ±1-bucket adjacency is an EQUI-join (probe explodes 3 block
+    // keys) — an OR bucket condition would nested-loop the corpus; the pin
+    // reads the pre-checkpoint stage (the serving side is a LogicalRDD)
+    locally {
+      val p = planOf(operators.TextOps.x171Scored(spark, sfDir))
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+      assert(p.contains("Generate"), s"block-key explode missing:\n$p")
+      assert(!p.contains("Window"), p)
+      // the DP stage must stay explicitly widened (the repartition the
+      // checkpoint pins) — AQE would coalesce the tiny-bytes candidates
+      assert(p.contains("RoundRobinPartitioning"), s"DP stage not widened:\n$p")
+    }
+    // x172: the three dim parents broadcast; the orders parent joins on the
+    // shuffled natural key; never a product
+    locally {
+      val p = planOf(operators.RelationalOps.x172RefIntegrity(spark, sfDir))
+      assert(p.split("BroadcastHashJoin").length - 1 >= 3, s"dim parents not broadcast:\n$p")
+      assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
+    }
+    // x174: the running-max window sits over the per-size AGGREGATE (≤50
+    // rows), and the join-back broadcasts the frontier
+    locally {
+      val df = operators.RelationalOps.x174ParetoSkyline(spark, sfDir)
+      val ws = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(ws.nonEmpty && ws.forall(_.collect { case a: Aggregate => a }.nonEmpty),
+        "x174 frontier window not aggregate-fed")
+      assert(planOf(df).contains("BroadcastHashJoin"), planOf(df))
+    }
+    // x175: marginal windows run over the |cells| aggregate, never documents
+    locally {
+      val df = operators.TextOps.x175ContingencyAudit(spark, sfDir)
+      val ws = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(ws.nonEmpty && ws.forall(_.collect { case a: Aggregate => a }.nonEmpty),
+        "x175 marginal window not aggregate-fed")
+    }
+    // x173/x176: pure aggregate pipelines — no window anywhere
+    for (df <- Seq(operators.TimeSeriesOps.x173LDiversity(spark, sfDir),
+                   operators.TimeSeriesOps.x176OlsFit(spark, sfDir)))
+      assert(df.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+        "unexpected window in an aggregate-only plan")
+    // x177: both forward mins ride ONE user-keyed exchange+sort (the two
+    // Window nodes stack over the same ordering — no second shuffle), every
+    // window partitioned (never global), and no self-join against the future
+    locally {
+      val df = operators.TimeSeriesOps.x177PatternMatch(spark, sfDir)
+      val ws = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+        "x177 window must partition by user")
+      val p = planOf(df)
+      // exchanges: the window shuffle + the final total-order sort — the
+      // stacked second Window must NOT introduce a third (formatted explain
+      // names each node twice: tree line + detail header)
+      assert(p.split("Exchange").length - 1 <= 4, s"extra shuffle in x177:\n$p")
+      assert(!p.contains("Join"), "x177 must not self-join future events")
+    }
+  }
+
   test("x131/x132: Q3 pushdowns + top-k; argmax window over the aggregate") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     // x131: segment + both date predicates reach their scans; the top-10

@@ -968,4 +968,96 @@ class StreamingSpec extends SparkSpecBase {
       prior match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
     }
   }
+
+  test("ST29 continuous pattern match equals batch x177 matches under shuffled arrival") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    withRocksDb {
+      val evs = batchEvents
+        .filter(col("event_type").isin("view", "purchase", "error"))
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .as[StreamOps.CepEvent].collect()
+      // the ST9b disorder discipline: full deterministic shuffle under a
+      // delay longer than the fixture span — nothing is late, so the
+      // buffered automaton must reorder EVERYTHING correctly
+      val shuffled = new scala.util.Random(42).shuffle(evs.toVector)
+      val maxTs = evs.map(_.ts.getTime).max
+      val input = MemoryStream[StreamOps.CepEvent]
+      val q = StreamOps.patternMatches(input.toDS(), watermarkDelay = "35 days").toDF()
+        .writeStream.format("memory").queryName("st29").outputMode("append").start()
+      shuffled.grouped((shuffled.size + 2) / 3).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      // the ST11b sentinel discipline: two batches walk the watermark
+      // past every buffered row and pending-view timer
+      def sentinel(offsetDays: Long) = StreamOps.CepEvent(-1L, -1L,
+        new Timestamp(maxTs + offsetDays * 86400L * 1000L), "error")
+      input.addData(sentinel(365)); q.processAllAvailable()
+      input.addData(sentinel(730)); q.processAllAvailable()
+      q.stop()
+    }
+    // batch per-view match rows — x177's internals before its per-user fold
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("us"), col("event_id"))
+      .rowsBetween(1, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val deadline = 6L * 3600L * 1000000L
+    val m = batchEvents
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("np",
+        min(when(col("event_type") === "purchase",
+          struct(col("us"), col("event_id")))).over(w))
+      .withColumn("ne", min(when(col("event_type") === "error", col("us"))).over(w))
+    val batch = m.filter(col("event_type") === "view" && col("np").isNotNull
+        && col("np.us") - col("us") <= deadline
+        && (col("ne").isNull || col("ne") > col("np.us")))
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("us").as("view_us"), col("np.event_id").as("purchase_id"),
+        (col("np.us") - col("us")).as("lat_us"))
+    val streamed = spark.table("st29").filter(col("user_id") >= 0)
+    assert(streamed.count() === batch.count(),
+      s"match cardinality drifted: ${streamed.count()} vs ${batch.count()}")
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("ST29 late error retroactively kills; deadline prunes; error clears pending") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[StreamOps.CepEvent]
+      val q = StreamOps.patternMatches(input.toDS()).toDF()
+        .writeStream.format("memory").queryName("st29b").outputMode("append").start()
+      def ev(u: Long, id: Long, hhmm: String, kind: String) = StreamOps.CepEvent(
+        u, id, Timestamp.valueOf(s"2024-01-01 $hhmm:00"), kind)
+      // user 7: purchase arrives FIRST; the error between view and purchase
+      // arrives a batch later but inside the watermark delay — the match
+      // must never be emitted (an in-arrival-order fold would emit it)
+      input.addData(ev(7, 1, "00:00", "view"), ev(7, 3, "00:10", "purchase"))
+      q.processAllAvailable()
+      input.addData(ev(7, 2, "00:05", "error"))
+      q.processAllAvailable()
+      // user 8: two views share one resolving purchase (both match)
+      input.addData(ev(8, 10, "00:00", "view"), ev(8, 12, "00:05", "view"),
+        ev(8, 11, "00:30", "purchase"))
+      // user 9: purchase beyond the 6 h deadline (no match)
+      input.addData(ev(9, 20, "00:00", "view"), ev(9, 21, "07:00", "purchase"))
+      // user 10: error clears the first view; the second survives to match
+      input.addData(ev(10, 30, "00:00", "view"), ev(10, 31, "00:05", "error"),
+        ev(10, 32, "00:06", "view"), ev(10, 33, "00:20", "purchase"))
+      q.processAllAvailable()
+      input.addData(StreamOps.CepEvent(-1L, -1L,
+        Timestamp.valueOf("2025-01-01 00:00:00"), "error"))
+      q.processAllAvailable()
+      input.addData(StreamOps.CepEvent(-1L, -2L,
+        Timestamp.valueOf("2026-01-01 00:00:00"), "error"))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("st29b").filter(col("user_id") >= 0).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4))).toSet
+      assert(got === Set(
+        (8L, 10L, 11L, 1800L * 1000000L),
+        (8L, 12L, 11L, 1500L * 1000000L),
+        (10L, 32L, 33L, 840L * 1000000L)), s"automaton drifted: $got")
+    }
+  }
 }
