@@ -287,6 +287,11 @@ object SparkEntry {
     "x175_contingency"    -> (TextOps.x175ContingencyAudit _),
     "x176_ols_fit"        -> (TimeSeriesOps.x176OlsFit _),
     "x177_pattern_match"  -> (TimeSeriesOps.x177PatternMatch _),
+    "x178_cross_corr"     -> (TimeSeriesOps.x178CrossCorrelation _),
+    "x179_fifo_matching"  -> (TimeSeriesOps.x179FifoMatching _),
+    "x180_growth_acct"    -> (TimeSeriesOps.x180GrowthAccounting _),
+    "x181_cdc_chunking"   -> ((s, d) => MultimodalOps.x181CdcChunking(s, d)),
+    "x182_bootstrap"      -> (TimeSeriesOps.x182Bootstrap _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3751,5 +3756,148 @@ object SparkEntry {
          |CASE WHEN n_matched > 0 THEN
          |  ROUND(CAST(lat AS DOUBLE) / (n_matched * 1e6), 3) END AS avg_latency_s
          |FROM v ORDER BY user_id""".stripMargin,
+
+    // x178: cross-type Pearson at lags 0-3 over the zero-filled hour
+    // spine; moments HUGEINT, one IEEE sqrt + one divide; NULL on a
+    // zero-variance side
+    "x178_cross_corr" ->
+      s"""WITH e AS ($E),
+         |c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hr, COUNT(*) AS c
+         |  FROM e GROUP BY 1, 2),
+         |b AS (SELECT MIN(hr) AS hlo, MAX(hr) AS hhi FROM c),
+         |sp AS (SELECT et.event_type, g.hr
+         |  FROM (SELECT DISTINCT event_type FROM c) et, b,
+         |  UNNEST(generate_series(b.hlo, b.hhi)) AS g(hr)),
+         |s AS (SELECT sp.event_type, sp.hr, COALESCE(c.c, 0) AS c
+         |  FROM sp LEFT JOIN c ON c.event_type = sp.event_type AND c.hr = sp.hr),
+         |pr AS (SELECT s.event_type AS t_lead, s.hr, s.c AS x, g.lag AS lag,
+         |  s.hr + g.lag AS tgt FROM s, UNNEST(generate_series(0, 3)) AS g(lag)),
+         |m AS (SELECT t_lead, f.event_type AS t_follow, lag,
+         |  COUNT(*) AS n, SUM(x) AS sx, SUM(f.c) AS sy, SUM(x * f.c) AS sxy,
+         |  SUM(x * x) AS sxx, SUM(f.c * f.c) AS syy
+         |  FROM pr JOIN s f ON f.hr = pr.tgt AND f.event_type <> pr.t_lead
+         |  GROUP BY 1, 2, 3)
+         |SELECT t_lead, t_follow, lag,
+         |CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+         |  ROUND(CAST(n*sxy - sx*sy AS DOUBLE)
+         |    / SQRT(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)), 4)
+         |END AS r
+         |FROM m ORDER BY t_lead, t_follow, lag""".stripMargin,
+
+    // x179: FIFO matching via the Lindley reflection — a purchase is
+    // wasted iff its post-balance is a new strict minimum below 0; the
+    // k-th matched purchase serves the k-th view (rank-equality join)
+    "x179_fifo_matching" ->
+      s"""WITH e AS ($E),
+         |base AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+         |  CASE WHEN event_type = 'view' THEN 1 ELSE -1 END AS delta
+         |  FROM e WHERE event_type IN ('view', 'purchase')),
+         |m1 AS (SELECT user_id, event_id, us, delta,
+         |  CAST(SUM(delta) OVER (PARTITION BY user_id ORDER BY us, event_id) AS BIGINT) AS bal
+         |  FROM base),
+         |m2 AS (SELECT *, MIN(bal) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmin FROM m1),
+         |mk AS (SELECT *, (delta = -1 AND bal < LEAST(0, COALESCE(pmin, 0))) AS wasted FROM m2),
+         |v AS (SELECT user_id, us, ROW_NUMBER() OVER
+         |  (PARTITION BY user_id ORDER BY us, event_id) AS rk FROM mk WHERE delta = 1),
+         |p AS (SELECT user_id, us, ROW_NUMBER() OVER
+         |  (PARTITION BY user_id ORDER BY us, event_id) AS rk
+         |  FROM mk WHERE delta = -1 AND NOT wasted),
+         |wt AS (SELECT v.user_id, COUNT(*) AS n_served,
+         |  CAST(SUM(p.us - v.us) AS BIGINT) AS wait_us
+         |  FROM v JOIN p ON v.user_id = p.user_id AND v.rk = p.rk GROUP BY 1),
+         |tot AS (SELECT user_id,
+         |  CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
+         |  CAST(SUM(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases
+         |  FROM base GROUP BY 1)
+         |SELECT t.user_id, n_views, n_purchases,
+         |COALESCE(n_served, 0) AS n_served,
+         |n_purchases - COALESCE(n_served, 0) AS n_wasted,
+         |CASE WHEN n_served > 0 THEN
+         |  ROUND(CAST(wait_us AS DOUBLE) / (n_served * 1e6), 3) END AS avg_wait_s
+         |FROM tot t LEFT JOIN wt ON t.user_id = wt.user_id
+         |ORDER BY t.user_id""".stripMargin,
+
+    // x180: growth accounting off distinct (user, day); churn aligned
+    // over the dense day spine; quick ratio NULL when churn is 0
+    "x180_growth_acct" ->
+      s"""WITH e AS ($E),
+         |act AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM e),
+         |cl AS (SELECT day,
+         |  CASE WHEN prev IS NULL THEN 1 ELSE 0 END AS is_new,
+         |  CASE WHEN prev = day - 1 THEN 1 ELSE 0 END AS is_ret,
+         |  CASE WHEN prev IS NOT NULL AND prev < day - 1 THEN 1 ELSE 0 END AS is_res
+         |  FROM (SELECT user_id, day,
+         |    LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev FROM act)),
+         |daily AS (SELECT day, COUNT(*) AS n_active,
+         |  CAST(SUM(is_new) AS BIGINT) AS n_new,
+         |  CAST(SUM(is_ret) AS BIGINT) AS n_retained,
+         |  CAST(SUM(is_res) AS BIGINT) AS n_resurrected
+         |  FROM cl GROUP BY 1),
+         |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+         |sp AS (SELECT g.day FROM b, UNNEST(generate_series(b.d0, b.d1)) AS g(day)),
+         |j AS (SELECT sp.day, COALESCE(n_active, 0) AS n_active,
+         |  COALESCE(n_new, 0) AS n_new, COALESCE(n_retained, 0) AS n_retained,
+         |  COALESCE(n_resurrected, 0) AS n_resurrected
+         |  FROM sp LEFT JOIN daily d ON sp.day = d.day),
+         |f AS (SELECT *, COALESCE(LAG(n_active) OVER (ORDER BY day), 0)
+         |  - n_retained AS churned FROM j)
+         |SELECT day, n_active, n_new, n_retained, n_resurrected, churned,
+         |CASE WHEN churned > 0 THEN
+         |  ROUND(CAST(n_new + n_resurrected AS DOUBLE) / churned, 4) END AS quick_ratio
+         |FROM f ORDER BY day""".stripMargin,
+
+    // x181: CDC boundaries where the 8-byte polynomial rolling hash hits
+    // 0 mod 64; byte ≡ char on the ASCII corpus so the twin is exact
+    "x181_cdc_chunking" ->
+      """WITH dcs AS (SELECT doc_id, source, text,
+        |  CAST(length(text) AS BIGINT) AS n,
+        |  list_transform(string_split(text, ''), ch -> CAST(ord(ch) AS BIGINT)) AS codes
+        |  FROM documents WHERE octet_length(encode(text)) = n_chars AND n_chars > 0),
+        |bd AS (SELECT doc_id, source, text, n,
+        |  list_filter(range(1, n + 1), i -> i >= 8 AND (
+        |    1 * codes[CAST(i AS INT)]
+        |    + 31 * codes[CAST(i - 1 AS INT)]
+        |    + 961 * codes[CAST(i - 2 AS INT)]
+        |    + 29791 * codes[CAST(i - 3 AS INT)]
+        |    + 923521 * codes[CAST(i - 4 AS INT)]
+        |    + 28629151 * codes[CAST(i - 5 AS INT)]
+        |    + 887503681 * codes[CAST(i - 6 AS INT)]
+        |    + 27512614111 * codes[CAST(i - 7 AS INT)]) % 64 = 0) AS bnds
+        |  FROM dcs),
+        |ed AS (SELECT doc_id, source, text,
+        |  CASE WHEN len(bnds) = 0 OR bnds[-1] <> n
+        |    THEN list_append(bnds, n) ELSE bnds END AS ends FROM bd),
+        |pr AS (SELECT doc_id, source, text,
+        |  UNNEST(list_transform(range(1, len(ends) + 1), k ->
+        |    {'p': CASE WHEN k = 1 THEN 0 ELSE ends[CAST(k - 1 AS INT)] END,
+        |     'e': ends[CAST(k AS INT)]})) AS u FROM ed),
+        |ch AS (SELECT doc_id, source, u.e - u.p AS clen,
+        |  md5(substr(text, CAST(u.p + 1 AS INT), CAST(u.e - u.p AS INT))) AS h
+        |  FROM pr)
+        |SELECT source, COUNT(DISTINCT doc_id) AS n_payloads,
+        |COUNT(*) AS n_chunks, COUNT(DISTINCT h) AS n_distinct_chunks,
+        |ROUND(CAST(SUM(clen) AS DOUBLE) / COUNT(*), 4) AS mean_chunk_bytes,
+        |ROUND(1.0 - CAST(COUNT(DISTINCT h) AS DOUBLE) / COUNT(*), 4) AS dedup_share
+        |FROM ch GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // x182: Poisson(1) bootstrap weights from the md5 table lookup
+    // (CDF quantized at 1e-4); exact integer folds, one divide each
+    "x182_bootstrap" ->
+      s"""WITH e AS ($E),
+         |u AS (SELECT user_id,
+         |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+         |  FROM e GROUP BY 1),
+         |r AS (SELECT user_id, y, g.rep FROM u,
+         |  UNNEST(generate_series(0, 9)) AS g(rep)),
+         |h AS (SELECT rep, y,
+         |  ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)),
+         |    1, 8))::BIGINT % 10000 AS hv FROM r),
+         |w AS (SELECT rep, y,
+         |  CASE WHEN hv < 3679 THEN 0 WHEN hv < 7358 THEN 1 WHEN hv < 9197 THEN 2
+         |       WHEN hv < 9810 THEN 3 WHEN hv < 9963 THEN 4 ELSE 5 END AS w FROM h)
+         |SELECT rep, CAST(SUM(w) AS BIGINT) AS n_drawn,
+         |ROUND(CAST(SUM(w * y) AS DOUBLE) / SUM(w), 6) AS mean_purchases
+         |FROM w GROUP BY 1 ORDER BY rep""".stripMargin,
   )
 }

@@ -183,4 +183,71 @@ object MultimodalOps {
           256), 1, 16).as("sha"))
       .orderBy("media_id", "chunk_idx")
   }
+
+  /** x181 content-defined chunking audit — the VARIABLE-boundary chunker
+    * x127's fixed 64-byte grid is not: boundaries fall where a rolling
+    * polynomial hash of the last 8 bytes hits 0 mod 64 (expected chunk
+    * ≈ 64 B; production CDC — FastCDC/restic-style — uses the identical
+    * criterion at ~1 MB), so an INSERTION only reshapes the chunks it
+    * touches and every later chunk keeps its digest — the shift
+    * robustness that makes CDC the dedup layer under blob stores, where
+    * a fixed grid re-digests the whole tail. Per source: payloads,
+    * chunks, distinct chunk digests, mean chunk size, and the dedup
+    * share (1 − distinct/chunks; exact duplicate payloads collapse
+    * chunk-for-chunk by construction).
+    *
+    * Fully declarative, x127's discipline: the byte-code array is one
+    * `transform` over the ASCII payload slice (x19's trick — byte ≡ char
+    * on this corpus, so the DuckDB twin is exact; the operator itself
+    * never assumes text), boundary positions are a `filter` over
+    * `sequence`, chunks explode from the boundary list, digests are
+    * md5 over `substr`. Per-payload cost is O(bytes · window); output
+    * mass is Σ(bytes/64) rows; the one shuffle is the per-source fold.
+    * H = Σⱼ 31ʲ·byte(i−j) ≤ 127·31⁸/30 ≈ 1.2e11 — exact in BIGINT on
+    * both engines. */
+  def x181CdcChunking(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .filter(octet_length(encode(col("text"), "utf-8")) === col("n_chars")
+        && col("n_chars") > 0)
+      .select(col("doc_id"), col("source"), col("text"),
+        col("n_chars").cast("long").as("n"))
+    val coef = Seq(1L, 31L, 961L, 29791L, 923521L, 28629151L,
+      887503681L, 27512614111L)
+    val hashExpr = coef.zipWithIndex.map { case (c, j) =>
+      s"$c * element_at(codes, CAST(i - $j AS INT))"
+    }.mkString(" + ")
+    // the eager checkpoint materializes each payload's boundary list ONCE:
+    // HOF aliases (codes → bnds → ends) otherwise INLINE into every
+    // downstream reference — posexplode(ends) + element_at(ends, k) would
+    // re-run the whole 8-term rolling hash over the payload PER CHUNK ROW
+    // (lambda expressions sit outside codegen subexpression elimination;
+    // measured 465 s vs 1.3 s at sf0.1)
+    val bounded = docs
+      .withColumn("codes",
+        expr("transform(split(text, ''), ch -> CAST(ascii(ch) AS BIGINT))"))
+      .withColumn("bnds",
+        expr(s"filter(sequence(CAST(1 AS BIGINT), n), i -> i >= 8 AND ($hashExpr) % 64 = 0)"))
+      .withColumn("ends", expr(
+        """CASE WHEN size(bnds) = 0 OR element_at(bnds, -1) <> n
+          |THEN concat(bnds, array(n)) ELSE bnds END""".stripMargin))
+      .select(col("doc_id"), col("source"), col("text"), col("ends"))
+      .localCheckpoint(true)
+    val chunked = bounded
+      .select(col("doc_id"), col("source"), col("text"), col("ends"),
+        posexplode(col("ends")).as(Seq("k", "e")))
+      .withColumn("p",
+        expr("CASE WHEN k = 0 THEN CAST(0 AS BIGINT) ELSE element_at(ends, k) END"))
+      .select(col("doc_id"), col("source"), (col("e") - col("p")).as("clen"),
+        md5(expr("substr(text, CAST(p + 1 AS INT), CAST(e - p AS INT))")).as("h"))
+    chunked.groupBy("source")
+      .agg(countDistinct("doc_id").as("n_payloads"),
+        count(lit(1)).as("n_chunks"),
+        countDistinct("h").as("n_distinct_chunks"),
+        graft.functions.Rounding.dround(sum("clen").cast("double")
+          / count(lit(1)).cast("double"), 4).as("mean_chunk_bytes"),
+        graft.functions.Rounding.dround(lit(1.0)
+          - countDistinct("h").cast("double")
+            / count(lit(1)).cast("double"), 4).as("dedup_share"))
+      .orderBy("source")
+  }
 }

@@ -1945,4 +1945,201 @@ object TimeSeriesOps {
             / (col("n_matched").cast("double") * 1e6), 3)).as("avg_latency_s"))
       .orderBy("user_id")
   }
+
+  /** x178 cross-correlation lead-lag — WHICH series LEADS: for every
+    * ordered pair of event types, the Pearson correlation between a's
+    * hourly count at hour t and b's at hour t+k, k ∈ 0–3 — the
+    * cross-series question x120's ACF (self only) and x92's lag-0 metric
+    * correlation cannot answer; the readout behind cascade detection
+    * (errors lead purchases?) and capacity planning.
+    *
+    * Machinery is x120's, crossed: corpus → (type, hour) counts
+    * (map-side, the only corpus-sized exchange), zero-filled over the
+    * global hour spine; each (type, hour) row explodes its 4 lag probes
+    * onto target hour t+k and equi-joins the spine (aggregate-sized:
+    * |types|²·|hours|·4 rows); per (a, b, k) ONE moment fold — n, Σx,
+    * Σy, Σxy, Σx², Σy², all BIGINT. r = (nΣxy − ΣxΣy) /
+    * √((nΣx²−(Σx)²)(nΣy²−(Σy)²)) with products in decimal(38,0)/HUGEINT
+    * (the x120 wrap note), each factor cast to double, IEEE sqrt (both
+    * engines correctly rounded), ONE divide, round 4; a zero-variance
+    * side yields NULL (guarded, not ±inf). Dense spine means n = N−k
+    * exactly — no alignment holes. */
+  def x178CrossCorrelation(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val counts = Tables.events(s, d)
+      .select(col("event_type"), floorDiv(unix_micros(col("ts")), hourUs).as("hr"))
+      .groupBy("event_type", "hr").agg(count(lit(1)).as("c"))
+    val bounds = counts.agg(min("hr").as("h0"), max("hr").as("h1"))
+    val spine = counts.select("event_type").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("event_type"), explode(sequence(col("h0"), col("h1"))).as("hr"))
+    val series = spine.join(counts, Seq("event_type", "hr"), "left")
+      .select(col("event_type"), col("hr"), coalesce(col("c"), lit(0L)).as("c"))
+    val probes = series.select(col("event_type").as("t_lead"),
+        col("hr"), col("c").as("x"),
+        explode(sequence(lit(0L), lit(3L))).as("lag"))
+      .withColumn("tgt", col("hr") + col("lag"))
+    val m = probes.join(series.select(col("event_type").as("t_follow"),
+          col("hr").as("tgt"), col("c").as("y")), Seq("tgt"))
+      .filter(col("t_lead") =!= col("t_follow"))
+      .groupBy("t_lead", "t_follow", "lag")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val num = dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy"))
+    val vx = dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx"))
+    val vy = dec(col("n")) * dec(col("syy")) - dec(col("sy")) * dec(col("sy"))
+    m.select(col("t_lead"), col("t_follow"), col("lag"),
+        when(vx > 0 && vy > 0,
+          dround(num.cast("double")
+            / sqrt(vx.cast("double") * vy.cast("double")), 4)).as("r"))
+      .orderBy("t_lead", "t_follow", "lag")
+  }
+
+  /** x179 FIFO queue matching — the WAITING-TIME surface none of the
+    * funnel ops have: treat each user's views as queued requests and
+    * purchases as FIFO services; report, per user, how many requests
+    * were served, how many services fired on an EMPTY queue (wasted),
+    * and the exact mean wait of served requests. x73 measures
+    * first-view→first-purchase; x177 matches each view to its NEXT
+    * purchase (one purchase can serve many views); this is the 1-1
+    * queueing discipline.
+    *
+    * The FIFO recursion is closed-form, not iterative (the Lindley
+    * reflection): with the ±1 running balance B over (µs, event_id)
+    * order, a purchase fires on an empty queue iff its post-event
+    * balance is a NEW strict minimum below 0 (each reflection step =
+    * one wasted service); the k-th MATCHED purchase then serves exactly
+    * the k-th view, so the pairing is a rank-equality join of two
+    * row_number windows — no loop, no recursion, provably v_k < p_k
+    * (the queue was nonempty). Three windows + one user-keyed
+    * aggregate-sized join, all off ONE user shuffle; waits are exact
+    * integer µs with one rounded divide. */
+  def x179FifoMatching(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        when(col("event_type") === "view", 1L).otherwise(-1L).as("delta"))
+    val wOrd = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val marked = base
+      .withColumn("bal", sum("delta").over(wOrd))
+      .withColumn("wasted", col("delta") === -1L
+        && col("bal") < least(lit(0L), coalesce(min(col("bal")).over(wPrev), lit(0L))))
+    val views = marked.filter(col("delta") === 1L)
+      .withColumn("rk", row_number().over(wOrd))
+      .select(col("user_id"), col("rk"), col("us").as("v_us"))
+    val served = marked.filter(col("delta") === -1L && !col("wasted"))
+      .withColumn("rk", row_number().over(wOrd))
+      .select(col("user_id").as("p_user"), col("rk").as("p_rk"),
+        col("us").as("p_us"))
+    val waits = views.join(served,
+        col("user_id") === col("p_user") && col("rk") === col("p_rk"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_served"), sum(col("p_us") - col("v_us")).as("wait_us"))
+    val totals = base.groupBy("user_id")
+      .agg(sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_views"),
+        sum(when(col("delta") === -1L, 1L).otherwise(0L)).as("n_purchases"))
+    totals.join(waits, Seq("user_id"), "left")
+      .select(col("user_id"), col("n_views"), col("n_purchases"),
+        coalesce(col("n_served"), lit(0L)).as("n_served"),
+        (col("n_purchases") - coalesce(col("n_served"), lit(0L))).as("n_wasted"),
+        when(col("n_served") > 0L,
+          dround(col("wait_us").cast("double")
+            / (col("n_served").cast("double") * 1e6), 3)).as("avg_wait_s"))
+      .orderBy("user_id")
+  }
+
+  /** x180 growth accounting — the product-growth ledger x123's cohort
+    * triangle and x124's rolling actives both miss: per day, actives
+    * split into NEW (first-ever day), RETAINED (also active yesterday),
+    * RESURRECTED (returning after a gap), plus CHURNED (active yesterday,
+    * silent today) and the quick ratio (new+resurrected)/churned — the
+    * decomposition growth review runs weekly.
+    *
+    * Shape: distinct (user, day) first (the ONE corpus-sized exchange,
+    * x123's discipline), then user-ordered lag + first-day windows on the
+    * user-sized frame classify each active day in one pass; the day
+    * ledger is a |days| aggregate; churn aligns yesterday's actives over
+    * the dense day spine (a silent day still reports, with zero actives
+    * and full churn). All-integer; quick ratio NULL when churn is 0 (not
+    * ±inf). Also servable from ST25's maintained activity store via
+    * [[x180FromActivity]] — the store IS the distinct (user, day) set. */
+  def x180GrowthAccounting(s: SparkSession, d: String): DataFrame = {
+    val dayUs = 24L * 3600L * 1000000L
+    val act = Tables.events(s, d)
+      .select(col("user_id"), floorDiv(unix_micros(col("ts")), dayUs).as("day"))
+      .distinct()
+    x180FromActivity(act)
+  }
+
+  /** x180 over an already-maintained distinct (user, day) activity set
+    * (ST25's store serves this directly). */
+  def x180FromActivity(act: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day")
+    val classed = act
+      .withColumn("prev", lag("day", 1).over(w))
+      .select(col("day"),
+        when(col("prev").isNull, lit(1L)).otherwise(0L).as("is_new"),
+        when(col("prev") === col("day") - 1L, 1L).otherwise(0L).as("is_ret"),
+        when(col("prev").isNotNull && col("prev") < col("day") - 1L, 1L)
+          .otherwise(0L).as("is_res"))
+    val daily = classed.groupBy("day")
+      .agg(count(lit(1)).as("n_active"), sum("is_new").as("n_new"),
+        sum("is_ret").as("n_retained"), sum("is_res").as("n_resurrected"))
+    val bounds = daily.agg(min("day").as("d0"), max("day").as("d1"))
+    val spine = bounds.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val wDay = Window.orderBy("day")
+    spine.join(daily, Seq("day"), "left")
+      .select(col("day"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_resurrected"), lit(0L)).as("n_resurrected"))
+      .withColumn("churned",
+        coalesce(lag("n_active", 1).over(wDay), lit(0L)) - col("n_retained"))
+      .withColumn("quick_ratio",
+        when(col("churned") > 0L,
+          dround((col("n_new") + col("n_resurrected")).cast("double")
+            / col("churned").cast("double"), 4)))
+      .orderBy("day")
+  }
+
+  /** x182 deterministic bootstrap replicates — the UNCERTAINTY readout
+    * the inferential shelf lacks (x103 ranks a score, x164 tests one
+    * difference, x176 fits coefficients; none put an error bar on an
+    * estimate): 10 user-level bootstrap resamples of the mean purchases
+    * per user, with replicate weights drawn as Poisson(1) — the standard
+    * big-data approximation of multinomial resampling that keeps every
+    * row INDEPENDENT (no global n to coordinate, so the resample is one
+    * map-side expression). Randomness is md5-table-lookup deterministic
+    * (the x15/x164 hash discipline): h = first-8-hex(md5(user:rep)) mod
+    * 10⁴, weight via the Poisson(1) CDF quantized at 1e-4 (0|1|2|3|4|5 →
+    * 3679/3679/1839/613/153/37). The replicate spread IS the standard
+    * error; the replicates ship, the sufficient statistic, not a
+    * cross-replicate float fold.
+    *
+    * Scale: corpus → per-user purchase counts (the one corpus-sized
+    * exchange, shared with x164) → user×10 map-side weighted rows → 10
+    * 1-row folds; exact integer Σw, Σw·y with ONE divide per replicate. */
+  def x182Bootstrap(s: SparkSession, d: String): DataFrame = {
+    val users = Tables.events(s, d).groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+    users.select(col("user_id"), col("y"),
+        explode(sequence(lit(0L), lit(9L))).as("rep"))
+      .withColumn("h", pmod(conv(substring(md5(concat(
+          col("user_id").cast("string"), lit(":"), col("rep").cast("string"))),
+          1, 8), 16, 10).cast("long"), lit(10000L)))
+      .withColumn("w", when(col("h") < 3679L, 0L).when(col("h") < 7358L, 1L)
+        .when(col("h") < 9197L, 2L).when(col("h") < 9810L, 3L)
+        .when(col("h") < 9963L, 4L).otherwise(5L))
+      .groupBy("rep")
+      .agg(sum("w").as("n_drawn"), sum(col("w") * col("y")).as("wy"))
+      .select(col("rep"), col("n_drawn"),
+        dround(col("wy").cast("double") / col("n_drawn").cast("double"), 6)
+          .as("mean_purchases"))
+      .orderBy("rep")
+  }
 }

@@ -1187,6 +1187,14 @@ object StreamOps {
   def rollingActiveMatrix(s: SparkSession, storeDir: String): DataFrame =
     graft.operators.TimeSeriesOps.x124FromActivity(activityOf(s, storeDir))
 
+  /** x180's growth-accounting ledger served from the same ST25 store —
+    * the third consumer of one maintained distinct (user, day) table
+    * (retention triangle, rolling actives, now new/retained/resurrected/
+    * churned): the store IS the op's only corpus-sized input, so the
+    * served ledger is O(users · active-days), never O(events). */
+  def growthMatrix(s: SparkSession, storeDir: String): DataFrame =
+    graft.operators.TimeSeriesOps.x180FromActivity(activityOf(s, storeDir))
+
   case class Span(s0: Long, s1: Long)
   case class CoverBase(n_sealed: Long, sealed_us: Long, n_iv: Long)
   case class CoverOut(user_id: Long, n_iv: Long, n_spans: Long, covered_s: Long)

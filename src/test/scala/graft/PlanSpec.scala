@@ -977,6 +977,48 @@ class PlanSpec extends SparkSpecBase {
     }
   }
 
+  test("x178/x179/x180: spine joins aggregate-sized, user-keyed windows, dense-day ledger") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    // x178: no window at all (pure spine-join + moment folds), no product
+    locally {
+      val df = operators.TimeSeriesOps.x178CrossCorrelation(spark, sfDir)
+      assert(df.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+        "x178 must be window-free (joins + folds only)")
+      assert(!planOf(df).contains("CartesianProduct"), planOf(df))
+    }
+    // x179: every window partitions by user (the reflection walk never
+    // serializes the corpus); the rank join is user-keyed, no product
+    locally {
+      val df = operators.TimeSeriesOps.x179FifoMatching(spark, sfDir)
+      val ws = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(ws.nonEmpty && ws.forall(_.partitionSpec.nonEmpty),
+        "x179 window must partition by user")
+      assert(!planOf(df).contains("CartesianProduct"), planOf(df))
+    }
+    // x180: the only global-ordered window (churn lag) runs over the
+    // |days| spine ledger, never the corpus: every unpartitioned window's
+    // subtree contains an Aggregate
+    locally {
+      val df = operators.TimeSeriesOps.x180GrowthAccounting(spark, sfDir)
+      val ws = df.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+      assert(ws.nonEmpty, "x180 lost its classification windows")
+      val global = ws.filter(_.partitionSpec.isEmpty)
+      assert(global.forall(_.collect { case a: Aggregate => a }.nonEmpty),
+        "x180 global churn window not aggregate-fed")
+    }
+    // x181/x182: window-free (HOF chunking + folds; map-side weights +
+    // folds); x181's chunk explode is a Generate, never a join
+    for (df <- Seq(operators.MultimodalOps.x181CdcChunking(spark, sfDir),
+                   operators.TimeSeriesOps.x182Bootstrap(spark, sfDir)))
+      assert(df.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+        "unexpected window in a HOF/fold-only plan")
+    locally {
+      val p = planOf(operators.MultimodalOps.x181CdcChunking(spark, sfDir))
+      assert(p.contains("Generate"), s"x181 chunk explode missing:\n$p")
+      assert(!p.contains("Join"), s"x181 must not join:\n$p")
+    }
+  }
+
   test("x131/x132: Q3 pushdowns + top-k; argmax window over the aggregate") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     // x131: segment + both date predicates reach their scans; the top-10

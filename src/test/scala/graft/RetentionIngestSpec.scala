@@ -28,6 +28,11 @@ class RetentionIngestSpec extends SparkSpecBase {
     val batchRa = operators.TimeSeriesOps.x124RollingActive(spark, sfDir)
     assert(servedRa.except(batchRa).isEmpty && batchRa.except(servedRa).isEmpty)
     assert(servedRa.count() === batchRa.count())
+    // ...and x180's growth-accounting ledger (third consumer, round 10)
+    val servedGa = StreamOps.growthMatrix(spark, store)
+    val batchGa = operators.TimeSeriesOps.x180GrowthAccounting(spark, sfDir)
+    assert(servedGa.except(batchGa).isEmpty && batchGa.except(servedGa).isEmpty)
+    assert(servedGa.count() === batchGa.count())
   }
 
   test("ST25 late earlier-day row reassigns the cohort; sealed days untouched") {
