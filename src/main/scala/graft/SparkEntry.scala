@@ -292,6 +292,8 @@ object SparkEntry {
     "x180_growth_acct"    -> (TimeSeriesOps.x180GrowthAccounting _),
     "x181_cdc_chunking"   -> ((s, d) => MultimodalOps.x181CdcChunking(s, d)),
     "x182_bootstrap"      -> (TimeSeriesOps.x182Bootstrap _),
+    "x183_dow_hour_resid" -> (TimeSeriesOps.x183WeekdayHourResiduals _),
+    "x184_byte_entropy"   -> ((s, d) => MultimodalOps.x184ByteEntropy(s, d)),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3899,5 +3901,42 @@ object SparkEntry {
          |SELECT rep, CAST(SUM(w) AS BIGINT) AS n_drawn,
          |ROUND(CAST(SUM(w * y) AS DOUBLE) / SUM(w), 6) AS mean_purchases
          |FROM w GROUP BY 1 ORDER BY rep""".stripMargin,
+
+    // x183: two-way additive decomposition over the zero-filled 7x24
+    // grid; fitted/residual cleared to integer x 168 — one divide each.
+    // dayofweek(ts): DuckDB's is 0=Sunday..6; Spark's 1..7, minus 1
+    "x183_dow_hour_resid" ->
+      s"""WITH e AS ($E),
+         |c AS (SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+         |  (epoch_us(ts) // 3600000000) % 24 AS hod, COUNT(*) AS n
+         |  FROM e GROUP BY 1, 2),
+         |sp AS (SELECT gd.dow, gh.hod FROM
+         |  UNNEST(generate_series(0, 6)) AS gd(dow),
+         |  UNNEST(generate_series(0, 23)) AS gh(hod)),
+         |cells AS (SELECT sp.dow, sp.hod, COALESCE(c.n, 0) AS n
+         |  FROM sp LEFT JOIN c ON sp.dow = c.dow AND sp.hod = c.hod),
+         |r AS (SELECT dow, CAST(SUM(n) AS BIGINT) AS rs FROM cells GROUP BY 1),
+         |cl AS (SELECT hod, CAST(SUM(n) AS BIGINT) AS cs FROM cells GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tt FROM cells)
+         |SELECT cells.dow, cells.hod, n,
+         |ROUND(CAST(7 * rs + 24 * cs - tt AS DOUBLE) / 168.0, 4) AS fitted,
+         |ROUND(CAST(168 * n - 7 * rs - 24 * cs + tt AS DOUBLE) / 168.0, 4) AS residual
+         |FROM cells JOIN r ON cells.dow = r.dow
+         |JOIN cl ON cells.hod = cl.hod CROSS JOIN t
+         |ORDER BY cells.dow, cells.hod""".stripMargin,
+
+    // x184: Shannon byte entropy in nats; integer histogram, <=256-term
+    // c*ln(c) double reduction (x67's ln-sum precedent), one divide
+    "x184_byte_entropy" ->
+      """WITH dcs AS (SELECT doc_id, text, CAST(n_chars AS BIGINT) AS n
+        |  FROM documents WHERE octet_length(encode(text)) = n_chars AND n_chars > 0),
+        |ex AS (SELECT doc_id, n,
+        |  UNNEST(list_transform(string_split(text, ''), ch -> ord(ch))) AS b
+        |  FROM dcs),
+        |bins AS (SELECT doc_id, n, b, COUNT(*) AS c FROM ex GROUP BY 1, 2, 3)
+        |SELECT doc_id, n AS n_bytes, COUNT(*) AS n_distinct_bytes,
+        |ROUND(LN(CAST(n AS DOUBLE))
+        |  - SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))) / n, 4) AS entropy
+        |FROM bins GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
   )
 }

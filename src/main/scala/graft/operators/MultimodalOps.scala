@@ -250,4 +250,36 @@ object MultimodalOps {
             / count(lit(1)).cast("double"), 4).as("dedup_share"))
       .orderBy("source")
   }
+
+  /** x184 payload byte-entropy audit — the opaque-payload quality signal
+    * x04's text heuristics cannot read: per payload, the Shannon entropy
+    * of its BYTE histogram (nats). The compressibility/format-anomaly
+    * triage a multimodal store runs before decode: natural-language
+    * bytes sit ~2.9 nats, already-compressed or encrypted payloads push
+    * ln 256 ≈ 5.55, constant padding → 0 — so the column flags
+    * mis-tagged formats and corrupt blobs with no codec at all.
+    *
+    * Shape: byte explode → (payload, byte) map-side count agg (≤ 256
+    * bins per payload) → per-payload fold. H = ln n − (Σ c·ln c)/n: the
+    * sums are integers until the ≤ 256-term c·ln c reduction (double
+    * under x67/x18's ln-sum rounding precedent), ONE divide, round 4.
+    * Byte ≡ char on the ASCII slice (x19's trick), so the DuckDB twin is
+    * exact; the operator itself never assumes text. */
+  def x184ByteEntropy(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .filter(octet_length(encode(col("text"), "utf-8")) === col("n_chars")
+        && col("n_chars") > 0)
+      .select(col("doc_id"), col("text"), col("n_chars").cast("long").as("n"))
+    val bins = docs
+      .select(col("doc_id"), col("n"),
+        explode(expr("transform(split(text, ''), ch -> ascii(ch))")).as("b"))
+      .groupBy("doc_id", "n", "b").agg(count(lit(1)).as("c"))
+    bins.groupBy("doc_id", "n")
+      .agg(count(lit(1)).as("n_distinct_bytes"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("slc"))
+      .select(col("doc_id"), col("n").as("n_bytes"), col("n_distinct_bytes"),
+        graft.functions.Rounding.dround(log(col("n").cast("double"))
+          - col("slc") / col("n").cast("double"), 4).as("entropy"))
+      .orderBy("doc_id")
+  }
 }

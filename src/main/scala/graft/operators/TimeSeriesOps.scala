@@ -2017,11 +2017,17 @@ object TimeSeriesOps {
     * (the queue was nonempty). Three windows + one user-keyed
     * aggregate-sized join, all off ONE user shuffle; waits are exact
     * integer µs with one rounded divide. */
-  def x179FifoMatching(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.events(s, d)
+  private[graft] def x179Base(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
       .filter(col("event_type").isin("view", "purchase"))
       .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
         when(col("event_type") === "view", 1L).otherwise(-1L).as("delta"))
+
+  /** x179's per-pair frame — (user, view, purchase, wait) for every served
+    * request; exposed so ST30's online queue can be pinned against the
+    * batch reflection pair-for-pair. */
+  private[graft] def x179Pairs(s: SparkSession, d: String): DataFrame = {
+    val base = x179Base(s, d)
     val wOrd = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
     val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
     val marked = base
@@ -2030,15 +2036,23 @@ object TimeSeriesOps {
         && col("bal") < least(lit(0L), coalesce(min(col("bal")).over(wPrev), lit(0L))))
     val views = marked.filter(col("delta") === 1L)
       .withColumn("rk", row_number().over(wOrd))
-      .select(col("user_id"), col("rk"), col("us").as("v_us"))
+      .select(col("user_id"), col("rk"), col("us").as("view_us"),
+        col("event_id").as("view_id"))
     val served = marked.filter(col("delta") === -1L && !col("wasted"))
       .withColumn("rk", row_number().over(wOrd))
       .select(col("user_id").as("p_user"), col("rk").as("p_rk"),
-        col("us").as("p_us"))
-    val waits = views.join(served,
+        col("us").as("p_us"), col("event_id").as("purchase_id"))
+    views.join(served,
         col("user_id") === col("p_user") && col("rk") === col("p_rk"))
+      .select(col("user_id"), col("view_id"), col("view_us"),
+        col("purchase_id"), (col("p_us") - col("view_us")).as("wait_us"))
+  }
+
+  def x179FifoMatching(s: SparkSession, d: String): DataFrame = {
+    val base = x179Base(s, d)
+    val waits = x179Pairs(s, d)
       .groupBy("user_id")
-      .agg(count(lit(1)).as("n_served"), sum(col("p_us") - col("v_us")).as("wait_us"))
+      .agg(count(lit(1)).as("n_served"), sum("wait_us").as("wait_us"))
     val totals = base.groupBy("user_id")
       .agg(sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_views"),
         sum(when(col("delta") === -1L, 1L).otherwise(0L)).as("n_purchases"))
@@ -2141,5 +2155,44 @@ object TimeSeriesOps {
         dround(col("wy").cast("double") / col("n_drawn").cast("double"), 6)
           .as("mean_purchases"))
       .orderBy("rep")
+  }
+
+  /** x183 weekday × hour interaction residuals — the TWO-WAY seasonal
+    * decomposition x81 (weekday main effect only) cannot express: fit
+    * the additive model count ≈ grand + dow-effect + hour-effect over
+    * the zero-filled 7×24 grid and report each cell's RESIDUAL — where
+    * the calendar axes INTERACT (the Friday-night spike no pair of
+    * marginal profiles predicts), the cell an anomaly baseline must
+    * model separately.
+    *
+    * Exactness: with D = 7, H = 24, every fitted value clears to integer
+    * arithmetic — fitted·168 = 7·rowSum + 24·colSum − total and
+    * resid·168 = 168·n − that — so both engines divide identical BIGINTs
+    * by 168.0 exactly once per cell. The grid is zero-FILLED (a silent
+    * cell is a −fitted residual, not a missing row). Corpus → 168-cell
+    * map-side agg; marginals are two folds of the aggregate; output is
+    * the 168-row grid. */
+  def x183WeekdayHourResiduals(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val counts = Tables.events(s, d)
+      .select((dayofweek(col("ts")) - 1).cast("long").as("dow"),
+        pmod(floorDiv(unix_micros(col("ts")), hourUs), lit(24L)).as("hod"))
+      .groupBy("dow", "hod").agg(count(lit(1)).as("n"))
+    val spine = s.range(7).select(col("id").as("dow"))
+      .crossJoin(s.range(24).select(col("id").as("hod")))
+    val cells = spine.join(counts, Seq("dow", "hod"), "left")
+      .select(col("dow"), col("hod"), coalesce(col("n"), lit(0L)).as("n"))
+    val rows = cells.groupBy("dow").agg(sum("n").as("rs"))
+    val cols = cells.groupBy("hod").agg(sum("n").as("cs"))
+    val tot = cells.agg(sum("n").as("tt"))
+    cells.join(broadcast(rows), "dow").join(broadcast(cols), "hod")
+      .crossJoin(broadcast(tot))
+      .select(col("dow"), col("hod"), col("n"),
+        dround((lit(7L) * col("rs") + lit(24L) * col("cs") - col("tt"))
+          .cast("double") / 168.0, 4).as("fitted"),
+        dround((lit(168L) * col("n") - lit(7L) * col("rs")
+          - lit(24L) * col("cs") + col("tt")).cast("double") / 168.0, 4)
+          .as("residual"))
+      .orderBy("dow", "hod")
   }
 }

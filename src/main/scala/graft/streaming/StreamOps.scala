@@ -1489,4 +1489,90 @@ object StreamOps {
       .transformWithState(new PatternMatchProcessor(deadlineUs),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  case class FifoServe(user_id: Long, view_id: Long, view_us: Long,
+                       purchase_id: Long, wait_us: Long)
+
+  /** ST30: continuous FIFO queue matching — x179's Lindley discipline run
+    * ONLINE, emitting each (request, service) pair the moment it is
+    * watermark-final. Same buffered-drain skeleton as ST29 (order
+    * sensitivity is identical: one late view shifts EVERY later pairing,
+    * so nothing may emit before the watermark seals its prefix), but the
+    * automaton is the queue itself: views enqueue, a purchase dequeues
+    * the head (a match) or — on an empty queue — is the wasted service
+    * x179 counts (nothing emits; the batch reflection identifies the
+    * same event as the new-minimum step).
+    *
+    * Streaming beats batch on one axis here: the batch form needs the
+    * Lindley closed form precisely BECAUSE SQL can't run the queue; the
+    * processor just runs it — and the equivalence spec pins the two
+    * against each other, a cross-check neither formulation gets alone.
+    *
+    * State: the event buffer is rate × delay bounded (ST9b); the pending
+    * queue has NO deadline by x179's declared semantics (unbounded
+    * wait), so its size is the user's live view−purchase imbalance —
+    * behavior-bounded, not time-bounded; a production deployment wanting
+    * time-bounded state composes ST29's deadline automaton instead. */
+  class FifoMatchProcessor extends StatefulProcessor[Long, CepEvent, FifoServe] {
+    @transient private var buf: ListState[CepEvent] = _
+    @transient private var queue: ListState[PendView] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[CepEvent](
+        "buf", Encoders.product[CepEvent], TTLConfig.NONE)
+      queue = getHandle.getListState[PendView](
+        "queue", Encoders.product[PendView], TTLConfig.NONE)
+    }
+
+    private def drain(key: Long, wmMs: Long): Iterator[FifoServe] = {
+      val wmUs = wmMs * 1000L
+      val all = buf.get().toVector
+      val (ready, pending) = all.partition(e => micros(e.ts) <= wmUs)
+      val out = Vector.newBuilder[FifoServe]
+      if (ready.nonEmpty) {
+        var q = queue.get().toVector.sortBy(v => (v.us, v.event_id))
+        ready.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+          val us = micros(e.ts)
+          e.event_type match {
+            case "view" => q :+= PendView(us, e.event_id)
+            case "purchase" if q.nonEmpty =>
+              val v = q.head
+              q = q.tail
+              out += FifoServe(key, v.event_id, v.us, e.event_id, us - v.us)
+            case _ => () // purchase on an empty queue: the wasted service
+          }
+        }
+        buf.clear()
+        if (pending.nonEmpty) buf.appendList(pending.toArray)
+        if (q.isEmpty) queue.clear() else queue.put(q.toArray)
+      }
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      if (pending.nonEmpty)
+        getHandle.registerTimer(pending.map(e => micros(e.ts) / 1000L).min + 1L)
+      out.result().iterator
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[CepEvent],
+                                 timerValues: TimerValues): Iterator[FifoServe] = {
+      val fresh = rows.toVector
+      if (fresh.nonEmpty) buf.appendList(fresh.toArray)
+      drain(key, timerValues.getCurrentWatermarkInMs)
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[FifoServe] =
+      drain(key, timerValues.getCurrentWatermarkInMs)
+  }
+
+  /** ST30 entry: views/purchases keyed by user through the FIFO queue. */
+  def fifoMatches(events: Dataset[CepEvent],
+                  watermarkDelay: String = "1 hour"): Dataset[FifoServe] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "view" || e.event_type == "purchase")
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new FifoMatchProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

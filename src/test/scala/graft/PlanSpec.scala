@@ -1017,6 +1017,17 @@ class PlanSpec extends SparkSpecBase {
       assert(p.contains("Generate"), s"x181 chunk explode missing:\n$p")
       assert(!p.contains("Join"), s"x181 must not join:\n$p")
     }
+    // x183/x184: window-free folds; x183's marginal joins all broadcast
+    for (df <- Seq(operators.TimeSeriesOps.x183WeekdayHourResiduals(spark, sfDir),
+                   operators.MultimodalOps.x184ByteEntropy(spark, sfDir)))
+      assert(df.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
+        "unexpected window in a fold-only plan")
+    locally {
+      val p = planOf(operators.TimeSeriesOps.x183WeekdayHourResiduals(spark, sfDir))
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+        s"x183 marginals must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"x183 must not shuffle-join the grid:\n$p")
+    }
   }
 
   test("x131/x132: Q3 pushdowns + top-k; argmax window over the aggregate") {

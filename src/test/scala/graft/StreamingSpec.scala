@@ -1060,4 +1060,66 @@ class StreamingSpec extends SparkSpecBase {
         (10L, 32L, 33L, 840L * 1000000L)), s"automaton drifted: $got")
     }
   }
+
+  test("ST30 online FIFO queue equals x179's batch reflection pair-for-pair") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    withRocksDb {
+      val evs = batchEvents
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .as[StreamOps.CepEvent].collect()
+      val shuffled = new scala.util.Random(43).shuffle(evs.toVector)
+      val maxTs = evs.map(_.ts.getTime).max
+      val input = MemoryStream[StreamOps.CepEvent]
+      val q = StreamOps.fifoMatches(input.toDS(), watermarkDelay = "35 days").toDF()
+        .writeStream.format("memory").queryName("st30").outputMode("append").start()
+      shuffled.grouped((shuffled.size + 2) / 3).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      def sentinel(offsetDays: Long) = StreamOps.CepEvent(-1L, -1L,
+        new Timestamp(maxTs + offsetDays * 86400L * 1000L), "view")
+      input.addData(sentinel(365)); q.processAllAvailable()
+      input.addData(sentinel(730)); q.processAllAvailable()
+      q.stop()
+    }
+    val streamed = spark.table("st30").filter(col("user_id") >= 0)
+    val batch = operators.TimeSeriesOps.x179Pairs(spark, sfDir)
+    assert(streamed.count() === batch.count(),
+      s"pair cardinality drifted: ${streamed.count()} vs ${batch.count()}")
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+  }
+
+  test("ST30 late view converts a wasted service into a match") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    withRocksDb {
+      val input = MemoryStream[StreamOps.CepEvent]
+      val q = StreamOps.fifoMatches(input.toDS()).toDF()
+        .writeStream.format("memory").queryName("st30b").outputMode("append").start()
+      def ev(id: Long, hhmm: String, kind: String) = StreamOps.CepEvent(
+        7L, id, Timestamp.valueOf(s"2024-01-01 $hhmm:00"), kind)
+      // arrival: v@00:00, p@00:05, p@00:06 (would be wasted), v@00:07
+      input.addData(ev(1, "00:00", "view"), ev(2, "00:05", "purchase"),
+        ev(3, "00:06", "purchase"), ev(4, "00:07", "view"))
+      q.processAllAvailable()
+      // LATE view at 00:02 (inside the delay): in event-time order the
+      // queue is [v1, v5] at p2, so p3 now serves v5 — the wasted service
+      // retroactively becomes a match. An arrival-order fold can't do this.
+      input.addData(ev(5, "00:02", "view"))
+      q.processAllAvailable()
+      input.addData(StreamOps.CepEvent(-1L, -1L,
+        Timestamp.valueOf("2025-01-01 00:00:00"), "view"))
+      q.processAllAvailable()
+      input.addData(StreamOps.CepEvent(-1L, -2L,
+        Timestamp.valueOf("2026-01-01 00:00:00"), "view"))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("st30b").filter(col("user_id") >= 0).collect()
+        .map(r => (r.getLong(1), r.getLong(3), r.getLong(4))).toSet
+      assert(got === Set(
+        (1L, 2L, 300L * 1000000L),
+        (5L, 3L, 240L * 1000000L)), s"queue drifted: $got")
+    }
+  }
 }
