@@ -53,6 +53,33 @@ class VectorStore(spark: SparkSession, dir: String) {
       .withColumnRenamed("cluster", "cell")
       .write.partitionBy("cell").mode("append").parquet(vecDir)
 
+  /** Collapse append generations: each `append` lands one new file per
+    * touched cell directory, so a long ingest tail decays into the
+    * small-files regime every other index family already guards against
+    * (SignatureStore/VersionedStore/PostingsStore.compact — this closes
+    * the LAST store without it). Same stage-swap shape: rewrite into a
+    * sibling staging dir (one sorted file generation per cell — vec_id
+    * order gives cheap id-range skipping inside a cell), atomically
+    * retire-and-publish via two renames, delete the old tree. The
+    * codebook is untouched — compaction never changes assignments, so
+    * reads through [[searchTopK]] are equal before and after
+    * (VectorStoreSpec pins read-equality and the file-count collapse). */
+  def compact(): Unit = {
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(vecDir)
+    val gen = java.lang.System.nanoTime()
+    val staged = new org.apache.hadoop.fs.Path(s"$dir/vectors_compact_$gen")
+    val old = new org.apache.hadoop.fs.Path(s"$dir/vectors_old_$gen")
+    spark.read.parquet(root.toString)
+      .repartition(col("cell"))
+      .sortWithinPartitions("vec_id")
+      .write.partitionBy("cell").mode("overwrite").parquet(staged.toString)
+    require(fsys.rename(root, old), s"compact: could not retire $root")
+    require(fsys.rename(staged, root), s"compact: could not publish $staged")
+    fsys.delete(old, true)
+  }
+
   /** The persisted codebook (cent_id, c_emb) — √n rows. */
   def centroids: DataFrame = spark.read.parquet(centDir)
 

@@ -76,6 +76,42 @@ class VectorStoreSpec extends SparkSpecBase {
     assert(res.nonEmpty && res.forall(_.getLong(1) === 5))
   }
 
+  test("compact collapses append generations; reads are equal; one file per cell") {
+    val (store, dir) = freshStore()
+    store.build(corpus.filter(col("vec_id") >= 20))
+    // five appends → up to five file generations in every touched cell
+    (0 until 5).foreach { k =>
+      store.append(corpus.filter(col("vec_id") >= k * 4 && col("vec_id") < (k + 1) * 4))
+    }
+    val beforeRows = store.table.orderBy("vec_id").collect().toSeq
+    val beforeSearch = store.searchContractProbes().collect().toSeq
+    def dataFiles() = {
+      val fsys = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      val it = fsys.listFiles(new org.apache.hadoop.fs.Path(s"$dir/vectors"), true)
+      var n = 0
+      var cells = Set.empty[String]
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet")) {
+          n += 1
+          cells += f.getParent.getName
+        }
+      }
+      (n, cells.size)
+    }
+    val (filesBefore, cellsBefore) = dataFiles()
+    assert(filesBefore > cellsBefore, "appends should have fragmented the cells")
+    store.compact()
+    val (filesAfter, cellsAfter) = dataFiles()
+    assert(cellsAfter === cellsBefore, "compact must preserve the cell spec")
+    assert(filesAfter === cellsAfter,
+      s"one file generation per cell after compact, got $filesAfter/$cellsAfter")
+    // read-equality through compact: table rows and search results identical
+    assert(store.table.orderBy("vec_id").collect().toSeq === beforeRows)
+    assert(store.searchContractProbes().collect().toSeq === beforeSearch)
+  }
+
   test("ST15: streamed vector ingest equals sequential batch-mode appends") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
