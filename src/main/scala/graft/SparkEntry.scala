@@ -294,6 +294,7 @@ object SparkEntry {
     "x182_bootstrap"      -> (TimeSeriesOps.x182Bootstrap _),
     "x183_dow_hour_resid" -> (TimeSeriesOps.x183WeekdayHourResiduals _),
     "x184_byte_entropy"   -> ((s, d) => MultimodalOps.x184ByteEntropy(s, d)),
+    "x185_pii_audit"      -> (TextOps.x185PiiAudit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3938,5 +3939,29 @@ object SparkEntry {
         |ROUND(LN(CAST(n AS DOUBLE))
         |  - SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))) / n, 4) AS entropy
         |FROM bins GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+
+    // x185: deterministic PII injection + regex-class detection; both
+    // patterns sit in the Java/RE2-identical regex subset
+    "x185_pii_audit" ->
+      """WITH dirty AS (SELECT doc_id, source, text
+        |  || CASE WHEN doc_id % 11 = 3
+        |     THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |     ELSE '' END
+        |  || CASE WHEN doc_id % 13 = 4
+        |     THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |     ELSE '' END AS text
+        |  FROM documents),
+        |c AS (SELECT source,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS BIGINT) AS ne,
+        |  CAST(len(regexp_extract_all(text, '555-[0-9]{4}')) AS BIGINT) AS np
+        |  FROM dirty)
+        |SELECT source, COUNT(*) AS n_docs,
+        |CAST(SUM(CASE WHEN ne > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_email,
+        |CAST(SUM(CASE WHEN np > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_phone,
+        |CAST(SUM(ne) AS BIGINT) AS email_hits,
+        |CAST(SUM(np) AS BIGINT) AS phone_hits,
+        |ROUND(CAST(SUM(CASE WHEN ne > 0 OR np > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |  / COUNT(*), 4) AS pii_share
+        |FROM c GROUP BY 1 ORDER BY source""".stripMargin,
   )
 }

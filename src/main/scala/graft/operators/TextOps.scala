@@ -2667,4 +2667,46 @@ object TextOps {
           6).as("chi2_cell"))
       .orderBy("lang", "source")
   }
+
+  /** x185 PII detection audit — the DETECTION gate the privacy shelf
+    * lacks: x28 scrubs a KNOWN token deny-list, x89/x173 audit
+    * re-identification structure, but nothing finds free-text PII
+    * PATTERNS (emails, phone-like strings) — the per-source hit census a
+    * corpus-release review reads before x28's scrubber even has a list.
+    * The fixture is synthetic lowercase prose with zero real PII, so —
+    * the x56/x170/x172 derive-in-query precedent — PII is INJECTED
+    * deterministically (emails on doc_id ≡ 3 mod 11, phone strings on
+    * ≡ 4 mod 13, disjoint-ish so mixed docs exist) and the audit runs
+    * over the dirty view; per source: docs, docs hit per class, total
+    * hits per class, and the any-PII share.
+    *
+    * Cross-engine: both patterns stay in the regex subset Java
+    * (Spark) and RE2 (DuckDB) treat identically — character classes,
+    * +/{n}, literal dot; no backrefs, no lookaround. One scan,
+    * map-side regexp_extract_all counts, a |sources|-row fold;
+    * all-integer until the one rounded share. */
+  def x185PiiAudit(s: SparkSession, d: String): DataFrame = {
+    val dirty = Tables.documents(s, d).select(col("doc_id"), col("source"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(11L)) === 3L,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(13L)) === 4L,
+          concat(lit(" call 555-"),
+            lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("text"))
+    val counted = dirty.select(col("source"),
+      size(regexp_extract_all(col("text"),
+        lit("[a-z0-9]+@[a-z]+\\.[a-z]+"), lit(0))).cast("long").as("ne"),
+      size(regexp_extract_all(col("text"),
+        lit("555-[0-9]{4}"), lit(0))).cast("long").as("np"))
+    counted.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ne") > 0L, 1L).otherwise(0L)).as("docs_email"),
+        sum(when(col("np") > 0L, 1L).otherwise(0L)).as("docs_phone"),
+        sum("ne").as("email_hits"), sum("np").as("phone_hits"),
+        dround(sum(when(col("ne") > 0L || col("np") > 0L, 1L).otherwise(0L))
+          .cast("double") / count(lit(1)).cast("double"), 4).as("pii_share"))
+      .orderBy("source")
+  }
 }

@@ -1017,9 +1017,10 @@ class PlanSpec extends SparkSpecBase {
       assert(p.contains("Generate"), s"x181 chunk explode missing:\n$p")
       assert(!p.contains("Join"), s"x181 must not join:\n$p")
     }
-    // x183/x184: window-free folds; x183's marginal joins all broadcast
+    // x183/x184/x185: window-free folds; x183's marginal joins all broadcast
     for (df <- Seq(operators.TimeSeriesOps.x183WeekdayHourResiduals(spark, sfDir),
-                   operators.MultimodalOps.x184ByteEntropy(spark, sfDir)))
+                   operators.MultimodalOps.x184ByteEntropy(spark, sfDir),
+                   operators.TextOps.x185PiiAudit(spark, sfDir)))
       assert(df.queryExecution.optimizedPlan.collect { case w: LWindow => w }.isEmpty,
         "unexpected window in a fold-only plan")
     locally {
