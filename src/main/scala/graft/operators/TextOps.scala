@@ -2583,34 +2583,39 @@ object TextOps {
     * table only while it measures small. Both engines run the same
     * classic Levenshtein on pure-ASCII prefixes (n_chars ≡ length(text)
     * on this fixture), so the integer distances agree exactly. */
-  /** x171's pre-checkpoint stage (blocking join → payload rejoin →
-    * repartition → DP), exposed so PlanSpec can pin the candidate plan
-    * the eager checkpoint below otherwise hides behind a LogicalRDD. */
-  private[graft] def x171Scored(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
-      col("n_chars"), expr("n_chars div 32").as("b"))
+  /** x171's declared candidate front end: (lang, n_chars÷32) blocking
+    * with ±1 adjacency as a pure equi-join (probe explodes 3 keys). */
+  private[graft] def x171BlockCandidates(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), expr("n_chars div 32").as("b"))
     val probe = docs.select(col("doc_id").as("id_a"), col("lang"),
-      col("n_chars").as("len_a"),
       explode(array(col("b") - 1, col("b"), col("b") + 1)).as("bk"))
     val build = docs.select(col("doc_id").as("id_b"), col("lang"),
-      col("n_chars").as("len_b"), col("b").as("bk"))
-    // widen before the DP: the ~0.2%-surviving candidate set is tiny in
-    // BYTES, so AQE coalesces it to ~1 partition — but its cost is the
-    // downstream 160² Levenshtein per ROW (measured 64 s serialized vs ~5 s
-    // wide at sf0.1); pin the kernel's parallelism explicitly (the x12/x01
-    // band-join rule from SURVEY §4.3)
-    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val cand = probe.join(build, Seq("lang", "bk"))
-      .filter(col("id_a") < col("id_b")
-        && abs(col("len_a") - col("len_b")) <= 12)
+      col("b").as("bk"))
+    probe.join(build, Seq("lang", "bk"))
+      .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-    val pfx = Tables.documents(s, d)
-      .select(col("doc_id"), substring(col("text"), 1, 160).as("pfx"))
+  }
+
+  /** The adjudication kernel over ANY (id_a, id_b) candidate frame —
+    * payload rejoin, the |lenA−lenB| ≤ 12 lower-bound prune, explicit
+    * widening, the capped DP. Pre-checkpoint, so PlanSpec can pin the
+    * plan the eager checkpoint in [[x171Finish]] hides behind a
+    * LogicalRDD. The widen-before-the-DP rule (SURVEY §4.3): the
+    * surviving candidate set is tiny in BYTES, so AQE coalesces it to ~1
+    * partition — but its cost is the downstream 160² Levenshtein per
+    * ROW (measured 64 s serialized vs 2.7 s pinned at sf0.1). */
+  private[graft] def x171Scored(s: SparkSession, d: String,
+                                cand: DataFrame): DataFrame = {
+    val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val pfx = Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
+      substring(col("text"), 1, 160).as("pfx"))
     cand
-      .join(pfx.select(col("doc_id").as("id_a"), col("pfx").as("pfx_a")),
-        Seq("id_a"))
-      .join(pfx.select(col("doc_id").as("id_b"), col("pfx").as("pfx_b")),
-        Seq("id_b"))
+      .join(pfx.select(col("doc_id").as("id_a"), col("n_chars").as("len_a"),
+        col("pfx").as("pfx_a")), Seq("id_a"))
+      .join(pfx.select(col("doc_id").as("id_b"), col("n_chars").as("len_b"),
+        col("pfx").as("pfx_b")), Seq("id_b"))
+      .filter(abs(col("len_a") - col("len_b")) <= 12)
       .repartition(nPart)
       .select(col("id_a"), col("id_b"),
         levenshtein(col("pfx_a"), col("pfx_b")).cast("long").as("dist"),
@@ -2618,17 +2623,38 @@ object TextOps {
           .cast("long").as("mx"))
   }
 
-  def x171EditDistance(s: SparkSession, d: String): DataFrame =
-    // the eager localCheckpoint PINS the wide DP stage: the dist ≤ 40
-    // filter would otherwise inline the levenshtein alias and push below
-    // the repartition, landing the whole DP back in the coalesced stage
-    // (measured at sf0.1: 64 s naive, 33 s repartition-only, 2.7 s pinned)
-    x171Scored(s, d).localCheckpoint(true)
+  /** The eager localCheckpoint PINS the wide DP stage: the dist ≤ 40
+    * filter would otherwise inline the levenshtein alias and push below
+    * the repartition, landing the whole DP back in the coalesced stage
+    * (measured at sf0.1: 64 s naive, 33 s repartition-only, 2.7 s
+    * pinned — the SURVEY §4.3 kernel-pinning rule). */
+  private def x171Finish(scored: DataFrame): DataFrame =
+    scored.localCheckpoint(true)
       .filter(col("dist") <= 40L)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("dist"),
         dround(lit(1.0) - col("dist").cast("double")
           / col("mx").cast("double"), 4).as("sim"))
       .orderBy("doc_a", "doc_b")
+
+  def x171EditDistance(s: SparkSession, d: String): DataFrame =
+    x171Finish(x171Scored(s, d, x171BlockCandidates(s, d)))
+
+  /** x171's PRODUCTION front end (`x171_banded` bench row): MinHash band
+    * buckets over char 3-grams — x02's blocker — feeding the IDENTICAL
+    * adjudication kernel. The declared length blocking is the exactness
+    * baseline, but its candidate volume is Σ|length-block|², quadratic
+    * in the corpus once blocks grow with it; band collisions scale with
+    * the NEAR-DUP mass instead, the path that holds at 100×. Bands are
+    * language-agnostic, so X171BandedSpec pins kernel consistency on the
+    * declared domain (every same-language banded row equals its declared
+    * row) and structural recall (exact-prefix duplicates collide in
+    * EVERY band, so all declared dist-0 pairs appear). */
+  def x171BandedEditDistance(s: SparkSession, d: String): DataFrame = {
+    val grams = Tables.documents(s, d).select(col("doc_id").as("id"),
+      graft.functions.TextExpressions.charGrams(col("text"), 3).as("toks"))
+    x171Finish(x171Scored(s, d,
+      MinHashLSH.candidatePairs(grams).select("id_a", "id_b")))
+  }
 
   /** x175 contingency independence audit — ARE two metadata columns
     * independent? The schema-level dependence surface next to x74 (which

@@ -924,7 +924,8 @@ class PlanSpec extends SparkSpecBase {
     // keys) — an OR bucket condition would nested-loop the corpus; the pin
     // reads the pre-checkpoint stage (the serving side is a LogicalRDD)
     locally {
-      val p = planOf(operators.TextOps.x171Scored(spark, sfDir))
+      val p = planOf(operators.TextOps.x171Scored(spark, sfDir,
+        operators.TextOps.x171BlockCandidates(spark, sfDir)))
       assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p)
       assert(p.contains("Generate"), s"block-key explode missing:\n$p")
       assert(!p.contains("Window"), p)
