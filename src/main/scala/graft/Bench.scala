@@ -132,6 +132,7 @@ object Bench {
     val wantCc   = only.forall(_("x14_cc_only"))
     val wantSurv = only.forall(_("x33_survivors_only"))
     val wantSplit = only.forall(_("x48_split_only"))
+    val wantCore = only.forall(_("x186_core_only"))
     // r8 verdict item 5: every graph CONSUMER gets a *_only staged row over
     // the same materialized pair parquet, so the bench separates "pair
     // scan" (priced once, q53's row) from each marginal analytic.
@@ -140,7 +141,7 @@ object Bench {
     val wantTri   = only.forall(_("x112_tri_only"))
     val wantAbl   = only.forall(_("x118_abl_only"))
     val wantSynd  = only.forall(_("x121_synd_only"))
-    val anyGraph = wantCc || wantSurv || wantSplit ||
+    val anyGraph = wantCc || wantSurv || wantSplit || wantCore ||
       wantHist || wantAudit || wantTri || wantAbl || wantSynd
     val ccOnly = if (!anyGraph) Nil
     else try {
@@ -196,7 +197,9 @@ object Bench {
         staged(wantAbl, "x118_abl_only")(
           operators.TextOps.x118From(spark, sfDir, pairs)) ++
         staged(wantSynd, "x121_synd_only")(
-          operators.TextOps.x121From(spark, sfDir, pairs))
+          operators.TextOps.x121From(spark, sfDir, pairs)) ++
+        staged(wantCore, "x186_core_only")(
+          operators.TextOps.x186KCoreFrom(spark, sfDir, pairs))
       ccRow ++ downstream ++ consumerRows
     } catch { case e: Throwable =>
       System.err.println(s"[bench] x14_cc_only failed: ${e.getMessage}"); Nil

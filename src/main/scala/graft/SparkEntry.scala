@@ -295,6 +295,7 @@ object SparkEntry {
     "x183_dow_hour_resid" -> (TimeSeriesOps.x183WeekdayHourResiduals _),
     "x184_byte_entropy"   -> ((s, d) => MultimodalOps.x184ByteEntropy(s, d)),
     "x185_pii_audit"      -> (TextOps.x185PiiAudit _),
+    "x186_kcore"          -> (TextOps.x186KCore _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3963,5 +3964,30 @@ object SparkEntry {
         |ROUND(CAST(SUM(CASE WHEN ne > 0 OR np > 0 THEN 1 ELSE 0 END) AS DOUBLE)
         |  / COUNT(*), 4) AS pii_share
         |FROM c GROUP BY 1 ORDER BY source""".stripMargin,
+
+    // x186: x14's exact-Jaccard pair CTE + 8 unrolled peel rounds.
+    // MATERIALIZED is load-bearing: inlined CTEs re-expand each prior
+    // round ~4x per level (exponential plan; measured a hang at depth 9)
+    "x186_kcore" -> {
+      val rounds = (1 to 8).map { i =>
+        s"""d$i AS MATERIALIZED (SELECT id, COUNT(*) AS dg FROM
+           |  (SELECT a AS id FROM e${i - 1} UNION ALL SELECT b FROM e${i - 1}) GROUP BY 1),
+           |k$i AS MATERIALIZED (SELECT id FROM d$i WHERE dg >= 64),
+           |e$i AS MATERIALIZED (SELECT a, b FROM e${i - 1}
+           |  WHERE a IN (SELECT id FROM k$i) AND b IN (SELECT id FROM k$i))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT DISTINCT doc_id, tok FROM
+         |  (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents) u),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b
+         |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+         |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+         |$rounds
+         |SELECT id AS doc_id, COUNT(*) AS core_deg FROM
+         |(SELECT a AS id FROM e8 UNION ALL SELECT b FROM e8)
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
   )
 }
