@@ -3266,7 +3266,8 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qsum,
         |  COUNT(*) AS qn FROM li GROUP BY 1)
         |SELECT COUNT(*) AS n_items,
-        |ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly
+        |ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+        |  / 700.0, 4) AS avg_yearly
         |FROM li JOIN ag ON l_partkey = a_partkey
         |WHERE CAST(l_quantity AS BIGINT) * 5 * qn < qsum""".stripMargin,
 

@@ -27,12 +27,27 @@ import org.apache.spark.util.sketch.{BloomFilter, CountMinSketch}
   * shipped once per stage inside the (itself broadcast) task binary and
   * deserialized lazily once per executor JVM — same distribution cost as
   * the `sparkContext.broadcast` it replaces, without the per-row closure.
+  *
+  * equals/hashCode are overridden to compare the payload by CONTENT:
+  * case-class equality on an `Array[Byte]` field is reference equality,
+  * under which two logically identical probes never compare equal and
+  * Catalyst canonicalization / common-subexpression elimination cannot
+  * dedupe them (`fastEquals` still works on the same instance, so this is
+  * a plan-matching wart, not a wrong-result hazard — fixed regardless).
   */
 case class BloomMightContain(child: Expression, bits: Array[Byte])
     extends UnaryExpression {
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_might_contain"
+
+  override def equals(other: Any): Boolean = other match {
+    case that: BloomMightContain =>
+      child == that.child && java.util.Arrays.equals(bits, that.bits)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bits)
 
   @transient private lazy val bloom: BloomFilter =
     BloomFilter.readFrom(new ByteArrayInputStream(bits))
@@ -59,6 +74,15 @@ case class CmsEstimate(child: Expression, bits: Array[Byte])
 
   override def dataType: DataType = LongType
   override def prettyName: String = "cms_estimate"
+
+  // content equality over the serialized sketch — see BloomMightContain
+  override def equals(other: Any): Boolean = other match {
+    case that: CmsEstimate =>
+      child == that.child && java.util.Arrays.equals(bits, that.bits)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(bits)
 
   @transient private lazy val cms: CountMinSketch =
     CountMinSketch.readFrom(new ByteArrayInputStream(bits))

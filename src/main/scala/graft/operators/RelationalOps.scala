@@ -945,6 +945,11 @@ object RelationalOps {
     * FP-exact by cross-multiplying the predicate: quantities are
     * integral doubles, so qty < sum/(5·n) ⟺ 5·qty·n < sum in exact
     * BIGINTs (no division, no doubles, no boundary to disagree on).
+    * The output fold is held to the same rule: revenue sums exact
+    * integer cents (ROUND(price·100) AS BIGINT, the x151 discipline)
+    * and divides ONCE by 700.0 — a raw double sum's accumulation order
+    * differs across engines and partitionings, and a knife-edge value
+    * at the 4th decimal would break the golden hash nondeterministically.
     *
     * Scale: both sides of the self-join shuffle once on partkey (the
     * aggregate is map-side combined first); a brand filter narrows to
@@ -960,7 +965,8 @@ object RelationalOps {
     li.join(avgq, col("l_partkey") === col("a_partkey"))
       .filter(col("l_quantity").cast("long") * 5L * col("qn") < col("qsum"))
       .agg(count(lit(1)).as("n_items"),
-        dround(sum(col("l_extendedprice")) / 7.0, 4).as("avg_yearly"))
+        dround(sum(round(col("l_extendedprice") * 100).cast("long"))
+          .cast("double") / 700.0, 4).as("avg_yearly"))
   }
 
   /** x153 large-volume customers — the TPC-H Q18 shape: customers whose

@@ -1084,8 +1084,13 @@ object StreamOps {
     * double-add hazard an additive fold would otherwise have. Serving
     * sums base + partials per day (partial count × |days| rows — tiny);
     * [[compactFingerprints]] folds partials into `base` with the
-    * stage-swap shape every store here uses, and the monoid makes the
-    * fold safe at any moment. Long-sum wraparound is mod-2⁶⁴ arithmetic
+    * retire-and-publish shape every store here uses. Compaction assumes a
+    * SINGLE WRITER with the ingest quiesced (the same assumption
+    * PostingsStore.compact states): the monoid makes the FOLD
+    * order-insensitive, but it cannot arbitrate a writer racing the
+    * snapshot-and-delete — see the crash discipline on
+    * [[compactFingerprints]] for what each failure point leaves behind.
+    * Long-sum wraparound is mod-2⁶⁴ arithmetic
     * — still a valid fingerprint (both replicas wrap identically).
     *
     * This is the ingest tail of the x155 reconciliation: two sites each
@@ -1100,9 +1105,14 @@ object StreamOps {
       }
       .start()
 
+  /** The compaction watermark lives INSIDE the base directory
+    * (`base/_upto` — underscore files are invisible to parquet listings),
+    * so the folded data and the set of batch ids it covers publish in the
+    * SAME rename: no crash can leave a base that disagrees with its
+    * watermark. */
   private def compactedUpto(fsys: org.apache.hadoop.fs.FileSystem,
                             storeDir: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(s"$storeDir/_compacted_upto")
+    val p = new org.apache.hadoop.fs.Path(s"$storeDir/base/_upto")
     if (!fsys.exists(p)) -1L
     else {
       val in = fsys.open(p)
@@ -1132,42 +1142,104 @@ object StreamOps {
       .parquet(s"$storeDir/parts")
   }
 
-  /** The served day fingerprints: base (compacted) + live partials. */
+  /** The served day fingerprints: base (compacted) + live partials ABOVE
+    * the base's own watermark. The filter makes serving robust to every
+    * compaction crash leftover: a partial whose id is already folded into
+    * the published base (crash between publish and the partial's delete)
+    * is excluded, never double-counted. */
   def fingerprints(s: SparkSession, storeDir: String): DataFrame = {
     val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-    def readIf(dir: String): Option[DataFrame] =
-      if (fsys.exists(new org.apache.hadoop.fs.Path(dir)))
-        Some(s.read.parquet(dir).select(col("day"), col("n"), col("fp")))
-      else None
-    val frames = readIf(s"$storeDir/base").toSeq ++ readIf(s"$storeDir/parts").toSeq
+    val upto = compactedUpto(fsys, storeDir)
+    val basePath = new org.apache.hadoop.fs.Path(s"$storeDir/base")
+    val base =
+      if (fsys.exists(basePath))
+        Seq(s.read.parquet(basePath.toString).select(col("day"), col("n"), col("fp")))
+      else Nil
+    // explicit batch-dir paths, not a parts/-wide partitioned read: the
+    // watermark filter happens on the LISTING, so a stale dir (already in
+    // base) is never read and an empty parts/ dir (everything folded) is
+    // not a schema-inference error
+    val partsPath = new org.apache.hadoop.fs.Path(s"$storeDir/parts")
+    val liveDirs =
+      if (!fsys.exists(partsPath)) Nil
+      else fsys.listStatus(partsPath).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith("batch=") &&
+          p.getName.stripPrefix("batch=").toLong > upto)
+    val parts =
+      if (liveDirs.nonEmpty)
+        Seq(s.read.parquet(liveDirs.map(_.toString): _*)
+          .select(col("day"), col("n"), col("fp")))
+      else Nil
+    val frames = base ++ parts
     require(frames.nonEmpty, s"no fingerprint store at $storeDir")
     frames.reduce(_ unionAll _)
       .groupBy("day")
       .agg(sum("n").as("n"), sum("fp").as("fp"))
   }
 
-  /** Fold live partials into the base (stage → swap → drop parts), and
-    * advance the compaction watermark so a batch REPLAYED after its
-    * partial was folded is skipped, not double-added. */
+  /** Fold live partials into the base and advance the watermark so a
+    * batch REPLAYED after its partial was folded is skipped, not
+    * double-added. Single-writer: one compaction at a time, and the
+    * ingest quiesced while it runs (the stage-swap shape cannot arbitrate
+    * a concurrent writer — same assumption PostingsStore.compact states).
+    *
+    * Crash discipline (the reason for each step's position):
+    *  - the batch dirs to fold come from ONE listing, and only those
+    *    exact `batch=<id>` dirs are read and later deleted — a partial
+    *    landing after the listing is neither folded, deleted, nor covered
+    *    by the watermark; it waits intact for the next compact;
+    *  - `_upto` is written INTO the staging dir, so the folded rows and
+    *    the id set they cover publish in the same atomic rename;
+    *  - publish is retire-and-publish (rename base→base_old_<gen> →
+    *    rename staging→base → delete old), the two-rename shape every
+    *    compact in this repo uses: a crash between the renames leaves
+    *    `base_old_<gen>` recoverable by hand, never silently absent data;
+    *  - a crash after publish but before the folded partials' delete
+    *    leaves dirs with id ≤ the new watermark: [[fingerprints]] filters
+    *    them out of serving and the next compact deletes them without
+    *    re-folding (they are classified stale by the watermark). */
   def compactFingerprints(s: SparkSession, storeDir: String): Unit = {
     val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
     val partsPath = new org.apache.hadoop.fs.Path(s"$storeDir/parts")
-    val maxBatch: Long =
-      if (!fsys.exists(partsPath)) -1L
-      else fsys.listStatus(partsPath).map(_.getPath.getName)
-        .collect { case n if n.startsWith("batch=") => n.stripPrefix("batch=").toLong }
-        .foldLeft(-1L)(math.max)
-    val staged = fingerprints(s, storeDir).localCheckpoint(true)
-    val tmp = new org.apache.hadoop.fs.Path(s"$storeDir/base__staging")
+    val upto0 = compactedUpto(fsys, storeDir)
+    val listed: Seq[(Long, org.apache.hadoop.fs.Path)] =
+      if (!fsys.exists(partsPath)) Nil
+      else fsys.listStatus(partsPath).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("batch="))
+        .map(p => p.getName.stripPrefix("batch=").toLong -> p)
+    val (stale, fold) = listed.partition(_._1 <= upto0)
+    val upto1 = fold.foldLeft(upto0)((m, e) => math.max(m, e._1))
+    val basePath = new org.apache.hadoop.fs.Path(s"$storeDir/base")
+    val frames =
+      (if (fsys.exists(basePath))
+         Seq(s.read.parquet(basePath.toString).select(col("day"), col("n"), col("fp")))
+       else Nil) ++
+      (if (fold.nonEmpty)
+         Seq(s.read.parquet(fold.map(_._2.toString): _*)
+           .select(col("day"), col("n"), col("fp")))
+       else Nil)
+    require(frames.nonEmpty, s"no fingerprint store at $storeDir")
+    // eager checkpoint: the staged frame must stop referencing the base
+    // files the publish below is about to retire
+    val staged = frames.reduce(_ unionAll _)
+      .groupBy("day").agg(sum("n").as("n"), sum("fp").as("fp"))
+      .localCheckpoint(true)
+    val gen = java.lang.System.nanoTime()
+    val tmp = new org.apache.hadoop.fs.Path(s"$storeDir/base_staging_$gen")
     staged.write.mode("overwrite").parquet(tmp.toString)
-    val base = new org.apache.hadoop.fs.Path(s"$storeDir/base")
-    fsys.delete(base, true)
-    fsys.rename(tmp, base)
-    if (maxBatch >= 0L) {
-      val out = fsys.create(new org.apache.hadoop.fs.Path(s"$storeDir/_compacted_upto"), true)
-      try out.write(maxBatch.toString.getBytes("UTF-8")) finally out.close()
-    }
-    fsys.delete(partsPath, true)
+    val out = fsys.create(new org.apache.hadoop.fs.Path(tmp, "_upto"), true)
+    try out.write(upto1.toString.getBytes("UTF-8")) finally out.close()
+    val old = new org.apache.hadoop.fs.Path(s"$storeDir/base_old_$gen")
+    if (fsys.exists(basePath))
+      require(fsys.rename(basePath, old), s"compact: could not retire $basePath")
+    require(fsys.rename(tmp, basePath), s"compact: could not publish $tmp")
+    if (fsys.exists(old)) fsys.delete(old, true)
+    (fold ++ stale).foreach { case (_, p) => fsys.delete(p, true) }
+    // drop the parts/ shell only when nothing else landed in it — a dir
+    // created after the listing (quiesced-ingest violation or the next
+    // ingest already restarted) survives untouched
+    if (fsys.exists(partsPath) && fsys.listStatus(partsPath).isEmpty)
+      fsys.delete(partsPath, true)
   }
 
   /** The served retention triangle over ST25's store — row-identical to

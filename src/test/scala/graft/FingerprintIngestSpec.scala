@@ -74,4 +74,42 @@ class FingerprintIngestSpec extends SparkSpecBase {
     assert(rows(StreamOps.fingerprints(spark, store)) === expect,
       "batch replayed after compaction double-added — watermark broken")
   }
+
+  test("ST28 compaction crash leftovers: a folded partial left on disk is " +
+       "never double-counted and the next compact retires it") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val store = tmp()
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = StreamOps.fingerprintIngest(input.toDF().toDF("event_id", "ts"), store, tmp())
+    def at(day: Int, id: Long) = (id, Timestamp.valueOf(f"2024-02-$day%02d 09:00:00"))
+    val all = Seq(at(1, 10L), at(1, 11L), at(2, 12L))
+    try {
+      input.addData(all.take(2)); q.processAllAvailable()
+      input.addData(all.drop(2)); q.processAllAvailable()
+    } finally q.stop()
+    val expect = rows(batchFp(all.toDF("event_id", "ts")))
+    // inject the crash state: compact publishes base (+ watermark inside
+    // it) but dies BEFORE deleting the folded partials — simulate by
+    // snapshotting parts/ and restoring it after a clean compact
+    val parts = new java.io.File(s"$store/parts")
+    val saved = java.nio.file.Files.createTempDirectory("st28crash").toString
+    def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) { dst.mkdirs(); src.listFiles.foreach(f =>
+        copyTree(f, new java.io.File(dst, f.getName))) }
+      else java.nio.file.Files.copy(src.toPath, dst.toPath)
+    }
+    copyTree(parts, new java.io.File(saved, "parts"))
+    StreamOps.compactFingerprints(spark, store)
+    copyTree(new java.io.File(saved, "parts"), parts) // the crash leftover
+    assert(parts.exists && parts.listFiles.nonEmpty)
+    // serving filters the stale partials by the base watermark
+    assert(rows(StreamOps.fingerprints(spark, store)) === expect,
+      "stale partials below the watermark were double-counted in serving")
+    // the next compact classifies them stale: retired, NOT re-folded
+    StreamOps.compactFingerprints(spark, store)
+    assert(!parts.exists, "second compact must retire stale partials")
+    assert(rows(StreamOps.fingerprints(spark, store)) === expect,
+      "second compact re-folded already-folded partials")
+  }
 }
