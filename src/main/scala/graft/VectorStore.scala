@@ -47,11 +47,23 @@ class VectorStore(spark: SparkSession, dir: String) {
   }
 
   /** Incrementally index a new (vec_id, embedding) batch against the
-    * persisted codebook — new files in existing cell directories only. */
-  def append(batch: DataFrame): Unit =
+    * persisted codebook — new files in existing cell directories only.
+    *
+    * `batchId` (streaming ingest) arms the [[graft.sources.AdmitFence]]
+    * replay fence: a batch whose append already completed is skipped, so
+    * a crash between the append and the checkpoint commit no longer
+    * double-indexes the batch on replay (duplicate rows at identical
+    * distances would occupy duplicate rank positions at search time and
+    * could displace the k-th distinct neighbor). Batch-mode callers omit
+    * it and keep plain append semantics. */
+  def append(batch: DataFrame, batchId: Option[Long] = None): Unit = {
+    if (batchId.exists(id => graft.sources.AdmitFence.admitted(spark, dir, id)))
+      return
     VectorOps.assignCells(batch, centroids)
       .withColumnRenamed("cluster", "cell")
       .write.partitionBy("cell").mode("append").parquet(vecDir)
+    batchId.foreach(id => graft.sources.AdmitFence.advance(spark, dir, id))
+  }
 
   /** Collapse append generations: each `append` lands one new file per
     * touched cell directory, so a long ingest tail decays into the

@@ -34,6 +34,14 @@ import org.apache.spark.sql.functions._
   */
 object SignatureStore {
 
+  /** The store's root directory, catalog-derived (survives compaction's
+    * generation renames: `sig_docs_g<gen>`'s parent is still the root) —
+    * where [[AdmitFence]]'s watermark lives. */
+  private def storeRoot(spark: SparkSession): String =
+    new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("sig_docs"))
+      .location).getParent.toString
+
   /** Write the corpus's signature index + verify payload as catalog tables
     * under `path`. Idempotent (overwrites). `toks`: (id, toks) with the
     * same tokenization later increments will use. */
@@ -103,21 +111,33 @@ object SignatureStore {
     * Intra-batch duplicates are NOT resolved here (the store loop is
     * batch-vs-corpus, like x42): a production ingest runs the x38
     * dedup-first collapse + within-batch q53 pass upstream, so `batch` is
-    * already internally unique by the time it reaches the store. A crash
-    * BETWEEN the sink write and the append re-appends the batch on replay
-    * (double-indexed docs — harmless for candidate generation, wasteful
-    * for storage); `StreamOps.dedupIngest` documents the batch-id fencing
-    * a production deployment adds. */
+    * already internally unique by the time it reaches the store.
+    *
+    * Replay fence: pass the streaming `batchId` and a cycle whose append
+    * already completed ([[AdmitFence]] watermark beside the store) is not
+    * re-run — the pairs come back from the durable sink (written BEFORE
+    * the fence ever advances, so a fenced batch's pairs always exist) and
+    * the store does not grow. The fence write sits strictly after the
+    * append, so the double-append window shrinks from "any crash between
+    * the sink write and the checkpoint commit" to "a crash inside the
+    * append's own multi-file write" (closing that needs a transactional
+    * manifest — see AdmitFence's scaladoc). Batch-mode callers omit
+    * `batchId` and keep the unfenced semantics. */
   def admit(spark: SparkSession, batch: DataFrame, threshold: Double,
             pairsDir: String,
-            p: MinHashLSH.Params = MinHashLSH.Params()): DataFrame = {
+            p: MinHashLSH.Params = MinHashLSH.Params(),
+            batchId: Option[Long] = None): DataFrame = {
+    def readPairs = spark.read.schema("id_a BIGINT, id_b BIGINT, j DOUBLE")
+      .parquet(pairsDir)
+    if (batchId.exists(id => AdmitFence.admitted(spark, storeRoot(spark), id)))
+      return readPairs
     incrementPairs(spark, batch, threshold, p)
       .write.mode("overwrite").parquet(pairsDir)
-    val pairs = spark.read.schema("id_a BIGINT, id_b BIGINT, j DOUBLE")
-      .parquet(pairsDir)
+    val pairs = readPairs
     val novel = batch.join(pairs.select(col("id_a").as("id")).distinct(),
                            Seq("id"), "left_anti")
     append(spark, novel, p)
+    batchId.foreach(id => AdmitFence.advance(spark, storeRoot(spark), id))
     pairs
   }
 
@@ -158,7 +178,15 @@ object SignatureStore {
     * offline (cheap: x48_split_only) and diffs. */
   def routeAndAdmit(spark: SparkSession, batch: DataFrame, outDir: String,
                     threshold: Double = 0.8,
-                    p: MinHashLSH.Params = MinHashLSH.Params()): DataFrame = {
+                    p: MinHashLSH.Params = MinHashLSH.Params(),
+                    batchId: Option[Long] = None): DataFrame = {
+    def readRouted = spark.read
+      .schema("id BIGINT, match_id BIGINT, matched INT, split STRING")
+      .parquet(outDir)
+    // same replay fence as admit: routed rows are durable before the fence
+    // advances, so a fenced cycle serves them back without growing the store
+    if (batchId.exists(id => AdmitFence.admitted(spark, storeRoot(spark), id)))
+      return readRouted
     val inherit = incrementPairs(spark, batch, threshold, p)
       .groupBy(col("id_a").as("id")).agg(min("id_b").as("match_id"))
       .join(spark.table("sig_splits").select(col("id").as("match_id"), col("split")),
@@ -169,13 +197,12 @@ object SignatureStore {
         col("match_id").isNotNull.cast("int").as("matched"),
         coalesce(col("split"), graft.functions.SplitRule.of(col("id"))).as("split"))
       .write.mode("overwrite").parquet(outDir)
-    val routed = spark.read
-      .schema("id BIGINT, match_id BIGINT, matched INT, split STRING")
-      .parquet(outDir)
+    val routed = readRouted
     val novelIds = routed.filter(col("matched") === 0).select("id")
     append(spark, batch.join(novelIds, Seq("id"), "left_semi"), p)
     routed.filter(col("matched") === 0).select(col("id"), col("split"))
       .write.format("parquet").mode("append").saveAsTable("sig_splits")
+    batchId.foreach(id => AdmitFence.advance(spark, storeRoot(spark), id))
     routed
   }
 

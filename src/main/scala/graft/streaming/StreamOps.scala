@@ -556,13 +556,14 @@ object StreamOps {
     * across jobs, and never expire. The same kernels feed both.
     *
     * Replay: the per-batch overwrite makes the pairs sink idempotent (a
-    * restarted batch rewrites `batch_id=<id>` in place). A crash between
-    * the sink write and the append re-appends that batch's novel docs on
-    * replay (double-indexed: extra candidates, absorbed by verification;
-    * wasted bytes). A production deployment fences that by recording the
-    * admitted batch id in the store and skipping the append on replay —
-    * deliberately out of scope here, since it needs the deployment's
-    * transactional-commit story (see BucketedLayout's manifest for ours). */
+    * restarted batch rewrites `batch_id=<id>` in place), and the admitted
+    * batch id is recorded in the store ([[graft.sources.AdmitFence]]) so a
+    * batch whose append completed is SKIPPED on replay — a crash between
+    * the append and the checkpoint commit no longer double-indexes the
+    * batch's novel docs; the replayed cycle serves the pairs back from
+    * the durable sink. The residual window is a crash inside the append's
+    * own multi-file write (AdmitFence's scaladoc names the manifest-based
+    * fix a deployment would add). */
   def dedupIngest(docs: DataFrame, pairsSink: String, checkpointDir: String,
                   threshold: Double = 0.8): StreamingQuery =
     docs.select(col("doc_id").as("id"), split(col("text"), " ").as("toks"))
@@ -570,7 +571,7 @@ object StreamOps {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.sources.SignatureStore.admit(batch.sparkSession, batch, threshold,
-          s"$pairsSink/batch_id=$batchId")
+          s"$pairsSink/batch_id=$batchId", batchId = Some(batchId))
         ()
       }
       .start()
@@ -716,8 +717,11 @@ object StreamOps {
     * [[graft.functions.SplitRule]] on their own id and are admitted, so
     * later dups of THEM inherit consistently. Routed rows land under
     * `routedSink/batch_id=<id>` (overwrite → idempotent replay) before
-    * the store mutates, the same ordering discipline as ST12; the
-    * prefix-greedy-vs-batch-CC caveat is documented at routeAndAdmit. */
+    * the store mutates, the same ordering discipline as ST12 — and the
+    * same [[graft.sources.AdmitFence]] replay fence: a completed cycle
+    * replayed after a crash serves its routed rows back from the sink
+    * without growing the store. The prefix-greedy-vs-batch-CC caveat is
+    * documented at routeAndAdmit. */
   def splitRouting(docs: DataFrame, routedSink: String, checkpointDir: String,
                    threshold: Double = 0.8): StreamingQuery =
     docs.select(col("doc_id").as("id"), split(col("text"), " ").as("toks"))
@@ -725,7 +729,8 @@ object StreamOps {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.sources.SignatureStore.routeAndAdmit(batch.sparkSession, batch,
-          s"$routedSink/batch_id=$batchId", threshold)
+          s"$routedSink/batch_id=$batchId", threshold,
+          batchId = Some(batchId))
         ()
       }
       .start()
@@ -745,19 +750,20 @@ object StreamOps {
     * cell (VectorStoreSpec asserts streamed ≡ batch-mode), so the loop is
     * the same whichever path fed the store.
     *
-    * Replay: a crash after the append but before the checkpoint commit
-    * re-appends the batch on replay — double-indexed rows, which at search
-    * time occupy duplicate rank positions and can displace the k-th
-    * distinct neighbor. A production deployment fences this by recording
-    * the admitted batch id beside the store and skipping the append on
-    * replay (same transactional-commit note as ST12; BucketedLayout's
-    * manifest is this engine's template). */
+    * Replay: the admitted batch id is recorded beside the store
+    * ([[graft.sources.AdmitFence]]) and a batch whose append completed is
+    * skipped on replay, so a crash between the append and the checkpoint
+    * commit no longer double-indexes the batch (duplicate rows would
+    * occupy duplicate rank positions at search time and could displace
+    * the k-th distinct neighbor). Residual window: a crash inside the
+    * append's own multi-file write — AdmitFence's scaladoc. */
   def vectorIngest(vecs: DataFrame, storeDir: String,
                    checkpointDir: String): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        new graft.VectorStore(batch.sparkSession, storeDir).append(batch)
+        new graft.VectorStore(batch.sparkSession, storeDir)
+          .append(batch, batchId = Some(batchId))
         ()
       }
       .start()

@@ -138,4 +138,36 @@ class SignatureStoreSpec extends SparkSpecBase {
     assert(pairsOf(sunk(1)) === e2)
     assert(spark.table("sig_docs").count() === expectedDocs)
   }
+
+  test("replay fence: a completed admit re-run under its batch id neither " +
+       "grows the store nor changes the served pairs") {
+    import spark.implicits._
+    def docs(rows: (Long, String)*) =
+      rows.toDF("id", "text").select(col("id"), split(col("text"), " ").as("toks"))
+    SignatureStore.write(spark, docs(1L -> "alpha beta gamma delta epsilon"),
+      tmp("store-fence"))
+    val sink = tmp("fence-pairs")
+    val b0 = docs(30L -> "zeta eta theta iota kappa",
+                  31L -> "alpha beta gamma delta epsilon")
+    val p1 = pairsOf(SignatureStore.admit(spark, b0, 0.8, s"$sink/batch_id=0",
+      batchId = Some(0L)))
+    assert(p1 === Seq((31L, 1L, 1.0)))
+    assert(spark.table("sig_docs").count() === 2) // corpus + the novel doc 30
+    val setsBefore = spark.table("sig_sets").count()
+    // crash-and-replay: the checkpoint never committed, the SAME batch id
+    // arrives again — the fence must serve the durable pairs back untouched
+    val p2 = pairsOf(SignatureStore.admit(spark, b0, 0.8, s"$sink/batch_id=0",
+      batchId = Some(0L)))
+    assert(p2 === p1, "fenced replay changed the served pairs")
+    assert(spark.table("sig_docs").count() === 2, "fenced replay grew sig_docs")
+    assert(spark.table("sig_sets").count() === setsBefore,
+      "fenced replay grew sig_sets")
+    // the next batch id is not fenced: a dup of doc 30 (admitted in batch 0)
+    // is caught — the store state the fence protected is live and correct
+    val p3 = pairsOf(SignatureStore.admit(spark,
+      docs(40L -> "zeta eta theta iota kappa"), 0.8, s"$sink/batch_id=1",
+      batchId = Some(1L)))
+    assert(p3 === Seq((40L, 30L, 1.0)))
+    assert(spark.table("sig_docs").count() === 2) // matched -> not admitted
+  }
 }

@@ -142,4 +142,26 @@ class VectorStoreSpec extends SparkSpecBase {
     q.stop()
     assert(rows(sStore.table) === expected)
   }
+
+  test("replay fence: re-running a completed batch id appends nothing and " +
+       "leaves search results unchanged") {
+    val (store, _) = freshStore()
+    store.build(corpus.filter(col("vec_id") >= 20))
+    val b1 = corpus.filter(col("vec_id") < 10)
+    val b2 = corpus.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+    def results() = store.searchContractProbes().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    store.append(b1, batchId = Some(0L))
+    val (n1, r1) = (store.table.count(), results())
+    // the crash-and-replay: same completed batch id arrives again
+    store.append(b1, batchId = Some(0L))
+    assert(store.table.count() === n1, "fenced replay grew the store")
+    assert(results() === r1, "fenced replay changed search results")
+    // a NEW batch id is not fenced
+    store.append(b2, batchId = Some(1L))
+    assert(store.table.count() === n1 + b2.count())
+    // batch-mode append (no id) keeps plain semantics: it appends
+    store.append(b1)
+    assert(store.table.count() === n1 + b2.count() + b1.count())
+  }
 }
