@@ -2719,10 +2719,35 @@ object TextOps {
     x186KCoreFrom(s, d, MinHashLSH.verifiedPairs(docTokens(s, d), 0.8))
 
   /** x186 over a precomputed verified-pair frame (the pipeline entry —
-    * Bench prices the peel alone as `x186_core_only`). */
+    * Bench prices the peel alone as `x186_core_only`).
+    *
+    * `checkpointDir` threads the same reliable-vs-local choice as
+    * [[graft.functions.ConnectedComponents.labels]]: None (default) uses
+    * eager `localCheckpoint` — fast, but a lost executor loses blocks and
+    * fails the job; Some(dir) writes each round's edge set as RELIABLE
+    * checkpoint files, the executor-churn-survival mode a 1000-executor
+    * peel runs in. Local mode also applies CC's release discipline:
+    * a superseded round's blocks are unpersisted the moment the next
+    * round's count() materializes, instead of pinning ~R edge frames in
+    * storage until the JVM GCs them (the leak that inflates any
+    * multi-round loop sharing a JVM with other work). */
   def x186KCoreFrom(s: SparkSession, d: String, pairs: DataFrame,
-                    k: Int = 64, maxRounds: Int = 8): DataFrame = {
-    var edges = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+                    k: Int = 64, maxRounds: Int = 8,
+                    checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        s.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint(true)
+      case None => df => df.localCheckpoint(true)
+    }
+    // no-op in reliable mode: rounds live as checkpoint FILES there
+    val release: DataFrame => Unit =
+      if (checkpointDir.isDefined) _ => ()
+      else df => df.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+        case _ => ()
+      }
+    var edges = ckpt(pairs.select(col("id_a"), col("id_b")))
     var n = edges.count()
     var done = false
     var r = 0
@@ -2731,11 +2756,11 @@ object TextOps {
         .unionAll(edges.select(col("id_b").as("id")))
         .groupBy("id").agg(count(lit(1)).as("dg"))
       val keep = deg.filter(col("dg") >= k.toLong).select("id")
-      val next = edges
+      val next = ckpt(edges
         .join(keep.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
-        .join(keep.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
-        .localCheckpoint(true)
-      val m = next.count()
+        .join(keep.select(col("id").as("id_b")), Seq("id_b"), "left_semi"))
+      val m = next.count() // materializes next — the old round is now safe to drop
+      release(edges)
       done = m == n
       edges = next; n = m; r += 1
     }

@@ -29,4 +29,22 @@ class KCoreSpec extends SparkSpecBase {
         "a survivor's within-core degree fell below k")
     } finally { r8.unpersist(); () }
   }
+
+  test("reliable-checkpoint mode peels identical cores to local mode") {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("id"), split(col("text"), " ").as("toks"))
+    val pairs = graft.functions.MinHashLSH.verifiedPairs(toks, 0.8)
+      .select("id_a", "id_b").localCheckpoint(true)
+    val ckptDir = java.nio.file.Files.createTempDirectory("kcore-ckpt").toString
+    val local = TextOps.x186KCoreFrom(spark, sfDir, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val reliable = TextOps.x186KCoreFrom(spark, sfDir, pairs,
+        checkpointDir = Some(ckptDir))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(local.nonEmpty && reliable === local,
+      "reliable-checkpoint peel diverged from local-checkpoint peel")
+    // the reliable mode actually wrote round files (executor-loss survival)
+    val wrote = new java.io.File(ckptDir).listFiles
+    assert(wrote != null && wrote.nonEmpty, "no reliable checkpoint files written")
+  }
 }
