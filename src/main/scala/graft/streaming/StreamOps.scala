@@ -1590,7 +1590,8 @@ object StreamOps {
     * queue has NO deadline by x179's declared semantics (unbounded
     * wait), so its size is the user's live view−purchase imbalance —
     * behavior-bounded, not time-bounded; a production deployment wanting
-    * time-bounded state composes ST29's deadline automaton instead. */
+    * time-bounded state runs [[FifoDeadlineMatchProcessor]] (ST31), the
+    * built composition of this queue with ST29's deadline expiry. */
   class FifoMatchProcessor extends StatefulProcessor[Long, CepEvent, FifoServe] {
     @transient private var buf: ListState[CepEvent] = _
     @transient private var queue: ListState[PendView] = _
@@ -1651,6 +1652,111 @@ object StreamOps {
       .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
       .transformWithState(new FifoMatchProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  case class FifoOutcome(user_id: Long, view_id: Long, view_us: Long,
+                         purchase_id: Long, wait_us: Long, served: Boolean)
+
+  /** ST31: DEADLINE-BOUNDED FIFO queue matching — the ST30 × ST29
+    * composition ST30's scaladoc names as the production shape for
+    * open-ended key spaces: a queued request that is not served within
+    * `deadlineUs` EXPIRES (emitted as an unserved outcome,
+    * `purchase_id = -1`), so the pending queue holds at most
+    * rate × deadline entries per key instead of the user's unbounded
+    * live view−purchase imbalance. Every view is emitted exactly once —
+    * served or expired — which is both the serving contract (an SLA
+    * breach report needs the expiries, not just the matches) and the
+    * state bound made observable.
+    *
+    * Queue discipline: FIFO by event time; a purchase first retires
+    * every already-expired head (head.us + deadline < purchase.us — it
+    * left the queue before this service arrived), then serves the oldest
+    * surviving view (wait ≤ deadline allowed, boundary inclusive). At
+    * each watermark drain, a queued view with us + deadline ≤ watermark
+    * can never be served (any future purchase folds at us' > watermark ≥
+    * us + deadline ⇒ wait > deadline) and expires watermark-finally; the
+    * per-key timer re-drains at the earliest queued expiry, so expiries
+    * emit even when the user's stream goes quiet (ST26's idle concern,
+    * answered structurally). Buffered-drain skeleton and ordering
+    * contract are ST30's unchanged. */
+  class FifoDeadlineMatchProcessor(deadlineUs: Long)
+      extends StatefulProcessor[Long, CepEvent, FifoOutcome] {
+    @transient private var buf: ListState[CepEvent] = _
+    @transient private var queue: ListState[PendView] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[CepEvent](
+        "buf", Encoders.product[CepEvent], TTLConfig.NONE)
+      queue = getHandle.getListState[PendView](
+        "queue", Encoders.product[PendView], TTLConfig.NONE)
+    }
+
+    private def drain(key: Long, wmMs: Long): Iterator[FifoOutcome] = {
+      val wmUs = wmMs * 1000L
+      val all = buf.get().toVector
+      val (ready, pending) = all.partition(e => micros(e.ts) <= wmUs)
+      val out = Vector.newBuilder[FifoOutcome]
+      var q = queue.get().toVector.sortBy(v => (v.us, v.event_id))
+      def expire(v: PendView): Unit =
+        out += FifoOutcome(key, v.event_id, v.us, -1L, deadlineUs, served = false)
+      if (ready.nonEmpty) {
+        ready.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+          val us = micros(e.ts)
+          e.event_type match {
+            case "view" => q :+= PendView(us, e.event_id)
+            case "purchase" =>
+              // heads that left the queue before this service arrived
+              while (q.nonEmpty && q.head.us + deadlineUs < us) {
+                expire(q.head); q = q.tail
+              }
+              if (q.nonEmpty) {
+                val v = q.head
+                q = q.tail
+                out += FifoOutcome(key, v.event_id, v.us, e.event_id,
+                  us - v.us, served = true)
+              } // else: the wasted service, same as ST30
+            case _ => ()
+          }
+        }
+        buf.clear()
+        if (pending.nonEmpty) buf.appendList(pending.toArray)
+      }
+      // watermark-final expiry: every future purchase folds at us > wmUs
+      while (q.nonEmpty && q.head.us + deadlineUs <= wmUs) {
+        expire(q.head); q = q.tail
+      }
+      if (q.isEmpty) queue.clear() else queue.put(q.toArray)
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      val next = pending.map(e => micros(e.ts) / 1000L + 1L) ++
+        q.headOption.map(v => (v.us + deadlineUs) / 1000L + 1L)
+      if (next.nonEmpty) getHandle.registerTimer(next.min)
+      out.result().iterator
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[CepEvent],
+                                 timerValues: TimerValues): Iterator[FifoOutcome] = {
+      val fresh = rows.toVector
+      if (fresh.nonEmpty) buf.appendList(fresh.toArray)
+      drain(key, timerValues.getCurrentWatermarkInMs)
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[FifoOutcome] =
+      drain(key, timerValues.getCurrentWatermarkInMs)
+  }
+
+  /** ST31 entry: views/purchases keyed by user through the deadline-
+    * bounded FIFO queue (x177's 6-hour deadline as the default). */
+  def fifoMatchesDeadline(events: Dataset[CepEvent],
+                          deadlineUs: Long = 6L * 3600L * 1000000L,
+                          watermarkDelay: String = "1 hour"): Dataset[FifoOutcome] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => e.event_type == "view" || e.event_type == "purchase")
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .transformWithState(new FifoDeadlineMatchProcessor(deadlineUs),
         TimeMode.EventTime(), OutputMode.Append())
   }
 }

@@ -1122,4 +1122,113 @@ class StreamingSpec extends SparkSpecBase {
         (5L, 3L, 240L * 1000000L)), s"queue drifted: $got")
     }
   }
+
+  /** The ST31 batch twin: the same deadline queue folded in plain Scala
+    * over event-time-ordered rows — the reference both the hand case and
+    * the fixture equivalence pin against (x179's closed form covers only
+    * the unbounded-wait queue; the expiry rule breaks the reflection, so
+    * the twin is a fold, cross-checked here rather than asserted). */
+  private def deadlineFifoRef(evs: Seq[StreamOps.CepEvent], deadlineUs: Long)
+      : Set[(Long, Long, Long, Long, Long, Boolean)] = {
+    def us(ts: Timestamp): Long = // the processor's exact micros conversion
+      ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+    val out = Set.newBuilder[(Long, Long, Long, Long, Long, Boolean)]
+    evs.groupBy(_.user_id).foreach { case (u, rows) =>
+      var q = Vector.empty[(Long, Long)] // (us, view_id)
+      rows.sortBy(e => (us(e.ts), e.event_id)).foreach { e =>
+        val eus = us(e.ts)
+        e.event_type match {
+          case "view" => q :+= (eus, e.event_id)
+          case "purchase" =>
+            while (q.nonEmpty && q.head._1 + deadlineUs < eus) {
+              out += ((u, q.head._2, q.head._1, -1L, deadlineUs, false)); q = q.tail
+            }
+            if (q.nonEmpty) {
+              out += ((u, q.head._2, q.head._1, e.event_id, eus - q.head._1, true))
+              q = q.tail
+            }
+          case _ => ()
+        }
+      }
+      q.foreach(v => out += ((u, v._2, v._1, -1L, deadlineUs, false))) // wm → ∞
+    }
+    out.result()
+  }
+
+  test("ST31 deadline FIFO equals the reference fold over the fixture; " +
+       "every view is emitted exactly once (state bound observable)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val deadline = 6L * 3600L * 1000000L
+    val evs = batchEvents
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .as[StreamOps.CepEvent].collect()
+    withRocksDb {
+      val shuffled = new scala.util.Random(44).shuffle(evs.toVector)
+      val maxTs = evs.map(_.ts.getTime).max
+      val input = MemoryStream[StreamOps.CepEvent]
+      val q = StreamOps.fifoMatchesDeadline(input.toDS(), deadline,
+          watermarkDelay = "35 days").toDF()
+        .writeStream.format("memory").queryName("st31").outputMode("append").start()
+      shuffled.grouped((shuffled.size + 2) / 3).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      def sentinel(offsetDays: Long) = StreamOps.CepEvent(-1L, -1L,
+        new Timestamp(maxTs + offsetDays * 86400L * 1000L), "view")
+      input.addData(sentinel(365)); q.processAllAvailable()
+      input.addData(sentinel(730)); q.processAllAvailable()
+      q.stop()
+    }
+    val got = spark.table("st31").filter(col("user_id") >= 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSet
+    val ref = deadlineFifoRef(evs.toSeq, deadline)
+    assert(got === ref, s"deadline queue drifted from the reference fold " +
+      s"(got ${got.size} rows, ref ${ref.size})")
+    // completeness = the state bound: every view resolved (served|expired),
+    // none lingers in the queue past its deadline
+    val allViews = evs.filter(_.event_type == "view")
+      .map(e => (e.user_id, e.event_id)).toSet
+    assert(got.map(t => (t._1, t._2)) === allViews,
+      "some views never resolved — pending state is not deadline-bounded")
+    assert(got.exists(!_._6) && got.exists(_._6),
+      "fixture should produce both served and expired outcomes")
+  }
+
+  test("ST31 expired view never pairs; a purchase serves the oldest " +
+       "surviving view; boundary wait == deadline still serves") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    withRocksDb {
+      val deadline = 6L * 3600L * 1000000L
+      val input = MemoryStream[StreamOps.CepEvent]
+      val q = StreamOps.fifoMatchesDeadline(input.toDS(), deadline).toDF()
+        .writeStream.format("memory").queryName("st31b").outputMode("append").start()
+      def ev(id: Long, ts: String, kind: String) = StreamOps.CepEvent(
+        7L, id, Timestamp.valueOf(s"2024-01-01 $ts"), kind)
+      // v1@00:00 expires at 06:00; p2@07:00 must NOT serve it (ST30 would
+      // pair them) — the queue is empty at p2, so p2 is wasted
+      input.addData(ev(1, "00:00:00", "view"), ev(2, "07:00:00", "purchase"))
+      q.processAllAvailable()
+      // v3@07:30 + v4@07:31; p5@13:30 serves v3 at wait == deadline
+      // EXACTLY (boundary inclusive); v4 expires at 13:31 unserved
+      input.addData(ev(3, "07:30:00", "view"), ev(4, "07:31:00", "view"),
+        ev(5, "13:30:00", "purchase"))
+      q.processAllAvailable()
+      input.addData(StreamOps.CepEvent(-1L, -1L,
+        Timestamp.valueOf("2025-01-01 00:00:00"), "view"))
+      q.processAllAvailable()
+      input.addData(StreamOps.CepEvent(-1L, -2L,
+        Timestamp.valueOf("2026-01-01 00:00:00"), "view"))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("st31b").filter(col("user_id") >= 0).collect()
+        .map(r => (r.getLong(1), r.getLong(3), r.getLong(4), r.getBoolean(5))).toSet
+      assert(got === Set(
+        (1L, -1L, deadline, false),
+        (3L, 5L, deadline, true),
+        (4L, -1L, deadline, false)), s"deadline automaton drifted: $got")
+    }
+  }
 }
