@@ -87,6 +87,41 @@ class MergeStoreSpec extends SparkSpecBase {
     assert(once === twice)
   }
 
+  test("retry from a mid-commit MIXED bucket state converges to the clean merge") {
+    // dynamic partition overwrite commits per partition, so a crash
+    // mid-commit leaves SOME changed buckets new and some old — the exact
+    // window the scaladoc documents. Construct that state physically:
+    // merge a twin store cleanly, then graft HALF its rewritten bucket
+    // dirs into an unmerged store, and retry the same merge there.
+    def copyTree(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) { dst.mkdirs(); src.listFiles.foreach(f =>
+        copyTree(f, new java.io.File(dst, f.getName))) }
+      else java.nio.file.Files.copy(src.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val clean = freshStore()
+    MergeStore.merge(spark, clean, upserts, deletes)
+    val expected = MergeStore.read(spark, clean).collect().map(_.toString).sorted
+    val crashed = freshStore()
+    val touched = upserts.select(pmod(col("doc_id"), lit(16L)).as("b"))
+      .union(deletes.select(pmod(col("doc_id"), lit(16L)).as("b")))
+      .distinct().collect().map(_.getLong(0)).sorted
+    assert(touched.length >= 2, "need >=2 touched buckets to mix")
+    val committed = touched.take(touched.length / 2)
+    committed.foreach { b =>
+      val dst = new java.io.File(s"$crashed/bucket=$b")
+      org.apache.commons.io.FileUtils.deleteDirectory(dst)
+      copyTree(new java.io.File(s"$clean/bucket=$b"), dst)
+    }
+    // sanity: the mixed snapshot is genuinely neither old nor new
+    val mixed = MergeStore.read(spark, crashed).collect().map(_.toString).sorted
+    assert(mixed !== expected)
+    // the retry: same change set over the mixed state must converge
+    MergeStore.merge(spark, crashed, upserts, deletes)
+    val got = MergeStore.read(spark, crashed).collect().map(_.toString).sorted
+    assert(got === expected, "retry over the mixed mid-commit state diverged")
+  }
+
   test("a bucket emptied by deletes disappears (dynamic-overwrite residue is cleaned)") {
     val dir = freshStore(buckets = 4)
     // delete every resident row of bucket 2 (doc_id ≡ 2 mod 4)

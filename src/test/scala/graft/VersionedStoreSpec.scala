@@ -77,6 +77,29 @@ class VersionedStoreSpec extends SparkSpecBase {
     same(st.read(), oldSnap) // reader never sees the orphan
   }
 
+  test("retry after a crash between the gen write and the pointer swap " +
+       "converges to the same committed version") {
+    val (st, dir) = fresh()
+    // the real merge, crashed at the LAST possible instant: everything —
+    // gen=1, v1.manifest, v1 schema — is on disk, only the `current`
+    // pointer rename never happened. Simulate by rolling the pointer back.
+    st.merge(upserts, deletes)
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val cur = fsys.create(
+      new org.apache.hadoop.fs.Path(s"$dir/_graft_manifest/current"), true)
+    try cur.write("0".getBytes("UTF-8")) finally cur.close()
+    assert(st.currentVersion === 0L)
+    same(st.read(), oldSnap) // the half-commit is invisible
+    // the retry re-runs the same change set: it must overwrite the orphan
+    // gen/manifest and commit cleanly, not double-apply or skip
+    val v = st.merge(upserts, deletes)
+    assert(v === 1L)
+    assert(st.currentVersion === 1L)
+    same(st.read(), newSnap)
+    same(st.read(Some(0L)), oldSnap) // time travel intact through the retry
+  }
+
   test("diffVersions is the exact change feed between two snapshots") {
     val (st, _) = fresh()
     st.merge(upserts, deletes)
