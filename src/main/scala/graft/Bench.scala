@@ -143,18 +143,17 @@ object Bench {
     val wantSynd  = only.forall(_("x121_synd_only"))
     val anyGraph = wantCc || wantSurv || wantSplit || wantCore ||
       wantHist || wantAudit || wantTri || wantAbl || wantSynd
-    val ccOnly = if (!anyGraph) Nil
-    else try {
+    def graphRows(gd: String): Seq[(String, Double)] = try {
       import org.apache.spark.sql.functions.{col, split}
       val pairsDir = java.nio.file.Files.createTempDirectory("x14pairs").toString
-      val toks = Tables.documents(spark, sfDir)
+      val toks = Tables.documents(spark, gd)
         .select(col("doc_id").as("id"), split(col("text"), " ").as("toks"))
       graft.functions.MinHashLSH.verifiedPairs(toks, 0.8)
         .select("id_a", "id_b", "j").write.mode("overwrite").parquet(pairsDir)
       val pairs = spark.read.parquet(pairsDir)
       val ccRow = if (!wantCc) Nil else {
         val t0 = System.nanoTime()
-        operators.TextOps.x14DedupClustersFrom(spark, sfDir, pairs)
+        operators.TextOps.x14DedupClustersFrom(spark, gd, pairs)
           .write.format("noop").mode("overwrite").save()
         Seq("x14_cc_only" -> (System.nanoTime() - t0) / 1e9)
       }
@@ -163,19 +162,19 @@ object Bench {
       // one agg, the x48 split alone is one join + hash CASE + 3-group agg
       val downstream = if (!wantSurv && !wantSplit) Nil else {
         val labelsDir = java.nio.file.Files.createTempDirectory("x14labels").toString
-        operators.TextOps.x14DedupClustersFrom(spark, sfDir, pairs)
+        operators.TextOps.x14DedupClustersFrom(spark, gd, pairs)
           .select("doc_id", "cluster_id").write.mode("overwrite").parquet(labelsDir)
         val labels = spark.read.parquet(labelsDir)
         val survRow = if (!wantSurv) Nil else {
           val t2 = System.nanoTime()
-          operators.TextOps.x33SurvivorsFromLabels(spark, sfDir, labels)
+          operators.TextOps.x33SurvivorsFromLabels(spark, gd, labels)
             .write.format("noop").mode("overwrite").save()
           Seq("x33_survivors_only" -> (System.nanoTime() - t2) / 1e9)
         }
         val splitRow = if (!wantSplit) Nil else {
           val t3 = System.nanoTime()
           operators.TextOps.x48Aggregate(
-              operators.TextOps.x48SplitFromLabels(spark, sfDir, labels))
+              operators.TextOps.x48SplitFromLabels(spark, gd, labels))
             .write.format("noop").mode("overwrite").save()
           Seq("x48_split_only" -> (System.nanoTime() - t3) / 1e9)
         }
@@ -189,64 +188,63 @@ object Bench {
         }
       val consumerRows =
         staged(wantHist, "x82_hist_only")(
-          operators.TextOps.x82From(spark, sfDir, pairs)) ++
+          operators.TextOps.x82From(spark, gd, pairs)) ++
         staged(wantAudit, "x97_audit_only")(
-          operators.TextOps.x97From(spark, sfDir, pairs)) ++
+          operators.TextOps.x97From(spark, gd, pairs)) ++
         staged(wantTri, "x112_tri_only")(
-          operators.TextOps.x112From(spark, sfDir, pairs)) ++
+          operators.TextOps.x112From(spark, gd, pairs)) ++
         staged(wantAbl, "x118_abl_only")(
-          operators.TextOps.x118From(spark, sfDir, pairs)) ++
+          operators.TextOps.x118From(spark, gd, pairs)) ++
         staged(wantSynd, "x121_synd_only")(
-          operators.TextOps.x121From(spark, sfDir, pairs)) ++
+          operators.TextOps.x121From(spark, gd, pairs)) ++
         staged(wantCore, "x186_core_only")(
-          operators.TextOps.x186KCoreFrom(spark, sfDir, pairs))
+          operators.TextOps.x186KCoreFrom(spark, gd, pairs))
       ccRow ++ downstream ++ consumerRows
     } catch { case e: Throwable =>
       System.err.println(s"[bench] x14_cc_only failed: ${e.getMessage}"); Nil
     }
+    val ccOnly = if (!anyGraph) Nil
+    else {
+      // isolation child: mirror the declared rows' 3× sf0.001 warmup on
+      // the same pipeline (see stagedQ below for why), timings discarded
+      if (only.isDefined) (1 to 3).foreach(_ => graphRows("/root/testdata/sf0.001"))
+      graphRows(sfDir)
+    }
+    // Staged-row timing helper: in an ONLY/isolation child, first mirror
+    // the declared rows' warmup protocol (3× at sf0.001) on the SAME code
+    // path — a staged row timed in a fresh JVM with zero warmup would
+    // carry first-call codegen/JIT that its shared-run figure (taken in a
+    // JVM warmed by 243 sibling queries) never pays, and the isolated-vs-
+    // shared comparison is exactly what the isolation pass exists for.
+    def stagedQ(name: String)(q: String => org.apache.spark.sql.DataFrame): Seq[(String, Double)] =
+      if (only.exists(!_(name))) Nil else try {
+        if (only.isDefined) (1 to 3).foreach { _ =>
+          try q("/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+        }
+        val t0 = System.nanoTime()
+        q(sfDir).write.format("noop").mode("overwrite").save()
+        Seq(name -> (System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); Nil
+      }
     // x77's production path: LSH-blocked candidates → levenshtein verify —
     // priced against the declared brute-force x77 row (r8 verdict item 3)
-    val x77Lsh = if (only.exists(!_("x77_lsh"))) Nil else try {
-      val t0 = System.nanoTime()
-      operators.TextOps.x77FuzzyLsh(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      Seq("x77_lsh" -> (System.nanoTime() - t0) / 1e9)
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] x77_lsh failed: ${e.getMessage}"); Nil
-    }
+    val x77Lsh = stagedQ("x77_lsh")(d => operators.TextOps.x77FuzzyLsh(spark, d))
     // x148's production path: IVF candidate edges → the same mutual-top-1
     // kernel — priced against the declared brute-force n² row (r9 item 1)
-    val x148Ivf = if (only.exists(!_("x148_ivf"))) Nil else try {
-      val t0 = System.nanoTime()
-      operators.VectorOps.x148MutualNnIvf(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      Seq("x148_ivf" -> (System.nanoTime() - t0) / 1e9)
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] x148_ivf failed: ${e.getMessage}"); Nil
-    }
+    val x148Ivf = stagedQ("x148_ivf")(d => operators.VectorOps.x148MutualNnIvf(spark, d))
     // x171's production path: banded char-gram candidates → the same
     // Levenshtein adjudication kernel — priced against the declared
     // length-blocked row (whose Σ|block|² candidate volume is the
     // 100×-scale concern the banded front end removes)
-    val x171Banded = if (only.exists(!_("x171_banded"))) Nil else try {
-      val t0 = System.nanoTime()
-      operators.TextOps.x171BandedEditDistance(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      Seq("x171_banded" -> (System.nanoTime() - t0) / 1e9)
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] x171_banded failed: ${e.getMessage}"); Nil
-    }
+    val x171Banded = stagedQ("x171_banded")(d =>
+      operators.TextOps.x171BandedEditDistance(spark, d))
     // x93's tolerance-accepting shape: 2×32 bands (≈1e-4 miss at the j=0.5
     // floor) vs the declared verified-exact 2×128 row — the band-depth
     // trade priced per-round instead of only in BASELINE's bandstress table
-    val x93B32 = if (only.exists(!_("x93_b32"))) Nil else try {
-      val t0 = System.nanoTime()
-      operators.TextOps.x93ContainmentWith(spark, sfDir, numPerm = 64)
-        .write.format("noop").mode("overwrite").save()
-      Seq("x93_b32" -> (System.nanoTime() - t0) / 1e9)
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] x93_b32 failed: ${e.getMessage}"); Nil
-    }
+    val x93B32 = stagedQ("x93_b32")(d =>
+      operators.TextOps.x93ContainmentWith(spark, d, numPerm = 64))
     // Layout measurement: x83's BM25 served from the persisted postings
     // store (build untimed — write-once index, amortized like bucketing).
     // Quantifies the inverted-index contract vs the inline scan+explode.
@@ -468,18 +466,25 @@ object Bench {
           .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
       else Nil
     } catch { case _: Throwable => Nil }
+    // r10 verdict item 2: the isolation set draws from ALL rows — declared
+    // AND staged/store — so a staged row can never again ship a >2× move
+    // without an isolated figure (x77_lsh and x186_core_only both slipped
+    // through r10's declared-only slowest-10 exactly this way).
+    val allRows = results ++ ccOnly ++ x77Lsh ++ x148Ivf ++ x171Banded ++
+      x93B32 ++ x83Store ++ q10Bucketed ++ tsStore ++ x42Store ++
+      x42CcIncr ++ x08Store ++ x58Store ++ mergeRows ++ x64Rollup
     val isolated: Seq[(String, Double, Option[Double])] = Some(
         sys.env.getOrElse("SPARK_GRAFT_ISOLATE", "slowest:10"))
       .filter(_ => only.isEmpty) // only meaningful after a full shared pass
       .collect { case s if s.startsWith("slowest:") => s.stripPrefix("slowest:").trim.toInt }
       .map { n =>
         spark.stop()
-        val have = results.map(_._1).toSet
-        val slowest = results.sortBy(-_._2).take(n).map(_._1)
+        val have = allRows.map(_._1).toSet
+        val slowest = allRows.sortBy(-_._2).take(n).map(_._1)
         (slowest ++ watch.filter(have)).distinct
           .flatMap(name => isolateOne(name, sfDir, cpus))
       }.getOrElse(Nil)
-    val qs = (results ++ ccOnly ++ x77Lsh ++ x148Ivf ++ x171Banded ++ x93B32 ++ x83Store ++ q10Bucketed ++ tsStore ++ x42Store ++ x42CcIncr ++ x08Store ++ x58Store ++ mergeRows ++ x64Rollup)
+    val qs = allRows
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val warm = warmRows.map { case (k, v) => "\"" + k + "\":" + v }
