@@ -491,6 +491,104 @@ object Dev {
       s.stop()
       return
     }
+    if (names.length == 1 && names.head.startsWith("scalebench")) {
+      // r10 verdict item 1 — SCALE REHEARSAL: synthesize a ≥10× fixture-
+      // statistics corpus and MEASURE the production-vs-declared crossover
+      // pairs instead of asserting them from complexity arguments.
+      // The synthetic documents mirror the sf0.1 generator's profile
+      // (profiled 2026-08-15 via DuckDB over the fixture): 30-token
+      // vocabulary, uniform token draw, token count ~ Uniform(10,100),
+      // lang ≈ {en .41, others .15 each}, 20 uniform sources, and 5% of
+      // docs planted as NEAR-DUPS (a random earlier doc truncated to
+      // 50–100% of its tokens + a ' dup' marker — the fixture's exact
+      // mechanism). Embeddings mirror the fixture's isotropic no-locality
+      // profile: 64-dim unit-normalized, label = id mod 10. Everything is
+      // xxhash-derived — deterministic at any parallelism.
+      // Usage: scalebench[:mult[:pairsFilter]] (default 10 → 50k docs /
+      // 20k vectors; pairsFilter ∈ text,vec limits the family).
+      val parts = names.head.split(":")
+      val mult = parts.lift(1).map(_.toInt).getOrElse(10)
+      val fam = parts.lift(2).getOrElse("text,vec").split(",").toSet
+      val s = GraftSession.build("graft-dev")
+      import org.apache.spark.sql.functions._
+      val outDir = java.nio.file.Files.createTempDirectory(s"scale${mult}x").toString
+      val nDocs = 5000L * mult
+      val nVecs = 2000L * mult
+      val vocab = Seq("spark", "window", "merge", "table", "column", "vector",
+        "stream", "value", "data", "small", "join", "filter", "big", "group",
+        "hash", "customer", "sort", "order", "slow", "line", "part", "fast",
+        "the", "row", "agg", "key", "query", "a", "scan", "batch")
+      val vocabSql = vocab.map(w => s"'$w'").mkString("array(", ",", ")")
+      val base = s.range(nDocs).select(col("id").as("doc_id"))
+        .withColumn("t0", expr(
+          s"array_join(transform(sequence(1, cast(10 + pmod(xxhash64(doc_id, 17), 91) as int)), " +
+          s"j -> element_at($vocabSql, cast(pmod(xxhash64(doc_id, j), 30) + 1 as int))), ' ')"))
+        .localCheckpoint(true) // one instantiation: dups must copy the SAME base text
+      val isDup = pmod(xxhash64(col("doc_id"), lit(57L)), lit(20L)) === 0 &&
+        col("doc_id") > 0
+      val dups = base.filter(isDup)
+        .select(col("doc_id"),
+          pmod(xxhash64(col("doc_id"), lit(31L)), col("doc_id")).as("src_id"),
+          (lit(50L) + pmod(xxhash64(col("doc_id"), lit(73L)), lit(51L))).as("keep_pct"))
+        .join(base.select(col("doc_id").as("src_id"), col("t0").as("src_t")), "src_id")
+        .select(col("doc_id"), concat(
+          expr("array_join(slice(split(src_t, ' '), 1, " +
+            "greatest(1, cast(size(split(src_t, ' ')) * keep_pct / 100 as int))), ' ')"),
+          lit(" dup")).as("text"))
+      val docs = base.filter(!isDup).select(col("doc_id"), col("t0").as("text"))
+        .unionByName(dups)
+        .withColumn("lang", expr(
+          "case when pmod(xxhash64(doc_id, 3), 100) < 41 then 'en' " +
+          "when pmod(xxhash64(doc_id, 3), 100) < 56 then 'de' " +
+          "when pmod(xxhash64(doc_id, 3), 100) < 71 then 'es' " +
+          "when pmod(xxhash64(doc_id, 3), 100) < 86 then 'fr' else 'zh' end"))
+        .withColumn("source", concat(lit("src"), pmod(xxhash64(col("doc_id"), lit(5L)), lit(20L))))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      docs.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+      val vecs = s.range(nVecs).select(col("id").as("vec_id"))
+        .withColumn("raw", expr(
+          "transform(sequence(1, 64), j -> pmod(xxhash64(vec_id, j), 2000001) / 1000000.0 - 1.0)"))
+        .withColumn("embedding", expr(
+          "transform(raw, x -> cast(x / sqrt(aggregate(raw, 0d, (acc, v) -> acc + v * v)) as float))"))
+        .withColumn("label", pmod(col("vec_id"), lit(10L)).cast("int"))
+        .drop("raw")
+      vecs.write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+      println(s"scalebench corpus: $nDocs docs / $nVecs vecs at $outDir")
+      // Measurement protocol = Bench's isolation children: 3× sf0.001
+      // warmup on the same code path, then one timed noop materialization
+      // per size — sf0.1 and the synthetic mult× dir measured in the SAME
+      // session so the flip comparison carries no cross-session noise.
+      val sizes = Seq("sf0.1" -> "/root/testdata/sf0.1", s"x$mult" -> outDir)
+      def timeQ(name: String)(q: String => org.apache.spark.sql.DataFrame): Unit = {
+        (1 to 3).foreach { _ =>
+          try q("/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+        }
+        sizes.foreach { case (tag, dd) =>
+          val t0 = System.nanoTime()
+          try {
+            q(dd).write.format("noop").mode("overwrite").save()
+            println(f"scalebench $name%-16s $tag%-6s ${(System.nanoTime() - t0) / 1e9}%9.2f s")
+          } catch { case e: Throwable =>
+            println(s"scalebench $name $tag FAILED: ${e.getMessage}")
+          }
+        }
+      }
+      if (fam("text")) {
+        timeQ("x77_declared")(d => graft.operators.TextOps.x77Fuzzy(s, d))
+        timeQ("x77_lsh")(d => graft.operators.TextOps.x77FuzzyLsh(s, d))
+        timeQ("x171_declared")(d => graft.operators.TextOps.x171EditDistance(s, d))
+        timeQ("x171_banded")(d => graft.operators.TextOps.x171BandedEditDistance(s, d))
+      }
+      if (fam("vec")) {
+        timeQ("x148_declared")(d => graft.operators.VectorOps.x148MutualNn(s, d))
+        timeQ("x148_ivf")(d => graft.operators.VectorOps.x148MutualNnIvf(s, d))
+        timeQ("q54_brute")(d => graft.operators.VectorOps.q54(s, d))
+        timeQ("x08_ivf")(d => graft.operators.VectorOps.x08AnnIvf(s, d))
+      }
+      s.stop()
+      return
+    }
     val spark = GraftSession.build("graft-dev")
     // GRAFT_DEV_CATALOG=1 reproduces Bench/Verify's stats-driven planning
     if (sys.env.get("GRAFT_DEV_CATALOG").contains("1"))
