@@ -491,6 +491,23 @@ object Dev {
       s.stop()
       return
     }
+    if (names == Seq("x171stats")) {
+      // Candidate-volume diagnostic behind the x171 declared-vs-banded
+      // adjudication: counts the length-block candidate pairs (declared
+      // front end) vs the char-gram band candidate pairs (banded front
+      // end) over sfDir — the two volumes that decide which path wins,
+      // measured rather than argued (r11 scale rehearsal follow-up).
+      import org.apache.spark.sql.functions._
+      val s = GraftSession.build("graft-dev")
+      val nBlock = graft.operators.TextOps.x171BlockCandidates(s, sfDir).count()
+      val grams = Tables.documents(s, sfDir).select(col("doc_id").as("id"),
+        graft.functions.TextExpressions.charGrams(col("text"), 3).as("toks"))
+      val nBand = graft.functions.MinHashLSH.candidatePairs(grams)
+        .select("id_a", "id_b").count()
+      println(f"x171stats dir=$sfDir block_candidates=$nBlock%,d band_candidates=$nBand%,d")
+      s.stop()
+      return
+    }
     if (names.length == 1 && names.head.startsWith("scalebench")) {
       // r10 verdict item 1 — SCALE REHEARSAL: synthesize a ≥10× fixture-
       // statistics corpus and MEASURE the production-vs-declared crossover

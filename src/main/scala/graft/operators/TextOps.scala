@@ -1500,7 +1500,10 @@ object TextOps {
     * dist ≤ `maxDist`. The declared x77 stays the exactness certifier;
     * this entry point replaces its |probes|·|lang partition| quadratic
     * pairing with band-bucket blocking, so candidate mass is bucket-local
-    * — q53's scale shape, not a partition cross product.
+    * — q53's scale shape, not a partition cross product. The crossover is
+    * MEASURED (round-11 scale rehearsal, BASELINE.md): 0.67 s vs the
+    * declared 1.55 s at sf0.1, 2.77 s vs 7.06 s at 10× (50 k docs) —
+    * ahead at both sizes, widening with the corpus.
     *
     * Recall arithmetic (why rows=1, numPerm=24): an edit destroys ≤ 3 of
     * the prefix's 38 char-3-grams, so dist ≤ 8 implies ≥ 14 shared grams
@@ -2639,12 +2642,20 @@ object TextOps {
   def x171EditDistance(s: SparkSession, d: String): DataFrame =
     x171Finish(x171Scored(s, d, x171BlockCandidates(s, d)))
 
-  /** x171's PRODUCTION front end (`x171_banded` bench row): MinHash band
+  /** x171's ALTERNATIVE front end (`x171_banded` bench row): MinHash band
     * buckets over char 3-grams — x02's blocker — feeding the IDENTICAL
-    * adjudication kernel. The declared length blocking is the exactness
-    * baseline, but its candidate volume is Σ|length-block|², quadratic
-    * in the corpus once blocks grow with it; band collisions scale with
-    * the NEAR-DUP mass instead, the path that holds at 100×. Bands are
+    * adjudication kernel. Front-end choice is a PER-CORPUS arbitration on
+    * measured candidate volume, not a static rule: the round-11 scale
+    * rehearsal (BASELINE.md, `Dev scalebench:10` + `Dev x171stats`)
+    * REFUTED the earlier "bands win at scale" claim on this fixture
+    * family — with a 30-word vocabulary every doc shares nearly all
+    * char-grams, so band keys collide en masse and the banded candidate
+    * volume is ~20× the length-blocked one at BOTH sf0.1 (11.9M vs 0.59M)
+    * and 10× (1.19B vs 58M); measured walls 522 s banded vs 102 s blocked
+    * at 50 k docs. Bands win only where char-grams discriminate
+    * (realistic text, large vocab, candidate volume ∝ near-dup mass);
+    * run `x171stats` on the target corpus and pick the smaller volume —
+    * the same way x37's recall gate arbitrates index rebuilds. Bands are
     * language-agnostic, so X171BandedSpec pins kernel consistency on the
     * declared domain (every same-language banded row equals its declared
     * row) and structural recall (exact-prefix duplicates collide in

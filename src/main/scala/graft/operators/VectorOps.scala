@@ -222,7 +222,11 @@ object VectorOps {
     * decides per-corpus whether the index's candidates are faithful; on a
     * clustered corpus the output is row-identical to [[x148MutualNn]]
     * (X148Spec), on the near-uniform fixture the gate says to use the
-    * exact path. */
+    * exact path. The wall-time crossover is MEASURED, not argued
+    * (round-11 scale rehearsal, BASELINE.md): dead heat at sf0.1
+    * (1.10 s vs the brute 1.00 s at 2 k vectors), 9× ahead at 10×
+    * (3.54 s vs 32.2 s at 20 k) — the ~nprobe·n^1.5 candidate volume
+    * beats n² exactly where the complexity argument said it would. */
   def x148MutualNnIvf(s: SparkSession, d: String, nprobe: Int = 2): DataFrame =
     withSameLabel(s, d, mutualTop1(mutualIvfEdges(wide(s, emb(s, d)), emb(s, d), nprobe)))
 
