@@ -2667,6 +2667,51 @@ object TextOps {
       MinHashLSH.candidatePairs(grams).select("id_a", "id_b")))
   }
 
+  /** The §4.3 round-11 arbitration rule, EXECUTABLE: estimate each front
+    * end's candidate volume with one cheap aggregate — no pair join, no
+    * kernel — and return (blockVolume, bandVolume). Block volume =
+    * Σ_{lang,b} n_b·(n_{b−1}+n_b+n_{b+1})/2 (the ±1-adjacent equi-join's
+    * output size, computed on the |blocks|-sized aggregate); band volume
+    * = Σ_{(band,sig) buckets} n·(n−1)/2 (the self band join's unordered
+    * pair count, computed on the |buckets|-sized aggregate). Both scans
+    * are O(corpus) with tiny shuffles — the probe costs seconds where
+    * committing the wrong front end costs the kernel over 20× the
+    * candidates (measured: BASELINE round-11 rehearsal). */
+  def x171FrontEndVolumes(s: SparkSession, d: String): (Long, Long) = {
+    val blocks = Tables.documents(s, d)
+      .groupBy(col("lang"), expr("n_chars div 32").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // tiny; probed twice below
+    val probe = blocks.select(col("lang"),
+      explode(array(col("b") - 1, col("b"), col("b") + 1)).as("bk"),
+      col("n").as("np"))
+    val nBlock = probe
+      .join(blocks.select(col("lang"), col("b").as("bk"), col("n").as("nb")),
+            Seq("lang", "bk"))
+      .agg(sum(col("np") * col("nb")).as("v")).head.getLong(0) / 2
+    val grams = Tables.documents(s, d).select(col("doc_id").as("id"),
+      graft.functions.TextExpressions.charGrams(col("text"), 3).as("toks"))
+    val nBand = MinHashLSH.bandKeys(grams)
+      .select(posexplode(col("bands")).as(Seq("band", "sig")))
+      .groupBy("band", "sig").agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * (col("n") - 1L)).as("v")) // SQL `/` is double-div
+      .head.getLong(0) / 2
+    (nBlock, nBand)
+  }
+
+  /** x171 with the front end ARBITRATED per corpus: probe both volumes
+    * ([[x171FrontEndVolumes]]) and feed the identical kernel from the
+    * cheaper candidate generator — the executable form of the round-11
+    * rule that no front end wins statically (on this fixture blocking
+    * wins ~20×; on a large-vocab corpus the bands would). Exactness note:
+    * when the probe picks blocking the output IS the declared x171; when
+    * it picks bands the banded recall contract (X171BandedSpec) applies. */
+  def x171AutoEditDistance(s: SparkSession, d: String): DataFrame = {
+    val (nBlock, nBand) = x171FrontEndVolumes(s, d)
+    if (nBlock <= nBand) x171EditDistance(s, d)
+    else x171BandedEditDistance(s, d)
+  }
+
   /** x175 contingency independence audit — ARE two metadata columns
     * independent? The schema-level dependence surface next to x74 (which
     * mines token-pair PMI inside text) and x67 (distribution distance):

@@ -41,4 +41,17 @@ class X171BandedSpec extends SparkSpecBase {
         "a dist-0 pair (identical grams -> collides in every band) was missed")
     } finally { declared.unpersist(); banded.unpersist(); () }
   }
+
+  test("front-end arbitration: the volume probe ranks blocking under bands " +
+       "on this corpus and the arbitrated result is the declared one") {
+    val (nBlock, nBand) = TextOps.x171FrontEndVolumes(spark, sfDir)
+    // the round-11 measured reality: char-gram bands collide en masse on
+    // the 30-word vocabulary — bands are the ~20x LARGER volume here
+    assert(nBlock > 0L && nBand > nBlock,
+      s"volume probe inverted: block=$nBlock band=$nBand")
+    val auto = TextOps.x171AutoEditDistance(spark, sfDir)
+    val declared = TextOps.x171EditDistance(spark, sfDir)
+    assert(auto.except(declared).isEmpty && declared.except(auto).isEmpty,
+      "arbitrated output must equal the declared path it selected")
+  }
 }
