@@ -493,8 +493,14 @@ object Bench {
       .mkString(""","isolated":{""", ",", "}")
     val isoWarm = isolated.collect { case (k, _, Some(w)) => "\"" + k + "\":" + w }
       .mkString(""","isolated_warm":{""", ",", "}")
+    // Totals, made third-party-reproducible from the artifact alone (the
+    // r10 nit: `value` vs Σqueries measured different things with nothing
+    // in the line saying so): `value` stays the DECLARED shared-pass wall
+    // (the cross-round comparable), and the breakdown keys state exactly
+    // which rows each total sums.
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs${
+    val stagedTotal = allRows.map(_._2).sum - total
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","declared_rows":${results.size},"staged_rows":${allRows.size - results.size},"staged_total_sec":$stagedTotal,"queries":$qs${
       if (warmRows.nonEmpty) warm else ""}${
       if (isolated.nonEmpty) iso else ""}${
       if (isolated.exists(_._3.isDefined)) isoWarm else ""},"sf":"$sfDir"}"""
