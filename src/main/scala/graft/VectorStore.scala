@@ -59,6 +59,11 @@ class VectorStore(spark: SparkSession, dir: String) {
   def append(batch: DataFrame, batchId: Option[Long] = None): Unit = {
     if (batchId.exists(id => graft.sources.AdmitFence.admitted(spark, dir, id)))
       return
+    // heal an interrupted compact first: appending into an absent vecDir
+    // would fork a fresh store and orphan every resident row
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fsys.exists(new org.apache.hadoop.fs.Path(vecDir))) recover(fsys)
     VectorOps.assignCells(batch, centroids)
       .withColumnRenamed("cluster", "cell")
       .write.partitionBy("cell").mode("append").parquet(vecDir)
@@ -72,13 +77,16 @@ class VectorStore(spark: SparkSession, dir: String) {
     * the LAST store without it). Same stage-swap shape: rewrite into a
     * sibling staging dir (one sorted file generation per cell — vec_id
     * order gives cheap id-range skipping inside a cell), atomically
-    * retire-and-publish via two renames, delete the old tree. The
+    * retire-and-publish via two renames, delete the old tree; a crash
+    * between the renames is healed by [[recover]] — reads, appends and
+    * the next compact roll the retire back (spec-injected). The
     * codebook is untouched — compaction never changes assignments, so
     * reads through [[searchTopK]] are equal before and after
     * (VectorStoreSpec pins read-equality and the file-count collapse). */
   def compact(): Unit = {
     val fsys = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
+    recover(fsys) // heal an interrupted prior compact before staging anew
     val root = new org.apache.hadoop.fs.Path(vecDir)
     val gen = java.lang.System.nanoTime()
     val staged = new org.apache.hadoop.fs.Path(s"$dir/vectors_compact_$gen")
@@ -92,11 +100,43 @@ class VectorStore(spark: SparkSession, dir: String) {
     fsys.delete(old, true)
   }
 
+  /** Heal the two-rename window: a compact that crashed between its
+    * retire and publish renames leaves `vectors/` absent and the last
+    * published tree under `vectors_old_<gen>` — roll the retire BACK
+    * (rename old → vectors) and drop any orphan staging trees, so the
+    * next read or compact sees exactly the pre-crash store. Single-writer
+    * like compaction itself; called by every mutator and resolver. */
+  private def recover(fsys: org.apache.hadoop.fs.FileSystem): Unit = {
+    val root = new org.apache.hadoop.fs.Path(vecDir)
+    if (!fsys.exists(root)) {
+      val dirP = new org.apache.hadoop.fs.Path(dir)
+      if (fsys.exists(dirP)) {
+        fsys.listStatus(dirP).map(_.getPath)
+          .filter(_.getName.startsWith("vectors_old_"))
+          .sortBy(_.getName.stripPrefix("vectors_old_").toLong)
+          .lastOption.foreach { newest =>
+            require(fsys.rename(newest, root), s"recover: could not restore $newest")
+          }
+      }
+    }
+    if (fsys.exists(new org.apache.hadoop.fs.Path(dir)))
+      fsys.listStatus(new org.apache.hadoop.fs.Path(dir)).map(_.getPath)
+        .filter(p => (p.getName.startsWith("vectors_old_") ||
+                      p.getName.startsWith("vectors_compact_")) && fsys.exists(root))
+        .foreach(p => fsys.delete(p, true))
+  }
+
   /** The persisted codebook (cent_id, c_emb) — √n rows. */
   def centroids: DataFrame = spark.read.parquet(centDir)
 
-  /** The whole store as a queryable frame (cell partition column included). */
-  def table: DataFrame = spark.read.parquet(vecDir)
+  /** The whole store as a queryable frame (cell partition column
+    * included), healing an interrupted compact first (see [[recover]]). */
+  def table: DataFrame = {
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fsys.exists(new org.apache.hadoop.fs.Path(vecDir))) recover(fsys)
+    spark.read.parquet(vecDir)
+  }
 
   /** IVF top-k over the store: probes pick their nprobe closest persisted
     * centroids, and the corpus side reads ONLY the matching cell

@@ -68,6 +68,9 @@ class PostingsStore(spark: SparkSession, dir: String) {
     * callers need external coordination; the exactly-once continuous
     * path is ST27's file-sink ingest, whose manifest closes that window. */
   def append(docs: DataFrame): Unit = {
+    // heal an interrupted compact first: appending into an absent
+    // postings/ would fork a fresh index and orphan every resident row
+    if (!fsys.exists(new org.apache.hadoop.fs.Path(s"$dir/postings"))) recover()
     val n = bucketCount
     val add = docs.select(size(split(col("text"), " ")).cast("long").as("len"))
       .agg(count(lit(1)).as("n_docs"), sum("len").as("sum_len")).collect()(0)
@@ -99,6 +102,10 @@ class PostingsStore(spark: SparkSession, dir: String) {
     * surviving bucket means no posting can match, so the result is the
     * empty top-k, not an error. */
   def bm25(terms: Seq[String], k: Int = 20): DataFrame = {
+    // heal the two-rename window first: a compact that crashed between
+    // retire and publish leaves postings/ absent and the last published
+    // tree under postings_old_<gen> (see recover)
+    if (!fsys.exists(new org.apache.hadoop.fs.Path(s"$dir/postings"))) recover()
     val n = bucketCount
     import spark.implicits._
     // bucket ids via the writer's own hash expression — |terms| rows
@@ -126,10 +133,36 @@ class PostingsStore(spark: SparkSession, dir: String) {
     * two renames and delete the old generation. A crash before the
     * second rename leaves the old `postings` dir live (stage dirs are
     * invisible to readers — bm25 only ever lists `postings/`); a crash
-    * between the renames is the one non-atomic window, same single-writer
-    * assumption SignatureStore.compact documents. Stats and the bucket
+    * between the renames leaves the root absent for the instant until
+    * [[recover]] heals it — readers, append, and the next compact all
+    * roll the retire back automatically (spec-injected); single-writer
+    * as SignatureStore.compact documents. Stats and the bucket
     * count are untouched — compaction moves bytes, never meaning. */
+  /** Heal the two-rename window: roll an interrupted compact's retire
+    * BACK (newest `postings_old_<gen>` → `postings`) and drop orphan
+    * staging/retired trees once a live root exists. Same single-writer
+    * assumption as compaction; called by readers and mutators that find
+    * the root absent, and by compact itself before staging anew. */
+  private def recover(): Unit = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/postings")
+    val dirP = new org.apache.hadoop.fs.Path(dir)
+    if (!fsys.exists(dirP)) return
+    if (!fsys.exists(root))
+      fsys.listStatus(dirP).map(_.getPath)
+        .filter(_.getName.startsWith("postings_old_"))
+        .sortBy(_.getName.stripPrefix("postings_old_").toLong)
+        .lastOption.foreach { newest =>
+          require(fsys.rename(newest, root), s"recover: could not restore $newest")
+        }
+    if (fsys.exists(root))
+      fsys.listStatus(dirP).map(_.getPath)
+        .filter(p => p.getName.startsWith("postings_old_") ||
+                     p.getName.startsWith("postings_compact_"))
+        .foreach(p => fsys.delete(p, true))
+  }
+
   def compact(): Unit = {
+    recover()
     val root = new org.apache.hadoop.fs.Path(s"$dir/postings")
     val gen = java.lang.System.nanoTime()
     val staged = new org.apache.hadoop.fs.Path(s"$dir/postings_compact_$gen")

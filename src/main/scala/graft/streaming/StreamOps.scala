@@ -1111,21 +1111,43 @@ object StreamOps {
       }
       .start()
 
+  /** Resolve the live base directory, healing the two-rename window: if
+    * `base` is absent but a retired `base_old_<gen>` exists (crash
+    * between compaction's retire and publish renames), the NEWEST retired
+    * generation IS the last published base — serving it plus the partials
+    * above ITS watermark is exactly the pre-crash view, because the
+    * folded partials are only deleted after a successful publish. */
+  private def resolvedBase(fsys: org.apache.hadoop.fs.FileSystem,
+                           storeDir: String): Option[org.apache.hadoop.fs.Path] = {
+    val base = new org.apache.hadoop.fs.Path(s"$storeDir/base")
+    if (fsys.exists(base)) Some(base)
+    else {
+      val root = new org.apache.hadoop.fs.Path(storeDir)
+      if (!fsys.exists(root)) None
+      else fsys.listStatus(root).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("base_old_"))
+        .sortBy(p => p.getName.stripPrefix("base_old_").toLong)
+        .lastOption
+    }
+  }
+
   /** The compaction watermark lives INSIDE the base directory
     * (`base/_upto` — underscore files are invisible to parquet listings),
     * so the folded data and the set of batch ids it covers publish in the
     * SAME rename: no crash can leave a base that disagrees with its
-    * watermark. */
+    * watermark. Reads resolve through [[resolvedBase]], so the watermark
+    * survives the two-rename crash window too. */
   private def compactedUpto(fsys: org.apache.hadoop.fs.FileSystem,
-                            storeDir: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(s"$storeDir/base/_upto")
-    if (!fsys.exists(p)) -1L
-    else {
-      val in = fsys.open(p)
-      try scala.io.Source.fromInputStream(in).mkString.trim.toLong
-      finally in.close()
+                            storeDir: String): Long =
+    resolvedBase(fsys, storeDir)
+      .map(b => new org.apache.hadoop.fs.Path(b, "_upto"))
+      .filter(fsys.exists) match {
+      case None => -1L
+      case Some(p) =>
+        val in = fsys.open(p)
+        try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+        finally in.close()
     }
-  }
 
   private[graft] def applyFingerprintBatch(batch: DataFrame, batchId: Long,
                                            storeDir: String): Unit = {
@@ -1156,11 +1178,8 @@ object StreamOps {
   def fingerprints(s: SparkSession, storeDir: String): DataFrame = {
     val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
     val upto = compactedUpto(fsys, storeDir)
-    val basePath = new org.apache.hadoop.fs.Path(s"$storeDir/base")
-    val base =
-      if (fsys.exists(basePath))
-        Seq(s.read.parquet(basePath.toString).select(col("day"), col("n"), col("fp")))
-      else Nil
+    val base = resolvedBase(fsys, storeDir).toSeq.map(p =>
+      s.read.parquet(p.toString).select(col("day"), col("n"), col("fp")))
     // explicit batch-dir paths, not a parts/-wide partitioned read: the
     // watermark filter happens on the LISTING, so a stale dir (already in
     // base) is never read and an empty parts/ dir (everything folded) is
@@ -1216,10 +1235,15 @@ object StreamOps {
     val (stale, fold) = listed.partition(_._1 <= upto0)
     val upto1 = fold.foldLeft(upto0)((m, e) => math.max(m, e._1))
     val basePath = new org.apache.hadoop.fs.Path(s"$storeDir/base")
+    // fold from the RESOLVED base: after a crash between the retire and
+    // publish renames the last published base lives under base_old_<gen>,
+    // and folding from `base`-only would silently rebuild the store from
+    // partials alone — all compacted history lost. resolvedBase heals
+    // both this path and serving.
+    val liveBase = resolvedBase(fsys, storeDir)
     val frames =
-      (if (fsys.exists(basePath))
-         Seq(s.read.parquet(basePath.toString).select(col("day"), col("n"), col("fp")))
-       else Nil) ++
+      liveBase.toSeq.map(p =>
+        s.read.parquet(p.toString).select(col("day"), col("n"), col("fp"))) ++
       (if (fold.nonEmpty)
          Seq(s.read.parquet(fold.map(_._2.toString): _*)
            .select(col("day"), col("n"), col("fp")))
@@ -1240,6 +1264,12 @@ object StreamOps {
       require(fsys.rename(basePath, old), s"compact: could not retire $basePath")
     require(fsys.rename(tmp, basePath), s"compact: could not publish $tmp")
     if (fsys.exists(old)) fsys.delete(old, true)
+    // GC every other retired/staging generation (a crashed run's
+    // leftovers — their content is covered by the base just published)
+    fsys.listStatus(new org.apache.hadoop.fs.Path(storeDir)).map(_.getPath)
+      .filter(p => p.getName.startsWith("base_old_") ||
+                   p.getName.startsWith("base_staging_"))
+      .foreach(p => fsys.delete(p, true))
     (fold ++ stale).foreach { case (_, p) => fsys.delete(p, true) }
     // drop the parts/ shell only when nothing else landed in it — a dir
     // created after the listing (quiesced-ingest violation or the next

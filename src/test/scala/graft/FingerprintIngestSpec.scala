@@ -75,6 +75,45 @@ class FingerprintIngestSpec extends SparkSpecBase {
       "batch replayed after compaction double-added — watermark broken")
   }
 
+  test("ST28 two-rename crash window heals: serving and the next compact " +
+       "resolve the retired base instead of rebuilding from partials alone") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val store = tmp()
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = StreamOps.fingerprintIngest(input.toDF().toDF("event_id", "ts"), store, tmp())
+    def at(day: Int, id: Long) = (id, Timestamp.valueOf(f"2024-03-$day%02d 10:00:00"))
+    try {
+      input.addData(Seq(at(1, 20L), at(2, 21L))); q.processAllAvailable()
+      input.addData(Seq(at(3, 22L))); q.processAllAvailable()
+    } finally q.stop()
+    val all = Seq(at(1, 20L), at(2, 21L), at(3, 22L))
+    val expect = rows(batchFp(all.toDF("event_id", "ts")))
+    StreamOps.compactFingerprints(spark, store) // everything folded to base
+    // inject the crash: the NEXT compact retired base -> base_old_<gen>
+    // and died before publishing its staging
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fsys.rename(new org.apache.hadoop.fs.Path(s"$store/base"),
+      new org.apache.hadoop.fs.Path(s"$store/base_old_7")))
+    fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$store/base_staging_7"))
+    // serving resolves the retired generation (with its watermark)
+    assert(rows(StreamOps.fingerprints(spark, store)) === expect,
+      "serving lost the compacted history in the two-rename window")
+    // a replayed batch is still fenced by the retired base's watermark
+    StreamOps.applyFingerprintBatch(Seq(at(3, 22L)).toDF("event_id", "ts"), 1L, store)
+    assert(rows(StreamOps.fingerprints(spark, store)) === expect,
+      "replay during the crash window double-added")
+    // the next compact folds the retired base, republishes, and GCs
+    StreamOps.compactFingerprints(spark, store)
+    assert(rows(StreamOps.fingerprints(spark, store)) === expect,
+      "compact after the crash rebuilt from partials alone - history lost")
+    assert(new java.io.File(s"$store/base").exists)
+    assert(!new java.io.File(s"$store/base_old_7").exists &&
+           !new java.io.File(s"$store/base_staging_7").exists,
+      "compact must GC the crashed run's leftovers")
+  }
+
   test("ST28 compaction crash leftovers: a folded partial left on disk is " +
        "never double-counted and the next compact retires it") {
     import spark.implicits._

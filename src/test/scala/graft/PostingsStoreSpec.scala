@@ -107,6 +107,37 @@ class PostingsStoreSpec extends SparkSpecBase {
     assert(touched.size <= queryTerms.size)
   }
 
+  test("two-rename crash window heals: reads, appends and the next compact " +
+       "recover the retired generation instead of forking or dropping it") {
+    val docs = Tables.documents(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("postings_crash").toString
+    val st = new PostingsStore(spark, dir)
+    st.build(docs.filter(col("doc_id") % 3 === 1), buckets = 16)
+    val before = st.bm25(queryTerms, k = 20).collect().toSet
+    // inject the crash: compact retired postings/ -> postings_old_<gen>
+    // and died before publishing the staged tree
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(s"$dir/postings")
+    assert(fsys.rename(root, new org.apache.hadoop.fs.Path(s"$dir/postings_old_7")))
+    fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/postings_compact_7")) // orphan stage
+    // a read heals and serves the pre-crash rows
+    assert(st.bm25(queryTerms, k = 20).collect().toSet === before)
+    assert(fsys.exists(root), "recover must restore postings/")
+    assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$dir/postings_compact_7")),
+      "recover must GC the orphan staging tree")
+    // crash again, then APPEND: must not fork a fresh index
+    assert(fsys.rename(root, new org.apache.hadoop.fs.Path(s"$dir/postings_old_8")))
+    st.append(docs.filter(col("doc_id") % 3 === 2))
+    val grown = st.bm25(queryTerms, k = 20).collect().toSet
+    assert(grown.nonEmpty && grown != before, "append after recovery must serve old+new")
+    // crash again, then COMPACT: must fold the retired generation, not partials-only
+    assert(fsys.rename(root, new org.apache.hadoop.fs.Path(s"$dir/postings_old_9")))
+    st.compact()
+    assert(st.bm25(queryTerms, k = 20).collect().toSet === grown,
+      "compact after the crash dropped the retired generation's history")
+  }
+
   test("an unindexed term contributes nothing; empty query intersection returns no rows") {
     val dir = java.nio.file.Files.createTempDirectory("postings2").toString
     val st = new PostingsStore(spark, dir)

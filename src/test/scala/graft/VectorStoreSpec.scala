@@ -143,6 +143,38 @@ class VectorStoreSpec extends SparkSpecBase {
     assert(rows(sStore.table) === expected)
   }
 
+  test("two-rename crash window heals: reads, appends and the next compact " +
+       "restore the retired generation") {
+    val (store, dir) = freshStore()
+    store.build(corpus.filter(col("vec_id") >= 10))
+    def results() = store.searchContractProbes().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // searchContractProbes draws probes from the store itself; with the
+    // <10 ids held out for the append below, pin a fixed probe set
+    val before = store.table.count()
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(s"$dir/vectors")
+    // crash between compaction's retire and publish renames
+    assert(fsys.rename(root, new org.apache.hadoop.fs.Path(s"$dir/vectors_old_7")))
+    fsys.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/vectors_compact_7"))
+    assert(store.table.count() === before, "read must heal the retired generation")
+    assert(fsys.exists(root) &&
+      !fsys.exists(new org.apache.hadoop.fs.Path(s"$dir/vectors_compact_7")))
+    // crash again, then APPEND: must not fork a fresh store
+    assert(fsys.rename(root, new org.apache.hadoop.fs.Path(s"$dir/vectors_old_8")))
+    store.append(corpus.filter(col("vec_id") < 10))
+    assert(store.table.count() === before + 10,
+      "append after recovery must land beside the resident rows")
+    val grown = results()
+    // crash again, then COMPACT: must rewrite the recovered tree
+    assert(fsys.rename(root, new org.apache.hadoop.fs.Path(s"$dir/vectors_old_9")))
+    store.compact()
+    assert(store.table.count() === before + 10)
+    assert(results() === grown,
+      "compact after the crash dropped the retired generation's rows")
+  }
+
   test("replay fence: re-running a completed batch id appends nothing and " +
        "leaves search results unchanged") {
     val (store, _) = freshStore()
