@@ -34,6 +34,25 @@ import org.apache.spark.sql.functions._
   */
 object SignatureStore {
 
+  /** Heal compaction's catalog-swap window: a compact that crashed
+    * between `DROP TABLE t` and `ALTER TABLE t_compact RENAME TO t`
+    * leaves the live data fully present under the `_compact` name with
+    * the serving name absent — complete the rename. (A crash BEFORE the
+    * drop leaves both names; the next compact's `DROP IF EXISTS
+    * t_compact` discards the orphan staging as before.) The dropped
+    * generation's directory may leak bytes until the next compact — a
+    * storage leak, never a data loss. Single-writer, like every heal
+    * here; called by the readers/mutators and by compact itself. */
+  private def healSwap(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val cat = spark.sessionState.catalog
+    Seq("sig_docs", "sig_sets", "sig_splits").foreach { t =>
+      if (!cat.tableExists(TableIdentifier(t)) &&
+          cat.tableExists(TableIdentifier(s"${t}_compact")))
+        spark.sql(s"ALTER TABLE ${t}_compact RENAME TO $t")
+    }
+  }
+
   /** The store's root directory, catalog-derived (survives compaction's
     * generation renames: `sig_docs_g<gen>`'s parent is still the root) —
     * where [[AdmitFence]]'s watermark lives. */
@@ -66,10 +85,12 @@ object SignatureStore {
     * recomputed. Output identical to
     * `MinHashLSH.crossVerifiedPairs(batch, corpus, threshold)`. */
   def incrementPairs(spark: SparkSession, batch: DataFrame, threshold: Double,
-                     p: MinHashLSH.Params = MinHashLSH.Params()): DataFrame =
+                     p: MinHashLSH.Params = MinHashLSH.Params()): DataFrame = {
+    healSwap(spark) // complete an interrupted compact's catalog swap
     MinHashLSH.crossVerifiedFromHashed(
       MinHashLSH.hashedDocs(batch, p), MinHashLSH.tokenSets(batch),
       spark.table("sig_docs"), spark.table("sig_sets"), threshold)
+  }
 
   /** Append a batch's signatures to the store — the admit step of the
     * continuous-ingest loop. New parquet files land next to the existing
@@ -81,6 +102,7 @@ object SignatureStore {
     * corpus work is never redone, at any corpus size. */
   def append(spark: SparkSession, toks: DataFrame,
              p: MinHashLSH.Params = MinHashLSH.Params()): Unit = {
+    healSwap(spark) // an append into a half-swapped catalog would fork
     val spec = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("sig_sets"))
       .bucketSpec
@@ -220,6 +242,7 @@ object SignatureStore {
     * DROP and the RENAME the table name is absent from the catalog. */
   def compact(spark: SparkSession, path: String): Unit = {
     import org.apache.spark.sql.catalyst.TableIdentifier
+    healSwap(spark) // complete an interrupted prior swap before staging
     val cat = spark.sessionState.catalog
     def loc(t: String) = new org.apache.hadoop.fs.Path(
       cat.getTableMetadata(TableIdentifier(t)).location)

@@ -139,6 +139,32 @@ class SignatureStoreSpec extends SparkSpecBase {
     assert(spark.table("sig_docs").count() === expectedDocs)
   }
 
+  test("catalog-swap crash window heals: an increment after a crash between " +
+       "DROP and RENAME completes the swap and serves identical pairs") {
+    val storeDir = tmp("store-swapcrash")
+    SignatureStore.write(spark, corpus, storeDir)
+    val before = pairsOf(SignatureStore.incrementPairs(spark, batch, 0.8))
+    SignatureStore.compact(spark, storeDir)
+    val after = pairsOf(SignatureStore.incrementPairs(spark, batch, 0.8))
+    assert(after === before)
+    // inject the crash state: compaction dropped sig_docs and died before
+    // renaming sig_docs_compact in — simulate by renaming the live table OUT
+    spark.sql("ALTER TABLE sig_docs RENAME TO sig_docs_compact")
+    // the next increment must complete the swap and serve the same pairs
+    assert(pairsOf(SignatureStore.incrementPairs(spark, batch, 0.8)) === before,
+      "increment did not heal the half-swapped catalog")
+    assert(spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier("sig_docs")))
+    // same for the bucketed side, healed by append's entry
+    spark.sql("ALTER TABLE sig_sets RENAME TO sig_sets_compact")
+    import spark.implicits._
+    SignatureStore.append(spark,
+      Seq((77001L, "pp qq rr ss tt")).toDF("id", "text")
+        .select(col("id"), split(col("text"), " ").as("toks")))
+    assert(pairsOf(SignatureStore.incrementPairs(spark, batch, 0.8)) === before,
+      "append did not heal the half-swapped sig_sets")
+  }
+
   test("replay fence: a completed admit re-run under its batch id neither " +
        "grows the store nor changes the served pairs") {
     import spark.implicits._
