@@ -103,4 +103,34 @@ class SplitRoutingSpec extends SparkSpecBase {
     assert(routedOf(sunk(1)) === e2)
     assert(spark.table("sig_splits").count() === expectedSplits)
   }
+
+  test("replay fence: a completed routing cycle re-run under its batch id " +
+       "neither grows the store nor changes the routed rows") {
+    import spark.implicits._
+    def docs(rows: (Long, String)*) =
+      rows.toDF("id", "text").select(col("id"), split(col("text"), " ").as("toks"))
+    SignatureStore.writeRouted(spark, docs(1L -> "alpha beta gamma delta epsilon"),
+      tmp("route-fence"))
+    val out = tmp("route-fence-out")
+    val b0 = docs(50L -> "zeta eta theta iota kappa",
+                  51L -> "alpha beta gamma delta epsilon")
+    val r1 = routedOf(SignatureStore.routeAndAdmit(spark, b0,
+      s"$out/batch_id=0", batchId = Some(0L)))
+    val (docsN, splitsN) =
+      (spark.table("sig_docs").count(), spark.table("sig_splits").count())
+    // crash-and-replay: checkpoint never committed, same id arrives again
+    val r2 = routedOf(SignatureStore.routeAndAdmit(spark, b0,
+      s"$out/batch_id=0", batchId = Some(0L)))
+    assert(r2 === r1, "fenced replay changed the routed rows")
+    assert(spark.table("sig_docs").count() === docsN &&
+           spark.table("sig_splits").count() === splitsN,
+      "fenced replay grew the routed store")
+    // the next id is live: a dup of the batch-0-admitted doc 50 inherits
+    val r3 = routedOf(SignatureStore.routeAndAdmit(spark,
+      docs(60L -> "zeta eta theta iota kappa"),
+      s"$out/batch_id=1", batchId = Some(1L)))
+    assert(r3.map(t => (t._1, t._2)) === Seq((60L, 1)))
+    assert(r3.head._3 === r1.find(_._1 == 50L).get._3,
+      "dup of a fenced-batch admit must inherit its split")
+  }
 }
