@@ -491,6 +491,55 @@ object Dev {
       s.stop()
       return
     }
+    if (names.length == 1 && names.head.startsWith("clustercorpus")) {
+      // Synthesize a CLUSTERED embedding corpus (X148Spec's planted shape
+      // at arbitrary scale): 10 hash-derived unit centers, each vector =
+      // normalize(center + 0.15·noise), label = cluster. The locality
+      // regime where the x37 gate APPROVES IVF candidates — the
+      // counterpart to scalebench's isotropic no-locality corpus. Prints
+      // the dir; feed it to x148recall. Usage: clustercorpus[:nVecs]
+      val nVecs = names.head.split(":").drop(1).headOption.map(_.toInt).getOrElse(20000)
+      val s = GraftSession.build("graft-dev")
+      import org.apache.spark.sql.functions._
+      val outDir = java.nio.file.Files.createTempDirectory(s"cluster$nVecs").toString
+      s.range(nVecs).select(col("id").as("vec_id"))
+        .withColumn("c", pmod(col("vec_id"), lit(10L)))
+        .withColumn("raw", expr(
+          "transform(sequence(1, 64), j -> " +
+          " pmod(xxhash64(c, j), 2000001) / 1000000.0 - 1.0 + " +
+          " 0.15 * (pmod(xxhash64(vec_id, j, 999), 2000001) / 1000000.0 - 1.0))"))
+        .withColumn("embedding", expr(
+          "transform(raw, x -> cast(x / sqrt(aggregate(raw, 0d, (acc, v) -> acc + v * v)) as float))"))
+        .withColumn("label", col("c").cast("int"))
+        .select("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+      println(s"clustercorpus n=$nVecs dir=$outDir")
+      s.stop()
+      return
+    }
+    if (names == Seq("x148recall")) {
+      // Recall probe behind the x148_ivf crossover: the scale rehearsal
+      // measured WALLS; this measures whether the IVF-fed mutual-top-1
+      // still FINDS the exact path's pairs on sfDir (pair sets are tiny —
+      // ≤ n/2 rows — so exact set compare is cheap even at 10×). Run with
+      // a scalebench synth dir as sfDir for the at-scale figure.
+      val s = GraftSession.build("graft-dev")
+      def pairsOf(df: org.apache.spark.sql.DataFrame) = df
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = pairsOf(graft.operators.VectorOps.x148MutualNn(s, sfDir))
+      Seq(2, 4, 8, 16).foreach { np =>
+        val t0 = System.nanoTime()
+        val ivf = pairsOf(graft.operators.VectorOps.x148MutualNnIvf(s, sfDir, np))
+        val sec = (System.nanoTime() - t0) / 1e9
+        val common = exact.intersect(ivf)
+        println(f"x148recall dir=$sfDir nprobe=$np exact=${exact.size}%,d ivf=${ivf.size}%,d " +
+          f"common=${common.size}%,d recall=${if (exact.isEmpty) 1.0 else common.size.toDouble / exact.size}%.4f " +
+          f"precision=${if (ivf.isEmpty) 1.0 else common.size.toDouble / ivf.size}%.4f sec=$sec%.2f")
+      }
+      s.stop()
+      return
+    }
     if (names == Seq("x171stats")) {
       // Candidate-volume diagnostic behind the x171 declared-vs-banded
       // adjudication: counts the length-block candidate pairs (declared

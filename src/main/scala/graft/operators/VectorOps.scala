@@ -226,7 +226,18 @@ object VectorOps {
     * (round-11 scale rehearsal, BASELINE.md): dead heat at sf0.1
     * (1.10 s vs the brute 1.00 s at 2 k vectors), 9× ahead at 10×
     * (3.54 s vs 32.2 s at 20 k) — the ~nprobe·n^1.5 candidate volume
-    * beats n² exactly where the complexity argument said it would. */
+    * beats n² exactly where the complexity argument said it would.
+    *
+    * FIDELITY at scale is measured too (`Dev x148recall`, BASELINE.md):
+    * mutual-top-1 is finer-grained than x08's top-k search, and the
+    * search default nprobe=2 recalls only 0.30 of exact pairs even on a
+    * CLUSTERED 20 k corpus (a 2 k-member cluster spans ~14 of the √n
+    * cells, so most true nearest neighbors straddle a cell boundary).
+    * nprobe=16 is simultaneously EXACT (recall = precision = 1.0) and
+    * ~3× faster than brute there — mutual-NN's production setting is
+    * nprobe ≫ the search default, chosen per corpus by the x37 gate; on
+    * isotropic data no affordable nprobe suffices (0.33 at np=16) and
+    * the gate mandates the exact path, with numbers. */
   def x148MutualNnIvf(s: SparkSession, d: String, nprobe: Int = 2): DataFrame =
     withSameLabel(s, d, mutualTop1(mutualIvfEdges(wide(s, emb(s, d)), emb(s, d), nprobe)))
 
