@@ -2782,48 +2782,80 @@ object TextOps {
     * eager `localCheckpoint` — fast, but a lost executor loses blocks and
     * fails the job; Some(dir) writes each round's edge set as RELIABLE
     * checkpoint files, the executor-churn-survival mode a 1000-executor
-    * peel runs in. Local mode also applies CC's release discipline:
-    * a superseded round's blocks are unpersisted the moment the next
-    * round's count() materializes, instead of pinning ~R edge frames in
-    * storage until the JVM GCs them (the leak that inflates any
-    * multi-round loop sharing a JVM with other work). */
+    * peel runs in. BOTH modes apply CC's release discipline the moment
+    * the next round's count() materializes: local unpersists the
+    * superseded round's blocks (the leak that inflates any multi-round
+    * loop sharing a JVM with other work), reliable DELETES the superseded
+    * round's checkpoint files (otherwise up to maxRounds full edge-set
+    * snapshots accumulate per call). Reliable mode's setCheckpointDir is
+    * session-global; the prior dir is restored after the peel (or left
+    * set when none existed — documented residue). */
   def x186KCoreFrom(s: SparkSession, d: String, pairs: DataFrame,
                     k: Int = 64, maxRounds: Int = 8,
                     checkpointDir: Option[String] = None): DataFrame = {
+    // reliable mode mutates SESSION-GLOBAL state (setCheckpointDir) for the
+    // loop's duration — saved here and restored after the peel, so a
+    // concurrent user of the SparkContext sees their own dir again. (The
+    // window is the loop itself; a context shared by two simultaneous
+    // checkpointing jobs needs external coordination either way.)
+    val priorCkptDir = s.sparkContext.getCheckpointDir
     val ckpt: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
         s.sparkContext.setCheckpointDir(dir)
         df => df.checkpoint(true)
       case None => df => df.localCheckpoint(true)
     }
-    // no-op in reliable mode: rounds live as checkpoint FILES there
+    // release = the anti-leak discipline, in BOTH modes: local unpersists
+    // the superseded round's blocks; reliable DELETES the superseded
+    // round's checkpoint files (cleaner.referenceTracking.cleanCheckpoints
+    // is off by default, so without this every peel leaves up to maxRounds
+    // full edge-set snapshots on the checkpoint store — the file-side twin
+    // of the r10 block leak)
     val release: DataFrame => Unit =
-      if (checkpointDir.isDefined) _ => ()
+      if (checkpointDir.isDefined)
+        df => df.queryExecution.analyzed match {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            l.rdd.getCheckpointFile.foreach { f =>
+              val p = new org.apache.hadoop.fs.Path(f)
+              p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+            }
+          case _ => ()
+        }
       else df => df.queryExecution.analyzed match {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
         case _ => ()
       }
-    var edges = ckpt(pairs.select(col("id_a"), col("id_b")))
-    var n = edges.count()
-    var done = false
-    var r = 0
-    while (r < maxRounds && !done) {
-      val deg = edges.select(col("id_a").as("id"))
-        .unionAll(edges.select(col("id_b").as("id")))
-        .groupBy("id").agg(count(lit(1)).as("dg"))
-      val keep = deg.filter(col("dg") >= k.toLong).select("id")
-      val next = ckpt(edges
-        .join(keep.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
-        .join(keep.select(col("id").as("id_b")), Seq("id_b"), "left_semi"))
-      val m = next.count() // materializes next — the old round is now safe to drop
-      release(edges)
-      done = m == n
-      edges = next; n = m; r += 1
+    try {
+      var edges = ckpt(pairs.select(col("id_a"), col("id_b")))
+      var n = edges.count()
+      var done = false
+      var r = 0
+      while (r < maxRounds && !done) {
+        val deg = edges.select(col("id_a").as("id"))
+          .unionAll(edges.select(col("id_b").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("dg"))
+        val keep = deg.filter(col("dg") >= k.toLong).select("id")
+        val next = ckpt(edges
+          .join(keep.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+          .join(keep.select(col("id").as("id_b")), Seq("id_b"), "left_semi"))
+        val m = next.count() // materializes next — the old round is now safe to drop
+        release(edges)
+        done = m == n
+        edges = next; n = m; r += 1
+      }
+      edges.select(col("id_a").as("doc_id"))
+        .unionAll(edges.select(col("id_b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("core_deg"))
+        .orderBy("doc_id")
+    } finally {
+      // the surviving round is already materialized (count()), so restoring
+      // the prior dir cannot strand its files mid-write; when NO prior dir
+      // existed the new one stays set (SparkContext has no public unset) —
+      // the residual, documented side effect of reliable mode
+      if (checkpointDir.isDefined && priorCkptDir.isDefined &&
+          priorCkptDir != checkpointDir)
+        s.sparkContext.setCheckpointDir(priorCkptDir.get)
     }
-    edges.select(col("id_a").as("doc_id"))
-      .unionAll(edges.select(col("id_b").as("doc_id")))
-      .groupBy("doc_id").agg(count(lit(1)).as("core_deg"))
-      .orderBy("doc_id")
   }
 
   /** x185 PII detection audit — the DETECTION gate the privacy shelf

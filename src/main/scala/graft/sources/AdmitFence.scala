@@ -30,21 +30,38 @@ import org.apache.spark.sql.SparkSession
   * concurrent ingests racing one watermark file is a deployment error. */
 object AdmitFence {
 
-  private def fs(spark: SparkSession) =
-    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+  /** The RAW (checksum-free) filesystem: the watermark is published by
+    * renaming a temp file over the live one, and a checksummed local FS
+    * would leave the old `.crc` sidecar pointing at the old bytes —
+    * every subsequent read throws ChecksumException. Raw local rename
+    * over an existing file is a single atomic POSIX rename. */
+  private def fs(spark: SparkSession): org.apache.hadoop.fs.FileSystem =
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case f => f
+    }
 
   private def markPath(storeDir: String) =
     new org.apache.hadoop.fs.Path(s"$storeDir/_admitted_upto")
 
-  /** Highest batch id whose append completed; -1 when none did. */
+  /** Highest batch id whose append completed; -1 when none did. An
+    * unparsable watermark (a torn write from a pre-atomic-publish store,
+    * or manual damage) degrades to -1 — replay-at-least-once — instead
+    * of wedging every subsequent cycle on a parse error. */
   def upto(spark: SparkSession, storeDir: String): Long = {
     val fsys = fs(spark)
     val p = markPath(storeDir)
     if (!fsys.exists(p)) -1L
     else {
       val in = fsys.open(p)
-      try scala.io.Source.fromInputStream(in).mkString.trim.toLong
-      finally in.close()
+      val raw = try scala.io.Source.fromInputStream(in).mkString.trim
+                finally in.close()
+      try raw.toLong
+      catch { case _: NumberFormatException =>
+        System.err.println(s"[AdmitFence] unparsable watermark at $p " +
+          s"('$raw') — treating as -1 (replay-at-least-once)")
+        -1L
+      }
     }
   }
 
@@ -53,9 +70,22 @@ object AdmitFence {
     batchId <= upto(spark, storeDir)
 
   /** Record `batchId`'s append as complete. Call strictly AFTER the
-    * append's last write. */
+    * append's last write. Atomic publish (write a sibling temp, rename
+    * over the live file — the base/_upto discipline): a crash mid-write
+    * can no longer leave a truncated watermark, only an orphan temp the
+    * next advance overwrites. */
   def advance(spark: SparkSession, storeDir: String, batchId: Long): Unit = {
-    val out = fs(spark).create(markPath(storeDir), true)
+    val fsys = fs(spark)
+    val p = markPath(storeDir)
+    val tmp = new org.apache.hadoop.fs.Path(s"$storeDir/_admitted_upto.tmp")
+    val out = fsys.create(tmp, true)
     try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    if (!fsys.rename(tmp, p)) {
+      // non-POSIX fallback (e.g. an FS whose rename refuses to overwrite):
+      // delete-then-rename — the brief no-watermark window only re-runs a
+      // batch, the at-least-once direction the fence already documents
+      fsys.delete(p, false)
+      require(fsys.rename(tmp, p), s"AdmitFence: could not publish $p")
+    }
   }
 }

@@ -149,6 +149,10 @@ object SignatureStore {
             pairsDir: String,
             p: MinHashLSH.Params = MinHashLSH.Params(),
             batchId: Option[Long] = None): DataFrame = {
+    healSwap(spark) // BEFORE storeRoot: in the DROP→RENAME crash window
+    // sig_docs is absent from the catalog and the fence check's metadata
+    // lookup would throw on every restart retry — the one caller that
+    // could never reach the heal it needs (r11 ADVICE)
     def readPairs = spark.read.schema("id_a BIGINT, id_b BIGINT, j DOUBLE")
       .parquet(pairsDir)
     if (batchId.exists(id => AdmitFence.admitted(spark, storeRoot(spark), id)))
@@ -202,6 +206,7 @@ object SignatureStore {
                     threshold: Double = 0.8,
                     p: MinHashLSH.Params = MinHashLSH.Params(),
                     batchId: Option[Long] = None): DataFrame = {
+    healSwap(spark) // before storeRoot — same restart-retry heal as admit
     def readRouted = spark.read
       .schema("id BIGINT, match_id BIGINT, matched INT, split STRING")
       .parquet(outDir)

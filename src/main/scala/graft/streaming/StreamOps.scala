@@ -1704,8 +1704,9 @@ object StreamOps {
     * left the queue before this service arrived), then serves the oldest
     * surviving view (wait ≤ deadline allowed, boundary inclusive). At
     * each watermark drain, a queued view with us + deadline ≤ watermark
-    * can never be served (any future purchase folds at us' > watermark ≥
-    * us + deadline ⇒ wait > deadline) and expires watermark-finally; the
+    * can never be served (Spark's late filter admits only rows with
+    * ts > watermark — see the expiry-loop comment — so any future
+    * purchase folds at wait > deadline) and expires watermark-finally; the
     * per-key timer re-drains at the earliest queued expiry, so expiries
     * emit even when the user's stream goes quiet (ST26's idle concern,
     * answered structurally). Buffered-drain skeleton and ordering
@@ -1752,7 +1753,18 @@ object StreamOps {
         buf.clear()
         if (pending.nonEmpty) buf.appendList(pending.toArray)
       }
-      // watermark-final expiry: every future purchase folds at us > wmUs
+      // watermark-final expiry, boundary INCLUSIVE (us + deadline <= wm)
+      // — deliberately, after investigating the apparent knife edge: one
+      // might expect a purchase with event time EXACTLY equal to the
+      // watermark to still arrive and legally serve a boundary view at
+      // wait == deadline. It cannot: Spark's late-event filter drops rows
+      // with ts <= watermark (WatermarkSupport.watermarkExpression builds
+      // LessThanOrEqual(eventTime, wm) — verified against the Spark 4.1.2
+      // bytecode), so every row this processor will ever see has ts > wm,
+      // and a view with us + deadline == wm can only ever fold at
+      // wait > deadline. Expiring it here is final, not premature;
+      // StreamingSpec's knife-edge test pins the coupled semantics and
+      // fails loudly if a Spark upgrade changes the late predicate.
       while (q.nonEmpty && q.head.us + deadlineUs <= wmUs) {
         expire(q.head); q = q.tail
       }

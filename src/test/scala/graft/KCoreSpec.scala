@@ -30,12 +30,15 @@ class KCoreSpec extends SparkSpecBase {
     } finally { r8.unpersist(); () }
   }
 
-  test("reliable-checkpoint mode peels identical cores to local mode") {
+  test("reliable-checkpoint mode peels identical cores to local mode, " +
+       "deletes superseded rounds' files, and restores the prior dir") {
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id").as("id"), split(col("text"), " ").as("toks"))
     val pairs = graft.functions.MinHashLSH.verifiedPairs(toks, 0.8)
       .select("id_a", "id_b").localCheckpoint(true)
     val ckptDir = java.nio.file.Files.createTempDirectory("kcore-ckpt").toString
+    val priorDir = java.nio.file.Files.createTempDirectory("kcore-prior").toString
+    spark.sparkContext.setCheckpointDir(priorDir)
     val local = TextOps.x186KCoreFrom(spark, sfDir, pairs)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val reliable = TextOps.x186KCoreFrom(spark, sfDir, pairs,
@@ -43,8 +46,21 @@ class KCoreSpec extends SparkSpecBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(local.nonEmpty && reliable === local,
       "reliable-checkpoint peel diverged from local-checkpoint peel")
-    // the reliable mode actually wrote round files (executor-loss survival)
-    val wrote = new java.io.File(ckptDir).listFiles
-    assert(wrote != null && wrote.nonEmpty, "no reliable checkpoint files written")
+    // release discipline: only the SURVIVING round's checkpoint files remain
+    // (superseded rounds deleted the moment their successor materialized)
+    def rddDirs(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        (if (f.getName.startsWith("rdd-")) Seq(f) else Nil) ++
+          Option(f.listFiles).toSeq.flatten.flatMap(rddDirs)
+      else Nil
+    val remaining = rddDirs(new java.io.File(ckptDir))
+    assert(remaining.size === 1,
+      s"expected exactly the surviving round's checkpoint, found $remaining")
+    // session-global setCheckpointDir side effect undone (getCheckpointDir
+    // returns an fs-qualified path — compare on the dir name)
+    assert(spark.sparkContext.getCheckpointDir
+        .exists(_.contains(new java.io.File(priorDir).getName)),
+      s"prior checkpoint dir was not restored after the reliable peel " +
+        s"(now ${spark.sparkContext.getCheckpointDir})")
   }
 }

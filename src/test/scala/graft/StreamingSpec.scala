@@ -1231,4 +1231,50 @@ class StreamingSpec extends SparkSpecBase {
         (4L, -1L, deadline, false)), s"deadline automaton drifted: $got")
     }
   }
+
+  test("ST31 knife edge: boundary-inclusive expiry (us + deadline <= wm) is " +
+       "FINAL because Spark late-drops equal-time rows (ts <= wm)") {
+    // The apparent hazard: a purchase with event time EXACTLY equal to the
+    // watermark would legally serve a boundary view at wait == deadline, so
+    // expiring that view at us + deadline == wm looks premature. It is not:
+    // Spark's late filter is LessThanOrEqual(eventTime, wm) (verified in
+    // the 4.1.2 WatermarkSupport bytecode) — the equal-time purchase below
+    // is dropped before the processor sees it, the boundary view is
+    // genuinely unservable, and the <= expiry is exactly aligned. If a
+    // Spark upgrade flips the late predicate to strict <, this test FAILS
+    // (the purchase would arrive and serve) and the expiry rule must flip
+    // to strict < with it — the coupling is the thing under test.
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    withRocksDb {
+      val deadline = 6L * 3600L * 1000000L
+      val input = MemoryStream[StreamOps.CepEvent]
+      val q = StreamOps.fifoMatchesDeadline(input.toDS(), deadline).toDF()
+        .writeStream.format("memory").queryName("st31c").outputMode("append").start()
+      def ev(u: Long, id: Long, ts: String, kind: String) = StreamOps.CepEvent(
+        u, id, Timestamp.valueOf(s"2024-01-01 $ts"), kind)
+      // batch 1: v1@00:00; a foreign 07:00 event pushes the watermark
+      // (delay 1h) to EXACTLY 06:00 = v1.us + deadline
+      input.addData(ev(9, 1, "00:00:00", "view"), ev(-5, 99, "07:00:00", "view"))
+      q.processAllAvailable()
+      // batch 2: another key-9 row forces a drain at wm == 06:00, expiring
+      // v1 at the inclusive boundary; v3@07:00 keeps the watermark fixed
+      input.addData(ev(9, 3, "07:00:00", "view"))
+      q.processAllAvailable()
+      // batch 3: the equal-time purchase — late-dropped by Spark (ts <= wm),
+      // so it must serve nothing and be wasted
+      input.addData(ev(9, 2, "06:00:00", "purchase"))
+      q.processAllAvailable()
+      input.addData(StreamOps.CepEvent(-1L, -1L,
+        Timestamp.valueOf("2026-01-01 00:00:00"), "view"))
+      q.processAllAvailable()
+      q.stop()
+      val got = spark.table("st31c").filter(col("user_id") === 9L).collect()
+        .map(r => (r.getLong(1), r.getLong(3), r.getLong(4), r.getBoolean(5))).toSet
+      assert(got === Set(
+        (1L, -1L, deadline, false),
+        (3L, -1L, deadline, false)),
+        s"knife-edge semantics drifted (did Spark's late predicate change?): $got")
+    }
+  }
 }
