@@ -39,12 +39,32 @@ class VectorStore(spark: SparkSession, dir: String) {
   /** Build the store from a (vec_id, embedding) corpus: derive + persist
     * the codebook, assign cells, write the partitioned layout. */
   def build(src: DataFrame): Unit = {
+    // a rebuild resets the ingest protocol: stale fence watermarks or
+    // staged/ready dirs from a previous store here must not leak in
+    val fsys = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val rootP = new org.apache.hadoop.fs.Path(dir)
+    if (fsys.exists(rootP))
+      fsys.listStatus(rootP).map(_.getPath)
+        .filter(q => q.getName.startsWith("_admitted_upto") ||
+                     q.getName.startsWith("_append_"))
+        .foreach(q => fsys.delete(q, true))
     val cents = VectorOps.seedCents(src)
     cents.write.mode("overwrite").parquet(centDir)
     VectorOps.assignCells(src, centroids)
       .withColumnRenamed("cluster", "cell")
       .write.partitionBy("cell").mode("overwrite").parquet(vecDir)
   }
+
+  /** Live-directory resolver for [[graft.sources.StagedAppend]]. */
+  private def liveFor(name: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$dir/$name")
+
+  /** Drain the staged-append protocol: publish committed-but-undrained
+    * batches (crash between commit and publish); writers also discard
+    * orphan stage dirs. Metadata-only when clean. */
+  private def healAppends(dropStages: Boolean): Seq[String] =
+    graft.sources.StagedAppend.heal(spark, dir, liveFor, dropStages)
 
   /** Incrementally index a new (vec_id, embedding) batch against the
     * persisted codebook — new files in existing cell directories only.
@@ -55,20 +75,42 @@ class VectorStore(spark: SparkSession, dir: String) {
     * double-indexes the batch on replay (duplicate rows at identical
     * distances would occupy duplicate rank positions at search time and
     * could displace the k-th distinct neighbor). Batch-mode callers omit
-    * it and keep plain append semantics. */
+    * it and keep plain append semantics.
+    *
+    * The append runs the [[graft.sources.StagedAppend]] two-phase
+    * protocol (round 12): the batch's cell files stage under the store
+    * root, one atomic rename commits them, the fence advances, then the
+    * files move into the live `cell=<id>/` directories — a crash at ANY
+    * point leaves either nothing (stage discarded, replay re-runs once)
+    * or a committed batch the next read/append/compact drains to
+    * completion (replay recognized by its `b<id>` token, never re-run).
+    * Partial batches are never served. */
   def append(batch: DataFrame, batchId: Option[Long] = None): Unit = {
-    if (batchId.exists(id => graft.sources.AdmitFence.admitted(spark, dir, id)))
-      return
     // heal an interrupted compact first: appending into an absent vecDir
     // would fork a fresh store and orphan every resident row
     val fsys = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    if (!fsys.exists(new org.apache.hadoop.fs.Path(vecDir))) recover(fsys)
+    recover(fsys)
+    healAppends(dropStages = true)
+    // the heal advanced the fence for any drained committed batch, so this
+    // one check covers every replay path — including our own batch
+    // committed by an attempt that crashed before its fence write
+    if (batchId.exists(id => graft.sources.AdmitFence.admitted(spark, dir, id)))
+      return
+    val token = batchId.map("b" + _).getOrElse("t" + java.lang.System.nanoTime())
+    stageAppend(batch, token)
+    graft.sources.StagedAppend.commit(spark, dir, token)
+    batchId.foreach(id => graft.sources.AdmitFence.advance(spark, dir, id))
+    graft.sources.StagedAppend.publish(spark, dir, token, liveFor)
+  }
+
+  /** Phase 1 of the append protocol (exposed for the crash-injection
+    * specs, which kill here or after the commit rename). */
+  private[graft] def stageAppend(batch: DataFrame, token: String): Unit =
     VectorOps.assignCells(batch, centroids)
       .withColumnRenamed("cluster", "cell")
-      .write.partitionBy("cell").mode("append").parquet(vecDir)
-    batchId.foreach(id => graft.sources.AdmitFence.advance(spark, dir, id))
-  }
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"${graft.sources.StagedAppend.stagePath(dir, token)}/vectors")
 
   /** Collapse append generations: each `append` lands one new file per
     * touched cell directory, so a long ingest tail decays into the
@@ -87,6 +129,9 @@ class VectorStore(spark: SparkSession, dir: String) {
     val fsys = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     recover(fsys) // heal an interrupted prior compact before staging anew
+    // drain committed appends: a compact from a store missing a committed
+    // pending batch would silently drop it from the rewrite
+    healAppends(dropStages = true)
     val root = new org.apache.hadoop.fs.Path(vecDir)
     val gen = java.lang.System.nanoTime()
     val staged = new org.apache.hadoop.fs.Path(s"$dir/vectors_compact_$gen")
@@ -130,11 +175,14 @@ class VectorStore(spark: SparkSession, dir: String) {
   def centroids: DataFrame = spark.read.parquet(centDir)
 
   /** The whole store as a queryable frame (cell partition column
-    * included), healing an interrupted compact first (see [[recover]]). */
+    * included), healing an interrupted compact first (see [[recover]])
+    * and draining any committed-but-unpublished append so a half-moved
+    * batch is never served partially. */
   def table: DataFrame = {
     val fsys = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     if (!fsys.exists(new org.apache.hadoop.fs.Path(vecDir))) recover(fsys)
+    healAppends(dropStages = false)
     spark.read.parquet(vecDir)
   }
 

@@ -68,6 +68,17 @@ object SignatureStore {
             buckets: Int = 8, p: MinHashLSH.Params = MinHashLSH.Params()): Unit = {
     spark.sql("DROP TABLE IF EXISTS sig_docs")
     spark.sql("DROP TABLE IF EXISTS sig_sets")
+    // a rebuild resets the ingest protocol: a stale fence watermark or
+    // staged/ready dir from a previous store at this path must not leak
+    // into the new one (a stale fence would silently skip early batches)
+    val fsys = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val rootP = new org.apache.hadoop.fs.Path(path)
+    if (fsys.exists(rootP))
+      fsys.listStatus(rootP).map(_.getPath)
+        .filter(q => q.getName.startsWith("_admitted_upto") ||
+                     q.getName.startsWith("_append_"))
+        .foreach(q => fsys.delete(q, true))
     MinHashLSH.hashedDocs(toks, p)
       .write.format("parquet")
       .option("path", s"$path/sig_docs")
@@ -80,6 +91,31 @@ object SignatureStore {
       .mode("overwrite").saveAsTable("sig_sets")
   }
 
+  /** Live-directory resolver for [[StagedAppend]]: each staged table name
+    * maps to its CURRENT catalog location (survives compaction's
+    * generation renames — resolution happens at publish time). */
+  private def sigLive(spark: SparkSession): String => org.apache.hadoop.fs.Path = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    name => new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(TableIdentifier(name)).location)
+  }
+
+  /** Drain the staged-append protocol (publish committed batches; writers
+    * also discard orphan stages) and refresh the catalog's file listings
+    * when anything moved. Metadata-only when there is nothing to heal —
+    * one listStatus of the store root. */
+  private def healAppends(spark: SparkSession, dropStages: Boolean): Seq[String] = {
+    val drained = StagedAppend.heal(spark, storeRoot(spark), sigLive(spark), dropStages)
+    if (drained.nonEmpty) {
+      import org.apache.spark.sql.catalyst.TableIdentifier
+      Seq("sig_docs", "sig_sets", "sig_splits").foreach { t =>
+        if (spark.sessionState.catalog.tableExists(TableIdentifier(t)))
+          spark.catalog.refreshTable(t)
+      }
+    }
+    drained
+  }
+
   /** The increment: near-dup pairs (batch id, corpus id) at `threshold`,
     * with every corpus-side artifact read from the store instead of
     * recomputed. Output identical to
@@ -87,33 +123,81 @@ object SignatureStore {
   def incrementPairs(spark: SparkSession, batch: DataFrame, threshold: Double,
                      p: MinHashLSH.Params = MinHashLSH.Params()): DataFrame = {
     healSwap(spark) // complete an interrupted compact's catalog swap
+    healAppends(spark, dropStages = false) // serve no half-published batch
     MinHashLSH.crossVerifiedFromHashed(
       MinHashLSH.hashedDocs(batch, p), MinHashLSH.tokenSets(batch),
       spark.table("sig_docs"), spark.table("sig_sets"), threshold)
   }
 
   /** Append a batch's signatures to the store — the admit step of the
-    * continuous-ingest loop. New parquet files land next to the existing
-    * ones: `sig_docs` grows by |batch| rows, `sig_sets` gets one more file
-    * per bucket (the bucket spec is read from the catalog and re-declared,
-    * which Spark validates against the existing table, so an append can
-    * never silently change the bucketing). The per-append cost is the
+    * continuous-ingest loop. Runs the [[StagedAppend]] two-phase protocol:
+    * every file stages under the store root, one atomic rename commits,
+    * then the files publish into the live tables — so a crash at ANY
+    * point inside the multi-file append leaves either nothing (stage
+    * discarded) or a committed batch the next reader drains to completion;
+    * partial batches are never served and a fenced replay can never
+    * double-append (the ready token carries the batch id). `sig_docs`
+    * grows by |batch| rows, `sig_sets` gets one more file per bucket (the
+    * staged write re-declares the catalog's bucket spec, so an append can
+    * never silently change the bucketing — bucket ids ride the staged
+    * FILE NAMES through the publish move). The per-append cost is the
     * per-row kernels over the BATCH only — the whole point of the store:
     * corpus work is never redone, at any corpus size. */
   def append(spark: SparkSession, toks: DataFrame,
-             p: MinHashLSH.Params = MinHashLSH.Params()): Unit = {
+             p: MinHashLSH.Params = MinHashLSH.Params()): Unit =
+    appendStaged(spark, toks, p, splits = None, batchId = None)
+
+  /** The full staged-append cycle; `splits` rides the same stage/commit/
+    * publish as the signatures so [[routeAndAdmit]]'s split rows can never
+    * land without their signatures (or twice). */
+  private[graft] def appendStaged(spark: SparkSession, toks: DataFrame,
+                                  p: MinHashLSH.Params,
+                                  splits: Option[DataFrame],
+                                  batchId: Option[Long]): Unit = {
     healSwap(spark) // an append into a half-swapped catalog would fork
+    val root = storeRoot(spark)
+    healAppends(spark, dropStages = true)
+    // the heal advanced the fence for any drained committed batch, so this
+    // one check covers every replay path — including our own batch
+    // committed by an attempt that crashed before its fence write
+    if (batchId.exists(id => AdmitFence.admitted(spark, root, id))) return
+    val token = batchId.map("b" + _).getOrElse("t" + java.lang.System.nanoTime())
+    stageAppend(spark, root, token, toks, p, splits)
+    StagedAppend.commit(spark, root, token)
+    batchId.foreach(id => AdmitFence.advance(spark, root, id))
+    StagedAppend.publish(spark, root, token, sigLive(spark))
+    spark.catalog.refreshTable("sig_docs")
+    spark.catalog.refreshTable("sig_sets")
+    if (splits.isDefined) spark.catalog.refreshTable("sig_splits")
+  }
+
+  /** Phase 1 of the protocol: write the batch's files under the stage dir
+    * (exposed for the crash-injection specs, which kill the append here
+    * or after [[StagedAppend.commit]] and assert convergence). */
+  private[graft] def stageAppend(spark: SparkSession, root: String,
+                                   token: String, toks: DataFrame,
+                                   p: MinHashLSH.Params,
+                                   splits: Option[DataFrame]): Unit = {
+    val stage = StagedAppend.stagePath(root, token).toString
     val spec = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("sig_sets"))
       .bucketSpec
       .getOrElse(sys.error("sig_sets lost its bucket spec; rebuild the store"))
     MinHashLSH.hashedDocs(toks, p)
-      .write.format("parquet").mode("append").saveAsTable("sig_docs")
+      .write.mode("overwrite").parquet(s"$stage/sig_docs")
+    // bucketed staging rides a throwaway EXTERNAL table: the bucket id is
+    // encoded in each file's NAME, so the files stay a valid extension of
+    // the live bucketed table after the publish move; dropping the table
+    // leaves the staged files in place
+    spark.sql("DROP TABLE IF EXISTS sig_sets_stage")
     MinHashLSH.tokenSets(toks)
       .repartition(spec.numBuckets, col("id"))
       .write.format("parquet")
       .bucketBy(spec.numBuckets, "id").sortBy("id")
-      .mode("append").saveAsTable("sig_sets")
+      .option("path", s"$stage/sig_sets")
+      .mode("overwrite").saveAsTable("sig_sets_stage")
+    spark.sql("DROP TABLE sig_sets_stage")
+    splits.foreach(_.write.mode("overwrite").parquet(s"$stage/sig_splits"))
   }
 
   /** One cycle of the continuous-ingest dedup loop: compute the batch's
@@ -139,12 +223,16 @@ object SignatureStore {
     * already completed ([[AdmitFence]] watermark beside the store) is not
     * re-run — the pairs come back from the durable sink (written BEFORE
     * the fence ever advances, so a fenced batch's pairs always exist) and
-    * the store does not grow. The fence write sits strictly after the
-    * append, so the double-append window shrinks from "any crash between
-    * the sink write and the checkpoint commit" to "a crash inside the
-    * append's own multi-file write" (closing that needs a transactional
-    * manifest — see AdmitFence's scaladoc). Batch-mode callers omit
-    * `batchId` and keep the unfenced semantics. */
+    * the store does not grow. The append itself runs the [[StagedAppend]]
+    * two-phase protocol (round 12 — closing the residual window the r11
+    * fence scaladoc named): the batch's files stage beside the store, one
+    * atomic rename commits them, the fence advances, and only then do the
+    * files move into the live tables — so a crash at ANY point yields
+    * either "batch never happened" (stage discarded, fence unmoved,
+    * replay re-runs once) or "batch committed" (ready dir drained by the
+    * next reader/writer, replay recognized by its token and not re-run).
+    * Partial batches are never served. Batch-mode callers omit `batchId`
+    * and keep unfenced (but still stage-committed) semantics. */
   def admit(spark: SparkSession, batch: DataFrame, threshold: Double,
             pairsDir: String,
             p: MinHashLSH.Params = MinHashLSH.Params(),
@@ -153,6 +241,7 @@ object SignatureStore {
     // sig_docs is absent from the catalog and the fence check's metadata
     // lookup would throw on every restart retry — the one caller that
     // could never reach the heal it needs (r11 ADVICE)
+    healAppends(spark, dropStages = false) // drain even on the fenced path
     def readPairs = spark.read.schema("id_a BIGINT, id_b BIGINT, j DOUBLE")
       .parquet(pairsDir)
     if (batchId.exists(id => AdmitFence.admitted(spark, storeRoot(spark), id)))
@@ -162,8 +251,7 @@ object SignatureStore {
     val pairs = readPairs
     val novel = batch.join(pairs.select(col("id_a").as("id")).distinct(),
                            Seq("id"), "left_anti")
-    append(spark, novel, p)
-    batchId.foreach(id => AdmitFence.advance(spark, storeRoot(spark), id))
+    appendStaged(spark, novel, p, splits = None, batchId = batchId)
     pairs
   }
 
@@ -207,6 +295,7 @@ object SignatureStore {
                     p: MinHashLSH.Params = MinHashLSH.Params(),
                     batchId: Option[Long] = None): DataFrame = {
     healSwap(spark) // before storeRoot — same restart-retry heal as admit
+    healAppends(spark, dropStages = false)
     def readRouted = spark.read
       .schema("id BIGINT, match_id BIGINT, matched INT, split STRING")
       .parquet(outDir)
@@ -226,10 +315,13 @@ object SignatureStore {
       .write.mode("overwrite").parquet(outDir)
     val routed = readRouted
     val novelIds = routed.filter(col("matched") === 0).select("id")
-    append(spark, batch.join(novelIds, Seq("id"), "left_semi"), p)
-    routed.filter(col("matched") === 0).select(col("id"), col("split"))
-      .write.format("parquet").mode("append").saveAsTable("sig_splits")
-    batchId.foreach(id => AdmitFence.advance(spark, storeRoot(spark), id))
+    // one staged cycle for signatures AND splits: either both publish or
+    // neither — split rows can never land without their signatures (or
+    // twice on a fenced replay)
+    appendStaged(spark, batch.join(novelIds, Seq("id"), "left_semi"), p,
+      splits = Some(routed.filter(col("matched") === 0)
+        .select(col("id"), col("split"))),
+      batchId = batchId)
     routed
   }
 
@@ -248,6 +340,9 @@ object SignatureStore {
   def compact(spark: SparkSession, path: String): Unit = {
     import org.apache.spark.sql.catalyst.TableIdentifier
     healSwap(spark) // complete an interrupted prior swap before staging
+    // drain committed appends first — a compact from a store missing a
+    // committed pending batch would silently drop it from the rewrite
+    healAppends(spark, dropStages = true)
     val cat = spark.sessionState.catalog
     def loc(t: String) = new org.apache.hadoop.fs.Path(
       cat.getTableMetadata(TableIdentifier(t)).location)

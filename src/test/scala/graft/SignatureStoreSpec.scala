@@ -196,4 +196,70 @@ class SignatureStoreSpec extends SparkSpecBase {
     assert(p3 === Seq((40L, 30L, 1.0)))
     assert(spark.table("sig_docs").count() === 2) // matched -> not admitted
   }
+
+  private def docsOf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("id", "text").select(col("id"), split(col("text"), " ").as("toks"))
+  }
+
+  test("mid-append crash BEFORE the commit rename: partial files are never " +
+       "served, the orphan stage is discarded, the replay appends exactly once") {
+    val storeDir = tmp("store-stagecrash")
+    SignatureStore.write(spark, docsOf(1L -> "alpha beta gamma delta epsilon"), storeDir)
+    val b = docsOf(50L -> "zeta eta theta iota kappa",
+                   51L -> "alpha beta gamma delta epsilon")
+    // the append dies mid-stage-write: files present under the stage dir,
+    // nothing committed, fence unmoved
+    SignatureStore.stageAppend(spark, storeDir, "b0",
+      docsOf(50L -> "zeta eta theta iota kappa"),
+      MinHashLSH.Params(), splits = None)
+    assert(new java.io.File(storeDir).listFiles
+      .exists(_.getName.startsWith("_append_stage_")), "injection failed")
+    // reads serve exactly the pre-crash store — the staged files are invisible
+    assert(spark.table("sig_docs").count() === 1)
+    assert(SignatureStore.incrementPairs(spark,
+      docsOf(60L -> "zeta eta theta iota kappa"), 0.8).count() === 0,
+      "a reader saw the dead append's partial files")
+    // the replayed cycle discards the orphan and converges to one append
+    val p = pairsOf(SignatureStore.admit(spark, b, 0.8, tmp("sc-pairs"),
+      batchId = Some(0L)))
+    assert(p === Seq((51L, 1L, 1.0)))
+    assert(spark.table("sig_docs").count() === 2, "replay did not append exactly once")
+    assert(!new java.io.File(storeDir).listFiles
+      .exists(_.getName.startsWith("_append_stage_")), "orphan stage not discarded")
+  }
+
+  test("mid-append crash AFTER the commit rename: the next access drains the " +
+       "whole batch (never a partial), fences it, and the replay is a no-op") {
+    val storeDir = tmp("store-commitcrash")
+    SignatureStore.write(spark, docsOf(1L -> "alpha beta gamma delta epsilon"), storeDir)
+    val sink = tmp("cc-pairs")
+    val b = docsOf(50L -> "zeta eta theta iota kappa",
+                   51L -> "alpha beta gamma delta epsilon")
+    // replicate admit's pre-crash work: durable pairs sink, stage, COMMIT —
+    // then die before the fence write and before any publish move
+    SignatureStore.incrementPairs(spark, b, 0.8)
+      .write.mode("overwrite").parquet(sink)
+    SignatureStore.stageAppend(spark, storeDir, "b0",
+      docsOf(50L -> "zeta eta theta iota kappa"),
+      MinHashLSH.Params(), splits = None)
+    graft.sources.StagedAppend.commit(spark, storeDir, "b0")
+    // a plain READER drains the committed batch to completion: the full
+    // batch becomes visible atomically (never a partial subset) and the
+    // drain advances the fence — committed must imply admitted
+    val viaStore = pairsOf(SignatureStore.incrementPairs(spark,
+      docsOf(60L -> "zeta eta theta iota kappa"), 0.8))
+    assert(viaStore === Seq((60L, 50L, 1.0)),
+      "committed batch was not drained for a reader")
+    assert(spark.table("sig_docs").count() === 2)
+    assert(graft.sources.AdmitFence.admitted(spark, storeDir, 0L),
+      "draining a committed fenced batch must advance the fence")
+    // the replayed admit is a pure no-op serving the durable pairs back
+    val p = pairsOf(SignatureStore.admit(spark, b, 0.8, sink, batchId = Some(0L)))
+    assert(p === Seq((51L, 1L, 1.0)))
+    assert(spark.table("sig_docs").count() === 2,
+      "replay after the commit double-appended")
+    assert(!new java.io.File(storeDir).listFiles
+      .exists(_.getName.startsWith("_append_ready_")), "ready dir not cleaned")
+  }
 }

@@ -196,4 +196,51 @@ class VectorStoreSpec extends SparkSpecBase {
     store.append(b1)
     assert(store.table.count() === n1 + b2.count() + b1.count())
   }
+
+  test("mid-append crash BEFORE the commit rename: partial files invisible, " +
+       "orphan stage discarded, replay appends exactly once") {
+    val (store, dir) = freshStore()
+    store.build(corpus.filter(col("vec_id") >= 10))
+    val before = store.table.count()
+    val b1 = corpus.filter(col("vec_id") < 10)
+    // the append dies mid-stage-write
+    store.stageAppend(b1, "b0")
+    assert(new java.io.File(dir).listFiles
+      .exists(_.getName.startsWith("_append_stage_")), "injection failed")
+    assert(store.table.count() === before,
+      "a reader saw the dead append's partial files")
+    // the replayed append discards the orphan and lands the batch once
+    store.append(b1, batchId = Some(0L))
+    assert(store.table.count() === before + 10)
+    assert(!new java.io.File(dir).listFiles
+      .exists(_.getName.startsWith("_append_stage_")), "orphan stage not discarded")
+    // and the fenced replay after convergence is still a no-op
+    store.append(b1, batchId = Some(0L))
+    assert(store.table.count() === before + 10)
+  }
+
+  test("mid-append crash AFTER the commit rename: the next read drains the " +
+       "whole batch, fences it, and the replay is a no-op") {
+    val (store, dir) = freshStore()
+    store.build(corpus.filter(col("vec_id") >= 10))
+    val before = store.table.count()
+    val b1 = corpus.filter(col("vec_id") < 10)
+    // stage + COMMIT, then die before the fence write and the publish move
+    store.stageAppend(b1, "b0")
+    graft.sources.StagedAppend.commit(spark, dir, "b0")
+    // a plain read drains the committed batch to completion and fences it
+    assert(store.table.count() === before + 10,
+      "committed batch was not drained for a reader")
+    assert(graft.sources.AdmitFence.admitted(spark, dir, 0L),
+      "draining a committed fenced batch must advance the fence")
+    assert(!new java.io.File(dir).listFiles
+      .exists(_.getName.startsWith("_append_ready_")), "ready dir not cleaned")
+    // the replayed append must recognize the fence and append nothing
+    store.append(b1, batchId = Some(0L))
+    assert(store.table.count() === before + 10,
+      "replay after the commit double-appended")
+    // appended rows are searchable and cell-assigned like a normal append
+    val res = store.searchContractProbes().groupBy("probe_id").count().collect()
+    assert(res.nonEmpty && res.forall(_.getLong(1) === 5))
+  }
 }
