@@ -38,7 +38,8 @@ class VectorStore(spark: SparkSession, dir: String) {
 
   /** Build the store from a (vec_id, embedding) corpus: derive + persist
     * the codebook, assign cells, write the partitioned layout. */
-  def build(src: DataFrame): Unit = {
+  def build(src: DataFrame): Unit =
+      graft.sources.WriterLease.withLease(spark, dir) {
     // a rebuild resets the ingest protocol: stale fence watermarks or
     // staged/ready dirs from a previous store here must not leak in
     val fsys = org.apache.hadoop.fs.FileSystem
@@ -85,7 +86,8 @@ class VectorStore(spark: SparkSession, dir: String) {
     * or a committed batch the next read/append/compact drains to
     * completion (replay recognized by its `b<id>` token, never re-run).
     * Partial batches are never served. */
-  def append(batch: DataFrame, batchId: Option[Long] = None): Unit = {
+  def append(batch: DataFrame, batchId: Option[Long] = None): Unit =
+      graft.sources.WriterLease.withLease(spark, dir) {
     // heal an interrupted compact first: appending into an absent vecDir
     // would fork a fresh store and orphan every resident row
     val fsys = org.apache.hadoop.fs.FileSystem.get(
@@ -95,13 +97,13 @@ class VectorStore(spark: SparkSession, dir: String) {
     // the heal advanced the fence for any drained committed batch, so this
     // one check covers every replay path — including our own batch
     // committed by an attempt that crashed before its fence write
-    if (batchId.exists(id => graft.sources.AdmitFence.admitted(spark, dir, id)))
-      return
-    val token = batchId.map("b" + _).getOrElse("t" + java.lang.System.nanoTime())
-    stageAppend(batch, token)
-    graft.sources.StagedAppend.commit(spark, dir, token)
-    batchId.foreach(id => graft.sources.AdmitFence.advance(spark, dir, id))
-    graft.sources.StagedAppend.publish(spark, dir, token, liveFor)
+    if (!batchId.exists(id => graft.sources.AdmitFence.admitted(spark, dir, id))) {
+      val token = batchId.map("b" + _).getOrElse("t" + java.lang.System.nanoTime())
+      stageAppend(batch, token)
+      graft.sources.StagedAppend.commit(spark, dir, token)
+      batchId.foreach(id => graft.sources.AdmitFence.advance(spark, dir, id))
+      graft.sources.StagedAppend.publish(spark, dir, token, liveFor)
+    }
   }
 
   /** Phase 1 of the append protocol (exposed for the crash-injection
@@ -125,7 +127,8 @@ class VectorStore(spark: SparkSession, dir: String) {
     * codebook is untouched — compaction never changes assignments, so
     * reads through [[searchTopK]] are equal before and after
     * (VectorStoreSpec pins read-equality and the file-count collapse). */
-  def compact(): Unit = {
+  def compact(): Unit =
+      graft.sources.WriterLease.withLease(spark, dir) {
     val fsys = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     recover(fsys) // heal an interrupted prior compact before staging anew

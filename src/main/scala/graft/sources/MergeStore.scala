@@ -48,7 +48,8 @@ object MergeStore {
   private def bucketOf(buckets: Int) = pmod(col("doc_id"), lit(buckets.toLong))
 
   /** Initial load: hash-bucket `docs` by doc_id into the layout. */
-  def write(docs: DataFrame, dir: String, buckets: Int = 16): Unit = {
+  def write(docs: DataFrame, dir: String, buckets: Int = 16): Unit =
+      WriterLease.withLease(docs.sparkSession, dir) {
     docs.withColumn("bucket", bucketOf(buckets))
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(dir)
@@ -73,7 +74,8 @@ object MergeStore {
     * doc_id), `deleteIds` = single-column `doc_id` frame to remove.
     * One job over the changed buckets only. */
   def merge(spark: SparkSession, dir: String,
-            upserts: DataFrame, deleteIds: DataFrame): Unit = {
+            upserts: DataFrame, deleteIds: DataFrame): Unit =
+      WriterLease.withLease(spark, dir) {
     val buckets = bucketCount(spark, dir)
     val touched = upserts.select(bucketOf(buckets).as("bucket"))
       .union(deleteIds.select(bucketOf(buckets).as("bucket")))

@@ -44,7 +44,8 @@ class PostingsStore(spark: SparkSession, dir: String) {
       .withColumn("tb", pmod(xxhash64(col("term")), lit(buckets.toLong)))
   }
 
-  def build(docs: DataFrame, buckets: Int = 64): Unit = {
+  def build(docs: DataFrame, buckets: Int = 64): Unit =
+      WriterLease.withLease(spark, dir) {
     postingsOf(docs, buckets)
       .repartition(col("tb"))
       .sortWithinPartitions("term", "doc_id")
@@ -67,7 +68,8 @@ class PostingsStore(spark: SparkSession, dir: String) {
     * under replay (a re-appended batch doubles its tf rows) — retrying
     * callers need external coordination; the exactly-once continuous
     * path is ST27's file-sink ingest, whose manifest closes that window. */
-  def append(docs: DataFrame): Unit = {
+  def append(docs: DataFrame): Unit =
+      WriterLease.withLease(spark, dir) {
     // heal an interrupted compact first: appending into an absent
     // postings/ would fork a fresh index and orphan every resident row
     if (!fsys.exists(new org.apache.hadoop.fs.Path(s"$dir/postings"))) recover()
@@ -161,7 +163,8 @@ class PostingsStore(spark: SparkSession, dir: String) {
         .foreach(p => fsys.delete(p, true))
   }
 
-  def compact(): Unit = {
+  def compact(): Unit =
+      WriterLease.withLease(spark, dir) {
     recover()
     val root = new org.apache.hadoop.fs.Path(s"$dir/postings")
     val gen = java.lang.System.nanoTime()

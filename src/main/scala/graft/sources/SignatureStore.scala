@@ -65,7 +65,8 @@ object SignatureStore {
     * under `path`. Idempotent (overwrites). `toks`: (id, toks) with the
     * same tokenization later increments will use. */
   def write(spark: SparkSession, toks: DataFrame, path: String,
-            buckets: Int = 8, p: MinHashLSH.Params = MinHashLSH.Params()): Unit = {
+            buckets: Int = 8, p: MinHashLSH.Params = MinHashLSH.Params()): Unit =
+      WriterLease.withLease(spark, path) {
     spark.sql("DROP TABLE IF EXISTS sig_docs")
     spark.sql("DROP TABLE IF EXISTS sig_sets")
     // a rebuild resets the ingest protocol: a stale fence watermark or
@@ -156,19 +157,22 @@ object SignatureStore {
                                   batchId: Option[Long]): Unit = {
     healSwap(spark) // an append into a half-swapped catalog would fork
     val root = storeRoot(spark)
-    healAppends(spark, dropStages = true)
-    // the heal advanced the fence for any drained committed batch, so this
-    // one check covers every replay path — including our own batch
-    // committed by an attempt that crashed before its fence write
-    if (batchId.exists(id => AdmitFence.admitted(spark, root, id))) return
-    val token = batchId.map("b" + _).getOrElse("t" + java.lang.System.nanoTime())
-    stageAppend(spark, root, token, toks, p, splits)
-    StagedAppend.commit(spark, root, token)
-    batchId.foreach(id => AdmitFence.advance(spark, root, id))
-    StagedAppend.publish(spark, root, token, sigLive(spark))
-    spark.catalog.refreshTable("sig_docs")
-    spark.catalog.refreshTable("sig_sets")
-    if (splits.isDefined) spark.catalog.refreshTable("sig_splits")
+    WriterLease.withLease(spark, root) {
+      healAppends(spark, dropStages = true)
+      // the heal advanced the fence for any drained committed batch, so
+      // this one check covers every replay path — including our own batch
+      // committed by an attempt that crashed before its fence write
+      if (!batchId.exists(id => AdmitFence.admitted(spark, root, id))) {
+        val token = batchId.map("b" + _).getOrElse("t" + java.lang.System.nanoTime())
+        stageAppend(spark, root, token, toks, p, splits)
+        StagedAppend.commit(spark, root, token)
+        batchId.foreach(id => AdmitFence.advance(spark, root, id))
+        StagedAppend.publish(spark, root, token, sigLive(spark))
+        spark.catalog.refreshTable("sig_docs")
+        spark.catalog.refreshTable("sig_sets")
+        if (splits.isDefined) spark.catalog.refreshTable("sig_splits")
+      }
+    }
   }
 
   /** Phase 1 of the protocol: write the batch's files under the stage dir
@@ -261,7 +265,8 @@ object SignatureStore {
     * router ([[routeAndAdmit]]) consults and extends this table. */
   def writeRouted(spark: SparkSession, toks: DataFrame, path: String,
                   buckets: Int = 8, threshold: Double = 0.8,
-                  p: MinHashLSH.Params = MinHashLSH.Params()): Unit = {
+                  p: MinHashLSH.Params = MinHashLSH.Params()): Unit =
+      WriterLease.withLease(spark, path) {
     write(spark, toks, path, buckets, p)
     spark.sql("DROP TABLE IF EXISTS sig_splits")
     val pairs = MinHashLSH.verifiedPairs(toks, threshold)
@@ -337,7 +342,8 @@ object SignatureStore {
     * compact's DROP IF EXISTS). Same single-writer assumption as
     * BucketedLayout's day swap, and the same brief window: between the
     * DROP and the RENAME the table name is absent from the catalog. */
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(spark: SparkSession, path: String): Unit =
+      WriterLease.withLease(spark, path) {
     import org.apache.spark.sql.catalyst.TableIdentifier
     healSwap(spark) // complete an interrupted prior swap before staging
     // drain committed appends first — a compact from a store missing a

@@ -94,7 +94,8 @@ class VersionedStore(spark: SparkSession, dir: String) {
       readFile(mpath(s"v$v.schema"))).asInstanceOf[org.apache.spark.sql.types.StructType])
 
   /** Initial load: everything lands in gen 0, manifest v0. */
-  def write(docs: DataFrame, nBuckets: Int = 16): Unit = {
+  def write(docs: DataFrame, nBuckets: Int = 16): Unit =
+      WriterLease.withLease(spark, dir) {
     docs.withColumn("bucket", bucketOf(nBuckets))
       .repartition(col("bucket"))
       .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/gen=0")
@@ -125,7 +126,8 @@ class VersionedStore(spark: SparkSession, dir: String) {
 
   /** Copy-on-write merge → a NEW published version; never touches
     * resident files. Returns the committed version number. */
-  def merge(upserts: DataFrame, deleteIds: DataFrame): Long = {
+  def merge(upserts: DataFrame, deleteIds: DataFrame): Long =
+      WriterLease.withLease(spark, dir) {
     val n = buckets
     val v = currentVersion
     val manifest = readManifest(v)
@@ -191,7 +193,8 @@ class VersionedStore(spark: SparkSession, dir: String) {
     * one atomic pointer rename; concurrent pinned readers and time
     * travel to pre-compact versions are untouched (their gens are
     * immutable until vacuumed). */
-  def compact(): Long = {
+  def compact(): Long =
+      WriterLease.withLease(spark, dir) {
     val v = currentVersion
     val newV = v + 1
     val snap = read(Some(v))
@@ -237,7 +240,8 @@ class VersionedStore(spark: SparkSession, dir: String) {
 
   /** Delete gen dirs referenced by NO retained version (the newest
     * `keep` versions survive). Returns the deleted gen ids. */
-  def vacuum(keep: Int = 2): Seq[Long] = {
+  def vacuum(keep: Int = 2): Seq[Long] =
+      WriterLease.withLease(spark, dir) {
     val cur = currentVersion
     val retained = (math.max(0L, cur - keep + 1) to cur)
     val live = retained.flatMap(v => readManifest(v).values).toSet
