@@ -273,16 +273,102 @@ object VectorOps {
     * partition-blind; no per-vector window over the edge set. Then the
     * reciprocal self-equi-join runs on n top-1 rows. */
   private[graft] def mutualTop1(directed: DataFrame): DataFrame = {
-    val nn = directed
-      .groupBy("id_a")
-      .agg(max(struct(col("cos"), (-col("id_b")).as("nid"),
-        col("id_b").as("id_b"))).as("m"))
-      .select(col("id_a"), col("m.id_b").as("nn"), col("m.cos").as("cos"))
+    val nn = top1(directed)
     val back = nn.select(col("id_a").as("y_id"), col("nn").as("y_nn"))
     nn.join(back, col("nn") === col("y_id") && col("y_nn") === col("id_a"))
       .filter(col("id_a") < col("nn"))
       .select(col("id_a"), col("nn").as("id_b"), col("cos"))
   }
+
+  /** The per-source argmax shared by [[mutualTop1]] and the recall gate:
+    * (id_a, nn, cos) with ties broken to the LOWEST neighbor id on the
+    * ROUNDED cosine — map-side combinable, partition-blind. */
+  private def top1(directed: DataFrame): DataFrame =
+    directed.groupBy("id_a")
+      .agg(max(struct(col("cos"), (-col("id_b")).as("nid"),
+        col("id_b").as("id_b"))).as("m"))
+      .select(col("id_a"), col("m.id_b").as("nn"), col("m.cos").as("cos"))
+
+  /** The nprobe AUTO-ARBITER's measurement core — the x148 symmetry of
+    * x171's candidate-volume probe (r11 verdict item 3): measured top-1
+    * recall of the IVF candidate front end against the exact path, over a
+    * DETERMINISTIC probe sample (every ⌈n/sampleMax⌉-th vec_id — no RNG,
+    * stable at any parallelism). Walks `candidates` ASCENDING and stops at
+    * the first nprobe whose sampled recall meets `recallBar`, so the cheap
+    * settings are priced first and the walk costs one candidate-join per
+    * measured point. Cost model: the exact reference is ONE corpus scan
+    * with the ≤sampleMax-row sample broadcast (|sample|·n cheap edges,
+    * argmax map-side); the per-np pass reuses one materialized cell
+    * assignment. Recall estimates converge at a few hundred probes
+    * regardless of corpus size (the x37 sampling argument), which is what
+    * makes the gate affordable at 100 TB: the probe is |sample|·n work,
+    * never n².
+    *
+    * Returns (chosen nprobe if any met the bar, the measured curve). */
+  private[graft] def x148ChooseNprobe(corpus: DataFrame,
+      candidates: Seq[Int] = Seq(2, 4, 8, 16), sampleMax: Int = 500,
+      recallBar: Double = 0.98): (Option[Int], Seq[(Int, Double)]) = {
+    val n = corpus.count()
+    if (n < 2) return (candidates.headOption, Nil)
+    val step = math.max(1L, n / sampleMax)
+    val sample = corpus.filter(pmod(col("vec_id"), lit(step)) === 0L)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+      .localCheckpoint(true) // ≤ sampleMax+ rows; probed once per np below
+    val exactTop = top1(
+      corpus.join(broadcast(sample), col("vec_id") =!= col("probe_id"))
+        .select(col("probe_id").as("id_a"), col("vec_id").as("id_b"),
+          dround(cosine(col("p_emb"), col("embedding")), 4).as("cos")))
+      .select(col("id_a"), col("nn")).localCheckpoint(true)
+    val total = exactTop.count().toDouble
+    val cents = seedCents(corpus)
+    val assigned = assignCells(corpus, cents)
+      .localCheckpoint(true) // ONE corpus assignment, reused across the walk
+    val curve = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+    var chosen: Option[Int] = None
+    val it = candidates.sorted.iterator
+    while (chosen.isEmpty && it.hasNext) {
+      val np = it.next()
+      val ivfTop = top1(
+        assigned.join(broadcast(probeClusters(cents, sample, np)), Seq("cluster"))
+          .filter(col("vec_id") =!= col("probe_id"))
+          .select(col("probe_id").as("id_a"), col("vec_id").as("id_b"),
+            dround(cosine(col("p_emb"), col("embedding")), 4).as("cos")))
+        .select(col("id_a"), col("nn").as("ivf_nn"))
+      val hits = exactTop.join(ivfTop, Seq("id_a"))
+        .filter(col("nn") === col("ivf_nn")).count()
+      val recall = if (total == 0) 1.0 else hits / total
+      curve += ((np, recall))
+      if (recall >= recallBar) chosen = Some(np)
+    }
+    (chosen, curve.toSeq)
+  }
+
+  /** x148 with the candidate front end ARBITRATED per corpus — the
+    * executable form of the r11 finding that mutual-NN's production
+    * nprobe is corpus-dependent (np=16 exact-and-3×-faster-than-brute on
+    * the clustered regime, NO affordable np sufficient on isotropic data):
+    * run the sampled recall gate, take the cheapest nprobe meeting the
+    * bar, or fall back to the exact n² path when none does. The
+    * x171AutoEditDistance symmetry, closing the "documented knob, not an
+    * executable arbiter" gap. */
+  private[graft] def x148AutoFrom(s: SparkSession, wideCorpus: DataFrame,
+      narrow: DataFrame, candidates: Seq[Int] = Seq(2, 4, 8, 16),
+      recallBar: Double = 0.98): (DataFrame, Option[Int]) = {
+    val (np, _) = x148ChooseNprobe(narrow, candidates, recallBar = recallBar)
+    val edges = np match {
+      case Some(k) => mutualIvfEdges(wideCorpus, narrow, k)
+      case None    => mutualExactEdges(wideCorpus, narrow)
+    }
+    (mutualTop1(edges), np)
+  }
+
+  /** The dir-level auto-arbitrated x148 (bench row `x148_auto`): same
+    * contract schema as the declared row; on this fixture's isotropic
+    * embeddings the gate rejects every nprobe and the output equals
+    * [[x148MutualNn]] exactly — the honest verdict, now executed instead
+    * of documented. */
+  def x148AutoMutualNn(s: SparkSession, d: String): DataFrame =
+    withSameLabel(s, d, x148AutoFrom(s, wide(s, emb(s, d)), emb(s, d))._1)
 
   /** x148's output tail: attach both labels (two n-row equi-joins — AQE
     * broadcasts at fixture scale, co-shuffles at 100 TB) and flag

@@ -61,4 +61,46 @@ class X148Spec extends SparkSpecBase {
     // equality claim — but the variant must run end to end
     ivf.collect()
   }
+
+  /** An ISOTROPIC corpus large enough that √n cells ≫ max candidate
+    * nprobe — the regime where no affordable nprobe recalls mutual pairs
+    * (the r11 rehearsal's finding) and the arbiter must refuse the index.
+    * (The sf0.001 fixture is too small for this pin: with ~√n ≤ 16 cells
+    * even nprobe=16 probes EVERY cell and IVF degenerates to exact.) */
+  private lazy val isotropic = {
+    val noise = "pmod(xxhash64(vec_id, j), 2000001) / 1000000.0 - 1.0"
+    spark.range(2000).select(col("id").as("vec_id"))
+      .withColumn("embedding",
+        expr(s"transform(sequence(1, $dim), j -> cast($noise as float))"))
+  }
+
+  test("auto-arbiter picks a cheap nprobe on the clustered corpus and its " +
+       "output is row-identical to the exact path") {
+    val (chosen, curve) = VectorOps.x148ChooseNprobe(clustered)
+    assert(chosen.isDefined,
+      s"arbiter rejected every nprobe on a fully-clustered corpus: $curve")
+    assert(chosen.get === 2,
+      s"cheapest faithful setting on this corpus is np=2 (IVF≡exact there), " +
+        s"got $chosen with curve $curve")
+    val (auto, np) = VectorOps.x148AutoFrom(spark, clustered, clustered)
+    assert(np === chosen)
+    assert(rows(auto) === rows(VectorOps.mutualTop1(
+      VectorOps.mutualExactEdges(clustered, clustered))),
+      "arbitrated output diverged from exact on the corpus the gate certified")
+  }
+
+  test("auto-arbiter falls back to the exact path on an isotropic corpus") {
+    val (chosen, curve) = VectorOps.x148ChooseNprobe(isotropic)
+    assert(chosen.isEmpty,
+      s"no affordable nprobe is faithful on isotropic data, yet the gate " +
+        s"certified $chosen (curve $curve)")
+    // measured monotone sanity: more probes can only help
+    assert(curve.map(_._2) === curve.map(_._2).sorted,
+      s"recall curve should be non-decreasing in nprobe: $curve")
+    val (auto, np) = VectorOps.x148AutoFrom(spark, isotropic, isotropic)
+    assert(np.isEmpty)
+    assert(rows(auto) === rows(VectorOps.mutualTop1(
+      VectorOps.mutualExactEdges(isotropic, isotropic))),
+      "fallback output must BE the exact path's")
+  }
 }
