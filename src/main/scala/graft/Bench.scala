@@ -106,8 +106,38 @@ object Bench {
     // steady-state plan cost with JIT fully settled. Sequential cold
     // children swing 6.4–9.3 s on the identical x14 run (JIT/scheduler
     // noise); the warm rerun is the stable number a regression check
-    // should diff.
+    // should diff. Idempotent STAGED rows join the warm map too (r11
+    // verdict item 5) — only genuinely mutating rows (x56_merge/rewrite)
+    // cannot be re-timed.
     val twice = sys.env.contains("SPARK_GRAFT_TWICE")
+    val stagedWarm = scala.collection.mutable.ListBuffer[(String, Double)]()
+    // —— shared-run pollution control (r11 verdict item 1) ————————————
+    // The r11 artifact rose 255.8 → 284.5 s while isolated figures held:
+    // heavy staged/graph rows late in the suite paid for state the shared
+    // JVM accumulated and never released — eager localCheckpoint blocks
+    // pinned in the block manager by every prior row (released only if the
+    // driver GCs), cached relations, and the temp stores/catalog entries
+    // of earlier staged rows. scrub() releases all of it deterministically
+    // after every staged row (and once after the declared pass), so a
+    // staged row's shared figure measures its plan again, not the suite's
+    // sediment.
+    def scrubLight(): Unit = {
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      spark.sparkContext.getPersistentRDDs.values.foreach(r =>
+        try { r.unpersist(false); () } catch { case _: Throwable => () })
+    }
+    def scrub(dirs: Seq[String], tables: Seq[String] = Nil): Unit = {
+      tables.foreach(t =>
+        try spark.sql(s"DROP TABLE IF EXISTS $t") catch { case _: Throwable => () })
+      scrubLight()
+      dirs.foreach { d =>
+        try {
+          val p = new org.apache.hadoop.fs.Path(d)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+          ()
+        } catch { case _: Throwable => () }
+      }
+    }
     def timeOne(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -123,6 +153,8 @@ object Bench {
     }
     val results = timedAll.map { case (n, d, _) => n -> d }
     val warmRows = timedAll.collect { case (n, _, Some(d2)) => n -> d2 }
+    // release the declared pass's accumulated blocks before any staged row
+    scrubLight()
     // Pipeline measurement: cluster resolution over q53's ALREADY-computed
     // pairs (materialized to parquet untimed), isolating the CC stage — the
     // declared x14 stays standalone for the oracle, but a real dedup
@@ -151,12 +183,24 @@ object Bench {
       graft.functions.MinHashLSH.verifiedPairs(toks, 0.8)
         .select("id_a", "id_b", "j").write.mode("overwrite").parquet(pairsDir)
       val pairs = spark.read.parquet(pairsDir)
-      val ccRow = if (!wantCc) Nil else {
-        val t0 = System.nanoTime()
-        operators.TextOps.x14DedupClustersFrom(spark, gd, pairs)
-          .write.format("noop").mode("overwrite").save()
-        Seq("x14_cc_only" -> (System.nanoTime() - t0) / 1e9)
-      }
+      // per-row protocol: timed run, warm re-time in TWICE mode (recorded
+      // only for the real sfDir pass, not the children's sf0.001 warmups),
+      // then a light scrub so the next row starts from a clean block store
+      def row(want: Boolean, name: String)(q: => org.apache.spark.sql.DataFrame): Seq[(String, Double)] =
+        if (!want) Nil else {
+          val t0 = System.nanoTime()
+          q.write.format("noop").mode("overwrite").save()
+          val d = (System.nanoTime() - t0) / 1e9
+          if (twice && gd == sfDir) {
+            val t2 = System.nanoTime()
+            q.write.format("noop").mode("overwrite").save()
+            stagedWarm += name -> ((System.nanoTime() - t2) / 1e9)
+          }
+          scrubLight()
+          Seq(name -> d)
+        }
+      val ccRow = row(wantCc, "x14_cc_only")(
+        operators.TextOps.x14DedupClustersFrom(spark, gd, pairs))
       // later pipeline stages over the CC stage's MATERIALIZED output: CC
       // runs untimed to parquet; survivor selection alone is one window +
       // one agg, the x48 split alone is one join + hash CASE + 3-group agg
@@ -165,41 +209,31 @@ object Bench {
         operators.TextOps.x14DedupClustersFrom(spark, gd, pairs)
           .select("doc_id", "cluster_id").write.mode("overwrite").parquet(labelsDir)
         val labels = spark.read.parquet(labelsDir)
-        val survRow = if (!wantSurv) Nil else {
-          val t2 = System.nanoTime()
-          operators.TextOps.x33SurvivorsFromLabels(spark, gd, labels)
-            .write.format("noop").mode("overwrite").save()
-          Seq("x33_survivors_only" -> (System.nanoTime() - t2) / 1e9)
-        }
-        val splitRow = if (!wantSplit) Nil else {
-          val t3 = System.nanoTime()
-          operators.TextOps.x48Aggregate(
-              operators.TextOps.x48SplitFromLabels(spark, gd, labels))
-            .write.format("noop").mode("overwrite").save()
-          Seq("x48_split_only" -> (System.nanoTime() - t3) / 1e9)
-        }
-        survRow ++ splitRow
+        val out =
+          row(wantSurv, "x33_survivors_only")(
+            operators.TextOps.x33SurvivorsFromLabels(spark, gd, labels)) ++
+          row(wantSplit, "x48_split_only")(
+            operators.TextOps.x48Aggregate(
+              operators.TextOps.x48SplitFromLabels(spark, gd, labels)))
+        scrub(Seq(labelsDir))
+        out
       }
-      def staged(want: Boolean, name: String)(q: => org.apache.spark.sql.DataFrame) =
-        if (!want) Nil else {
-          val t = System.nanoTime()
-          q.write.format("noop").mode("overwrite").save()
-          Seq(name -> (System.nanoTime() - t) / 1e9)
-        }
       val consumerRows =
-        staged(wantHist, "x82_hist_only")(
+        row(wantHist, "x82_hist_only")(
           operators.TextOps.x82From(spark, gd, pairs)) ++
-        staged(wantAudit, "x97_audit_only")(
+        row(wantAudit, "x97_audit_only")(
           operators.TextOps.x97From(spark, gd, pairs)) ++
-        staged(wantTri, "x112_tri_only")(
+        row(wantTri, "x112_tri_only")(
           operators.TextOps.x112From(spark, gd, pairs)) ++
-        staged(wantAbl, "x118_abl_only")(
+        row(wantAbl, "x118_abl_only")(
           operators.TextOps.x118From(spark, gd, pairs)) ++
-        staged(wantSynd, "x121_synd_only")(
+        row(wantSynd, "x121_synd_only")(
           operators.TextOps.x121From(spark, gd, pairs)) ++
-        staged(wantCore, "x186_core_only")(
+        row(wantCore, "x186_core_only")(
           operators.TextOps.x186KCoreFrom(spark, gd, pairs))
-      ccRow ++ downstream ++ consumerRows
+      val out = ccRow ++ downstream ++ consumerRows
+      scrub(Seq(pairsDir))
+      out
     } catch { case e: Throwable =>
       System.err.println(s"[bench] x14_cc_only failed: ${e.getMessage}"); Nil
     }
@@ -224,16 +258,47 @@ object Bench {
         }
         val t0 = System.nanoTime()
         q(sfDir).write.format("noop").mode("overwrite").save()
-        Seq(name -> (System.nanoTime() - t0) / 1e9)
+        val d = (System.nanoTime() - t0) / 1e9
+        if (twice) {
+          val t2 = System.nanoTime()
+          q(sfDir).write.format("noop").mode("overwrite").save()
+          stagedWarm += name -> ((System.nanoTime() - t2) / 1e9)
+        }
+        scrubLight()
+        Seq(name -> d)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); Nil
       }
+    // Store-row timing core: one warm materialization (codegen/JIT — the
+    // protocol every store row has used since r8), the timed run, a warm
+    // re-time under TWICE (idempotent rows only — a mutating row's op
+    // cannot re-run), then the per-row scrub of temp tables/dirs/blocks.
+    def timeBuilt(name: String, dirs: Seq[String],
+                  tables: Seq[String] = Nil, mutating: Boolean = false)
+                 (q: => Unit): Seq[(String, Double)] = {
+      if (!mutating) q // warm (codegen/JIT)
+      val t0 = System.nanoTime()
+      q
+      val d = (System.nanoTime() - t0) / 1e9
+      if (twice && !mutating) {
+        val t2 = System.nanoTime()
+        q
+        stagedWarm += name -> ((System.nanoTime() - t2) / 1e9)
+      }
+      scrub(dirs, tables)
+      Seq(name -> d)
+    }
     // x77's production path: LSH-blocked candidates → levenshtein verify —
     // priced against the declared brute-force x77 row (r8 verdict item 3)
     val x77Lsh = stagedQ("x77_lsh")(d => operators.TextOps.x77FuzzyLsh(spark, d))
     // x148's production path: IVF candidate edges → the same mutual-top-1
     // kernel — priced against the declared brute-force n² row (r9 item 1)
     val x148Ivf = stagedQ("x148_ivf")(d => operators.VectorOps.x148MutualNnIvf(spark, d))
+    // x148's ARBITRATED path (r11 item 3): the sampled recall gate walks
+    // the nprobe curve; on this isotropic fixture it rejects the index,
+    // so the row prices probe + exact fallback — the entry a production
+    // pipeline actually calls
+    val x148Auto = stagedQ("x148_auto")(d => operators.VectorOps.x148AutoMutualNn(spark, d))
     // x171's production path: banded char-gram candidates → the same
     // Levenshtein adjudication kernel — priced against the declared
     // length-blocked row (whose Σ|block|² candidate volume is the
@@ -252,11 +317,10 @@ object Bench {
       val idxDir = java.nio.file.Files.createTempDirectory("postings").toString
       val store = new sources.PostingsStore(spark, idxDir)
       store.build(Tables.documents(spark, sfDir))
-      def q = store.bm25(Seq("hash", "join", "filter"), k = 20)
-      q.write.format("noop").mode("overwrite").save() // warm (codegen/JIT)
-      val t0 = System.nanoTime()
-      q.write.format("noop").mode("overwrite").save()
-      Seq("x83_store" -> (System.nanoTime() - t0) / 1e9)
+      timeBuilt("x83_store", Seq(idxDir)) {
+        store.bm25(Seq("hash", "join", "filter"), k = 20)
+          .write.format("noop").mode("overwrite").save()
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] x83_store failed: ${e.getMessage}"); Nil
     }
@@ -269,17 +333,17 @@ object Bench {
       import graft.functions.Rounding.dround
       val bktDir = java.nio.file.Files.createTempDirectory("q10bkt").toString
       sources.BucketedFacts.writePair(spark, sfDir, bktDir)
-      def q = spark.table("orders_bucketed").hint("merge")
-        .join(spark.table("lineitem_bucketed"),
-              col("l_orderkey") === col("o_orderkey"))
-        .groupBy("o_orderkey")
-        .agg(dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("rev"))
-        .orderBy(col("rev").desc, col("o_orderkey"))
-        .limit(100)
-      q.write.format("noop").mode("overwrite").save() // warm (codegen/JIT)
-      val t0 = System.nanoTime()
-      q.write.format("noop").mode("overwrite").save()
-      Seq("q10_bucketed" -> (System.nanoTime() - t0) / 1e9)
+      timeBuilt("q10_bucketed", Seq(bktDir),
+                tables = Seq("orders_bucketed", "lineitem_bucketed")) {
+        spark.table("orders_bucketed").hint("merge")
+          .join(spark.table("lineitem_bucketed"),
+                col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderkey")
+          .agg(dround(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("rev"))
+          .orderBy(col("rev").desc, col("o_orderkey"))
+          .limit(100)
+          .write.format("noop").mode("overwrite").save()
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] q10_bucketed failed: ${e.getMessage}"); Nil
     }
@@ -298,14 +362,14 @@ object Bench {
       // for days that are thousands of times larger; at 100 TB the same
       // knob goes UP for parallelism
       sources.BucketedLayout.migrate(spark, sfDir, storeDir, seriesBuckets = 2)
-      def row(name: String, df: => org.apache.spark.sql.DataFrame) = {
-        df.write.format("noop").mode("overwrite").save() // warm (codegen/JIT)
-        val t0 = System.nanoTime()
-        df.write.format("noop").mode("overwrite").save()
-        name -> (System.nanoTime() - t0) / 1e9
-      }
-      (if (want47) Seq(row("q47_store", operators.TimeSeriesOps.q47Store(spark, storeDir))) else Nil) ++
-      (if (want48) Seq(row("q48_store", operators.TimeSeriesOps.q48Store(spark, storeDir))) else Nil)
+      (if (want47) timeBuilt("q47_store", Nil) {
+        operators.TimeSeriesOps.q47Store(spark, storeDir)
+          .write.format("noop").mode("overwrite").save()
+      } else Nil) ++
+      (if (want48) timeBuilt("q48_store", Seq(storeDir)) {
+        operators.TimeSeriesOps.q48Store(spark, storeDir)
+          .write.format("noop").mode("overwrite").save()
+      } else Nil)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] q47/q48_store failed: ${e.getMessage}"); Nil
     }
@@ -322,12 +386,12 @@ object Bench {
       sources.SignatureStore.write(spark,
         toks.filter(pmod(col("id"), lit(7L)) =!= 0), storeDir,
         buckets = cpus.toInt)
-      def q = sources.SignatureStore.incrementPairs(spark,
-        toks.filter(pmod(col("id"), lit(7L)) === 0), 0.8)
-      q.write.format("noop").mode("overwrite").save() // warm (codegen/JIT)
-      val t0 = System.nanoTime()
-      q.write.format("noop").mode("overwrite").save()
-      Seq("x42_store" -> (System.nanoTime() - t0) / 1e9)
+      timeBuilt("x42_store", Seq(storeDir),
+                tables = Seq("sig_docs", "sig_sets", "sig_splits")) {
+        sources.SignatureStore.incrementPairs(spark,
+            toks.filter(pmod(col("id"), lit(7L)) === 0), 0.8)
+          .write.format("noop").mode("overwrite").save()
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] x42_store failed: ${e.getMessage}"); Nil
     }
@@ -348,12 +412,12 @@ object Bench {
       functions.MinHashLSH.crossVerifiedPairs(batch, corpus, 0.8).select("id_a", "id_b")
         .union(functions.MinHashLSH.verifiedPairs(batch, 0.8).select("id_a", "id_b"))
         .write.parquet(s"$tmpDir/pairs")
-      def q = functions.ConnectedComponents.mergeLabels(
-        spark.read.parquet(s"$tmpDir/labels"), batch.select("id"),
-        spark.read.parquet(s"$tmpDir/pairs"))
-      val t0 = System.nanoTime()
-      q.write.format("noop").mode("overwrite").save()
-      Seq("x42_cc_incr" -> (System.nanoTime() - t0) / 1e9)
+      timeBuilt("x42_cc_incr", Seq(tmpDir)) {
+        functions.ConnectedComponents.mergeLabels(
+            spark.read.parquet(s"$tmpDir/labels"), batch.select("id"),
+            spark.read.parquet(s"$tmpDir/pairs"))
+          .write.format("noop").mode("overwrite").save()
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] x42_cc_incr failed: ${e.getMessage}"); Nil
     }
@@ -367,11 +431,10 @@ object Bench {
       val storeDir = java.nio.file.Files.createTempDirectory("vecstore").toString
       val store = new VectorStore(spark, storeDir)
       store.build(Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding")))
-      def q = store.searchContractProbes()
-      q.write.format("noop").mode("overwrite").save() // warm (codegen/JIT)
-      val t0 = System.nanoTime()
-      q.write.format("noop").mode("overwrite").save()
-      Seq("x08_store" -> (System.nanoTime() - t0) / 1e9)
+      timeBuilt("x08_store", Seq(storeDir)) {
+        store.searchContractProbes()
+          .write.format("noop").mode("overwrite").save()
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] x08_store failed: ${e.getMessage}"); Nil
     }
@@ -384,18 +447,19 @@ object Bench {
       sources.ZOrderLayout.writeEvents(Tables.events(spark, sfDir), storeDir)
       val day10 = java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli * 1000L
       val day15 = java.time.Instant.parse("2024-01-15T00:00:00Z").toEpochMilli * 1000L
-      def q = operators.TimeSeriesOps.boxAgg(
-        sources.ZOrderLayout.readBox(spark, storeDir, 3, 7, day10, day15))
-      q.write.format("noop").mode("overwrite").save() // warm (codegen/JIT)
-      val t0 = System.nanoTime()
-      q.write.format("noop").mode("overwrite").save()
-      Seq("x58_zorder" -> (System.nanoTime() - t0) / 1e9)
+      timeBuilt("x58_zorder", Seq(storeDir)) {
+        operators.TimeSeriesOps.boxAgg(
+            sources.ZOrderLayout.readBox(spark, storeDir, 3, 7, day10, day15))
+          .write.format("noop").mode("overwrite").save()
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] x58_zorder failed: ${e.getMessage}"); Nil
     }
     // Mutation measurement: applying x56's classified diff to the
     // MergeStore (initial load untimed) vs x56_rewrite, the full-table
     // rewrite the merge avoids. Copy-on-write cost is O(changed buckets).
+    // Both rows MUTATE their store — the one staged family that cannot
+    // carry a warm re-time (the op consumed its own precondition).
     val mergeRows = if (only.exists(o => !o("x56_merge") && !o("x56_rewrite"))) Nil else try {
       import org.apache.spark.sql.functions.{col, concat, lit, when}
       val docs = Tables.documents(spark, sfDir)
@@ -412,16 +476,16 @@ object Bench {
       (if (wantMerge) {
         val dir = java.nio.file.Files.createTempDirectory("mergestore").toString
         sources.MergeStore.write(oldSnap, dir, buckets = 16)
-        val t0 = System.nanoTime()
-        sources.MergeStore.merge(spark, dir, upserts, deletes)
-        Seq("x56_merge" -> (System.nanoTime() - t0) / 1e9)
+        timeBuilt("x56_merge", Seq(dir), mutating = true) {
+          sources.MergeStore.merge(spark, dir, upserts, deletes)
+        }
       } else Nil) ++
       (if (wantRewrite) {
         val dir = java.nio.file.Files.createTempDirectory("mergestore").toString
         sources.MergeStore.write(oldSnap, dir, buckets = 16)
-        val t0 = System.nanoTime()
-        sources.MergeStore.write(newSnap, dir, buckets = 16)
-        Seq("x56_rewrite" -> (System.nanoTime() - t0) / 1e9)
+        timeBuilt("x56_rewrite", Seq(dir), mutating = true) {
+          sources.MergeStore.write(newSnap, dir, buckets = 16)
+        }
       } else Nil)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] x56_merge failed: ${e.getMessage}"); Nil
@@ -432,13 +496,12 @@ object Bench {
     val x64Rollup = if (only.exists(!_("x64_rollup"))) Nil else try {
       val storeDir = java.nio.file.Files.createTempDirectory("rollup").toString
       sources.RollupStore.build(Tables.events(spark, sfDir), storeDir)
-      def q = operators.TimeSeriesOps.rangeContract(
-        sources.RollupStore.rangeAgg(spark, storeDir, Tables.events(spark, sfDir),
-          operators.TimeSeriesOps.X64T0, operators.TimeSeriesOps.X64T1))
-      q.write.format("noop").mode("overwrite").save() // warm (codegen/JIT)
-      val t0 = System.nanoTime()
-      q.write.format("noop").mode("overwrite").save()
-      Seq("x64_rollup" -> (System.nanoTime() - t0) / 1e9)
+      timeBuilt("x64_rollup", Seq(storeDir)) {
+        operators.TimeSeriesOps.rangeContract(
+            sources.RollupStore.rangeAgg(spark, storeDir, Tables.events(spark, sfDir),
+              operators.TimeSeriesOps.X64T0, operators.TimeSeriesOps.X64T1))
+          .write.format("noop").mode("overwrite").save()
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] x64_rollup failed: ${e.getMessage}"); Nil
     }
@@ -470,9 +533,9 @@ object Bench {
     // AND staged/store — so a staged row can never again ship a >2× move
     // without an isolated figure (x77_lsh and x186_core_only both slipped
     // through r10's declared-only slowest-10 exactly this way).
-    val allRows = results ++ ccOnly ++ x77Lsh ++ x148Ivf ++ x171Banded ++
-      x93B32 ++ x83Store ++ q10Bucketed ++ tsStore ++ x42Store ++
-      x42CcIncr ++ x08Store ++ x58Store ++ mergeRows ++ x64Rollup
+    val allRows = results ++ ccOnly ++ x77Lsh ++ x148Ivf ++ x148Auto ++
+      x171Banded ++ x93B32 ++ x83Store ++ q10Bucketed ++ tsStore ++
+      x42Store ++ x42CcIncr ++ x08Store ++ x58Store ++ mergeRows ++ x64Rollup
     val isolated: Seq[(String, Double, Option[Double])] = Some(
         sys.env.getOrElse("SPARK_GRAFT_ISOLATE", "slowest:10"))
       .filter(_ => only.isEmpty) // only meaningful after a full shared pass
@@ -484,15 +547,30 @@ object Bench {
         (slowest ++ watch.filter(have)).distinct
           .flatMap(name => isolateOne(name, sfDir, cpus))
       }.getOrElse(Nil)
+    // Structural adjudication (r11 verdict item 1c): any row whose SHARED
+    // figure is ≥2× its isolated figure in the SAME artifact is flagged in
+    // the line itself — BASELINE.md must carry a named cause for each.
+    val sharedMap = allRows.toMap
+    val flagged = isolated.flatMap { case (k, isoSec, _) =>
+      sharedMap.get(k).filter(sh => isoSec > 0 && sh >= 2 * isoSec)
+        .map(sh => k -> sh / isoSec)
+    }
+    flagged.foreach { case (k, r) =>
+      System.err.println(f"[bench] FLAG $k: shared ${sharedMap(k)}%.2f s is " +
+        f"$r%.1fx its isolated figure — BASELINE.md must adjudicate this row")
+    }
     val qs = allRows
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val warm = warmRows.map { case (k, v) => "\"" + k + "\":" + v }
+    val allWarm = warmRows ++ stagedWarm
+    val warm = allWarm.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString(""","warm":{""", ",", "}")
     val iso = isolated.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString(""","isolated":{""", ",", "}")
     val isoWarm = isolated.collect { case (k, _, Some(w)) => "\"" + k + "\":" + w }
       .mkString(""","isolated_warm":{""", ",", "}")
+    val flagsJson = flagged.map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
+      .mkString(""","shared_over_isolated_flags":{""", ",", "}")
     // Totals, made third-party-reproducible from the artifact alone (the
     // r10 nit: `value` vs Σqueries measured different things with nothing
     // in the line saying so): `value` stays the DECLARED shared-pass wall
@@ -501,9 +579,10 @@ object Bench {
     val total = results.map(_._2).sum
     val stagedTotal = allRows.map(_._2).sum - total
     val line = s"""{"metric":"total","value":$total,"unit":"sec","declared_rows":${results.size},"staged_rows":${allRows.size - results.size},"staged_total_sec":$stagedTotal,"queries":$qs${
-      if (warmRows.nonEmpty) warm else ""}${
+      if (allWarm.nonEmpty) warm else ""}${
       if (isolated.nonEmpty) iso else ""}${
-      if (isolated.exists(_._3.isDefined)) isoWarm else ""},"sf":"$sfDir"}"""
+      if (isolated.exists(_._3.isDefined)) isoWarm else ""}${
+      if (flagged.nonEmpty) flagsJson else ""},"sf":"$sfDir"}"""
     println(line)
     // The driver's artifact keeps only the stdout TAIL, which truncates the
     // per-query map on a 95-query run — persist the complete line to a file
@@ -520,6 +599,28 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] could not persist $p: ${e.getMessage}")
       }
+    }
+    // Round-stamped FULL artifact (r11 verdict item 6): BENCH_r*.json as
+    // written by the driver carries "parsed": null + a truncated tail, so
+    // cross-round per-row diffs required tail-scraping. Stamp the complete
+    // line with the NEXT round number (1 + highest driver artifact in cwd)
+    // so BENCH_full_r<N>.json sits beside the driver's BENCH_r<N>.json
+    // with the full queries/warm/isolated dicts.
+    if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_BENCH_OUT")) try {
+      val cwd = java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "."))
+      val re = "BENCH_r0*([0-9]+)\\.json".r
+      val listing = java.nio.file.Files.list(cwd)
+      val next = try {
+        import scala.jdk.CollectionConverters._
+        listing.iterator().asScala
+          .flatMap(p => re.findFirstMatchIn(p.getFileName.toString).map(_.group(1).toInt))
+          .foldLeft(0)(math.max) + 1
+      } finally listing.close()
+      java.nio.file.Files.write(cwd.resolve(f"BENCH_full_r$next%02d.json"),
+        (line + "\n").getBytes("UTF-8"))
+      ()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not stamp full artifact: ${e.getMessage}")
     }
     spark.stop()
   }

@@ -33,6 +33,49 @@ object Dev {
     }
   }
 
+  /** The scale-rehearsal corpus synthesizer (factored from scalebench so
+    * sigscale shares the exact fixture-statistics generator): `nDocs`
+    * documents mirroring the sf0.1 generator's measured profile —
+    * 30-token vocabulary, uniform token draw, token count ~
+    * Uniform(10,100), lang ≈ {en .41, others .15 each}, 20 uniform
+    * sources, 5% planted near-dups (a random earlier doc truncated to
+    * 50–100% of its tokens + a ' dup' marker). Everything xxhash-derived
+    * — deterministic at any parallelism. */
+  private def synthDocs(s: org.apache.spark.sql.SparkSession,
+                        nDocs: Long): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val vocab = Seq("spark", "window", "merge", "table", "column", "vector",
+      "stream", "value", "data", "small", "join", "filter", "big", "group",
+      "hash", "customer", "sort", "order", "slow", "line", "part", "fast",
+      "the", "row", "agg", "key", "query", "a", "scan", "batch")
+    val vocabSql = vocab.map(w => s"'$w'").mkString("array(", ",", ")")
+    val base = s.range(nDocs).select(col("id").as("doc_id"))
+      .withColumn("t0", expr(
+        s"array_join(transform(sequence(1, cast(10 + pmod(xxhash64(doc_id, 17), 91) as int)), " +
+        s"j -> element_at($vocabSql, cast(pmod(xxhash64(doc_id, j), 30) + 1 as int))), ' ')"))
+      .localCheckpoint(true) // one instantiation: dups must copy the SAME base text
+    val isDup = pmod(xxhash64(col("doc_id"), lit(57L)), lit(20L)) === 0 &&
+      col("doc_id") > 0
+    val dups = base.filter(isDup)
+      .select(col("doc_id"),
+        pmod(xxhash64(col("doc_id"), lit(31L)), col("doc_id")).as("src_id"),
+        (lit(50L) + pmod(xxhash64(col("doc_id"), lit(73L)), lit(51L))).as("keep_pct"))
+      .join(base.select(col("doc_id").as("src_id"), col("t0").as("src_t")), "src_id")
+      .select(col("doc_id"), concat(
+        expr("array_join(slice(split(src_t, ' '), 1, " +
+          "greatest(1, cast(size(split(src_t, ' ')) * keep_pct / 100 as int))), ' ')"),
+        lit(" dup")).as("text"))
+    base.filter(!isDup).select(col("doc_id"), col("t0").as("text"))
+      .unionByName(dups)
+      .withColumn("lang", expr(
+        "case when pmod(xxhash64(doc_id, 3), 100) < 41 then 'en' " +
+        "when pmod(xxhash64(doc_id, 3), 100) < 56 then 'de' " +
+        "when pmod(xxhash64(doc_id, 3), 100) < 71 then 'es' " +
+        "when pmod(xxhash64(doc_id, 3), 100) < 86 then 'fr' else 'zh' end"))
+      .withColumn("source", concat(lit("src"), pmod(xxhash64(col("doc_id"), lit(5L)), lit(20L))))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val names = if (args.length > 1) args(1).split(",").toSeq else SparkEntry.queries.keys.toSeq.sorted
@@ -557,6 +600,60 @@ object Dev {
       s.stop()
       return
     }
+    if (names.length == 1 && names.head.startsWith("sigscale")) {
+      // r11 verdict item 7 — scale-rehearse the INGEST INCREMENT itself:
+      // x77/x148/x171 got crossover tables, but the SignatureStore
+      // increment (the production ingest gate, ST12) was priced only at
+      // sf0.1. This mode holds the BATCH fixed (2500 docs) while the
+      // corpus grows mult×, and times three things per size:
+      //   store_sec  — incrementPairs against the persisted index: the
+      //                O(batch + collisions) claim under test (flat-ish
+      //                in mult; collisions grow with the planted dup mass)
+      //   direct_sec — crossVerifiedPairs from raw frames: the x42
+      //                recompute the store amortizes away (re-hashes the
+      //                whole corpus per call — grows linearly in mult)
+      //   admit_sec  — the FULL fenced cycle: durable pair sink +
+      //                increment + staged two-phase append + fence +
+      //                lease — prices the round-12 crash-safety machinery
+      //                at scale (timed once; it mutates the store)
+      // Usage: sigscale[:mult]   (default 10 → 50k synthetic docs)
+      val mult = names.head.split(":").drop(1).headOption.map(_.toInt).getOrElse(10)
+      val s = GraftSession.build("graft-dev")
+      import org.apache.spark.sql.functions._
+      val nDocs = 5000L * mult
+      val all = synthDocs(s, nDocs)
+        .select(col("doc_id").as("id"), split(col("text"), " ").as("toks"))
+        .localCheckpoint(true)
+      val batch = all.filter(col("id") < 2500)
+      val corpus = all.filter(col("id") >= 2500)
+      val nC = corpus.count()
+      val dir = java.nio.file.Files.createTempDirectory(s"sigscale$mult").toString
+      val tB = System.nanoTime()
+      graft.sources.SignatureStore.write(s, corpus, dir, buckets = 32)
+      val buildSec = (System.nanoTime() - tB) / 1e9
+      def timed(f: => Unit): Double = {
+        f // warm (codegen/JIT — the bench protocol)
+        val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+      }
+      val storeSec = timed {
+        graft.sources.SignatureStore.incrementPairs(s, batch, 0.8)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val directSec = timed {
+        graft.functions.MinHashLSH.crossVerifiedPairs(batch, corpus, 0.8)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val nPairs = graft.sources.SignatureStore.incrementPairs(s, batch, 0.8).count()
+      val sink = java.nio.file.Files.createTempDirectory("sigscale-pairs").toString
+      val tA = System.nanoTime()
+      graft.sources.SignatureStore.admit(s, batch, 0.8, sink, batchId = Some(0L))
+      val admitSec = (System.nanoTime() - tA) / 1e9
+      println(f"sigscale mult=$mult corpus=$nC%,d batch=2500 pairs=$nPairs%,d " +
+        f"build_sec=$buildSec%.2f store_sec=$storeSec%.2f " +
+        f"direct_sec=$directSec%.2f admit_sec=$admitSec%.2f")
+      s.stop()
+      return
+    }
     if (names.length == 1 && names.head.startsWith("scalebench")) {
       // r10 verdict item 1 — SCALE REHEARSAL: synthesize a ≥10× fixture-
       // statistics corpus and MEASURE the production-vs-declared crossover
@@ -580,37 +677,7 @@ object Dev {
       val outDir = java.nio.file.Files.createTempDirectory(s"scale${mult}x").toString
       val nDocs = 5000L * mult
       val nVecs = 2000L * mult
-      val vocab = Seq("spark", "window", "merge", "table", "column", "vector",
-        "stream", "value", "data", "small", "join", "filter", "big", "group",
-        "hash", "customer", "sort", "order", "slow", "line", "part", "fast",
-        "the", "row", "agg", "key", "query", "a", "scan", "batch")
-      val vocabSql = vocab.map(w => s"'$w'").mkString("array(", ",", ")")
-      val base = s.range(nDocs).select(col("id").as("doc_id"))
-        .withColumn("t0", expr(
-          s"array_join(transform(sequence(1, cast(10 + pmod(xxhash64(doc_id, 17), 91) as int)), " +
-          s"j -> element_at($vocabSql, cast(pmod(xxhash64(doc_id, j), 30) + 1 as int))), ' ')"))
-        .localCheckpoint(true) // one instantiation: dups must copy the SAME base text
-      val isDup = pmod(xxhash64(col("doc_id"), lit(57L)), lit(20L)) === 0 &&
-        col("doc_id") > 0
-      val dups = base.filter(isDup)
-        .select(col("doc_id"),
-          pmod(xxhash64(col("doc_id"), lit(31L)), col("doc_id")).as("src_id"),
-          (lit(50L) + pmod(xxhash64(col("doc_id"), lit(73L)), lit(51L))).as("keep_pct"))
-        .join(base.select(col("doc_id").as("src_id"), col("t0").as("src_t")), "src_id")
-        .select(col("doc_id"), concat(
-          expr("array_join(slice(split(src_t, ' '), 1, " +
-            "greatest(1, cast(size(split(src_t, ' ')) * keep_pct / 100 as int))), ' ')"),
-          lit(" dup")).as("text"))
-      val docs = base.filter(!isDup).select(col("doc_id"), col("t0").as("text"))
-        .unionByName(dups)
-        .withColumn("lang", expr(
-          "case when pmod(xxhash64(doc_id, 3), 100) < 41 then 'en' " +
-          "when pmod(xxhash64(doc_id, 3), 100) < 56 then 'de' " +
-          "when pmod(xxhash64(doc_id, 3), 100) < 71 then 'es' " +
-          "when pmod(xxhash64(doc_id, 3), 100) < 86 then 'fr' else 'zh' end"))
-        .withColumn("source", concat(lit("src"), pmod(xxhash64(col("doc_id"), lit(5L)), lit(20L))))
-        .withColumn("n_chars", length(col("text")).cast("long"))
-      docs.write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+      synthDocs(s, nDocs).write.mode("overwrite").parquet(s"$outDir/documents.parquet")
       val vecs = s.range(nVecs).select(col("id").as("vec_id"))
         .withColumn("raw", expr(
           "transform(sequence(1, 64), j -> pmod(xxhash64(vec_id, j), 2000001) / 1000000.0 - 1.0)"))
