@@ -621,9 +621,13 @@ object Dev {
       val s = GraftSession.build("graft-dev")
       import org.apache.spark.sql.functions._
       val nDocs = 5000L * mult
-      val all = synthDocs(s, nDocs)
+      // the corpus lives on PARQUET, exactly like the x42 contract's input
+      // table — a memory-resident corpus would flatter the direct path's
+      // re-hash (which is precisely the cost the store amortizes away)
+      val docsDir = java.nio.file.Files.createTempDirectory(s"sigscale-docs$mult").toString
+      synthDocs(s, nDocs).write.mode("overwrite").parquet(docsDir)
+      val all = s.read.parquet(docsDir)
         .select(col("doc_id").as("id"), split(col("text"), " ").as("toks"))
-        .localCheckpoint(true)
       val batch = all.filter(col("id") < 2500)
       val corpus = all.filter(col("id") >= 2500)
       val nC = corpus.count()
@@ -644,13 +648,32 @@ object Dev {
           .write.format("noop").mode("overwrite").save()
       }
       val nPairs = graft.sources.SignatureStore.incrementPairs(s, batch, 0.8).count()
+      // the ZERO-COLLISION batch (disjoint 5000-token vocabulary → Jaccard
+      // 0 against everything resident): isolates the two fixed terms the
+      // collision mass hides above — the store path pays hash(batch) + one
+      // index probe scan; the direct path pays hash(batch) + hash(CORPUS).
+      // This is the regime a realistic low-dup-density production corpus
+      // lives in, where the increment's cost must not grow with the corpus.
+      val novel = s.range(2500L).select((col("id") + 10000000L).as("id"))
+        .withColumn("toks", expr(
+          "transform(sequence(1, cast(10 + pmod(xxhash64(id, 17), 91) as int)), " +
+          "j -> concat('nv', cast(pmod(xxhash64(id, j), 5000) as string)))"))
+      val novelStoreSec = timed {
+        graft.sources.SignatureStore.incrementPairs(s, novel, 0.8)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val novelDirectSec = timed {
+        graft.functions.MinHashLSH.crossVerifiedPairs(novel, corpus, 0.8)
+          .write.format("noop").mode("overwrite").save()
+      }
       val sink = java.nio.file.Files.createTempDirectory("sigscale-pairs").toString
       val tA = System.nanoTime()
       graft.sources.SignatureStore.admit(s, batch, 0.8, sink, batchId = Some(0L))
       val admitSec = (System.nanoTime() - tA) / 1e9
       println(f"sigscale mult=$mult corpus=$nC%,d batch=2500 pairs=$nPairs%,d " +
         f"build_sec=$buildSec%.2f store_sec=$storeSec%.2f " +
-        f"direct_sec=$directSec%.2f admit_sec=$admitSec%.2f")
+        f"direct_sec=$directSec%.2f admit_sec=$admitSec%.2f " +
+        f"novel_store_sec=$novelStoreSec%.2f novel_direct_sec=$novelDirectSec%.2f")
       s.stop()
       return
     }
