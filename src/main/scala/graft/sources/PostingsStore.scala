@@ -46,6 +46,14 @@ class PostingsStore(spark: SparkSession, dir: String) {
 
   def build(docs: DataFrame, buckets: Int = 64): Unit =
       WriterLease.withLease(spark, dir) {
+    // a rebuild resets the ingest protocol: stale fence watermarks or
+    // staged/ready dirs from a previous store here must not leak in
+    val dirP = new org.apache.hadoop.fs.Path(dir)
+    if (fsys.exists(dirP))
+      fsys.listStatus(dirP).map(_.getPath)
+        .filter(q => q.getName.startsWith("_admitted_upto") ||
+                     q.getName.startsWith("_append_"))
+        .foreach(q => fsys.delete(q, true))
     postingsOf(docs, buckets)
       .repartition(col("tb"))
       .sortWithinPartitions("term", "doc_id")
@@ -62,30 +70,58 @@ class PostingsStore(spark: SparkSession, dir: String) {
 
   /** Incremental index growth — the SignatureStore/VectorStore `append`
     * analogue: the batch's postings land in the SAME term-hash buckets
-    * (mode append — new files beside the resident ones), and the 1-row
-    * stats grow by addition (query-time df + additive stats mean nothing
-    * else in the index depends on the corpus as a whole). NOT idempotent
-    * under replay (a re-appended batch doubles its tf rows) — retrying
-    * callers need external coordination; the exactly-once continuous
-    * path is ST27's file-sink ingest, whose manifest closes that window. */
-  def append(docs: DataFrame): Unit =
+    * and the corpus stats grow by an ADDITIVE delta row, summed at read
+    * (query-time df + additive stats mean nothing else in the index
+    * depends on the corpus as a whole, and an append never rewrites
+    * resident state at all — the old read-modify-overwrite of the 1-row
+    * stats could crash between the postings append and the stats write
+    * and leave avglen permanently inconsistent).
+    *
+    * Round 12: the whole batch — postings files AND the stats delta —
+    * runs the [[StagedAppend]] two-phase protocol (stage → atomic commit
+    * rename → fence → publish), so a crash at any point yields nothing
+    * or exactly-once and a partial batch is never served. With `batchId`
+    * the [[AdmitFence]] makes REPLAY exactly-once too (the pre-r12 "not
+    * idempotent under replay" caveat is closed for fenced callers);
+    * unfenced retries remain the caller's coordination, and ST27's
+    * file-sink manifest stays the continuous path. */
+  def append(docs: DataFrame, batchId: Option[Long] = None): Unit =
       WriterLease.withLease(spark, dir) {
     // heal an interrupted compact first: appending into an absent
     // postings/ would fork a fresh index and orphan every resident row
-    if (!fsys.exists(new org.apache.hadoop.fs.Path(s"$dir/postings"))) recover()
+    recover()
+    healAppends(dropStages = true)
+    // the heal advanced the fence for any drained committed batch, so
+    // this one check covers every replay path (StagedAppend's rule)
+    if (!batchId.exists(id => AdmitFence.admitted(spark, dir, id))) {
+      val token = batchId.map("b" + _).getOrElse("t" + java.lang.System.nanoTime())
+      stageAppend(docs, token)
+      StagedAppend.commit(spark, dir, token)
+      batchId.foreach(id => AdmitFence.advance(spark, dir, id))
+      StagedAppend.publish(spark, dir, token, liveFor)
+    }
+  }
+
+  /** Phase 1 of the append protocol (exposed for the crash-injection
+    * specs, which kill here or after the commit rename). */
+  private[graft] def stageAppend(docs: DataFrame, token: String): Unit = {
+    val stage = StagedAppend.stagePath(dir, token).toString
     val n = bucketCount
-    val add = docs.select(size(split(col("text"), " ")).cast("long").as("len"))
-      .agg(count(lit(1)).as("n_docs"), sum("len").as("sum_len")).collect()(0)
     postingsOf(docs, n)
       .repartition(col("tb"))
       .sortWithinPartitions("term", "doc_id")
-      .write.partitionBy("tb").mode("append").parquet(s"$dir/postings")
-    val old = spark.read.parquet(s"$dir/stats").collect()(0)
-    import spark.implicits._
-    Seq((old.getLong(0) + add.getLong(0), old.getLong(1) + add.getLong(1)))
-      .toDF("n_docs", "sum_len")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
+      .write.partitionBy("tb").mode("overwrite").parquet(s"$stage/postings")
+    docs.select(size(split(col("text"), " ")).cast("long").as("len"))
+      .agg(count(lit(1)).as("n_docs"), sum("len").as("sum_len"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$stage/stats")
   }
+
+  private def liveFor(name: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$dir/$name")
+
+  /** Drain the staged-append protocol (see [[StagedAppend.heal]]). */
+  private def healAppends(dropStages: Boolean): Seq[String] =
+    StagedAppend.heal(spark, dir, liveFor, dropStages)
 
   private def fsys = org.apache.hadoop.fs.FileSystem.get(
     spark.sparkContext.hadoopConfiguration)
@@ -108,6 +144,7 @@ class PostingsStore(spark: SparkSession, dir: String) {
     // retire and publish leaves postings/ absent and the last published
     // tree under postings_old_<gen> (see recover)
     if (!fsys.exists(new org.apache.hadoop.fs.Path(s"$dir/postings"))) recover()
+    healAppends(dropStages = false) // never serve a half-published batch
     val n = bucketCount
     import spark.implicits._
     // bucket ids via the writer's own hash expression — |terms| rows
@@ -119,7 +156,9 @@ class PostingsStore(spark: SparkSession, dir: String) {
     if (paths.isEmpty) return PostingsStore.emptyResult(spark)
     val p = spark.read.option("basePath", s"$dir/postings").parquet(paths: _*)
       .filter(col("term").isin(terms: _*))
+    // stats rows are additive deltas (one per append) — fold to one row
     val stats = spark.read.parquet(s"$dir/stats")
+      .agg(sum("n_docs").as("n_docs"), sum("sum_len").as("sum_len"))
     PostingsStore.score(p, stats, k)
   }
 
@@ -146,26 +185,33 @@ class PostingsStore(spark: SparkSession, dir: String) {
     * assumption as compaction; called by readers and mutators that find
     * the root absent, and by compact itself before staging anew. */
   private def recover(): Unit = {
-    val root = new org.apache.hadoop.fs.Path(s"$dir/postings")
     val dirP = new org.apache.hadoop.fs.Path(dir)
     if (!fsys.exists(dirP)) return
-    if (!fsys.exists(root))
-      fsys.listStatus(dirP).map(_.getPath)
-        .filter(_.getName.startsWith("postings_old_"))
-        .sortBy(_.getName.stripPrefix("postings_old_").toLong)
-        .lastOption.foreach { newest =>
-          require(fsys.rename(newest, root), s"recover: could not restore $newest")
-        }
-    if (fsys.exists(root))
-      fsys.listStatus(dirP).map(_.getPath)
-        .filter(p => p.getName.startsWith("postings_old_") ||
-                     p.getName.startsWith("postings_compact_"))
-        .foreach(p => fsys.delete(p, true))
+    // both compacted roots heal the same way (stats got its own two-rename
+    // swap in round 12, when appends made it a multi-file additive table)
+    Seq("postings", "stats").foreach { base =>
+      val root = new org.apache.hadoop.fs.Path(s"$dir/$base")
+      if (!fsys.exists(root))
+        fsys.listStatus(dirP).map(_.getPath)
+          .filter(_.getName.startsWith(s"${base}_old_"))
+          .sortBy(_.getName.stripPrefix(s"${base}_old_").toLong)
+          .lastOption.foreach { newest =>
+            require(fsys.rename(newest, root), s"recover: could not restore $newest")
+          }
+      if (fsys.exists(root))
+        fsys.listStatus(dirP).map(_.getPath)
+          .filter(p => p.getName.startsWith(s"${base}_old_") ||
+                       p.getName.startsWith(s"${base}_compact_"))
+          .foreach(p => fsys.delete(p, true))
+    }
   }
 
   def compact(): Unit =
       WriterLease.withLease(spark, dir) {
     recover()
+    // drain committed appends first — a compact from a store missing a
+    // committed pending batch would silently drop it from the rewrite
+    healAppends(dropStages = true)
     val root = new org.apache.hadoop.fs.Path(s"$dir/postings")
     val gen = java.lang.System.nanoTime()
     val staged = new org.apache.hadoop.fs.Path(s"$dir/postings_compact_$gen")
@@ -179,6 +225,18 @@ class PostingsStore(spark: SparkSession, dir: String) {
     require(fsys.rename(root, old), s"compact: could not retire $root")
     require(fsys.rename(staged, root), s"compact: could not publish $staged")
     fsys.delete(old, true)
+    // stats collapse (round 12): appends accumulate one additive delta
+    // row per batch — fold them back to one row with the same two-rename
+    // swap (recover heals stats_old_/stats_compact_ exactly like postings)
+    val statsRoot = new org.apache.hadoop.fs.Path(s"$dir/stats")
+    val statsStaged = new org.apache.hadoop.fs.Path(s"$dir/stats_compact_$gen")
+    val statsOld = new org.apache.hadoop.fs.Path(s"$dir/stats_old_$gen")
+    spark.read.parquet(statsRoot.toString)
+      .agg(sum("n_docs").as("n_docs"), sum("sum_len").as("sum_len"))
+      .coalesce(1).write.mode("overwrite").parquet(statsStaged.toString)
+    require(fsys.rename(statsRoot, statsOld), s"compact: could not retire $statsRoot")
+    require(fsys.rename(statsStaged, statsRoot), s"compact: could not publish $statsStaged")
+    fsys.delete(statsOld, true)
   }
 }
 

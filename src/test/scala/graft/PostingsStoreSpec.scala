@@ -89,7 +89,10 @@ class PostingsStoreSpec extends SparkSpecBase {
     assert(dirsBefore.exists(files(_).length >= 3),
       "appends should have left multiple file generations per bucket")
     val before = st.bm25(queryTerms, k = 20).collect().toSet
-    val statsBefore = spark.read.parquet(s"$dir/stats").head()
+    // stats are additive delta rows (one per append, round 12) — the
+    // MEANING compact must preserve is their sum, which it folds to 1 row
+    val statsBefore = spark.read.parquet(s"$dir/stats")
+      .agg(sum("n_docs"), sum("sum_len")).head()
     st.compact()
     // one file generation per bucket after
     val dirsAfter = new java.io.File(s"$dir/postings").listFiles()
@@ -98,9 +101,10 @@ class PostingsStoreSpec extends SparkSpecBase {
       s"buckets still fragmented: ${dirsAfter.map(d => files(d).length).toSeq}")
     assert(dirsAfter.map(_.getName).toSet === dirsBefore.map(_.getName).toSet,
       "compact must preserve the bucket spec")
-    // read equality through the compaction; stats untouched
+    // read equality through the compaction; summed stats preserved
     assert(st.bm25(queryTerms, k = 20).collect().toSet === before)
-    assert(spark.read.parquet(s"$dir/stats").head() === statsBefore)
+    assert(spark.read.parquet(s"$dir/stats")
+      .agg(sum("n_docs"), sum("sum_len")).head() === statsBefore)
     // pruning still bites: a query touches ≤ |terms| of the 16 buckets
     val touched = st.bm25(queryTerms, k = 20).inputFiles
       .filter(_.contains("/tb=")).map(_.split("/tb=")(1).split("/")(0)).toSet
@@ -146,5 +150,66 @@ class PostingsStoreSpec extends SparkSpecBase {
     val base = st.bm25(queryTerms, k = 20)
     assert(withGhost.except(base).isEmpty && base.except(withGhost).isEmpty)
     assert(st.bm25(Seq("zzz_not_a_token_zzz")).count() === 0)
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  test("mid-append crash BEFORE the commit rename: partials invisible (stats " +
+       "and postings stay CONSISTENT), orphan discarded, replay exactly once") {
+    val docs = Tables.documents(spark, sfDir)
+    val a = docs.filter(col("doc_id") % 3 =!= 0)
+    val b = docs.filter(col("doc_id") % 3 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("postings-sc").toString
+    val st = new PostingsStore(spark, dir)
+    st.build(a, buckets = 16)
+    val preCrash = rows(st.bm25(queryTerms, k = 20))
+    // the append dies mid-stage-write: postings AND the stats delta sit in
+    // the stage dir — the pre-r12 shape could instead crash BETWEEN the
+    // live postings append and the stats write, leaving avglen wrong forever
+    st.stageAppend(b, "b0")
+    assert(rows(st.bm25(queryTerms, k = 20)) === preCrash,
+      "a reader saw the dead append's partial files")
+    // the replayed fenced append discards the orphan and lands the batch once
+    st.append(b, batchId = Some(0L))
+    val full = new PostingsStore(spark,
+      java.nio.file.Files.createTempDirectory("postings-ref").toString)
+    full.build(docs, buckets = 16)
+    assert(rows(st.bm25(queryTerms, k = 20)) === rows(full.bm25(queryTerms, k = 20)),
+      "recovered store diverged from a from-scratch build over A∪B")
+    assert(!new java.io.File(dir).listFiles
+      .exists(_.getName.startsWith("_append_stage_")), "orphan stage not discarded")
+  }
+
+  test("mid-append crash AFTER the commit rename: a reader drains postings+" +
+       "stats together, the fence advances, and the replay is a no-op") {
+    val docs = Tables.documents(spark, sfDir)
+    val a = docs.filter(col("doc_id") % 3 =!= 0)
+    val b = docs.filter(col("doc_id") % 3 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("postings-cc").toString
+    val st = new PostingsStore(spark, dir)
+    st.build(a, buckets = 16)
+    st.stageAppend(b, "b0")
+    graft.sources.StagedAppend.commit(spark, dir, "b0")
+    // a plain read drains the committed batch — postings and the stats
+    // delta land TOGETHER, so the served scores equal a from-scratch build
+    val full = new PostingsStore(spark,
+      java.nio.file.Files.createTempDirectory("postings-ref2").toString)
+    full.build(docs, buckets = 16)
+    assert(rows(st.bm25(queryTerms, k = 20)) === rows(full.bm25(queryTerms, k = 20)),
+      "drained store diverged from a from-scratch build over A∪B")
+    assert(graft.sources.AdmitFence.admitted(spark, dir, 0L),
+      "draining a committed fenced batch must advance the fence")
+    // the replayed fenced append appends nothing (the pre-r12 caveat:
+    // 'a re-appended batch doubles its tf rows' — closed)
+    st.append(b, batchId = Some(0L))
+    assert(rows(st.bm25(queryTerms, k = 20)) === rows(full.bm25(queryTerms, k = 20)),
+      "fenced replay changed the served scores (double-appended tf rows)")
+    // and compact folds the additive stats deltas back to one row
+    st.compact()
+    assert(rows(st.bm25(queryTerms, k = 20)) === rows(full.bm25(queryTerms, k = 20)))
+    val statsFiles = new java.io.File(s"$dir/stats").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(statsFiles === 1, s"compact left $statsFiles stats files")
   }
 }
