@@ -2851,10 +2851,16 @@ object TextOps {
       // the surviving round is already materialized (count()), so restoring
       // the prior dir cannot strand its files mid-write; when NO prior dir
       // existed the new one stays set (SparkContext has no public unset) —
-      // the residual, documented side effect of reliable mode
-      if (checkpointDir.isDefined && priorCkptDir.isDefined &&
-          priorCkptDir != checkpointDir)
-        s.sparkContext.setCheckpointDir(priorCkptDir.get)
+      // the residual, documented side effect of reliable mode.
+      // getCheckpointDir returns the fs-qualified <configured>/<uuid> path
+      // setCheckpointDir minted, so restore the CONFIGURED parent — passing
+      // the qualified path back would nest a fresh uuid dir one level
+      // deeper on every peel
+      if (checkpointDir.isDefined)
+        priorCkptDir.foreach { prior =>
+          s.sparkContext.setCheckpointDir(
+            new org.apache.hadoop.fs.Path(prior).getParent.toString)
+        }
     }
   }
 

@@ -308,39 +308,61 @@ object VectorOps {
   private[graft] def x148ChooseNprobe(corpus: DataFrame,
       candidates: Seq[Int] = Seq(2, 4, 8, 16), sampleMax: Int = 500,
       recallBar: Double = 0.98): (Option[Int], Seq[(Int, Double)]) = {
+    // release an eager localCheckpoint's blocks (the x186/bench scrub
+    // discipline — a long-lived service arbitrating many corpora must not
+    // pin a corpus-sized assignment per call until the driver GCs)
+    def release(df: DataFrame): Unit = df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false); ()
+      case _ => ()
+    }
     val n = corpus.count()
-    if (n < 2) return (candidates.headOption, Nil)
+    if (n < 2) return (None, Nil) // no evidence → the exact path, trivially cheap
+    // hash-based deterministic sampling: ~n/step rows whatever the vec_id
+    // distribution (a modulo rule on raw ids picks NOTHING on sparse or
+    // hashed id spaces, and an empty sample must never certify the index)
     val step = math.max(1L, n / sampleMax)
-    val sample = corpus.filter(pmod(col("vec_id"), lit(step)) === 0L)
+    val sample = corpus.filter(pmod(xxhash64(col("vec_id")), lit(step)) === 0L)
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
-      .localCheckpoint(true) // ≤ sampleMax+ rows; probed once per np below
+      .localCheckpoint(true) // ~sampleMax rows; probed once per np below
     val exactTop = top1(
       corpus.join(broadcast(sample), col("vec_id") =!= col("probe_id"))
         .select(col("probe_id").as("id_a"), col("vec_id").as("id_b"),
           dround(cosine(col("p_emb"), col("embedding")), 4).as("cos")))
       .select(col("id_a"), col("nn")).localCheckpoint(true)
     val total = exactTop.count().toDouble
+    if (total == 0) { // fail CLOSED: a gate with no evidence certifies nothing
+      release(sample); release(exactTop)
+      return (None, Nil)
+    }
     val cents = seedCents(corpus)
     val assigned = assignCells(corpus, cents)
       .localCheckpoint(true) // ONE corpus assignment, reused across the walk
-    val curve = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
-    var chosen: Option[Int] = None
-    val it = candidates.sorted.iterator
-    while (chosen.isEmpty && it.hasNext) {
-      val np = it.next()
-      val ivfTop = top1(
-        assigned.join(broadcast(probeClusters(cents, sample, np)), Seq("cluster"))
-          .filter(col("vec_id") =!= col("probe_id"))
-          .select(col("probe_id").as("id_a"), col("vec_id").as("id_b"),
-            dround(cosine(col("p_emb"), col("embedding")), 4).as("cos")))
-        .select(col("id_a"), col("nn").as("ivf_nn"))
-      val hits = exactTop.join(ivfTop, Seq("id_a"))
-        .filter(col("nn") === col("ivf_nn")).count()
-      val recall = if (total == 0) 1.0 else hits / total
-      curve += ((np, recall))
-      if (recall >= recallBar) chosen = Some(np)
+    try {
+      val curve = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+      var chosen: Option[Int] = None
+      val it = candidates.sorted.iterator
+      while (chosen.isEmpty && it.hasNext) {
+        val np = it.next()
+        val ivfTop = top1(
+          assigned.join(broadcast(probeClusters(cents, sample, np)), Seq("cluster"))
+            .filter(col("vec_id") =!= col("probe_id"))
+            .select(col("probe_id").as("id_a"), col("vec_id").as("id_b"),
+              dround(cosine(col("p_emb"), col("embedding")), 4).as("cos")))
+          .select(col("id_a"), col("nn").as("ivf_nn"))
+        val hits = exactTop.join(ivfTop, Seq("id_a"))
+          .filter(col("nn") === col("ivf_nn")).count()
+        val recall = hits / total
+        curve += ((np, recall))
+        if (recall >= recallBar) chosen = Some(np)
+      }
+      (chosen, curve.toSeq)
+    } finally {
+      // the walk's artifacts are measurement-only — the chosen path's edge
+      // build deliberately re-derives its own assignment (one corpus scan,
+      // the same class of work as the search itself) rather than returning
+      // a plan pinned to blocks nobody would ever release
+      release(sample); release(exactTop); release(assigned)
     }
-    (chosen, curve.toSeq)
   }
 
   /** x148 with the candidate front end ARBITRATED per corpus — the
@@ -367,8 +389,10 @@ object VectorOps {
     * embeddings the gate rejects every nprobe and the output equals
     * [[x148MutualNn]] exactly — the honest verdict, now executed instead
     * of documented. */
-  def x148AutoMutualNn(s: SparkSession, d: String): DataFrame =
-    withSameLabel(s, d, x148AutoFrom(s, wide(s, emb(s, d)), emb(s, d))._1)
+  def x148AutoMutualNn(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    withSameLabel(s, d, x148AutoFrom(s, wide(s, e), e)._1)
+  }
 
   /** x148's output tail: attach both labels (two n-row equi-joins — AQE
     * broadcasts at fixture scale, co-shuffles at 100 TB) and flag

@@ -61,17 +61,25 @@ object StagedAppend {
     * files) stay behind and die with the ready dir. A rename that fails
     * because the destination already exists is a completed move from a
     * previous attempt — idempotent by construction. */
-  private def moveTree(fsys: FileSystem, src: Path, dstRoot: Path): Unit =
-    fsys.listStatus(src).foreach { st =>
+  private def moveTree(fsys: FileSystem, src: Path, dstRoot: Path): Unit = {
+    // a concurrent drain (a reader healing while the writer's own publish
+    // finishes, or two readers draining a crashed writer's batch) can
+    // delete src between our listing and our recursion — that means the
+    // OTHER party completed the move; vanishing is success, not failure
+    val entries =
+      try fsys.listStatus(src)
+      catch { case _: java.io.FileNotFoundException => return }
+    entries.foreach { st =>
       val name = st.getPath.getName
       if (st.isDirectory) moveTree(fsys, st.getPath, new Path(dstRoot, name))
       else if (!name.startsWith("_") && !name.startsWith(".")) {
         fsys.mkdirs(dstRoot)
         val dst = new Path(dstRoot, name)
-        if (!fsys.rename(st.getPath, dst) && !fsys.exists(dst))
+        if (!fsys.rename(st.getPath, dst) && !fsys.exists(dst) && fsys.exists(st.getPath))
           sys.error(s"staged append: could not publish ${st.getPath} -> $dst")
       }
     }
+  }
 
   /** PUBLISH a committed batch: drain its ready dir into the live
     * directories (`live` maps each staged top-level name, e.g. "sig_docs"
@@ -81,10 +89,14 @@ object StagedAppend {
     val fsys = fs(spark)
     val ready = readyPath(root, token)
     if (!fsys.exists(ready)) return
-    fsys.listStatus(ready).foreach { st =>
+    val entries =
+      try fsys.listStatus(ready)
+      catch { case _: java.io.FileNotFoundException => return } // drained concurrently
+    entries.foreach { st =>
       if (st.isDirectory) moveTree(fsys, st.getPath, live(st.getPath.getName))
     }
     fsys.delete(ready, true)
+    ()
   }
 
   /** Heal the append protocol: publish every committed-but-undrained
@@ -111,11 +123,16 @@ object StagedAppend {
     val tokens = entries.filter(_.getName.startsWith("_append_ready_"))
       .map(_.getName.stripPrefix("_append_ready_")).toSeq
     tokens.foreach { t =>
-      publish(spark, root, t, live)
+      // fence BEFORE publish — the same ordering as the append path: a
+      // crash after the fence leaves the ready dir for the next heal to
+      // re-publish idempotently, while publish-first would delete the
+      // only durable evidence of the batch and a crash before the fence
+      // write would then let the replay double-append
       t.stripPrefix("b").toLongOption
         .filter(_ => t.startsWith("b"))
         .filter(_ > AdmitFence.upto(spark, root))
         .foreach(id => AdmitFence.advance(spark, root, id))
+      publish(spark, root, t, live)
     }
     tokens
   }

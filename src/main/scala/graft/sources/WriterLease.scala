@@ -38,8 +38,13 @@ object WriterLease {
     java.lang.management.ManagementFactory.getRuntimeMXBean.getName +
       "/" + java.util.UUID.randomUUID().toString.take(8)
 
-  // roots this JVM currently holds, with reentrancy depth
-  private val held = scala.collection.mutable.Map[String, Int]()
+  // roots this JVM currently holds: owning thread id + reentrancy depth.
+  // Reentrancy is PER THREAD — a second thread in the same JVM writing
+  // the same root is exactly the concurrent-writer misconfiguration the
+  // lease exists to catch (and the likeliest one: two streaming queries
+  // in one application), so it fails loudly instead of slipping through
+  // as "reentrant" and corrupting in-process.
+  private val held = scala.collection.mutable.Map[String, (Long, Int)]()
 
   private def fs(spark: SparkSession): FileSystem =
     FileSystem.get(spark.sparkContext.hadoopConfiguration)
@@ -72,10 +77,20 @@ object WriterLease {
     * live writer holds it. */
   def withLease[T](spark: SparkSession, root: String,
                    staleMs: Long = 30L * 60L * 1000L)(body: => T): T = {
+    val me = Thread.currentThread().getId
     val reentrant = synchronized {
-      val d = held.getOrElse(root, 0)
-      held(root) = d + 1
-      d > 0
+      held.get(root) match {
+        case Some((owner, d)) if owner == me =>
+          held(root) = (owner, d + 1); true
+        case Some((owner, _)) =>
+          throw new ConcurrentWriterException(
+            s"store at $root is being written by thread $owner of THIS " +
+              s"process (current thread $me); two concurrent writers per " +
+              "store is a deployment error even in-process — serialize the " +
+              "two ingests onto one store, or point them at distinct roots")
+        case None =>
+          held(root) = (me, 1); false
+      }
     }
     if (!reentrant) {
       val fsys = fs(spark)
@@ -85,7 +100,10 @@ object WriterLease {
       if (!claimed) {
         val holder = readHolder(fsys, p)
         val reclaimable = holder.exists { case (id, ts) =>
-          id == writerId || // our own crashed op (not in the depth map)
+          // our own id on disk while the in-JVM map says free = a crashed
+          // earlier op of this process (a LIVE in-process holder was
+          // already rejected above, so this cannot steal from one)
+          id == writerId ||
             java.lang.System.currentTimeMillis() - ts > staleMs
         }
         if (reclaimable) {
@@ -93,7 +111,7 @@ object WriterLease {
           claimed = tryClaim(fsys, p)
         }
         if (!claimed) {
-          synchronized { held(root) = held(root) - 1; if (held(root) == 0) held.remove(root) }
+          synchronized { held.remove(root) }
           throw new ConcurrentWriterException(
             s"store at $root is being written by ${holder.map(_._1).getOrElse("?")} " +
               s"(lease ${p}); two concurrent writers per store is a " +
@@ -105,10 +123,11 @@ object WriterLease {
     try body
     finally {
       val release = synchronized {
-        val d = held(root) - 1
-        if (d == 0) { held.remove(root); true } else { held(root) = d; false }
+        val (owner, d) = held(root)
+        if (d == 1) { held.remove(root); true }
+        else { held(root) = (owner, d - 1); false }
       }
-      if (release) fs(spark).delete(leasePath(root), false)
+      if (release) { fs(spark).delete(leasePath(root), false); () }
     }
   }
 }

@@ -62,5 +62,13 @@ class KCoreSpec extends SparkSpecBase {
         .exists(_.contains(new java.io.File(priorDir).getName)),
       s"prior checkpoint dir was not restored after the reliable peel " +
         s"(now ${spark.sparkContext.getCheckpointDir})")
+    // and the restore does not NEST: repeat peels must keep the restored
+    // path exactly <priorDir>/<uuid>, never <priorDir>/<uuid>/<uuid>/...
+    TextOps.x186KCoreFrom(spark, sfDir, pairs, checkpointDir = Some(ckptDir))
+      .collect()
+    val restored = spark.sparkContext.getCheckpointDir.get
+    assert(new org.apache.hadoop.fs.Path(restored).getParent.toString
+        .endsWith(new java.io.File(priorDir).getName),
+      s"repeat reliable peels nested the restored checkpoint dir: $restored")
   }
 }

@@ -32,6 +32,23 @@ class WriterLeaseSpec extends SparkSpecBase {
     assert(inner && leaseGone(root), "lease not released after the outer exit")
   }
 
+  test("a second THREAD of the same process is a concurrent writer, not " +
+       "reentrant — and fails loudly") {
+    val root = tmp("lease-thread")
+    @volatile var innerEx: Option[Throwable] = None
+    WriterLease.withLease(spark, root) {
+      val t = new Thread(() => {
+        try WriterLease.withLease(spark, root) { fail("body must not run") }
+        catch { case e: Throwable => innerEx = Some(e) }
+      })
+      t.start(); t.join()
+    }
+    assert(innerEx.exists(_.isInstanceOf[WriterLease.ConcurrentWriterException]),
+      s"cross-thread write was not rejected as concurrent: $innerEx")
+    assert(leaseGone(root))
+    WriterLease.withLease(spark, root) { () } // usable again after release
+  }
+
   test("a live foreign writer is detected and the mutator fails loudly") {
     val root = tmp("lease-foreign")
     plantForeign(root)

@@ -89,6 +89,16 @@ class X148Spec extends SparkSpecBase {
       "arbitrated output diverged from exact on the corpus the gate certified")
   }
 
+  test("arbiter fails CLOSED without evidence: a sub-2-vector corpus gets " +
+       "no certification, not a rubber stamp") {
+    val one = spark.range(1).select(col("id").as("vec_id"))
+      .withColumn("embedding",
+        expr(s"transform(sequence(1, $dim), j -> cast(1.0 as float))"))
+    val (chosen, curve) = VectorOps.x148ChooseNprobe(one)
+    assert(chosen.isEmpty && curve.isEmpty,
+      s"a gate with no measurable evidence certified $chosen")
+  }
+
   test("auto-arbiter falls back to the exact path on an isotropic corpus") {
     val (chosen, curve) = VectorOps.x148ChooseNprobe(isotropic)
     assert(chosen.isEmpty,
