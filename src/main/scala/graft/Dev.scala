@@ -583,6 +583,24 @@ object Dev {
       s.stop()
       return
     }
+    if (names == Seq("x148arb")) {
+      // the x148 nprobe AUTO-ARBITER run standalone over sfDir's
+      // embeddings (point it at a `clustercorpus`/`scalebench` dir for
+      // the at-scale verdicts): prints the measured recall curve and the
+      // certified nprobe (or the exact-path fallback) — the executable
+      // form of the r11 fidelity rehearsal's conclusion.
+      val s = GraftSession.build("graft-dev")
+      import org.apache.spark.sql.functions._
+      val corpus = Tables.embeddings(s, sfDir).select(col("vec_id"), col("embedding"))
+      val t0 = System.nanoTime()
+      val (chosen, curve) = graft.operators.VectorOps.x148ChooseNprobe(corpus)
+      val probeSec = (System.nanoTime() - t0) / 1e9
+      println(f"x148arb dir=$sfDir n=${corpus.count()}%,d probe_sec=$probeSec%.2f " +
+        s"curve=${curve.map { case (np, r) => f"np$np=$r%.3f" }.mkString(",")} " +
+        s"chosen=${chosen.map("np" + _).getOrElse("EXACT-FALLBACK")}")
+      s.stop()
+      return
+    }
     if (names == Seq("x171stats")) {
       // Candidate-volume diagnostic behind the x171 declared-vs-banded
       // adjudication: counts the length-block candidate pairs (declared
