@@ -299,6 +299,10 @@ object Bench {
     // so the row prices probe + exact fallback — the entry a production
     // pipeline actually calls
     val x148Auto = stagedQ("x148_auto")(d => operators.VectorOps.x148AutoMutualNn(spark, d))
+    // x08's ARBITRATED search (the serving-layer gate, x148_auto's top-k
+    // sibling): on this isotropic fixture the gate rejects every nprobe
+    // and the row prices probe + exact-scan fallback
+    val x08Auto = stagedQ("x08_auto")(d => operators.VectorOps.x08AutoSearch(spark, d))
     // x171's production path: banded char-gram candidates → the same
     // Levenshtein adjudication kernel — priced against the declared
     // length-blocked row (whose Σ|block|² candidate volume is the
@@ -534,7 +538,7 @@ object Bench {
     // without an isolated figure (x77_lsh and x186_core_only both slipped
     // through r10's declared-only slowest-10 exactly this way).
     val allRows = results ++ ccOnly ++ x77Lsh ++ x148Ivf ++ x148Auto ++
-      x171Banded ++ x93B32 ++ x83Store ++ q10Bucketed ++ tsStore ++
+      x08Auto ++ x171Banded ++ x93B32 ++ x83Store ++ q10Bucketed ++ tsStore ++
       x42Store ++ x42CcIncr ++ x08Store ++ x58Store ++ mergeRows ++ x64Rollup
     val isolated: Seq[(String, Double, Option[Double])] = Some(
         sys.env.getOrElse("SPARK_GRAFT_ISOLATE", "slowest:10"))

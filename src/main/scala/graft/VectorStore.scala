@@ -221,4 +221,22 @@ class VectorStore(spark: SparkSession, dir: String) {
     searchTopK(table.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb")),
       nprobe, k)
+
+  /** [[searchTopK]] with nprobe ARBITRATED against the store's own
+    * PERSISTED assignment — the gate re-derives nothing corpus-sized
+    * (the `cell` partition column IS the cluster id, read straight off
+    * the layout): a certified nprobe serves the pruned IVF search, a
+    * rejection serves the exact scan over the store. The per-corpus
+    * decision the r11 fidelity rehearsal prescribed, executable at the
+    * serving layer where it matters. */
+  def searchTopKAuto(probes: DataFrame, k: Int = 5): DataFrame = {
+    val assigned = table.select(col("vec_id"), col("embedding"),
+      col("cell").cast("long").as("cluster"))
+    val (np, _) = VectorOps.x08ChooseNprobeFrom(assigned, centroids, k = k)
+    np match {
+      case Some(w) => searchTopK(probes, w, k)
+      case None => VectorOps.exactTopK(
+        table.select(col("vec_id"), col("embedding")), probes, k)
+    }
+  }
 }

@@ -62,18 +62,9 @@ object VectorOps {
     * narrow re-read so the broadcast build side is the scan, not the
     * widened frame). AnnRecallSpec drives this + [[annIvf]] over a
     * clustered dev corpus. */
-  def cosineTopK(corpus: DataFrame, probeSrc: DataFrame): DataFrame = {
-    val probes = probeSrc.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
-    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
-    corpus.crossJoin(broadcast(probes))
-      .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("cos", dround(cosine(col("p_emb"), col("embedding")), 4))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= 5)
-      .select(col("probe_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("cos"))
-      .orderBy("probe_id", "rnk")
-  }
+  def cosineTopK(corpus: DataFrame, probeSrc: DataFrame): DataFrame =
+    exactTopK(corpus, probeSrc.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb")), 5)
 
   /** x85 retrieval evaluation — the IR scorecard for the exact dense
     * searcher: per probe (vec_id < 10), precision@10 and recall@10 of the
@@ -311,10 +302,7 @@ object VectorOps {
     // release an eager localCheckpoint's blocks (the x186/bench scrub
     // discipline — a long-lived service arbitrating many corpora must not
     // pin a corpus-sized assignment per call until the driver GCs)
-    def release(df: DataFrame): Unit = df.queryExecution.analyzed match {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false); ()
-      case _ => ()
-    }
+    def release(df: DataFrame): Unit = releaseLocal(df)
     val n = corpus.count()
     if (n < 2) return (None, Nil) // no evidence → the exact path, trivially cheap
     // hash-based deterministic sampling: ~n/step rows whatever the vec_id
@@ -483,12 +471,97 @@ object VectorOps {
   /** x08's IVF search over an arbitrary (vec_id, embedding) corpus —
     * centroids/stride come from `probeSrc` (fixture: the narrow scan),
     * probes are the corpus' vec_id < 10 rows. */
-  def annIvf(corpus: DataFrame, probeSrc: DataFrame): DataFrame = {
+  def annIvf(corpus: DataFrame, probeSrc: DataFrame, nprobe: Int = 2): DataFrame = {
     val cents = seedCents(probeSrc)
     val assigned = assignCells(corpus, cents)
     val probes = corpus.filter(col("vec_id") < 10)
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
-    ivfSearch(assigned, cents, probes)
+    ivfSearch(assigned, cents, probes, nprobe)
+  }
+
+  /** q54's exact top-k kernel over ARBITRARY probes (probe_id, p_emb) —
+    * the generic form [[cosineTopK]]'s contract probes specialize, and
+    * the exact reference/fallback of the x08 auto-arbiter. */
+  private[graft] def exactTopK(corpus: DataFrame, probes: DataFrame,
+                               k: Int = 5): DataFrame = {
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    corpus.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", dround(cosine(col("p_emb"), col("embedding")), 4))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("vec_id").as("neighbor_id"), col("cos"))
+      .orderBy("probe_id", "rnk")
+  }
+
+  /** Release an eager localCheckpoint's blocks (the x186/bench scrub
+    * discipline, shared by the two arbiter gates). */
+  private[graft] def releaseLocal(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false); ()
+      case _ => ()
+    }
+
+  /** Sampled recall@k gate for the x08 SEARCH index — the search-side
+    * sibling of [[x148ChooseNprobe]]: measured recall of the IVF top-k
+    * against the exact top-k over a deterministic hash-sampled probe set,
+    * walked over `candidates` ascending; the cheapest nprobe meeting
+    * `recallBar` wins, none ⇒ the exact path. The corpus ASSIGNMENT is
+    * the caller's — [[graft.VectorStore]] passes its persisted cells (the
+    * gate then recomputes nothing corpus-sized), the inline path one
+    * fresh assignment — so the gate itself costs one |sample|·n exact
+    * reference scan plus one candidate join per measured nprobe, never
+    * n². Fails CLOSED on empty evidence (no certification without a
+    * measurable sample). */
+  private[graft] def x08ChooseNprobeFrom(assigned: DataFrame, cents: DataFrame,
+      candidates: Seq[Int] = Seq(2, 4, 8, 16), sampleMax: Int = 200,
+      k: Int = 5, recallBar: Double = 0.95): (Option[Int], Seq[(Int, Double)]) = {
+    val corpus = assigned.select(col("vec_id"), col("embedding"))
+    val n = corpus.count()
+    if (n < 2) return (None, Nil)
+    val step = math.max(1L, n / sampleMax)
+    val sample = corpus.filter(pmod(xxhash64(col("vec_id")), lit(step)) === 0L)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+      .localCheckpoint(true)
+    val exact = exactTopK(corpus, sample, k)
+      .select(col("probe_id"), col("neighbor_id")).localCheckpoint(true)
+    val nExact = exact.count().toDouble
+    if (nExact == 0) { releaseLocal(sample); releaseLocal(exact); return (None, Nil) }
+    try {
+      val curve = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+      var chosen: Option[Int] = None
+      val it = candidates.sorted.iterator
+      while (chosen.isEmpty && it.hasNext) {
+        val np = it.next()
+        val ivf = ivfSearchClusters(assigned,
+            probeClusters(cents, sample, np), k)
+          .select(col("probe_id"), col("neighbor_id"))
+        val recall = exact.join(ivf, Seq("probe_id", "neighbor_id")).count() / nExact
+        curve += ((np, recall))
+        if (recall >= recallBar) chosen = Some(np)
+      }
+      (chosen, curve.toSeq)
+    } finally { releaseLocal(sample); releaseLocal(exact) }
+  }
+
+  /** x08's search with the nprobe ARBITRATED per corpus (bench row
+    * `x08_auto`; the x148AutoMutualNn symmetry for top-k serving): the
+    * sampled gate certifies the cheapest faithful nprobe — the IVF search
+    * runs there — or rejects every candidate and the exact scan serves
+    * instead. Same contract schema either way; on the isotropic fixture
+    * the gate rejects (x37's standing verdict, now executed per call). */
+  def x08AutoSearch(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val cents = seedCents(e)
+    val assigned = assignCells(wide(s, e), cents).localCheckpoint(true)
+    val (np, _) =
+      try x08ChooseNprobeFrom(assigned, cents)
+      finally releaseLocal(assigned) // gate artifact; the chosen path below
+        // re-derives its own (one corpus scan) instead of pinning blocks
+    np match {
+      case Some(w) => annIvf(wide(s, e), e, w)
+      case None    => cosineTopK(wide(s, e), e)
+    }
   }
 
   /** Cluster assignment by max cosine against broadcast centroids —

@@ -54,4 +54,31 @@ class AnnRecallSpec extends SparkSpecBase {
     val fixture = VectorOps.x37AnnRecall(spark, sfDir).collect()
     assert(fixture.count(_.getAs[Int]("ok") == 0) >= fixture.length / 2)
   }
+
+  test("x08 search auto-arbiter certifies a cheap nprobe on the clustered " +
+       "corpus, with a sane (non-decreasing) sampled recall curve") {
+    val cents = VectorOps.seedCents(clustered)
+    val (chosen, curve) = VectorOps.x08ChooseNprobeFrom(
+      VectorOps.assignCells(clustered, cents), cents)
+    assert(chosen === Some(2),
+      s"np=2 serves recall ≥ 0.95 on this corpus (test 1), got $chosen ($curve)")
+    assert(curve.map(_._2).forall(_ >= 0.95) ||
+           curve.map(_._2) === curve.map(_._2).sorted,
+      s"recall curve should be non-decreasing in nprobe: $curve")
+  }
+
+  test("x08 search auto-arbiter REJECTS an isotropic corpus (fail closed, " +
+       "exact fallback)") {
+    val noise = "pmod(xxhash64(vec_id, j), 2000001) / 1000000.0 - 1.0"
+    val isotropic = spark.range(2000).select(col("id").as("vec_id"))
+      .withColumn("embedding",
+        expr(s"transform(sequence(1, $dim), j -> cast($noise as float))"))
+    val cents = VectorOps.seedCents(isotropic)
+    val (chosen, curve) = VectorOps.x08ChooseNprobeFrom(
+      VectorOps.assignCells(isotropic, cents), cents)
+    assert(chosen.isEmpty,
+      s"no nprobe is faithful on isotropic data, yet the gate certified " +
+        s"$chosen (curve $curve)")
+    assert(curve.size === 4, "a rejecting walk must measure every candidate")
+  }
 }

@@ -197,6 +197,39 @@ class VectorStoreSpec extends SparkSpecBase {
     assert(store.table.count() === n1 + b2.count() + b1.count())
   }
 
+  test("searchTopKAuto arbitrates against the PERSISTED assignment: a " +
+       "clustered store certifies (pruned search), an isotropic store " +
+       "rejects (exact scan) — each equal to the path the verdict names") {
+    def corpusOf(center: String): org.apache.spark.sql.DataFrame =
+      spark.range(400).select(col("id").as("vec_id"))
+        .withColumn("embedding", expr(
+          s"transform(sequence(1, 32), j -> cast($center as float))"))
+    // AnnRecallSpec's clustered shape: 19 tight clusters, noise ≪ separation
+    val clustered = corpusOf(
+      "pmod(xxhash64(vec_id % 19, j), 2000001) / 1000000.0 - 1.0 + " +
+      "0.05 * (pmod(xxhash64(vec_id, j), 2000001) / 1000000.0 - 1.0)")
+    val isotropic = spark.range(2000).select(col("id").as("vec_id"))
+      .withColumn("embedding", expr(
+        "transform(sequence(1, 32), j -> " +
+        "cast(pmod(xxhash64(vec_id, j), 2000001) / 1000000.0 - 1.0 as float))"))
+    def probesOf(st: VectorStore) = st.table.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    def rows5(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val (cStore, _) = freshStore()
+    cStore.build(clustered)
+    assert(rows5(cStore.searchTopKAuto(probesOf(cStore))) ===
+           rows5(cStore.searchTopK(probesOf(cStore), nprobe = 2)),
+      "certified store must serve the pruned IVF search at the chosen nprobe")
+    val (iStore, _) = freshStore()
+    iStore.build(isotropic)
+    assert(rows5(iStore.searchTopKAuto(probesOf(iStore))) ===
+           rows5(operators.VectorOps.exactTopK(
+             iStore.table.select(col("vec_id"), col("embedding")),
+             probesOf(iStore))),
+      "rejected store must serve the exact scan")
+  }
+
   test("mid-append crash BEFORE the commit rename: partial files invisible, " +
        "orphan stage discarded, replay appends exactly once") {
     val (store, dir) = freshStore()
