@@ -592,10 +592,11 @@ object Dev {
       val s = GraftSession.build("graft-dev")
       import org.apache.spark.sql.functions._
       val corpus = Tables.embeddings(s, sfDir).select(col("vec_id"), col("embedding"))
+      val nVecs = corpus.count() // before t0 — probe_sec prices the GATE only
       val t0 = System.nanoTime()
       val (chosen, curve) = graft.operators.VectorOps.x148ChooseNprobe(corpus)
       val probeSec = (System.nanoTime() - t0) / 1e9
-      println(f"x148arb dir=$sfDir n=${corpus.count()}%,d probe_sec=$probeSec%.2f " +
+      println(f"x148arb dir=$sfDir n=$nVecs%,d probe_sec=$probeSec%.2f " +
         s"curve=${curve.map { case (np, r) => f"np$np=$r%.3f" }.mkString(",")} " +
         s"chosen=${chosen.map("np" + _).getOrElse("EXACT-FALLBACK")}")
       s.stop()

@@ -296,61 +296,77 @@ object VectorOps {
     * never n².
     *
     * Returns (chosen nprobe if any met the bar, the measured curve). */
-  private[graft] def x148ChooseNprobe(corpus: DataFrame,
-      candidates: Seq[Int] = Seq(2, 4, 8, 16), sampleMax: Int = 500,
-      recallBar: Double = 0.98): (Option[Int], Seq[(Int, Double)]) = {
-    // release an eager localCheckpoint's blocks (the x186/bench scrub
-    // discipline — a long-lived service arbitrating many corpora must not
-    // pin a corpus-sized assignment per call until the driver GCs)
-    def release(df: DataFrame): Unit = releaseLocal(df)
+  /** Shared harness of the two nprobe arbiter gates ([[x148ChooseNprobe]]
+    * mutual-NN, [[x08ChooseNprobeFrom]] top-k serving): deterministic
+    * hash-sampled probes (id-distribution-proof — a modulo rule on raw
+    * ids picks NOTHING on sparse/hashed id spaces), an exact reference
+    * computed once and checkpointed, an ascending first-pass-wins walk
+    * over `candidates`, fail-CLOSED on empty evidence (a gate with no
+    * measurable sample certifies nothing), and release of every gate
+    * checkpoint on ALL paths including mid-construction failures — the
+    * leak class the round's first self-review fixed, here structural.
+    * `reference(sample)` builds the exact-path reference rows; `hits`
+    * counts how many of them the np-candidate front end recovers. */
+  private def nprobeGate(corpus: DataFrame, candidates: Seq[Int],
+      sampleMax: Int, recallBar: Double)
+     (reference: DataFrame => DataFrame)
+     (hits: (DataFrame, DataFrame, Int) => Long): (Option[Int], Seq[(Int, Double)]) = {
     val n = corpus.count()
     if (n < 2) return (None, Nil) // no evidence → the exact path, trivially cheap
-    // hash-based deterministic sampling: ~n/step rows whatever the vec_id
-    // distribution (a modulo rule on raw ids picks NOTHING on sparse or
-    // hashed id spaces, and an empty sample must never certify the index)
     val step = math.max(1L, n / sampleMax)
     val sample = corpus.filter(pmod(xxhash64(col("vec_id")), lit(step)) === 0L)
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
       .localCheckpoint(true) // ~sampleMax rows; probed once per np below
-    val exactTop = top1(
-      corpus.join(broadcast(sample), col("vec_id") =!= col("probe_id"))
-        .select(col("probe_id").as("id_a"), col("vec_id").as("id_b"),
-          dround(cosine(col("p_emb"), col("embedding")), 4).as("cos")))
-      .select(col("id_a"), col("nn")).localCheckpoint(true)
-    val total = exactTop.count().toDouble
-    if (total == 0) { // fail CLOSED: a gate with no evidence certifies nothing
-      release(sample); release(exactTop)
-      return (None, Nil)
-    }
-    val cents = seedCents(corpus)
-    val assigned = assignCells(corpus, cents)
-      .localCheckpoint(true) // ONE corpus assignment, reused across the walk
     try {
-      val curve = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
-      var chosen: Option[Int] = None
-      val it = candidates.sorted.iterator
-      while (chosen.isEmpty && it.hasNext) {
-        val np = it.next()
+      val ref = reference(sample).localCheckpoint(true)
+      try {
+        val total = ref.count().toDouble
+        if (total == 0) return (None, Nil) // fail CLOSED
+        val curve = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+        var chosen: Option[Int] = None
+        val it = candidates.sorted.iterator
+        while (chosen.isEmpty && it.hasNext) {
+          val np = it.next()
+          val recall = hits(sample, ref, np) / total
+          curve += ((np, recall))
+          if (recall >= recallBar) chosen = Some(np)
+        }
+        (chosen, curve.toSeq)
+      } finally releaseLocal(ref)
+    } finally releaseLocal(sample)
+  }
+
+  private[graft] def x148ChooseNprobe(corpus: DataFrame,
+      candidates: Seq[Int] = Seq(2, 4, 8, 16), sampleMax: Int = 500,
+      recallBar: Double = 0.98): (Option[Int], Seq[(Int, Double)]) = {
+    // the walk's ONE corpus assignment, built lazily on the first
+    // measurement (an empty-evidence gate never pays for it) and released
+    // with the gate — the chosen path's edge build deliberately re-derives
+    // its own (one corpus scan) rather than returning a plan pinned to
+    // blocks nobody would ever release
+    lazy val cents = seedCents(corpus)
+    var assignedRef: DataFrame = null
+    def assigned: DataFrame = {
+      if (assignedRef == null)
+        assignedRef = assignCells(corpus, cents).localCheckpoint(true)
+      assignedRef
+    }
+    try {
+      nprobeGate(corpus, candidates, sampleMax, recallBar) { sample =>
+        top1(corpus.join(broadcast(sample), col("vec_id") =!= col("probe_id"))
+            .select(col("probe_id").as("id_a"), col("vec_id").as("id_b"),
+              dround(cosine(col("p_emb"), col("embedding")), 4).as("cos")))
+          .select(col("id_a"), col("nn"))
+      } { (sample, ref, np) =>
         val ivfTop = top1(
           assigned.join(broadcast(probeClusters(cents, sample, np)), Seq("cluster"))
             .filter(col("vec_id") =!= col("probe_id"))
             .select(col("probe_id").as("id_a"), col("vec_id").as("id_b"),
               dround(cosine(col("p_emb"), col("embedding")), 4).as("cos")))
           .select(col("id_a"), col("nn").as("ivf_nn"))
-        val hits = exactTop.join(ivfTop, Seq("id_a"))
-          .filter(col("nn") === col("ivf_nn")).count()
-        val recall = hits / total
-        curve += ((np, recall))
-        if (recall >= recallBar) chosen = Some(np)
+        ref.join(ivfTop, Seq("id_a")).filter(col("nn") === col("ivf_nn")).count()
       }
-      (chosen, curve.toSeq)
-    } finally {
-      // the walk's artifacts are measurement-only — the chosen path's edge
-      // build deliberately re-derives its own assignment (one corpus scan,
-      // the same class of work as the search itself) rather than returning
-      // a plan pinned to blocks nobody would ever release
-      release(sample); release(exactTop); release(assigned)
-    }
+    } finally if (assignedRef != null) releaseLocal(assignedRef)
   }
 
   /** x148 with the candidate front end ARBITRATED per corpus — the
@@ -517,31 +533,14 @@ object VectorOps {
       candidates: Seq[Int] = Seq(2, 4, 8, 16), sampleMax: Int = 200,
       k: Int = 5, recallBar: Double = 0.95): (Option[Int], Seq[(Int, Double)]) = {
     val corpus = assigned.select(col("vec_id"), col("embedding"))
-    val n = corpus.count()
-    if (n < 2) return (None, Nil)
-    val step = math.max(1L, n / sampleMax)
-    val sample = corpus.filter(pmod(xxhash64(col("vec_id")), lit(step)) === 0L)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
-      .localCheckpoint(true)
-    val exact = exactTopK(corpus, sample, k)
-      .select(col("probe_id"), col("neighbor_id")).localCheckpoint(true)
-    val nExact = exact.count().toDouble
-    if (nExact == 0) { releaseLocal(sample); releaseLocal(exact); return (None, Nil) }
-    try {
-      val curve = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
-      var chosen: Option[Int] = None
-      val it = candidates.sorted.iterator
-      while (chosen.isEmpty && it.hasNext) {
-        val np = it.next()
-        val ivf = ivfSearchClusters(assigned,
-            probeClusters(cents, sample, np), k)
-          .select(col("probe_id"), col("neighbor_id"))
-        val recall = exact.join(ivf, Seq("probe_id", "neighbor_id")).count() / nExact
-        curve += ((np, recall))
-        if (recall >= recallBar) chosen = Some(np)
-      }
-      (chosen, curve.toSeq)
-    } finally { releaseLocal(sample); releaseLocal(exact) }
+    nprobeGate(corpus, candidates, sampleMax, recallBar) { sample =>
+      exactTopK(corpus, sample, k).select(col("probe_id"), col("neighbor_id"))
+    } { (sample, ref, np) =>
+      ref.join(
+        ivfSearchClusters(assigned, probeClusters(cents, sample, np), k)
+          .select(col("probe_id"), col("neighbor_id")),
+        Seq("probe_id", "neighbor_id")).count()
+    }
   }
 
   /** x08's search with the nprobe ARBITRATED per corpus (bench row

@@ -55,16 +55,15 @@ class AnnRecallSpec extends SparkSpecBase {
     assert(fixture.count(_.getAs[Int]("ok") == 0) >= fixture.length / 2)
   }
 
-  test("x08 search auto-arbiter certifies a cheap nprobe on the clustered " +
-       "corpus, with a sane (non-decreasing) sampled recall curve") {
+  test("x08 search auto-arbiter certifies the cheapest faithful nprobe on " +
+       "the clustered corpus (first-pass-wins: exactly one curve point)") {
     val cents = VectorOps.seedCents(clustered)
     val (chosen, curve) = VectorOps.x08ChooseNprobeFrom(
       VectorOps.assignCells(clustered, cents), cents)
     assert(chosen === Some(2),
       s"np=2 serves recall ≥ 0.95 on this corpus (test 1), got $chosen ($curve)")
-    assert(curve.map(_._2).forall(_ >= 0.95) ||
-           curve.map(_._2) === curve.map(_._2).sorted,
-      s"recall curve should be non-decreasing in nprobe: $curve")
+    assert(curve.size === 1 && curve.head._2 >= 0.95,
+      s"the walk must stop at the first certified setting: $curve")
   }
 
   test("x08 search auto-arbiter REJECTS an isotropic corpus (fail closed, " +
@@ -80,5 +79,8 @@ class AnnRecallSpec extends SparkSpecBase {
       s"no nprobe is faithful on isotropic data, yet the gate certified " +
         s"$chosen (curve $curve)")
     assert(curve.size === 4, "a rejecting walk must measure every candidate")
+    // measured monotone sanity on the one walk that HAS multiple points
+    assert(curve.map(_._2) === curve.map(_._2).sorted,
+      s"recall should be non-decreasing in nprobe: $curve")
   }
 }
