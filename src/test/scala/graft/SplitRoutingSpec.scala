@@ -133,4 +133,40 @@ class SplitRoutingSpec extends SparkSpecBase {
     assert(r3.head._3 === r1.find(_._1 == 50L).get._3,
       "dup of a fenced-batch admit must inherit its split")
   }
+
+  test("mid-append crash atomicity: a novel doc's SPLIT and SIGNATURES land " +
+       "together or not at all — never one without the other") {
+    import spark.implicits._
+    def docs(rows: (Long, String)*) =
+      rows.toDF("id", "text").select(col("id"), split(col("text"), " ").as("toks"))
+    val root = tmp("route-atomic")
+    SignatureStore.writeRouted(spark, docs(1L -> "alpha beta gamma delta epsilon"), root)
+    val (docs0, splits0) =
+      (spark.table("sig_docs").count(), spark.table("sig_splits").count())
+    val novel = docs(70L -> "zeta eta theta iota kappa")
+    // replicate routeAndAdmit's pre-crash append work: signatures AND the
+    // split row staged in ONE cycle, then die BEFORE the commit rename
+    SignatureStore.stageAppend(spark, root, "b0", novel,
+      graft.functions.MinHashLSH.Params(),
+      splits = Some(spark.createDataFrame(Seq((70L, "train"))).toDF("id", "split")))
+    assert(spark.table("sig_docs").count() === docs0 &&
+           spark.table("sig_splits").count() === splits0,
+      "pre-commit crash leaked signatures or splits into the live tables")
+    // now crash AFTER the commit: both must become visible TOGETHER via
+    // any reader's drain (here: incrementPairs' heal)
+    graft.sources.StagedAppend.heal(spark, root,
+      name => new org.apache.hadoop.fs.Path(spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name)).location),
+      dropStages = false) // no committed batch yet: the stage dir survives
+    graft.sources.StagedAppend.commit(spark, root, "b0")
+    SignatureStore.incrementPairs(spark, novel, 0.8).count() // reader drains
+    Seq("sig_docs", "sig_splits").foreach(t => spark.catalog.refreshTable(t))
+    assert(spark.table("sig_docs").count() === docs0 + 1 &&
+           spark.table("sig_splits").count() === splits0 + 1,
+      "post-commit drain split the atom: signatures and split diverged")
+    assert(spark.table("sig_splits").filter(col("id") === 70L).head.getString(1)
+      === "train")
+    assert(graft.sources.AdmitFence.admitted(spark, root, 0L),
+      "draining the committed routed batch must advance the fence")
+  }
 }
