@@ -586,7 +586,10 @@ object Bench {
       if (allWarm.nonEmpty) warm else ""}${
       if (isolated.nonEmpty) iso else ""}${
       if (isolated.exists(_._3.isDefined)) isoWarm else ""}${
-      if (flagged.nonEmpty) flagsJson else ""},"sf":"$sfDir"}"""
+      // always present, {} when clean (r12 verdict item 5): a third party
+      // reading the artifact can distinguish "zero flags" from a pre-flag
+      // bench version that never computed them
+      flagsJson},"sf":"$sfDir"}"""
     println(line)
     // The driver's artifact keeps only the stdout TAIL, which truncates the
     // per-query map on a 95-query run — persist the complete line to a file

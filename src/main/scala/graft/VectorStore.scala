@@ -49,7 +49,8 @@ class VectorStore(spark: SparkSession, dir: String) {
     if (fsys.exists(rootP))
       fsys.listStatus(rootP).map(_.getPath)
         .filter(q => q.getName.startsWith("_admitted_upto") ||
-                     q.getName.startsWith("_append_"))
+                     q.getName.startsWith("_append_") ||
+                     q.getName.startsWith("_fence_lock"))
         .foreach(q => fsys.delete(q, true))
     val cents = VectorOps.seedCents(src)
     cents.write.mode("overwrite").parquet(centDir)
@@ -235,13 +236,41 @@ class VectorStore(spark: SparkSession, dir: String) {
       .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb")),
       nprobe, k)
 
-  // Cached arbitration verdicts by k: the verdict is a property of the
-  // STORE CONTENTS (codebook + cells), not of any one query, so it is
-  // measured once and reused until the contents change — append/compact/
-  // build and any drained staged batch invalidate it (see healAppends).
-  @transient private var verdicts = Map.empty[Int, Option[Int]]
+  // Cached arbitration verdicts keyed (k, store-content fingerprint): the
+  // verdict is a property of the STORE CONTENTS (codebook + cells), not of
+  // any one query — and the contents can change OUTSIDE this instance (a
+  // writer process appends and publishes; this reader JVM never observes a
+  // ready dir that was already drained). In-process invalidation alone
+  // would serve a stale recall certification indefinitely as the corpus
+  // drifts (r12 ADVICE), so the cache key IS the contents: the fence
+  // watermark plus the vectors/ file-listing signature (paths, sizes,
+  // mtimes). Any append/compact/build — this instance's or another
+  // process's — changes the listing and forces re-certification; the same
+  // mechanism is the DRIFT trigger (r12 verdict item 6): a
+  // distribution-shifting append can never be served from the old verdict.
+  // Cost: one recursive listing per auto-search — the same metadata class
+  // as the parquet read planning the search performs anyway.
+  @transient private var verdicts = Map.empty[(Int, Long), Option[Int]]
 
   private def invalidateVerdicts(): Unit = synchronized { verdicts = Map.empty }
+
+  private def contentFingerprint(
+      fsys: org.apache.hadoop.fs.FileSystem): Long = {
+    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+    val root = new org.apache.hadoop.fs.Path(vecDir)
+    if (fsys.exists(root)) {
+      val it = fsys.listFiles(root, true)
+      while (it.hasNext) {
+        val st = it.next()
+        files += ((st.getPath.toString, st.getLen, st.getModificationTime))
+      }
+    }
+    files.sortBy(_._1).foldLeft( // sorted: listing order is not contractual
+      graft.sources.AdmitFence.upto(spark, dir) + 1125899906842597L) {
+      case (h, (p, len, mt)) =>
+        ((h * 31L + p.hashCode.toLong) * 31L + len) * 31L + mt
+    }
+  }
 
   /** [[searchTopK]] with nprobe ARBITRATED against the store's own
     * PERSISTED assignment — the gate re-derives nothing corpus-sized
@@ -255,14 +284,20 @@ class VectorStore(spark: SparkSession, dir: String) {
     * against. */
   def searchTopKAuto(probes: DataFrame, k: Int = 5): DataFrame = {
     val t = table // ONE heal/recover + listing for the gate and the serving
-    val np = synchronized(verdicts.get(k)) match {
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val fp = contentFingerprint(fsys) // AFTER table's heal — post-drain state
+    val np = synchronized(verdicts.get((k, fp))) match {
       case Some(v) => v
       case None =>
         val v = VectorOps.x08ChooseNprobeFrom(
           t.select(col("vec_id"), col("embedding"),
             col("cell").cast("long").as("cluster")),
           centroids, k = k)._1
-        synchronized { verdicts += k -> v }
+        synchronized {
+          if (verdicts.size >= 64) verdicts = Map.empty // bound a long server
+          verdicts += (k, fp) -> v
+        }
         v
     }
     np match {

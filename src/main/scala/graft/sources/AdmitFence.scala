@@ -11,23 +11,38 @@ import org.apache.spark.sql.SparkSession
   * second time (double-indexed docs/vectors — extra candidates at query
   * time, wasted bytes forever). Stores that are idempotent by construction
   * (MergeStore's copy-on-write merge, the ST28 self-overwriting partials,
-  * PostingsStore's manifest-committed file sink) don't need this; the two
+  * PostingsStore's manifest-committed file sink) don't need this; the
   * append-only stores do.
   *
   * The fence is the ST28 watermark pattern: one tiny `_admitted_upto` file
-  * beside the store holding the highest batch id whose append COMPLETED.
-  * `foreachBatch` delivers batch ids serially and monotonically per
-  * checkpoint, so a single high-watermark long suffices — a replayed batch
-  * (id ≤ watermark) skips the append entirely. The watermark write is
-  * strictly AFTER the append: a crash before it replays the whole cycle
-  * (the append happens once in total), a crash after it makes the replay a
-  * no-op. The one residual window is a crash INSIDE the multi-file append
-  * itself — closing that needs a transactional manifest (BucketedLayout's
-  * shape), deliberately not re-built here; the fence reduces the
-  * double-append surface from "every replay" to "a crash mid-write".
+  * beside the store holding the highest batch id whose append COMPLETED
+  * (or — since round 12 — whose staged batch COMMITTED: [[StagedAppend]]'s
+  * "committed ⇒ admitted" rule). `foreachBatch` delivers batch ids
+  * serially and monotonically per checkpoint, so a single high-watermark
+  * long suffices — a replayed batch (id ≤ watermark) skips the append
+  * entirely.
   *
-  * Single writer per store, same as every compact in this repo: two
-  * concurrent ingests racing one watermark file is a deployment error. */
+  * Concurrency (round 13 — the r12 ADVICE hole): the fence is advanced
+  * not only by the single WRITER but by lease-free READERS draining a
+  * crashed writer's committed batch ([[StagedAppend.heal]]). Unserialized,
+  * a stalled reader that cached an old `upto` could re-publish a LOWER
+  * watermark after the writer advanced further — regressing the fence so
+  * a fenced replay double-appends, the exact hole the fence exists to
+  * close — and two concurrent advances through one fixed temp file could
+  * steal each other's temp mid-publish. [[advance]] is therefore
+  * MONOTONIC AND SERIALIZED: each call writes a uniquely-named temp,
+  * re-reads the live watermark under a per-store JVM lock plus a
+  * `_fence_lock` file (cross-process — reader processes heal too), and
+  * skips when `batchId ≤ upto`. The watermark can only move forward, no
+  * matter how stale the caller's view was. The lock guards a
+  * milliseconds-long critical section (one read, one tiny write, one
+  * rename); a crashed holder's lock file goes stale after 10 s and is
+  * reclaimed by the next advance.
+  *
+  * Single WRITER per store, same as every compact in this repo: two
+  * concurrent ingests racing one watermark is a deployment error
+  * ([[WriterLease]] catches it); concurrent READER heals are legal and
+  * safe under the serialization above. */
 object AdmitFence {
 
   /** The RAW (checksum-free) filesystem: the watermark is published by
@@ -43,6 +58,18 @@ object AdmitFence {
 
   private def markPath(storeDir: String) =
     new org.apache.hadoop.fs.Path(s"$storeDir/_admitted_upto")
+
+  // per-store JVM locks (fast path for the common one-process case),
+  // keyed on the fs-QUALIFIED dir so `/tmp/x` and `file:/tmp/x` callers
+  // serialize against each other (the WriterLease r12 keying lesson)
+  private val jvmLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  private def jvmLock(fsys: org.apache.hadoop.fs.FileSystem,
+                      storeDir: String): Object =
+    jvmLocks.getOrElseUpdate(
+      fsys.makeQualified(new org.apache.hadoop.fs.Path(storeDir)).toString,
+      new Object)
 
   /** Highest batch id whose append completed; -1 when none did. An
     * unparsable watermark (a torn write from a pre-atomic-publish store,
@@ -69,23 +96,80 @@ object AdmitFence {
   def admitted(spark: SparkSession, storeDir: String, batchId: Long): Boolean =
     batchId <= upto(spark, storeDir)
 
-  /** Record `batchId`'s append as complete. Call strictly AFTER the
-    * append's last write. Atomic publish (write a sibling temp, rename
-    * over the live file — the base/_upto discipline): a crash mid-write
-    * can no longer leave a truncated watermark, only an orphan temp the
-    * next advance overwrites. */
+  /** Hold the store's `_fence_lock` file around a fence-watermark
+    * mutation — the cross-process half of advance's serialization (a
+    * reader process healing a crashed writer's batch races the restarted
+    * writer's own advance). The critical section is milliseconds, so the
+    * lock spins briefly; a holder that crashed inside it leaves a lock
+    * file that goes stale after `staleMs` and is reclaimed. */
+  private def withFenceLock[T](fsys: org.apache.hadoop.fs.FileSystem,
+                               storeDir: String)(body: => T): T = {
+    val lock = new org.apache.hadoop.fs.Path(s"$storeDir/_fence_lock")
+    val staleMs = 10000L
+    val deadline = java.lang.System.currentTimeMillis() + 60000L
+    var got = false
+    while (!got) {
+      got =
+        try {
+          val out = fsys.create(lock, false) // atomic create-no-overwrite
+          try out.write(s"${java.lang.System.currentTimeMillis()}"
+            .getBytes("UTF-8"))
+          finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      if (!got) {
+        val ts =
+          try {
+            val in = fsys.open(lock)
+            val raw = try scala.io.Source.fromInputStream(in).mkString.trim
+                      finally in.close()
+            raw.toLongOption.getOrElse(0L) // torn = ancient = reclaimable
+          } catch { case _: java.io.IOException => 0L } // vanished/unreadable
+        if (java.lang.System.currentTimeMillis() - ts > staleMs)
+          fsys.delete(lock, false) // crashed holder; loop re-claims
+        else if (java.lang.System.currentTimeMillis() > deadline)
+          sys.error(s"AdmitFence: $lock held beyond the deadline — a live " +
+            "holder is stuck inside a milliseconds-long critical section; " +
+            "investigate before deleting the lock by hand")
+        else Thread.sleep(20L)
+      }
+    }
+    try body finally { fsys.delete(lock, false); () }
+  }
+
+  /** Ensure the watermark is ≥ `batchId` — MONOTONIC: a caller holding a
+    * stale view of the store can never move the fence backwards. Call
+    * strictly AFTER the batch's durable point ([[StagedAppend.commit]]'s
+    * rename, or the last write of an unstaged append). Throws on failure
+    * (the caller's ready dir then survives as replay evidence — a silent
+    * failure here would let a replayed batch double-append). */
   def advance(spark: SparkSession, storeDir: String, batchId: Long): Unit = {
+    AtomicRename.ensure(spark, storeDir, "AdmitFence")
     val fsys = fs(spark)
-    val p = markPath(storeDir)
-    val tmp = new org.apache.hadoop.fs.Path(s"$storeDir/_admitted_upto.tmp")
-    val out = fsys.create(tmp, true)
-    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-    if (!fsys.rename(tmp, p)) {
-      // non-POSIX fallback (e.g. an FS whose rename refuses to overwrite):
-      // delete-then-rename — the brief no-watermark window only re-runs a
-      // batch, the at-least-once direction the fence already documents
-      fsys.delete(p, false)
-      require(fsys.rename(tmp, p), s"AdmitFence: could not publish $p")
+    jvmLock(fsys, storeDir).synchronized {
+      withFenceLock(fsys, storeDir) {
+        if (upto(spark, storeDir) < batchId) { // re-read under the lock
+          val dirP = new org.apache.hadoop.fs.Path(storeDir)
+          // any `.tmp` sibling while we hold both locks is an orphan from
+          // a crashed advance (in-flight advances are excluded) — sweep
+          fsys.listStatus(dirP).map(_.getPath)
+            .filter(_.getName.startsWith("_admitted_upto.tmp"))
+            .foreach(t => fsys.delete(t, false))
+          val p = markPath(storeDir)
+          val tmp = new org.apache.hadoop.fs.Path(
+            s"$storeDir/_admitted_upto.tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+          val out = fsys.create(tmp, true)
+          try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+          if (!fsys.rename(tmp, p)) {
+            // non-POSIX fallback (an FS whose rename refuses to overwrite):
+            // delete-then-rename — the brief no-watermark window only
+            // re-runs a batch, the at-least-once direction; no concurrent
+            // advance can interleave here (we hold both locks)
+            fsys.delete(p, false)
+            require(fsys.rename(tmp, p), s"AdmitFence: could not publish $p")
+          }
+        }
+      }
     }
   }
 }

@@ -1,0 +1,86 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+/** Capability gate for the engine's rename-based commit protocols — the
+  * documented object-store POSTURE (r12 verdict item 3).
+  *
+  * Every crash-safety protocol in this repo commits durable state with a
+  * filesystem rename treated as atomic:
+  *
+  *  - [[StagedAppend.commit]]'s stage → ready directory rename,
+  *  - [[AdmitFence.advance]]'s temp → watermark rename,
+  *  - [[WriterLease]]'s create-no-overwrite claim and renewal rename,
+  *  - the two-rename compact swaps (VectorStore/PostingsStore/StreamOps).
+  *
+  * That atomicity holds on POSIX local filesystems and HDFS-class stores
+  * (HDFS, viewfs, Azure ABFS with hierarchical namespace, Ozone). It does
+  * NOT hold on flat object stores: S3's "rename" is a non-atomic
+  * copy+delete per object (a crash mid-rename leaves BOTH halves, the
+  * exact torn state the protocols assume impossible), GCS directory
+  * rename is object-by-object, and create-no-overwrite is not a mutual
+  * exclusion primitive on eventually-consistent listings. Running the
+  * staged protocols there silently degrades exactly-once to
+  * maybe-duplicated-maybe-torn — the one failure mode a 100 TB deployment
+  * hits on day one, with no error anywhere.
+  *
+  * So the engine REFUSES, loudly and at the first protocol touch, instead
+  * of corrupting quietly. Remediation, in preference order:
+  *
+  *  1. keep the store roots on an atomic-rename filesystem (HDFS/local/
+  *     ABFS-HNS) even when the raw corpus lives on S3 — the stores are
+  *     derived state and orders of magnitude smaller than the corpus;
+  *  2. use the manifest-commit pattern this repo already ships where
+  *     object-store residency is mandatory: [[graft.streaming.IngestPipeline]]'s
+  *     file-sink manifest and VersionedStore's manifest + pointer commit
+  *     are S3-safe by construction (one small pointer write, readers
+  *     never list for truth);
+  *  3. accept the risk explicitly with
+  *     `spark.graft.unsafeAllowNonAtomicRename=true` (e.g. an S3
+  *     deployment fronted by a consistency layer that DOES make renames
+  *     atomic) — the flag is deliberately named unsafe.
+  *
+  * The check is scheme-string-based (no FileSystem instantiation — the
+  * whole point is to fail before touching the store), so it costs two
+  * string operations per protocol call. */
+object AtomicRename {
+
+  /** Flat object stores whose rename is copy+delete (non-atomic). abfs/
+    * abfss are NOT listed: with hierarchical namespace (the only mode
+    * Hadoop's ABFS connector targets) rename is a single atomic metadata
+    * op. wasb (legacy flat Azure blob) IS listed. */
+  private val nonAtomicSchemes: Set[String] =
+    Set("s3", "s3a", "s3n", "gs", "wasb", "swift", "oss", "cos", "obs")
+
+  private def schemeOf(spark: SparkSession, root: String): String =
+    Option(new org.apache.hadoop.fs.Path(root).toUri.getScheme).getOrElse {
+      Option(org.apache.hadoop.fs.FileSystem
+        .getDefaultUri(spark.sparkContext.hadoopConfiguration).getScheme)
+        .getOrElse("file")
+    }
+
+  /** True when `root`'s filesystem rename can be treated as atomic (or
+    * the deployment explicitly accepted the risk). */
+  def isAtomic(spark: SparkSession, root: String): Boolean =
+    !nonAtomicSchemes.contains(schemeOf(spark, root).toLowerCase) ||
+      spark.conf.get("spark.graft.unsafeAllowNonAtomicRename", "false") == "true"
+
+  /** Refuse a rename-based protocol on a filesystem without atomic
+    * rename. `protocol` names the caller for the error message. */
+  def ensure(spark: SparkSession, root: String, protocol: String): Unit =
+    if (!isAtomic(spark, root))
+      throw new UnsupportedOperationException(
+        s"$protocol at $root commits state via filesystem renames, and " +
+          s"scheme '${schemeOf(spark, root)}' is a flat object store whose " +
+          "rename is a non-atomic copy+delete — a crash mid-commit would " +
+          "leave torn state the crash-safety protocols assume impossible, " +
+          "and replays could double-append with no error anywhere. " +
+          "Remediation: (1) place the store root on an atomic-rename " +
+          "filesystem (HDFS/local/ABFS with hierarchical namespace) — " +
+          "derived index state is small next to the corpus; (2) for " +
+          "mandatory object-store residency use the manifest-commit " +
+          "stores (IngestPipeline's file-sink manifest, VersionedStore's " +
+          "manifest+pointer), which are S3-safe by construction; or (3) " +
+          "set spark.graft.unsafeAllowNonAtomicRename=true to accept " +
+          "torn-commit risk explicitly.")
+}

@@ -52,7 +52,8 @@ class PostingsStore(spark: SparkSession, dir: String) {
     if (fsys.exists(dirP))
       fsys.listStatus(dirP).map(_.getPath)
         .filter(q => q.getName.startsWith("_admitted_upto") ||
-                     q.getName.startsWith("_append_"))
+                     q.getName.startsWith("_append_") ||
+                     q.getName.startsWith("_fence_lock"))
         .foreach(q => fsys.delete(q, true))
     postingsOf(docs, buckets)
       .repartition(col("tb"))

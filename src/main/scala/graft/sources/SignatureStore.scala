@@ -78,7 +78,8 @@ object SignatureStore {
     if (fsys.exists(rootP))
       fsys.listStatus(rootP).map(_.getPath)
         .filter(q => q.getName.startsWith("_admitted_upto") ||
-                     q.getName.startsWith("_append_"))
+                     q.getName.startsWith("_append_") ||
+                     q.getName.startsWith("_fence_lock"))
         .foreach(q => fsys.delete(q, true))
     MinHashLSH.hashedDocs(toks, p)
       .write.format("parquet")
@@ -192,15 +193,19 @@ object SignatureStore {
     // bucketed staging rides a throwaway EXTERNAL table: the bucket id is
     // encoded in each file's NAME, so the files stay a valid extension of
     // the live bucketed table after the publish move; dropping the table
-    // leaves the staged files in place
-    spark.sql("DROP TABLE IF EXISTS sig_sets_stage")
+    // leaves the staged files in place. The name carries the stage token
+    // (r12 ADVICE): the session catalog is global, so two SignatureStores
+    // at DIFFERENT roots appending in one session (legal — the lease is
+    // per root) must not race on one shared staging table name.
+    val stageTable = s"sig_sets_stage_$token"
+    spark.sql(s"DROP TABLE IF EXISTS $stageTable")
     MinHashLSH.tokenSets(toks)
       .repartition(spec.numBuckets, col("id"))
       .write.format("parquet")
       .bucketBy(spec.numBuckets, "id").sortBy("id")
       .option("path", s"$stage/sig_sets")
-      .mode("overwrite").saveAsTable("sig_sets_stage")
-    spark.sql("DROP TABLE sig_sets_stage")
+      .mode("overwrite").saveAsTable(stageTable)
+    spark.sql(s"DROP TABLE $stageTable")
     splits.foreach(_.write.mode("overwrite").parquet(s"$stage/sig_splits"))
   }
 

@@ -51,6 +51,7 @@ object StagedAppend {
 
   /** The COMMIT rename — atomic; after it the batch is durable. */
   def commit(spark: SparkSession, root: String, token: String): Unit = {
+    AtomicRename.ensure(spark, root, "StagedAppend")
     val fsys = fs(spark)
     require(fsys.rename(stagePath(root, token), readyPath(root, token)),
       s"staged append: could not commit $token under $root")
@@ -113,6 +114,7 @@ object StagedAppend {
     * replay path. */
   def heal(spark: SparkSession, root: String, live: String => Path,
            dropStages: Boolean): Seq[String] = {
+    AtomicRename.ensure(spark, root, "StagedAppend")
     val fsys = fs(spark)
     val rootP = new Path(root)
     if (!fsys.exists(rootP)) return Nil

@@ -34,12 +34,67 @@ class AdmitFenceSpec extends SparkSpecBase {
     assert(AdmitFence.upto(spark, dir) === 7L)
   }
 
-  test("advance leaves no stray temp once published") {
+  test("advance leaves no stray temp or lock once published") {
     val dir = java.nio.file.Files.createTempDirectory("fence").toString
     AdmitFence.advance(spark, dir, 1L)
     val names = new java.io.File(dir).listFiles.map(_.getName).toSet
     assert(names.contains("_admitted_upto"))
-    assert(!names.contains("_admitted_upto.tmp"),
+    assert(!names.exists(_.startsWith("_admitted_upto.tmp")),
       s"temp watermark not cleaned up: $names")
+    assert(!names.contains("_fence_lock"), s"fence lock leaked: $names")
+  }
+
+  // —— round 13: advance is MONOTONIC and SERIALIZED (r12 ADVICE high:
+  // a stalled reader heal re-publishing a lower watermark after the
+  // writer advanced further would regress the fence and let a fenced
+  // replay double-append) ——————————————————————————————————————————
+
+  test("a stale caller can never move the watermark BACKWARDS") {
+    val dir = java.nio.file.Files.createTempDirectory("fence-mono").toString
+    AdmitFence.advance(spark, dir, 5L)
+    // the stalled reader's late advance of an id the writer passed long ago
+    AdmitFence.advance(spark, dir, 3L)
+    assert(AdmitFence.upto(spark, dir) === 5L,
+      "a late lower advance regressed the watermark — fenced replays of " +
+        "batches 4..5 would double-append")
+  }
+
+  test("racing advances from many threads converge on the max with no " +
+       "torn state, stolen temps, or leaked locks") {
+    val dir = java.nio.file.Files.createTempDirectory("fence-race").toString
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // writer-like ascending ids racing reader-heal-like stale re-advances
+    val threads = (1 to 8).map { t =>
+      new Thread(() => {
+        try (1 to 25).foreach { i =>
+          AdmitFence.advance(spark, dir, (i * 7 + t) % 50L)
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent advances threw: ${errs.peek()}")
+    // max over every (i*7+t) % 50 attempted above
+    val expected = (for { t <- 1 to 8; i <- 1 to 25 } yield (i * 7 + t) % 50L).max
+    assert(AdmitFence.upto(spark, dir) === expected)
+    val names = new java.io.File(dir).listFiles.map(_.getName).toSet
+    assert(!names.exists(_.startsWith("_admitted_upto.tmp")),
+      s"orphan temp survived the race: $names")
+    assert(!names.contains("_fence_lock"), s"fence lock leaked: $names")
+  }
+
+  test("a crashed advance's stale fence lock and orphan temp are reclaimed") {
+    val dir = java.nio.file.Files.createTempDirectory("fence-stale").toString
+    // simulate a holder that died inside the critical section 1 min ago
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_fence_lock"),
+      s"${java.lang.System.currentTimeMillis() - 60000L}".getBytes("UTF-8"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_admitted_upto.tmp_deadbeef"),
+      "9".getBytes("UTF-8"))
+    AdmitFence.advance(spark, dir, 2L) // must reclaim, not wedge
+    assert(AdmitFence.upto(spark, dir) === 2L)
+    val names = new java.io.File(dir).listFiles.map(_.getName).toSet
+    assert(!names.exists(_.startsWith("_admitted_upto.tmp")),
+      s"the crashed advance's orphan temp was not swept: $names")
+    assert(!names.contains("_fence_lock"))
   }
 }

@@ -84,6 +84,61 @@ class WriterLeaseSpec extends SparkSpecBase {
     assert(ran && leaseGone(root))
   }
 
+  // —— round 13: ownership-verified release, renewal, exception-safe
+  // claim (the r12 verdict defect + ADVICE medium) ————————————————————
+
+  private def leaseRaw(root: String): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_writer_lease")), "UTF-8").trim
+
+  test("release verifies ownership: a lease legitimately reclaimed by a " +
+       "NEWER writer is not deleted by the old holder's exit") {
+    val root = tmp("lease-steal")
+    WriterLease.withLease(spark, root, staleMs = 100L, renew = false) {
+      Thread.sleep(150L) // outlive the staleness bar (renewal disabled)
+      // writer B (another process) reclaims the stale lease mid-op
+      java.nio.file.Files.write(java.nio.file.Paths.get(root, "_writer_lease"),
+        s"thief-writer/cafebabe ${java.lang.System.currentTimeMillis()}"
+          .getBytes("UTF-8"))
+    }
+    assert(!leaseGone(root) && leaseRaw(root).startsWith("thief-writer/"),
+      "the old holder's release deleted the NEW holder's lease — a third " +
+        "writer could now claim a root with two live writers")
+  }
+
+  test("renewal keeps a long op's lease fresh — a legitimate op outliving " +
+       "staleMs is never stealable while its JVM lives") {
+    val root = tmp("lease-renew")
+    val staleMs = 1000L
+    WriterLease.withLease(spark, root, staleMs = staleMs) {
+      Thread.sleep(2500L) // 2.5x the staleness bar; renewal every ~333 ms
+      val Array(id, ts) = leaseRaw(root).split(' ')
+      assert(id === WriterLease.writerId, "renewal lost the lease")
+      assert(java.lang.System.currentTimeMillis() - ts.toLong < staleMs,
+        "the lease epoch went stale mid-op — a second writer could steal " +
+          "a legitimately long compact")
+    }
+    assert(leaseGone(root), "release after a renewed op must still clean up")
+  }
+
+  test("an unexpected claim failure releases the in-JVM entry — the root " +
+       "is not poisoned with phantom rejections until JVM restart") {
+    val root = tmp("lease-leak")
+    // make the lease PATH a directory: create-no-overwrite fails as
+    // already-exists and the holder read then throws IOException — the
+    // unexpected-exception path through the claim block (not one of the
+    // two handled ConcurrentWriterException rejections)
+    java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(root, "_writer_lease"))
+    intercept[Exception] {
+      WriterLease.withLease(spark, root) { fail("body must not run") }
+    }
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, "_writer_lease"))
+    var ran = false
+    WriterLease.withLease(spark, root) { ran = true } // must NOT see a phantom holder
+    assert(ran && leaseGone(root))
+  }
+
   test("the body's exception releases the lease") {
     val root = tmp("lease-exc")
     intercept[RuntimeException] {
