@@ -230,6 +230,51 @@ class VectorStoreSpec extends SparkSpecBase {
       "rejected store must serve the exact scan")
   }
 
+  test("a distribution-shifting append — even from ANOTHER store instance " +
+       "— forces re-certification: the cached verdict is keyed on store " +
+       "contents, not on in-process invalidation") {
+    def corpusOf(center: String, n: Int, offset: Long) =
+      spark.range(n).select((col("id") + offset).as("vec_id"))
+        .withColumn("embedding", expr(
+          s"transform(sequence(1, 32), j -> cast($center as float))"))
+    val clustered = corpusOf(
+      "pmod(xxhash64(vec_id % 19, j), 2000001) / 1000000.0 - 1.0 + " +
+      "0.05 * (pmod(xxhash64(vec_id, j), 2000001) / 1000000.0 - 1.0)", 400, 0L)
+    val isotropic = corpusOf(
+      "pmod(xxhash64(vec_id, j), 2000001) / 1000000.0 - 1.0", 2000, 10000L)
+    def rows5(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val (a, dir) = freshStore()
+    a.build(clustered)
+    def assigned() = a.table.select(col("vec_id"), col("embedding"),
+      col("cell").cast("long").as("cluster"))
+    val npOld = operators.VectorOps
+      .x08ChooseNprobeFrom(assigned(), a.centroids, k = 5)._1
+    // populate A's verdict cache on the clustered corpus
+    a.searchTopKAuto(a.table.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))).count()
+    // a DIFFERENT instance (stand-in for another process's writer — A's
+    // in-process invalidation hooks never fire) shifts the distribution
+    new VectorStore(spark, dir).append(isotropic)
+    // guard: the gate's verdict over the shifted contents differs from
+    // the cached one — otherwise this fixture could not detect staleness
+    val npNew = operators.VectorOps
+      .x08ChooseNprobeFrom(assigned(), a.centroids, k = 5)._1
+    assert(npNew !== npOld,
+      s"fixture lost its discrimination: verdict $npOld unchanged by the shift")
+    // probe from the SHIFTED region, where the two verdicts' paths differ
+    val probes = a.table.filter(col("vec_id") >= 10000L && col("vec_id") < 10010L)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    val fresh = npNew match {
+      case Some(w) => rows5(a.searchTopK(probes, nprobe = w))
+      case None => rows5(operators.VectorOps.exactTopK(
+        a.table.select(col("vec_id"), col("embedding")), probes))
+    }
+    assert(rows5(a.searchTopKAuto(probes)) === fresh,
+      "the shifted store was served from the STALE cached certification — " +
+        "the verdict cache must key on store contents (fence + listing)")
+  }
+
   test("mid-append crash BEFORE the commit rename: partial files invisible, " +
        "orphan stage discarded, replay appends exactly once") {
     val (store, dir) = freshStore()
