@@ -82,6 +82,44 @@ class AdmitFenceSpec extends SparkSpecBase {
     assert(!names.contains("_fence_lock"), s"fence lock leaked: $names")
   }
 
+  test("FenceLock release verifies ownership: a paused holder reclaimed " +
+       "from neither deletes the new holder's lock nor believes stillOurs") {
+    val dir = java.nio.file.Files.createTempDirectory("fence-own").toString
+    val fsys = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration) match {
+        case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+        case f => f
+      }
+    val lockFile = java.nio.file.Paths.get(dir, "_fence_lock")
+    val aHolding = new java.util.concurrent.CountDownLatch(1)
+    val bInside = new java.util.concurrent.CountDownLatch(1)
+    val aReleased = new java.util.concurrent.CountDownLatch(1)
+    @volatile var aSawOurs = true
+    val a = new Thread(() => {
+      graft.sources.FenceLock.withLock(fsys, dir, staleMs = 100L) { stillOurs =>
+        aHolding.countDown()
+        // simulate the >staleMs GC pause: B reclaims while we are inside
+        bInside.await(10, java.util.concurrent.TimeUnit.SECONDS)
+        aSawOurs = stillOurs()
+      }
+      aReleased.countDown()
+    })
+    a.start()
+    assert(aHolding.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    Thread.sleep(150L) // A's claim epoch goes stale
+    graft.sources.FenceLock.withLock(fsys, dir, staleMs = 100L) { stillOurs =>
+      bInside.countDown() // we hold the reclaimed lock; A now releases
+      assert(aReleased.await(10, java.util.concurrent.TimeUnit.SECONDS))
+      assert(java.nio.file.Files.exists(lockFile) && stillOurs(),
+        "the paused holder's release deleted the NEW holder's lock")
+    }
+    a.join()
+    assert(!aSawOurs,
+      "stillOurs answered true to a holder that was reclaimed from")
+    assert(!java.nio.file.Files.exists(lockFile),
+      "the live holder's own release did not clean up")
+  }
+
   test("a crashed advance's stale fence lock and orphan temp are reclaimed") {
     val dir = java.nio.file.Files.createTempDirectory("fence-stale").toString
     // simulate a holder that died inside the critical section 1 min ago

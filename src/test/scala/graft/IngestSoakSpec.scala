@@ -242,4 +242,104 @@ class IngestSoakSpec extends SparkSpecBase {
         s"$root -> ${leftovers.mkString(",")}")
     }
   }
+
+  test("ST13 routed split-router soak: 12 crash-injected batches keep the " +
+       "leak-safe split invariant — dups inherit their first occurrence's " +
+       "split, splits and signatures land atomically exactly once") {
+    import spark.implicits._
+    val rng = new scala.util.Random(0x513)
+    val sigRoot = tmp("soak-routed")
+    val outRoot = tmp("soak-routed-out")
+    val P = MinHashLSH.Params()
+
+    val initialUids = (0L until 6L).map(u => (800000L + u, u))
+    SignatureStore.writeRouted(spark, sigDf(initialUids), sigRoot)
+
+    // precompute the whole batch plan so the closed-form expectations
+    // (including SplitRule evaluations) exist before the crash loop runs
+    var firstOcc = initialUids.map { case (id, u) => u -> id }.toMap
+    var nextUid = 6L
+    var priorUids: Seq[Long] = initialUids.map(_._2)
+    val plan = (0L until 12L).map { b =>
+      val rows = (0 until 4).map { i =>
+        val id = 810000L + b * 100L + i
+        if (priorUids.nonEmpty && rng.nextInt(10) < 4)
+          (id, priorUids(rng.nextInt(priorUids.size)), true)
+        else { val u = nextUid; nextUid += 1; firstOcc += u -> id; (id, u, false) }
+      }
+      priorUids = firstOcc.keys.toSeq.sorted
+      b -> rows
+    }
+    val allIds = initialUids.map(_._1) ++ plan.flatMap(_._2.map(_._1))
+    val splitOf: Map[Long, String] = allIds.toDF("id")
+      .select(col("id"), graft.functions.SplitRule.of(col("id")).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // expected routed rows per batch: a dup inherits its first
+    // occurrence's split (which is SplitRule of the FIRST OCC id — every
+    // admitted doc was novel when admitted); a novel doc splits by its own
+    def expected(rows: Seq[(Long, Long, Boolean)]) = rows.map {
+      case (id, uid, true) =>
+        (id, Some(firstOcc(uid)), 1, splitOf(firstOcc(uid)))
+      case (id, _, false) => (id, None, 0, splitOf(id))
+    }.sortBy(_._1)
+
+    def readRouted(b: Long) = spark.read
+      .schema("id BIGINT, match_id BIGINT, matched INT, split STRING")
+      .parquet(s"$outRoot/batch_id=$b").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getInt(2), r.getString(3))).toSeq.sortBy(_._1)
+
+    plan.foreach { case (b, rows) =>
+      val batch = sigDf(rows.map { case (id, uid, _) => (id, uid) })
+      val out = s"$outRoot/batch_id=$b"
+      Seq(0, 0, 1, 2, 3, 0)(rng.nextInt(6)) match {
+        case 1 => // dies mid-stage: orphan discarded by the replay
+          SignatureStore.stageAppend(spark, sigRoot, s"b$b", batch, P,
+            splits = Some(batch.select(col("id"),
+              graft.functions.SplitRule.of(col("id")).as("split"))))
+        case 2 => // dies after the commit: routed sink durable, sigs AND
+          // splits committed atomically, fence unmoved — the closed form
+          // IS routeAndAdmit's pre-crash state (pinned by clean batches)
+          val exp = expected(rows)
+          exp.map { case (id, m, f, s) => (id, m, f, s) }
+            .toDF("id", "match_id", "matched", "split")
+            .select(col("id"), col("match_id"), col("matched"), col("split"))
+            .write.mode("overwrite").parquet(out)
+          val novel = rows.collect { case (id, _, false) => id }
+          SignatureStore.stageAppend(spark, sigRoot, s"b$b",
+            batch.filter(col("id").isin(novel: _*)), P,
+            splits = Some(novel.map(id => (id, splitOf(id)))
+              .toDF("id", "split")))
+          StagedAppend.commit(spark, sigRoot, s"b$b")
+        case _ => ()
+      }
+      if (rng.nextBoolean()) spark.table("sig_splits").count() // reader heal
+      val routed = SignatureStore.routeAndAdmit(spark, batch, out,
+        batchId = Some(b))
+      routed.count()
+      if (rng.nextInt(3) == 0) // checkpoint died after completion
+        SignatureStore.routeAndAdmit(spark, batch, out, batchId = Some(b)).count()
+      assert(readRouted(b) === expected(rows), s"batch $b routed rows diverged")
+      if (b == 6L) SignatureStore.compact(spark, sigRoot)
+    }
+
+    // exactly-once + the leak-safe invariant over the whole run
+    val expectedIds = firstOcc.values.toSet
+    val splitRows = spark.table("sig_splits").select("id", "split")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(splitRows.map(_._1).length === splitRows.map(_._1).distinct.length,
+      "sig_splits holds a double-appended row")
+    assert(splitRows.map(_._1).toSet === expectedIds,
+      "sig_splits diverged from the first-occurrence set")
+    splitRows.foreach { case (id, s) =>
+      assert(s === splitOf(id), s"admitted doc $id carries a foreign split")
+    }
+    val sigIds = spark.table("sig_docs").select("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(sigIds.length === sigIds.distinct.length)
+    assert(sigIds.toSet === expectedIds,
+      "split rows and signatures did not land atomically together")
+    assert(AdmitFence.upto(spark, sigRoot) === 11L)
+  }
 }
