@@ -137,16 +137,22 @@ object AdmitFence {
             if (!stillOurs()) { // paused past staleness and reclaimed from
               fsys.delete(tmp, false)
               false // retry the monotonic cycle from scratch
-            } else {
-              if (!fsys.rename(tmp, p)) {
-                // non-POSIX fallback (an FS whose rename refuses to
-                // overwrite): delete-then-rename — the brief no-watermark
-                // window only re-runs a batch, the at-least-once direction
+            } else if (!fsys.rename(tmp, p)) {
+              // rename-over failed. Distinguish the two causes: a vanished
+              // temp means a reclaimer swept us mid-pause — RETRY, never
+              // touch the live watermark (the old delete-then-rename here
+              // would have destroyed it and regressed upto to -1, letting
+              // the replay double-append with the evidence erased); a
+              // still-present temp means an FS whose rename refuses to
+              // overwrite — the delete-then-rename fallback, whose brief
+              // no-watermark window only re-runs a batch (at-least-once)
+              if (!fsys.exists(tmp)) false
+              else {
                 fsys.delete(p, false)
                 require(fsys.rename(tmp, p), s"AdmitFence: could not publish $p")
+                true
               }
-              true
-            }
+            } else true
           }
         }
         if (!done && attempts >= 5)
@@ -178,22 +184,34 @@ object AdmitFence {
 private[graft] object FenceLock {
 
   /** Run `body` holding `dir`'s fence lock; `body` receives a probe that
-    * re-reads the lock and answers "still ours". Returns body's result. */
+    * re-reads the lock and answers "still ours". Returns body's result.
+    *
+    * Staleness is judged from the lock FILE's modification time, not its
+    * content: `create(lock, false)` makes the file visible EMPTY before
+    * the token write reaches it, and a content-timestamp scheme would
+    * read that window as "torn = ancient = reclaimable" — a contender
+    * could then delete the winner's lock milliseconds after it was won,
+    * breaking mutual exclusion exactly when it is being exercised. The
+    * mtime exists atomically with the file: a mid-claim lock reads as
+    * FRESH (contenders wait), while a crashed claimer's empty lock ages
+    * into reclaimable like any other corpse. */
   def withLock[T](fsys: org.apache.hadoop.fs.FileSystem, dir: String,
                   staleMs: Long = 10000L)
                  (body: (() => Boolean) => T): T = {
     val lock = new org.apache.hadoop.fs.Path(s"$dir/_fence_lock")
     val token = java.util.UUID.randomUUID().toString.take(12)
-    def readLock(): Option[(String, Long)] =
+    def holderToken(): Option[String] =
       try {
         val in = fsys.open(lock)
         val raw = try scala.io.Source.fromInputStream(in).mkString.trim
                   finally in.close()
-        raw.split(' ') match {
-          case Array(t, ts) => Some((t, ts.toLongOption.getOrElse(0L)))
-          case _ => Some(("<torn>", 0L)) // torn = ancient = reclaimable
-        }
+        Some(raw.split(' ').headOption.getOrElse(""))
       } catch { case _: java.io.IOException => None } // vanished/unreadable
+    def mtime(): Option[Long] =
+      try Some(fsys.getFileStatus(lock).getModificationTime)
+      catch { case _: java.io.IOException => None }
+    def isStale: Boolean =
+      mtime().exists(java.lang.System.currentTimeMillis() - _ > staleMs)
     val deadline = java.lang.System.currentTimeMillis() + 60000L
     var got = false
     while (!got) {
@@ -206,9 +224,14 @@ private[graft] object FenceLock {
           true
         } catch { case _: java.io.IOException => false }
       if (!got) {
-        val ts = readLock().map(_._2).getOrElse(0L)
-        if (java.lang.System.currentTimeMillis() - ts > staleMs)
-          fsys.delete(lock, false) // crashed/paused holder; loop re-claims
+        // the staleness read sits IMMEDIATELY before the delete; the
+        // residual race (another contender reclaims and re-creates a
+        // fresh lock inside this microsecond window, and our delete then
+        // removes ITS lock) cannot be closed without a compare-and-swap
+        // the filesystem does not offer — it is harmless here because
+        // every irreversible step under the lock re-probes ownership
+        // (stillOurs) and retries on loss instead of publishing
+        if (isStale) fsys.delete(lock, false)
         else if (java.lang.System.currentTimeMillis() > deadline)
           sys.error(s"FenceLock: $lock held beyond the deadline — a live " +
             "holder is stuck inside a milliseconds-long critical section; " +
@@ -216,14 +239,14 @@ private[graft] object FenceLock {
         else Thread.sleep(20L)
       }
     }
-    val stillOurs = () => readLock().exists(_._1 == token)
+    val stillOurs = () => holderToken().contains(token)
     try body(stillOurs)
     finally {
       // ownership-verified release: after a >staleMs pause the lock may
       // belong to a reclaiming contender — not ours to delete
-      readLock() match {
-        case Some((t, _)) if t == token => fsys.delete(lock, false); ()
-        case Some((t, _)) =>
+      holderToken() match {
+        case Some(t) if t == token => fsys.delete(lock, false); ()
+        case Some(t) =>
           System.err.println(s"[FenceLock] NOT releasing $lock — it now " +
             s"belongs to $t (this holder paused past the staleness bar " +
             "and was reclaimed from)")

@@ -48,9 +48,12 @@ object AtomicRename {
   /** Flat object stores whose rename is copy+delete (non-atomic). abfs/
     * abfss are NOT listed: with hierarchical namespace (the only mode
     * Hadoop's ABFS connector targets) rename is a single atomic metadata
-    * op. wasb (legacy flat Azure blob) IS listed. */
+    * op. wasb AND its TLS twin wasbs (legacy flat Azure blob) ARE listed;
+    * cosn is the scheme Hadoop's Tencent COS connector actually
+    * registers (cos kept for safety). */
   private val nonAtomicSchemes: Set[String] =
-    Set("s3", "s3a", "s3n", "gs", "wasb", "swift", "oss", "cos", "obs")
+    Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "swift", "oss",
+        "cos", "cosn", "obs")
 
   private def schemeOf(spark: SparkSession, root: String): String =
     Option(new org.apache.hadoop.fs.Path(root).toUri.getScheme).getOrElse {

@@ -193,10 +193,14 @@ object SignatureStore {
     // bucketed staging rides a throwaway EXTERNAL table: the bucket id is
     // encoded in each file's NAME, so the files stay a valid extension of
     // the live bucketed table after the publish move; dropping the table
-    // leaves the staged files in place. The name carries the stage token
-    // (r12 ADVICE): the session catalog is global, so two SignatureStores
-    // at DIFFERENT roots appending in one session (legal — the lease is
-    // per root) must not race on one shared staging table name.
+    // leaves the staged files in place. The name carries the stage token:
+    // a crashed attempt's leftover catalog entry is then dropped by ITS
+    // OWN replay (same token ⇒ same name ⇒ the DROP IF EXISTS below)
+    // instead of colliding with an unrelated batch's in-flight staging.
+    // (Two SignatureStores in one session cannot actually coexist — the
+    // catalog names are session-global — so the r12 ADVICE race this
+    // renames away is defense-in-depth for metastore-shared sessions,
+    // not a reachable in-session bug.)
     val stageTable = s"sig_sets_stage_$token"
     spark.sql(s"DROP TABLE IF EXISTS $stageTable")
     MinHashLSH.tokenSets(toks)

@@ -72,6 +72,18 @@ object WriterLease {
   private val renewals =
     scala.collection.mutable.Map[String, java.util.concurrent.ScheduledFuture[_]]()
 
+  // per-root monitors for the lease-FILE I/O of renewal vs release: the
+  // global object monitor guards only the in-memory maps (microseconds) —
+  // holding it across filesystem calls would let one stalled renewal tick
+  // (an HDFS failover, an NFS timeout) block every claim and release of
+  // EVERY root in the JVM. Lock order: rootLock ⊃ global is the only
+  // nesting (renewOnce); no path holds global while waiting on a rootLock.
+  private val rootLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+
+  private def rootLock(key: String): Object =
+    rootLocks.getOrElseUpdate(key, new Object)
+
   private lazy val renewer = {
     val ex = new java.util.concurrent.ScheduledThreadPoolExecutor(1, (r: Runnable) => {
       val t = new Thread(r, "graft-writer-lease-renewal")
@@ -121,29 +133,41 @@ object WriterLease {
     * concurrent claimer could slip through. Skips — and stops renewing —
     * if the lease no longer carries our id (stolen after a pause; the op
     * is already compromised and release will not touch the new holder). */
-  private def renewOnce(fsys: FileSystem, root: String): Unit = synchronized {
-    if (!held.contains(root)) return // released since scheduling
-    val p = leasePath(root)
-    readHolder(fsys, p) match {
-      case Some((id, _)) if id == writerId =>
-        val tmp = new Path(
-          s"$root/_writer_lease.renew_${java.util.UUID.randomUUID().toString.take(8)}")
-        try {
-          val out = fsys.create(tmp, true)
-          try out.write(s"$writerId ${java.lang.System.currentTimeMillis()}"
-            .getBytes("UTF-8"))
-          finally out.close()
-          if (!fsys.rename(tmp, p)) fsys.delete(tmp, false)
-        } catch { case _: java.io.IOException =>
-          try fsys.delete(tmp, false) catch { case _: java.io.IOException => () }
-        }
-      case other =>
-        System.err.println(s"[WriterLease] lease at $p no longer ours " +
-          s"(now ${other.map(_._1).getOrElse("absent")}) — stopping renewal; " +
-          "this writer outlived a pause long enough to be reclaimed from")
-        renewals.remove(root).foreach(_.cancel(false))
+  private def renewOnce(fsys: FileSystem, root: String): Unit =
+    // catch EVERYTHING: scheduleAtFixedRate silently suppresses all
+    // subsequent runs after one task throw, so a single transient
+    // IOException (a cross-process delete between exists and open, an
+    // HDFS blip) escaping here would permanently and invisibly stop
+    // renewal — the lease then ages out mid-compact and a second writer
+    // legitimately reclaims it, the exact corruption renewal prevents
+    try rootLock(root).synchronized {
+      // (no early `return` in here: it would throw NonLocalReturnControl
+      // through the by-name synchronized body into the catch below)
+      val p = leasePath(root)
+      val stillHeld = synchronized(held.contains(root)) // released meanwhile?
+      if (stillHeld) readHolder(fsys, p) match {
+        case Some((id, _)) if id == writerId =>
+          val tmp = new Path(
+            s"$root/_writer_lease.renew_${java.util.UUID.randomUUID().toString.take(8)}")
+          try {
+            val out = fsys.create(tmp, true)
+            try out.write(s"$writerId ${java.lang.System.currentTimeMillis()}"
+              .getBytes("UTF-8"))
+            finally out.close()
+            if (!fsys.rename(tmp, p)) fsys.delete(tmp, false)
+          } catch { case _: java.io.IOException =>
+            try fsys.delete(tmp, false) catch { case _: java.io.IOException => () }
+          }
+        case other =>
+          System.err.println(s"[WriterLease] lease at $p no longer ours " +
+            s"(now ${other.map(_._1).getOrElse("absent")}) — stopping renewal; " +
+            "this writer outlived a pause long enough to be reclaimed from")
+          synchronized { renewals.remove(root) }.foreach(_.cancel(false))
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[WriterLease] renewal tick for $root failed " +
+        s"(${e.getClass.getSimpleName}: ${e.getMessage}) — retrying next period")
     }
-  }
 
   /** Run `body` holding the store's writer lease (reentrant per root
     * within this JVM; renewed every `staleMs / 3` while held unless
@@ -222,33 +246,38 @@ object WriterLease {
     }
     try body
     finally {
-      // release under the object lock so a renewal tick cannot re-create
-      // the lease file between our ownership read and our delete
-      synchronized {
+      // map bookkeeping under the (microseconds) global monitor; the
+      // lease-file I/O under the per-root monitor ONLY — a renewal tick
+      // already past its held-check serializes on the same rootLock and
+      // cannot re-create the lease after our delete (it re-reads `held`,
+      // which this block has already emptied)
+      val release = synchronized {
         val (owner, d) = held(key)
         if (d == 1) {
           held.remove(key)
           renewals.remove(key).foreach(_.cancel(false))
-          // ownership-verified release (r12 verdict defect): delete ONLY
-          // while the lease still carries our id — if a reclaiming writer
-          // took over after a >staleMs pause, its lease is not ours to
-          // remove, and blindly deleting it would hand a THIRD writer a
-          // root with two live writers
-          val p = leasePath(key)
-          try readHolder(fsys, p) match {
-            case Some((id, _)) if id == writerId => fsys.delete(p, false); ()
-            case Some((id, _)) =>
-              System.err.println(s"[WriterLease] NOT releasing $p — it now " +
-                s"belongs to $id (this op outlived the staleness bar and " +
-                "was reclaimed from); the new holder releases its own lease")
-            case None => ()
-          } catch { case e: java.io.IOException =>
-            System.err.println(s"[WriterLease] could not verify $p on " +
-              s"release (${e.getMessage}) — leaving it; our id makes it " +
-              "instantly reclaimable by this process's next op")
-          }
+          true
+        } else { held(key) = (owner, d - 1); false }
+      }
+      if (release) rootLock(key).synchronized {
+        // ownership-verified release (r12 verdict defect): delete ONLY
+        // while the lease still carries our id — if a reclaiming writer
+        // took over after a >staleMs pause, its lease is not ours to
+        // remove, and blindly deleting it would hand a THIRD writer a
+        // root with two live writers
+        val p = leasePath(key)
+        try readHolder(fsys, p) match {
+          case Some((id, _)) if id == writerId => fsys.delete(p, false); ()
+          case Some((id, _)) =>
+            System.err.println(s"[WriterLease] NOT releasing $p — it now " +
+              s"belongs to $id (this op outlived the staleness bar and " +
+              "was reclaimed from); the new holder releases its own lease")
+          case None => ()
+        } catch { case e: java.io.IOException =>
+          System.err.println(s"[WriterLease] could not verify $p on " +
+            s"release (${e.getMessage}) — leaving it; our id makes it " +
+            "instantly reclaimable by this process's next op")
         }
-        else held(key) = (owner, d - 1)
       }
     }
   }

@@ -120,11 +120,36 @@ class AdmitFenceSpec extends SparkSpecBase {
       "the live holder's own release did not clean up")
   }
 
+  test("a mid-claim lock (visible EMPTY in the create-to-write window) " +
+       "reads as FRESH — contenders wait instead of reclaiming the winner") {
+    val dir = java.nio.file.Files.createTempDirectory("fence-fresh").toString
+    val lockP = java.nio.file.Paths.get(dir, "_fence_lock")
+    java.nio.file.Files.write(lockP, Array.emptyByteArray) // mtime = now
+    val t = new Thread(() => AdmitFence.advance(spark, dir, 1L))
+    t.start()
+    Thread.sleep(400L)
+    assert(java.nio.file.Files.exists(lockP),
+      "a FRESH empty lock was read as torn-ancient and reclaimed — a " +
+        "contender could steal the lock inside the winner's claim window")
+    assert(AdmitFence.upto(spark, dir) === -1L,
+      "advance published through a held lock")
+    java.nio.file.Files.delete(lockP) // the winner releases
+    t.join(30000L)
+    assert(!t.isAlive && AdmitFence.upto(spark, dir) === 1L)
+  }
+
   test("a crashed advance's stale fence lock and orphan temp are reclaimed") {
     val dir = java.nio.file.Files.createTempDirectory("fence-stale").toString
-    // simulate a holder that died inside the critical section 1 min ago
-    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "_fence_lock"),
-      s"${java.lang.System.currentTimeMillis() - 60000L}".getBytes("UTF-8"))
+    // simulate a holder that died inside the critical section 1 min ago —
+    // staleness is judged from the lock file's MTIME (content timestamps
+    // would misread the create-to-write claim window as torn+ancient), so
+    // the corpse must be backdated, not just carry an old content ts
+    val lockP = java.nio.file.Paths.get(dir, "_fence_lock")
+    java.nio.file.Files.write(lockP,
+      s"deadtoken ${java.lang.System.currentTimeMillis() - 60000L}".getBytes("UTF-8"))
+    java.nio.file.Files.setLastModifiedTime(lockP,
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.lang.System.currentTimeMillis() - 60000L))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "_admitted_upto.tmp_deadbeef"),
       "9".getBytes("UTF-8"))
