@@ -30,7 +30,12 @@ import org.apache.spark.sql.functions._
   *                        it, and the replay must be a no-op;
   *   3 replay-after-ok  — the op completes, then the same batch id
   *                        arrives again (checkpoint crashed after the
-  *                        append) → the fence must make it a no-op.
+  *                        append) → the fence must make it a no-op;
+  *   4 fence-crash      — dies AFTER the fence write, before any publish
+  *                        move → the batch is admitted but its files all
+  *                        still sit in the ready dir; the next heal must
+  *                        publish them to completion while the replay
+  *                        (already fenced) appends nothing.
   * Every 5th batch additionally re-runs the WHOLE tri-store batch body
   * under the same batch id — the "crash between stores in the same
   * micro-batch" restart shape, where stores that already admitted the id
@@ -106,14 +111,15 @@ class IngestSoakSpec extends SparkSpecBase {
       case _ => ()
     }
 
-    def mode(): Int = Seq(0, 0, 1, 2, 3, 0)(rng.nextInt(6))
+    def mode(): Int = Seq(0, 1, 2, 3, 4, 0)(rng.nextInt(6))
 
     def runSig(b: Long, batch: DataFrame, m: Int): Unit = {
       val sink = s"$pairsRoot/batch_id=$b"
       m match {
         case 1 => // dies mid-stage: orphan stage dir, nothing durable
           SignatureStore.stageAppend(spark, sigRoot, s"b$b", batch, P, None)
-        case 2 => // replicate admit's pre-crash work, die after the commit
+        case 2 | 4 => // replicate admit's pre-crash work, die after the
+          // commit (mode 2) or after the fence write too (mode 4)
           SignatureStore.incrementPairs(spark, batch, 0.8)
             .write.mode("overwrite").parquet(sink)
           val pairs = spark.read
@@ -122,6 +128,7 @@ class IngestSoakSpec extends SparkSpecBase {
             pairs.select(col("id_a").as("id")).distinct(), Seq("id"), "left_anti")
           SignatureStore.stageAppend(spark, sigRoot, s"b$b", novel, P, None)
           StagedAppend.commit(spark, sigRoot, s"b$b")
+          if (m == 4) AdmitFence.advance(spark, sigRoot, b) // die pre-publish
         case _ => ()
       }
       maybeRead() // a reader (any store) may drain the corpse first
@@ -133,8 +140,10 @@ class IngestSoakSpec extends SparkSpecBase {
     def runVec(b: Long, batch: DataFrame, m: Int): Unit = {
       m match {
         case 1 => vec.stageAppend(batch, s"b$b")
-        case 2 => vec.stageAppend(batch, s"b$b")
-                  StagedAppend.commit(spark, vecRoot, s"b$b")
+        case 2 | 4 =>
+          vec.stageAppend(batch, s"b$b")
+          StagedAppend.commit(spark, vecRoot, s"b$b")
+          if (m == 4) AdmitFence.advance(spark, vecRoot, b) // die pre-publish
         case _ => ()
       }
       maybeRead()
@@ -145,8 +154,10 @@ class IngestSoakSpec extends SparkSpecBase {
     def runPost(b: Long, batch: DataFrame, m: Int): Unit = {
       m match {
         case 1 => post.stageAppend(batch, s"b$b")
-        case 2 => post.stageAppend(batch, s"b$b")
-                  StagedAppend.commit(spark, postRoot, s"b$b")
+        case 2 | 4 =>
+          post.stageAppend(batch, s"b$b")
+          StagedAppend.commit(spark, postRoot, s"b$b")
+          if (m == 4) AdmitFence.advance(spark, postRoot, b) // die pre-publish
         case _ => ()
       }
       maybeRead()
