@@ -162,6 +162,8 @@ class VectorStore(spark: SparkSession, dir: String) {
     * next read or compact sees exactly the pre-crash store. Single-writer
     * like compaction itself; called by every mutator and resolver. */
   private def recover(fsys: org.apache.hadoop.fs.FileSystem): Unit = {
+    // readers reach this lease-free and it renames — gate the posture
+    graft.sources.AtomicRename.ensure(spark, dir, "VectorStore.recover")
     val root = new org.apache.hadoop.fs.Path(vecDir)
     if (!fsys.exists(root)) {
       val dirP = new org.apache.hadoop.fs.Path(dir)

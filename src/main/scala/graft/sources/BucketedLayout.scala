@@ -76,6 +76,9 @@ object BucketedLayout {
     * without atomic rename this whole swap becomes a manifest/metadata
     * commit instead. */
   def compactDay(spark: SparkSession, sinkDir: String, day: String, seriesBuckets: Int = 8): Unit = {
+    // the two-rename day swap assumes atomic rename — gate the posture
+    // here directly (this path is not lease-guarded)
+    AtomicRename.ensure(spark, sinkDir, "BucketedLayout.compactDay")
     val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     require(!fs.exists(new org.apache.hadoop.fs.Path(s"$sinkDir/_spark_metadata")),
       s"$sinkDir is a streaming-sink directory (_spark_metadata present): " +

@@ -186,6 +186,8 @@ class PostingsStore(spark: SparkSession, dir: String) {
     * assumption as compaction; called by readers and mutators that find
     * the root absent, and by compact itself before staging anew. */
   private def recover(): Unit = {
+    // readers reach this lease-free and it renames — gate the posture
+    AtomicRename.ensure(spark, dir, "PostingsStore.recover")
     val dirP = new org.apache.hadoop.fs.Path(dir)
     if (!fsys.exists(dirP)) return
     // both compacted roots heal the same way (stats got its own two-rename

@@ -1224,6 +1224,10 @@ object StreamOps {
     *    them out of serving and the next compact deletes them without
     *    re-folding (they are classified stale by the watermark). */
   def compactFingerprints(s: SparkSession, storeDir: String): Unit = {
+    // rename-committed (two-rename retire/publish) and NOT lease-guarded
+    // like the index-store compacts, so the object-store posture gate
+    // must run here directly
+    graft.sources.AtomicRename.ensure(s, storeDir, "compactFingerprints")
     val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
     val partsPath = new org.apache.hadoop.fs.Path(s"$storeDir/parts")
     val upto0 = compactedUpto(fsys, storeDir)
