@@ -1,0 +1,125 @@
+package graft
+
+import graft.sources.{AdmitFence, FenceLock, StagedAppend, WriterLease}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Child-JVM side of [[CrossProcessSpec]]: a tiny main the spec launches
+  * as a REAL second process to exercise the cross-process claims the
+  * in-JVM suites can only simulate (a foreign writerId planted by hand, a
+  * crash modeled as an exception). Here the second writer is a genuine
+  * other JVM with its own [[WriterLease.writerId]], its own held map, its
+  * own fence locks — and "crash" is a genuine SIGKILL from the parent,
+  * delivered at a deterministic protocol point the probe marks on stdout.
+  *
+  * Markers are single uppercase words on stdout (Spark's own logging goes
+  * to stderr); after printing the marker named by a `pause-after`
+  * argument the probe sleeps forever and waits to be killed. */
+object CrossProcessProbe {
+
+  private def mark(s: String): Unit = { System.out.println(s); System.out.flush() }
+
+  private def parkForever(): Unit = Thread.sleep(10L * 60L * 1000L)
+
+  private def session(): SparkSession = {
+    val s = SparkSession.builder()
+      .appName("graft-xproc-probe")
+      .master("local[1]")
+      .config("spark.sql.shuffle.partitions", "1")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "127.0.0.1")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = session()
+    val fsys = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+
+    args(0) match {
+
+      // hold the store's writer lease for holdMs, then release cleanly
+      case "lease-hold" =>
+        val Array(_, root, holdMs, staleMs, renew) = args
+        WriterLease.withLease(spark, root, staleMs.toLong, renew.toBoolean) {
+          mark("HELD")
+          Thread.sleep(holdMs.toLong)
+        }
+        mark("RELEASED")
+
+      // advance the fence from..to with a small sleep between steps
+      case "fence-race" =>
+        val Array(_, root, from, to, sleepMs) = args
+        mark("FENCING")
+        (from.toLong to to.toLong).foreach { id =>
+          AdmitFence.advance(spark, root, id)
+          if (sleepMs.toLong > 0) Thread.sleep(sleepMs.toLong)
+        }
+        mark("FENCE_DONE")
+
+      // take the raw fence lock and park — the parent SIGKILLs us to
+      // manufacture a genuine crashed-holder lock corpse
+      case "fence-lock-hold" =>
+        val raw = fsys match {
+          case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+          case f => f
+        }
+        FenceLock.withLock(raw, args(1)) { _ =>
+          mark("LOCKED")
+          parkForever()
+        }
+        mark("UNLOCKED")
+
+      // run the staged-append protocol step by step, marking each point;
+      // pause-after ∈ {stage, commit, fence, none} parks the probe right
+      // after that marker so the parent's SIGKILL lands exactly there
+      case "staged" =>
+        val Array(_, root, batchIdS, pauseAfter) = args
+        val batchId = batchIdS.toLong
+        val token = s"b$batchId"
+        val stage = StagedAppend.stagePath(root, token)
+        (1 to 3).foreach { i =>
+          val f = new Path(stage, s"data/part-$batchId-$i.bin")
+          val out = fsys.create(f, true)
+          try out.write(s"batch $batchId file $i".getBytes("UTF-8"))
+          finally out.close()
+        }
+        mark("STAGED")
+        if (pauseAfter == "stage") parkForever()
+        StagedAppend.commit(spark, root, token)
+        mark("COMMITTED")
+        if (pauseAfter == "commit") parkForever()
+        AdmitFence.advance(spark, root, batchId)
+        mark("FENCED")
+        if (pauseAfter == "fence") parkForever()
+        StagedAppend.publish(spark, root, token, sub => new Path(s"$root/$sub"))
+        mark("PUBLISHED")
+
+      // one full staged append per batch id, back to back — the parent
+      // heals the same store CONCURRENTLY from its own process, exercising
+      // reader-heal vs writer-publish races across a real process boundary
+      case "staged-loop" =>
+        val Array(_, root, from, to) = args
+        mark("LOOPING")
+        (from.toLong to to.toLong).foreach { batchId =>
+          val token = s"b$batchId"
+          val stage = StagedAppend.stagePath(root, token)
+          (1 to 2).foreach { i =>
+            val f = new Path(stage, s"data/part-$batchId-$i.bin")
+            val out = fsys.create(f, true)
+            try out.write(s"batch $batchId file $i".getBytes("UTF-8"))
+            finally out.close()
+          }
+          StagedAppend.commit(spark, root, token)
+          AdmitFence.advance(spark, root, batchId)
+          StagedAppend.publish(spark, root, token, sub => new Path(s"$root/$sub"))
+        }
+        mark("LOOP_DONE")
+
+      case other => sys.error(s"unknown probe mode $other")
+    }
+    spark.stop()
+  }
+}

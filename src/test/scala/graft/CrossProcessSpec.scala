@@ -1,0 +1,309 @@
+package graft
+
+import graft.sources.{AdmitFence, StagedAppend, WriterLease}
+import org.apache.hadoop.fs.Path
+
+/** PROCESS-level verification of the crash-safety layer's cross-process
+  * claims — the tier the in-JVM suites cannot reach. WriterLeaseSpec
+  * plants foreign lease files by hand and AdmitFenceSpec races threads;
+  * both are simulations of "another process". This suite launches a REAL
+  * second JVM ([[CrossProcessProbe]]), with its own writerId, held map,
+  * and fence locks, and delivers REAL SIGKILLs at deterministic protocol
+  * points the probe marks on stdout:
+  *
+  *  - a live foreign WRITER is rejected across the process boundary, its
+  *    SIGKILLed corpse stays protected until the staleness bar and is
+  *    reclaimable after it;
+  *  - cross-process RENEWAL: a live child renewing every staleMs/3 is
+  *    unstealable long past staleMs, and releases cleanly;
+  *  - two processes advancing ONE fence interleaved end at the max with
+  *    no lock/temp corpses;
+  *  - a SIGKILLed fence-lock holder's corpse is reclaimed by the next
+  *    advance after the 10 s staleness bar (availability is not held
+  *    hostage to a dead process);
+  *  - the staged-append kill matrix with real process death at each
+  *    point (after stage / after commit / after fence / clean), healed by
+  *    the parent and asserted exactly-once, including the replay
+  *    decision ([[AdmitFence.admitted]]) a foreachBatch restart takes. */
+class CrossProcessSpec extends SparkSpecBase {
+
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Full classpath of the running suite, classloader-derived: under a
+    * forked sbt test JVM `java.class.path` is usually complete, but walk
+    * the loader layers too (the Bench isolate pattern) so the child can
+    * always resolve graft + Spark + Hadoop. */
+  private def currentClasspath(): String = {
+    def urls(cl: ClassLoader): Seq[String] = cl match {
+      case null => Nil
+      case u: java.net.URLClassLoader =>
+        u.getURLs.toSeq.flatMap(x =>
+          scala.util.Try(java.nio.file.Paths.get(x.toURI).toString).toOption) ++
+          urls(u.getParent)
+      case other => urls(other.getParent)
+    }
+    (urls(getClass.getClassLoader) ++
+      sys.props.getOrElse("java.class.path", "").split(java.io.File.pathSeparator))
+      .filter(_.nonEmpty).distinct.mkString(java.io.File.pathSeparator)
+  }
+
+  private final class Child(args: Seq[String]) {
+    import scala.jdk.CollectionConverters._
+    private val javaBin = sys.props("java.home") + "/bin/java"
+    private val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+    private val errLog = java.nio.file.Files.createTempFile("xproc", ".log").toFile
+    private val pb = new ProcessBuilder(
+      (Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", currentClasspath(), "graft.CrossProcessProbe") ++ args).asJava)
+    pb.redirectError(errLog)
+    val proc: Process = pb.start()
+    private val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    private val reader = new Thread(() => {
+      val br = new java.io.BufferedReader(
+        new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
+      try Iterator.continually(br.readLine()).takeWhile(_ != null)
+        .foreach(lines.add)
+      catch { case _: java.io.IOException => () } // killed mid-read
+    }, "xproc-stdout-reader")
+    reader.setDaemon(true)
+    reader.start()
+
+    /** Block until the probe prints `marker` (Spark logs go to stderr, so
+      * stdout carries only markers). */
+    def await(marker: String, timeoutMs: Long = 120000L): Unit = {
+      val deadline = java.lang.System.currentTimeMillis() + timeoutMs
+      while (!lines.asScala.exists(_.trim == marker)) {
+        if (java.lang.System.currentTimeMillis() > deadline)
+          fail(s"probe never printed $marker (so far: ${lines.asScala.toList}; " +
+            s"alive=${proc.isAlive}, stderr at ${errLog.getPath})")
+        if (!proc.isAlive) {
+          // let the reader thread drain the pipe of a just-exited probe
+          // before declaring the marker missing
+          reader.join(2000L)
+          if (!lines.asScala.exists(_.trim == marker))
+            fail(s"probe exited (${proc.exitValue()}) before $marker " +
+              s"(so far: ${lines.asScala.toList}; stderr at ${errLog.getPath})")
+        }
+        Thread.sleep(25L)
+      }
+    }
+
+    def kill(): Unit = { proc.destroyForcibly(); proc.waitFor() }
+
+    def waitFor(timeoutMs: Long = 120000L): Int = {
+      if (!proc.waitFor(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+        kill(); fail("probe did not exit in time")
+      }
+      proc.exitValue()
+    }
+  }
+
+  private def leaseOnDisk(root: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(root, "_writer_lease"))
+
+  private def residue(root: String): Seq[String] = {
+    val d = new java.io.File(root)
+    Option(d.list()).toSeq.flatten.filter(n =>
+      n.startsWith("_fence_lock") || n.startsWith("_admitted_upto.tmp") ||
+        n.startsWith("_append_stage_") || n.startsWith("_append_ready_") ||
+        n.startsWith("_writer_lease"))
+  }
+
+  // ---------------------------------------------------------------- lease
+
+  test("a live writer in ANOTHER PROCESS is rejected; its SIGKILLed corpse " +
+       "is protected until the staleness bar and reclaimable after it") {
+    val root = tmp("xproc-lease")
+    val child = new Child(Seq("lease-hold", root, "600000", "600000", "false"))
+    try {
+      child.await("HELD")
+      // live foreign holder (a genuinely different writerId) → reject
+      intercept[WriterLease.ConcurrentWriterException] {
+        WriterLease.withLease(spark, root, staleMs = 600000L, renew = false) {
+          fail("body must not run under a live cross-process holder")
+        }
+      }
+      child.kill() // real SIGKILL mid-hold: lease file survives as a corpse
+      assert(leaseOnDisk(root), "SIGKILL must leave the lease corpse behind")
+      // fresh corpse (age ≪ staleMs) still protects the root...
+      intercept[WriterLease.ConcurrentWriterException] {
+        WriterLease.withLease(spark, root, staleMs = 600000L, renew = false) {
+          fail("a fresh corpse must not be stolen")
+        }
+      }
+      // ...but past the bar it is reclaimed and the root is writable again
+      Thread.sleep(1200L)
+      var ran = false
+      WriterLease.withLease(spark, root, staleMs = 1000L, renew = false) { ran = true }
+      assert(ran && !leaseOnDisk(root),
+        "stale corpse not reclaimed or lease not released after")
+    } finally child.kill()
+  }
+
+  test("cross-process renewal: a live child renewing every staleMs/3 is " +
+       "unstealable long past staleMs, then releases cleanly") {
+    val root = tmp("xproc-renew")
+    // child holds 8 s with staleMs = 2 s → renews every ~666 ms
+    val child = new Child(Seq("lease-hold", root, "8000", "2000", "true"))
+    try {
+      child.await("HELD")
+      Thread.sleep(4000L) // 2× the child's staleness bar
+      // without renewal this steal would succeed; the live child's
+      // re-stamped epoch must keep rejecting it
+      intercept[WriterLease.ConcurrentWriterException] {
+        WriterLease.withLease(spark, root, staleMs = 2000L, renew = false) {
+          fail("stole the lease from a LIVE renewing cross-process writer")
+        }
+      }
+      child.await("RELEASED", timeoutMs = 30000L)
+      assert(child.waitFor() == 0, "probe failed")
+      assert(!leaseOnDisk(root), "child did not release its lease on exit")
+      WriterLease.withLease(spark, root, renew = false) { () } // free again
+    } finally child.kill()
+  }
+
+  // ---------------------------------------------------------------- fence
+
+  test("two PROCESSES advancing one fence interleaved end at the max " +
+       "with no lock or temp corpses") {
+    val root = tmp("xproc-fence")
+    new java.io.File(root).mkdirs()
+    val child = new Child(Seq("fence-race", root, "1", "60", "5"))
+    try {
+      child.await("FENCING")
+      (1L to 60L).foreach { id =>
+        AdmitFence.advance(spark, root, id)
+        Thread.sleep(5L)
+      }
+      child.await("FENCE_DONE")
+      assert(child.waitFor() == 0, "probe failed")
+      assert(AdmitFence.upto(spark, root) == 60L,
+        s"watermark ${AdmitFence.upto(spark, root)} != 60 after the race")
+      assert(residue(root).isEmpty, s"protocol corpses: ${residue(root)}")
+    } finally child.kill()
+  }
+
+  test("a SIGKILLed fence-lock holder's corpse is reclaimed by the next " +
+       "advance after the staleness bar") {
+    val root = tmp("xproc-fencelock")
+    new java.io.File(root).mkdirs()
+    val child = new Child(Seq("fence-lock-hold", root))
+    try {
+      child.await("LOCKED")
+      child.kill() // the lock file survives as a crashed holder's corpse
+      assert(java.nio.file.Files.exists(
+        java.nio.file.Paths.get(root, "_fence_lock")), "no lock corpse")
+      val t0 = java.lang.System.currentTimeMillis()
+      AdmitFence.advance(spark, root, 7L) // must wait out the 10 s bar, reclaim, publish
+      val waited = java.lang.System.currentTimeMillis() - t0
+      assert(AdmitFence.upto(spark, root) == 7L, "advance did not land")
+      assert(waited >= 8000L,
+        s"advance returned after ${waited} ms — it must have stolen a " +
+          "fresh lock instead of waiting out the staleness bar")
+      assert(residue(root).isEmpty, s"protocol corpses: ${residue(root)}")
+    } finally child.kill()
+  }
+
+  // -------------------------------------------------- staged-append matrix
+
+  private def liveFiles(root: String): Seq[String] = {
+    val d = new java.io.File(s"$root/data")
+    Option(d.list()).toSeq.flatten.filter(_.endsWith(".bin")).sorted
+  }
+
+  private def heal(root: String): Unit =
+    StagedAppend.heal(spark, root, sub => new Path(s"$root/$sub"),
+      dropStages = true)
+
+  test("staged append killed AFTER STAGE (real SIGKILL): nothing durable, " +
+       "heal discards the orphan, the replay then lands exactly once") {
+    val root = tmp("xproc-st-stage")
+    val child = new Child(Seq("staged", root, "5", "stage"))
+    try { child.await("STAGED"); child.kill() } finally child.kill()
+    heal(root)
+    assert(liveFiles(root).isEmpty, "a pre-commit crash must leave nothing live")
+    assert(AdmitFence.upto(spark, root) == -1L, "nothing was committed")
+    assert(!AdmitFence.admitted(spark, root, 5L), "replay must NOT be fenced")
+    // the replay (a fresh process, as a restarted foreachBatch would be)
+    val replay = new Child(Seq("staged", root, "5", "none"))
+    try { replay.await("PUBLISHED"); assert(replay.waitFor() == 0) }
+    finally replay.kill()
+    assert(liveFiles(root) ==
+      Seq("part-5-1.bin", "part-5-2.bin", "part-5-3.bin"), s"got ${liveFiles(root)}")
+    assert(AdmitFence.upto(spark, root) == 5L)
+    assert(residue(root).isEmpty, s"protocol corpses: ${residue(root)}")
+  }
+
+  test("staged append killed AFTER COMMIT: the batch is durable — heal " +
+       "fences and publishes it, and the replay is a fenced no-op") {
+    val root = tmp("xproc-st-commit")
+    val child = new Child(Seq("staged", root, "9", "commit"))
+    try { child.await("COMMITTED"); child.kill() } finally child.kill()
+    assert(AdmitFence.upto(spark, root) == -1L, "fence must not be advanced yet")
+    heal(root) // fence-before-publish: committed ⇒ admitted, then drained
+    assert(AdmitFence.admitted(spark, root, 9L),
+      "heal of a committed batch must fence it — else the replay double-appends")
+    assert(liveFiles(root) ==
+      Seq("part-9-1.bin", "part-9-2.bin", "part-9-3.bin"), s"got ${liveFiles(root)}")
+    heal(root) // idempotent
+    assert(liveFiles(root).size == 3, "second heal duplicated the batch")
+    assert(residue(root).isEmpty, s"protocol corpses: ${residue(root)}")
+  }
+
+  test("staged append killed AFTER FENCE: admitted but unpublished — heal " +
+       "drains the ready dir to completion, exactly once") {
+    val root = tmp("xproc-st-fence")
+    val child = new Child(Seq("staged", root, "3", "fence"))
+    try { child.await("FENCED"); child.kill() } finally child.kill()
+    assert(AdmitFence.admitted(spark, root, 3L), "fence write was durable")
+    assert(liveFiles(root).isEmpty, "nothing published before the kill")
+    heal(root)
+    assert(liveFiles(root) ==
+      Seq("part-3-1.bin", "part-3-2.bin", "part-3-3.bin"), s"got ${liveFiles(root)}")
+    assert(AdmitFence.upto(spark, root) == 3L)
+    assert(residue(root).isEmpty, s"protocol corpses: ${residue(root)}")
+  }
+
+  test("a writer PROCESS appending batch after batch while this process " +
+       "heals the same store concurrently: every batch lands exactly once") {
+    val root = tmp("xproc-st-race")
+    val child = new Child(Seq("staged-loop", root, "1", "25"))
+    try {
+      child.await("LOOPING")
+      // reader-side heals racing the writer's own publishes: moveTree's
+      // vanished-source tolerance and the monotonic fence make this safe;
+      // dropStages stays FALSE — a reader must never delete the stage dir
+      // the live writer is still filling
+      while (child.proc.isAlive) {
+        StagedAppend.heal(spark, root, sub => new Path(s"$root/$sub"),
+          dropStages = false)
+        Thread.sleep(15L)
+      }
+      assert(child.waitFor() == 0, "probe failed mid-race")
+      heal(root) // drain anything the last racing heal missed
+      val expect = (1L to 25L).flatMap(b =>
+        Seq(s"part-$b-1.bin", s"part-$b-2.bin")).sorted
+      assert(liveFiles(root) == expect,
+        s"lost or duplicated batches: got ${liveFiles(root).size} files")
+      assert(AdmitFence.upto(spark, root) == 25L)
+      assert(residue(root).isEmpty, s"protocol corpses: ${residue(root)}")
+    } finally child.kill()
+  }
+
+  test("clean staged append publishes once; a fenced same-id replay is " +
+       "skipped by the admitted() check a foreachBatch restart takes") {
+    val root = tmp("xproc-st-clean")
+    val child = new Child(Seq("staged", root, "12", "none"))
+    try { child.await("PUBLISHED"); assert(child.waitFor() == 0) }
+    finally child.kill()
+    assert(liveFiles(root).size == 3)
+    assert(AdmitFence.admitted(spark, root, 12L),
+      "completed batch not admitted — the restart would re-append it")
+    heal(root)
+    assert(liveFiles(root).size == 3, "heal duplicated a clean batch")
+    assert(residue(root).isEmpty, s"protocol corpses: ${residue(root)}")
+  }
+}
