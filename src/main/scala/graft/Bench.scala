@@ -8,8 +8,9 @@ object Bench {
   /** Full classpath of the running Bench, classloader-derived: under sbt
     * `java.class.path` is just the launcher jar — the project classes and
     * the Spark jars live in a URLClassLoader layer, so walk those instead
-    * (union with the property for the spark-submit / plain-java case). */
-  private def currentClasspath(): String = {
+    * (union with the property for the spark-submit / plain-java case).
+    * Shared with CrossProcessSpec's probe children. */
+  private[graft] def currentClasspath(): String = {
     def urls(cl: ClassLoader): Seq[String] = cl match {
       case null => Nil
       case u: java.net.URLClassLoader =>
@@ -28,12 +29,23 @@ object Bench {
     * heap) and read the timing back from the child's persisted bench line.
     * The parent's --add-opens/-Xmx style JVM flags are forwarded so the
     * child can start Spark under Java 17 the same way. */
+  /** The parent JVM's own flags, minus anything that must not be
+    * inherited by a spawned child: agents and debugger transports in any
+    * spelling (-agentlib/-agentpath/-javaagent/-Xrunjdwp) would make the
+    * child bind an already-used debug port or park on suspend=y. Shared
+    * with CrossProcessSpec's probe children. */
+  private[graft] def forwardableJvmArgs(): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-agentpath") ||
+        a.startsWith("-javaagent") || a.startsWith("-Xrunjdwp"))
+  }
+
   private def isolateOne(name: String, sfDir: String, cpus: String): Option[(String, Double, Option[Double])] = try {
     import scala.jdk.CollectionConverters._
     val javaBin = sys.props("java.home") + "/bin/java"
-    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getInputArguments.asScala.toSeq
-      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+    val jvmArgs = forwardableJvmArgs()
     val out = java.nio.file.Files.createTempFile(s"bench-iso-$name", ".json")
     val logf = java.nio.file.Files.createTempFile(s"bench-iso-$name", ".log").toFile
     val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", currentClasspath(), "graft.Bench")).asJava

@@ -172,7 +172,16 @@ class VectorStore(spark: SparkSession, dir: String) {
           .filter(_.getName.startsWith("vectors_old_"))
           .sortBy(_.getName.stripPrefix("vectors_old_").toLong)
           .lastOption.foreach { newest =>
-            require(fsys.rename(newest, root), s"recover: could not restore $newest")
+            // concurrent lease-free readers can BOTH see the crash window
+            // and race this roll-back: the loser's rename throws
+            // FileNotFoundException (Hadoop's local rename copy-fallback)
+            // or returns false with the source vanished — both mean the
+            // other reader completed the restore
+            val rolled =
+              try fsys.rename(newest, root)
+              catch { case _: java.io.FileNotFoundException => false }
+            require(rolled || fsys.exists(root),
+              s"recover: could not restore $newest")
           }
       }
     }

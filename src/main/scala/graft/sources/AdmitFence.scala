@@ -187,7 +187,7 @@ private[graft] object FenceLock {
     * re-reads the lock and answers "still ours". Returns body's result.
     *
     * Staleness is judged from the lock FILE's modification time, not its
-    * content: `create(lock, false)` makes the file visible EMPTY before
+    * content: even the O_EXCL claim makes the file visible EMPTY before
     * the token write reaches it, and a content-timestamp scheme would
     * read that window as "torn = ancient = reclaimable" — a contender
     * could then delete the winner's lock milliseconds after it was won,
@@ -215,14 +215,12 @@ private[graft] object FenceLock {
     val deadline = java.lang.System.currentTimeMillis() + 60000L
     var got = false
     while (!got) {
-      got =
-        try {
-          val out = fsys.create(lock, false) // atomic create-no-overwrite
-          try out.write(s"$token ${java.lang.System.currentTimeMillis()}"
-            .getBytes("UTF-8"))
-          finally out.close()
-          true
-        } catch { case _: java.io.IOException => false }
+      // O_EXCL claim on local filesystems: Hadoop's create(lock, false)
+      // is check-then-act there, and a racing contender TRUNCATES the
+      // live holder's lock (caught by the cross-process fence race —
+      // stillOurs absorbed it, but the primitive should not lie)
+      got = AtomicRename.createNoOverwrite(fsys, lock,
+        s"$token ${java.lang.System.currentTimeMillis()}".getBytes("UTF-8"))
       if (!got) {
         // the staleness read sits IMMEDIATELY before the delete; the
         // residual race (another contender reclaims and re-creates a

@@ -68,6 +68,46 @@ object AtomicRename {
     !nonAtomicSchemes.contains(schemeOf(spark, root).toLowerCase) ||
       spark.conf.get("spark.graft.unsafeAllowNonAtomicRename", "false") == "true"
 
+  /** ATOMIC create-no-overwrite — the claim primitive for [[WriterLease]]
+    * and [[FenceLock]]. Hadoop's `RawLocalFileSystem.create(p, overwrite =
+    * false)` is CHECK-THEN-ACT: an `exists()` probe followed by a plain
+    * `FileOutputStream`, which under contention lets a second claimer slip
+    * past the probe and TRUNCATE the live holder's just-written claim —
+    * the cross-process suite caught exactly that (a fence-lock release
+    * observing its lock momentarily empty, then carrying a contender's
+    * token, during a two-process fence race on local /tmp). On local
+    * filesystems the claim therefore goes through NIO `CREATE_NEW` — one
+    * `open(O_CREAT|O_EXCL)`, POSIX-atomic, exactly one winner — while
+    * HDFS-class filesystems keep `fsys.create(p, false)`, which is atomic
+    * at the namenode. Either way the file is visible EMPTY for the
+    * microseconds before the claimant's bytes land, so readers must judge
+    * a content-less claim by the file's MTIME, never as "torn = ancient".
+    * Returns true iff this caller created the file. */
+  def createNoOverwrite(fsys: org.apache.hadoop.fs.FileSystem,
+                        p: org.apache.hadoop.fs.Path,
+                        bytes: Array[Byte]): Boolean = {
+    val raw = fsys match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case f => f
+    }
+    raw match {
+      case _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        try {
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(p.toUri.getPath), bytes,
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          true
+        } catch { case _: java.io.IOException => false } // incl. already-exists
+      case _ =>
+        try {
+          val out = raw.create(p, false)
+          try out.write(bytes) finally out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+    }
+  }
+
   /** Refuse a rename-based protocol on a filesystem without atomic
     * rename. `protocol` names the caller for the error message. */
   def ensure(spark: SparkSession, root: String, protocol: String): Unit =

@@ -199,7 +199,15 @@ class PostingsStore(spark: SparkSession, dir: String) {
           .filter(_.getName.startsWith(s"${base}_old_"))
           .sortBy(_.getName.stripPrefix(s"${base}_old_").toLong)
           .lastOption.foreach { newest =>
-            require(fsys.rename(newest, root), s"recover: could not restore $newest")
+            // two lease-free readers can race this roll-back — the
+            // loser's rename throws (local copy-fallback on a vanished
+            // source) or returns false; root present means the other
+            // reader completed the restore
+            val rolled =
+              try fsys.rename(newest, root)
+              catch { case _: java.io.FileNotFoundException => false }
+            require(rolled || fsys.exists(root),
+              s"recover: could not restore $newest")
           }
       if (fsys.exists(root))
         fsys.listStatus(dirP).map(_.getPath)

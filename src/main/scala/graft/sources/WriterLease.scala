@@ -43,8 +43,11 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *    root with phantom ConcurrentWriterExceptions until JVM restart.
   *
   * This is a misconfiguration DETECTOR, not a distributed lock manager:
-  * the create-no-overwrite race window is filesystem-atomic on local/HDFS
-  * ([[AtomicRename]] refuses flat object stores, where it is not), and a
+  * the claim is [[AtomicRename.createNoOverwrite]] — O_EXCL on local
+  * filesystems (Hadoop's own local create-no-overwrite is check-then-act
+  * and a racing claimer truncates the winner's lease; the cross-process
+  * suite caught it), namenode-atomic on HDFS, and refused on flat object
+  * stores ([[AtomicRename.ensure]]) — and a
   * writer whose JVM pauses beyond `staleMs` (not crashes — renewal covers
   * liveness) can still be reclaimed from. The stores' crash-safety does
   * NOT depend on the lease — heals/fences cover a single writer crashing;
@@ -112,18 +115,27 @@ object WriterLease {
                 finally in.close()
       raw.split(' ') match {
         case Array(id, ts) => ts.toLongOption.map(id -> _)
-        case _ => Some(("<unparsable>", 0L)) // torn write: age 0L = ancient → reclaimable
+        case _ =>
+          // torn or MID-CLAIM content: even an O_EXCL-created lease is
+          // visible EMPTY for the microseconds before the claimant's
+          // bytes land, and "unparsable = ancient = reclaimable" would
+          // let a contender steal it in that window (the FenceLock
+          // lesson). Judge staleness from the file's MTIME, which exists
+          // atomically with the file — a mid-claim lease reads FRESH and
+          // stays protected; a genuinely torn old corpse ages out.
+          val stamp = try fsys.getFileStatus(p).getModificationTime
+                      catch { case _: java.io.IOException => 0L }
+          Some(("<unparsable>", stamp))
       }
     }
 
   private def tryClaim(fsys: FileSystem, p: Path): Boolean =
-    try {
-      val out = fsys.create(p, false) // atomic create-no-overwrite
-      try out.write(s"$writerId ${java.lang.System.currentTimeMillis()}"
-        .getBytes("UTF-8"))
-      finally out.close()
-      true
-    } catch { case _: java.io.IOException => false }
+    // NOT fsys.create(p, false): Hadoop's local create-no-overwrite is
+    // check-then-act and a racing claimer TRUNCATES the winner's lease
+    // (caught by the cross-process suite) — the helper uses O_EXCL on
+    // local filesystems, so exactly one claimer can ever win
+    AtomicRename.createNoOverwrite(fsys, p,
+      s"$writerId ${java.lang.System.currentTimeMillis()}".getBytes("UTF-8"))
 
   /** Re-stamp the held lease's epoch — atomic (unique temp + rename over
     * the live file, raw FS), so a concurrent reader never sees a torn

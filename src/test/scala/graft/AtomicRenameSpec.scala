@@ -68,4 +68,41 @@ class AtomicRenameSpec extends SparkSpecBase {
     }
     assert(again.getMessage.contains("WriterLease"))
   }
+
+  test("createNoOverwrite is ATOMIC under contention: exactly one winner " +
+       "per path and the winner's bytes are never truncated") {
+    // Hadoop's RawLocalFileSystem.create(p, overwrite = false) is
+    // check-then-act — under this exact barrier-start contention a second
+    // claimer slips past the exists() probe and TRUNCATES the winner's
+    // claim (the cross-process fence race caught it live). The helper's
+    // O_EXCL path must never double-admit.
+    val fsys = org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration)
+    val dir = java.nio.file.Files.createTempDirectory("atomic-create").toString
+    val threads = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    try {
+      (1 to 200).foreach { r =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/claim_$r")
+        val barrier = new java.util.concurrent.CyclicBarrier(threads)
+        val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+        val payloads = (0 until threads).map(t => s"winner-$t-round-$r")
+        (0 until threads).map { t =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              barrier.await()
+              if (AtomicRename.createNoOverwrite(fsys, p,
+                payloads(t).getBytes("UTF-8"))) wins.incrementAndGet()
+            }
+          })
+        }.foreach(_.get())
+        assert(wins.get() == 1,
+          s"round $r: ${wins.get()} winners — the claim is not atomic")
+        val content = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(dir, s"claim_$r")), "UTF-8")
+        assert(payloads.contains(content),
+          s"round $r: claim content torn or truncated: '$content'")
+      }
+    } finally pool.shutdown()
+  }
 }

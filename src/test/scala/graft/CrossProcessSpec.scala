@@ -30,34 +30,14 @@ class CrossProcessSpec extends SparkSpecBase {
   private def tmp(prefix: String) =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
-  /** Full classpath of the running suite, classloader-derived: under a
-    * forked sbt test JVM `java.class.path` is usually complete, but walk
-    * the loader layers too (the Bench isolate pattern) so the child can
-    * always resolve graft + Spark + Hadoop. */
-  private def currentClasspath(): String = {
-    def urls(cl: ClassLoader): Seq[String] = cl match {
-      case null => Nil
-      case u: java.net.URLClassLoader =>
-        u.getURLs.toSeq.flatMap(x =>
-          scala.util.Try(java.nio.file.Paths.get(x.toURI).toString).toOption) ++
-          urls(u.getParent)
-      case other => urls(other.getParent)
-    }
-    (urls(getClass.getClassLoader) ++
-      sys.props.getOrElse("java.class.path", "").split(java.io.File.pathSeparator))
-      .filter(_.nonEmpty).distinct.mkString(java.io.File.pathSeparator)
-  }
-
   private final class Child(args: Seq[String]) {
     import scala.jdk.CollectionConverters._
     private val javaBin = sys.props("java.home") + "/bin/java"
-    private val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
-      .getInputArguments.asScala.toSeq
-      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
     private val errLog = java.nio.file.Files.createTempFile("xproc", ".log").toFile
+    // classpath + flag forwarding shared with Bench's isolate children
     private val pb = new ProcessBuilder(
-      (Seq(javaBin) ++ jvmArgs ++
-        Seq("-cp", currentClasspath(), "graft.CrossProcessProbe") ++ args).asJava)
+      (Seq(javaBin) ++ Bench.forwardableJvmArgs() ++
+        Seq("-cp", Bench.currentClasspath(), "graft.CrossProcessProbe") ++ args).asJava)
     pb.redirectError(errLog)
     val proc: Process = pb.start()
     private val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
@@ -146,15 +126,18 @@ class CrossProcessSpec extends SparkSpecBase {
   test("cross-process renewal: a live child renewing every staleMs/3 is " +
        "unstealable long past staleMs, then releases cleanly") {
     val root = tmp("xproc-renew")
-    // child holds 8 s with staleMs = 2 s → renews every ~666 ms
-    val child = new Child(Seq("lease-hold", root, "8000", "2000", "true"))
+    // child holds 12 s with staleMs = 5 s → renews every ~1.67 s; the
+    // steal check then has ~3.3 s of slack against child-side GC/CI
+    // stalls (a 2 s bar left only 1.3 s — a flake that would falsely
+    // implicate the renewal code)
+    val child = new Child(Seq("lease-hold", root, "12000", "5000", "true"))
     try {
       child.await("HELD")
-      Thread.sleep(4000L) // 2× the child's staleness bar
+      Thread.sleep(10000L) // 2× the child's staleness bar
       // without renewal this steal would succeed; the live child's
       // re-stamped epoch must keep rejecting it
       intercept[WriterLease.ConcurrentWriterException] {
-        WriterLease.withLease(spark, root, staleMs = 2000L, renew = false) {
+        WriterLease.withLease(spark, root, staleMs = 5000L, renew = false) {
           fail("stole the lease from a LIVE renewing cross-process writer")
         }
       }
@@ -170,7 +153,6 @@ class CrossProcessSpec extends SparkSpecBase {
   test("two PROCESSES advancing one fence interleaved end at the max " +
        "with no lock or temp corpses") {
     val root = tmp("xproc-fence")
-    new java.io.File(root).mkdirs()
     val child = new Child(Seq("fence-race", root, "1", "60", "5"))
     try {
       child.await("FENCING")
@@ -189,20 +171,23 @@ class CrossProcessSpec extends SparkSpecBase {
   test("a SIGKILLed fence-lock holder's corpse is reclaimed by the next " +
        "advance after the staleness bar") {
     val root = tmp("xproc-fencelock")
-    new java.io.File(root).mkdirs()
     val child = new Child(Seq("fence-lock-hold", root))
     try {
       child.await("LOCKED")
       child.kill() // the lock file survives as a crashed holder's corpse
-      assert(java.nio.file.Files.exists(
-        java.nio.file.Paths.get(root, "_fence_lock")), "no lock corpse")
-      val t0 = java.lang.System.currentTimeMillis()
+      val lockFile = java.nio.file.Paths.get(root, "_fence_lock")
+      assert(java.nio.file.Files.exists(lockFile), "no lock corpse")
+      // staleness is judged from the lock file's MTIME, so anchor the
+      // assertion there too — measuring from a parent-side t0 would
+      // charge parent latency (await poll, kill, GC) against the margin
+      val lockMtime = java.nio.file.Files
+        .getLastModifiedTime(lockFile).toMillis
       AdmitFence.advance(spark, root, 7L) // must wait out the 10 s bar, reclaim, publish
-      val waited = java.lang.System.currentTimeMillis() - t0
+      val waited = java.lang.System.currentTimeMillis() - lockMtime
       assert(AdmitFence.upto(spark, root) == 7L, "advance did not land")
-      assert(waited >= 8000L,
-        s"advance returned after ${waited} ms — it must have stolen a " +
-          "fresh lock instead of waiting out the staleness bar")
+      assert(waited >= 9000L, // 1 s slack for coarse FS mtime granularity
+        s"advance landed ${waited} ms after the corpse's mtime — it must " +
+          "have stolen a fresh lock instead of waiting out the 10 s bar")
       assert(residue(root).isEmpty, s"protocol corpses: ${residue(root)}")
     } finally child.kill()
   }

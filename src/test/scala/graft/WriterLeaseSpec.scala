@@ -75,12 +75,25 @@ class WriterLeaseSpec extends SparkSpecBase {
     assert(ran && leaseGone(root))
   }
 
-  test("a torn lease file (unparsable) is reclaimable, not a wedge") {
+  test("a torn lease is judged by MTIME: fresh (a claim mid-write) is " +
+       "protected; aged past the bar it is reclaimed, not a wedge") {
     val root = tmp("lease-torn")
-    java.nio.file.Files.write(java.nio.file.Paths.get(root, "_writer_lease"),
-      "garbage".getBytes("UTF-8"))
+    val p = java.nio.file.Paths.get(root, "_writer_lease")
+    java.nio.file.Files.write(p, "garbage".getBytes("UTF-8"))
+    // FRESH torn content is indistinguishable from a claimer's bytes
+    // still in flight (the file is visible empty before the O_EXCL
+    // winner's write lands) — stealing it would break the live claim
+    intercept[WriterLease.ConcurrentWriterException] {
+      WriterLease.withLease(spark, root, staleMs = 600000L, renew = false) {
+        fail("a FRESH torn lease must be protected, not stolen")
+      }
+    }
+    // aged past the bar it is a corpse: reclaimed, never a permanent wedge
+    java.nio.file.Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.lang.System.currentTimeMillis() - 5000L))
     var ran = false
-    WriterLease.withLease(spark, root) { ran = true }
+    WriterLease.withLease(spark, root, staleMs = 1000L, renew = false) { ran = true }
     assert(ran && leaseGone(root))
   }
 
