@@ -24,11 +24,6 @@ object Bench {
       .filter(_.nonEmpty).distinct.mkString(java.io.File.pathSeparator)
   }
 
-  /** Re-time one query in a FRESH JVM: spawn a child `java graft.Bench`
-    * with SPARK_GRAFT_ONLY=<name> (cold JIT, cold codegen cache, its own
-    * heap) and read the timing back from the child's persisted bench line.
-    * The parent's --add-opens/-Xmx style JVM flags are forwarded so the
-    * child can start Spark under Java 17 the same way. */
   /** The parent JVM's own flags, minus anything that must not be
     * inherited by a spawned child: agents and debugger transports in any
     * spelling (-agentlib/-agentpath/-javaagent/-Xrunjdwp) would make the
@@ -42,6 +37,11 @@ object Bench {
         a.startsWith("-javaagent") || a.startsWith("-Xrunjdwp"))
   }
 
+  /** Re-time one query in a FRESH JVM: spawn a child `java graft.Bench`
+    * with SPARK_GRAFT_ONLY=<name> (cold JIT, cold codegen cache, its own
+    * heap) and read the timing back from the child's persisted bench line.
+    * The parent's --add-opens/-Xmx style JVM flags are forwarded so the
+    * child can start Spark under Java 17 the same way. */
   private def isolateOne(name: String, sfDir: String, cpus: String): Option[(String, Double, Option[Double])] = try {
     import scala.jdk.CollectionConverters._
     val javaBin = sys.props("java.home") + "/bin/java"

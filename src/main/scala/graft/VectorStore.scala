@@ -173,13 +173,10 @@ class VectorStore(spark: SparkSession, dir: String) {
           .sortBy(_.getName.stripPrefix("vectors_old_").toLong)
           .lastOption.foreach { newest =>
             // concurrent lease-free readers can BOTH see the crash window
-            // and race this roll-back: the loser's rename throws
-            // FileNotFoundException (Hadoop's local rename copy-fallback)
-            // or returns false with the source vanished — both mean the
-            // other reader completed the restore
-            val rolled =
-              try fsys.rename(newest, root)
-              catch { case _: java.io.FileNotFoundException => false }
+            // and race this roll-back — the loser's vanished source +
+            // present root means the other reader completed the restore
+            val rolled = graft.sources.AtomicRename
+              .renameOrVanished(fsys, newest, root)
             require(rolled || fsys.exists(root),
               s"recover: could not restore $newest")
           }

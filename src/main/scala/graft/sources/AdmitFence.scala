@@ -199,6 +199,10 @@ private[graft] object FenceLock {
                   staleMs: Long = 10000L)
                  (body: (() => Boolean) => T): T = {
     val lock = new org.apache.hadoop.fs.Path(s"$dir/_fence_lock")
+    // the O_EXCL claim does NOT auto-create parent dirs the way Hadoop's
+    // create did — without this, an advance on a not-yet-existing store
+    // dir would spin to the 60 s deadline and die blaming a live holder
+    fsys.mkdirs(new org.apache.hadoop.fs.Path(dir))
     val token = java.util.UUID.randomUUID().toString.take(12)
     def holderToken(): Option[String] =
       try {

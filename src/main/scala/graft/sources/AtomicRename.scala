@@ -90,23 +90,59 @@ object AtomicRename {
       case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
       case f => f
     }
+    // The create and the byte write are SPLIT so a write failure after a
+    // successful create can clean up its own orphan: an empty claim file
+    // left behind would read as "<unparsable> + fresh mtime" and wedge
+    // the root for a full staleMs (the old torn-=-ancient rule at least
+    // recovered instantly). The delete is sound precisely because OUR
+    // create succeeded — the file is ours until deleted; a delete after
+    // a FAILED create could remove a contender's just-won claim.
     raw match {
       case _: org.apache.hadoop.fs.RawLocalFileSystem =>
-        try {
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(p.toUri.getPath), bytes,
+        val nio = java.nio.file.Paths.get(p.toUri.getPath)
+        val ch =
+          try java.nio.file.Files.newByteChannel(nio,
             java.nio.file.StandardOpenOption.CREATE_NEW,
             java.nio.file.StandardOpenOption.WRITE)
-          true
-        } catch { case _: java.io.IOException => false } // incl. already-exists
+          catch { case _: java.io.IOException => null } // incl. already-exists
+        if (ch == null) false
+        else
+          try { ch.write(java.nio.ByteBuffer.wrap(bytes)); true }
+          catch { case _: java.io.IOException =>
+            try java.nio.file.Files.deleteIfExists(nio)
+            catch { case _: java.io.IOException => () }
+            false
+          } finally {
+            try ch.close() catch { case _: java.io.IOException => () }
+          }
       case _ =>
-        try {
-          val out = raw.create(p, false)
-          try out.write(bytes) finally out.close()
-          true
-        } catch { case _: java.io.IOException => false }
+        val out =
+          try raw.create(p, false)
+          catch { case _: java.io.IOException => null } // incl. already-exists
+        if (out == null) false
+        else
+          try { out.write(bytes); out.close(); true }
+          catch { case _: java.io.IOException =>
+            try out.close() catch { case _: java.io.IOException => () }
+            try raw.delete(p, false) catch { case _: java.io.IOException => () }
+            false
+          }
     }
   }
+
+  /** Rename that tolerates LOSING a concurrent-drain race: Hadoop's local
+    * rename falls back to `FileUtil.copy` when `renameTo` fails, and copy
+    * THROWS FileNotFoundException on a source the other party already
+    * moved (caught live by the cross-process writer-vs-healer race) —
+    * callers treat "false + destination present" as the other party's
+    * completed move. Shared by [[StagedAppend.moveTree]] and the
+    * lease-free recover() heals (VectorStore, PostingsStore), so the
+    * which-exceptions-mean-success knowledge lives once. */
+  def renameOrVanished(fsys: org.apache.hadoop.fs.FileSystem,
+                       src: org.apache.hadoop.fs.Path,
+                       dst: org.apache.hadoop.fs.Path): Boolean =
+    try fsys.rename(src, dst)
+    catch { case _: java.io.FileNotFoundException => false }
 
   /** Refuse a rename-based protocol on a filesystem without atomic
     * rename. `protocol` names the caller for the error message. */

@@ -200,12 +200,9 @@ class PostingsStore(spark: SparkSession, dir: String) {
           .sortBy(_.getName.stripPrefix(s"${base}_old_").toLong)
           .lastOption.foreach { newest =>
             // two lease-free readers can race this roll-back — the
-            // loser's rename throws (local copy-fallback on a vanished
-            // source) or returns false; root present means the other
+            // loser's vanished source + present root means the other
             // reader completed the restore
-            val rolled =
-              try fsys.rename(newest, root)
-              catch { case _: java.io.FileNotFoundException => false }
+            val rolled = AtomicRename.renameOrVanished(fsys, newest, root)
             require(rolled || fsys.exists(root),
               s"recover: could not restore $newest")
           }

@@ -76,15 +76,9 @@ object StagedAppend {
       else if (!name.startsWith("_") && !name.startsWith(".")) {
         fsys.mkdirs(dstRoot)
         val dst = new Path(dstRoot, name)
-        // rename can THROW, not just return false, when a concurrent
-        // drain wins the race: Hadoop's local rename falls back to
-        // FileUtil.copy when renameTo fails, and copy throws
-        // FileNotFoundException on a vanished source (caught live by the
-        // cross-process writer-vs-healer race) — same meaning as the
-        // vanished listing above: the other party completed the move
-        val renamed =
-          try fsys.rename(st.getPath, dst)
-          catch { case _: java.io.FileNotFoundException => false }
+        // a concurrent drain can win this rename — vanished source means
+        // the other party completed the move, same as the listing above
+        val renamed = AtomicRename.renameOrVanished(fsys, st.getPath, dst)
         if (!renamed && !fsys.exists(dst) && fsys.exists(st.getPath))
           sys.error(s"staged append: could not publish ${st.getPath} -> $dst")
       }

@@ -123,8 +123,14 @@ object WriterLease {
           // lesson). Judge staleness from the file's MTIME, which exists
           // atomically with the file — a mid-claim lease reads FRESH and
           // stays protected; a genuinely torn old corpse ages out.
+          // fallback direction matters: a FAILED mtime read must stamp
+          // FRESH (reject the claim, retry later), never 0L = ancient —
+          // a transient getFileStatus blip would otherwise let a
+          // contender steal the live winner's mid-claim lease, the exact
+          // race the O_EXCL claim closes
           val stamp = try fsys.getFileStatus(p).getModificationTime
-                      catch { case _: java.io.IOException => 0L }
+                      catch { case _: java.io.IOException =>
+                        java.lang.System.currentTimeMillis() }
           Some(("<unparsable>", stamp))
       }
     }

@@ -126,11 +126,12 @@ class CrossProcessSpec extends SparkSpecBase {
   test("cross-process renewal: a live child renewing every staleMs/3 is " +
        "unstealable long past staleMs, then releases cleanly") {
     val root = tmp("xproc-renew")
-    // child holds 12 s with staleMs = 5 s → renews every ~1.67 s; the
-    // steal check then has ~3.3 s of slack against child-side GC/CI
-    // stalls (a 2 s bar left only 1.3 s — a flake that would falsely
-    // implicate the renewal code)
-    val child = new Child(Seq("lease-hold", root, "12000", "5000", "true"))
+    // child holds 16 s with staleMs = 5 s → renews every ~1.67 s; the
+    // steal check at 10 s then has ~3.3 s of renewal slack against
+    // child-side stalls AND ~6 s of hold slack against parent-side
+    // stalls (a steal attempt landing after the child RELEASED would
+    // succeed and falsely implicate the renewal code)
+    val child = new Child(Seq("lease-hold", root, "16000", "5000", "true"))
     try {
       child.await("HELD")
       Thread.sleep(10000L) // 2× the child's staleness bar
