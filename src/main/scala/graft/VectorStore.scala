@@ -264,16 +264,33 @@ class VectorStore(spark: SparkSession, dir: String) {
 
   private def contentFingerprint(
       fsys: org.apache.hadoop.fs.FileSystem): Long = {
-    val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
     val root = new org.apache.hadoop.fs.Path(vecDir)
-    if (fsys.exists(root)) {
-      val it = fsys.listFiles(root, true)
-      while (it.hasNext) {
-        val st = it.next()
-        files += ((st.getPath.toString, st.getLen, st.getModificationTime))
+    // a compact/build in ANOTHER process can retire `vectors/` (rename)
+    // or remove files between hasNext and next — a vanished entry means
+    // "contents changed mid-listing", so re-list instead of throwing out
+    // of a pure read; bounded retries, then propagate (truly wedged)
+    def listOnce(): Seq[(String, Long, Long)] = {
+      val files = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      if (fsys.exists(root)) {
+        val it = fsys.listFiles(root, true)
+        while (it.hasNext) {
+          val st = it.next()
+          files += ((st.getPath.toString, st.getLen, st.getModificationTime))
+        }
+      }
+      files.toSeq
+    }
+    var attempt = 0
+    var listed: Seq[(String, Long, Long)] = null
+    while (listed == null) {
+      attempt += 1
+      try listed = listOnce()
+      catch { case e: java.io.FileNotFoundException =>
+        if (attempt >= 5) throw e
+        Thread.sleep(25L * attempt)
       }
     }
-    files.sortBy(_._1).foldLeft( // sorted: listing order is not contractual
+    listed.sortBy(_._1).foldLeft( // sorted: listing order is not contractual
       graft.sources.AdmitFence.upto(spark, dir) + 1125899906842597L) {
       case (h, (p, len, mt)) =>
         ((h * 31L + p.hashCode.toLong) * 31L + len) * 31L + mt

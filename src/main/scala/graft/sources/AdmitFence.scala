@@ -51,10 +51,8 @@ object AdmitFence {
     * every subsequent read throws ChecksumException. Raw local rename
     * over an existing file is a single atomic POSIX rename. */
   private def fs(spark: SparkSession): org.apache.hadoop.fs.FileSystem =
-    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration) match {
-      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
-      case f => f
-    }
+    AtomicRename.raw(
+      org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration))
 
   private def markPath(storeDir: String) =
     new org.apache.hadoop.fs.Path(s"$storeDir/_admitted_upto")
@@ -115,12 +113,18 @@ object AdmitFence {
   def advance(spark: SparkSession, storeDir: String, batchId: Long): Unit = {
     AtomicRename.ensure(spark, storeDir, "AdmitFence")
     val fsys = fs(spark)
+    // the lock staleness bar is the pause tolerance of the ms-long
+    // critical section — configurable because the give-up error below
+    // tells a stalling deployment to raise it, and advice without a knob
+    // is noise
+    val lockStaleMs =
+      spark.conf.get("spark.graft.fenceLockStaleMs", "10000").toLong
     jvmLock(fsys, storeDir).synchronized {
       var attempts = 0
       var done = false
       while (!done) {
         attempts += 1
-        done = FenceLock.withLock(fsys, storeDir) { stillOurs =>
+        done = FenceLock.withLock(fsys, storeDir, lockStaleMs) { stillOurs =>
           if (upto(spark, storeDir) >= batchId) true // re-read under the lock
           else {
             val dirP = new org.apache.hadoop.fs.Path(storeDir)
@@ -158,7 +162,8 @@ object AdmitFence {
         if (!done && attempts >= 5)
           sys.error(s"AdmitFence: lost the fence lock $attempts times at " +
             s"$storeDir — the process is pausing longer than the lock " +
-            "staleness bar; raise it or investigate the stall")
+            s"staleness bar ($lockStaleMs ms); raise " +
+            "spark.graft.fenceLockStaleMs or investigate the stall")
       }
     }
   }

@@ -68,6 +68,18 @@ object AtomicRename {
     !nonAtomicSchemes.contains(schemeOf(spark, root).toLowerCase) ||
       spark.conf.get("spark.graft.unsafeAllowNonAtomicRename", "false") == "true"
 
+  /** The RAW (checksum-free) filesystem — the protocol layer's file I/O
+    * runs raw because the claim/fence/lease files are rewritten in place
+    * by rename or overwrite, and a checksummed local FS would leave stale
+    * `.crc` sidecars pointing at old bytes (every later read then throws
+    * ChecksumException). One home for the unwrap rule so the primitives
+    * cannot diverge. */
+  def raw(fsys: org.apache.hadoop.fs.FileSystem): org.apache.hadoop.fs.FileSystem =
+    fsys match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case f => f
+    }
+
   /** ATOMIC create-no-overwrite — the claim primitive for [[WriterLease]]
     * and [[FenceLock]]. Hadoop's `RawLocalFileSystem.create(p, overwrite =
     * false)` is CHECK-THEN-ACT: an `exists()` probe followed by a plain
@@ -86,10 +98,7 @@ object AtomicRename {
   def createNoOverwrite(fsys: org.apache.hadoop.fs.FileSystem,
                         p: org.apache.hadoop.fs.Path,
                         bytes: Array[Byte]): Boolean = {
-    val raw = fsys match {
-      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
-      case f => f
-    }
+    val rawFs = raw(fsys)
     // The create and the byte write are SPLIT so a write failure after a
     // successful create can clean up its own orphan: an empty claim file
     // left behind would read as "<unparsable> + fresh mtime" and wedge
@@ -97,7 +106,7 @@ object AtomicRename {
     // recovered instantly). The delete is sound precisely because OUR
     // create succeeded — the file is ours until deleted; a delete after
     // a FAILED create could remove a contender's just-won claim.
-    raw match {
+    rawFs match {
       case _: org.apache.hadoop.fs.RawLocalFileSystem =>
         val nio = java.nio.file.Paths.get(p.toUri.getPath)
         val ch =
@@ -117,14 +126,14 @@ object AtomicRename {
           }
       case _ =>
         val out =
-          try raw.create(p, false)
+          try rawFs.create(p, false)
           catch { case _: java.io.IOException => null } // incl. already-exists
         if (out == null) false
         else
           try { out.write(bytes); out.close(); true }
           catch { case _: java.io.IOException =>
             try out.close() catch { case _: java.io.IOException => () }
-            try raw.delete(p, false) catch { case _: java.io.IOException => () }
+            try rawFs.delete(p, false) catch { case _: java.io.IOException => () }
             false
           }
     }

@@ -96,14 +96,11 @@ object WriterLease {
     ex
   }
 
-  /** RAW (checksum-free) filesystem: renewal renames a temp over the live
-    * lease, and a checksummed local FS would leave a stale `.crc` sidecar
+  /** RAW (checksum-free) filesystem: renewal rewrites the live lease in
+    * place, and a checksummed local FS would leave a stale `.crc` sidecar
     * behind that fails every subsequent read (the AdmitFence lesson). */
   private def fs(spark: SparkSession): FileSystem =
-    FileSystem.get(spark.sparkContext.hadoopConfiguration) match {
-      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
-      case f => f
-    }
+    AtomicRename.raw(FileSystem.get(spark.sparkContext.hadoopConfiguration))
 
   private def leasePath(root: String) = new Path(s"$root/_writer_lease")
 
@@ -143,14 +140,19 @@ object WriterLease {
     AtomicRename.createNoOverwrite(fsys, p,
       s"$writerId ${java.lang.System.currentTimeMillis()}".getBytes("UTF-8"))
 
-  /** Re-stamp the held lease's epoch — atomic (unique temp + rename over
-    * the live file, raw FS), so a concurrent reader never sees a torn
-    * lease that the "<unparsable> = ancient" rule would let it steal. A
-    * failed rename leaves the OLD lease in place (degrade to pre-renewal
-    * staleness) rather than risking a delete+rename no-lease window a
-    * concurrent claimer could slip through. Skips — and stops renewing —
-    * if the lease no longer carries our id (stolen after a pause; the op
-    * is already compromised and release will not touch the new holder). */
+  /** Re-stamp the held lease's epoch by REWRITING it in place
+    * (create-overwrite on the raw FS). A direct rewrite is safe since the
+    * mtime rule landed: a reader that catches the write mid-flight sees
+    * unparsable content and judges staleness from the file's mtime —
+    * which the rewrite just refreshed — so the torn window is FRESH =
+    * protected, never "ancient = stealable". (The previous temp + rename
+    * scheme was a silent NO-OP on HDFS-class filesystems, whose rename
+    * refuses an existing destination: the epoch never moved, the lease
+    * aged out mid-compact, and a second writer could legitimately reclaim
+    * it — the exact corruption renewal exists to prevent.) Skips — and
+    * stops renewing — if the lease no longer carries our id (stolen after
+    * a pause; the op is already compromised and release will not touch
+    * the new holder). */
   private def renewOnce(fsys: FileSystem, root: String): Unit =
     // catch EVERYTHING: scheduleAtFixedRate silently suppresses all
     // subsequent runs after one task throw, so a single transient
@@ -165,16 +167,15 @@ object WriterLease {
       val stillHeld = synchronized(held.contains(root)) // released meanwhile?
       if (stillHeld) readHolder(fsys, p) match {
         case Some((id, _)) if id == writerId =>
-          val tmp = new Path(
-            s"$root/_writer_lease.renew_${java.util.UUID.randomUUID().toString.take(8)}")
           try {
-            val out = fsys.create(tmp, true)
+            val out = fsys.create(p, true)
             try out.write(s"$writerId ${java.lang.System.currentTimeMillis()}"
               .getBytes("UTF-8"))
             finally out.close()
-            if (!fsys.rename(tmp, p)) fsys.delete(tmp, false)
           } catch { case _: java.io.IOException =>
-            try fsys.delete(tmp, false) catch { case _: java.io.IOException => () }
+            // a failed/torn rewrite leaves the lease unparsable with a
+            // fresh mtime = protected; the next tick re-stamps it
+            ()
           }
         case other =>
           System.err.println(s"[WriterLease] lease at $p no longer ours " +
@@ -236,7 +237,17 @@ object WriterLease {
               java.lang.System.currentTimeMillis() - ts > staleMs
           }
           if (reclaimable) {
-            fsys.delete(p, false)
+            // remove the corpse via an atomic RENAME to a tombstone, not
+            // a delete: two contenders that both judged it stale would
+            // otherwise both run delete+claim, and the slower delete
+            // removes the faster contender's FRESH lease (check-then-act
+            // across processes — both bodies then run). Exactly one
+            // rename wins; the loser falls through to tryClaim, where
+            // the O_EXCL create picks exactly one claimer either way.
+            val tomb = new Path(
+              s"$key/_writer_lease.reclaimed_${java.util.UUID.randomUUID().toString.take(8)}")
+            if (AtomicRename.renameOrVanished(fsys, p, tomb))
+              fsys.delete(tomb, false)
             claimed = tryClaim(fsys, p)
           }
           if (!claimed)
@@ -246,10 +257,12 @@ object WriterLease {
                 "deployment error — stop one ingest, or delete the lease if " +
                 "the holder is known dead")
         }
-        // claimed: sweep renewal temps orphaned by a crashed predecessor
-        // (only the holder renews, and that is now us)
+        // claimed: sweep protocol corpses orphaned by crashed
+        // predecessors — pre-rewrite renewal temps (.renew_) and reclaim
+        // tombstones whose remover died between rename and delete
+        // (.reclaimed_); only the holder sweeps, and that is now us
         fsys.listStatus(new Path(key)).map(_.getPath)
-          .filter(_.getName.startsWith("_writer_lease.renew_"))
+          .filter(_.getName.startsWith("_writer_lease."))
           .foreach(t => fsys.delete(t, false))
         if (renew) synchronized {
           renewals(key) = renewer.scheduleAtFixedRate(

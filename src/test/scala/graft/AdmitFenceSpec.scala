@@ -85,11 +85,8 @@ class AdmitFenceSpec extends SparkSpecBase {
   test("FenceLock release verifies ownership: a paused holder reclaimed " +
        "from neither deletes the new holder's lock nor believes stillOurs") {
     val dir = java.nio.file.Files.createTempDirectory("fence-own").toString
-    val fsys = org.apache.hadoop.fs.FileSystem
-      .get(spark.sparkContext.hadoopConfiguration) match {
-        case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
-        case f => f
-      }
+    val fsys = graft.sources.AtomicRename.raw(org.apache.hadoop.fs.FileSystem
+      .get(spark.sparkContext.hadoopConfiguration))
     val lockFile = java.nio.file.Paths.get(dir, "_fence_lock")
     val aHolding = new java.util.concurrent.CountDownLatch(1)
     val bInside = new java.util.concurrent.CountDownLatch(1)

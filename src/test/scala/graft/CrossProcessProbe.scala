@@ -62,15 +62,26 @@ object CrossProcessProbe {
       // take the raw fence lock and park — the parent SIGKILLs us to
       // manufacture a genuine crashed-holder lock corpse
       case "fence-lock-hold" =>
-        val raw = fsys match {
-          case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
-          case f => f
-        }
-        FenceLock.withLock(raw, args(1)) { _ =>
+        FenceLock.withLock(graft.sources.AtomicRename.raw(fsys), args(1)) { _ =>
           mark("LOCKED")
           parkForever()
         }
         mark("UNLOCKED")
+
+      // race a stale-corpse reclaim: try to claim the lease once, mark
+      // the outcome, hold a win for holdMs so late arrivals see a LIVE
+      // (renewing) holder rather than a second stale corpse
+      case "lease-claim-race" =>
+        val Array(_, root, holdMs) = args
+        try
+          WriterLease.withLease(spark, root, staleMs = 500L, renew = true) {
+            mark("CLAIMED")
+            Thread.sleep(holdMs.toLong)
+          }
+        catch { case _: WriterLease.ConcurrentWriterException =>
+          mark("REJECTED")
+        }
+        mark("RACE_DONE")
 
       // run the staged-append protocol step by step, marking each point;
       // pause-after ∈ {stage, commit, fence, none} parks the probe right

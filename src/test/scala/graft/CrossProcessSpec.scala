@@ -71,6 +71,9 @@ class CrossProcessSpec extends SparkSpecBase {
       }
     }
 
+    def sawMarker(marker: String): Boolean =
+      lines.asScala.exists(_.trim == marker)
+
     def kill(): Unit = { proc.destroyForcibly(); proc.waitFor() }
 
     def waitFor(timeoutMs: Long = 120000L): Int = {
@@ -147,6 +150,25 @@ class CrossProcessSpec extends SparkSpecBase {
       assert(!leaseOnDisk(root), "child did not release its lease on exit")
       WriterLease.withLease(spark, root, renew = false) { () } // free again
     } finally child.kill()
+  }
+
+  test("three processes racing a stale-corpse reclaim: exactly ONE claims " +
+       "(tombstone-rename gate + O_EXCL create), the rest reject") {
+    val root = tmp("xproc-reclaim-race")
+    // a writer that died an hour ago (parseable, very stale for everyone)
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "_writer_lease"),
+      s"dead-writer/feedface ${java.lang.System.currentTimeMillis() - 3600000L}"
+        .getBytes("UTF-8"))
+    val children = (1 to 3).map(_ =>
+      new Child(Seq("lease-claim-race", root, "20000")))
+    try {
+      children.foreach(_.await("RACE_DONE", timeoutMs = 180000L))
+      val outcomes = children.map(c =>
+        if (c.sawMarker("CLAIMED")) "CLAIMED" else "REJECTED")
+      assert(outcomes.count(_ == "CLAIMED") == 1,
+        s"stale-corpse reclaim race produced $outcomes — two concurrent " +
+          "claimers means the delete-based reclaim TOCTOU is back")
+    } finally children.foreach(_.kill())
   }
 
   // ---------------------------------------------------------------- fence
