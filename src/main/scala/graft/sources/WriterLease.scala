@@ -244,11 +244,43 @@ object WriterLease {
             // across processes — both bodies then run). Exactly one
             // rename wins; the loser falls through to tryClaim, where
             // the O_EXCL create picks exactly one claimer either way.
+            //
+            // The rename alone is NOT proof we moved the corpse we
+            // judged: this contender can pause between its staleness
+            // read and the rename while another contender reclaims,
+            // claims, and renews — the rename then steals a LIVE lease
+            // (caught by the 3-process reclaim race under full-suite
+            // load). So VERIFY the tombstone (immutable now — only we
+            // know its name) against the judged corpse: on mismatch,
+            // restore the moved lease bytes to the live path and reject.
+            // Residual: the microseconds between our rename and the
+            // restore, where a third contender can claim the briefly
+            // free path and the restore then fails — logged loudly; the
+            // victim's renewal tick also detects and logs the loss. No
+            // compare-and-swap filesystem primitive can close this last
+            // window; the verify shrinks it from "any pause length" to
+            // one metadata round-trip.
             val tomb = new Path(
               s"$key/_writer_lease.reclaimed_${java.util.UUID.randomUUID().toString.take(8)}")
-            if (AtomicRename.renameOrVanished(fsys, p, tomb))
-              fsys.delete(tomb, false)
-            claimed = tryClaim(fsys, p)
+            if (AtomicRename.renameOrVanished(fsys, p, tomb)) {
+              val moved = readHolder(fsys, tomb)
+              if (moved == holder) { // same id AND same stamp we judged stale
+                fsys.delete(tomb, false)
+                claimed = tryClaim(fsys, p)
+              } else {
+                val restored = moved.exists { case (id, ts) =>
+                  AtomicRename.createNoOverwrite(fsys, p,
+                    s"$id $ts".getBytes("UTF-8")) }
+                fsys.delete(tomb, false)
+                if (!restored)
+                  System.err.println(s"[WriterLease] reclaim at $p moved a " +
+                    s"lease that changed after it was judged stale " +
+                    s"(now ${moved.map(_._1)}), and the restore lost a race " +
+                    "to a third claimer — the displaced holder's renewal " +
+                    "will detect and log the loss")
+                // not claimed: fall through to the rejection below
+              }
+            } else claimed = tryClaim(fsys, p) // corpse gone: race the create
           }
           if (!claimed)
             throw new ConcurrentWriterException(
@@ -260,10 +292,15 @@ object WriterLease {
         // claimed: sweep protocol corpses orphaned by crashed
         // predecessors — pre-rewrite renewal temps (.renew_) and reclaim
         // tombstones whose remover died between rename and delete
-        // (.reclaimed_); only the holder sweeps, and that is now us
-        fsys.listStatus(new Path(key)).map(_.getPath)
-          .filter(_.getName.startsWith("_writer_lease."))
-          .foreach(t => fsys.delete(t, false))
+        // (.reclaimed_). AGED corpses only: another contender's reclaim
+        // may be holding a seconds-old tombstone for its verify step
+        // right now, and sweeping it would erase the lease bytes a
+        // mismatch restore needs
+        val corpseCutoff = java.lang.System.currentTimeMillis() - 60000L
+        fsys.listStatus(new Path(key))
+          .filter(st => st.getPath.getName.startsWith("_writer_lease.") &&
+            st.getModificationTime < corpseCutoff)
+          .foreach(st => fsys.delete(st.getPath, false))
         if (renew) synchronized {
           renewals(key) = renewer.scheduleAtFixedRate(
             () => renewOnce(fsys, key),

@@ -69,14 +69,16 @@ object CrossProcessProbe {
         mark("UNLOCKED")
 
       // race a stale-corpse reclaim: try to claim the lease once, mark
-      // the outcome, hold a win for holdMs so late arrivals see a LIVE
-      // (renewing) holder rather than a second stale corpse
+      // the outcome, and hold a win until killed so late arrivals see a
+      // LIVE (renewing) holder rather than a second stale corpse.
+      // staleMs is 30 s — large enough that a loaded host cannot stall
+      // the winner's renewal past the bar and make a steal LEGITIMATE
+      // (the documented pause-steal), which is not what this race tests
       case "lease-claim-race" =>
-        val Array(_, root, holdMs) = args
         try
-          WriterLease.withLease(spark, root, staleMs = 500L, renew = true) {
+          WriterLease.withLease(spark, args(1), staleMs = 30000L, renew = true) {
             mark("CLAIMED")
-            Thread.sleep(holdMs.toLong)
+            parkForever()
           }
         catch { case _: WriterLease.ConcurrentWriterException =>
           mark("REJECTED")

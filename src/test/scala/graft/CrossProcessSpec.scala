@@ -51,25 +51,30 @@ class CrossProcessSpec extends SparkSpecBase {
     reader.setDaemon(true)
     reader.start()
 
-    /** Block until the probe prints `marker` (Spark logs go to stderr, so
-      * stdout carries only markers). */
-    def await(marker: String, timeoutMs: Long = 120000L): Unit = {
+    /** Block until the probe prints ANY of `markers` (Spark logs go to
+      * stderr, so stdout carries only markers). */
+    def awaitAnyOf(markers: Seq[String], timeoutMs: Long = 120000L): Unit = {
+      def seen = lines.asScala.exists(l => markers.contains(l.trim))
       val deadline = java.lang.System.currentTimeMillis() + timeoutMs
-      while (!lines.asScala.exists(_.trim == marker)) {
+      while (!seen) {
         if (java.lang.System.currentTimeMillis() > deadline)
-          fail(s"probe never printed $marker (so far: ${lines.asScala.toList}; " +
+          fail(s"probe never printed any of $markers " +
+            s"(so far: ${lines.asScala.toList}; " +
             s"alive=${proc.isAlive}, stderr at ${errLog.getPath})")
         if (!proc.isAlive) {
           // let the reader thread drain the pipe of a just-exited probe
           // before declaring the marker missing
           reader.join(2000L)
-          if (!lines.asScala.exists(_.trim == marker))
-            fail(s"probe exited (${proc.exitValue()}) before $marker " +
+          if (!seen)
+            fail(s"probe exited (${proc.exitValue()}) before any of $markers " +
               s"(so far: ${lines.asScala.toList}; stderr at ${errLog.getPath})")
         }
         Thread.sleep(25L)
       }
     }
+
+    def await(marker: String, timeoutMs: Long = 120000L): Unit =
+      awaitAnyOf(Seq(marker), timeoutMs)
 
     def sawMarker(marker: String): Boolean =
       lines.asScala.exists(_.trim == marker)
@@ -160,14 +165,18 @@ class CrossProcessSpec extends SparkSpecBase {
       s"dead-writer/feedface ${java.lang.System.currentTimeMillis() - 3600000L}"
         .getBytes("UTF-8"))
     val children = (1 to 3).map(_ =>
-      new Child(Seq("lease-claim-race", root, "20000")))
+      new Child(Seq("lease-claim-race", root)))
     try {
-      children.foreach(_.await("RACE_DONE", timeoutMs = 180000L))
+      // wait for each child's OUTCOME (the winner then parks until the
+      // kill below, so a slow-starting sibling can never arrive after a
+      // legitimate release and muddy the exactly-one assertion)
+      children.foreach(_.awaitAnyOf(Seq("CLAIMED", "REJECTED"),
+        timeoutMs = 180000L))
       val outcomes = children.map(c =>
         if (c.sawMarker("CLAIMED")) "CLAIMED" else "REJECTED")
       assert(outcomes.count(_ == "CLAIMED") == 1,
         s"stale-corpse reclaim race produced $outcomes — two concurrent " +
-          "claimers means the delete-based reclaim TOCTOU is back")
+          "claimers means the reclaim TOCTOU is back")
     } finally children.foreach(_.kill())
   }
 
