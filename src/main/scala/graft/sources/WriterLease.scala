@@ -104,33 +104,44 @@ object WriterLease {
 
   private def leasePath(root: String) = new Path(s"$root/_writer_lease")
 
-  private def readHolder(fsys: FileSystem, p: Path): Option[(String, Long)] =
+  /** The lease file's raw bytes; None when absent. IOExceptions other
+    * than absence propagate — the caller decides the fail-safe side. */
+  private def readRaw(fsys: FileSystem, p: Path): Option[Array[Byte]] =
     if (!fsys.exists(p)) None
     else {
       val in = fsys.open(p)
-      val raw = try scala.io.Source.fromInputStream(in).mkString.trim
-                finally in.close()
-      raw.split(' ') match {
-        case Array(id, ts) => ts.toLongOption.map(id -> _)
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        Some(bos.toByteArray)
+      } finally in.close()
+    }
+
+  /** Parse lease bytes into (holderId, epochStamp). Torn or MID-CLAIM
+    * content (even an O_EXCL-created lease is visible EMPTY for the
+    * microseconds before the claimant's bytes land) is judged by the
+    * file's MTIME, which exists atomically with the file — a mid-claim
+    * lease reads FRESH and stays protected, a torn old corpse ages out
+    * (the FenceLock lesson). A FAILED mtime read stamps FRESH, never
+    * 0L = ancient: a transient getFileStatus blip must not let a
+    * contender steal a live mid-claim lease. */
+  private def parseBytes(fsys: FileSystem, p: Path,
+                         bytes: Option[Array[Byte]]): Option[(String, Long)] =
+    bytes.map { b =>
+      new String(b, "UTF-8").trim.split(' ') match {
+        case Array(id, ts) if ts.toLongOption.isDefined => (id, ts.toLong)
         case _ =>
-          // torn or MID-CLAIM content: even an O_EXCL-created lease is
-          // visible EMPTY for the microseconds before the claimant's
-          // bytes land, and "unparsable = ancient = reclaimable" would
-          // let a contender steal it in that window (the FenceLock
-          // lesson). Judge staleness from the file's MTIME, which exists
-          // atomically with the file — a mid-claim lease reads FRESH and
-          // stays protected; a genuinely torn old corpse ages out.
-          // fallback direction matters: a FAILED mtime read must stamp
-          // FRESH (reject the claim, retry later), never 0L = ancient —
-          // a transient getFileStatus blip would otherwise let a
-          // contender steal the live winner's mid-claim lease, the exact
-          // race the O_EXCL claim closes
           val stamp = try fsys.getFileStatus(p).getModificationTime
                       catch { case _: java.io.IOException =>
                         java.lang.System.currentTimeMillis() }
-          Some(("<unparsable>", stamp))
+          ("<unparsable>", stamp)
       }
     }
+
+  private def readHolder(fsys: FileSystem, p: Path): Option[(String, Long)] =
+    parseBytes(fsys, p, readRaw(fsys, p))
 
   private def tryClaim(fsys: FileSystem, p: Path): Boolean =
     // NOT fsys.create(p, false): Hadoop's local create-no-overwrite is
@@ -177,6 +188,33 @@ object WriterLease {
             // fresh mtime = protected; the next tick re-stamps it
             ()
           }
+        case None =>
+          // TRANSIENTLY absent: a contender's reclaim rename-verify-
+          // restore round-trip is in flight (it will put our bytes back),
+          // or its restore lost — either way re-asserting via the O_EXCL
+          // create is SAFE: it can only win while NO file exists, i.e. a
+          // genuinely free path this JVM still legitimately holds. If a
+          // thief already claimed, our create fails and the next tick
+          // sees its parseable foreign id and stops. Cancelling renewal
+          // here (the old behavior) left a successfully-restored lease
+          // never refreshed again — it aged out mid-op and the double-
+          // writer window reopened.
+          if (AtomicRename.createNoOverwrite(fsys, p,
+            s"$writerId ${java.lang.System.currentTimeMillis()}".getBytes("UTF-8")))
+            System.err.println(s"[WriterLease] lease at $p was transiently " +
+              "absent (a concurrent reclaim's verify window) — re-asserted")
+        case Some(("<unparsable>", _)) =>
+          // a torn artifact — our own failed rewrite, or a reclaim's
+          // restore of bytes that were torn when it moved them. Rewrite
+          // in place: we hold the root in-JVM, and a contender's
+          // mid-claim file can only sit here if our lease already aged
+          // past staleMs (renewal failing = the documented pause-steal).
+          try {
+            val out = fsys.create(p, true)
+            try out.write(s"$writerId ${java.lang.System.currentTimeMillis()}"
+              .getBytes("UTF-8"))
+            finally out.close()
+          } catch { case _: java.io.IOException => () } // next tick retries
         case other =>
           System.err.println(s"[WriterLease] lease at $p no longer ours " +
             s"(now ${other.map(_._1).getOrElse("absent")}) — stopping renewal; " +
@@ -228,7 +266,8 @@ object WriterLease {
         val p = leasePath(key)
         var claimed = tryClaim(fsys, p)
         if (!claimed) {
-          val holder = readHolder(fsys, p)
+          val judgedBytes = readRaw(fsys, p) // the exact bytes being judged
+          val holder = parseBytes(fsys, p, judgedBytes)
           val reclaimable = holder.exists { case (id, ts) =>
             // our own id on disk while the in-JVM map says free = a crashed
             // earlier op of this process (a LIVE in-process holder was
@@ -263,22 +302,39 @@ object WriterLease {
             val tomb = new Path(
               s"$key/_writer_lease.reclaimed_${java.util.UUID.randomUUID().toString.take(8)}")
             if (AtomicRename.renameOrVanished(fsys, p, tomb)) {
-              val moved = readHolder(fsys, tomb)
-              if (moved == holder) { // same id AND same stamp we judged stale
-                fsys.delete(tomb, false)
-                claimed = tryClaim(fsys, p)
-              } else {
-                val restored = moved.exists { case (id, ts) =>
-                  AtomicRename.createNoOverwrite(fsys, p,
-                    s"$id $ts".getBytes("UTF-8")) }
-                fsys.delete(tomb, false)
-                if (!restored)
-                  System.err.println(s"[WriterLease] reclaim at $p moved a " +
-                    s"lease that changed after it was judged stale " +
-                    s"(now ${moved.map(_._1)}), and the restore lost a race " +
-                    "to a third claimer — the displaced holder's renewal " +
-                    "will detect and log the loss")
-                // not claimed: fall through to the rejection below
+              // exception-safe verify: an IO blip here must not strand a
+              // possibly-live moved lease in the tombstone silently
+              try {
+                val movedBytes = readRaw(fsys, tomb)
+                if (movedBytes.map(_.toSeq) == judgedBytes.map(_.toSeq)) {
+                  // bit-for-bit the corpse we judged stale — reclaim it
+                  fsys.delete(tomb, false)
+                  claimed = tryClaim(fsys, p)
+                } else {
+                  // the lease CHANGED between our staleness read and the
+                  // rename (a reclaiming contender claimed/renewed in the
+                  // pause) — restore the EXACT moved bytes (never a
+                  // re-serialized parse: torn bytes must round-trip torn,
+                  // or a live mid-write lease comes back as a sentinel
+                  // string that ages out and double-claims)
+                  val restored = movedBytes.exists(b =>
+                    AtomicRename.createNoOverwrite(fsys, p, b))
+                  fsys.delete(tomb, false)
+                  if (!restored)
+                    System.err.println(s"[WriterLease] reclaim at $p moved " +
+                      "a lease that changed after it was judged stale, and " +
+                      "the restore lost a race to a third claimer — the " +
+                      "displaced holder's renewal re-asserts or logs the loss")
+                  // not claimed: fall through to the rejection below
+                }
+              } catch { case e: java.io.IOException =>
+                // leave the tombstone (its bytes are the displaced
+                // holder's only copy; the aged sweep or a retry can still
+                // see them) and reject loudly instead of silently
+                System.err.println(s"[WriterLease] reclaim verify at $tomb " +
+                  s"failed (${e.getMessage}) — leaving the tombstone, " +
+                  "rejecting this claim; the displaced holder's renewal " +
+                  "re-asserts a transiently absent lease")
               }
             } else claimed = tryClaim(fsys, p) // corpse gone: race the create
           }
@@ -292,11 +348,12 @@ object WriterLease {
         // claimed: sweep protocol corpses orphaned by crashed
         // predecessors — pre-rewrite renewal temps (.renew_) and reclaim
         // tombstones whose remover died between rename and delete
-        // (.reclaimed_). AGED corpses only: another contender's reclaim
-        // may be holding a seconds-old tombstone for its verify step
-        // right now, and sweeping it would erase the lease bytes a
-        // mismatch restore needs
-        val corpseCutoff = java.lang.System.currentTimeMillis() - 60000L
+        // (.reclaimed_). AGED corpses only, on the staleness scale: a
+        // contender stalled mid-reclaim may hold a tombstone for its
+        // verify/restore step as long as any legitimate pause, and
+        // sweeping it early would erase the lease bytes the restore needs
+        val corpseCutoff =
+          java.lang.System.currentTimeMillis() - math.max(staleMs, 60000L)
         fsys.listStatus(new Path(key))
           .filter(st => st.getPath.getName.startsWith("_writer_lease.") &&
             st.getModificationTime < corpseCutoff)

@@ -34,6 +34,7 @@ class CrossProcessSpec extends SparkSpecBase {
     import scala.jdk.CollectionConverters._
     private val javaBin = sys.props("java.home") + "/bin/java"
     private val errLog = java.nio.file.Files.createTempFile("xproc", ".log").toFile
+    val errLogPath: String = errLog.getPath
     // classpath + flag forwarding shared with Bench's isolate children
     private val pb = new ProcessBuilder(
       (Seq(javaBin) ++ Bench.forwardableJvmArgs() ++
@@ -176,7 +177,10 @@ class CrossProcessSpec extends SparkSpecBase {
         if (c.sawMarker("CLAIMED")) "CLAIMED" else "REJECTED")
       assert(outcomes.count(_ == "CLAIMED") == 1,
         s"stale-corpse reclaim race produced $outcomes — two concurrent " +
-          "claimers means the reclaim TOCTOU is back")
+          "claimers usually means the reclaim TOCTOU is back; before " +
+          "blaming the gate, check the probes' stderr for the documented " +
+          "one-metadata-round-trip residual (a '[WriterLease] reclaim' " +
+          s"restore-lost-a-race line): ${children.map(_.errLogPath)}")
     } finally children.foreach(_.kill())
   }
 
