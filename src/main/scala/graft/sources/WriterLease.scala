@@ -143,6 +143,25 @@ object WriterLease {
   private def readHolder(fsys: FileSystem, p: Path): Option[(String, Long)] =
     parseBytes(fsys, p, readRaw(fsys, p))
 
+  // when this JVM last CONFIRMED the lease carries its id, per root. The
+  // renewal anomaly branches (absent / torn lease) may only REPAIR state
+  // that was provably ours more recently than staleMs/2 — a legitimate
+  // reclaim needs a full staleMs of un-renewed epoch, so "confirmed ours
+  // under half that bar" proves no contender could have legally claimed
+  // since, and the anomaly is our own artifact (or a reclaim's transient
+  // verify window that is about to restore us). Without the gate, a
+  // ZOMBIE writer resuming from a >staleMs pause could land its tick in
+  // the new holder's torn mid-rewrite window and steal the lease back.
+  private val lastOurs = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  private def rewriteInPlace(fsys: FileSystem, p: Path): Unit =
+    try {
+      val out = fsys.create(p, true)
+      try out.write(s"$writerId ${java.lang.System.currentTimeMillis()}"
+        .getBytes("UTF-8"))
+      finally out.close()
+    } catch { case _: java.io.IOException => () } // next tick retries
+
   private def tryClaim(fsys: FileSystem, p: Path): Boolean =
     // NOT fsys.create(p, false): Hadoop's local create-no-overwrite is
     // check-then-act and a racing claimer TRUNCATES the winner's lease
@@ -164,7 +183,7 @@ object WriterLease {
     * stops renewing — if the lease no longer carries our id (stolen after
     * a pause; the op is already compromised and release will not touch
     * the new holder). */
-  private def renewOnce(fsys: FileSystem, root: String): Unit =
+  private def renewOnce(fsys: FileSystem, root: String, staleMs: Long): Unit =
     // catch EVERYTHING: scheduleAtFixedRate silently suppresses all
     // subsequent runs after one task throw, so a single transient
     // IOException (a cross-process delete between exists and open, an
@@ -176,50 +195,45 @@ object WriterLease {
       // through the by-name synchronized body into the catch below)
       val p = leasePath(root)
       val stillHeld = synchronized(held.contains(root)) // released meanwhile?
-      if (stillHeld) readHolder(fsys, p) match {
-        case Some((id, _)) if id == writerId =>
-          try {
-            val out = fsys.create(p, true)
-            try out.write(s"$writerId ${java.lang.System.currentTimeMillis()}"
-              .getBytes("UTF-8"))
-            finally out.close()
-          } catch { case _: java.io.IOException =>
-            // a failed/torn rewrite leaves the lease unparsable with a
-            // fresh mtime = protected; the next tick re-stamps it
+      if (stillHeld) {
+        val now = java.lang.System.currentTimeMillis()
+        val recentlyOurs = now - lastOurs.getOrElse(root, 0L) < staleMs / 2
+        readHolder(fsys, p) match {
+          case Some((id, _)) if id == writerId =>
+            lastOurs(root) = now
+            rewriteInPlace(fsys, p)
+          case None if recentlyOurs =>
+            // TRANSIENTLY absent: a contender's reclaim rename-verify-
+            // restore round-trip is in flight (it will put our bytes
+            // back), or its restore lost — re-asserting via the O_EXCL
+            // create is SAFE: it can only win while NO file exists, a
+            // genuinely free path this JVM still legitimately holds.
+            // Cancelling renewal here (the pre-fix behavior) left a
+            // successfully-restored lease never refreshed again — it
+            // aged out mid-op and the double-writer window reopened.
+            if (AtomicRename.createNoOverwrite(fsys, p,
+              s"$writerId $now".getBytes("UTF-8"))) {
+              lastOurs(root) = now
+              System.err.println(s"[WriterLease] lease at $p was transiently " +
+                "absent (a concurrent reclaim's verify window) — re-asserted")
+            }
+          case Some(("<unparsable>", _)) if recentlyOurs =>
+            // torn — our own failed rewrite, or a reclaim's restore of
+            // bytes that were torn when moved; nobody could have LEGALLY
+            // claimed since we were confirmed ours, so heal in place
+            rewriteInPlace(fsys, p)
+          case Some(("<unparsable>", _)) | None =>
+            // torn/absent AND this process was not recently confirmed
+            // (it paused): the file may be a legitimate reclaimer's
+            // mid-write — touching it would steal a live lease back.
+            // Skip; the next tick classifies settled parseable content.
             ()
-          }
-        case None =>
-          // TRANSIENTLY absent: a contender's reclaim rename-verify-
-          // restore round-trip is in flight (it will put our bytes back),
-          // or its restore lost — either way re-asserting via the O_EXCL
-          // create is SAFE: it can only win while NO file exists, i.e. a
-          // genuinely free path this JVM still legitimately holds. If a
-          // thief already claimed, our create fails and the next tick
-          // sees its parseable foreign id and stops. Cancelling renewal
-          // here (the old behavior) left a successfully-restored lease
-          // never refreshed again — it aged out mid-op and the double-
-          // writer window reopened.
-          if (AtomicRename.createNoOverwrite(fsys, p,
-            s"$writerId ${java.lang.System.currentTimeMillis()}".getBytes("UTF-8")))
-            System.err.println(s"[WriterLease] lease at $p was transiently " +
-              "absent (a concurrent reclaim's verify window) — re-asserted")
-        case Some(("<unparsable>", _)) =>
-          // a torn artifact — our own failed rewrite, or a reclaim's
-          // restore of bytes that were torn when it moved them. Rewrite
-          // in place: we hold the root in-JVM, and a contender's
-          // mid-claim file can only sit here if our lease already aged
-          // past staleMs (renewal failing = the documented pause-steal).
-          try {
-            val out = fsys.create(p, true)
-            try out.write(s"$writerId ${java.lang.System.currentTimeMillis()}"
-              .getBytes("UTF-8"))
-            finally out.close()
-          } catch { case _: java.io.IOException => () } // next tick retries
-        case other =>
-          System.err.println(s"[WriterLease] lease at $p no longer ours " +
-            s"(now ${other.map(_._1).getOrElse("absent")}) — stopping renewal; " +
-            "this writer outlived a pause long enough to be reclaimed from")
-          synchronized { renewals.remove(root) }.foreach(_.cancel(false))
+          case Some((foreign, _)) =>
+            System.err.println(s"[WriterLease] lease at $p no longer ours " +
+              s"(now $foreign) — stopping renewal; this writer outlived a " +
+              "pause long enough to be reclaimed from")
+            synchronized { renewals.remove(root) }.foreach(_.cancel(false))
+        }
       }
     } catch { case e: Throwable =>
       System.err.println(s"[WriterLease] renewal tick for $root failed " +
@@ -306,9 +320,26 @@ object WriterLease {
               // possibly-live moved lease in the tombstone silently
               try {
                 val movedBytes = readRaw(fsys, tomb)
-                if (movedBytes.map(_.toSeq) == judgedBytes.map(_.toSeq)) {
-                  // bit-for-bit the corpse we judged stale — reclaim it
+                // dual verify: bytes AND parse view. Byte equality alone
+                // false-matches two DIFFERENT torn states with identical
+                // content (a stale EMPTY corpse vs a live claimer's
+                // mid-claim empty file) — the parse view of unparsable
+                // content carries the file's mtime, which rename
+                // preserves, so the hour-old corpse and the
+                // microseconds-old mid-claim file compare differently
+                val matched =
+                  movedBytes.map(_.toSeq) == judgedBytes.map(_.toSeq) &&
+                    parseBytes(fsys, tomb, movedBytes) == holder
+                if (matched) {
+                  // bit-for-bit (and same-age) the corpse we judged stale
                   fsys.delete(tomb, false)
+                  claimed = tryClaim(fsys, p)
+                } else if (movedBytes.isEmpty) {
+                  // the tombstone itself vanished: rename preserves the
+                  // source mtime, so a tombstone of a genuinely ancient
+                  // corpse is "aged" at birth and a racing winner's sweep
+                  // may legitimately collect it mid-verify — the corpse
+                  // is gone either way; just race the claim
                   claimed = tryClaim(fsys, p)
                 } else {
                   // the lease CHANGED between our staleness read and the
@@ -358,9 +389,10 @@ object WriterLease {
           .filter(st => st.getPath.getName.startsWith("_writer_lease.") &&
             st.getModificationTime < corpseCutoff)
           .foreach(st => fsys.delete(st.getPath, false))
+        lastOurs(key) = java.lang.System.currentTimeMillis() // claim = confirmed ours
         if (renew) synchronized {
           renewals(key) = renewer.scheduleAtFixedRate(
-            () => renewOnce(fsys, key),
+            () => renewOnce(fsys, key, staleMs),
             math.max(staleMs / 3L, 25L), math.max(staleMs / 3L, 25L),
             java.util.concurrent.TimeUnit.MILLISECONDS)
         }
@@ -381,6 +413,7 @@ object WriterLease {
         if (d == 1) {
           held.remove(key)
           renewals.remove(key).foreach(_.cancel(false))
+          lastOurs.remove(key) // a later hold must earn its own freshness
           true
         } else { held(key) = (owner, d - 1); false }
       }
