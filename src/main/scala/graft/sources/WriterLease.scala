@@ -197,22 +197,43 @@ object WriterLease {
       val stillHeld = synchronized(held.contains(root)) // released meanwhile?
       if (stillHeld) {
         val now = java.lang.System.currentTimeMillis()
-        val recentlyOurs = now - lastOurs.getOrElse(root, 0L) < staleMs / 2
+        // "recently ours" opens the anomaly-repair arms below. 2/3 of
+        // staleMs (ticks run every staleMs/3) tolerates ONE failed heal
+        // before the gate lapses, and stays sound: a legitimate reclaim
+        // needs a FULL staleMs of un-renewed epoch, so ownership
+        // confirmed under 2/3 of that proves no contender could have
+        // legally claimed since.
+        val recentlyOurs = now - lastOurs.getOrElse(root, 0L) < staleMs * 2 / 3
         readHolder(fsys, p) match {
-          case Some((id, _)) if id == writerId =>
+          case Some((id, ts)) if id == writerId && now - ts < staleMs =>
+            // ours AND the epoch is fresh — a confirmation a reclaim
+            // could not have raced. (id alone is NOT confirmation: a
+            // zombie resuming from a >staleMs pause still reads its own
+            // id off its surviving ANCIENT lease, and re-arming the
+            // repair arms on that would let it stamp over an in-flight
+            // legitimate reclaim's mid-claim window.)
             lastOurs(root) = now
             rewriteInPlace(fsys, p)
+          case Some((id, _)) if id == writerId =>
+            // ours but ANCIENT: this process paused past the staleness
+            // bar — the documented reclaimable state. Rewriting could
+            // clobber a reclaim that already completed its claim, so
+            // stay hands-off and loud; the next tick sees either our id
+            // (still unreclaimed — stays stealable, as documented) or
+            // the foreign id (stop below).
+            System.err.println(s"[WriterLease] lease at $p carries our id " +
+              "with a stale epoch (this process paused past the staleness " +
+              "bar) — leaving it reclaimable, as documented")
           case None if recentlyOurs =>
             // TRANSIENTLY absent: a contender's reclaim rename-verify-
             // restore round-trip is in flight (it will put our bytes
             // back), or its restore lost — re-asserting via the O_EXCL
-            // create is SAFE: it can only win while NO file exists, a
+            // claim is SAFE: it can only win while NO file exists, a
             // genuinely free path this JVM still legitimately holds.
             // Cancelling renewal here (the pre-fix behavior) left a
             // successfully-restored lease never refreshed again — it
             // aged out mid-op and the double-writer window reopened.
-            if (AtomicRename.createNoOverwrite(fsys, p,
-              s"$writerId $now".getBytes("UTF-8"))) {
+            if (tryClaim(fsys, p)) {
               lastOurs(root) = now
               System.err.println(s"[WriterLease] lease at $p was transiently " +
                 "absent (a concurrent reclaim's verify window) — re-asserted")
@@ -220,14 +241,21 @@ object WriterLease {
           case Some(("<unparsable>", _)) if recentlyOurs =>
             // torn — our own failed rewrite, or a reclaim's restore of
             // bytes that were torn when moved; nobody could have LEGALLY
-            // claimed since we were confirmed ours, so heal in place
+            // claimed since we were confirmed ours, so heal in place —
+            // and a SUCCESSFUL heal re-stamps our id, which is itself a
+            // confirmation (the next tick reads it back)
             rewriteInPlace(fsys, p)
           case Some(("<unparsable>", _)) | None =>
-            // torn/absent AND this process was not recently confirmed
-            // (it paused): the file may be a legitimate reclaimer's
-            // mid-write — touching it would steal a live lease back.
-            // Skip; the next tick classifies settled parseable content.
-            ()
+            // torn/absent AND this process was not recently confirmed:
+            // the file may be a legitimate reclaimer's mid-write —
+            // touching it would steal a live lease back. LOUD skip: if
+            // this state persists (an FS incident outlasting the gate),
+            // the operator must know renewal protection has degraded to
+            // the documented pause semantics (stealable).
+            System.err.println(s"[WriterLease] lease at $p is torn or " +
+              "absent and this writer's ownership was last confirmed too " +
+              "long ago to repair it safely — renewal protection degraded " +
+              "until the lease settles (reclaim in flight, or FS incident)")
           case Some((foreign, _)) =>
             System.err.println(s"[WriterLease] lease at $p no longer ours " +
               s"(now $foreign) — stopping renewal; this writer outlived a " +
@@ -320,16 +348,27 @@ object WriterLease {
               // possibly-live moved lease in the tombstone silently
               try {
                 val movedBytes = readRaw(fsys, tomb)
-                // dual verify: bytes AND parse view. Byte equality alone
+                // dual verify: bytes AND — for unparsable content — the
+                // rename-preserved mtime. Byte equality alone
                 // false-matches two DIFFERENT torn states with identical
                 // content (a stale EMPTY corpse vs a live claimer's
-                // mid-claim empty file) — the parse view of unparsable
-                // content carries the file's mtime, which rename
-                // preserves, so the hour-old corpse and the
-                // microseconds-old mid-claim file compare differently
-                val matched =
-                  movedBytes.map(_.toSeq) == judgedBytes.map(_.toSeq) &&
-                    parseBytes(fsys, tomb, movedBytes) == holder
+                // mid-claim empty file); the mtime separates the
+                // hour-old corpse from the microseconds-old file. The
+                // mtime is read DIRECTLY (retry once, mismatch on
+                // failure) — parseBytes' now-stamping IO fallback must
+                // not participate in an exact-equality verdict, where a
+                // blip would alias as "changed" or worse as "same".
+                val bytesEqual =
+                  movedBytes.map(_.toSeq) == judgedBytes.map(_.toSeq)
+                val judgedParseable = holder.exists(_._1 != "<unparsable>")
+                def tombMtime(): Option[Long] = {
+                  def once() =
+                    try Some(fsys.getFileStatus(tomb).getModificationTime)
+                    catch { case _: java.io.IOException => None }
+                  once().orElse(once())
+                }
+                val matched = bytesEqual && (judgedParseable ||
+                  tombMtime().exists(mt => holder.exists(_._2 == mt)))
                 if (matched) {
                   // bit-for-bit (and same-age) the corpse we judged stale
                   fsys.delete(tomb, false)
@@ -398,6 +437,7 @@ object WriterLease {
         }
       } catch { case e: Throwable =>
         synchronized { held.remove(key); renewals.remove(key).foreach(_.cancel(false)) }
+        lastOurs.remove(key)
         throw e
       }
     }
@@ -413,7 +453,6 @@ object WriterLease {
         if (d == 1) {
           held.remove(key)
           renewals.remove(key).foreach(_.cancel(false))
-          lastOurs.remove(key) // a later hold must earn its own freshness
           true
         } else { held(key) = (owner, d - 1); false }
       }
@@ -436,6 +475,11 @@ object WriterLease {
             s"release (${e.getMessage}) — leaving it; our id makes it " +
             "instantly reclaimable by this process's next op")
         }
+        // under the rootLock, AFTER any in-flight tick has quiesced (a
+        // tick past its stillHeld check serializes here) — removing it
+        // in the global-sync block above would race a mid-body tick
+        // re-inserting the entry for an unheld root
+        lastOurs.remove(key)
       }
     }
   }
