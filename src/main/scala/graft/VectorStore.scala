@@ -284,8 +284,11 @@ class VectorStore(spark: SparkSession, dir: String) {
     var listed: Seq[(String, Long, Long)] = null
     while (listed == null) {
       attempt += 1
+      // FileNotFound OR the Linux vanished-dir EACCES (File.list()
+      // returns null mid-deletion; Hadoop maps it to AccessDenied) —
+      // both read as "contents changed mid-listing"
       try listed = listOnce()
-      catch { case e: java.io.FileNotFoundException =>
+      catch { case e: java.io.IOException =>
         if (attempt >= 5) throw e
         Thread.sleep(25L * attempt)
       }

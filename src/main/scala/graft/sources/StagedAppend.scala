@@ -66,10 +66,19 @@ object StagedAppend {
     // a concurrent drain (a reader healing while the writer's own publish
     // finishes, or two readers draining a crashed writer's batch) can
     // delete src between our listing and our recursion — that means the
-    // OTHER party completed the move; vanishing is success, not failure
+    // OTHER party completed the move; vanishing is success, not failure.
+    // Vanishing has THREE spellings: FileNotFound, AND — on Linux — an
+    // AccessDenied/IO error from listing a directory mid-deletion
+    // (File.list() returns null for a vanished dir and Hadoop maps it to
+    // AccessDenied; caught live by the cross-process writer-vs-healer
+    // race). Re-probe existence to separate those from a real error.
     val entries =
       try fsys.listStatus(src)
-      catch { case _: java.io.FileNotFoundException => return }
+      catch {
+        case _: java.io.FileNotFoundException => return
+        case e: java.io.IOException =>
+          if (!fsys.exists(src)) return else throw e
+      }
     entries.foreach { st =>
       val name = st.getPath.getName
       if (st.isDirectory) moveTree(fsys, st.getPath, new Path(dstRoot, name))
@@ -95,7 +104,11 @@ object StagedAppend {
     if (!fsys.exists(ready)) return
     val entries =
       try fsys.listStatus(ready)
-      catch { case _: java.io.FileNotFoundException => return } // drained concurrently
+      catch { // drained concurrently (incl. the Linux vanished-dir EACCES)
+        case _: java.io.FileNotFoundException => return
+        case e: java.io.IOException =>
+          if (!fsys.exists(ready)) return else throw e
+      }
     entries.foreach { st =>
       if (st.isDirectory) moveTree(fsys, st.getPath, live(st.getPath.getName))
     }
