@@ -151,7 +151,14 @@ object AtomicRename {
                        src: org.apache.hadoop.fs.Path,
                        dst: org.apache.hadoop.fs.Path): Boolean =
     try fsys.rename(src, dst)
-    catch { case _: java.io.FileNotFoundException => false }
+    catch {
+      case _: java.io.FileNotFoundException => false
+      case e: java.io.IOException =>
+        // the copy-fallback can also surface a vanishing source as
+        // EACCES on Linux (File.list() returns null mid-deletion) —
+        // re-probe; a still-present source is a real error
+        if (!fsys.exists(src)) false else throw e
+    }
 
   /** Refuse a rename-based protocol on a filesystem without atomic
     * rename. `protocol` names the caller for the error message. */

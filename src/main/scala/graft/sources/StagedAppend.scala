@@ -112,8 +112,10 @@ object StagedAppend {
     entries.foreach { st =>
       if (st.isDirectory) moveTree(fsys, st.getPath, live(st.getPath.getName))
     }
-    fsys.delete(ready, true)
-    ()
+    // two drains can race this recursive delete too — a vanished ready
+    // dir is the other party's completed cleanup
+    try { fsys.delete(ready, true); () }
+    catch { case e: java.io.IOException => if (fsys.exists(ready)) throw e }
   }
 
   /** Heal the append protocol: publish every committed-but-undrained
