@@ -280,16 +280,33 @@ class VectorStore(spark: SparkSession, dir: String) {
       }
       files.toSeq
     }
+    // cheap state probe for the retry gate: top-level entry names+mtimes.
+    // A failure with an UNCHANGED probe across attempts is a persistent
+    // real error (permissions, bad mount) — rethrow like the sibling
+    // vanished-source sites (renameOrVanished, StagedAppend) instead of
+    // burning 5 retries of sleeps on every fingerprint
+    def shallow(): Seq[(String, Long)] =
+      try {
+        if (!fsys.exists(root)) Nil
+        else fsys.listStatus(root).toSeq
+          .map(st => (st.getPath.getName, st.getModificationTime)).sorted
+      } catch { case _: java.io.IOException => Nil } // itself mid-mutation
     var attempt = 0
+    var lastProbe: Option[Seq[(String, Long)]] = None
     var listed: Seq[(String, Long, Long)] = null
     while (listed == null) {
       attempt += 1
       // FileNotFound OR the Linux vanished-dir EACCES (File.list()
       // returns null mid-deletion; Hadoop maps it to AccessDenied) —
-      // both read as "contents changed mid-listing"
+      // both read as "contents changed mid-listing", but only retry
+      // while the state plausibly IS changing: root vanished, or the
+      // shallow probe moved since the previous failure
       try listed = listOnce()
       catch { case e: java.io.IOException =>
-        if (attempt >= 5) throw e
+        val probe = shallow()
+        val unchanged = fsys.exists(root) && lastProbe.contains(probe)
+        if (attempt >= 5 || unchanged) throw e
+        lastProbe = Some(probe)
         Thread.sleep(25L * attempt)
       }
     }

@@ -75,9 +75,16 @@ object ConnectedComponents {
         case _ => ()
       }
     var lab = ckpt(nodes.select(col("id"), col("id").as("comp")))
-    // symmetric edges between current representatives (initially the nodes)
-    var g = ckpt(edges.select(col("id_a").as("a"), col("id_b").as("b"))
-      .union(edges.select(col("id_b").as("a"), col("id_a").as("b"))))
+    // symmetric edges between current representatives (initially the
+    // nodes), via a per-row explode rather than a self-union: a union
+    // embeds the `edges` PLAN twice, and when the edge list is an
+    // unmaterialized near-dup pipeline (x14/x48/x53/x82/...), both
+    // branches re-run the full signature scan + band join + verify —
+    // the explode reads the pair plan ONCE (r13 verdict item 3)
+    var g = ckpt(edges.select(explode(array(
+        struct(col("id_a").as("a"), col("id_b").as("b")),
+        struct(col("id_b").as("a"), col("id_a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b")))
     var round = 0
     var remaining = g.count()
     while (remaining > 0 && round < maxRounds) {

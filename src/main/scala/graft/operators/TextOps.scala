@@ -1585,8 +1585,13 @@ object TextOps {
   def x53LabelProp(s: SparkSession, d: String): DataFrame = {
     val pairs = MinHashLSH.verifiedPairs(docTokens(s, d), 0.8)
       .select("id_a", "id_b")
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // symmetrize by EXPLODE, not self-union: a union embeds the pair
+    // plan twice and re-runs the whole signature scan + band join +
+    // verify per branch (r13: this doubled x53's pair-discovery cost)
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     val seeds = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("dst"), col("lang").as("seed_lang"))
     val w = Window.partitionBy("doc_id").orderBy(col("c").desc, col("pred_lang"))

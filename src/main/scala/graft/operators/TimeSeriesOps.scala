@@ -390,14 +390,27 @@ object TimeSeriesOps {
     * aggregate joined forward — three session-keyed shuffles over
     * ever-SHRINKING stage tables, never a corpus self-join; the final
     * table is 4 rows + one broadcast of a 1-row total. */
-  /** x59/x73's shared machinery: 6h-gap sessions + staged firsts (first
-    * view; first click strictly after it; first purchase after that). */
-  private def funnelStages(s: SparkSession, d: String):
-      (DataFrame, DataFrame, DataFrame, DataFrame) = {
+  /** x59/x73's shared machinery, ONE PASS: 6h-gap sessions, then the
+    * staged firsts (first view; first click strictly after it; first
+    * purchase after that) as per-session CONDITIONAL WINDOW MINIMA —
+    * each stage's `min(when(...))` over the (user, session) partition
+    * references the previous stage's column, so the whole funnel rides
+    * the sessionization pass instead of re-deriving the session frame
+    * per stage (the r13 plan fed `sess` into four separate join/agg
+    * branches, re-running the 2-window cascade — and its scan+shuffle+
+    * sort — four times; at 100× the repeated corpus passes are the
+    * funnel's whole cost). The (user_id, session) windows and the final
+    * per-session aggregate all run on the sessionization shuffle's
+    * user_id partitioning (a ClusteredDistribution it already
+    * satisfies) — ONE exchange in the entire plan.
+    * Returns one row per (user_id, session) with nullable t_v/t_c/t_p
+    * (null = the session never reached that stage). */
+  private def funnelSessions(s: SparkSession, d: String): DataFrame = {
     val gapUs = 6L * 3600L * 1000000L
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sess = Tables.events(s, d)
+    val sw = Window.partitionBy("user_id", "session")
+    Tables.events(s, d)
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
       .withColumn("us", unix_micros(col("ts")))
       .withColumn("prev_us", lag("us", 1).over(w))
@@ -405,31 +418,38 @@ object TimeSeriesOps {
         when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
           .otherwise(0L))
       .withColumn("session", sum("brk").over(run))
-      .select("user_id", "session", "event_type", "us")
-    val tv = sess.filter(col("event_type") === "view")
-      .groupBy("user_id", "session").agg(min("us").as("t_v"))
-    val tc = sess.join(tv, Seq("user_id", "session"))
-      .filter(col("event_type") === "click" && col("us") > col("t_v"))
-      .groupBy("user_id", "session").agg(min("us").as("t_c"))
-    val tp = sess.join(tc, Seq("user_id", "session"))
-      .filter(col("event_type") === "purchase" && col("us") > col("t_c"))
-      .groupBy("user_id", "session").agg(min("us").as("t_p"))
-    (sess, tv, tc, tp)
+      // null-safe staging: `us > t_v` is null when t_v is (no view in the
+      // session) → when() yields null → min skips it → t_c stays null
+      .withColumn("t_v",
+        min(when(col("event_type") === "view", col("us"))).over(sw))
+      .withColumn("t_c",
+        min(when(col("event_type") === "click" && col("us") > col("t_v"),
+          col("us"))).over(sw))
+      .withColumn("t_p",
+        min(when(col("event_type") === "purchase" && col("us") > col("t_c"),
+          col("us"))).over(sw))
+      .groupBy("user_id", "session")
+      .agg(min("t_v").as("t_v"), min("t_c").as("t_c"), min("t_p").as("t_p"))
   }
 
   def x59Funnel(s: SparkSession, d: String): DataFrame = {
-    val (sess, tv, tc, tp) = funnelStages(s, d)
-    val total = sess.select("user_id", "session").distinct()
-      .agg(count(lit(1)).as("n_sessions"))
-    def stageRow(df: DataFrame, name: String) =
-      df.agg(count(lit(1)).as("n_sessions")).withColumn("stage", lit(name))
-    val stages = total.withColumn("stage", lit("0_all"))
-      .union(stageRow(tv, "1_view"))
-      .union(stageRow(tc, "2_view_click"))
-      .union(stageRow(tp, "3_view_click_purchase"))
-    stages.crossJoin(broadcast(total.select(col("n_sessions").as("n_all"))))
-      .select(col("stage"), col("n_sessions"),
-        dround(col("n_sessions").cast("double") / col("n_all").cast("double"), 4).as("frac"))
+    // count(col) skips nulls, so the four funnel counters reduce in ONE
+    // aggregate over the per-session frame; the 4-row readout unpacks
+    // from the single counter row (no per-stage plan branches, no
+    // broadcast of a separately-computed total)
+    val counters = funnelSessions(s, d)
+      .agg(count(lit(1)).as("n_all"), count("t_v").as("n_v"),
+           count("t_c").as("n_c"), count("t_p").as("n_p"))
+    counters.select(explode(array(
+        struct(lit("0_all").as("stage"), col("n_all").as("n_sessions")),
+        struct(lit("1_view").as("stage"), col("n_v").as("n_sessions")),
+        struct(lit("2_view_click").as("stage"), col("n_c").as("n_sessions")),
+        struct(lit("3_view_click_purchase").as("stage"),
+          col("n_p").as("n_sessions")))).as("r"),
+      col("n_all"))
+      .select(col("r.stage").as("stage"), col("r.n_sessions").as("n_sessions"),
+        dround(col("r.n_sessions").cast("double") / col("n_all").cast("double"), 4)
+          .as("frac"))
       .orderBy("stage")
   }
 
@@ -446,8 +466,9 @@ object TimeSeriesOps {
     * deltas before the percentile, so the interpolated values are exact
     * halves at worst. */
   def x73ConvertTime(s: SparkSession, d: String): DataFrame = {
-    val (_, tv, _, tp) = funnelStages(s, d)
-    tp.join(tv, Seq("user_id", "session"))
+    // converted sessions carry a non-null t_p (and, by staging, t_v) on
+    // the one-pass frame — no tv⋈tp join needed
+    funnelSessions(s, d).filter(col("t_p").isNotNull)
       .select(expr("(t_p - t_v) div 1000000").as("sec"))
       .agg(count(lit(1)).as("n_converted"),
            dround(expr("percentile(sec, 0.5)"), 4).as("p50_s"),

@@ -221,7 +221,13 @@ private[graft] object FenceLock {
       catch { case _: java.io.IOException => None }
     def isStale: Boolean =
       mtime().exists(java.lang.System.currentTimeMillis() - _ > staleMs)
-    val deadline = java.lang.System.currentTimeMillis() + 60000L
+    // the give-up deadline scales WITH the staleness bar: a SIGKILLed
+    // holder's corpse only becomes reclaimable once it ages past staleMs,
+    // so a fixed 60 s deadline under a larger configured bar would expire
+    // before the corpse ever reads as stale and every contender would die
+    // blaming a "live holder" that is in fact dead
+    val deadline = java.lang.System.currentTimeMillis() +
+      math.max(60000L, staleMs + 30000L)
     var got = false
     while (!got) {
       // O_EXCL claim on local filesystems: Hadoop's create(lock, false)

@@ -108,7 +108,11 @@ object AtomicRename {
     // a FAILED create could remove a contender's just-won claim.
     rawFs match {
       case _: org.apache.hadoop.fs.RawLocalFileSystem =>
-        val nio = java.nio.file.Paths.get(p.toUri.getPath)
+        // qualify BEFORE crossing into NIO: a relative Hadoop Path resolves
+        // against the FileSystem working directory, while a relative NIO
+        // path resolves against the JVM CWD — unqualified, the two sides
+        // of this branch could claim/delete DIFFERENT files
+        val nio = java.nio.file.Paths.get(rawFs.makeQualified(p).toUri.getPath)
         val ch =
           try java.nio.file.Files.newByteChannel(nio,
             java.nio.file.StandardOpenOption.CREATE_NEW,
@@ -116,7 +120,15 @@ object AtomicRename {
           catch { case _: java.io.IOException => null } // incl. already-exists
         if (ch == null) false
         else
-          try { ch.write(java.nio.ByteBuffer.wrap(bytes)); true }
+          try {
+            // WritableByteChannel permits short writes — drain the buffer,
+            // or a partial flush would publish a TORN claim while
+            // returning true (the state the split-create cleanup exists
+            // to avoid)
+            val buf = java.nio.ByteBuffer.wrap(bytes)
+            while (buf.hasRemaining) ch.write(buf)
+            true
+          }
           catch { case _: java.io.IOException =>
             try java.nio.file.Files.deleteIfExists(nio)
             catch { case _: java.io.IOException => () }

@@ -154,13 +154,18 @@ object WriterLease {
   // the new holder's torn mid-rewrite window and steal the lease back.
   private val lastOurs = scala.collection.concurrent.TrieMap.empty[String, Long]
 
-  private def rewriteInPlace(fsys: FileSystem, p: Path): Unit =
+  /** Returns whether the rewrite LANDED — callers that re-arm the
+    * anomaly-repair gate on a successful heal need the distinction (a
+    * swallowed IO failure retries next tick, but must not count as a
+    * fresh ownership confirmation). */
+  private def rewriteInPlace(fsys: FileSystem, p: Path): Boolean =
     try {
       val out = fsys.create(p, true)
       try out.write(s"$writerId ${java.lang.System.currentTimeMillis()}"
         .getBytes("UTF-8"))
       finally out.close()
-    } catch { case _: java.io.IOException => () } // next tick retries
+      true
+    } catch { case _: java.io.IOException => false } // next tick retries
 
   private def tryClaim(fsys: FileSystem, p: Path): Boolean =
     // NOT fsys.create(p, false): Hadoop's local create-no-overwrite is
@@ -213,7 +218,7 @@ object WriterLease {
             // repair arms on that would let it stamp over an in-flight
             // legitimate reclaim's mid-claim window.)
             lastOurs(root) = now
-            rewriteInPlace(fsys, p)
+            rewriteInPlace(fsys, p): Unit
           case Some((id, _)) if id == writerId =>
             // ours but ANCIENT: this process paused past the staleness
             // bar — the documented reclaimable state. Rewriting could
@@ -243,8 +248,12 @@ object WriterLease {
             // bytes that were torn when moved; nobody could have LEGALLY
             // claimed since we were confirmed ours, so heal in place —
             // and a SUCCESSFUL heal re-stamps our id, which is itself a
-            // confirmation (the next tick reads it back)
-            rewriteInPlace(fsys, p)
+            // confirmation worth re-arming the gate on. Without the
+            // re-arm, scheduleAtFixedRate jitter could lapse the strict
+            // 2/3 gate after a SINGLE torn tick instead of tolerating
+            // the one failed heal the gate is sized for; the next tick's
+            // read-back stays the confirmation path for a FAILED heal.
+            if (rewriteInPlace(fsys, p)) lastOurs(root) = now
           case Some(("<unparsable>", _)) | None =>
             // torn/absent AND this process was not recently confirmed:
             // the file may be a legitimate reclaimer's mid-write —
