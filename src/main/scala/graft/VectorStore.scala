@@ -33,8 +33,20 @@ import org.apache.spark.sql.functions._
   */
 class VectorStore(spark: SparkSession, dir: String) {
 
-  private val vecDir = s"$dir/vectors"
   private val centDir = s"$dir/centroids"
+
+  // the FILESYSTEM of the store ROOT (not the session default — store
+  // roots legitimately live on s3a/gs while defaultFS is HDFS)
+  private def fsOf: org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The LIVE vectors directory — pointer-resolved: after an object-store
+    * compact the current generation is named by `_vectors_gen`
+    * ([[graft.sources.GenDir]]); rename-swapped stores keep the classic
+    * `vectors` name (no pointer — resolution falls through). */
+  private def vecDir: String =
+    graft.sources.GenDir.livePath(fsOf, dir, "vectors").toString
 
   /** Build the store from a (vec_id, embedding) corpus: derive + persist
     * the codebook, assign cells, write the partitioned layout. */
@@ -43,8 +55,7 @@ class VectorStore(spark: SparkSession, dir: String) {
     invalidateVerdicts()
     // a rebuild resets the ingest protocol: stale fence watermarks or
     // staged/ready dirs from a previous store here must not leak in
-    val fsys = org.apache.hadoop.fs.FileSystem
-      .get(spark.sparkContext.hadoopConfiguration)
+    val fsys = fsOf
     val rootP = new org.apache.hadoop.fs.Path(dir)
     if (fsys.exists(rootP))
       fsys.listStatus(rootP).map(_.getPath)
@@ -52,6 +63,10 @@ class VectorStore(spark: SparkSession, dir: String) {
                      q.getName.startsWith("_append_") ||
                      q.getName.startsWith("_fence_lock"))
         .foreach(q => fsys.delete(q, true))
+    // a survivor generation pointer would aim the fresh build's writes
+    // (and reads) at the PREVIOUS store's retired generation — reset it
+    // so the classic `vectors` layout starts clean (we hold the lease)
+    graft.sources.GenDir.reset(fsys, dir, "vectors")
     val cents = VectorOps.seedCents(src)
     cents.write.mode("overwrite").parquet(centDir)
     VectorOps.assignCells(src, centroids)
@@ -59,9 +74,14 @@ class VectorStore(spark: SparkSession, dir: String) {
       .write.partitionBy("cell").mode("overwrite").parquet(vecDir)
   }
 
-  /** Live-directory resolver for [[graft.sources.StagedAppend]]. */
+  /** Live-directory resolver for [[graft.sources.StagedAppend]] —
+    * pointer-aware: a staged batch's `vectors` files must drain into the
+    * CURRENT generation dir, not the classic name a compact may have
+    * retired (resolution happens at publish time, the SignatureStore
+    * catalog-resolution rule). */
   private def liveFor(name: String): org.apache.hadoop.fs.Path =
-    new org.apache.hadoop.fs.Path(s"$dir/$name")
+    if (name == "vectors") new org.apache.hadoop.fs.Path(vecDir)
+    else new org.apache.hadoop.fs.Path(s"$dir/$name")
 
   /** Drain the staged-append protocol: publish committed-but-undrained
     * batches (crash between commit and publish); writers also discard
@@ -96,9 +116,8 @@ class VectorStore(spark: SparkSession, dir: String) {
       graft.sources.WriterLease.withLease(spark, dir) {
     // heal an interrupted compact first: appending into an absent vecDir
     // would fork a fresh store and orphan every resident row
-    val fsys = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    recover(fsys)
+    val fsys = fsOf
+    recover(fsys, underLease = true)
     healAppends(dropStages = true)
     // the heal advanced the fence for any drained committed batch, so this
     // one check covers every replay path — including our own batch
@@ -136,23 +155,37 @@ class VectorStore(spark: SparkSession, dir: String) {
     * (VectorStoreSpec pins read-equality and the file-count collapse). */
   def compact(): Unit =
       graft.sources.WriterLease.withLease(spark, dir) {
-    val fsys = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    recover(fsys) // heal an interrupted prior compact before staging anew
+    val fsys = fsOf
+    recover(fsys, underLease = true) // heal an interrupted prior compact first
     // drain committed appends: a compact from a store missing a committed
     // pending batch would silently drop it from the rewrite
     healAppends(dropStages = true)
     val root = new org.apache.hadoop.fs.Path(vecDir)
     val gen = java.lang.System.nanoTime()
-    val staged = new org.apache.hadoop.fs.Path(s"$dir/vectors_compact_$gen")
-    val old = new org.apache.hadoop.fs.Path(s"$dir/vectors_old_$gen")
-    spark.read.parquet(root.toString)
-      .repartition(col("cell"))
-      .sortWithinPartitions("vec_id")
-      .write.partitionBy("cell").mode("overwrite").parquet(staged.toString)
-    require(fsys.rename(root, old), s"compact: could not retire $root")
-    require(fsys.rename(staged, root), s"compact: could not publish $staged")
-    fsys.delete(old, true)
+    if (graft.sources.AtomicRename.isAtomic(spark, dir)) {
+      val staged = new org.apache.hadoop.fs.Path(s"$dir/vectors_compact_$gen")
+      val old = new org.apache.hadoop.fs.Path(s"$dir/vectors_old_$gen")
+      spark.read.parquet(root.toString)
+        .repartition(col("cell"))
+        .sortWithinPartitions("vec_id")
+        .write.partitionBy("cell").mode("overwrite").parquet(staged.toString)
+      require(fsys.rename(root, old), s"compact: could not retire $root")
+      require(fsys.rename(staged, root), s"compact: could not publish $staged")
+      fsys.delete(old, true)
+      ()
+    } else {
+      // flat object store: stage a fresh GENERATION dir and flip the
+      // `_vectors_gen` pointer — one small-object write, no directory
+      // rename anywhere ([[graft.sources.GenDir]]); crash garbage
+      // (unpublished generations, undeleted predecessors) is swept by
+      // the next writer's recover
+      val newGen = s"vectors_g$gen"
+      spark.read.parquet(root.toString)
+        .repartition(col("cell"))
+        .sortWithinPartitions("vec_id")
+        .write.partitionBy("cell").mode("overwrite").parquet(s"$dir/$newGen")
+      graft.sources.GenDir.publish(fsys, dir, "vectors", newGen)
+    }
   }
 
   /** Heal the two-rename window: a compact that crashed between its
@@ -161,9 +194,17 @@ class VectorStore(spark: SparkSession, dir: String) {
     * (rename old → vectors) and drop any orphan staging trees, so the
     * next read or compact sees exactly the pre-crash store. Single-writer
     * like compaction itself; called by every mutator and resolver. */
-  private def recover(fsys: org.apache.hadoop.fs.FileSystem): Unit = {
-    // readers reach this lease-free and it renames — gate the posture
-    graft.sources.AtomicRename.ensure(spark, dir, "VectorStore.recover")
+  private def recover(fsys: org.apache.hadoop.fs.FileSystem,
+                      underLease: Boolean = false): Unit = {
+    if (!graft.sources.AtomicRename.isAtomic(spark, dir)) {
+      // pointer mode: the live dir is never absent (the flip is one
+      // atomic small-object write), so there is no retire to roll back —
+      // only crash garbage to sweep, and ONLY the lease-holding writer
+      // may sweep (a lease-free reader's sweep could race a live
+      // compact's staging generation)
+      if (underLease) graft.sources.GenDir.sweep(fsys, dir, "vectors")
+      return
+    }
     val root = new org.apache.hadoop.fs.Path(vecDir)
     if (!fsys.exists(root)) {
       val dirP = new org.apache.hadoop.fs.Path(dir)
@@ -197,8 +238,7 @@ class VectorStore(spark: SparkSession, dir: String) {
     * and draining any committed-but-unpublished append so a half-moved
     * batch is never served partially. */
   def table: DataFrame = {
-    val fsys = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fsys = fsOf
     if (!fsys.exists(new org.apache.hadoop.fs.Path(vecDir))) recover(fsys)
     healAppends(dropStages = false)
     spark.read.parquet(vecDir)
@@ -329,8 +369,7 @@ class VectorStore(spark: SparkSession, dir: String) {
     * against. */
   def searchTopKAuto(probes: DataFrame, k: Int = 5): DataFrame = {
     val t = table // ONE heal/recover + listing for the gate and the serving
-    val fsys = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    val fsys = fsOf
     val fp = contentFingerprint(fsys) // AFTER table's heal — post-drain state
     val np = synchronized(verdicts.get((k, fp))) match {
       case Some(v) => v

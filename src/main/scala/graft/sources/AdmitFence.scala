@@ -50,9 +50,10 @@ object AdmitFence {
     * would leave the old `.crc` sidecar pointing at the old bytes —
     * every subsequent read throws ChecksumException. Raw local rename
     * over an existing file is a single atomic POSIX rename. */
-  private def fs(spark: SparkSession): org.apache.hadoop.fs.FileSystem =
-    AtomicRename.raw(
-      org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration))
+  private def fs(spark: SparkSession,
+                 storeDir: String): org.apache.hadoop.fs.FileSystem =
+    AtomicRename.raw(new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration))
 
   private def markPath(storeDir: String) =
     new org.apache.hadoop.fs.Path(s"$storeDir/_admitted_upto")
@@ -74,7 +75,7 @@ object AdmitFence {
     * or manual damage) degrades to -1 — replay-at-least-once — instead
     * of wedging every subsequent cycle on a parse error. */
   def upto(spark: SparkSession, storeDir: String): Long = {
-    val fsys = fs(spark)
+    val fsys = fs(spark, storeDir)
     val p = markPath(storeDir)
     if (!fsys.exists(p)) -1L
     else {
@@ -111,8 +112,12 @@ object AdmitFence {
     * microseconds between the final ownership read and the rename,
     * documented on [[FenceLock]]. */
   def advance(spark: SparkSession, storeDir: String, batchId: Long): Unit = {
-    AtomicRename.ensure(spark, storeDir, "AdmitFence")
-    val fsys = fs(spark)
+    // rename posture decides the publish mechanics below: atomic-rename
+    // filesystems publish via temp + rename-over; flat object stores via
+    // one small-object overwrite (atomic per-object visibility) — the
+    // r13 posture refusal replaced by a working commit path
+    val atomic = AtomicRename.isAtomic(spark, storeDir)
+    val fsys = fs(spark, storeDir)
     // the lock staleness bar is the pause tolerance of the ms-long
     // critical section — configurable because the give-up error below
     // tells a stalling deployment to raise it, and advice without a knob
@@ -126,7 +131,21 @@ object AdmitFence {
         attempts += 1
         done = FenceLock.withLock(fsys, storeDir, lockStaleMs) { stillOurs =>
           if (upto(spark, storeDir) >= batchId) true // re-read under the lock
-          else {
+          else if (!atomic) {
+            // flat object store: ONE overwrite-PUT of the watermark
+            // object — readers see the old value or the new, never torn
+            // bytes (and a torn LOCAL crash degrades to -1 via upto's
+            // unparsable rule: at-least-once, never double-append).
+            // stillOurs re-verified immediately before the PUT — the same
+            // residual microseconds window the rename path documents.
+            if (!stillOurs()) false
+            else {
+              val p = markPath(storeDir)
+              val out = fsys.create(p, true)
+              try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+              true
+            }
+          } else {
             val dirP = new org.apache.hadoop.fs.Path(storeDir)
             // any `.tmp` sibling while we hold the lock is an orphan from
             // a crashed advance (in-flight advances are excluded) — sweep

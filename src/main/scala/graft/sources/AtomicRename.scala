@@ -24,8 +24,17 @@ import org.apache.spark.sql.SparkSession
   * maybe-duplicated-maybe-torn — the one failure mode a 100 TB deployment
   * hits on day one, with no error anywhere.
   *
-  * So the engine REFUSES, loudly and at the first protocol touch, instead
-  * of corrupting quietly. Remediation, in preference order:
+  * Since round 14 the INDEX-STORE protocols carry a mode switch instead
+  * of a refusal: [[StagedAppend.commit]] commits by marker object,
+  * [[AdmitFence.advance]] publishes by overwrite-PUT, and the compact
+  * swaps go through [[GenDir]]'s generation pointer — all single
+  * small-object writes with atomic per-object visibility, so the staged
+  * protocols hold their exactly-once contracts on flat stores too (the
+  * soak suite runs tri-store under a non-atomic-rename FS). `ensure`
+  * remains the gate for the protocols that still rename
+  * (BucketedLayout's day swap). Where a protocol cannot mode-switch, the
+  * engine REFUSES, loudly and at the first protocol touch, instead of
+  * corrupting quietly. Remediation, in preference order:
   *
   *  1. keep the store roots on an atomic-rename filesystem (HDFS/local/
   *     ABFS-HNS) even when the raw corpus lives on S3 — the stores are
@@ -184,10 +193,12 @@ object AtomicRename {
           "and replays could double-append with no error anywhere. " +
           "Remediation: (1) place the store root on an atomic-rename " +
           "filesystem (HDFS/local/ABFS with hierarchical namespace) — " +
-          "derived index state is small next to the corpus; (2) for " +
-          "mandatory object-store residency use the manifest-commit " +
-          "stores (IngestPipeline's file-sink manifest, VersionedStore's " +
-          "manifest+pointer), which are S3-safe by construction; or (3) " +
+          "derived index state is small next to the corpus; (2) use a " +
+          "store family with an object-store commit path: the index " +
+          "stores (SignatureStore/PostingsStore/VectorStore via " +
+          "StagedAppend's commit marker + GenDir's generation pointer), " +
+          "IngestPipeline's file-sink manifest, and VersionedStore's " +
+          "manifest+pointer are all S3-safe by construction; or (3) " +
           "set spark.graft.unsafeAllowNonAtomicRename=true to accept " +
           "torn-commit risk explicitly.")
 }

@@ -55,6 +55,10 @@ class PostingsStore(spark: SparkSession, dir: String) {
                      q.getName.startsWith("_append_") ||
                      q.getName.startsWith("_fence_lock"))
         .foreach(q => fsys.delete(q, true))
+    // survivor generation pointers would aim the fresh build at a
+    // previous store's retired generations — reset (we hold the lease)
+    GenDir.reset(fsys, dir, "postings")
+    GenDir.reset(fsys, dir, "stats")
     postingsOf(docs, buckets)
       .repartition(col("tb"))
       .sortWithinPartitions("term", "doc_id")
@@ -64,8 +68,7 @@ class PostingsStore(spark: SparkSession, dir: String) {
     docs.select(size(split(col("text"), " ")).cast("long").as("len"))
       .agg(count(lit(1)).as("n_docs"), sum("len").as("sum_len"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/stats")
-    val o = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
-      .create(new org.apache.hadoop.fs.Path(s"$dir/buckets"), true)
+    val o = fsys.create(new org.apache.hadoop.fs.Path(s"$dir/buckets"), true)
     o.write(buckets.toString.getBytes("UTF-8")); o.close()
   }
 
@@ -90,7 +93,7 @@ class PostingsStore(spark: SparkSession, dir: String) {
       WriterLease.withLease(spark, dir) {
     // heal an interrupted compact first: appending into an absent
     // postings/ would fork a fresh index and orphan every resident row
-    recover()
+    recover(underLease = true)
     healAppends(dropStages = true)
     // the heal advanced the fence for any drained committed batch, so
     // this one check covers every replay path (StagedAppend's rule)
@@ -118,14 +121,25 @@ class PostingsStore(spark: SparkSession, dir: String) {
   }
 
   private def liveFor(name: String): org.apache.hadoop.fs.Path =
-    new org.apache.hadoop.fs.Path(s"$dir/$name")
+    if (name == "postings" || name == "stats")
+      new org.apache.hadoop.fs.Path(liveDir(name)) // current generation
+    else new org.apache.hadoop.fs.Path(s"$dir/$name")
 
   /** Drain the staged-append protocol (see [[StagedAppend.heal]]). */
   private def healAppends(dropStages: Boolean): Seq[String] =
     StagedAppend.heal(spark, dir, liveFor, dropStages)
 
-  private def fsys = org.apache.hadoop.fs.FileSystem.get(
-    spark.sparkContext.hadoopConfiguration)
+  // the FILESYSTEM of the store ROOT (not the session default — store
+  // roots legitimately live on s3a/gs while defaultFS is HDFS)
+  private def fsys = new org.apache.hadoop.fs.Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The LIVE dir for a compacted base ("postings"/"stats") —
+    * pointer-resolved: after an object-store compact the current
+    * generation is named by `_<base>_gen` ([[GenDir]]); rename-swapped
+    * stores keep the classic names (no pointer — falls through). */
+  private def liveDir(base: String): String =
+    GenDir.livePath(fsys, dir, base).toString
 
   private def bucketCount: Int = {
     val in = fsys.open(new org.apache.hadoop.fs.Path(s"$dir/buckets"))
@@ -144,7 +158,7 @@ class PostingsStore(spark: SparkSession, dir: String) {
     // heal the two-rename window first: a compact that crashed between
     // retire and publish leaves postings/ absent and the last published
     // tree under postings_old_<gen> (see recover)
-    if (!fsys.exists(new org.apache.hadoop.fs.Path(s"$dir/postings"))) recover()
+    if (!fsys.exists(new org.apache.hadoop.fs.Path(liveDir("postings")))) recover()
     healAppends(dropStages = false) // never serve a half-published batch
     val n = bucketCount
     import spark.implicits._
@@ -152,13 +166,14 @@ class PostingsStore(spark: SparkSession, dir: String) {
     val tbs = terms.toDF("term")
       .select(pmod(xxhash64(col("term")), lit(n.toLong)).as("tb"))
       .distinct().collect().map(_.getLong(0)).sorted
-    val paths = tbs.map(t => s"$dir/postings/tb=$t")
+    val postingsDir = liveDir("postings")
+    val paths = tbs.map(t => s"$postingsDir/tb=$t")
       .filter(p => fsys.exists(new org.apache.hadoop.fs.Path(p)))
     if (paths.isEmpty) return PostingsStore.emptyResult(spark)
-    val p = spark.read.option("basePath", s"$dir/postings").parquet(paths: _*)
+    val p = spark.read.option("basePath", postingsDir).parquet(paths: _*)
       .filter(col("term").isin(terms: _*))
     // stats rows are additive deltas (one per append) — fold to one row
-    val stats = spark.read.parquet(s"$dir/stats")
+    val stats = spark.read.parquet(liveDir("stats"))
       .agg(sum("n_docs").as("n_docs"), sum("sum_len").as("sum_len"))
     PostingsStore.score(p, stats, k)
   }
@@ -185,9 +200,19 @@ class PostingsStore(spark: SparkSession, dir: String) {
     * staging/retired trees once a live root exists. Same single-writer
     * assumption as compaction; called by readers and mutators that find
     * the root absent, and by compact itself before staging anew. */
-  private def recover(): Unit = {
-    // readers reach this lease-free and it renames — gate the posture
-    AtomicRename.ensure(spark, dir, "PostingsStore.recover")
+  private def recover(underLease: Boolean = false): Unit = {
+    if (!AtomicRename.isAtomic(spark, dir)) {
+      // pointer mode: the live dirs are never absent (the generation
+      // flip is one atomic small-object write) — nothing to roll back,
+      // only crash garbage to sweep, and ONLY the lease-holding writer
+      // may sweep (a lease-free reader's sweep could race a live
+      // compact's staging generation)
+      if (underLease) {
+        GenDir.sweep(fsys, dir, "postings")
+        GenDir.sweep(fsys, dir, "stats")
+      }
+      return
+    }
     val dirP = new org.apache.hadoop.fs.Path(dir)
     if (!fsys.exists(dirP)) return
     // both compacted roots heal the same way (stats got its own two-rename
@@ -216,35 +241,55 @@ class PostingsStore(spark: SparkSession, dir: String) {
 
   def compact(): Unit =
       WriterLease.withLease(spark, dir) {
-    recover()
+    recover(underLease = true)
     // drain committed appends first — a compact from a store missing a
     // committed pending batch would silently drop it from the rewrite
     healAppends(dropStages = true)
-    val root = new org.apache.hadoop.fs.Path(s"$dir/postings")
     val gen = java.lang.System.nanoTime()
-    val staged = new org.apache.hadoop.fs.Path(s"$dir/postings_compact_$gen")
-    val old = new org.apache.hadoop.fs.Path(s"$dir/postings_old_$gen")
-    // eager checkpoint is NOT needed here: the rewrite targets a sibling
-    // dir, so the read and the write never touch the same files
-    spark.read.parquet(root.toString)
-      .repartition(col("tb"))
-      .sortWithinPartitions("term", "doc_id")
-      .write.partitionBy("tb").mode("overwrite").parquet(staged.toString)
-    require(fsys.rename(root, old), s"compact: could not retire $root")
-    require(fsys.rename(staged, root), s"compact: could not publish $staged")
-    fsys.delete(old, true)
-    // stats collapse (round 12): appends accumulate one additive delta
-    // row per batch — fold them back to one row with the same two-rename
-    // swap (recover heals stats_old_/stats_compact_ exactly like postings)
-    val statsRoot = new org.apache.hadoop.fs.Path(s"$dir/stats")
-    val statsStaged = new org.apache.hadoop.fs.Path(s"$dir/stats_compact_$gen")
-    val statsOld = new org.apache.hadoop.fs.Path(s"$dir/stats_old_$gen")
-    spark.read.parquet(statsRoot.toString)
-      .agg(sum("n_docs").as("n_docs"), sum("sum_len").as("sum_len"))
-      .coalesce(1).write.mode("overwrite").parquet(statsStaged.toString)
-    require(fsys.rename(statsRoot, statsOld), s"compact: could not retire $statsRoot")
-    require(fsys.rename(statsStaged, statsRoot), s"compact: could not publish $statsStaged")
-    fsys.delete(statsOld, true)
+    val atomic = AtomicRename.isAtomic(spark, dir)
+    if (atomic) {
+      val root = new org.apache.hadoop.fs.Path(s"$dir/postings")
+      val staged = new org.apache.hadoop.fs.Path(s"$dir/postings_compact_$gen")
+      val old = new org.apache.hadoop.fs.Path(s"$dir/postings_old_$gen")
+      // eager checkpoint is NOT needed here: the rewrite targets a sibling
+      // dir, so the read and the write never touch the same files
+      spark.read.parquet(root.toString)
+        .repartition(col("tb"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.partitionBy("tb").mode("overwrite").parquet(staged.toString)
+      require(fsys.rename(root, old), s"compact: could not retire $root")
+      require(fsys.rename(staged, root), s"compact: could not publish $staged")
+      fsys.delete(old, true)
+      // stats collapse (round 12): appends accumulate one additive delta
+      // row per batch — fold them back to one row with the same two-rename
+      // swap (recover heals stats_old_/stats_compact_ exactly like postings)
+      val statsRoot = new org.apache.hadoop.fs.Path(s"$dir/stats")
+      val statsStaged = new org.apache.hadoop.fs.Path(s"$dir/stats_compact_$gen")
+      val statsOld = new org.apache.hadoop.fs.Path(s"$dir/stats_old_$gen")
+      spark.read.parquet(statsRoot.toString)
+        .agg(sum("n_docs").as("n_docs"), sum("sum_len").as("sum_len"))
+        .coalesce(1).write.mode("overwrite").parquet(statsStaged.toString)
+      require(fsys.rename(statsRoot, statsOld), s"compact: could not retire $statsRoot")
+      require(fsys.rename(statsStaged, statsRoot), s"compact: could not publish $statsStaged")
+      fsys.delete(statsOld, true)
+      ()
+    } else {
+      // flat object store: stage fresh GENERATION dirs and flip the
+      // `_postings_gen`/`_stats_gen` pointers — one small-object write
+      // each, no directory rename anywhere ([[GenDir]]); crash garbage
+      // is swept by the next writer's recover
+      val newPostings = s"postings_g$gen"
+      spark.read.parquet(liveDir("postings"))
+        .repartition(col("tb"))
+        .sortWithinPartitions("term", "doc_id")
+        .write.partitionBy("tb").mode("overwrite").parquet(s"$dir/$newPostings")
+      GenDir.publish(fsys, dir, "postings", newPostings)
+      val newStats = s"stats_g$gen"
+      spark.read.parquet(liveDir("stats"))
+        .agg(sum("n_docs").as("n_docs"), sum("sum_len").as("sum_len"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$newStats")
+      GenDir.publish(fsys, dir, "stats", newStats)
+    }
   }
 }
 

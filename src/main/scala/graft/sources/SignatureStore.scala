@@ -72,8 +72,8 @@ object SignatureStore {
     // a rebuild resets the ingest protocol: a stale fence watermark or
     // staged/ready dir from a previous store at this path must not leak
     // into the new one (a stale fence would silently skip early batches)
-    val fsys = org.apache.hadoop.fs.FileSystem
-      .get(spark.sparkContext.hadoopConfiguration)
+    val fsys = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val rootP = new org.apache.hadoop.fs.Path(path)
     if (fsys.exists(rootP))
       fsys.listStatus(rootP).map(_.getPath)

@@ -20,6 +20,13 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *   2. COMMIT: one atomic directory rename `_append_stage_<token>` →
   *      `_append_ready_<token>`. Before this rename the batch does not
   *      exist; after it, the batch is durable and WILL be served.
+  *      On flat object stores (no atomic rename — [[AtomicRename.isAtomic]]
+  *      false) the commit is instead ONE small-object marker write
+  *      (`_append_commit_<token>`, r13 verdict item 4): object PUTs are
+  *      atomic per object, the staged files stay where they were written
+  *      (object-store best practice — no copy storm), and "committed" =
+  *      "marker exists". All downstream steps treat the two spellings
+  *      identically.
   *   3. FENCE: streaming callers advance the AdmitFence watermark here —
   *      the commit made the batch durable, so marking it admitted before
   *      any file reaches a live directory is safe, and the token carries
@@ -40,8 +47,12 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * by [[WriterLease]] on the store entry points. */
 object StagedAppend {
 
-  private def fs(spark: SparkSession): FileSystem =
-    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+  // resolve the FILESYSTEM FROM THE ROOT, not the session default: store
+  // roots legitimately live on a different FS than fs.defaultFS (the
+  // 100 TB shape — corpus on an object store, defaultFS on HDFS), and
+  // FileSystem.get(conf) would hand back the wrong one
+  private def fs(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   def stagePath(root: String, token: String): Path =
     new Path(s"$root/_append_stage_$token")
@@ -49,12 +60,29 @@ object StagedAppend {
   def readyPath(root: String, token: String): Path =
     new Path(s"$root/_append_ready_$token")
 
-  /** The COMMIT rename — atomic; after it the batch is durable. */
+  /** The commit MARKER — the flat-object-store commit: one small-object
+    * write whose EXISTENCE is the commit (atomic per-object visibility;
+    * no rename anywhere). The staged files stay under the stage dir
+    * until publish drains them. A torn marker still means "committed":
+    * the marker is only ever written AFTER the stage completed, so its
+    * content carries no information the protocol needs. */
+  def commitMarkerPath(root: String, token: String): Path =
+    new Path(s"$root/_append_commit_$token")
+
+  /** The COMMIT — mode-switched on the root's rename posture:
+    * atomic-rename filesystems get the stage → ready directory rename;
+    * flat object stores get the commit-marker write ([[commitMarkerPath]]).
+    * Either way, before this call the batch does not exist and after it
+    * the batch is durable and WILL be served. */
   def commit(spark: SparkSession, root: String, token: String): Unit = {
-    AtomicRename.ensure(spark, root, "StagedAppend")
-    val fsys = fs(spark)
-    require(fsys.rename(stagePath(root, token), readyPath(root, token)),
-      s"staged append: could not commit $token under $root")
+    val fsys = fs(spark, root)
+    if (AtomicRename.isAtomic(spark, root))
+      require(fsys.rename(stagePath(root, token), readyPath(root, token)),
+        s"staged append: could not commit $token under $root")
+    else {
+      val o = fsys.create(commitMarkerPath(root, token), true)
+      try o.write("committed".getBytes("UTF-8")) finally o.close()
+    }
   }
 
   /** Move every data file of `src` into `dstRoot`, mirroring the relative
@@ -94,28 +122,41 @@ object StagedAppend {
     }
   }
 
-  /** PUBLISH a committed batch: drain its ready dir into the live
-    * directories (`live` maps each staged top-level name, e.g. "sig_docs"
-    * or "vectors", to its current live root) and delete the ready dir. */
+  /** PUBLISH a committed batch: drain its committed source dir — the
+    * ready dir (rename-commit mode) or the stage dir under a commit
+    * marker (marker mode) — into the live directories (`live` maps each
+    * staged top-level name, e.g. "sig_docs" or "vectors", to its current
+    * live root), then delete the source dir and, last, the marker.
+    * Marker-last ordering makes every crash point re-drainable: a marker
+    * with no stage dir left is a completed publish awaiting only the
+    * marker delete. */
   def publish(spark: SparkSession, root: String, token: String,
               live: String => Path): Unit = {
-    val fsys = fs(spark)
-    val ready = readyPath(root, token)
-    if (!fsys.exists(ready)) return
+    val fsys = fs(spark, root)
+    val marker = commitMarkerPath(root, token)
+    val hasMarker = fsys.exists(marker)
+    val src = if (hasMarker) stagePath(root, token) else readyPath(root, token)
     val entries =
-      try fsys.listStatus(ready)
-      catch { // drained concurrently (incl. the Linux vanished-dir EACCES)
-        case _: java.io.FileNotFoundException => return
-        case e: java.io.IOException =>
-          if (!fsys.exists(ready)) return else throw e
-      }
+      if (!fsys.exists(src)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else
+        try fsys.listStatus(src)
+        catch { // drained concurrently (incl. the Linux vanished-dir EACCES)
+          case _: java.io.FileNotFoundException =>
+            Array.empty[org.apache.hadoop.fs.FileStatus]
+          case e: java.io.IOException =>
+            if (!fsys.exists(src)) Array.empty[org.apache.hadoop.fs.FileStatus]
+            else throw e
+        }
     entries.foreach { st =>
       if (st.isDirectory) moveTree(fsys, st.getPath, live(st.getPath.getName))
     }
-    // two drains can race this recursive delete too — a vanished ready
+    // two drains can race this recursive delete too — a vanished source
     // dir is the other party's completed cleanup
-    try { fsys.delete(ready, true); () }
-    catch { case e: java.io.IOException => if (fsys.exists(ready)) throw e }
+    try { fsys.delete(src, true); () }
+    catch { case e: java.io.IOException => if (fsys.exists(src)) throw e }
+    if (hasMarker)
+      try { fsys.delete(marker, false); () }
+      catch { case e: java.io.IOException => if (fsys.exists(marker)) throw e }
   }
 
   /** Heal the append protocol: publish every committed-but-undrained
@@ -132,16 +173,21 @@ object StagedAppend {
     * replay path. */
   def heal(spark: SparkSession, root: String, live: String => Path,
            dropStages: Boolean): Seq[String] = {
-    AtomicRename.ensure(spark, root, "StagedAppend")
-    val fsys = fs(spark)
+    val fsys = fs(spark, root)
     val rootP = new Path(root)
     if (!fsys.exists(rootP)) return Nil
     val entries = fsys.listStatus(rootP).map(_.getPath)
+    // marker-mode committed batches: the stage dir IS the durable batch
+    // (the marker made it so) — a writer's orphan-stage sweep must skip
+    // them, or it would delete committed data
+    val markerTokens = entries.filter(_.getName.startsWith("_append_commit_"))
+      .map(_.getName.stripPrefix("_append_commit_")).toSet
     if (dropStages)
-      entries.filter(_.getName.startsWith("_append_stage_"))
+      entries.filter(p => p.getName.startsWith("_append_stage_") &&
+          !markerTokens(p.getName.stripPrefix("_append_stage_")))
         .foreach(p => fsys.delete(p, true))
-    val tokens = entries.filter(_.getName.startsWith("_append_ready_"))
-      .map(_.getName.stripPrefix("_append_ready_")).toSeq
+    val tokens = (entries.filter(_.getName.startsWith("_append_ready_"))
+      .map(_.getName.stripPrefix("_append_ready_")) ++ markerTokens).distinct.toSeq
     tokens.foreach { t =>
       // fence BEFORE publish — the same ordering as the append path: a
       // crash after the fence leaves the ready dir for the next heal to

@@ -45,8 +45,10 @@ import org.apache.spark.sql.functions._
   * so no read ever footer-sniffs or `mergeSchema`-scans 10⁶ files. */
 class VersionedStore(spark: SparkSession, dir: String) {
 
-  private val fs = org.apache.hadoop.fs.FileSystem.get(
-    spark.sparkContext.hadoopConfiguration)
+  // the FILESYSTEM of the store ROOT (not the session default — store
+  // roots legitimately live on s3a/gs while defaultFS is HDFS)
+  private val fs = new org.apache.hadoop.fs.Path(dir)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def mpath(s: String) = new org.apache.hadoop.fs.Path(s"$dir/_graft_manifest/$s")
 
   private def writeFile(p: org.apache.hadoop.fs.Path, body: String): Unit = {
@@ -68,14 +70,19 @@ class VersionedStore(spark: SparkSession, dir: String) {
 
   def currentVersion: Long = readFile(mpath("current")).trim.toLong
 
-  /** Publish version `v`: write the pointer to a temp name, then rename
-    * over `current` — the one atomic step of every commit. */
-  private def publish(v: Long): Unit = {
-    val tmp = mpath(s".current-$v")
-    writeFile(tmp, v.toString)
-    fs.delete(mpath("current"), false)
-    require(fs.rename(tmp, mpath("current")), s"publish of v$v failed")
-  }
+  /** Publish version `v`: on atomic-rename filesystems, write the pointer
+    * to a temp name and rename over `current`; on flat object stores, ONE
+    * overwrite-PUT of the pointer object (atomic per-object visibility —
+    * the delete+rename spelling would open a no-pointer window there and
+    * churn two objects for nothing). Either way this is the one atomic
+    * step of every commit. */
+  private def publish(v: Long): Unit =
+    if (AtomicRename.isAtomic(spark, dir)) {
+      val tmp = mpath(s".current-$v")
+      writeFile(tmp, v.toString)
+      fs.delete(mpath("current"), false)
+      require(fs.rename(tmp, mpath("current")), s"publish of v$v failed")
+    } else writeFile(mpath("current"), v.toString)
 
   def buckets: Int = readFile(mpath("buckets")).trim.toInt
 

@@ -46,8 +46,9 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * the claim is [[AtomicRename.createNoOverwrite]] — O_EXCL on local
   * filesystems (Hadoop's own local create-no-overwrite is check-then-act
   * and a racing claimer truncates the winner's lease; the cross-process
-  * suite caught it), namenode-atomic on HDFS, and refused on flat object
-  * stores ([[AtomicRename.ensure]]) — and a
+  * suite caught it), namenode-atomic on HDFS, and best-effort
+  * check-then-act on flat object stores (documented at the claim site:
+  * a narrower detection window, not a correctness hole) — and a
   * writer whose JVM pauses beyond `staleMs` (not crashes — renewal covers
   * liveness) can still be reclaimed from. The stores' crash-safety does
   * NOT depend on the lease — heals/fences cover a single writer crashing;
@@ -99,8 +100,9 @@ object WriterLease {
   /** RAW (checksum-free) filesystem: renewal rewrites the live lease in
     * place, and a checksummed local FS would leave a stale `.crc` sidecar
     * behind that fails every subsequent read (the AdmitFence lesson). */
-  private def fs(spark: SparkSession): FileSystem =
-    AtomicRename.raw(FileSystem.get(spark.sparkContext.hadoopConfiguration))
+  private def fs(spark: SparkSession, root: String): FileSystem =
+    AtomicRename.raw(new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration))
 
   private def leasePath(root: String) = new Path(s"$root/_writer_lease")
 
@@ -284,11 +286,15 @@ object WriterLease {
   def withLease[T](spark: SparkSession, root: String,
                    staleMs: Long = 30L * 60L * 1000L,
                    renew: Boolean = true)(body: => T): T = {
-    // refuse object-store roots BEFORE any FS resolution: makeQualified on
-    // a foreign scheme throws a Wrong-FS error that would mask the real
-    // message (the posture, the remediation)
-    AtomicRename.ensure(spark, root, "WriterLease")
-    val fsys = fs(spark)
+    // On flat object stores the claim primitive degrades from O_EXCL to
+    // check-then-act (no conditional-PUT surface in the Hadoop API), so
+    // two contenders claiming in the same instant can BOTH win — the
+    // lease stays what its scaladoc already calls it, a misconfiguration
+    // DETECTOR, just with a narrower detection window there. The stores'
+    // crash-safety never depended on it (heals/fences cover the single
+    // writer), so this is a documented weakening, not a correctness hole
+    // — and the r13 posture refusal is gone (verdict item 4).
+    val fsys = fs(spark, root)
     // normalize BEFORE keying anything: the catalog hands out qualified
     // locations (file:/...) while callers pass raw paths — unqualified
     // they would key different held-map entries over one lease file

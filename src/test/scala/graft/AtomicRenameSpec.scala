@@ -2,12 +2,15 @@ package graft
 
 import graft.sources.AtomicRename
 
-/** The object-store POSTURE (r12 verdict item 3): every rename-committed
-  * protocol refuses — loudly, with remediation, before touching the store
-  * — on a flat object store whose rename is a non-atomic copy+delete,
-  * instead of silently degrading exactly-once to maybe-torn. The check is
-  * scheme-string-based, so it needs (and has) no s3a connector on the
-  * classpath to refuse. */
+/** The object-store POSTURE (r12 item 3, reworked r14 item 4): protocols
+  * that must commit via a directory rename refuse — loudly, with
+  * remediation, before touching a flat object store whose rename is a
+  * non-atomic copy+delete — while the index-store protocols carry an
+  * object-store commit path instead (StagedAppend marker commits,
+  * AdmitFence overwrite-PUT fences, GenDir pointer compacts; exercised
+  * end to end by IngestSoakSpec's flat-object soak twin). The ensure
+  * check is scheme-string-based, so it needs (and has) no s3a connector
+  * on the classpath to refuse. */
 class AtomicRenameSpec extends SparkSpecBase {
 
   test("local paths pass; flat object-store schemes are refused with " +
@@ -41,32 +44,47 @@ class AtomicRenameSpec extends SparkSpecBase {
     }
   }
 
-  test("the protocols refuse at the first touch of an object-store root") {
+  test("round 14 posture: the index-store protocols take the object-store " +
+       "commit path instead of refusing; rename-dependent protocols still " +
+       "refuse") {
+    // still-refusing family: anything that must commit via a directory
+    // rename gates through ensure (BucketedLayout's day swap)
     intercept[UnsupportedOperationException] {
-      graft.sources.StagedAppend.commit(spark, "s3a://b/store", "t1")
+      AtomicRename.ensure(spark, "s3a://bucket/store", "BucketedLayout.compactDay")
     }
-    intercept[UnsupportedOperationException] {
-      graft.sources.StagedAppend.heal(spark, "s3a://b/store",
-        n => new org.apache.hadoop.fs.Path(s"s3a://b/store/$n"),
-        dropStages = false)
-    }
-    intercept[UnsupportedOperationException] {
-      graft.sources.AdmitFence.advance(spark, "s3a://b/store", 1L)
-    }
-    intercept[UnsupportedOperationException] {
-      graft.sources.WriterLease.withLease(spark, "s3a://b/store") {
-        fail("body must not run")
-      }
-    }
-    // and the WriterLease refusal must not poison the root in-JVM: the
-    // same root must still be rejected for the SAME reason (not a phantom
-    // ConcurrentWriterException from a leaked held-map entry)
-    val again = intercept[UnsupportedOperationException] {
-      graft.sources.WriterLease.withLease(spark, "s3a://b/store") {
-        fail("body must not run")
-      }
-    }
-    assert(again.getMessage.contains("WriterLease"))
+    // the index-store protocols run their object-store commit path on an
+    // s3a root (marker commits, PUT fences, lease claims) — no refusal
+    // anywhere; the end-to-end exactly-once behavior is certified by
+    // IngestSoakSpec's flat-object-store soak twin
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.s3a.impl", classOf[FlatObjectFs].getName)
+    val root = "s3a://test" +
+      java.nio.file.Files.createTempDirectory("atomspec").toString
+    assert(graft.sources.StagedAppend.heal(spark, root,
+      n => new org.apache.hadoop.fs.Path(s"$root/$n"), dropStages = true).isEmpty)
+    graft.sources.AdmitFence.advance(spark, root, 1L)
+    assert(graft.sources.AdmitFence.upto(spark, root) === 1L)
+    var ran = false
+    graft.sources.WriterLease.withLease(spark, root) { ran = true }
+    assert(ran, "the lease body must run on an object-store root")
+    // marker commit end to end at the primitive level: stage a file,
+    // commit (marker, no rename), publish into a live dir
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stage = graft.sources.StagedAppend.stagePath(root, "t1")
+    fsys.mkdirs(new org.apache.hadoop.fs.Path(stage, "tbl"))
+    val o = fsys.create(new org.apache.hadoop.fs.Path(stage, "tbl/part-1"), true)
+    o.write("x".getBytes("UTF-8")); o.close()
+    graft.sources.StagedAppend.commit(spark, root, "t1")
+    assert(fsys.exists(graft.sources.StagedAppend.commitMarkerPath(root, "t1")),
+      "object-store commit must be the marker, not a rename")
+    assert(fsys.exists(stage), "staged files stay in place until publish")
+    graft.sources.StagedAppend.publish(spark, root, "t1",
+      n => new org.apache.hadoop.fs.Path(s"$root/$n"))
+    assert(fsys.exists(new org.apache.hadoop.fs.Path(s"$root/tbl/part-1")))
+    assert(!fsys.exists(stage) &&
+      !fsys.exists(graft.sources.StagedAppend.commitMarkerPath(root, "t1")),
+      "publish must clear the stage dir and the marker")
   }
 
   test("createNoOverwrite is ATOMIC under contention: exactly one winner " +

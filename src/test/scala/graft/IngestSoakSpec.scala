@@ -79,11 +79,26 @@ class IngestSoakSpec extends SparkSpecBase {
 
   test("21 crash-injected micro-batches across all three index stores " +
        "converge to exactly-once, equal to the batch-mode build") {
+    triStoreSoak(identity)
+  }
+
+  test("the same tri-store soak on a FLAT OBJECT STORE (rename = " +
+       "copy+delete): marker commits, PUT fences, pointer compacts — " +
+       "same exactly-once oracles (r13 verdict item 4)") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.s3a.impl", classOf[FlatObjectFs].getName)
+    // same seed, same kill schedule — only the filesystem posture changes
+    triStoreSoak(local => s"s3a://test$local")
+  }
+
+  /** The tri-store soak body, root-mapped so the same kill schedule runs
+    * on the local (atomic-rename) posture and the flat-object-store one. */
+  private def triStoreSoak(rootOf: String => String): Unit = {
     val rng = new scala.util.Random(0xC13)
-    val sigRoot = tmp("soak-sig")
-    val vecRoot = tmp("soak-vec")
-    val postRoot = tmp("soak-post")
-    val pairsRoot = tmp("soak-pairs")
+    val sigRoot = rootOf(tmp("soak-sig"))
+    val vecRoot = rootOf(tmp("soak-vec"))
+    val postRoot = rootOf(tmp("soak-post"))
+    val pairsRoot = rootOf(tmp("soak-pairs"))
     val P = MinHashLSH.Params()
 
     // —— initial corpora ————————————————————————————————————————————
@@ -231,7 +246,7 @@ class IngestSoakSpec extends SparkSpecBase {
 
     // postings: serving equality against a from-scratch union build —
     // fences, additive stats deltas, and the compact all fold away
-    val ref = new PostingsStore(spark, tmp("soak-post-ref"))
+    val ref = new PostingsStore(spark, rootOf(tmp("soak-post-ref")))
     ref.build(postDf(allRows), buckets = 8)
     val dupUid = expectedPairs.values.flatten.headOption
       .map { case (_, fo) => firstOcc.collectFirst { case (u, id) if id == fo => u }.get }
@@ -247,7 +262,9 @@ class IngestSoakSpec extends SparkSpecBase {
     assert(AdmitFence.upto(spark, vecRoot) === 20L)
     assert(AdmitFence.upto(spark, postRoot) === 20L)
     Seq(sigRoot, vecRoot, postRoot).foreach { root =>
-      val leftovers = new java.io.File(root).listFiles.map(_.getName)
+      val rootP = new org.apache.hadoop.fs.Path(root)
+      val fsys = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val leftovers = fsys.listStatus(rootP).map(_.getPath.getName)
         .filter(n => n.startsWith("_append_") || n == "_fence_lock")
       assert(leftovers.isEmpty, s"protocol corpse survived the soak: " +
         s"$root -> ${leftovers.mkString(",")}")
