@@ -389,6 +389,27 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] q47/q48_store failed: ${e.getMessage}"); Nil
     }
+    // Retention measurement (r13 verdict item 5): dropOlderThan(day) on
+    // the bucketed layout + the RollupStore cascade — catena's
+    // whole-partition drop. Store builds untimed; the timed op is pure
+    // directory metadata (one delete per retired day × resolution), so
+    // this row pins that retention stays O(days), never O(rows).
+    val retentionDrop = if (only.exists(!_("retention_drop"))) Nil else try {
+      val evDir = java.nio.file.Files.createTempDirectory("retn-events").toString
+      val ruDir = java.nio.file.Files.createTempDirectory("retn-rollup").toString
+      sources.BucketedLayout.migrate(spark, sfDir, evDir, seriesBuckets = 2)
+      sources.RollupStore.build(
+        sources.BucketedLayout.readEvents(spark, evDir).drop("day"), ruDir)
+      val cutoffDayId = java.time.Instant.parse("2024-01-10T00:00:00Z")
+        .toEpochMilli * 1000L / (24L * 3600L * 1000000L)
+      timeBuilt("retention_drop", Seq(evDir, ruDir), mutating = true) {
+        sources.BucketedLayout.dropDaysBefore(spark, evDir, "2024-01-10")
+        sources.RollupStore.dropDaysBefore(spark, ruDir, cutoffDayId)
+        ()
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] retention_drop failed: ${e.getMessage}"); Nil
+    }
     // Pipeline measurement: x42's increment against the persisted
     // SignatureStore (store write untimed — computed once at ingest,
     // amortized over every increment). Quantifies what the store buys vs
@@ -551,7 +572,8 @@ object Bench {
     // through r10's declared-only slowest-10 exactly this way).
     val allRows = results ++ ccOnly ++ x77Lsh ++ x148Ivf ++ x148Auto ++
       x08Auto ++ x171Banded ++ x93B32 ++ x83Store ++ q10Bucketed ++ tsStore ++
-      x42Store ++ x42CcIncr ++ x08Store ++ x58Store ++ mergeRows ++ x64Rollup
+      x42Store ++ x42CcIncr ++ x08Store ++ x58Store ++ mergeRows ++
+      x64Rollup ++ retentionDrop
     // Isolation spec grammar: "off" | "slowest:N[,heavy:T:R]".
     //  - slowest:N — the N slowest shared rows, one fresh-JVM child each.
     //  - heavy:T:R — every row whose SHARED figure exceeds T seconds gets

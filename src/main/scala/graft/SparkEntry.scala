@@ -296,6 +296,7 @@ object SparkEntry {
     "x184_byte_entropy"   -> ((s, d) => MultimodalOps.x184ByteEntropy(s, d)),
     "x185_pii_audit"      -> (TextOps.x185PiiAudit _),
     "x186_kcore"          -> (TextOps.x186KCore _),
+    "x187_label_prop_iter" -> (TextOps.x187LabelPropIter _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3989,6 +3990,42 @@ object SparkEntry {
          |SELECT id AS doc_id, COUNT(*) AS core_deg FROM
          |(SELECT a AS id FROM e8 UNION ALL SELECT b FROM e8)
          |GROUP BY 1 ORDER BY doc_id""".stripMargin
+    },
+
+    // x187: x53's vote rule run to a BOUNDED fixpoint — the twin unrolls
+    // exactly 4 vote/pick rounds under MATERIALIZED CTEs (the x186 rule:
+    // inlined CTEs re-expand the pair scan per level), labels immutable
+    // once assigned; Spark runs the same 4 rounds with early-exit only
+    // at the fixpoint (LabelPropIterSpec pins fixture fixpoint ≤ 4 and
+    // round-1 ≡ x53)
+    "x187_label_prop_iter" -> {
+      val rounds = (1 to 4).map { i =>
+        s"""v$i AS MATERIALIZED (SELECT e.src AS id, l.pred_lang, COUNT(*) AS c
+           |  FROM edges e JOIN l${i - 1} l ON l.id = e.dst
+           |  WHERE e.src NOT IN (SELECT id FROM l${i - 1}) GROUP BY 1, 2),
+           |b$i AS MATERIALIZED (SELECT id, pred_lang, $i AS hops FROM
+           |  (SELECT id, pred_lang,
+           |     row_number() OVER (PARTITION BY id ORDER BY c DESC, pred_lang) AS r
+           |   FROM v$i) q WHERE r = 1),
+           |l$i AS MATERIALIZED (SELECT * FROM l${i - 1} UNION ALL SELECT * FROM b$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS (SELECT DISTINCT doc_id, tok FROM
+         |  (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents) u),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM t GROUP BY doc_id),
+         |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+         |  FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         |pairs AS MATERIALIZED (SELECT doc_a, doc_b
+         |  FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+         |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+         |edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |l0 AS MATERIALIZED (SELECT doc_id AS id, lang AS pred_lang, 0 AS hops
+         |  FROM documents WHERE doc_id % 10 = 0),
+         |$rounds
+         |SELECT l.id AS doc_id, l.pred_lang, l.hops, d.lang AS true_lang,
+         |CAST(l.pred_lang = d.lang AS INT) AS hit
+         |FROM l4 l JOIN documents d ON d.doc_id = l.id
+         |WHERE l.id % 10 <> 0 ORDER BY doc_id""".stripMargin
     },
   )
 }

@@ -1607,6 +1607,71 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** x187 ITERATIVE label propagation — x53's one Zhu–Ghahramani step run
+    * to a bounded fixpoint (r13 verdict item 6): round r labels every
+    * still-unlabeled doc with ≥1 LABELED neighbor by the majority label
+    * of its labeled neighbors (integer votes, winner ranks count DESC,
+    * label ASC — x53's exact rule, so ROUND 1 ≡ x53 by construction,
+    * LabelPropIterSpec pins it), and labels are immutable once assigned
+    * (the classic seeded-propagation discipline — later rounds can only
+    * EXTEND coverage to multi-hop docs, never flip a vote). The contract
+    * FIXES the round budget (4, the x186 unrolled-twin rule): the DuckDB
+    * twin unrolls exactly 4 vote/pick rounds under MATERIALIZED CTEs;
+    * Spark runs the same 4 with early-exit only AT the fixpoint (empty
+    * frontier), and the spec pins fixture-fixpoint-inside-budget, so the
+    * cap is a twin-expressibility bound, not a semantics change.
+    *
+    * Scale: per round, one |edges| join against the labeled set, one
+    * anti-join against it, one map-side-combined vote aggregate, and a
+    * per-DOC window (high-cardinality key). Round tables are eagerly
+    * checkpointed (x14's lineage rule: each is read twice next round and
+    * the plan must truncate); the labeled set grows toward the near-dup
+    * graph's seed-reachable closure — cluster-shaped, so round 1 does
+    * almost all the work and later rounds run on the thin multi-hop
+    * tail. Output: every non-seed doc labeled within the budget, with
+    * the round it was labeled in (`hops`) and the accuracy audit. */
+  def x187LabelPropIter(s: SparkSession, d: String): DataFrame =
+    x187From(s, d,
+      MinHashLSH.verifiedPairs(docTokens(s, d), 0.8).select("id_a", "id_b"))
+
+  /** [[x187LabelPropIter]] over a precomputed pair frame with an explicit
+    * round budget — the pipeline entry point and the spec's knob. */
+  private[graft] def x187From(s: SparkSession, d: String, pairs: DataFrame,
+                              maxRounds: Int = 4): DataFrame = {
+    val ckpt: DataFrame => DataFrame = df => df.localCheckpoint(true)
+    // symmetrize by explode (one pass of the pair plan — the x53 rule)
+    val edges = ckpt(pairs.select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst")))
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    var state = ckpt(docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("id"), col("lang").as("pred_lang"),
+              lit(0).as("hops")))
+    var round = 0
+    var growing = true
+    while (round < maxRounds && growing) {
+      round += 1
+      val w = Window.partitionBy("id").orderBy(col("c").desc, col("pred_lang"))
+      val best = ckpt(edges
+        .join(state.select(col("id").as("dst"), col("pred_lang")), "dst")
+        .join(state.select(col("id").as("src")), Seq("src"), "left_anti")
+        .groupBy(col("src").as("id"), col("pred_lang"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") === 1)
+        .select(col("id"), col("pred_lang"), lit(round).as("hops")))
+      growing = best.count() > 0
+      if (growing) state = ckpt(state.union(best))
+    }
+    state.filter(col("id") % 10 =!= 0)
+      .join(docs.select(col("doc_id"), col("lang").as("true_lang")),
+            col("id") === col("doc_id"))
+      .select(col("doc_id"), col("pred_lang"), col("hops"), col("true_lang"),
+              (col("pred_lang") === col("true_lang")).cast("int").as("hit"))
+      .orderBy("doc_id")
+  }
+
   /** x93 containment near-dup — the subset-duplication readout Jaccard
     * misses by construction: among structural near-dups (exact Jaccard ≥
     * 0.5 over word sets, LSH-generated candidates), every pair whose

@@ -106,9 +106,16 @@ object BucketedLayout {
     fs.delete(old, true)
   }
 
-  /** Retention: drop whole days — catena's cheap partition drop. */
+  /** Retention: drop whole days — catena's cheap partition drop (one
+    * directory delete per retired day, no data scan; readers see each day
+    * atomically present or absent, pinned by RetentionSpec across
+    * q47/q48-store reads). Derived state: [[RollupStore.dropDaysBefore]]
+    * is the cascade for the pre-aggregates (day ids = floorDiv(µs, day));
+    * the INDEX stores deliberately do not cascade — they are id-keyed,
+    * not time-keyed (rationale on the RollupStore method). */
   def dropDaysBefore(spark: SparkSession, sinkDir: String, cutoffDay: String): Seq[String] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val fs = new org.apache.hadoop.fs.Path(sinkDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = new org.apache.hadoop.fs.Path(sinkDir)
     if (!fs.exists(base)) return Seq.empty
     val dropped = fs.listStatus(base).toSeq

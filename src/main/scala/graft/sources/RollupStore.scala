@@ -72,6 +72,37 @@ object RollupStore {
     }
   }
 
+  /** Retention cascade for [[graft.sources.BucketedLayout.dropDaysBefore]]:
+    * drop the hour/day rollup partitions of retired days (day ids =
+    * floorDiv(µs, day) — the `day=` partition values both tables carry),
+    * so a post-drop [[rangeAgg]] never serves aggregates of raw rows that
+    * no longer exist. Same cost shape as the raw drop: one directory
+    * delete per (resolution, retired day), no data scan. Returns the
+    * dropped partition names.
+    *
+    * The INDEX stores (SignatureStore/PostingsStore/VectorStore)
+    * deliberately do NOT cascade: they are keyed by doc/vec id, not time
+    * — a raw-retention drop does not invalidate a dedup signature or a
+    * posting (the document still existed; its duplicates must still be
+    * caught), so retiring index rows is a separate, id-keyed curation
+    * decision (MergeStore/VersionedStore deletes), never a side effect
+    * of time retention. */
+  def dropDaysBefore(spark: SparkSession, dir: String,
+                     cutoffDayId: Long): Seq[String] = {
+    val fsys = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("hour", "day").flatMap { res =>
+      val base = new org.apache.hadoop.fs.Path(s"$dir/$res")
+      if (!fsys.exists(base)) Nil
+      else fsys.listStatus(base).toSeq.map(_.getPath)
+        .filter { p =>
+          p.getName.startsWith("day=") &&
+            p.getName.stripPrefix("day=").toLongOption.exists(_ < cutoffDayId)
+        }
+        .map { p => fsys.delete(p, true); s"$res/${p.getName}" }
+    }
+  }
+
   /** The [t0, t1) decomposition, exposed for the spec: (rawRanges,
     * hourBuckets, dayBuckets) with rawRanges a list of [a, b) µs spans.
     * Greedy outward-in: raw up to the first hour boundary, hours up to the
