@@ -139,5 +139,54 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.functions.SigMatchCount(_, _))
     binary("first_match_index", classOf[graft.functions.FirstMatchIndex],
       graft.functions.FirstMatchIndex(_, _))
+
+    // —— SQL TVF surface for the time-series package (r13 verdict item 8).
+    // injectTableFunction builders receive the parsed argument expressions
+    // and return a LOGICAL PLAN, so each TVF below hands its arguments to
+    // the exact Column-API operator (SeriesApi / AsOfJoin) and returns
+    // that operator's plan — SQL and Column callers share one plan tree by
+    // construction (SqlSurfaceSpec pins optimized-plan equality). Table
+    // inputs arrive as table/view NAMES (string literals) resolved through
+    // the session catalog, the classic TVF spelling:
+    //   SELECT * FROM graft_downsample('events', 'ts', 'yyyy-MM-dd',
+    //                                  'event_type', 'value')
+    def strArg(fn: String)(e: Expression): String = e match {
+      case Literal(s, org.apache.spark.sql.types.StringType) if s != null => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn expects string-literal arguments, got $other")
+    }
+    def tvf(name: String, usage: String)
+           (builder: Seq[String] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+      ext.injectTableFunction((
+        new org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+        new ExpressionInfo(getClass.getName, name, usage),
+        (children: Seq[Expression]) => builder(children.map(strArg(name)))))
+    def tableOf(name: String) =
+      org.apache.spark.sql.SparkSession.active.table(name)
+    tvf("graft_downsample",
+        "graft_downsample(table, ts_col, unit, key_col, value_col) — " +
+        "time-bucket x series rollup (count/avg/sum/min/max)") { args =>
+      require(args.size == 5,
+        "graft_downsample(table, ts_col, unit, key_col, value_col)")
+      graft.operators.SeriesApi.downsample(tableOf(args(0)), args(1), args(2),
+        Seq(args(3)), args(4)).queryExecution.logical
+    }
+    tvf("graft_gapfill",
+        "graft_gapfill(table, ts_col, key_col...) — dense per-series daily " +
+        "spine LEFT JOIN observed day counts") { args =>
+      require(args.size >= 2, "graft_gapfill(table, ts_col, key_col...)")
+      graft.operators.SeriesApi.gapFillDaily(tableOf(args(0)), args(1),
+        args.drop(2)).queryExecution.logical
+    }
+    tvf("graft_asof",
+        "graft_asof(left_table, right_table, key_col, left_ts, right_ts, " +
+        "payload_col) — last right row at-or-before each left row's ts " +
+        "(the custom merge-join operator)") { args =>
+      require(args.size == 6,
+        "graft_asof(left_table, right_table, key_col, left_ts, right_ts, payload_col)")
+      graft.operators.AsOfJoin.lastBeforeExec(tableOf(args(0)), tableOf(args(1)),
+        keys = Seq(args(2)), leftTs = args(3), rightTs = args(4),
+        payload = Seq(args(5))).queryExecution.logical
+    }
   }
 }

@@ -49,3 +49,34 @@ class FlatObjectFs extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def listStatus(f: Path): Array[org.apache.hadoop.fs.FileStatus] =
     super.listStatus(f).map(fix)
 }
+
+/** HDFS-semantics test filesystem: local disk behind an `mockhdfs` scheme
+  * whose rename REFUSES an existing destination (returns false without
+  * touching either path) — exactly HDFS's contract, and the semantics the
+  * round-13 lease-renewal fix was justified by ("the previous temp+rename
+  * renewal was a silent NO-OP on HDFS-class filesystems"). WriterLeaseSpec
+  * drives renewal through this FS to pin that the epoch still advances:
+  * the pre-fix rename-over renewal fails this spec by construction (its
+  * rename returns false every tick and the epoch never moves). */
+class HdfsLikeFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+
+  override def getScheme: String = "mockhdfs"
+
+  override def getUri: java.net.URI = java.net.URI.create("mockhdfs://test")
+
+  override def rename(src: Path, dst: Path): Boolean =
+    if (exists(dst)) false else super.rename(src, dst)
+
+  private def fix(st: org.apache.hadoop.fs.FileStatus): org.apache.hadoop.fs.FileStatus =
+    new org.apache.hadoop.fs.FileStatus(
+      st.getLen, st.isDirectory, 1, st.getBlockSize,
+      st.getModificationTime, st.getAccessTime,
+      org.apache.hadoop.fs.permission.FsPermission.getDirDefault,
+      "test", "test", st.getPath)
+
+  override def getFileStatus(f: Path): org.apache.hadoop.fs.FileStatus =
+    fix(super.getFileStatus(f))
+
+  override def listStatus(f: Path): Array[org.apache.hadoop.fs.FileStatus] =
+    super.listStatus(f).map(fix)
+}

@@ -82,4 +82,62 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(r.getInt(0) === 2 && r.getInt(1) === 2 &&
            r.getInt(2) === 2 && r.getInt(3) === 1)
   }
+
+  // —— the TS-package TVF surface (r13 verdict item 8): each TVF hands its
+  // arguments to the Column-API operator and returns THAT plan, so SQL ≡
+  // Column holds at the optimized-plan level (canonicalized — exprIds are
+  // the only legitimate difference), not merely on output rows.
+  private def planOf(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.optimizedPlan.canonicalized
+
+  test("graft_downsample TVF: FROM-clause SQL equals SeriesApi.downsample, " +
+       "same optimized plan") {
+    Tables.registerAll(spark, sfDir)
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_downsample('events', 'ts', 'yyyy-MM-dd', " +
+        "'event_type', 'value') ORDER BY bucket, event_type")
+    val viaCol = graft.operators.SeriesApi.downsample(spark.table("events"),
+        "ts", "yyyy-MM-dd", Seq("event_type"), "value")
+      .orderBy("bucket", "event_type")
+    assert(viaSql.collect().toSeq == viaCol.collect().toSeq)
+    assert(planOf(viaSql) == planOf(viaCol),
+      "the TVF must produce the Column API's plan, not a lookalike")
+  }
+
+  test("graft_gapfill TVF: FROM-clause SQL equals SeriesApi.gapFillDaily, " +
+       "same optimized plan") {
+    Tables.registerAll(spark, sfDir)
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_gapfill('events', 'ts', 'event_type') " +
+        "ORDER BY d, event_type")
+    val viaCol = graft.operators.SeriesApi.gapFillDaily(spark.table("events"),
+        "ts", Seq("event_type"))
+      .orderBy("d", "event_type")
+    assert(viaSql.collect().toSeq == viaCol.collect().toSeq)
+    assert(planOf(viaSql) == planOf(viaCol))
+  }
+
+  test("graft_asof TVF: FROM-clause SQL equals AsOfJoin.lastBeforeExec " +
+       "(the custom merge-join operator), same optimized plan") {
+    Tables.registerAll(spark, sfDir)
+    val e = Tables.events(spark, sfDir)
+    e.filter(col("event_type") === "error").select("user_id", "ts")
+      .createOrReplaceTempView("asof_errs")
+    e.filter(col("event_type") === "click")
+      .select("user_id", "ts", "event_id", "value")
+      .createOrReplaceTempView("asof_clks")
+    val viaSql = spark.sql(
+      "SELECT * FROM graft_asof('asof_errs', 'asof_clks', 'user_id', " +
+        "'ts', 'ts', 'value') ORDER BY user_id, ts")
+    val viaCol = graft.operators.AsOfJoin.lastBeforeExec(
+        spark.table("asof_errs"), spark.table("asof_clks"),
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        payload = Seq("value"))
+      .orderBy("user_id", "ts")
+    assert(viaSql.collect().toSeq == viaCol.collect().toSeq)
+    assert(planOf(viaSql) == planOf(viaCol))
+    assert(viaSql.queryExecution.executedPlan.toString
+             .contains("AsOfMergeJoin"),
+      "the SQL spelling must reach the custom exec operator")
+  }
 }

@@ -134,6 +134,41 @@ class WriterLeaseSpec extends SparkSpecBase {
     assert(leaseGone(root), "release after a renewed op must still clean up")
   }
 
+  test("renewal advances the epoch on HDFS rename semantics (rename " +
+       "refuses existing destinations) — the r13 rewrite-in-place fix, " +
+       "pinned under a rename-refusing FS (r13 verdict item 7)") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.mockhdfs.impl", classOf[HdfsLikeFs].getName)
+    val local = tmp("lease-hdfs")
+    val root = s"mockhdfs://test$local"
+    val fsys = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    // sanity: this FS really does refuse rename-over (HDFS's contract) —
+    // the pre-fix temp+rename renewal is a silent no-op here
+    val a = new org.apache.hadoop.fs.Path(s"$root/a")
+    val b = new org.apache.hadoop.fs.Path(s"$root/b")
+    Seq(a, b).foreach { p =>
+      val o = fsys.create(p, true); o.write("x".getBytes); o.close()
+    }
+    assert(!fsys.rename(a, b), "wrapper must refuse rename onto an " +
+      "existing destination, like HDFS")
+    val staleMs = 1000L
+    def epochOf(): Long = {
+      val in = fsys.open(new org.apache.hadoop.fs.Path(s"$root/_writer_lease"))
+      val raw = try scala.io.Source.fromInputStream(in).mkString.trim
+                finally in.close()
+      raw.split(' ')(1).toLong
+    }
+    WriterLease.withLease(spark, root, staleMs = staleMs) {
+      val ts0 = epochOf()
+      Thread.sleep(2500L) // several ~333 ms renewal ticks
+      val ts1 = epochOf()
+      assert(ts1 > ts0, "renewal must advance the epoch IN PLACE where " +
+        "rename-over is refused — the pre-fix renewal never moved it")
+      assert(java.lang.System.currentTimeMillis() - ts1 < staleMs,
+        "the lease aged past the staleness bar mid-op under HDFS semantics")
+    }
+  }
+
   test("an unexpected claim failure releases the in-JVM entry — the root " +
        "is not poisoned with phantom rejections until JVM restart") {
     val root = tmp("lease-leak")
