@@ -603,9 +603,15 @@ object Bench {
         val heavyRows = heavy.map { case (thr, _) =>
           allRows.filter(_._2 > thr).sortBy(-_._2).take(16).map(_._1)
         }.getOrElse(Nil)
-        // heavy membership wins the rep count (toMap keeps the last entry)
-        val reps = (slowest.map(_ -> 1) ++ watch.filter(have).map(_ -> 1) ++
-          heavyRows.map(_ -> heavy.map(_._2).getOrElse(1))).toMap
+        // heavy membership and the curated watchlist win the rep count
+        // (toMap keeps the last entry): a watch row is by definition a
+        // suspicious mover, so it gets the same median-of-R treatment as
+        // the heavy tail — a single cold child was exactly the noise the
+        // watchlist could not adjudicate in r13
+        val heavyReps = heavy.map(_._2).getOrElse(1)
+        val reps = (slowest.map(_ -> 1) ++
+          watch.filter(have).map(_ -> heavyReps) ++
+          heavyRows.map(_ -> heavyReps)).toMap
         val stats = scala.collection.mutable.ListBuffer
           .empty[(String, (Double, Double, Double, Int))]
         val out = (slowest ++ watch.filter(have) ++ heavyRows).distinct.flatMap { name =>

@@ -69,6 +69,13 @@ object SignatureStore {
       WriterLease.withLease(spark, path) {
     spark.sql("DROP TABLE IF EXISTS sig_docs")
     spark.sql("DROP TABLE IF EXISTS sig_sets")
+    // sig_splits too, even though the PLAIN store never writes it: a
+    // survivor registration from a previous ROUTED store at a different
+    // root would otherwise ride into this store's catalog, and the next
+    // compact would faithfully "compact" the foreign table into this
+    // root — across filesystems, if the old store was local and this one
+    // is an object store (caught live in the r14 flat-object soak)
+    spark.sql("DROP TABLE IF EXISTS sig_splits")
     // a rebuild resets the ingest protocol: a stale fence watermark or
     // staged/ready dir from a previous store at this path must not leak
     // into the new one (a stale fence would silently skip early batches)

@@ -36,9 +36,19 @@ class AtomicRenameSpec extends SparkSpecBase {
   }
 
   test("the unsafe override is honored while set, not after") {
-    spark.conf.set("spark.graft.unsafeAllowNonAtomicRename", "true")
-    try AtomicRename.ensure(spark, "s3a://bucket/store", "Test")
-    finally spark.conf.unset("spark.graft.unsafeAllowNonAtomicRename")
+    // a session CLONE (own SQLConf, shared context): suites run in
+    // parallel against one shared session, and flipping the posture flag
+    // globally — even transiently — would flip a concurrently running
+    // store protocol's commit mode mid-batch (caught live: the r14
+    // flat-object soak twin raced this test's set/unset window)
+    val cloned = spark.newSession()
+    cloned.conf.set("spark.graft.unsafeAllowNonAtomicRename", "true")
+    AtomicRename.ensure(cloned, "s3a://bucket/store", "Test")
+    cloned.conf.unset("spark.graft.unsafeAllowNonAtomicRename")
+    intercept[UnsupportedOperationException] {
+      AtomicRename.ensure(cloned, "s3a://bucket/store", "Test")
+    }
+    // and the clone's flag never leaked into the shared session
     intercept[UnsupportedOperationException] {
       AtomicRename.ensure(spark, "s3a://bucket/store", "Test")
     }

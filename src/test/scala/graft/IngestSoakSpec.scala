@@ -50,7 +50,7 @@ import org.apache.spark.sql.functions._
   * vec_id, and the postings store must serve BM25 row-identically to a
   * from-scratch build over the union of every batch — fences, stats
   * deltas, and compactions included. */
-class IngestSoakSpec extends SparkSpecBase {
+class IngestSoakSpec extends SparkSpecBase with SigCatalogSerialized {
 
   private def tmp(prefix: String) =
     java.nio.file.Files.createTempDirectory(prefix).toString

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * `crossVerifiedPairs` over the raw frames, and the store side of the
   * band probe is scanned, not shuffled, while the batch is broadcast-small.
   */
-class SignatureStoreSpec extends SparkSpecBase {
+class SignatureStoreSpec extends SparkSpecBase with SigCatalogSerialized {
 
   private lazy val toks = Tables.documents(spark, sfDir)
     .select(col("doc_id").as("id"), split(col("text"), " ").as("toks"))

@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
   * stream into train), novel docs follow the shared md5 rule on their own
   * id, the admitted state closes the loop for later dups, and the
   * streamed form equals sequential batch-mode routing. */
-class SplitRoutingSpec extends SparkSpecBase {
+class SplitRoutingSpec extends SparkSpecBase with SigCatalogSerialized {
 
   private lazy val toks = Tables.documents(spark, sfDir)
     .select(col("doc_id").as("id"), split(col("text"), " ").as("toks"))

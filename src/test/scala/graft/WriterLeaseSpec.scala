@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
   * is a deployment error" — the lease makes that fail loudly instead of
   * corrupting silently, while a crashed writer's stale lease stays
   * reclaimable (availability is not held hostage to a dead process). */
-class WriterLeaseSpec extends SparkSpecBase {
+class WriterLeaseSpec extends SparkSpecBase with SigCatalogSerialized {
 
   private def tmp(prefix: String) =
     java.nio.file.Files.createTempDirectory(prefix).toString
