@@ -588,15 +588,24 @@ object Bench {
     val isolated: Seq[(String, Double, Option[Double])] =
       if (only.nonEmpty || isoSpec == "off") Nil // only after a full shared pass
       else {
+        // spec parsing is DEFENSIVE: it runs AFTER the multi-hour shared
+        // pass and before any artifact write, so a malformed env value
+        // must degrade to "skip that clause", never throw the run away
         val parts = isoSpec.split(",").map(_.trim)
         val slowN = parts.collectFirst {
-          case s if s.startsWith("slowest:") => s.stripPrefix("slowest:").trim.toInt
-        }.getOrElse(0)
+          case s if s.startsWith("slowest:") =>
+            s.stripPrefix("slowest:").trim.toIntOption
+        }.flatten.getOrElse(0)
         val heavy = parts.collectFirst {
           case s if s.startsWith("heavy:") =>
-            val a = s.stripPrefix("heavy:").split(":")
-            (a(0).toDouble, a(1).toInt)
-        }
+            s.stripPrefix("heavy:").split(":") match {
+              case Array(t, r) => t.toDoubleOption.zip(r.toIntOption)
+              case _ => None
+            }
+        }.flatten
+        if (slowN == 0 && heavy.isEmpty && isoSpec != "off")
+          System.err.println(s"[bench] unparsable SPARK_GRAFT_ISOLATE " +
+            s"'$isoSpec' — isolation pass skipped, shared artifact intact")
         spark.stop()
         val have = allRows.map(_._1).toSet
         val slowest = allRows.sortBy(-_._2).take(slowN).map(_._1)

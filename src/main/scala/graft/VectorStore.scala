@@ -59,7 +59,7 @@ class VectorStore(spark: SparkSession, dir: String) {
     val rootP = new org.apache.hadoop.fs.Path(dir)
     if (fsys.exists(rootP))
       fsys.listStatus(rootP).map(_.getPath)
-        .filter(q => q.getName.startsWith("_admitted_upto") ||
+        .filter(q => q.getName.startsWith("_admitted") || // floor + b<id> markers
                      q.getName.startsWith("_append_") ||
                      q.getName.startsWith("_fence_lock"))
         .foreach(q => fsys.delete(q, true))
@@ -238,10 +238,14 @@ class VectorStore(spark: SparkSession, dir: String) {
     * and draining any committed-but-unpublished append so a half-moved
     * batch is never served partially. */
   def table: DataFrame = {
+    // one FS + pointer resolution per read (vecDir costs an exists+read
+    // per call; heals never flip the pointer — only a lease-held compact
+    // does, and a reader resolves one consistent generation)
     val fsys = fsOf
-    if (!fsys.exists(new org.apache.hadoop.fs.Path(vecDir))) recover(fsys)
+    val live = vecDir
+    if (!fsys.exists(new org.apache.hadoop.fs.Path(live))) recover(fsys)
     healAppends(dropStages = false)
-    spark.read.parquet(vecDir)
+    spark.read.parquet(live)
   }
 
   /** IVF top-k over the store: probes pick their nprobe closest persisted

@@ -37,6 +37,20 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Symmetrize an (a, b) pair frame into both edge orientations with ONE
+    * pass of the input plan — the r13 lesson, kept in one place: a
+    * self-union embeds the pair PLAN twice, and when that plan is an
+    * unmaterialized near-dup pipeline (x14/x48/x53/x82/x187/...), both
+    * union branches re-run the full signature scan + band join + verify.
+    * The explode reads the pair plan once and emits both orientations
+    * map-side. */
+  def symmetrize(pairs: DataFrame, a: String, b: String,
+                 outA: String, outB: String): DataFrame =
+    pairs.select(explode(array(
+        struct(col(a).as(outA), col(b).as(outB)),
+        struct(col(b).as(outA), col(a).as(outB)))).as("e"))
+      .select(col(s"e.$outA").as(outA), col(s"e.$outB").as(outB))
+
   /** nodes: (id: long); edges: (id_a, id_b) undirected, any orientation.
     * Returns (id, comp) with comp = min id of the node's component.
     * `checkpointDir`: when set, per-round lineage truncation uses reliable
@@ -76,15 +90,9 @@ object ConnectedComponents {
       }
     var lab = ckpt(nodes.select(col("id"), col("id").as("comp")))
     // symmetric edges between current representatives (initially the
-    // nodes), via a per-row explode rather than a self-union: a union
-    // embeds the `edges` PLAN twice, and when the edge list is an
-    // unmaterialized near-dup pipeline (x14/x48/x53/x82/...), both
-    // branches re-run the full signature scan + band join + verify —
-    // the explode reads the pair plan ONCE (r13 verdict item 3)
-    var g = ckpt(edges.select(explode(array(
-        struct(col("id_a").as("a"), col("id_b").as("b")),
-        struct(col("id_b").as("a"), col("id_a").as("b")))).as("e"))
-      .select(col("e.a").as("a"), col("e.b").as("b")))
+    // nodes) — [[symmetrize]]: ONE pass of the (often unmaterialized)
+    // edge plan, not a self-union (r13 verdict item 3)
+    var g = ckpt(symmetrize(edges, "id_a", "id_b", "a", "b"))
     var round = 0
     var remaining = g.count()
     while (remaining > 0 && round < maxRounds) {

@@ -1585,13 +1585,10 @@ object TextOps {
   def x53LabelProp(s: SparkSession, d: String): DataFrame = {
     val pairs = MinHashLSH.verifiedPairs(docTokens(s, d), 0.8)
       .select("id_a", "id_b")
-    // symmetrize by EXPLODE, not self-union: a union embeds the pair
-    // plan twice and re-runs the whole signature scan + band join +
-    // verify per branch (r13: this doubled x53's pair-discovery cost)
-    val edges = pairs.select(explode(array(
-        struct(col("id_a").as("src"), col("id_b").as("dst")),
-        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    // one pass of the pair plan, not a self-union (r13: the union
+    // re-ran the whole signature scan + band join + verify per branch)
+    val edges = graft.functions.ConnectedComponents
+      .symmetrize(pairs, "id_a", "id_b", "src", "dst")
     val seeds = Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("dst"), col("lang").as("seed_lang"))
     val w = Window.partitionBy("doc_id").orderBy(col("c").desc, col("pred_lang"))
@@ -1639,11 +1636,8 @@ object TextOps {
   private[graft] def x187From(s: SparkSession, d: String, pairs: DataFrame,
                               maxRounds: Int = 4): DataFrame = {
     val ckpt: DataFrame => DataFrame = df => df.localCheckpoint(true)
-    // symmetrize by explode (one pass of the pair plan — the x53 rule)
-    val edges = ckpt(pairs.select(explode(array(
-        struct(col("id_a").as("src"), col("id_b").as("dst")),
-        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst")))
+    val edges = ckpt(graft.functions.ConnectedComponents
+      .symmetrize(pairs, "id_a", "id_b", "src", "dst"))
     val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
     var state = ckpt(docs.filter(col("doc_id") % 10 === 0)
       .select(col("doc_id").as("id"), col("lang").as("pred_lang"),

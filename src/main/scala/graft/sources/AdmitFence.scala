@@ -58,6 +58,56 @@ object AdmitFence {
   private def markPath(storeDir: String) =
     new org.apache.hadoop.fs.Path(s"$storeDir/_admitted_upto")
 
+  /** Object-store mode's per-batch admission marker (see `advance`): a
+    * small object whose EXISTENCE admits the batch — markers are only
+    * ever created (idempotently), never overwritten with smaller state,
+    * so the watermark max(floor, markers) cannot regress even when the
+    * fence lock's object-store exclusion is broken. */
+  private def markerPath(storeDir: String, batchId: Long) =
+    new org.apache.hadoop.fs.Path(s"$storeDir/_admitted_b$batchId")
+
+  private def markerIds(fsys: org.apache.hadoop.fs.FileSystem,
+                        storeDir: String): Seq[Long] = {
+    val dirP = new org.apache.hadoop.fs.Path(storeDir)
+    if (!fsys.exists(dirP)) Nil
+    else fsys.listStatus(dirP).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("_admitted_b"))
+      .flatMap(_.stripPrefix("_admitted_b").toLongOption)
+  }
+
+  /** Fold markers into the floor object: PUT floor = max(floor, markers),
+    * then delete markers STRICTLY below the value just written — the
+    * maximum surviving marker therefore always bounds every deletion any
+    * actor performed, which is the no-regression invariant. */
+  private def foldFloor(fsys: org.apache.hadoop.fs.FileSystem,
+                        storeDir: String): Unit = {
+    val ids = markerIds(fsys, storeDir)
+    if (ids.isEmpty) return
+    val floor = readFloor(fsys, storeDir)
+    val newFloor = math.max(floor, ids.max)
+    val out = fsys.create(markPath(storeDir), true)
+    try out.write(newFloor.toString.getBytes("UTF-8")) finally out.close()
+    ids.filter(_ < newFloor)
+      .foreach(id => try { fsys.delete(markerPath(storeDir, id), false); () }
+        catch { case _: java.io.IOException => () }) // next fold retries
+  }
+
+  private def readFloor(fsys: org.apache.hadoop.fs.FileSystem,
+                        storeDir: String): Long = {
+    val p = markPath(storeDir)
+    if (!fsys.exists(p)) -1L
+    else {
+      val in = fsys.open(p)
+      val raw = try scala.io.Source.fromInputStream(in).mkString.trim
+                finally in.close()
+      raw.toLongOption.getOrElse {
+        System.err.println(s"[AdmitFence] unparsable watermark at $p " +
+          s"('$raw') — treating as -1 (replay-at-least-once)")
+        -1L
+      }
+    }
+  }
+
   // per-store JVM locks (fast path for the common one-process case),
   // keyed on the fs-QUALIFIED dir so `/tmp/x` and `file:/tmp/x` callers
   // serialize against each other (the WriterLease r12 keying lesson)
@@ -76,18 +126,12 @@ object AdmitFence {
     * of wedging every subsequent cycle on a parse error. */
   def upto(spark: SparkSession, storeDir: String): Long = {
     val fsys = fs(spark, storeDir)
-    val p = markPath(storeDir)
-    if (!fsys.exists(p)) -1L
+    if (AtomicRename.isAtomic(spark, storeDir)) readFloor(fsys, storeDir)
     else {
-      val in = fsys.open(p)
-      val raw = try scala.io.Source.fromInputStream(in).mkString.trim
-                finally in.close()
-      try raw.toLong
-      catch { case _: NumberFormatException =>
-        System.err.println(s"[AdmitFence] unparsable watermark at $p " +
-          s"('$raw') — treating as -1 (replay-at-least-once)")
-        -1L
-      }
+      // object-store mode: the watermark is max(floor object, per-batch
+      // markers) — see `advance` for why the max cannot regress
+      val ids = markerIds(fsys, storeDir)
+      math.max(readFloor(fsys, storeDir), if (ids.isEmpty) -1L else ids.max)
     }
   }
 
@@ -132,19 +176,32 @@ object AdmitFence {
         done = FenceLock.withLock(fsys, storeDir, lockStaleMs) { stillOurs =>
           if (upto(spark, storeDir) >= batchId) true // re-read under the lock
           else if (!atomic) {
-            // flat object store: ONE overwrite-PUT of the watermark
-            // object — readers see the old value or the new, never torn
-            // bytes (and a torn LOCAL crash degrades to -1 via upto's
-            // unparsable rule: at-least-once, never double-append).
-            // stillOurs re-verified immediately before the PUT — the same
-            // residual microseconds window the rename path documents.
-            if (!stillOurs()) false
-            else {
-              val p = markPath(storeDir)
-              val out = fsys.create(p, true)
-              try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
-              true
-            }
+            // Flat object store: MONOTONIC BY CONSTRUCTION, with no
+            // dependence on the lock's (best-effort, check-then-act on
+            // S3-class creates) mutual exclusion — an overwrite-PUT of
+            // one watermark object could REGRESS it if two advancers both
+            // slipped the lock (r14 review finding). Instead:
+            //   1. PUT a per-batch MARKER `_admitted_b<id>` — distinct
+            //      ids never collide, a replayed id rewrites identical
+            //      bytes; nothing is ever overwritten with a smaller
+            //      value, so the marker set only grows forward;
+            //   2. fold the floor: PUT `_admitted_upto` = max(floor,
+            //      markers) and delete markers < that value — and ONLY
+            //      markers strictly below the floor value THIS actor
+            //      wrote, so the maximum surviving marker always bounds
+            //      every deletion any actor has performed.
+            // upto() reads max(floor, markers): a stale actor's floor
+            // PUT landing late can lower the FLOOR object, but every
+            // marker its value would need to cover is still present
+            // (inductively: a marker is deleted only while a strictly
+            // larger one exists), so the MAX never regresses. The lock
+            // is kept as a fast-path serializer; correctness no longer
+            // rides on it here.
+            val mk = markerPath(storeDir, batchId)
+            val out = fsys.create(mk, true)
+            try out.write("admitted".getBytes("UTF-8")) finally out.close()
+            foldFloor(fsys, storeDir)
+            true
           } else {
             val dirP = new org.apache.hadoop.fs.Path(storeDir)
             // any `.tmp` sibling while we hold the lock is an orphan from

@@ -26,12 +26,17 @@ import org.apache.spark.sql.SparkSession
   *
   * Since round 14 the INDEX-STORE protocols carry a mode switch instead
   * of a refusal: [[StagedAppend.commit]] commits by marker object,
-  * [[AdmitFence.advance]] publishes by overwrite-PUT, and the compact
-  * swaps go through [[GenDir]]'s generation pointer — all single
-  * small-object writes with atomic per-object visibility, so the staged
-  * protocols hold their exactly-once contracts on flat stores too (the
-  * soak suite runs tri-store under a non-atomic-rename FS). `ensure`
-  * remains the gate for the protocols that still rename
+  * [[AdmitFence.advance]] publishes per-batch markers folded into a
+  * floor (monotonic by construction — no object is ever overwritten
+  * with smaller state, so the watermark holds even where the fence
+  * lock's create-no-overwrite degrades to check-then-act), and the
+  * compact swaps go through [[GenDir]]'s generation pointer — all
+  * single small-object writes with atomic per-object visibility, so the
+  * staged protocols hold their exactly-once contracts on flat stores
+  * too (the soak suite runs tri-store under a non-atomic-rename FS;
+  * [[WriterLease]]'s misconfiguration DETECTION window narrows there,
+  * documented at its claim site — never a crash-safety dependency).
+  * `ensure` remains the gate for the protocols that still rename
   * (BucketedLayout's day swap). Where a protocol cannot mode-switch, the
   * engine REFUSES, loudly and at the first protocol touch, instead of
   * corrupting quietly. Remediation, in preference order:

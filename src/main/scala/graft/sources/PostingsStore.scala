@@ -51,7 +51,7 @@ class PostingsStore(spark: SparkSession, dir: String) {
     val dirP = new org.apache.hadoop.fs.Path(dir)
     if (fsys.exists(dirP))
       fsys.listStatus(dirP).map(_.getPath)
-        .filter(q => q.getName.startsWith("_admitted_upto") ||
+        .filter(q => q.getName.startsWith("_admitted") || // floor + b<id> markers
                      q.getName.startsWith("_append_") ||
                      q.getName.startsWith("_fence_lock"))
         .foreach(q => fsys.delete(q, true))
@@ -158,22 +158,29 @@ class PostingsStore(spark: SparkSession, dir: String) {
     // heal the two-rename window first: a compact that crashed between
     // retire and publish leaves postings/ absent and the last published
     // tree under postings_old_<gen> (see recover)
-    if (!fsys.exists(new org.apache.hadoop.fs.Path(liveDir("postings")))) recover()
+    // ONE FileSystem + pointer resolution per query (the hot serving
+    // path): `fsys` is a def and liveDir costs an exists+read per call,
+    // so repeated resolution is wasted object-store round-trips — and
+    // resolving postings/stats at one instant can never straddle a
+    // concurrent compact's pointer flip
+    val fsOnce = fsys
+    if (!fsOnce.exists(new org.apache.hadoop.fs.Path(liveDir("postings")))) recover()
     healAppends(dropStages = false) // never serve a half-published batch
+    val postingsDir = liveDir("postings")
+    val statsDir = liveDir("stats")
     val n = bucketCount
     import spark.implicits._
     // bucket ids via the writer's own hash expression — |terms| rows
     val tbs = terms.toDF("term")
       .select(pmod(xxhash64(col("term")), lit(n.toLong)).as("tb"))
       .distinct().collect().map(_.getLong(0)).sorted
-    val postingsDir = liveDir("postings")
     val paths = tbs.map(t => s"$postingsDir/tb=$t")
-      .filter(p => fsys.exists(new org.apache.hadoop.fs.Path(p)))
+      .filter(p => fsOnce.exists(new org.apache.hadoop.fs.Path(p)))
     if (paths.isEmpty) return PostingsStore.emptyResult(spark)
     val p = spark.read.option("basePath", postingsDir).parquet(paths: _*)
       .filter(col("term").isin(terms: _*))
     // stats rows are additive deltas (one per append) — fold to one row
-    val stats = spark.read.parquet(liveDir("stats"))
+    val stats = spark.read.parquet(statsDir)
       .agg(sum("n_docs").as("n_docs"), sum("sum_len").as("sum_len"))
     PostingsStore.score(p, stats, k)
   }

@@ -84,7 +84,7 @@ object SignatureStore {
     val rootP = new org.apache.hadoop.fs.Path(path)
     if (fsys.exists(rootP))
       fsys.listStatus(rootP).map(_.getPath)
-        .filter(q => q.getName.startsWith("_admitted_upto") ||
+        .filter(q => q.getName.startsWith("_admitted") || // floor + b<id> markers
                      q.getName.startsWith("_append_") ||
                      q.getName.startsWith("_fence_lock"))
         .foreach(q => fsys.delete(q, true))

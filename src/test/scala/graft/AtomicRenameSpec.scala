@@ -97,6 +97,35 @@ class AtomicRenameSpec extends SparkSpecBase {
       "publish must clear the stage dir and the marker")
   }
 
+  test("object-store fence is monotonic BY CONSTRUCTION: a stale actor's " +
+       "floor overwrite cannot regress the watermark (r14 review finding)") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.s3a.impl", classOf[FlatObjectFs].getName)
+    val root = "s3a://test" +
+      java.nio.file.Files.createTempDirectory("fencemono").toString
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.sources.AdmitFence.advance(spark, root, 5L)
+    assert(graft.sources.AdmitFence.upto(spark, root) === 5L)
+    // the per-batch marker b5 must survive its own fold (only markers
+    // STRICTLY below the written floor are deleted)
+    assert(fsys.exists(new org.apache.hadoop.fs.Path(s"$root/_admitted_b5")))
+    // a stale actor that slipped the (best-effort on object stores) fence
+    // lock lands its smaller floor LAST — on the overwrite-PUT design this
+    // regressed the watermark and reopened the double-append hole; with
+    // markers, max(floor, markers) still answers 5
+    val o = fsys.create(new org.apache.hadoop.fs.Path(s"$root/_admitted_upto"), true)
+    o.write("4".getBytes("UTF-8")); o.close()
+    assert(graft.sources.AdmitFence.upto(spark, root) === 5L,
+      "a late smaller floor PUT must never regress the fence")
+    // later advances fold retired markers away; the newest one survives
+    graft.sources.AdmitFence.advance(spark, root, 7L)
+    assert(graft.sources.AdmitFence.upto(spark, root) === 7L)
+    assert(!fsys.exists(new org.apache.hadoop.fs.Path(s"$root/_admitted_b5")),
+      "the fold must retire markers the floor now covers")
+    assert(fsys.exists(new org.apache.hadoop.fs.Path(s"$root/_admitted_b7")))
+  }
+
   test("createNoOverwrite is ATOMIC under contention: exactly one winner " +
        "per path and the winner's bytes are never truncated") {
     // Hadoop's RawLocalFileSystem.create(p, overwrite = false) is
