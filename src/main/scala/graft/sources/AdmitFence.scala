@@ -123,16 +123,21 @@ object AdmitFence {
   /** Highest batch id whose append completed; -1 when none did. An
     * unparsable watermark (a torn write from a pre-atomic-publish store,
     * or manual damage) degrades to -1 — replay-at-least-once — instead
-    * of wedging every subsequent cycle on a parse error. */
+    * of wedging every subsequent cycle on a parse error.
+    *
+    * ALWAYS max(floor object, per-batch markers), on BOTH postures: the
+    * markers are marker-mode `advance`'s durable record, and a store can
+    * change posture under a crash window (a marker-mode advance that died
+    * between the marker PUT and the floor fold, then
+    * `spark.graft.unsafeAllowNonAtomicRename=true` flips isAtomic, or the
+    * store migrates filesystems) — a floor-only read there under-reads
+    * the watermark and a fenced replay double-appends. On rename-mode
+    * stores that never wrote markers, `markerIds` is one listStatus
+    * returning nothing — negligible against the read it guards. */
   def upto(spark: SparkSession, storeDir: String): Long = {
     val fsys = fs(spark, storeDir)
-    if (AtomicRename.isAtomic(spark, storeDir)) readFloor(fsys, storeDir)
-    else {
-      // object-store mode: the watermark is max(floor object, per-batch
-      // markers) — see `advance` for why the max cannot regress
-      val ids = markerIds(fsys, storeDir)
-      math.max(readFloor(fsys, storeDir), if (ids.isEmpty) -1L else ids.max)
-    }
+    val ids = markerIds(fsys, storeDir)
+    math.max(readFloor(fsys, storeDir), if (ids.isEmpty) -1L else ids.max)
   }
 
   /** True iff `batchId`'s append already completed — the replay check. */

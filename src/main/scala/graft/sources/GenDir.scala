@@ -36,14 +36,19 @@ object GenDir {
     * pointer's content when one exists, else `base` itself (the classic
     * layout — fully back-compatible). Read failures on a PRESENT pointer
     * propagate: guessing `base` there could serve a retired, possibly
-    * deleted generation. */
+    * deleted generation. A pointer that VANISHES between the existence
+    * probe and the open is different — the documented safe fallback (the
+    * classic base name) applies, because the only writers that delete the
+    * pointer ([[reset]], a rebuild) restore the classic layout. */
   def currentName(fsys: FileSystem, dir: String, base: String): String = {
     val p = pointer(dir, base)
     if (!fsys.exists(p)) base
     else {
-      val in = fsys.open(p)
-      val raw = try scala.io.Source.fromInputStream(in).mkString.trim
-                finally in.close()
+      val raw = try {
+        val in = fsys.open(p)
+        try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+      } catch { case _: java.io.FileNotFoundException => base }
       if (raw.isEmpty) base else raw
     }
   }
@@ -52,22 +57,27 @@ object GenDir {
   def livePath(fsys: FileSystem, dir: String, base: String): Path =
     new Path(s"$dir/${currentName(fsys, dir, base)}")
 
-  /** Publish `genName` as `base`'s current generation (one small-object
-    * overwrite — atomic visibility), then delete the retired generation.
-    * A crash between the two leaves retired bytes for [[sweep]]. */
+  /** Publish `genName` as `base`'s current generation — ONE small-object
+    * overwrite, atomic visibility, nothing else. The retired generation's
+    * bytes are deliberately NOT deleted here: a lease-free reader that
+    * resolved the old generation name an instant before this flip may
+    * still be mid-scan of its files, and deleting them under it is a
+    * query failure (or silent row loss under ignoreMissingFiles).
+    * Retired generations are reclaimed one compact cycle later, by the
+    * NEXT lease-held writer's [[sweep]] — by then every reader that
+    * resolved the pre-flip pointer has long finished. */
   def publish(fsys: FileSystem, dir: String, base: String, genName: String): Unit = {
-    val old = currentName(fsys, dir, base)
     val o = fsys.create(pointer(dir, base), true)
     try o.write(genName.getBytes("UTF-8")) finally o.close()
-    if (old != genName)
-      try { fsys.delete(new Path(s"$dir/$old"), true); () }
-      catch { case _: java.io.IOException => () } // swept by the next compact
   }
 
   /** Drop generation dirs of `base` the pointer does not name — the
-    * crash garbage of an interrupted pointer-mode compact (a staged but
-    * unpublished generation, an undeleted predecessor). Never touches
-    * the live generation or the classic `<base>` dir while it is live. */
+    * predecessors [[publish]] deferred (reclaimed here, one compact cycle
+    * after retirement) and the crash garbage of an interrupted
+    * pointer-mode compact (a staged but unpublished generation). Never
+    * touches the live generation or the classic `<base>` dir while it is
+    * live. Lease-held callers only: sweeping without the writer lease
+    * could race a live compact's staging generation. */
   def sweep(fsys: FileSystem, dir: String, base: String): Unit = {
     val dirP = new Path(dir)
     if (!fsys.exists(dirP)) return

@@ -141,6 +141,24 @@ class PostingsStore(spark: SparkSession, dir: String) {
   private def liveDir(base: String): String =
     GenDir.livePath(fsys, dir, base).toString
 
+  /** Resolve the postings AND stats generation dirs as one consistent
+    * pair: compact flips the postings pointer before the stats pointer,
+    * so re-reading postings after the stats read and requiring it stable
+    * brackets the pair against a concurrent flip. Bounded retries — see
+    * the [[bm25]] comment for why the fallback mix is content-safe. */
+  private def resolveBoth(fsOnce: org.apache.hadoop.fs.FileSystem): (String, String) = {
+    var p1 = GenDir.currentName(fsOnce, dir, "postings")
+    var attempts = 0
+    while (attempts < 5) {
+      val s = GenDir.currentName(fsOnce, dir, "stats")
+      val p2 = GenDir.currentName(fsOnce, dir, "postings")
+      if (p1 == p2) return (s"$dir/$p1", s"$dir/$s")
+      p1 = p2
+      attempts += 1
+    }
+    (s"$dir/$p1", s"$dir/${GenDir.currentName(fsOnce, dir, "stats")}")
+  }
+
   private def bucketCount: Int = {
     val in = fsys.open(new org.apache.hadoop.fs.Path(s"$dir/buckets"))
     try scala.io.Source.fromInputStream(in).mkString.trim.toInt finally in.close()
@@ -158,16 +176,22 @@ class PostingsStore(spark: SparkSession, dir: String) {
     // heal the two-rename window first: a compact that crashed between
     // retire and publish leaves postings/ absent and the last published
     // tree under postings_old_<gen> (see recover)
-    // ONE FileSystem + pointer resolution per query (the hot serving
-    // path): `fsys` is a def and liveDir costs an exists+read per call,
-    // so repeated resolution is wasted object-store round-trips — and
-    // resolving postings/stats at one instant can never straddle a
-    // concurrent compact's pointer flip
+    // ONE FileSystem handle per query (the hot serving path): `fsys` is a
+    // def and each pointer resolution costs an exists+read, so repeated
+    // resolution is wasted object-store round-trips. The postings and
+    // stats pointers are two separate objects, so a concurrent compact's
+    // flips CAN straddle two naive reads (gen-N postings with gen-N+1
+    // stats); resolveBoth re-reads the postings pointer after the stats
+    // read and retries until it is stable across the pair — a compact
+    // flips postings first, so a stable postings pointer brackets the
+    // stats read on both sides. The residual cross-generation mix after
+    // the bounded retries is CONTENT-equivalent anyway (compact moves
+    // bytes, never meaning, and appends are lease-serialized against
+    // compacts), so the loop caps at 5 attempts instead of spinning.
     val fsOnce = fsys
-    if (!fsOnce.exists(new org.apache.hadoop.fs.Path(liveDir("postings")))) recover()
+    if (!fsOnce.exists(GenDir.livePath(fsOnce, dir, "postings"))) recover()
     healAppends(dropStages = false) // never serve a half-published batch
-    val postingsDir = liveDir("postings")
-    val statsDir = liveDir("stats")
+    val (postingsDir, statsDir) = resolveBoth(fsOnce)
     val n = bucketCount
     import spark.implicits._
     // bucket ids via the writer's own hash expression — |terms| rows
@@ -223,9 +247,12 @@ class PostingsStore(spark: SparkSession, dir: String) {
     val dirP = new org.apache.hadoop.fs.Path(dir)
     if (!fsys.exists(dirP)) return
     // both compacted roots heal the same way (stats got its own two-rename
-    // swap in round 12, when appends made it a multi-file additive table)
+    // swap in round 12, when appends made it a multi-file additive table).
+    // The root is POINTER-RESOLVED: a store migrated from an object-store
+    // posture carries a surviving `_<base>_gen` pointer, and healing the
+    // classic name there would "restore" a dir no reader resolves
     Seq("postings", "stats").foreach { base =>
-      val root = new org.apache.hadoop.fs.Path(s"$dir/$base")
+      val root = new org.apache.hadoop.fs.Path(liveDir(base))
       if (!fsys.exists(root))
         fsys.listStatus(dirP).map(_.getPath)
           .filter(_.getName.startsWith(s"${base}_old_"))
@@ -255,7 +282,13 @@ class PostingsStore(spark: SparkSession, dir: String) {
     val gen = java.lang.System.nanoTime()
     val atomic = AtomicRename.isAtomic(spark, dir)
     if (atomic) {
-      val root = new org.apache.hadoop.fs.Path(s"$dir/postings")
+      // roots are POINTER-RESOLVED (liveDir): a store migrated from an
+      // object-store posture carries surviving generation pointers, and
+      // compacting the classic names there would rewrite a dir no reader
+      // resolves (or throw on the absent classic root). The rewrite then
+      // publishes AT the resolved name, so the pointer — when one exists —
+      // stays valid throughout (the VectorStore.compact shape).
+      val root = new org.apache.hadoop.fs.Path(liveDir("postings"))
       val staged = new org.apache.hadoop.fs.Path(s"$dir/postings_compact_$gen")
       val old = new org.apache.hadoop.fs.Path(s"$dir/postings_old_$gen")
       // eager checkpoint is NOT needed here: the rewrite targets a sibling
@@ -270,7 +303,7 @@ class PostingsStore(spark: SparkSession, dir: String) {
       // stats collapse (round 12): appends accumulate one additive delta
       // row per batch — fold them back to one row with the same two-rename
       // swap (recover heals stats_old_/stats_compact_ exactly like postings)
-      val statsRoot = new org.apache.hadoop.fs.Path(s"$dir/stats")
+      val statsRoot = new org.apache.hadoop.fs.Path(liveDir("stats"))
       val statsStaged = new org.apache.hadoop.fs.Path(s"$dir/stats_compact_$gen")
       val statsOld = new org.apache.hadoop.fs.Path(s"$dir/stats_old_$gen")
       spark.read.parquet(statsRoot.toString)

@@ -135,6 +135,27 @@ class AdmitFenceSpec extends SparkSpecBase {
     assert(!t.isAlive && AdmitFence.upto(spark, dir) === 1L)
   }
 
+  test("mixed posture: a surviving per-batch marker is honored by an " +
+       "atomic-posture upto (marker-mode crash between PUT and fold)") {
+    val dir = java.nio.file.Files.createTempDirectory("fence-mixed").toString
+    // simulate a marker-mode advance that died between the marker PUT and
+    // the floor fold; the store then changes posture (the unsafe flag, or
+    // a filesystem migration) and all subsequent reads run atomic-mode
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_admitted_b7"), "admitted".getBytes("UTF-8"))
+    assert(AdmitFence.upto(spark, dir) === 7L,
+      "a floor-only read under-reads the watermark — a fenced replay of " +
+        "batch 7 would double-append")
+    assert(AdmitFence.admitted(spark, dir, 7L))
+    // the next advance moves past it; the marker stays honored (max)
+    AdmitFence.advance(spark, dir, 9L)
+    assert(AdmitFence.upto(spark, dir) === 9L)
+    // and a floor BELOW a surviving marker never wins
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_admitted_b12"), "admitted".getBytes("UTF-8"))
+    assert(AdmitFence.upto(spark, dir) === 12L)
+  }
+
   test("a crashed advance's stale fence lock and orphan temp are reclaimed") {
     val dir = java.nio.file.Files.createTempDirectory("fence-stale").toString
     // simulate a holder that died inside the critical section 1 min ago —

@@ -142,6 +142,36 @@ class PostingsStoreSpec extends SparkSpecBase {
       "compact after the crash dropped the retired generation's history")
   }
 
+  test("posture migration: an atomic-posture compact on a store carrying " +
+       "surviving generation pointers resolves them instead of throwing") {
+    val docs = Tables.documents(spark, sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("postings_mig").toString
+    val st = new PostingsStore(spark, dir)
+    st.build(docs.filter(col("doc_id") % 3 === 1), buckets = 16)
+    val before = st.bm25(queryTerms, k = 20).collect().toSet
+    // simulate the object-store life this store migrated FROM: live data
+    // under generation names, classic roots absent, pointers surviving
+    val fsys = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    Seq("postings", "stats").foreach { base =>
+      assert(fsys.rename(new org.apache.hadoop.fs.Path(s"$dir/$base"),
+        new org.apache.hadoop.fs.Path(s"$dir/${base}_g5")))
+      val o = fsys.create(new org.apache.hadoop.fs.Path(s"$dir/_${base}_gen"), true)
+      try o.write(s"${base}_g5".getBytes("UTF-8")) finally o.close()
+    }
+    assert(st.bm25(queryTerms, k = 20).collect().toSet === before,
+      "pointer-resolved reads broke under the migrated layout")
+    // the advisor's scenario: atomic-mode compact reading the CLASSIC dir
+    // here either throws (classic root absent) or forks a stale index
+    st.compact()
+    assert(st.bm25(queryTerms, k = 20).collect().toSet === before,
+      "compact on the migrated store changed served rows")
+    // appends keep working through the pointer-resolved roots
+    st.append(docs.filter(col("doc_id") % 3 === 2))
+    val grown = st.bm25(queryTerms, k = 20).collect().toSet
+    assert(grown.nonEmpty && grown != before)
+  }
+
   test("an unindexed term contributes nothing; empty query intersection returns no rows") {
     val dir = java.nio.file.Files.createTempDirectory("postings2").toString
     val st = new PostingsStore(spark, dir)
