@@ -37,12 +37,67 @@ object Bench {
         a.startsWith("-javaagent") || a.startsWith("-Xrunjdwp"))
   }
 
+  /** Parse an isolation spec ("off" | "slowest:N[,heavy:T:R]") against the
+    * shared-run rows and the curated watchlist into an ORDERED plan:
+    * (row, target fresh-JVM children), slowest shared figure first, plus
+    * the heavy threshold when one was set. PURE (BenchSpec pins it) and
+    * DEFENSIVE: it runs after the multi-hour shared pass, so a malformed
+    * clause degrades to "skip that clause", never throws the run away.
+    *
+    * Round-15 contract: NO silent row cap. The r14 `take(16)` dropped 5 of
+    * the 21 >5 s rows from the isolation set with nothing in the artifact
+    * saying so — exactly the adjudication hole the pass exists to close.
+    * The wall budget (main) is the only cap now, and rows it cuts land in
+    * the artifact's `isolation_skipped` map instead of vanishing. */
+  private[graft] def planIsolation(allRows: Seq[(String, Double)], spec: String,
+                                   watch: Seq[String]): (Seq[(String, Int)], Option[Double]) = {
+    if (spec == "off") return (Nil, None)
+    val parts = spec.split(",").map(_.trim)
+    val slowN = parts.collectFirst {
+      case s if s.startsWith("slowest:") => s.stripPrefix("slowest:").trim.toIntOption
+    }.flatten.getOrElse(0)
+    val heavy = parts.collectFirst {
+      case s if s.startsWith("heavy:") =>
+        s.stripPrefix("heavy:").split(":") match {
+          case Array(t, r) => t.toDoubleOption.zip(r.toIntOption)
+          case _           => None
+        }
+    }.flatten
+    if (slowN == 0 && heavy.isEmpty)
+      System.err.println(s"[bench] unparsable SPARK_GRAFT_ISOLATE '$spec' — " +
+        "isolation pass skipped, shared artifact intact")
+    val have = allRows.map(_._1).toSet
+    val shared = allRows.toMap
+    val slowest = allRows.sortBy(-_._2).take(slowN).map(_._1)
+    val heavyRows = heavy.map { case (thr, _) =>
+      allRows.filter(_._2 > thr).map(_._1)
+    }.getOrElse(Nil)
+    // heavy membership and the curated watchlist win the rep count (toMap
+    // keeps the last entry): a watch row is by definition a suspicious
+    // mover, so it gets the same median-of-R treatment as the heavy tail
+    val heavyReps = heavy.map(_._2).getOrElse(1)
+    val reps = (slowest.map(_ -> 1) ++
+      watch.filter(have).map(_ -> heavyReps) ++
+      heavyRows.map(_ -> heavyReps)).toMap
+    val ordered = (slowest ++ watch.filter(have) ++ heavyRows).distinct
+      .sortBy(n => -shared(n))
+    (ordered.map(n => n -> reps(n)), heavy.map(_._1))
+  }
+
+  /** Flatten a plan into the child spawn order: FIRST one child per row
+    * (coverage — every planned row gets at least one isolated figure
+    * before any budget cut), THEN the extra median-of-R children, worst
+    * shared rows first. PURE (BenchSpec pins the coverage-first shape). */
+  private[graft] def isolationSchedule(plan: Seq[(String, Int)]): Seq[String] =
+    plan.map(_._1) ++ plan.flatMap { case (n, r) => Seq.fill(math.max(0, r - 1))(n) }
+
   /** Re-time one query in a FRESH JVM: spawn a child `java graft.Bench`
     * with SPARK_GRAFT_ONLY=<name> (cold JIT, cold codegen cache, its own
     * heap) and read the timing back from the child's persisted bench line.
     * The parent's --add-opens/-Xmx style JVM flags are forwarded so the
     * child can start Spark under Java 17 the same way. */
-  private def isolateOne(name: String, sfDir: String, cpus: String): Option[(String, Double, Option[Double])] = try {
+  private def isolateOne(name: String, sfDir: String, cpus: String,
+                         timeoutSec: Long = 480L): Option[(String, Double, Option[Double])] = try {
     import scala.jdk.CollectionConverters._
     val javaBin = sys.props("java.home") + "/bin/java"
     val jvmArgs = forwardableJvmArgs()
@@ -59,7 +114,7 @@ object Bench {
     pb.environment().put("SPARK_GRAFT_TWICE", "1")
     pb.environment().remove("SPARK_GRAFT_ISOLATE")
     val proc = pb.start()
-    if (!proc.waitFor(8, java.util.concurrent.TimeUnit.MINUTES)) {
+    if (!proc.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)) {
       proc.destroyForcibly()
       System.err.println(s"[bench] isolate $name timed out"); return None
     }
@@ -581,109 +636,95 @@ object Bench {
     //    the flag adjudication uses the MEDIAN (r13 verdict item 1: two
     //    runs of identical code swung 1.34×, so a single cold child is
     //    too noisy to certify the heavy tail — median-of-3 is the round
-    //    artifact's stable number). Heavy set capped at 16 rows (sorted
-    //    by shared desc) to bound the pass's wall clock.
+    //    artifact's stable number).
+    // Round 15 (the r14 postmortem — the driver's bench died rc=124 with
+    // NO parsed artifact because the isolation pass alone ran past the
+    // driver's wall budget):
+    //  - the pass runs under a WALL BUDGET (SPARK_GRAFT_ISOLATE_BUDGET
+    //    seconds, default 600): one coverage child per planned row first,
+    //    then the extra median-of-R children worst-rows-first; rows the
+    //    budget cuts land in the artifact's `isolation_skipped` map —
+    //    degradation is explicit, never silent (no more r14 take(16));
+    //  - the artifact file is written BEFORE the first child and
+    //    re-written after EVERY child, so even a killed run leaves the
+    //    complete shared totals plus whatever isolation fit.
     val isoSpec = sys.env.getOrElse("SPARK_GRAFT_ISOLATE", "slowest:10,heavy:5:3")
-    var isoStats: Seq[(String, (Double, Double, Double, Int))] = Nil
-    val isolated: Seq[(String, Double, Option[Double])] =
-      if (only.nonEmpty || isoSpec == "off") Nil // only after a full shared pass
-      else {
-        // spec parsing is DEFENSIVE: it runs AFTER the multi-hour shared
-        // pass and before any artifact write, so a malformed env value
-        // must degrade to "skip that clause", never throw the run away
-        val parts = isoSpec.split(",").map(_.trim)
-        val slowN = parts.collectFirst {
-          case s if s.startsWith("slowest:") =>
-            s.stripPrefix("slowest:").trim.toIntOption
-        }.flatten.getOrElse(0)
-        val heavy = parts.collectFirst {
-          case s if s.startsWith("heavy:") =>
-            s.stripPrefix("heavy:").split(":") match {
-              case Array(t, r) => t.toDoubleOption.zip(r.toIntOption)
-              case _ => None
-            }
-        }.flatten
-        if (slowN == 0 && heavy.isEmpty && isoSpec != "off")
-          System.err.println(s"[bench] unparsable SPARK_GRAFT_ISOLATE " +
-            s"'$isoSpec' — isolation pass skipped, shared artifact intact")
-        spark.stop()
-        val have = allRows.map(_._1).toSet
-        val slowest = allRows.sortBy(-_._2).take(slowN).map(_._1)
-        val heavyRows = heavy.map { case (thr, _) =>
-          allRows.filter(_._2 > thr).sortBy(-_._2).take(16).map(_._1)
-        }.getOrElse(Nil)
-        // heavy membership and the curated watchlist win the rep count
-        // (toMap keeps the last entry): a watch row is by definition a
-        // suspicious mover, so it gets the same median-of-R treatment as
-        // the heavy tail — a single cold child was exactly the noise the
-        // watchlist could not adjudicate in r13
-        val heavyReps = heavy.map(_._2).getOrElse(1)
-        val reps = (slowest.map(_ -> 1) ++
-          watch.filter(have).map(_ -> heavyReps) ++
-          heavyRows.map(_ -> heavyReps)).toMap
-        val stats = scala.collection.mutable.ListBuffer
-          .empty[(String, (Double, Double, Double, Int))]
-        val out = (slowest ++ watch.filter(have) ++ heavyRows).distinct.flatMap { name =>
-          val runs = (1 to reps(name)).flatMap(_ => isolateOne(name, sfDir, cpus))
-          if (runs.isEmpty) None
-          else {
-            val colds = runs.map(_._2).sorted
-            val med = colds(colds.size / 2)
-            val warms = runs.flatMap(_._3).sorted
-            val warmMed = warms.drop(warms.size / 2).headOption
-            if (runs.size > 1) stats += name -> (colds.min, med, colds.max, runs.size)
-            Some((name, med, warmMed))
-          }
-        }
-        isoStats = stats.toList
-        out
+    val isoBudgetSec = sys.env.get("SPARK_GRAFT_ISOLATE_BUDGET")
+      .flatMap(_.toIntOption).getOrElse(600)
+    val sharedMap = allRows.toMap
+    val (plan, _) =
+      if (only.nonEmpty) (Nil, None) // only after a full shared pass
+      else planIsolation(allRows, isoSpec, watch)
+    val plannedNames = plan.map(_._1)
+    // per-row fresh-JVM children observed so far: (cold, warm) pairs
+    val runsByName = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ListBuffer[(Double, Option[Double])]]
+    val skipReasons = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def isolatedTriples: Seq[(String, Double, Option[Double])] =
+      runsByName.toSeq.map { case (n, runs) =>
+        val colds = runs.map(_._1).toSeq.sorted
+        val warms = runs.flatMap(_._2).toSeq.sorted
+        (n, colds(colds.size / 2), warms.drop(warms.size / 2).headOption)
       }
     // Structural adjudication (r11 verdict item 1c): any row whose SHARED
-    // figure is ≥2× its isolated figure in the SAME artifact is flagged in
+    // figure is ≥2× its isolated MEDIAN in the SAME artifact is flagged in
     // the line itself — BASELINE.md must carry a named cause for each.
-    val sharedMap = allRows.toMap
-    val flagged = isolated.flatMap { case (k, isoSec, _) =>
-      sharedMap.get(k).filter(sh => isoSec > 0 && sh >= 2 * isoSec)
-        .map(sh => k -> sh / isoSec)
-    }
-    flagged.foreach { case (k, r) =>
-      System.err.println(f"[bench] FLAG $k: shared ${sharedMap(k)}%.2f s is " +
-        f"$r%.1fx its isolated figure — BASELINE.md must adjudicate this row")
-    }
-    val qs = allRows
-      .map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val allWarm = warmRows ++ stagedWarm
-    val warm = allWarm.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString(""","warm":{""", ",", "}")
-    val iso = isolated.map { case (k, v, _) => "\"" + k + "\":" + v }
-      .mkString(""","isolated":{""", ",", "}")
-    val isoWarm = isolated.collect { case (k, _, Some(w)) => "\"" + k + "\":" + w }
-      .mkString(""","isolated_warm":{""", ",", "}")
-    // per-row spread for the median-of-R heavy-tail rows: min/med/max over
-    // the R fresh-JVM children (the "isolated" map carries the median)
-    val isoStatsJson = isoStats.map { case (k, (mn, md, mx, n)) =>
-      "\"" + k + "\":" + f"""{"min":$mn%.3f,"med":$md%.3f,"max":$mx%.3f,"n":$n}"""
-    }.mkString(""","isolated_stats":{""", ",", "}")
-    val flagsJson = flagged.map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
-      .mkString(""","shared_over_isolated_flags":{""", ",", "}")
+    def flaggedNow: Seq[(String, Double)] =
+      isolatedTriples.flatMap { case (k, isoSec, _) =>
+        sharedMap.get(k).filter(sh => isoSec > 0 && sh >= 2 * isoSec)
+          .map(sh => k -> sh / isoSec)
+      }
     // Totals, made third-party-reproducible from the artifact alone (the
     // r10 nit: `value` vs Σqueries measured different things with nothing
     // in the line saying so): `value` stays the DECLARED shared-pass wall
     // (the cross-round comparable), and the breakdown keys state exactly
     // which rows each total sums.
-    val total = results.map(_._2).sum
-    val stagedTotal = allRows.map(_._2).sum - total
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","declared_rows":${results.size},"staged_rows":${allRows.size - results.size},"staged_total_sec":$stagedTotal,"queries":$qs${
-      if (allWarm.nonEmpty) warm else ""}${
-      if (isolated.nonEmpty) iso else ""}${
-      if (isolated.exists(_._3.isDefined)) isoWarm else ""}${
-      if (isoStats.nonEmpty) isoStatsJson else ""}${
-      // always present, {} when clean (r12 verdict item 5): a third party
-      // reading the artifact can distinguish "zero flags" from a pre-flag
-      // bench version that never computed them
-      flagsJson},"sf":"$sfDir"}"""
-    println(line)
+    def renderLine(): String = {
+      val isolated = isolatedTriples
+      val isoStats = runsByName.toSeq.map { case (n, runs) =>
+        val colds = runs.map(_._1).toSeq.sorted
+        n -> (colds.min, colds(colds.size / 2), colds.max, runs.size)
+      }
+      val qs = allRows
+        .map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+      val allWarm = warmRows ++ stagedWarm
+      val warm = allWarm.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString(""","warm":{""", ",", "}")
+      val iso = isolated.map { case (k, v, _) => "\"" + k + "\":" + v }
+        .mkString(""","isolated":{""", ",", "}")
+      val isoWarm = isolated.collect { case (k, _, Some(w)) => "\"" + k + "\":" + w }
+        .mkString(""","isolated_warm":{""", ",", "}")
+      // per-row spread over the fresh-JVM children (the "isolated" map
+      // carries the median); n=1 rows are IN here too — a single-child
+      // figure is still an isolated figure, and the coverage contract
+      // below counts it
+      val isoStatsJson = isoStats.map { case (k, (mn, md, mx, n)) =>
+        "\"" + k + "\":" + f"""{"min":$mn%.3f,"med":$md%.3f,"max":$mx%.3f,"n":$n}"""
+      }.mkString(""","isolated_stats":{""", ",", "}")
+      val flagsJson = flaggedNow.map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
+        .mkString(""","shared_over_isolated_flags":{""", ",", "}")
+      // COVERAGE CONTRACT (r14 verdict item 2): every planned row is in
+      // `isolated_stats` or in `isolation_skipped` with a reason — at an
+      // incremental write the not-yet-attempted rows read "pending", so
+      // even a kill -9 leaves an artifact that names its own holes.
+      // Always present, {} when fully covered.
+      val skippedNow = plannedNames.filterNot(runsByName.contains)
+        .map(n => n -> skipReasons.getOrElse(n, "pending"))
+      val skippedJson = skippedNow.map { case (k, r) => "\"" + k + "\":\"" + r + "\"" }
+        .mkString(""","isolation_skipped":{""", ",", "}")
+      val total = results.map(_._2).sum
+      val stagedTotal = allRows.map(_._2).sum - total
+      s"""{"metric":"total","value":$total,"unit":"sec","declared_rows":${results.size},"staged_rows":${allRows.size - results.size},"staged_total_sec":$stagedTotal,"queries":$qs${
+        if (allWarm.nonEmpty) warm else ""}${
+        if (isolated.nonEmpty) iso else ""}${
+        if (isolated.exists(_._3.isDefined)) isoWarm else ""}${
+        if (isoStats.nonEmpty) isoStatsJson else ""}${
+        // always present, {} when clean (r12 verdict item 5): a third party
+        // reading the artifact can distinguish "zero flags" from a pre-flag
+        // bench version that never computed them
+        flagsJson}$skippedJson,"sf":"$sfDir"}"""
+    }
     // The driver's artifact keeps only the stdout TAIL, which truncates the
     // per-query map on a 95-query run — persist the complete line to a file
     // (override path via SPARK_GRAFT_BENCH_OUT) so every round's numbers
@@ -693,35 +734,84 @@ object Bench {
     val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse(
       if (only.isDefined) None
       else Some(sys.props.getOrElse("user.dir", ".") + "/bench_last.json"))
-    outPath.foreach { p =>
-      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
-        (line + "\n").getBytes("UTF-8"))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] could not persist $p: ${e.getMessage}")
-      }
-    }
     // Round-stamped FULL artifact (r11 verdict item 6): BENCH_r*.json as
     // written by the driver carries "parsed": null + a truncated tail, so
     // cross-round per-row diffs required tail-scraping. Stamp the complete
     // line with the NEXT round number (1 + highest driver artifact in cwd)
     // so BENCH_full_r<N>.json sits beside the driver's BENCH_r<N>.json
-    // with the full queries/warm/isolated dicts.
-    if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_BENCH_OUT")) try {
-      val cwd = java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "."))
-      val re = "BENCH_r0*([0-9]+)\\.json".r
-      val listing = java.nio.file.Files.list(cwd)
-      val next = try {
-        import scala.jdk.CollectionConverters._
-        listing.iterator().asScala
-          .flatMap(p => re.findFirstMatchIn(p.getFileName.toString).map(_.group(1).toInt))
-          .foldLeft(0)(math.max) + 1
-      } finally listing.close()
-      java.nio.file.Files.write(cwd.resolve(f"BENCH_full_r$next%02d.json"),
-        (line + "\n").getBytes("UTF-8"))
-      ()
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] could not stamp full artifact: ${e.getMessage}")
+    // with the full queries/warm/isolated dicts. The path is computed ONCE
+    // and re-written incrementally with the main artifact.
+    val fullStampPath: Option[java.nio.file.Path] =
+      if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_BENCH_OUT")) try {
+        val cwd = java.nio.file.Paths.get(sys.props.getOrElse("user.dir", "."))
+        val re = "BENCH_r0*([0-9]+)\\.json".r
+        val listing = java.nio.file.Files.list(cwd)
+        val next = try {
+          import scala.jdk.CollectionConverters._
+          listing.iterator().asScala
+            .flatMap(p => re.findFirstMatchIn(p.getFileName.toString).map(_.group(1).toInt))
+            .foldLeft(0)(math.max) + 1
+        } finally listing.close()
+        Some(cwd.resolve(f"BENCH_full_r$next%02d.json"))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] could not resolve full-artifact path: ${e.getMessage}")
+        None
+      } else None
+    def persist(line: String): Unit =
+      (outPath.map(java.nio.file.Paths.get(_)).toSeq ++ fullStampPath).foreach { p =>
+        try { java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8")); () }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] could not persist $p: ${e.getMessage}")
+        }
+      }
+    // shared artifact on disk BEFORE the first child — a timeout after
+    // this point can no longer cost the round its parsed totals
+    persist(renderLine())
+    if (plan.nonEmpty) {
+      val maxChildren = plan.map(_._2).sum
+      System.err.println(s"[bench] isolation plan: ${plan.size} rows, up to " +
+        s"$maxChildren fresh-JVM children (${plan.size} coverage + " +
+        s"${maxChildren - plan.size} median reps), wall budget ${isoBudgetSec}s " +
+        "(SPARK_GRAFT_ISOLATE_BUDGET)")
+      // The parent session stops BEFORE the children run: a live local[32]
+      // executor pool holding the shared pass's heap inflated child timings
+      // ~70% (x14 9.9 s with the parent alive vs 5.85 s on an idle machine
+      // — measured 2026-08-13), defeating the pass's whole purpose.
+      spark.stop()
+      val t0 = java.lang.System.nanoTime()
+      def elapsedSec = (java.lang.System.nanoTime() - t0) / 1e9
+      isolationSchedule(plan).foreach { name =>
+        if (elapsedSec >= isoBudgetSec) {
+          if (!runsByName.contains(name) && !skipReasons.contains(name))
+            skipReasons(name) = "budget"
+        } else {
+          // a child may not outlive the remaining budget by more than its
+          // grace minute — one hung child must not eat the whole pass
+          val childTimeout =
+            math.min(480L, math.max(90L, (isoBudgetSec - elapsedSec).toLong + 60L))
+          isolateOne(name, sfDir, cpus, childTimeout) match {
+            case Some((_, cold, warm)) =>
+              runsByName.getOrElseUpdate(name,
+                scala.collection.mutable.ListBuffer.empty) += ((cold, warm))
+            case None =>
+              if (!runsByName.contains(name)) skipReasons(name) = "child_failed"
+          }
+          persist(renderLine()) // incremental: every child's result lands
+        }
+      }
+      val cut = plannedNames.count(n => skipReasons.get(n).contains("budget"))
+      if (cut > 0)
+        System.err.println(s"[bench] isolation budget exhausted after " +
+          f"$elapsedSec%.0f s — $cut planned rows recorded as " +
+          "isolation_skipped=budget (raise SPARK_GRAFT_ISOLATE_BUDGET to cover them)")
     }
-    spark.stop()
+    flaggedNow.foreach { case (k, r) =>
+      System.err.println(f"[bench] FLAG $k: shared ${sharedMap(k)}%.2f s is " +
+        f"$r%.1fx its isolated figure — BASELINE.md must adjudicate this row")
+    }
+    val line = renderLine()
+    println(line)
+    persist(line)
+    if (plan.isEmpty) spark.stop()
   }
 }
