@@ -1626,16 +1626,34 @@ object TextOps {
     * graph's seed-reachable closure — cluster-shaped, so round 1 does
     * almost all the work and later rounds run on the thin multi-hop
     * tail. Output: every non-seed doc labeled within the budget, with
-    * the round it was labeled in (`hops`) and the accuracy audit. */
+    * the round it was labeled in (`hops`) and the accuracy audit.
+    *
+    * Long-running-job posture (r14 verdict item 6 — the
+    * [[graft.functions.ConnectedComponents.labels]] lesson applied to the
+    * OTHER iterative operator): `localCheckpoint` blocks live on
+    * executors, so one lost executor makes every subsequent round
+    * unrecomputable (the lineage was truncated by design). A production
+    * run on a real cluster passes `checkpointDir` (HDFS/object store) and
+    * the per-round truncation goes through reliable `checkpoint` files
+    * instead — labels are identical either way (LabelPropIterSpec pins
+    * equality); only where intermediates live changes. */
   def x187LabelPropIter(s: SparkSession, d: String): DataFrame =
     x187From(s, d,
       MinHashLSH.verifiedPairs(docTokens(s, d), 0.8).select("id_a", "id_b"))
 
   /** [[x187LabelPropIter]] over a precomputed pair frame with an explicit
-    * round budget — the pipeline entry point and the spec's knob. */
+    * round budget — the pipeline entry point and the spec's knob.
+    * `checkpointDir`: reliable per-round checkpoints for executor-loss
+    * survival (see the scaladoc above). */
   private[graft] def x187From(s: SparkSession, d: String, pairs: DataFrame,
-                              maxRounds: Int = 4): DataFrame = {
-    val ckpt: DataFrame => DataFrame = df => df.localCheckpoint(true)
+                              maxRounds: Int = 4,
+                              checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        s.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint(true)
+      case None => df => df.localCheckpoint(true)
+    }
     val edges = ckpt(graft.functions.ConnectedComponents
       .symmetrize(pairs, "id_a", "id_b", "src", "dst"))
     val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))

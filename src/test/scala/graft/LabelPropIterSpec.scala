@@ -40,6 +40,23 @@ class LabelPropIterSpec extends SparkSpecBase {
       "must change nothing")
   }
 
+  test("reliable-checkpoint mode labels exactly as localCheckpoint mode " +
+       "(the strategy only changes where intermediates live)") {
+    val p = pairs.localCheckpoint(true)
+    val local = TextOps.x187From(spark, sfDir, p, maxRounds = 4)
+      .collect().map(_.toSeq).toSet
+    val ckptDir = java.nio.file.Files.createTempDirectory("x187ckpt").toString
+    val reliable = TextOps.x187From(spark, sfDir, p, maxRounds = 4,
+        checkpointDir = Some(ckptDir))
+      .collect().map(_.toSeq).toSet
+    assert(reliable === local,
+      "reliable checkpointing changed the labels — it must only change storage")
+    // and the reliable rounds really did land as checkpoint FILES
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(wrote > 0, "no reliable checkpoint files were written")
+  }
+
   test("labels are immutable once assigned: every round-1 label survives " +
        "to the fixpoint verbatim, and later rounds only extend coverage") {
     val p = pairs.localCheckpoint(true)
