@@ -178,6 +178,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.operators.SeriesApi.gapFillDaily(tableOf(args(0)), args(1),
         args.drop(2)).queryExecution.logical
     }
+    tvf("graft_range_agg",
+        "graft_range_agg(store_dir, raw_table, t0_iso, t1_iso) — the " +
+        "misaligned-range aggregate routed through the RollupStore " +
+        "(hour/day pre-aggregates for the aligned interior, raw scan for " +
+        "the edges; day directories partition-pruned) — the dashboard " +
+        "query a SQL-first user runs most (r14 verdict item 7)") { args =>
+      require(args.size == 4,
+        "graft_range_agg(store_dir, raw_table, t0_iso, t1_iso)")
+      def us(s: String): Long =
+        try java.time.Instant.parse(s).toEpochMilli * 1000L
+        catch { case _: java.time.format.DateTimeParseException =>
+          // the power-user spelling: raw epoch MICROSECONDS
+          s.toLongOption.getOrElse(throw new IllegalArgumentException(
+            s"graft_range_agg: '$s' is neither an ISO-8601 instant nor epoch micros"))
+        }
+      graft.sources.RollupStore.rangeAgg(
+        org.apache.spark.sql.SparkSession.active, args(0), tableOf(args(1)),
+        us(args(2)), us(args(3))).queryExecution.logical
+    }
     tvf("graft_asof",
         "graft_asof(left_table, right_table, key_col, left_ts, right_ts, " +
         "payload_col) — last right row at-or-before each left row's ts " +

@@ -140,4 +140,34 @@ class SqlSurfaceSpec extends SparkSpecBase {
              .contains("AsOfMergeJoin"),
       "the SQL spelling must reach the custom exec operator")
   }
+
+  test("graft_range_agg TVF: FROM-clause SQL equals RollupStore.rangeAgg " +
+       "(the rollup router), same optimized plan, same rows as the raw scan") {
+    Tables.registerAll(spark, sfDir)
+    val storeDir = java.nio.file.Files.createTempDirectory("rollup_tvf").toString
+    graft.sources.RollupStore.build(Tables.events(spark, sfDir), storeDir)
+    val (t0s, t1s) = ("2024-01-05T00:30:10Z", "2024-01-20T07:45:00Z")
+    val (t0, t1) = (java.time.Instant.parse(t0s).toEpochMilli * 1000L,
+                    java.time.Instant.parse(t1s).toEpochMilli * 1000L)
+    val viaSql = spark.sql(
+      s"SELECT * FROM graft_range_agg('$storeDir', 'events', '$t0s', '$t1s') " +
+        "ORDER BY event_type")
+    val viaCol = graft.sources.RollupStore.rangeAgg(spark, storeDir,
+        spark.table("events"), t0, t1)
+      .orderBy("event_type")
+    assert(viaSql.collect().toSeq == viaCol.collect().toSeq)
+    assert(planOf(viaSql) == planOf(viaCol),
+      "the TVF must produce the Column API router's plan, not a lookalike")
+    // the routed answer equals the raw scan's (the store contract), and
+    // the epoch-micros spelling parses to the same plan
+    val direct = graft.operators.TimeSeriesOps.rangeContract(
+      graft.sources.RollupStore.directAgg(spark.table("events"), t0, t1))
+    val routed = graft.operators.TimeSeriesOps.rangeContract(viaSql)
+    assert(routed.orderBy("event_type").collect().toSeq ==
+      direct.orderBy("event_type").collect().toSeq)
+    val viaMicros = spark.sql(
+      s"SELECT * FROM graft_range_agg('$storeDir', 'events', '$t0', '$t1') " +
+        "ORDER BY event_type")
+    assert(planOf(viaMicros) == planOf(viaCol))
+  }
 }
