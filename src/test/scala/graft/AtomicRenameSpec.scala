@@ -57,10 +57,11 @@ class AtomicRenameSpec extends SparkSpecBase {
   test("round 14 posture: the index-store protocols take the object-store " +
        "commit path instead of refusing; rename-dependent protocols still " +
        "refuse") {
-    // still-refusing family: anything that must commit via a directory
-    // rename gates through ensure (BucketedLayout's day swap)
+    // since round 15 NO shipped protocol refuses a flat store (compactDay
+    // and ST28 grew pointer paths) — `ensure` remains the posture guard
+    // for user-written rename-committed extensions, and must still throw
     intercept[UnsupportedOperationException] {
-      AtomicRename.ensure(spark, "s3a://bucket/store", "BucketedLayout.compactDay")
+      AtomicRename.ensure(spark, "s3a://bucket/store", "a user extension")
     }
     // the index-store protocols run their object-store commit path on an
     // s3a root (marker commits, PUT fences, lease claims) — no refusal

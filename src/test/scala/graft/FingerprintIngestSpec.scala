@@ -75,6 +75,46 @@ class FingerprintIngestSpec extends SparkSpecBase {
       "batch replayed after compaction double-added — watermark broken")
   }
 
+  test("ST28 flat object store: compaction publishes via the base pointer " +
+       "— served view unchanged, replay-after-compact fenced, predecessor " +
+       "deferred one cycle (r14 verdict item 5)") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.s3a.impl", classOf[FlatObjectFs].getName)
+    val store = "s3a://test" + tmp()
+    val fsys = new Path(store).getFileSystem(conf)
+    def at(day: Int, id: Long) = (id, Timestamp.valueOf(f"2024-01-$day%02d 08:00:00"))
+    val all = Seq(at(10, 1L), at(10, 2L), at(11, 3L), at(10, 4L), at(12, 5L))
+    StreamOps.applyFingerprintBatch(all.take(2).toDF("event_id", "ts"), 0L, store)
+    StreamOps.applyFingerprintBatch(all.drop(2).toDF("event_id", "ts"), 1L, store)
+    val expect = rows(batchFp(all.toDF("event_id", "ts")))
+    assert(rows(StreamOps.fingerprints(spark, store)) === expect)
+    StreamOps.compactFingerprints(spark, store)
+    assert(fsys.exists(new Path(s"$store/_base_gen")),
+      "flat-store compact must publish via the base generation pointer")
+    assert(rows(StreamOps.fingerprints(spark, store)) === expect,
+      "served view changed through the pointer compact")
+    assert(!fsys.exists(new Path(s"$store/parts")),
+      "compaction must drop the folded partials")
+    // replay AFTER the pointer compact: fenced by the _upto inside the
+    // live generation, not by anything rename-committed
+    StreamOps.applyFingerprintBatch(all.drop(2).toDF("event_id", "ts"), 1L, store)
+    assert(rows(StreamOps.fingerprints(spark, store)) === expect,
+      "batch replayed after a pointer compact double-added")
+    // new batch + second compact: folds on top of the generation base and
+    // reclaims the deferred predecessor (one-cycle reader grace)
+    StreamOps.applyFingerprintBatch(Seq(at(13, 9L)).toDF("event_id", "ts"), 2L, store)
+    val expect2 = rows(batchFp((all :+ at(13, 9L)).toDF("event_id", "ts")))
+    assert(rows(StreamOps.fingerprints(spark, store)) === expect2)
+    StreamOps.compactFingerprints(spark, store)
+    assert(rows(StreamOps.fingerprints(spark, store)) === expect2)
+    val gens = fsys.listStatus(new Path(store)).map(_.getPath.getName)
+      .filter(_.startsWith("base_g"))
+    assert(gens.length === 2,
+      s"live + exactly one deferred generation expected, got $gens")
+  }
+
   test("ST28 two-rename crash window heals: serving and the next compact " +
        "resolve the retired base instead of rebuilding from partials alone") {
     import spark.implicits._
