@@ -255,6 +255,47 @@ object Dev {
       s.stop()
       return
     }
+    if (names == Seq("x93stages")) {
+      // r14 verdict item 4: NAME where x93_containment's wall goes — each
+      // stage below is a strict prefix of the 2×128 containment pipeline
+      // (signature kernel → band join + first-match dedup + size prune →
+      // payload joins + exact verify → containment tail), so per-stage
+      // attribution = the deltas between consecutive rows. The 2×32 shape
+      // (the staged x93_b32 row) runs beside it: if every stage scales
+      // ~linearly in the band count, the 2×128-vs-2×32 gap is the priced
+      // band-depth trade, not a plan defect. Warm-once/time-second, the
+      // x42prof protocol.
+      import org.apache.spark.sql.functions._
+      val s = GraftSession.build("graft-dev")
+      val toks = Tables.documents(s, sfDir)
+        .select(col("doc_id").as("id"), split(col("text"), " ").as("toks"))
+        .localCheckpoint(true) // stage timings must not re-pay the scan
+      def t(nm: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+        def run(): Unit = df.write.format("noop").mode("overwrite").save()
+        run(); val t0 = System.nanoTime(); run()
+        println(f"[x93stages] $nm%-16s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      }
+      Seq(64, 256).foreach { np =>
+        val p = graft.functions.MinHashLSH.Params(numPerm = np, rows = 2)
+        println(s"[x93stages] ---- numPerm=$np (bands=${p.bands}) ----")
+        t("signatures") {
+          toks.select(col("id"), graft.functions.VectorExpressions
+            .minhashBandKeys(col("toks"), np, 2).as("bands"))
+        }
+        t("candidates") {
+          graft.functions.MinHashLSH.candidatePairsSized(toks, 0.5, p)
+        }
+        t("verify") {
+          graft.functions.MinHashLSH.verifiedPairsDetailed(toks, 0.5, p)
+        }
+        t("full_x93") { operators.TextOps.x93ContainmentWith(s, sfDir, np) }
+        val cand = graft.functions.MinHashLSH.candidatePairsSized(toks, 0.5, p).count()
+        val ver = graft.functions.MinHashLSH.verifiedPairsDetailed(toks, 0.5, p).count()
+        println(s"[x93stages] volumes: candidates=$cand verified=$ver")
+      }
+      s.stop()
+      return
+    }
     if (names == Seq("x44prof")) {
       // exact overlap matrix (x30) vs the sketch-only production path —
       // the declared x44 runs BOTH (its verdict needs the exact answer),

@@ -185,7 +185,7 @@ object MinHashLSH {
     * two int compares — BEFORE the first-match band scan and, crucially,
     * before the verify join drags both token arrays across the shuffle.
     * Output: (id_a, id_b, sz_a, sz_b). */
-  private def candidatePairsSized(items: DataFrame, threshold: Double,
+  private[graft] def candidatePairsSized(items: DataFrame, threshold: Double,
                                   p: Params, s: Salt = Salt()): DataFrame = {
     val n = items.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val hashed = items.select(col("id"),
