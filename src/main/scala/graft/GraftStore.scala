@@ -29,8 +29,14 @@ import org.apache.spark.sql.functions._
   */
 class GraftStore(spark: SparkSession, dir: String) {
 
-  /** The whole store as a queryable frame (day partition column included). */
-  def table: DataFrame = spark.read.parquet(dir)
+  /** The whole store as a queryable frame (day partition column included).
+    * Pointer-aware ([[BucketedLayout.readEvents]]): a day compacted on a
+    * flat object store lives in a hidden generation dir named by its
+    * `_day=<day>_gen` pointer, and a blind `spark.read.parquet(dir)`
+    * would silently drop it — plus any late rows [[insert]] appended to
+    * its classic partition afterwards. On rename-posture stores with no
+    * pointers this IS the plain partition-discovery read. */
+  def table: DataFrame = BucketedLayout.readEvents(spark, dir)
 
   /** Append a batch of points (same schema as the events table). The write
     * clusters into the bucketed layout; days touched by `points` get new

@@ -117,7 +117,7 @@ class VectorStore(spark: SparkSession, dir: String) {
     // heal an interrupted compact first: appending into an absent vecDir
     // would fork a fresh store and orphan every resident row
     val fsys = fsOf
-    recover(fsys, underLease = true)
+    recover(fsys, underLease = true) // append: NO generation sweep (reader grace)
     healAppends(dropStages = true)
     // the heal advanced the fence for any drained committed batch, so this
     // one check covers every replay path — including our own batch
@@ -156,7 +156,7 @@ class VectorStore(spark: SparkSession, dir: String) {
   def compact(): Unit =
       graft.sources.WriterLease.withLease(spark, dir) {
     val fsys = fsOf
-    recover(fsys, underLease = true) // heal an interrupted prior compact first
+    recover(fsys, underLease = true, sweepGens = true) // heal an interrupted prior compact first
     // drain committed appends: a compact from a store missing a committed
     // pending batch would silently drop it from the rewrite
     healAppends(dropStages = true)
@@ -195,14 +195,17 @@ class VectorStore(spark: SparkSession, dir: String) {
     * next read or compact sees exactly the pre-crash store. Single-writer
     * like compaction itself; called by every mutator and resolver. */
   private def recover(fsys: org.apache.hadoop.fs.FileSystem,
-                      underLease: Boolean = false): Unit = {
+                      underLease: Boolean = false,
+                      sweepGens: Boolean = false): Unit = {
     if (!graft.sources.AtomicRename.isAtomic(spark, dir)) {
       // pointer mode: the live dir is never absent (the flip is one
       // atomic small-object write), so there is no retire to roll back —
-      // only crash garbage to sweep, and ONLY the lease-holding writer
-      // may sweep (a lease-free reader's sweep could race a live
-      // compact's staging generation)
-      if (underLease) graft.sources.GenDir.sweep(fsys, dir, "vectors")
+      // only crash garbage to sweep, and ONLY the lease-holding COMPACT
+      // may sweep (sweepGens): a lease-free reader's sweep could race a
+      // live compact's staging generation, and an APPEND sweeping would
+      // collapse publish()'s one-compact-cycle reader grace to the gap
+      // between a compact and the next micro-batch (r15 review finding)
+      if (underLease && sweepGens) graft.sources.GenDir.sweep(fsys, dir, "vectors")
       return
     }
     val root = new org.apache.hadoop.fs.Path(vecDir)

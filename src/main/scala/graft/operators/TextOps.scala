@@ -1648,40 +1648,80 @@ object TextOps {
   private[graft] def x187From(s: SparkSession, d: String, pairs: DataFrame,
                               maxRounds: Int = 4,
                               checkpointDir: Option[String] = None): DataFrame = {
+    // reliable mode mutates SESSION-GLOBAL state (setCheckpointDir) for
+    // the loop's duration — saved and restored after the fixpoint, and
+    // superseded rounds' checkpoint files are DELETED as the loop
+    // advances (cleanCheckpoints is off by default), the exact
+    // x186KCoreFrom discipline (r15 review finding: the first cut of
+    // this knob leaked every round's snapshots and hijacked the dir).
+    val priorCkptDir = s.sparkContext.getCheckpointDir
     val ckpt: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
         s.sparkContext.setCheckpointDir(dir)
         df => df.checkpoint(true)
       case None => df => df.localCheckpoint(true)
     }
-    val edges = ckpt(graft.functions.ConnectedComponents
-      .symmetrize(pairs, "id_a", "id_b", "src", "dst"))
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
-    var state = ckpt(docs.filter(col("doc_id") % 10 === 0)
-      .select(col("doc_id").as("id"), col("lang").as("pred_lang"),
-              lit(0).as("hops")))
-    var round = 0
-    var growing = true
-    while (round < maxRounds && growing) {
-      round += 1
-      val w = Window.partitionBy("id").orderBy(col("c").desc, col("pred_lang"))
-      val best = ckpt(edges
-        .join(state.select(col("id").as("dst"), col("pred_lang")), "dst")
-        .join(state.select(col("id").as("src")), Seq("src"), "left_anti")
-        .groupBy(col("src").as("id"), col("pred_lang"))
-        .agg(count(lit(1)).as("c"))
-        .withColumn("r", row_number().over(w))
-        .filter(col("r") === 1)
-        .select(col("id"), col("pred_lang"), lit(round).as("hops")))
-      growing = best.count() > 0
-      if (growing) state = ckpt(state.union(best))
+    val release: DataFrame => Unit =
+      if (checkpointDir.isDefined)
+        df => df.queryExecution.analyzed match {
+          case l: org.apache.spark.sql.execution.LogicalRDD =>
+            l.rdd.getCheckpointFile.foreach { f =>
+              val p = new org.apache.hadoop.fs.Path(f)
+              p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+            }
+          case _ => ()
+        }
+      else df => df.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+        case _ => ()
+      }
+    try {
+      val edges = ckpt(graft.functions.ConnectedComponents
+        .symmetrize(pairs, "id_a", "id_b", "src", "dst"))
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      var state = ckpt(docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("id"), col("lang").as("pred_lang"),
+                lit(0).as("hops")))
+      var round = 0
+      var growing = true
+      while (round < maxRounds && growing) {
+        round += 1
+        val w = Window.partitionBy("id").orderBy(col("c").desc, col("pred_lang"))
+        val best = ckpt(edges
+          .join(state.select(col("id").as("dst"), col("pred_lang")), "dst")
+          .join(state.select(col("id").as("src")), Seq("src"), "left_anti")
+          .groupBy(col("src").as("id"), col("pred_lang"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("r", row_number().over(w))
+          .filter(col("r") === 1)
+          .select(col("id"), col("pred_lang"), lit(round).as("hops")))
+        growing = best.count() > 0
+        if (growing) {
+          val next = ckpt(state.union(best)) // eager — folds best in
+          release(state)
+          state = next
+        }
+        release(best) // folded into state (or empty) — safe to drop
+      }
+      // edges are not referenced by the returned plan (state is a
+      // materialized leaf) — drop the 2|E| snapshot now, not at JVM GC
+      release(edges)
+      state.filter(col("id") % 10 =!= 0)
+        .join(docs.select(col("doc_id"), col("lang").as("true_lang")),
+              col("id") === col("doc_id"))
+        .select(col("doc_id"), col("pred_lang"), col("hops"), col("true_lang"),
+                (col("pred_lang") === col("true_lang")).cast("int").as("hit"))
+        .orderBy("doc_id")
+    } finally {
+      // restore the CONFIGURED parent (getCheckpointDir returns the
+      // minted <dir>/<uuid> path); when none existed the new one stays —
+      // SparkContext has no public unset (documented residue)
+      if (checkpointDir.isDefined)
+        priorCkptDir.foreach { prior =>
+          s.sparkContext.setCheckpointDir(
+            new org.apache.hadoop.fs.Path(prior).getParent.toString)
+        }
     }
-    state.filter(col("id") % 10 =!= 0)
-      .join(docs.select(col("doc_id"), col("lang").as("true_lang")),
-            col("id") === col("doc_id"))
-      .select(col("doc_id"), col("pred_lang"), col("hops"), col("true_lang"),
-              (col("pred_lang") === col("true_lang")).cast("int").as("hit"))
-      .orderBy("doc_id")
   }
 
   /** x93 containment near-dup — the subset-duplication readout Jaccard

@@ -187,8 +187,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       require(args.size == 4,
         "graft_range_agg(store_dir, raw_table, t0_iso, t1_iso)")
       def us(s: String): Long =
-        try java.time.Instant.parse(s).toEpochMilli * 1000L
-        catch { case _: java.time.format.DateTimeParseException =>
+        try {
+          // full microsecond precision: toEpochMilli*1000 would silently
+          // floor a '...T00:00:00.000999Z' bound by 999 µs and answer
+          // differently from the equivalent epoch-micros spelling
+          val i = java.time.Instant.parse(s)
+          Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+            i.getNano / 1000L)
+        } catch { case _: java.time.format.DateTimeParseException =>
           // the power-user spelling: raw epoch MICROSECONDS
           s.toLongOption.getOrElse(throw new IllegalArgumentException(
             s"graft_range_agg: '$s' is neither an ISO-8601 instant nor epoch micros"))

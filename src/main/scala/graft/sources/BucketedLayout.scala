@@ -41,6 +41,31 @@ object BucketedLayout {
       .mode("overwrite")
       .parquet(sinkDir)
 
+  /** The non-hidden data files directly under `dir` (what a parquet read
+    * of that dir would consume). */
+  private def dataFileNames(fs: org.apache.hadoop.fs.FileSystem,
+                            dir: org.apache.hadoop.fs.Path): Seq[String] =
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.filter(_.isFile).map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n.startsWith("."))
+
+  /** The `_folded` manifest INSIDE a generation dir: the classic-dir file
+    * names whose rows this generation already contains. It travels with
+    * the generation, so the pointer flip publishes data and manifest in
+    * one atomic step — classic files NOT listed are late appends that
+    * arrived after the fold and must still serve (and be folded next). */
+  private def readFolded(fs: org.apache.hadoop.fs.FileSystem,
+                         genDir: org.apache.hadoop.fs.Path): Set[String] = {
+    val p = new org.apache.hadoop.fs.Path(genDir, "_folded")
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in).getLines().map(_.trim)
+        .filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+  }
+
   /** Read the layout back; `day` arrives as a partition column so time
     * filters prune directories before any file IO.
     *
@@ -48,12 +73,18 @@ object BucketedLayout {
     * lives in a hidden generation dir named by a `_day=<day>_gen` pointer
     * ([[GenDir]] at day granularity — see [[compactDay]]). With no
     * pointers present (every rename-posture store) this is the classic
-    * single partition-discovery read, unchanged; with pointers, the
-    * pointered days are read from their generation dirs (day re-attached
-    * as a DATE literal, matching partition-type inference) and unioned
-    * with the classic read of the rest. A day filter still prunes: the
-    * classic branch via PartitionFilters, each generation branch via
-    * constant-folding its literal day to an empty relation. */
+    * single partition-discovery read, unchanged; with pointers, each
+    * pointered day serves its generation dir PLUS any classic-dir files
+    * the generation's `_folded` manifest does not cover (late appends —
+    * [[graft.GraftStore.insert]] keeps writing classic partitions and
+    * knows nothing of pointers), day re-attached as a DATE literal to
+    * match partition-type inference; the remaining days ride the classic
+    * partition-discovery read. A day filter still prunes: the classic
+    * branch via PartitionFilters, each generation branch via
+    * constant-folding its literal day to an empty relation. A pointer
+    * whose generation VANISHED (damage — publish defers deletion a full
+    * compact cycle, so this is never the protocol) falls back to the
+    * day's classic dir rather than failing the whole read. */
   def readEvents(spark: SparkSession, sinkDir: String): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(sinkDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -66,10 +97,14 @@ object BucketedLayout {
       .map(_.stripPrefix("_day=").stripSuffix("_gen"))
     if (pointerDays.isEmpty) return spark.read.parquet(sinkDir)
     // resolve each pointered day ONCE; a pointer that fell back to the
-    // classic name (vanished mid-read) is served through the classic branch
+    // classic name (vanished mid-read) or names a vanished generation is
+    // served through the classic branch
     val resolved = pointerDays
       .map(day => day -> GenDir.currentName(fs, sinkDir, s"day=$day"))
-    val genDays = resolved.filter { case (day, cur) => cur != s"day=$day" }.toMap
+    val genDays = resolved.filter { case (day, cur) =>
+      cur != s"day=$day" &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$sinkDir/$cur"))
+    }.toMap
     val classicDirs = names
       .filter(n => n.startsWith("day=") &&
         !genDays.contains(n.stripPrefix("day=")))
@@ -77,11 +112,22 @@ object BucketedLayout {
     val classic =
       if (classicDirs.isEmpty) Nil
       else Seq(spark.read.option("basePath", sinkDir).parquet(classicDirs: _*))
-    val gens = genDays.toSeq.sortBy(_._1).map { case (day, gen) =>
-      spark.read.parquet(s"$sinkDir/$gen")
+    val gens = genDays.toSeq.sortBy(_._1).flatMap { case (day, gen) =>
+      val genPath = new org.apache.hadoop.fs.Path(s"$sinkDir/$gen")
+      val genDf = spark.read.parquet(genPath.toString)
         .withColumn("day", to_date(lit(day)))
+      // late appends: classic files the live generation has not folded
+      val folded = readFolded(fs, genPath)
+      val classicDay = new org.apache.hadoop.fs.Path(s"$sinkDir/day=$day")
+      val leftovers = dataFileNames(fs, classicDay).filterNot(folded)
+        .map(n => s"$sinkDir/day=$day/$n")
+      if (leftovers.isEmpty) Seq(genDf)
+      else Seq(genDf, spark.read.parquet(leftovers: _*)
+        .withColumn("day", to_date(lit(day))))
     }
-    (classic ++ gens).reduce(_ unionByName _)
+    val parts = classic ++ gens
+    if (parts.isEmpty) spark.read.parquet(sinkDir) // error parity: empty store
+    else parts.reduce(_ unionByName _)
   }
 
   /** Compact one sealed day in place: coalesce the day's files into
@@ -119,9 +165,14 @@ object BucketedLayout {
     * partition discovery) and ONE `_day=<day>_gen` pointer write
     * publishes it. [[readEvents]] resolves the pointers; the retired
     * day's bytes survive one compact cycle for in-flight readers and are
-    * reclaimed by the NEXT compact of that day or by retention
-    * ([[dropDaysBefore]] drops pointer + generations + classic dir
-    * together). No visible `day=` gap ever exists on this path — a
+    * reclaimed FILE-PRECISELY by the NEXT compact of that day (or by
+    * retention — [[dropDaysBefore]] drops pointer + generations +
+    * classic dir together): each generation carries a `_folded` manifest
+    * of the classic files it absorbed, so classic files OUTSIDE it —
+    * late appends from [[graft.GraftStore.insert]], which keeps writing
+    * classic partitions — stay served by [[readEvents]] and are folded
+    * by the next compact instead of being mistaken for the retired copy.
+    * No visible `day=` gap ever exists on this path — a
     * reader sees the old generation or the new one, never an absent day,
     * which is strictly STRONGER than the rename path's between-renames
     * blink. A kill before the pointer write leaves an orphan hidden
@@ -140,18 +191,55 @@ object BucketedLayout {
     // one source of truth once it exists)
     val pointered = GenDir.currentName(fs, sinkDir, dayBase) != dayBase
     if (!AtomicRename.isAtomic(spark, sinkDir) || pointered) {
-      // reclaim the PREVIOUS compact's deferred predecessor(s) first —
-      // one full compact cycle of reader grace, the GenDir discipline
+      // reclaim the PREVIOUS compact's deferred work first — one full
+      // compact cycle of reader grace, the GenDir discipline: old
+      // generations, and the classic files the LIVE generation's
+      // `_folded` manifest covers (the retired copy / previously folded
+      // late appends)
       sweepDay(fs, sinkDir, day)
-      val src = new org.apache.hadoop.fs.Path(
-        s"$sinkDir/${GenDir.currentName(fs, sinkDir, dayBase)}")
-      require(fs.exists(src), s"compactDay: no data for day=$day at $src")
+      val cur = GenDir.currentName(fs, sinkDir, dayBase)
+      val classicP = new org.apache.hadoop.fs.Path(s"$sinkDir/$dayBase")
+      val parkP = new org.apache.hadoop.fs.Path(s"$sinkDir/.old-day=$day")
+      // SOURCES for the rewrite, posture-migration complete:
+      //  - live generation (pointer present) + any unfolded classic late
+      //    appends, or
+      //  - the classic dir (first pointer compact of this day), or
+      //  - `.old-day=` ALONE: an atomic-posture swap crashed between its
+      //    two renames and the store then changed posture — the park is
+      //    the only copy, and the atomic branch's recovery rename cannot
+      //    run here; fold the park and delete it after publish (it is
+      //    invisible to every reader, so no grace is needed)
+      val classicFiles = dataFileNames(fs, classicP)
+      val (srcPaths, foldedNames, parkFolded) =
+        if (cur != dayBase) {
+          val genP = new org.apache.hadoop.fs.Path(s"$sinkDir/$cur")
+          require(fs.exists(genP), s"compactDay: pointer for day=$day names " +
+            s"a vanished generation $cur and no recovery source exists")
+          (Seq(genP.toString) ++ classicFiles.map(n => s"$classicP/$n"),
+            classicFiles, false)
+        } else if (fs.exists(classicP)) {
+          // a stale park beside a live classic dir is crash garbage from
+          // the atomic era (post-swap, pre-cleanup) — invisible; drop it
+          if (fs.exists(parkP)) fs.delete(parkP, true)
+          (Seq(classicP.toString), classicFiles, false)
+        } else if (fs.exists(parkP)) {
+          (Seq(parkP.toString), Nil, true)
+        } else {
+          sys.error(s"compactDay: no data for day=$day")
+        }
       val genName = s".day=${day}_g${java.lang.System.nanoTime()}"
-      spark.read.parquet(src.toString)
+      val genPath = new org.apache.hadoop.fs.Path(s"$sinkDir/$genName")
+      spark.read.parquet(srcPaths: _*)
         .repartition(seriesBuckets, col("user_id"), col("event_type"))
         .sortWithinPartitions("user_id", "event_type", "ts")
-        .write.mode("overwrite").parquet(s"$sinkDir/$genName")
+        .write.mode("overwrite").parquet(genPath.toString)
+      // the manifest publishes WITH the generation (same pointer flip):
+      // classic files folded here are served from the generation and
+      // reclaimed by the NEXT compact's sweep
+      val o = fs.create(new org.apache.hadoop.fs.Path(genPath, "_folded"), true)
+      try o.write(foldedNames.mkString("\n").getBytes("UTF-8")) finally o.close()
       GenDir.publish(fs, sinkDir, dayBase, genName)
+      if (parkFolded) fs.delete(parkP, true)
       return
     }
     val dst = new org.apache.hadoop.fs.Path(s"$sinkDir/day=$day")
@@ -189,30 +277,38 @@ object BucketedLayout {
     val base = new org.apache.hadoop.fs.Path(sinkDir)
     if (!fs.exists(base)) return Seq.empty
     // a retired day is ALL of: its classic dir, its hidden generation
-    // dirs, and its `_day=<day>_gen` pointer (the pointer goes FIRST so a
-    // reader listing mid-drop resolves the day as classic-or-absent, never
-    // to a just-deleted generation)
+    // dirs, its crash parks, and its `_day=<day>_gen` pointer (the
+    // pointer goes FIRST so a reader listing mid-drop resolves the day as
+    // classic-or-absent, never to a just-deleted generation)
     def dayOf(name: String): Option[String] =
       if (name.startsWith("day=")) Some(name.stripPrefix("day="))
       else if (name.startsWith("_day=") && name.endsWith("_gen"))
         Some(name.stripPrefix("_day=").stripSuffix("_gen"))
       else if (name.startsWith(".day="))
         Some(name.stripPrefix(".day=").takeWhile(_ != '_'))
+      else if (name.startsWith(".old-day=")) Some(name.stripPrefix(".old-day="))
+      else if (name.startsWith(".compact-day=")) Some(name.stripPrefix(".compact-day="))
       else None
     val doomed = fs.listStatus(base).toSeq.map(_.getPath)
       .flatMap(p => dayOf(p.getName).filter(_ < cutoffDay).map(d => (d, p)))
     val (pointers, data) = doomed.partition(_._2.getName.startsWith("_day="))
-    (pointers ++ data).foreach { case (_, p) =>
-      try { fs.delete(p, true); () }
-      catch { case _: java.io.IOException => () } // retried next retention pass
+    // a day is reported dropped only when EVERY delete for it succeeded —
+    // a transient failure leaves it served and re-attempted next pass, and
+    // the caller's retention accounting must not record it as retired
+    val failedDays = scala.collection.mutable.Set.empty[String]
+    (pointers ++ data).foreach { case (d, p) =>
+      try { if (!fs.delete(p, true) && fs.exists(p)) failedDays += d; () }
+      catch { case _: java.io.IOException => failedDays += d }
     }
-    doomed.map(_._1).distinct.sorted.map(d => s"day=$d")
+    doomed.map(_._1).distinct.filterNot(failedDays).sorted.map(d => s"day=$d")
   }
 
-  /** Drop `day`'s generation dirs (and its retired classic dir) that the
-    * pointer does not name — [[compactDay]]'s deferred predecessors and
-    * the orphan generations of a crashed pointer-mode compact. The
-    * [[GenDir]] sweep discipline at day granularity (the dot-prefixed
+  /** Reclaim `day`'s deferred work: generation dirs the pointer does not
+    * name (predecessors + crashed-compact orphans) and — file-precise —
+    * the classic-dir files the LIVE generation's `_folded` manifest
+    * covers. Classic files OUTSIDE the manifest are late appends that
+    * have not been folded yet and must survive (they are being served).
+    * The [[GenDir]] sweep discipline at day granularity (the dot-prefixed
     * generation names sit outside GenDir.sweep's own pattern). Single
     * writer, like every compact here. */
   private def sweepDay(fs: org.apache.hadoop.fs.FileSystem,
@@ -220,12 +316,26 @@ object BucketedLayout {
     val base = new org.apache.hadoop.fs.Path(sinkDir)
     if (!fs.exists(base)) return
     val cur = GenDir.currentName(fs, sinkDir, s"day=$day")
+    if (cur == s"day=$day") return // classic is live — nothing deferred
+    def rm(p: org.apache.hadoop.fs.Path): Unit =
+      try { fs.delete(p, true); () }
+      catch { case _: java.io.IOException => () } // next sweep retries
     fs.listStatus(base).map(_.getPath)
-      .filter(p => (p.getName.startsWith(s".day=${day}_g") ||
-                    p.getName == s"day=$day") && p.getName != cur)
-      .foreach(p =>
-        try { fs.delete(p, true); () }
-        catch { case _: java.io.IOException => () }) // next sweep retries
+      .filter(p => p.getName.startsWith(s".day=${day}_g") && p.getName != cur)
+      .foreach(rm)
+    val genP = new org.apache.hadoop.fs.Path(s"$sinkDir/$cur")
+    val classicP = new org.apache.hadoop.fs.Path(s"$sinkDir/day=$day")
+    if (fs.exists(genP) && fs.exists(classicP)) {
+      val folded = readFolded(fs, genP)
+      val names = fs.listStatus(classicP).map(_.getPath.getName)
+      names.filter(n => folded(n) ||
+          // partition-write bookkeeping (_SUCCESS etc.) rides along once
+          // every data file is covered
+          ((n.startsWith("_") || n.startsWith(".")) &&
+            dataFileNames(fs, classicP).forall(folded)))
+        .foreach(n => rm(new org.apache.hadoop.fs.Path(classicP, n)))
+      if (fs.exists(classicP) && fs.listStatus(classicP).isEmpty) rm(classicP)
+    }
   }
 
   /** Round-trip the driver's single-file events fixture through the layout

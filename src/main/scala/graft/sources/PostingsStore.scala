@@ -136,27 +136,54 @@ class PostingsStore(spark: SparkSession, dir: String) {
 
   /** The LIVE dir for a compacted base ("postings"/"stats") —
     * pointer-resolved: after an object-store compact the current
-    * generation is named by `_<base>_gen` ([[GenDir]]); rename-swapped
-    * stores keep the classic names (no pointer — falls through). */
-  private def liveDir(base: String): String =
-    GenDir.livePath(fsys, dir, base).toString
+    * generation is named by the POSTINGS pointer ([[GenDir]]); stats
+    * derive from its suffix ([[resolveBoth]] — the single source of
+    * truth, so appends land their stats delta in the SAME generation
+    * queries read even after a crash left the bookkeeping stats pointer
+    * ahead). Rename-swapped stores keep the classic names (no pointer —
+    * falls through). */
+  private def liveDir(base: String): String = {
+    val (p, s) = resolveBoth(fsys)
+    if (base == "stats") s else p
+  }
+
+  /** [[GenDir.sweep]] for the stats generations, with the derived-pair
+    * twist: queries resolve stats from the POSTINGS pointer's suffix
+    * ([[resolveBoth]]), while the stats pointer is sweep bookkeeping — so
+    * a sweep must keep BOTH names alive (after a crash between the two
+    * pointer publishes they differ, and deleting the derived one would
+    * break readers for the duration of the healing compact). */
+  private def sweepStats(): Unit = {
+    val dirP = new org.apache.hadoop.fs.Path(dir)
+    if (!fsys.exists(dirP)) return
+    val p = GenDir.currentName(fsys, dir, "postings")
+    val derived =
+      if (p == "postings") "stats" else s"stats_g${p.stripPrefix("postings_g")}"
+    val cur = GenDir.currentName(fsys, dir, "stats")
+    fsys.listStatus(dirP).map(_.getPath)
+      .filter(q => (q.getName.startsWith("stats_g") || q.getName == "stats") &&
+                   q.getName != cur && q.getName != derived)
+      .foreach(q =>
+        try { fsys.delete(q, true); () }
+        catch { case _: java.io.IOException => () }) // next sweep retries
+  }
 
   /** Resolve the postings AND stats generation dirs as one consistent
-    * pair: compact flips the postings pointer before the stats pointer,
-    * so re-reading postings after the stats read and requiring it stable
-    * brackets the pair against a concurrent flip. Bounded retries — see
-    * the [[bm25]] comment for why the fallback mix is content-safe. */
+    * pair from ONE pointer read: both generations of a pointer-mode
+    * compact share the same `_g<nanos>` suffix and BOTH are fully
+    * written before either pointer flips (see [[compact]]'s ordering),
+    * so `postings_gN` implies `stats_gN` exists — the postings pointer
+    * alone names the pair, and no interleaving of reads with a
+    * concurrent flip can mix generations (the r15 review showed the
+    * previous re-read loop could not actually close that window: a
+    * stable postings pointer after the flip still paired with a
+    * pre-flip stats read). A pointer-free store resolves to the classic
+    * names. The stats pointer still exists, but only as [[GenDir.sweep]]
+    * bookkeeping — no query path reads it. */
   private def resolveBoth(fsOnce: org.apache.hadoop.fs.FileSystem): (String, String) = {
-    var p1 = GenDir.currentName(fsOnce, dir, "postings")
-    var attempts = 0
-    while (attempts < 5) {
-      val s = GenDir.currentName(fsOnce, dir, "stats")
-      val p2 = GenDir.currentName(fsOnce, dir, "postings")
-      if (p1 == p2) return (s"$dir/$p1", s"$dir/$s")
-      p1 = p2
-      attempts += 1
-    }
-    (s"$dir/$p1", s"$dir/${GenDir.currentName(fsOnce, dir, "stats")}")
+    val p = GenDir.currentName(fsOnce, dir, "postings")
+    if (p == "postings") (s"$dir/postings", s"$dir/stats")
+    else (s"$dir/$p", s"$dir/stats_g${p.stripPrefix("postings_g")}")
   }
 
   private def bucketCount: Int = {
@@ -231,16 +258,21 @@ class PostingsStore(spark: SparkSession, dir: String) {
     * staging/retired trees once a live root exists. Same single-writer
     * assumption as compaction; called by readers and mutators that find
     * the root absent, and by compact itself before staging anew. */
-  private def recover(underLease: Boolean = false): Unit = {
+  private def recover(underLease: Boolean = false,
+                      sweepGens: Boolean = false): Unit = {
     if (!AtomicRename.isAtomic(spark, dir)) {
       // pointer mode: the live dirs are never absent (the generation
       // flip is one atomic small-object write) — nothing to roll back,
-      // only crash garbage to sweep, and ONLY the lease-holding writer
-      // may sweep (a lease-free reader's sweep could race a live
-      // compact's staging generation)
-      if (underLease) {
+      // only crash garbage to sweep. ONLY the lease-holding COMPACT may
+      // sweep (sweepGens): a lease-free reader's sweep could race a live
+      // compact's staging generation, and an APPEND sweeping would
+      // collapse publish()'s one-compact-cycle reader grace to the gap
+      // between a compact and the next micro-batch (r15 review finding —
+      // a reader that resolved the pre-flip generation would have its
+      // files deleted mid-scan by the very next append's heal).
+      if (underLease && sweepGens) {
         GenDir.sweep(fsys, dir, "postings")
-        GenDir.sweep(fsys, dir, "stats")
+        sweepStats()
       }
       return
     }
@@ -275,7 +307,7 @@ class PostingsStore(spark: SparkSession, dir: String) {
 
   def compact(): Unit =
       WriterLease.withLease(spark, dir) {
-    recover(underLease = true)
+    recover(underLease = true, sweepGens = true)
     // drain committed appends first — a compact from a store missing a
     // committed pending batch would silently drop it from the rewrite
     healAppends(dropStages = true)
@@ -315,20 +347,27 @@ class PostingsStore(spark: SparkSession, dir: String) {
       ()
     } else {
       // flat object store: stage fresh GENERATION dirs and flip the
-      // `_postings_gen`/`_stats_gen` pointers — one small-object write
-      // each, no directory rename anywhere ([[GenDir]]); crash garbage
-      // is swept by the next writer's recover
+      // pointers — one small-object write each, no directory rename
+      // anywhere ([[GenDir]]); crash garbage is swept by the next
+      // writer's recover. ORDER is the consistency contract
+      // ([[resolveBoth]]): BOTH generations (same `_g<gen>` suffix) are
+      // fully written before either pointer flips, and the stats pointer
+      // (sweep bookkeeping) flips BEFORE the postings pointer (the one
+      // queries read) — so whenever the postings pointer names
+      // `postings_g<gen>`, `stats_g<gen>` already exists, and a crash
+      // between the publishes leaves readers on the consistent OLD pair.
+      val (src, statsSrc) = resolveBoth(fsys)
       val newPostings = s"postings_g$gen"
-      spark.read.parquet(liveDir("postings"))
+      spark.read.parquet(src)
         .repartition(col("tb"))
         .sortWithinPartitions("term", "doc_id")
         .write.partitionBy("tb").mode("overwrite").parquet(s"$dir/$newPostings")
-      GenDir.publish(fsys, dir, "postings", newPostings)
       val newStats = s"stats_g$gen"
-      spark.read.parquet(liveDir("stats"))
+      spark.read.parquet(statsSrc)
         .agg(sum("n_docs").as("n_docs"), sum("sum_len").as("sum_len"))
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/$newStats")
       GenDir.publish(fsys, dir, "stats", newStats)
+      GenDir.publish(fsys, dir, "postings", newPostings)
     }
   }
 }

@@ -211,6 +211,79 @@ class BucketedLayoutSpec extends SparkSpecBase {
       .filter(col("day") < "2024-01-08").count() === 0)
   }
 
+  test("flat object store: LATE APPENDS to a pointer-compacted day serve " +
+       "through the _folded manifest and survive the next compact " +
+       "(r15 review finding: they were invisible, then destroyed)") {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.s3a.impl", classOf[FlatObjectFs].getName)
+    val dir = "s3a://test" +
+      java.nio.file.Files.createTempDirectory("flat-late").toString
+    BucketedLayout.migrate(spark, sfDir, dir, seriesBuckets = 2)
+    val fsys = new Path(dir).getFileSystem(conf)
+    val store = new GraftStore(spark, dir)
+    val day = "2024-01-06"
+    def dayCount() = BucketedLayout.readEvents(spark, dir)
+      .filter(col("day") === day).count()
+    val before = dayCount()
+    BucketedLayout.compactDay(spark, dir, day, seriesBuckets = 2)
+    // a late batch lands in the CLASSIC partition (insert knows nothing
+    // of pointers) — it must serve, via GraftStore.table too
+    val late = Tables.events(spark, sfDir).filter(
+        date_format(col("ts"), "yyyy-MM-dd") === day)
+      .limit(7).withColumn("event_id", col("event_id") + 1000000L)
+    val lateN = late.count()
+    assert(lateN > 0)
+    store.insert(late, seriesBuckets = 1)
+    assert(dayCount() === before + lateN,
+      "late appends to a pointered day are invisible to readEvents")
+    assert(store.table.filter(col("day") === day).count() === before + lateN,
+      "late appends invisible to GraftStore.table")
+    // the next compact folds them — nothing lost, nothing doubled
+    BucketedLayout.compactDay(spark, dir, day, seriesBuckets = 2)
+    assert(dayCount() === before + lateN,
+      "the next compact lost or doubled the late appends")
+    // after one more compact cycle the classic dir is fully reclaimed
+    BucketedLayout.compactDay(spark, dir, day, seriesBuckets = 2)
+    assert(!fsys.exists(new Path(s"$dir/day=$day")))
+    assert(dayCount() === before + lateN)
+  }
+
+  test("flat object store: a day stranded at .old-day= by a crashed " +
+       "atomic-posture swap is folded by the pointer-mode compact " +
+       "(posture-migration recovery, r15 review finding)") {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.s3a.impl", classOf[FlatObjectFs].getName)
+    val dir = "s3a://test" +
+      java.nio.file.Files.createTempDirectory("flat-park").toString
+    BucketedLayout.migrate(spark, sfDir, dir, seriesBuckets = 2)
+    val fsys = new Path(dir).getFileSystem(conf)
+    val day = "2024-01-07"
+    val before = BucketedLayout.readEvents(spark, dir)
+      .filter(col("day") === day).count()
+    // simulate the atomic era's crash-between-renames, then the posture
+    // change: the day's only copy sits at the park
+    assert(fsys.rename(new Path(s"$dir/day=$day"), new Path(s"$dir/.old-day=$day")))
+    BucketedLayout.compactDay(spark, dir, day, seriesBuckets = 2)
+    assert(BucketedLayout.readEvents(spark, dir)
+      .filter(col("day") === day).count() === before,
+      "the parked day's rows were lost across the posture migration")
+    assert(!fsys.exists(new Path(s"$dir/.old-day=$day")),
+      "the folded park must be dropped after publish")
+    // a pointer naming a VANISHED generation falls back to the classic
+    // dir instead of failing the whole read (damage tolerance)
+    val ghostDay = "2024-01-09"
+    val o = fsys.create(new Path(s"$dir/_day=${ghostDay}_gen"), true)
+    try o.write(s".day=${ghostDay}_g999".getBytes("UTF-8")) finally o.close()
+    val expected = Tables.events(spark, sfDir).filter(
+      date_format(col("ts"), "yyyy-MM-dd") === ghostDay).count()
+    assert(BucketedLayout.readEvents(spark, dir)
+      .filter(col("day") === ghostDay).count() === expected,
+      "a vanished-generation pointer must fall back to the classic dir")
+    fsys.delete(new Path(s"$dir/_day=${ghostDay}_gen"), false)
+  }
+
   test("retention drops whole days cheaply") {
     val dir = java.nio.file.Files.createTempDirectory("retention-events").toString
     BucketedLayout.migrate(spark, sfDir, dir, seriesBuckets = 2)

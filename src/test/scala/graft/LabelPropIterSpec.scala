@@ -55,6 +55,16 @@ class LabelPropIterSpec extends SparkSpecBase {
     val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
       .filter(java.nio.file.Files.isRegularFile(_)).count()
     assert(wrote > 0, "no reliable checkpoint files were written")
+    // superseded rounds' snapshots are DELETED as the loop advances
+    // (x186's release discipline — r15 review finding: the first cut
+    // leaked up to 2 full snapshots per round); only the surviving
+    // state's rdd dir may remain
+    val rddDirs = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("rdd-")).count()
+    assert(rddDirs <= 2,
+      s"$rddDirs checkpoint snapshots survive the fixpoint — superseded " +
+        "rounds are leaking")
   }
 
   test("labels are immutable once assigned: every round-1 label survives " +

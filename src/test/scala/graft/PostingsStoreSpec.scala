@@ -172,6 +172,45 @@ class PostingsStoreSpec extends SparkSpecBase {
     assert(grown.nonEmpty && grown != before)
   }
 
+  test("flat store: an append does NOT reclaim the deferred predecessor " +
+       "generation — only the next compact does (reader grace, r15 review " +
+       "finding); and the stats pair derives from the postings pointer") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.s3a.impl", classOf[FlatObjectFs].getName)
+    val dir = "s3a://test" +
+      java.nio.file.Files.createTempDirectory("postings-flat").toString
+    val fsys = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    def names() = fsys.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).toSet
+    val docs = Tables.documents(spark, sfDir)
+    val st = new PostingsStore(spark, dir)
+    st.build(docs.filter(col("doc_id") % 3 === 1), buckets = 8)
+    val before = st.bm25(queryTerms, k = 20).collect().toSet
+    st.compact() // pointer mode: publishes postings_g*/stats_g*, defers classic
+    assert(names().exists(_.startsWith("postings_g")))
+    assert(names().contains("postings"),
+      "the retired classic generation must be deferred at the pointer flip")
+    // an APPEND between compacts must not sweep the deferred predecessor —
+    // a reader that resolved it pre-flip may still be mid-scan
+    st.append(docs.filter(col("doc_id") % 3 === 2))
+    assert(names().contains("postings"),
+      "append's heal reclaimed the deferred generation — the reader grace " +
+        "the deferred-deletion rework exists for is collapsed")
+    val grown = st.bm25(queryTerms, k = 20).collect().toSet
+    assert(grown.nonEmpty && grown != before)
+    // the NEXT compact reclaims it (one full cycle of grace)
+    st.compact()
+    assert(!names().contains("postings"),
+      "the second compact's sweep must reclaim the deferred classic dir")
+    assert(st.bm25(queryTerms, k = 20).collect().toSet === grown)
+    // damage tolerance: the bookkeeping stats pointer is NOT a query
+    // input — aiming it at a nonexistent generation changes nothing
+    val o = fsys.create(new org.apache.hadoop.fs.Path(s"$dir/_stats_gen"), true)
+    try o.write("stats_g999999".getBytes("UTF-8")) finally o.close()
+    assert(st.bm25(queryTerms, k = 20).collect().toSet === grown,
+      "queries read the stats pointer — the derived-pair rule is broken")
+  }
+
   test("an unindexed term contributes nothing; empty query intersection returns no rows") {
     val dir = java.nio.file.Files.createTempDirectory("postings2").toString
     val st = new PostingsStore(spark, dir)

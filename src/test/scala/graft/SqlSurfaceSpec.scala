@@ -169,5 +169,15 @@ class SqlSurfaceSpec extends SparkSpecBase {
       s"SELECT * FROM graft_range_agg('$storeDir', 'events', '$t0', '$t1') " +
         "ORDER BY event_type")
     assert(planOf(viaMicros) == planOf(viaCol))
+    // sub-millisecond ISO bounds keep full microsecond precision (r15
+    // review finding: toEpochMilli*1000 floored them by up to 999 µs)
+    val viaIsoMicros = spark.sql(
+      s"SELECT * FROM graft_range_agg('$storeDir', 'events', " +
+        s"'2024-01-05T00:30:10.000999Z', '$t1s') ORDER BY event_type")
+    val viaColMicros = graft.sources.RollupStore.rangeAgg(spark, storeDir,
+        spark.table("events"), t0 + 999L, t1)
+      .orderBy("event_type")
+    assert(planOf(viaIsoMicros) == planOf(viaColMicros),
+      "ISO micro-precision bound was truncated to milliseconds")
   }
 }
