@@ -316,13 +316,17 @@ object BucketedLayout {
     val base = new org.apache.hadoop.fs.Path(sinkDir)
     if (!fs.exists(base)) return
     val cur = GenDir.currentName(fs, sinkDir, s"day=$day")
-    if (cur == s"day=$day") return // classic is live — nothing deferred
     def rm(p: org.apache.hadoop.fs.Path): Unit =
       try { fs.delete(p, true); () }
       catch { case _: java.io.IOException => () } // next sweep retries
+    // generation dirs the pointer does not name: deferred predecessors,
+    // or a crashed compact's never-published orphans (when the classic
+    // dir is still live, EVERY generation dir is such an orphan — no
+    // reader can be scanning an unpublished generation, so delete now)
     fs.listStatus(base).map(_.getPath)
       .filter(p => p.getName.startsWith(s".day=${day}_g") && p.getName != cur)
       .foreach(rm)
+    if (cur == s"day=$day") return // classic is live — no classic reclaim
     val genP = new org.apache.hadoop.fs.Path(s"$sinkDir/$cur")
     val classicP = new org.apache.hadoop.fs.Path(s"$sinkDir/day=$day")
     if (fs.exists(genP) && fs.exists(classicP)) {

@@ -37,7 +37,10 @@ object IngestPipeline {
 
   /** Days currently present in a day-partitioned directory. */
   def listDays(spark: SparkSession, dir: String): Seq[String] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // the FILESYSTEM of the zone root, not the session default — raw
+    // zones legitimately live on s3a/gs while defaultFS is HDFS
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val base = new org.apache.hadoop.fs.Path(dir)
     if (!fs.exists(base)) Seq.empty
     else fs.listStatus(base).toSeq.map(_.getPath.getName)

@@ -249,6 +249,35 @@ class BucketedLayoutSpec extends SparkSpecBase {
     assert(dayCount() === before + lateN)
   }
 
+  test("flat object store: a crashed compact's orphan generation (no " +
+       "pointer flip) is never served and the next compact sweeps it") {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.s3a.impl", classOf[FlatObjectFs].getName)
+    val dir = "s3a://test" +
+      java.nio.file.Files.createTempDirectory("flat-orphan").toString
+    BucketedLayout.migrate(spark, sfDir, dir, seriesBuckets = 2)
+    val fsys = new Path(dir).getFileSystem(conf)
+    val day = "2024-01-08"
+    val before = BucketedLayout.readEvents(spark, dir)
+      .filter(col("day") === day).count()
+    // simulate a compact killed between the generation write and the
+    // pointer publish: a fully-written generation, no pointer
+    val orphan = new Path(s"$dir/.day=${day}_g111")
+    Tables.events(spark, sfDir)
+      .filter(date_format(col("ts"), "yyyy-MM-dd") === day)
+      .drop("ts").limit(3)
+      .write.parquet(orphan.toString)
+    assert(BucketedLayout.readEvents(spark, dir)
+      .filter(col("day") === day).count() === before,
+      "an unpublished orphan generation leaked into serving")
+    BucketedLayout.compactDay(spark, dir, day, seriesBuckets = 2)
+    assert(!fsys.exists(orphan),
+      "the next compact must sweep the crashed compact's orphan")
+    assert(BucketedLayout.readEvents(spark, dir)
+      .filter(col("day") === day).count() === before)
+  }
+
   test("flat object store: a day stranded at .old-day= by a crashed " +
        "atomic-posture swap is folded by the pointer-mode compact " +
        "(posture-migration recovery, r15 review finding)") {
