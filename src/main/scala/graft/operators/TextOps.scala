@@ -1645,16 +1645,26 @@ object TextOps {
     * round budget — the pipeline entry point and the spec's knob.
     * `checkpointDir`: reliable per-round checkpoints for executor-loss
     * survival (see the scaladoc above). */
-  private[graft] def x187From(s: SparkSession, d: String, pairs: DataFrame,
-                              maxRounds: Int = 4,
-                              checkpointDir: Option[String] = None): DataFrame = {
-    // reliable mode mutates SESSION-GLOBAL state (setCheckpointDir) for
-    // the loop's duration — saved and restored after the fixpoint, and
-    // superseded rounds' checkpoint files are DELETED as the loop
-    // advances (cleanCheckpoints is off by default), the exact
-    // x186KCoreFrom discipline (r15 review finding: the first cut of
-    // this knob leaked every round's snapshots and hijacked the dir).
-    val priorCkptDir = s.sparkContext.getCheckpointDir
+  /** The iterative operators' checkpoint harness — ONE implementation of
+    * the ckpt/release/restore discipline x186 converged on (r15 review:
+    * it had been copy-pasted into x187, and the next fix to the subtle
+    * LogicalRDD/getCheckpointFile/getParent details would have had to
+    * land twice). Returns:
+    *  - `ckpt`: eager per-round lineage truncation — reliable
+    *    `checkpoint` into `checkpointDir` (survives executor loss) when
+    *    set, else `localCheckpoint`;
+    *  - `release`: drops a SUPERSEDED round's storage — deletes its
+    *    checkpoint files (cleaner.referenceTracking.cleanCheckpoints is
+    *    off by default) or unpersists its blocks — call only after the
+    *    successor is materialized;
+    *  - `restore`: put back the session's prior checkpoint dir (the
+    *    CONFIGURED parent — getCheckpointDir returns the minted
+    *    <dir>/<uuid> path); when none existed the new one stays set
+    *    (SparkContext has no public unset — documented residue). Call
+    *    from a finally. */
+  private def iterCkptHarness(s: SparkSession, checkpointDir: Option[String])
+      : (DataFrame => DataFrame, DataFrame => Unit, () => Unit) = {
+    val prior = s.sparkContext.getCheckpointDir
     val ckpt: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
         s.sparkContext.setCheckpointDir(dir)
@@ -1675,6 +1685,19 @@ object TextOps {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
         case _ => ()
       }
+    val restore: () => Unit = () =>
+      if (checkpointDir.isDefined)
+        prior.foreach { p =>
+          s.sparkContext.setCheckpointDir(
+            new org.apache.hadoop.fs.Path(p).getParent.toString)
+        }
+    (ckpt, release, restore)
+  }
+
+  private[graft] def x187From(s: SparkSession, d: String, pairs: DataFrame,
+                              maxRounds: Int = 4,
+                              checkpointDir: Option[String] = None): DataFrame = {
+    val (ckpt, release, restore) = iterCkptHarness(s, checkpointDir)
     try {
       val edges = ckpt(graft.functions.ConnectedComponents
         .symmetrize(pairs, "id_a", "id_b", "src", "dst"))
@@ -1712,16 +1735,7 @@ object TextOps {
         .select(col("doc_id"), col("pred_lang"), col("hops"), col("true_lang"),
                 (col("pred_lang") === col("true_lang")).cast("int").as("hit"))
         .orderBy("doc_id")
-    } finally {
-      // restore the CONFIGURED parent (getCheckpointDir returns the
-      // minted <dir>/<uuid> path); when none existed the new one stays —
-      // SparkContext has no public unset (documented residue)
-      if (checkpointDir.isDefined)
-        priorCkptDir.foreach { prior =>
-          s.sparkContext.setCheckpointDir(
-            new org.apache.hadoop.fs.Path(prior).getParent.toString)
-        }
-    }
+    } finally restore()
   }
 
   /** x93 containment near-dup — the subset-duplication readout Jaccard
@@ -2915,38 +2929,12 @@ object TextOps {
   def x186KCoreFrom(s: SparkSession, d: String, pairs: DataFrame,
                     k: Int = 64, maxRounds: Int = 8,
                     checkpointDir: Option[String] = None): DataFrame = {
-    // reliable mode mutates SESSION-GLOBAL state (setCheckpointDir) for the
-    // loop's duration — saved here and restored after the peel, so a
-    // concurrent user of the SparkContext sees their own dir again. (The
-    // window is the loop itself; a context shared by two simultaneous
-    // checkpointing jobs needs external coordination either way.)
-    val priorCkptDir = s.sparkContext.getCheckpointDir
-    val ckpt: DataFrame => DataFrame = checkpointDir match {
-      case Some(dir) =>
-        s.sparkContext.setCheckpointDir(dir)
-        df => df.checkpoint(true)
-      case None => df => df.localCheckpoint(true)
-    }
-    // release = the anti-leak discipline, in BOTH modes: local unpersists
-    // the superseded round's blocks; reliable DELETES the superseded
-    // round's checkpoint files (cleaner.referenceTracking.cleanCheckpoints
-    // is off by default, so without this every peel leaves up to maxRounds
-    // full edge-set snapshots on the checkpoint store — the file-side twin
-    // of the r10 block leak)
-    val release: DataFrame => Unit =
-      if (checkpointDir.isDefined)
-        df => df.queryExecution.analyzed match {
-          case l: org.apache.spark.sql.execution.LogicalRDD =>
-            l.rdd.getCheckpointFile.foreach { f =>
-              val p = new org.apache.hadoop.fs.Path(f)
-              p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-            }
-          case _ => ()
-        }
-      else df => df.queryExecution.analyzed match {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-        case _ => ()
-      }
+    // ckpt/release/restore: the shared [[iterCkptHarness]] discipline
+    // (reliable mode mutates the SESSION-GLOBAL checkpoint dir for the
+    // loop's duration and deletes superseded rounds' snapshots; a context
+    // shared by two simultaneous checkpointing jobs needs external
+    // coordination either way)
+    val (ckpt, release, restore) = iterCkptHarness(s, checkpointDir)
     try {
       var edges = ckpt(pairs.select(col("id_a"), col("id_b")))
       var n = edges.count()
@@ -2969,21 +2957,9 @@ object TextOps {
         .unionAll(edges.select(col("id_b").as("doc_id")))
         .groupBy("doc_id").agg(count(lit(1)).as("core_deg"))
         .orderBy("doc_id")
-    } finally {
-      // the surviving round is already materialized (count()), so restoring
-      // the prior dir cannot strand its files mid-write; when NO prior dir
-      // existed the new one stays set (SparkContext has no public unset) —
-      // the residual, documented side effect of reliable mode.
-      // getCheckpointDir returns the fs-qualified <configured>/<uuid> path
-      // setCheckpointDir minted, so restore the CONFIGURED parent — passing
-      // the qualified path back would nest a fresh uuid dir one level
-      // deeper on every peel
-      if (checkpointDir.isDefined)
-        priorCkptDir.foreach { prior =>
-          s.sparkContext.setCheckpointDir(
-            new org.apache.hadoop.fs.Path(prior).getParent.toString)
-        }
-    }
+    } finally restore()
+    // (the surviving round is already materialized via count(), so the
+    // restore cannot strand its files mid-write)
   }
 
   /** x185 PII detection audit — the DETECTION gate the privacy shelf

@@ -99,11 +99,16 @@ object BucketedLayout {
     // resolve each pointered day ONCE; a pointer that fell back to the
     // classic name (vanished mid-read) or names a vanished generation is
     // served through the classic branch
+    // per-day metadata cost is kept at ONE pointer read for the steady
+    // state: generation/classic existence comes from the single root
+    // listing already in hand, and the `_folded` manifest is only read
+    // for days that STILL have a classic dir (reclaimed days — the
+    // steady state one compact cycle after sealing — skip it entirely)
+    val nameSet = names.toSet
     val resolved = pointerDays
       .map(day => day -> GenDir.currentName(fs, sinkDir, s"day=$day"))
     val genDays = resolved.filter { case (day, cur) =>
-      cur != s"day=$day" &&
-        fs.exists(new org.apache.hadoop.fs.Path(s"$sinkDir/$cur"))
+      cur != s"day=$day" && nameSet.contains(cur)
     }.toMap
     val classicDirs = names
       .filter(n => n.startsWith("day=") &&
@@ -117,10 +122,14 @@ object BucketedLayout {
       val genDf = spark.read.parquet(genPath.toString)
         .withColumn("day", to_date(lit(day)))
       // late appends: classic files the live generation has not folded
-      val folded = readFolded(fs, genPath)
-      val classicDay = new org.apache.hadoop.fs.Path(s"$sinkDir/day=$day")
-      val leftovers = dataFileNames(fs, classicDay).filterNot(folded)
-        .map(n => s"$sinkDir/day=$day/$n")
+      val leftovers =
+        if (!nameSet.contains(s"day=$day")) Nil
+        else {
+          val folded = readFolded(fs, genPath)
+          val classicDay = new org.apache.hadoop.fs.Path(s"$sinkDir/day=$day")
+          dataFileNames(fs, classicDay).filterNot(folded)
+            .map(n => s"$sinkDir/day=$day/$n")
+        }
       if (leftovers.isEmpty) Seq(genDf)
       else Seq(genDf, spark.read.parquet(leftovers: _*)
         .withColumn("day", to_date(lit(day))))
@@ -215,13 +224,32 @@ object BucketedLayout {
           val genP = new org.apache.hadoop.fs.Path(s"$sinkDir/$cur")
           require(fs.exists(genP), s"compactDay: pointer for day=$day names " +
             s"a vanished generation $cur and no recovery source exists")
-          (Seq(genP.toString) ++ classicFiles.map(n => s"$classicP/$n"),
+          // fold the generation + ONLY the classic files its manifest
+          // does not cover — the same rule readEvents serves by, NOT
+          // "whatever the sweep left": a folded file whose best-effort
+          // delete failed above must not be folded a second time (its
+          // rows are already in the generation — r15 second-review
+          // finding: trusting the sweep here duplicated rows forever).
+          // The new manifest covers EVERY classic file present (folded
+          // survivors included — their rows ride the generation either
+          // way, and listing them keeps the next sweep retrying their
+          // delete).
+          val already = readFolded(fs, genP)
+          (Seq(genP.toString) ++
+             classicFiles.filterNot(already).map(n => s"$classicP/$n"),
             classicFiles, false)
         } else if (fs.exists(classicP)) {
           // a stale park beside a live classic dir is crash garbage from
           // the atomic era (post-swap, pre-cleanup) — invisible; drop it
           if (fs.exists(parkP)) fs.delete(parkP, true)
-          (Seq(classicP.toString), classicFiles, false)
+          require(classicFiles.nonEmpty, s"compactDay: no data for day=$day")
+          // EXPLICIT file paths, not the directory: an insert landing
+          // between the listing and the Spark read would otherwise be
+          // folded into the generation but left OUT of the manifest —
+          // served twice, forever (r15 second-review finding). Listed
+          // but unread is the safe side: such a file is a leftover the
+          // next compact folds.
+          (classicFiles.map(n => s"$classicP/$n"), classicFiles, false)
         } else if (fs.exists(parkP)) {
           (Seq(parkP.toString), Nil, true)
         } else {
@@ -327,16 +355,21 @@ object BucketedLayout {
       .filter(p => p.getName.startsWith(s".day=${day}_g") && p.getName != cur)
       .foreach(rm)
     if (cur == s"day=$day") return // classic is live — no classic reclaim
+    // a park surviving beside a published pointer is post-publish crash
+    // garbage (the park-fold branch deletes it after publish; its rows
+    // live in the generation) — invisible to readers, reclaim now
+    val parkP = new org.apache.hadoop.fs.Path(s"$sinkDir/.old-day=$day")
+    if (fs.exists(parkP)) rm(parkP)
     val genP = new org.apache.hadoop.fs.Path(s"$sinkDir/$cur")
     val classicP = new org.apache.hadoop.fs.Path(s"$sinkDir/day=$day")
     if (fs.exists(genP) && fs.exists(classicP)) {
       val folded = readFolded(fs, genP)
       val names = fs.listStatus(classicP).map(_.getPath.getName)
+      // ONE listing decides whether bookkeeping rides along (r15 second
+      // review: the predicate re-listed the dir per _SUCCESS/.crc entry)
+      val allCovered = dataFileNames(fs, classicP).forall(folded)
       names.filter(n => folded(n) ||
-          // partition-write bookkeeping (_SUCCESS etc.) rides along once
-          // every data file is covered
-          ((n.startsWith("_") || n.startsWith(".")) &&
-            dataFileNames(fs, classicP).forall(folded)))
+          ((n.startsWith("_") || n.startsWith(".")) && allCovered))
         .foreach(n => rm(new org.apache.hadoop.fs.Path(classicP, n)))
       if (fs.exists(classicP) && fs.listStatus(classicP).isEmpty) rm(classicP)
     }

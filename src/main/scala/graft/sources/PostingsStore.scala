@@ -205,16 +205,12 @@ class PostingsStore(spark: SparkSession, dir: String) {
     // tree under postings_old_<gen> (see recover)
     // ONE FileSystem handle per query (the hot serving path): `fsys` is a
     // def and each pointer resolution costs an exists+read, so repeated
-    // resolution is wasted object-store round-trips. The postings and
-    // stats pointers are two separate objects, so a concurrent compact's
-    // flips CAN straddle two naive reads (gen-N postings with gen-N+1
-    // stats); resolveBoth re-reads the postings pointer after the stats
-    // read and retries until it is stable across the pair — a compact
-    // flips postings first, so a stable postings pointer brackets the
-    // stats read on both sides. The residual cross-generation mix after
-    // the bounded retries is CONTENT-equivalent anyway (compact moves
-    // bytes, never meaning, and appends are lease-serialized against
-    // compacts), so the loop caps at 5 attempts instead of spinning.
+    // resolution is wasted object-store round-trips. The postings/stats
+    // PAIR resolves from the single postings pointer (resolveBoth: both
+    // generations share one `_g<nanos>` suffix and are fully written
+    // before the pointer flips), so no interleaving with a concurrent
+    // compact can serve mixed generations — the consistency is
+    // structural, not retry-based.
     val fsOnce = fsys
     if (!fsOnce.exists(GenDir.livePath(fsOnce, dir, "postings"))) recover()
     healAppends(dropStages = false) // never serve a half-published batch
