@@ -186,14 +186,45 @@ object BucketedLayout {
     * which is strictly STRONGER than the rename path's between-renames
     * blink. A kill before the pointer write leaves an orphan hidden
     * generation (swept on the next compact of that day); after it, only
-    * deferred bytes. */
-  def compactDay(spark: SparkSession, sinkDir: String, day: String, seriesBuckets: Int = 8): Unit = {
+    * deferred bytes.
+    *
+    * Single-writer ENFORCED (round 16 — the r15 verdict's last unguarded
+    * mutator): the whole compact, both posture branches, runs under a
+    * [[WriterLease]] keyed to a hidden per-day root (`.lock-day=<day>` —
+    * dot-prefixed, invisible to partition discovery, reclaimed with the
+    * day by [[dropDaysBefore]]). Two concurrent compactDay calls on ONE
+    * day (cron overlap, manual + scheduled) could otherwise sweep each
+    * other's unpublished staging generation and then publish a pointer
+    * at a deleted dir — an unreadable day. The lease is per DAY, not per
+    * store, so a 30-day backfill still compacts its days in parallel;
+    * only same-day writers serialize (second caller gets
+    * [[WriterLease.ConcurrentWriterException]]). `leaseStaleMs` is the
+    * reclaim bar for a crashed holder's corpse (renewal keeps a live
+    * holder unstealable past it). [[graft.GraftStore.insert]] stays
+    * lease-free by design — late appends racing a compact are the
+    * supported concurrency the `_folded` manifest discipline exists for. */
+  def compactDay(spark: SparkSession, sinkDir: String, day: String,
+                 seriesBuckets: Int = 8,
+                 leaseStaleMs: Long = 30L * 60L * 1000L): Unit = {
     val fs = new org.apache.hadoop.fs.Path(sinkDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(!fs.exists(new org.apache.hadoop.fs.Path(s"$sinkDir/_spark_metadata")),
       s"$sinkDir is a streaming-sink directory (_spark_metadata present): " +
         "physical compaction would invalidate the manifest and resurrect " +
         "orphaned uncommitted files — use IngestPipeline.compactDayInto")
+    WriterLease.withLease(spark, s"$sinkDir/.lock-day=$day", leaseStaleMs) {
+      compactDayHeld(spark, fs, sinkDir, day, seriesBuckets)
+    }
+  }
+
+  /** Test-only fault injection: called with a protocol-point name right
+    * AFTER that step completes on the pointer posture ("swept", "staged",
+    * "manifest", "published"). CrossProcessSpec's probe parks here so a
+    * real SIGKILL lands at the exact point; production never sets it. */
+  private[graft] var onCompactPoint: String => Unit = _ => ()
+
+  private def compactDayHeld(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+                             sinkDir: String, day: String, seriesBuckets: Int): Unit = {
     val dayBase = s"day=$day"
     // a day already carrying a generation pointer stays in pointer mode
     // even on an atomic filesystem (posture migration: the pointer is the
@@ -206,6 +237,7 @@ object BucketedLayout {
       // `_folded` manifest covers (the retired copy / previously folded
       // late appends)
       sweepDay(fs, sinkDir, day)
+      onCompactPoint("swept")
       val cur = GenDir.currentName(fs, sinkDir, dayBase)
       val classicP = new org.apache.hadoop.fs.Path(s"$sinkDir/$dayBase")
       val parkP = new org.apache.hadoop.fs.Path(s"$sinkDir/.old-day=$day")
@@ -219,11 +251,11 @@ object BucketedLayout {
       //    run here; fold the park and delete it after publish (it is
       //    invisible to every reader, so no grace is needed)
       val classicFiles = dataFileNames(fs, classicP)
+      val genLive = cur != dayBase &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$sinkDir/$cur"))
       val (srcPaths, foldedNames, parkFolded) =
-        if (cur != dayBase) {
+        if (genLive) {
           val genP = new org.apache.hadoop.fs.Path(s"$sinkDir/$cur")
-          require(fs.exists(genP), s"compactDay: pointer for day=$day names " +
-            s"a vanished generation $cur and no recovery source exists")
           // fold the generation + ONLY the classic files its manifest
           // does not cover — the same rule readEvents serves by, NOT
           // "whatever the sweep left": a folded file whose best-effort
@@ -238,11 +270,20 @@ object BucketedLayout {
           (Seq(genP.toString) ++
              classicFiles.filterNot(already).map(n => s"$classicP/$n"),
             classicFiles, false)
-        } else if (fs.exists(classicP)) {
-          // a stale park beside a live classic dir is crash garbage from
-          // the atomic era (post-swap, pre-cleanup) — invisible; drop it
-          if (fs.exists(parkP)) fs.delete(parkP, true)
-          require(classicFiles.nonEmpty, s"compactDay: no data for day=$day")
+        } else if (classicFiles.nonEmpty) {
+          // Two ways here: the classic day (first pointer compact), or —
+          // DAMAGE (r15 ADVICE) — a pointer naming a VANISHED generation
+          // while the classic dir still has data. readEvents already
+          // serves that damage case from the classic dir, so compaction
+          // mirrors it: fold the classic files and re-publish, instead of
+          // refusing forever (the old require left the day serving but
+          // permanently uncompactable).
+          // A stale park beside a live classic dir with NO pointer is
+          // crash garbage from the atomic era (post-swap, pre-cleanup) —
+          // invisible; drop it. Under a vanished-gen pointer the park is
+          // NOT provably redundant, so it is left for the park branch's
+          // fold on a later call.
+          if (cur == dayBase && fs.exists(parkP)) fs.delete(parkP, true)
           // EXPLICIT file paths, not the directory: an insert landing
           // between the listing and the Spark read would otherwise be
           // folded into the generation but left OUT of the manifest —
@@ -252,6 +293,10 @@ object BucketedLayout {
           (classicFiles.map(n => s"$classicP/$n"), classicFiles, false)
         } else if (fs.exists(parkP)) {
           (Seq(parkP.toString), Nil, true)
+        } else if (cur != dayBase) {
+          sys.error(s"compactDay: pointer for day=$day names a vanished " +
+            s"generation $cur and no classic or parked data exists — " +
+            "no recovery source")
         } else {
           sys.error(s"compactDay: no data for day=$day")
         }
@@ -261,12 +306,15 @@ object BucketedLayout {
         .repartition(seriesBuckets, col("user_id"), col("event_type"))
         .sortWithinPartitions("user_id", "event_type", "ts")
         .write.mode("overwrite").parquet(genPath.toString)
+      onCompactPoint("staged")
       // the manifest publishes WITH the generation (same pointer flip):
       // classic files folded here are served from the generation and
       // reclaimed by the NEXT compact's sweep
       val o = fs.create(new org.apache.hadoop.fs.Path(genPath, "_folded"), true)
       try o.write(foldedNames.mkString("\n").getBytes("UTF-8")) finally o.close()
+      onCompactPoint("manifest")
       GenDir.publish(fs, sinkDir, dayBase, genName)
+      onCompactPoint("published")
       if (parkFolded) fs.delete(parkP, true)
       return
     }
@@ -316,6 +364,7 @@ object BucketedLayout {
         Some(name.stripPrefix(".day=").takeWhile(_ != '_'))
       else if (name.startsWith(".old-day=")) Some(name.stripPrefix(".old-day="))
       else if (name.startsWith(".compact-day=")) Some(name.stripPrefix(".compact-day="))
+      else if (name.startsWith(".lock-day=")) Some(name.stripPrefix(".lock-day="))
       else None
     val doomed = fs.listStatus(base).toSeq.map(_.getPath)
       .flatMap(p => dayOf(p.getName).filter(_ < cutoffDay).map(d => (d, p)))
@@ -355,14 +404,18 @@ object BucketedLayout {
       .filter(p => p.getName.startsWith(s".day=${day}_g") && p.getName != cur)
       .foreach(rm)
     if (cur == s"day=$day") return // classic is live — no classic reclaim
-    // a park surviving beside a published pointer is post-publish crash
-    // garbage (the park-fold branch deletes it after publish; its rows
-    // live in the generation) — invisible to readers, reclaim now
+    val genP = new org.apache.hadoop.fs.Path(s"$sinkDir/$cur")
+    if (!fs.exists(genP)) return // vanished-gen DAMAGE: everything left may
+    // be the day's only copy (classic fallback serves it; the park may be
+    // too) — reclaim nothing until a compact re-publishes from it
+    // a park surviving beside a published pointer whose generation is
+    // LIVE is post-publish crash garbage (the park-fold branch deletes it
+    // after publish; its rows live in the generation) — invisible to
+    // readers, reclaim now
     val parkP = new org.apache.hadoop.fs.Path(s"$sinkDir/.old-day=$day")
     if (fs.exists(parkP)) rm(parkP)
-    val genP = new org.apache.hadoop.fs.Path(s"$sinkDir/$cur")
     val classicP = new org.apache.hadoop.fs.Path(s"$sinkDir/day=$day")
-    if (fs.exists(genP) && fs.exists(classicP)) {
+    if (fs.exists(classicP)) {
       val folded = readFolded(fs, genP)
       val names = fs.listStatus(classicP).map(_.getPath.getName)
       // ONE listing decides whether bookkeeping rides along (r15 second
@@ -371,7 +424,15 @@ object BucketedLayout {
       names.filter(n => folded(n) ||
           ((n.startsWith("_") || n.startsWith(".")) && allCovered))
         .foreach(n => rm(new org.apache.hadoop.fs.Path(classicP, n)))
-      if (fs.exists(classicP) && fs.listStatus(classicP).isEmpty) rm(classicP)
+      // NON-recursive delete of the (just-observed-empty) shell: between
+      // the listing and this delete a concurrent GraftStore.insert — the
+      // explicitly supported late-append concurrency — can land a file,
+      // and a recursive delete would silently destroy it (r15 ADVICE
+      // TOCTOU). delete(_, false) fails on a non-empty dir instead; the
+      // next sweep retries the shell.
+      if (fs.exists(classicP) && fs.listStatus(classicP).isEmpty)
+        try { fs.delete(classicP, false); () }
+        catch { case _: java.io.IOException => () } // non-empty again / blip
     }
   }
 

@@ -313,6 +313,54 @@ class BucketedLayoutSpec extends SparkSpecBase {
     fsys.delete(new Path(s"$dir/_day=${ghostDay}_gen"), false)
   }
 
+  test("flat object store: a pointer naming a VANISHED generation over a " +
+       "live classic dir is COMPACTED from the classic fallback and " +
+       "re-published — not refused forever (r15 ADVICE)") {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.s3a.impl", classOf[FlatObjectFs].getName)
+    val dir = "s3a://test" +
+      java.nio.file.Files.createTempDirectory("flat-ghost").toString
+    BucketedLayout.migrate(spark, sfDir, dir, seriesBuckets = 2)
+    val fsys = new Path(dir).getFileSystem(conf)
+    val day = "2024-01-10"
+    val before = BucketedLayout.readEvents(spark, dir)
+      .filter(col("day") === day).count()
+    // damage: a pointer naming a generation that no longer exists, while
+    // the classic dir still serves (readEvents' documented fallback)
+    val o = fsys.create(new Path(s"$dir/_day=${day}_gen"), true)
+    try o.write(s".day=${day}_g999".getBytes("UTF-8")) finally o.close()
+    assert(BucketedLayout.readEvents(spark, dir)
+      .filter(col("day") === day).count() === before)
+    // the old require refused this state ("no recovery source") even
+    // though the classic dir had the data — it must now fold + re-publish
+    BucketedLayout.compactDay(spark, dir, day, seriesBuckets = 2)
+    val cur = graft.sources.GenDir.currentName(fsys, dir, s"day=$day")
+    assert(cur != s"day=$day" && fsys.exists(new Path(s"$dir/$cur")),
+      s"recovery compact must re-publish a live generation, got $cur")
+    assert(BucketedLayout.readEvents(spark, dir)
+      .filter(col("day") === day).count() === before,
+      "recovery compact lost or doubled the classic fallback's rows")
+    // and the damaged state is actually healed: one more cycle reclaims
+    BucketedLayout.compactDay(spark, dir, day, seriesBuckets = 2)
+    assert(!fsys.exists(new Path(s"$dir/day=$day")),
+      "the healed day must reach the reclaimed steady state")
+    assert(BucketedLayout.readEvents(spark, dir)
+      .filter(col("day") === day).count() === before)
+  }
+
+  test("retention reclaims the per-day lease root with the day") {
+    val dir = java.nio.file.Files.createTempDirectory("lock-retn").toString
+    BucketedLayout.migrate(spark, sfDir, dir, seriesBuckets = 2)
+    BucketedLayout.compactDay(spark, dir, "2024-01-05", seriesBuckets = 2)
+    assert(new java.io.File(s"$dir/.lock-day=2024-01-05").exists,
+      "compactDay must have claimed its per-day lease root")
+    val dropped = BucketedLayout.dropDaysBefore(spark, dir, "2024-01-06")
+    assert(dropped.contains("day=2024-01-05"))
+    assert(!new java.io.File(s"$dir/.lock-day=2024-01-05").exists,
+      "retention must reclaim the lease root with the day")
+  }
+
   test("retention drops whole days cheaply") {
     val dir = java.nio.file.Files.createTempDirectory("retention-events").toString
     BucketedLayout.migrate(spark, sfDir, dir, seriesBuckets = 2)

@@ -131,6 +131,50 @@ object CrossProcessProbe {
         }
         mark("LOOP_DONE")
 
+      // pointer-posture day compact with a park-at-point fault hook: the
+      // parent SIGKILLs us while we sleep just AFTER the named protocol
+      // point ("swept" | "staged" | "manifest" | "published"), so a real
+      // process death lands exactly there — the cross-process twin of
+      // BucketedLayoutSpec's state-construction kill matrix. point=none
+      // runs the compact to completion. staleMs parameterizes the lease
+      // so the parent's reclaim tests stay fast.
+      case "compact-day" =>
+        val Array(_, dir, day, point, staleMs) = args
+        if (dir.startsWith("s3a:"))
+          spark.sparkContext.hadoopConfiguration
+            .set("fs.s3a.impl", classOf[FlatObjectFs].getName)
+        if (point != "none")
+          graft.sources.BucketedLayout.onCompactPoint = { pt =>
+            if (pt == point) { mark(pt.toUpperCase); parkForever() }
+          }
+        try {
+          graft.sources.BucketedLayout.compactDay(spark, dir, day,
+            seriesBuckets = 2, leaseStaleMs = staleMs.toLong)
+          mark("COMPACTED")
+        } catch { case _: WriterLease.ConcurrentWriterException =>
+          mark("LEASE_REJECTED")
+        }
+
+      // GraftStore.insert batches against a (possibly mid-compact) store:
+      // the supported lease-free late-append concurrency, driven from a
+      // REAL second process while the parent compacts the same day
+      case "insert-loop" =>
+        val Array(_, dir, srcSf, day, batchesS, perBatchS) = args
+        if (dir.startsWith("s3a:"))
+          spark.sparkContext.hadoopConfiguration
+            .set("fs.s3a.impl", classOf[FlatObjectFs].getName)
+        import org.apache.spark.sql.functions.{col, date_format, lit}
+        val store = new GraftStore(spark, dir)
+        val dayRows = Tables.events(spark, srcSf)
+          .filter(date_format(col("ts"), "yyyy-MM-dd") === day)
+          .limit(perBatchS.toInt).cache()
+        mark("INSERTING")
+        (1 to batchesS.toInt).foreach { i =>
+          store.insert(dayRows.withColumn("event_id",
+            col("event_id") + lit(10000000L * i)), seriesBuckets = 1)
+        }
+        mark("INSERT_DONE")
+
       case other => sys.error(s"unknown probe mode $other")
     }
     spark.stop()

@@ -314,6 +314,143 @@ class CrossProcessSpec extends SparkSpecBase {
     } finally child.kill()
   }
 
+  // ------------------------------------------------ day-pointer compacts
+
+  private def flatDir(prefix: String): String = {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.s3a.impl", classOf[FlatObjectFs].getName)
+    "s3a://test" + java.nio.file.Files.createTempDirectory(prefix).toString
+  }
+
+  private def dayCount(dir: String, day: String): Long = {
+    import org.apache.spark.sql.functions.col
+    graft.sources.BucketedLayout.readEvents(spark, dir)
+      .filter(col("day") === day).count()
+  }
+
+  test("two PROCESSES compacting ONE day: the per-day lease rejects the " +
+       "second live writer, a different day compacts in parallel, and a " +
+       "SIGKILLed holder's orphan + corpse are healed by the next compact " +
+       "(r15 verdict item 1)") {
+    import graft.sources.BucketedLayout
+    import org.apache.hadoop.fs.Path
+    val dir = flatDir("xproc-compact-race")
+    BucketedLayout.migrate(spark, sfDir, dir, seriesBuckets = 2)
+    val fsys = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val day = "2024-01-05"
+    val before = dayCount(dir, day)
+    val other = dayCount(dir, "2024-01-06")
+    // child parks right after staging its generation — INSIDE the lease
+    val child = new Child(Seq("compact-day", dir, day, "staged", "600000"))
+    try {
+      child.await("STAGED", timeoutMs = 180000L)
+      // the day serves untouched while a compact is mid-flight
+      assert(dayCount(dir, day) === before)
+      // same-day compact from THIS process → rejected loudly, day intact
+      intercept[WriterLease.ConcurrentWriterException] {
+        BucketedLayout.compactDay(spark, dir, day, seriesBuckets = 2)
+      }
+      assert(dayCount(dir, day) === before,
+        "a rejected second compact must not have touched the day")
+      // the lease is per DAY: a different day compacts concurrently
+      BucketedLayout.compactDay(spark, dir, "2024-01-06", seriesBuckets = 2)
+      assert(dayCount(dir, "2024-01-06") === other)
+      child.kill() // real SIGKILL mid-compact: staged orphan + lease corpse
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+        dir.stripPrefix("s3a://test"), s".lock-day=$day", "_writer_lease")),
+        "SIGKILL must leave the per-day lease corpse")
+      Thread.sleep(2500L) // age the corpse past the reclaim bar below
+      BucketedLayout.compactDay(spark, dir, day, seriesBuckets = 2,
+        leaseStaleMs = 2000L)
+      assert(dayCount(dir, day) === before,
+        "the healing compact lost or doubled rows")
+      // pointer names a LIVE generation; the killed child's orphan is gone
+      val cur = graft.sources.GenDir.currentName(fsys, dir, s"day=$day")
+      assert(cur != s"day=$day" && fsys.exists(new Path(s"$dir/$cur")),
+        s"pointer must name a live generation, got $cur")
+      val gens = fsys.listStatus(new Path(dir)).map(_.getPath.getName)
+        .filter(_.startsWith(s".day=${day}_g"))
+      assert(gens.toSeq === Seq(cur),
+        s"healing compact must sweep the killed child's orphan, got ${gens.toSeq}")
+    } finally child.kill()
+  }
+
+  test("compactDay SIGKILLed at each pointer-protocol point (swept/staged/" +
+       "manifest/published): the day serves its exact row set throughout " +
+       "and the next compact heals (r15 verdict item 5)") {
+    import graft.sources.BucketedLayout
+    import org.apache.hadoop.fs.Path
+    val dir = flatDir("xproc-compact-kill")
+    BucketedLayout.migrate(spark, sfDir, dir, seriesBuckets = 2)
+    val fsys = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val points = Seq("swept" -> "2024-01-05", "staged" -> "2024-01-06",
+      "manifest" -> "2024-01-07", "published" -> "2024-01-08")
+    points.foreach { case (point, day) =>
+      val before = dayCount(dir, day)
+      val child = new Child(Seq("compact-day", dir, day, point, "600000"))
+      try {
+        child.await(point.toUpperCase, timeoutMs = 180000L)
+        child.kill()
+      } finally child.kill()
+      // closed-form oracle: every kill point serves EXACTLY the pre-kill
+      // rows — pre-publish kills leave the classic dir untouched,
+      // post-publish the generation + manifest serve the same set
+      assert(dayCount(dir, day) === before,
+        s"kill at $point changed the served rows for $day")
+      Thread.sleep(2500L)
+      BucketedLayout.compactDay(spark, dir, day, seriesBuckets = 2,
+        leaseStaleMs = 2000L)
+      assert(dayCount(dir, day) === before,
+        s"healing compact after a $point kill lost or doubled rows")
+      val cur = graft.sources.GenDir.currentName(fsys, dir, s"day=$day")
+      assert(cur != s"day=$day" && fsys.exists(new Path(s"$dir/$cur")),
+        s"after healing a $point kill the pointer must name a live " +
+          s"generation, got $cur")
+    }
+  }
+
+  test("a writer PROCESS appending late batches while this process " +
+       "compacts the same day repeatedly: every row lands exactly once " +
+       "(the _folded manifest discipline across a real process boundary)") {
+    import graft.sources.BucketedLayout
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val dir = flatDir("xproc-compact-insert")
+    BucketedLayout.migrate(spark, sfDir, dir, seriesBuckets = 2)
+    val day = "2024-01-07"
+    val before = dayCount(dir, day)
+    val (batches, perBatch) = (8, 5)
+    val child = new Child(Seq("insert-loop", dir, sfDir, day,
+      batches.toString, perBatch.toString))
+    try {
+      child.await("INSERTING", timeoutMs = 180000L)
+      // compact in a loop against the live inserter: a compact that
+      // catches a half-committed append fails transiently (FlatObjectFs
+      // copies files byte-wise, unlike a real store's atomic PUT) — the
+      // END state is the oracle, same as production retry-on-failure
+      var compacts = 0
+      while (child.proc.isAlive && compacts < 50) {
+        try { BucketedLayout.compactDay(spark, dir, day, seriesBuckets = 2); () }
+        catch { case _: Throwable => () }
+        compacts += 1
+        Thread.sleep(25L)
+      }
+      child.await("INSERT_DONE", timeoutMs = 180000L)
+      assert(child.waitFor() == 0, s"inserter failed (${child.errLogPath})")
+      // quiesced: fold whatever the racing compacts left as leftovers,
+      // then once more to reclaim — the count must be exact
+      BucketedLayout.compactDay(spark, dir, day, seriesBuckets = 2)
+      BucketedLayout.compactDay(spark, dir, day, seriesBuckets = 2)
+      val expected = before + batches.toLong * perBatch
+      val served = BucketedLayout.readEvents(spark, dir)
+        .filter(col("day") === day)
+      assert(served.count() === expected,
+        s"insert-vs-compact race lost or duplicated rows")
+      val distinctIds = served.agg(countDistinct(col("event_id"))).head.getLong(0)
+      assert(distinctIds === expected,
+        "row count matches but event_ids collide — something double-served")
+    } finally child.kill()
+  }
+
   test("clean staged append publishes once; a fenced same-id replay is " +
        "skipped by the admitted() check a foreachBatch restart takes") {
     val root = tmp("xproc-st-clean")

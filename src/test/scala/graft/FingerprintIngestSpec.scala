@@ -191,4 +191,44 @@ class FingerprintIngestSpec extends SparkSpecBase {
     assert(rows(StreamOps.fingerprints(spark, store)) === expect,
       "second compact re-folded already-folded partials")
   }
+
+  test("ST28 single-writer is ENFORCED, not assumed (r15 verdict): a " +
+       "compact or a batch racing a held store lease fails loudly; the " +
+       "store serves unchanged and both succeed once the holder releases") {
+    import graft.sources.WriterLease
+    val store = tmp()
+    val batch = Tables.events(spark, sfDir).select("event_id", "ts")
+    StreamOps.applyFingerprintBatch(batch, 0L, store)
+    val expect = rows(StreamOps.fingerprints(spark, store))
+    // another thread of this JVM holds the store lease — the likeliest
+    // misconfiguration (a second stream on the same root) and exactly
+    // what the quiesced-ingest assumption could not arbitrate before
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() =>
+      WriterLease.withLease(spark, store) {
+        started.countDown()
+        release.await(60L, java.util.concurrent.TimeUnit.SECONDS); ()
+      }, "st28-lease-holder")
+    holder.start()
+    assert(started.await(30L, java.util.concurrent.TimeUnit.SECONDS))
+    try {
+      intercept[WriterLease.ConcurrentWriterException] {
+        StreamOps.compactFingerprints(spark, store)
+      }
+      intercept[WriterLease.ConcurrentWriterException] {
+        StreamOps.applyFingerprintBatch(batch, 1L, store)
+      }
+      // lease-free READS are never blocked, and nothing was mutated
+      assert(rows(StreamOps.fingerprints(spark, store)) === expect)
+    } finally { release.countDown(); holder.join(60000L) }
+    // released: both writers work again, and the fold is exact
+    StreamOps.applyFingerprintBatch(batch, 1L, store)
+    StreamOps.compactFingerprints(spark, store)
+    val doubled = rows(StreamOps.fingerprints(spark, store))
+    assert(doubled.map(_._1) === expect.map(_._1) &&
+      doubled.forall { case (d, n, _) =>
+        expect.exists { case (d2, n2, _) => d2 == d && n == 2 * n2 } },
+      "post-release batch+compact must fold batch 1 exactly once")
+  }
 }
