@@ -37,20 +37,49 @@ object Bench {
         a.startsWith("-javaagent") || a.startsWith("-Xrunjdwp"))
   }
 
+  /** Rows whose SHARED figure is ≥2× their committed controlled median
+    * (`tools/bench_medians.json`) AND ≥1 s — the set that NEEDS
+    * adjudication this run, independent of the same-run isolation
+    * children (r15 verdict item 4: `shared_over_isolated_flags` compares
+    * against same-run children, so a contended isolation pass silently
+    * invalidated its own adjudication; the committed history cannot be
+    * polluted by this run). The 1 s absolute floor keeps sub-second
+    * scheduler jitter (0.05 s → 0.12 s is 2.4×, and noise) out of the
+    * flag set. Sorted worst inflation first. */
+  private[graft] def historyFlags(allRows: Seq[(String, Double)],
+                                  history: Map[String, Double]): Seq[(String, Double)] =
+    allRows.flatMap { case (n, sh) =>
+      history.get(n).filter(h => h > 0 && sh >= 2 * h && sh >= 1.0)
+        .map(h => n -> sh / h)
+    }.sortBy(-_._2)
+
   /** Parse an isolation spec ("off" | "slowest:N[,heavy:T:R]") against the
-    * shared-run rows and the curated watchlist into an ORDERED plan:
-    * (row, target fresh-JVM children), slowest shared figure first, plus
-    * the heavy threshold when one was set. PURE (BenchSpec pins it) and
-    * DEFENSIVE: it runs after the multi-hour shared pass, so a malformed
-    * clause degrades to "skip that clause", never throws the run away.
+    * shared-run rows, the curated watchlist, and the committed per-row
+    * median history into an ORDERED plan: (row, target fresh-JVM
+    * children), plus the heavy threshold when one was set. PURE (BenchSpec
+    * pins it) and DEFENSIVE: it runs after the multi-hour shared pass, so
+    * a malformed clause degrades to "skip that clause", never throws the
+    * run away.
     *
     * Round-15 contract: NO silent row cap. The r14 `take(16)` dropped 5 of
     * the 21 >5 s rows from the isolation set with nothing in the artifact
     * saying so — exactly the adjudication hole the pass exists to close.
     * The wall budget (main) is the only cap now, and rows it cuts land in
-    * the artifact's `isolation_skipped` map instead of vanishing. */
+    * the artifact's `isolation_skipped` map instead of vanishing.
+    *
+    * Round-16 contract: ADJUDICATION-FIRST ordering. Rows inflated ≥2× vs
+    * their committed controlled median ([[historyFlags]]) head the plan,
+    * worst inflation first, each with median-of-R reps — so a
+    * budget-bounded run spends its children on the rows that NEED
+    * adjudication before any merely-slow row (r15 spent its budget on a
+    * static slowest-N order and skipped exactly the inflated rows —
+    * x99_align at 10× and x64_rollup at 10× both landed in
+    * `isolation_skipped: budget`). Unflagged rows follow in the previous
+    * slowest-shared-first order. */
   private[graft] def planIsolation(allRows: Seq[(String, Double)], spec: String,
-                                   watch: Seq[String]): (Seq[(String, Int)], Option[Double]) = {
+                                   watch: Seq[String],
+                                   history: Map[String, Double] = Map.empty)
+      : (Seq[(String, Int)], Option[Double]) = {
     if (spec == "off") return (Nil, None)
     val parts = spec.split(",").map(_.trim)
     val slowN = parts.collectFirst {
@@ -63,24 +92,37 @@ object Bench {
           case _           => None
         }
     }.flatten
+    val flagged = historyFlags(allRows, history).map(_._1)
     if (slowN == 0 && heavy.isEmpty)
+      // an unparsable spec degrades clause-wise, not to zero: the
+      // slowest/heavy selections are skipped, but the curated watchlist
+      // and the history-flagged rows are adjudication work that a spec
+      // typo must not cancel — say exactly that (r15 ADVICE: the old
+      // message claimed the whole pass was skipped while watch rows ran)
       System.err.println(s"[bench] unparsable SPARK_GRAFT_ISOLATE '$spec' — " +
-        "isolation pass skipped, shared artifact intact")
+        "slowest/heavy clauses skipped; watchlist and history-flagged rows " +
+        s"still get children (${(watch ++ flagged).distinct.size} planned)")
     val have = allRows.map(_._1).toSet
     val shared = allRows.toMap
     val slowest = allRows.sortBy(-_._2).take(slowN).map(_._1)
     val heavyRows = heavy.map { case (thr, _) =>
       allRows.filter(_._2 > thr).map(_._1)
     }.getOrElse(Nil)
-    // heavy membership and the curated watchlist win the rep count (toMap
-    // keeps the last entry): a watch row is by definition a suspicious
-    // mover, so it gets the same median-of-R treatment as the heavy tail
+    // heavy membership, the curated watchlist, and the history-flagged
+    // rows win the rep count (toMap keeps the last entry): a flagged or
+    // watched row is by definition a suspicious mover, so it gets
+    // median-of-R treatment regardless of rank (flagged rows get at
+    // least 3 even with no heavy clause — a single cold child cannot
+    // adjudicate, r13 verdict item 1)
     val heavyReps = heavy.map(_._2).getOrElse(1)
+    val flagReps = math.max(heavyReps, 3)
     val reps = (slowest.map(_ -> 1) ++
       watch.filter(have).map(_ -> heavyReps) ++
-      heavyRows.map(_ -> heavyReps)).toMap
-    val ordered = (slowest ++ watch.filter(have) ++ heavyRows).distinct
-      .sortBy(n => -shared(n))
+      heavyRows.map(_ -> heavyReps) ++
+      flagged.map(_ -> flagReps)).toMap
+    val unflagged = (slowest ++ watch.filter(have) ++ heavyRows).distinct
+      .filterNot(flagged.contains).sortBy(n => -shared(n))
+    val ordered = flagged ++ unflagged
     (ordered.map(n => n -> reps(n)), heavy.map(_._1))
   }
 
@@ -133,9 +175,32 @@ object Bench {
     System.err.println(s"[bench] isolate $name failed: ${e.getMessage}"); None
   }
 
+  /** 1-minute system load average (/proc/loadavg; MXBean fallback) — the
+    * r15/r14 postmortems both traced artifact pollution to co-resident
+    * build/test JVMs, with every in-JVM metric flat. Stamping the load
+    * into the artifact lets a reader adjudicate "contended run" from the
+    * artifact alone. */
+  private def loadAvg(): Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split(" ")(0).toDouble finally src.close()
+    } catch { case _: Throwable =>
+      java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // idle-host gate (r15 verdict item 6): sample BEFORE Spark starts —
+    // a warm host here means another JVM is competing for the cores the
+    // shared pass is about to time. Warn loudly; the stamp lands in the
+    // artifact either way so a third party can re-adjudicate.
+    val loadStart = loadAvg()
+    if (loadStart > 4.0)
+      System.err.println(f"[bench] WARNING host load $loadStart%.1f at start " +
+        "— co-resident JVMs pollute shared figures (the r14/r15 lesson); " +
+        "quiesce builds/tests before trusting this artifact")
     val spark = GraftSession.build("graft-bench", s"local[$cpus]", cpus)
     // Optional isolation: SPARK_GRAFT_ONLY=x03_langid,x05_token_count times
     // just those queries (same warmup protocol) — for separating a real
@@ -691,6 +756,23 @@ object Bench {
           .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
       else Nil
     } catch { case _: Throwable => Nil }
+    // Committed per-row controlled medians (r15 verdict item 4): the
+    // cross-ROUND anchor the same-run flags cannot provide. Flat JSON
+    // object {"row": seconds, ...}, updated each round from the round's
+    // controlled runs (BASELINE.md records the protocol); absent file →
+    // no history flags, previous behavior.
+    val history: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get("tools/bench_medians.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        """"([^"]+)"\s*:\s*([0-9][0-9.eE+-]*)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_medians.json unreadable: ${e.getMessage}")
+      Map.empty
+    }
     // r10 verdict item 2: the isolation set draws from ALL rows — declared
     // AND staged/store — so a staged row can never again ship a >2× move
     // without an isolated figure (x77_lsh and x186_core_only both slipped
@@ -724,8 +806,9 @@ object Bench {
     val sharedMap = allRows.toMap
     val (plan, _) =
       if (only.nonEmpty) (Nil, None) // only after a full shared pass
-      else planIsolation(allRows, isoSpec, watch)
+      else planIsolation(allRows, isoSpec, watch, history)
     val plannedNames = plan.map(_._1)
+    val histFlags = historyFlags(allRows, history)
     // per-row fresh-JVM children observed so far: (cold, warm) pairs
     val runsByName = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.ListBuffer[(Double, Option[Double])]]
@@ -744,6 +827,10 @@ object Bench {
         sharedMap.get(k).filter(sh => isoSec > 0 && sh >= 2 * isoSec)
           .map(sh => k -> sh / isoSec)
       }
+    // load samples the isolation loop fills in as it goes (renderLine is
+    // re-rendered incrementally after every child)
+    var loadPreIso: Option[Double] = None
+    var maxChildLoad: Option[Double] = None
     // Totals, made third-party-reproducible from the artifact alone (the
     // r10 nit: `value` vs Σqueries measured different things with nothing
     // in the line saying so): `value` stays the DECLARED shared-pass wall
@@ -774,6 +861,20 @@ object Bench {
       }.mkString(""","isolated_stats":{""", ",", "}")
       val flagsJson = flaggedNow.map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
         .mkString(""","shared_over_isolated_flags":{""", ",", "}")
+      // flags vs the COMMITTED history (always present once a history
+      // file exists, {} when clean): a contended same-run isolation pass
+      // can no longer invalidate the adjudication — the committed median
+      // is this run's independent anchor (r15 verdict item 4)
+      val histJson = histFlags.map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
+        .mkString(""","vs_history_flags":{""", ",", "}")
+      // host-load stamps (r15 verdict item 6): start-of-run, before the
+      // isolation pass, and the max sampled before any child — the
+      // contended-run tells the last two postmortems needed
+      val loadJson = (Seq("start" -> loadStart) ++
+          loadPreIso.map("pre_isolation" -> _) ++
+          maxChildLoad.map("max_pre_child" -> _))
+        .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+        .mkString(""","host_load":{""", ",", "}")
       // COVERAGE CONTRACT (r14 verdict item 2): every planned row is in
       // `isolated_stats` or in `isolation_skipped` with a reason — at an
       // incremental write the not-yet-attempted rows read "pending", so
@@ -793,7 +894,7 @@ object Bench {
         // always present, {} when clean (r12 verdict item 5): a third party
         // reading the artifact can distinguish "zero flags" from a pre-flag
         // bench version that never computed them
-        flagsJson}$skippedJson,"sf":"$sfDir"}"""
+        flagsJson}${if (history.nonEmpty) histJson else ""}$skippedJson$loadJson,"sf":"$sfDir"}"""
     }
     // The driver's artifact keeps only the stdout TAIL, which truncates the
     // per-query map on a 95-query run — persist the complete line to a file
@@ -827,10 +928,26 @@ object Bench {
         System.err.println(s"[bench] could not resolve full-artifact path: ${e.getMessage}")
         None
       } else None
+    // temp-sibling + ATOMIC_MOVE (r15 ADVICE): the incremental rewrite
+    // runs after every isolation child, and the wall-budget kill it
+    // defends against (rc=124) could land MID-write — a truncating
+    // in-place write would then leave a torn artifact where the old
+    // single-write code left the prior complete line. Every observable
+    // file state is now a complete line.
     def persist(line: String): Unit =
       (outPath.map(java.nio.file.Paths.get(_)).toSeq ++ fullStampPath).foreach { p =>
-        try { java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8")); () }
-        catch { case e: Throwable =>
+        try {
+          val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+          java.nio.file.Files.write(tmp, (line + "\n").getBytes("UTF-8"))
+          try java.nio.file.Files.move(tmp, p,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          catch { case _: java.nio.file.AtomicMoveNotSupportedException =>
+            java.nio.file.Files.move(tmp, p,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+          ()
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] could not persist $p: ${e.getMessage}")
         }
       }
@@ -848,6 +965,7 @@ object Bench {
       // ~70% (x14 9.9 s with the parent alive vs 5.85 s on an idle machine
       // — measured 2026-08-13), defeating the pass's whole purpose.
       spark.stop()
+      loadPreIso = Some(loadAvg())
       val t0 = java.lang.System.nanoTime()
       def elapsedSec = (java.lang.System.nanoTime() - t0) / 1e9
       isolationSchedule(plan).foreach { name =>
@@ -855,6 +973,8 @@ object Bench {
           if (!runsByName.contains(name) && !skipReasons.contains(name))
             skipReasons(name) = "budget"
         } else {
+          val l = loadAvg()
+          if (maxChildLoad.forall(_ < l)) maxChildLoad = Some(l)
           // a child may not outlive the remaining budget by more than its
           // grace minute — one hung child must not eat the whole pass
           val childTimeout =
@@ -878,6 +998,11 @@ object Bench {
     flaggedNow.foreach { case (k, r) =>
       System.err.println(f"[bench] FLAG $k: shared ${sharedMap(k)}%.2f s is " +
         f"$r%.1fx its isolated figure — BASELINE.md must adjudicate this row")
+    }
+    histFlags.foreach { case (k, r) =>
+      System.err.println(f"[bench] HISTORY FLAG $k: shared ${sharedMap(k)}%.2f s " +
+        f"is $r%.1fx its committed controlled median — adjudicate (children " +
+        "for it ran first) or update tools/bench_medians.json with a cause")
     }
     val line = renderLine()
     println(line)

@@ -66,4 +66,69 @@ class BenchSpec extends AnyFunSuite {
     assert(plan.size === 2 && thr.isEmpty)
     assert(plan.forall(_._2 === 1))
   }
+
+  test("an unparsable spec keeps the watchlist and history-flagged rows " +
+       "(adjudication work a spec typo must not cancel — r15 ADVICE)") {
+    val hist = Map("heavy_05" -> 2.0) // shared 10.0 → 5× inflated
+    val (plan, thr) =
+      Bench.planIsolation(rows, "garbage", Seq("light_12"), hist)
+    assert(thr.isEmpty)
+    assert(plan.map(_._1).toSet === Set("heavy_05", "light_12"),
+      s"watch + flagged rows must survive a spec typo: $plan")
+  }
+
+  // —— round-16: committed-history adjudication ————————————————————————
+
+  test("historyFlags: ≥2× the committed median AND ≥1 s, worst first; " +
+       "sub-second jitter and unknown rows never flag") {
+    val hist = Map(
+      "heavy_01" -> 6.0,   // shared 6.0 → 1.0× — clean
+      "heavy_02" -> 3.0,   // shared 7.0 → 2.33× — flagged
+      "heavy_03" -> 0.8,   // shared 8.0 → 10.0× — flagged, worst
+      "light_05" -> 0.1)   // shared 0.5 → 5× but under the 1 s floor
+    val flags = Bench.historyFlags(rows, hist)
+    assert(flags.map(_._1) === Seq("heavy_03", "heavy_02"),
+      s"expected worst-inflation-first flags, got $flags")
+    assert(math.abs(flags.head._2 - 10.0) < 1e-9)
+  }
+
+  test("history-flagged rows head the plan and the schedule — every " +
+       "flagged row's child runs before any unflagged row's (r15 verdict " +
+       "item 3: the budget must cover adjudication first)") {
+    val hist = Map("heavy_02" -> 3.0, "heavy_03" -> 0.8, "light_01" -> 5.0)
+    val (plan, _) = Bench.planIsolation(rows, "slowest:10,heavy:5:3",
+      Seq("light_30"), hist)
+    val flagged = Set("heavy_02", "heavy_03")
+    // plan order: flagged rows (worst inflation first), then the rest
+    assert(plan.take(2).map(_._1) === Seq("heavy_03", "heavy_02"))
+    // flagged rows get at least median-of-3 even when heavy gives 3
+    plan.take(2).foreach { case (n, r) => assert(r >= 3, s"$n reps $r") }
+    // schedule: coverage-first overall AND flagged-first within coverage
+    val sched = Bench.isolationSchedule(plan)
+    val firstUnflagged = sched.indexWhere(n => !flagged(n))
+    assert(sched.take(firstUnflagged).toSet === flagged,
+      s"a flagged row's first child must precede every unflagged child: " +
+        s"${sched.take(4)}")
+    // light_01 (0.1 s shared, history 5.0) is FASTER than history — never
+    // flagged, and not dragged into the plan by the history map
+    assert(!plan.map(_._1).contains("light_01"))
+  }
+
+  test("a history-flagged row outside slowest-N/heavy still gets planned " +
+       "children (the r15 x99/x64 hole: inflated rows were budget-skipped)") {
+    // light_25 shared 2.5 s, history 0.5 s → 5× inflated but under the
+    // 5 s heavy bar and outside slowest-10
+    val hist = Map("light_25" -> 0.5)
+    val (plan, _) = Bench.planIsolation(rows, "slowest:10,heavy:5:3", Nil, hist)
+    val byName = plan.toMap
+    assert(plan.head._1 === "light_25", s"flagged row must head the plan: $plan")
+    assert(byName("light_25") === 3, "flagged row needs median-of-3")
+  }
+
+  test("no history file → previous behavior exactly (worst shared first)") {
+    val (withEmpty, _) = Bench.planIsolation(rows, "slowest:10,heavy:5:3", Nil)
+    val shared = rows.toMap
+    val order = withEmpty.map(p => shared(p._1))
+    assert(order === order.sorted.reverse)
+  }
 }
