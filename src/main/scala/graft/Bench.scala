@@ -126,12 +126,23 @@ object Bench {
     (ordered.map(n => n -> reps(n)), heavy.map(_._1))
   }
 
-  /** Flatten a plan into the child spawn order: FIRST one child per row
-    * (coverage — every planned row gets at least one isolated figure
-    * before any budget cut), THEN the extra median-of-R children, worst
-    * shared rows first. PURE (BenchSpec pins the coverage-first shape). */
-  private[graft] def isolationSchedule(plan: Seq[(String, Int)]): Seq[String] =
-    plan.map(_._1) ++ plan.flatMap { case (n, r) => Seq.fill(math.max(0, r - 1))(n) }
+  /** Flatten a plan into the child spawn order. Rows in `adjudicateFirst`
+    * (the history-flagged set) run their FULL median-of-R reps before any
+    * other child — a budget cut must not leave a flagged row at n=1,
+    * which cannot adjudicate (the r15 hole this ordering closes: coverage
+    * children of merely-slow rows spent the budget while the flagged
+    * rows' extra reps queued at the back). The remaining rows keep the
+    * coverage-first shape: one child per row (every planned row gets at
+    * least one isolated figure before any budget cut), then the extra
+    * median-of-R children, worst shared rows first. PURE (BenchSpec pins
+    * both shapes). */
+  private[graft] def isolationSchedule(plan: Seq[(String, Int)],
+                                       adjudicateFirst: Set[String] = Set.empty): Seq[String] = {
+    val (flag, rest) = plan.partition(p => adjudicateFirst(p._1))
+    flag.flatMap { case (n, r) => Seq.fill(math.max(1, r))(n) } ++
+      rest.map(_._1) ++
+      rest.flatMap { case (n, r) => Seq.fill(math.max(0, r - 1))(n) }
+  }
 
   /** Re-time one query in a FRESH JVM: spawn a child `java graft.Bench`
     * with SPARK_GRAFT_ONLY=<name> (cold JIT, cold codegen cache, its own
@@ -175,19 +186,15 @@ object Bench {
     System.err.println(s"[bench] isolate $name failed: ${e.getMessage}"); None
   }
 
-  /** 1-minute system load average (/proc/loadavg; MXBean fallback) — the
-    * r15/r14 postmortems both traced artifact pollution to co-resident
-    * build/test JVMs, with every in-JVM metric flat. Stamping the load
-    * into the artifact lets a reader adjudicate "contended run" from the
-    * artifact alone. */
+  /** 1-minute system load average — the r15/r14 postmortems both traced
+    * artifact pollution to co-resident build/test JVMs, with every in-JVM
+    * metric flat. Stamping the load into the artifact lets a reader
+    * adjudicate "contended run" from the artifact alone. The MXBean reads
+    * /proc/loadavg itself on Linux; -1 (unsupported platform) lands in
+    * the stamp as-is — self-describing, and below every warning bar. */
   private def loadAvg(): Double =
-    try {
-      val src = scala.io.Source.fromFile("/proc/loadavg")
-      try src.getLines().next().split(" ")(0).toDouble finally src.close()
-    } catch { case _: Throwable =>
-      java.lang.management.ManagementFactory
-        .getOperatingSystemMXBean.getSystemLoadAverage
-    }
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -808,7 +815,13 @@ object Bench {
       if (only.nonEmpty) (Nil, None) // only after a full shared pass
       else planIsolation(allRows, isoSpec, watch, history)
     val plannedNames = plan.map(_._1)
-    val histFlags = historyFlags(allRows, history)
+    // history flags are a FULL-run concept: an ONLY run's per-row figures
+    // carry unamortized session cost (BASELINE.md r16: up to ~1.8× the
+    // committed median on sub-second rows), so computing flags there
+    // would stamp spurious entries into the very artifacts adjudication
+    // reads. ONLY artifacts carry neither key; the official artifact
+    // always carries both (see renderLine).
+    val histFlags = if (only.isEmpty) historyFlags(allRows, history) else Nil
     // per-row fresh-JVM children observed so far: (cold, warm) pairs
     val runsByName = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.ListBuffer[(Double, Option[Double])]]
@@ -861,12 +874,17 @@ object Bench {
       }.mkString(""","isolated_stats":{""", ",", "}")
       val flagsJson = flaggedNow.map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
         .mkString(""","shared_over_isolated_flags":{""", ",", "}")
-      // flags vs the COMMITTED history (always present once a history
-      // file exists, {} when clean): a contended same-run isolation pass
-      // can no longer invalidate the adjudication — the committed median
-      // is this run's independent anchor (r15 verdict item 4)
+      // flags vs the COMMITTED history: a contended same-run isolation
+      // pass can no longer invalidate the adjudication — the committed
+      // median is this run's independent anchor (r15 verdict item 4).
+      // ALWAYS present on a full run, with `history_rows` beside it, so
+      // "flags computed, clean" ({} with rows>0) is distinguishable from
+      // "history file missing/unreadable" ({} with rows=0) — the r12
+      // distinguishability rule applied to this flag set too. ONLY runs
+      // omit both keys (their figures carry unamortized session cost and
+      // must not stamp flags into adjudication artifacts).
       val histJson = histFlags.map { case (k, r) => "\"" + k + "\":" + f"$r%.2f" }
-        .mkString(""","vs_history_flags":{""", ",", "}")
+        .mkString(""","vs_history_flags":{""", ",", s"""},"history_rows":${history.size}""")
       // host-load stamps (r15 verdict item 6): start-of-run, before the
       // isolation pass, and the max sampled before any child — the
       // contended-run tells the last two postmortems needed
@@ -894,7 +912,7 @@ object Bench {
         // always present, {} when clean (r12 verdict item 5): a third party
         // reading the artifact can distinguish "zero flags" from a pre-flag
         // bench version that never computed them
-        flagsJson}${if (history.nonEmpty) histJson else ""}$skippedJson$loadJson,"sf":"$sfDir"}"""
+        flagsJson}${if (only.isEmpty) histJson else ""}$skippedJson$loadJson,"sf":"$sfDir"}"""
     }
     // The driver's artifact keeps only the stdout TAIL, which truncates the
     // per-query map on a 95-query run — persist the complete line to a file
@@ -968,7 +986,7 @@ object Bench {
       loadPreIso = Some(loadAvg())
       val t0 = java.lang.System.nanoTime()
       def elapsedSec = (java.lang.System.nanoTime() - t0) / 1e9
-      isolationSchedule(plan).foreach { name =>
+      isolationSchedule(plan, histFlags.map(_._1).toSet).foreach { name =>
         if (elapsedSec >= isoBudgetSec) {
           if (!runsByName.contains(name) && !skipReasons.contains(name))
             skipReasons(name) = "budget"
@@ -1000,9 +1018,14 @@ object Bench {
         f"$r%.1fx its isolated figure — BASELINE.md must adjudicate this row")
     }
     histFlags.foreach { case (k, r) =>
+      // say what actually happened: with isolation off (or the row
+      // somehow unplanned) no child adjudicated it — don't claim one did
+      val ran = if (runsByName.contains(k))
+        s"its ${runsByName(k).size} front-loaded children are in isolated_stats"
+      else "NO child ran for it (isolation off or budget-cut)"
       System.err.println(f"[bench] HISTORY FLAG $k: shared ${sharedMap(k)}%.2f s " +
-        f"is $r%.1fx its committed controlled median — adjudicate (children " +
-        "for it ran first) or update tools/bench_medians.json with a cause")
+        f"is $r%.1fx its committed controlled median — $ran; adjudicate or " +
+        "update tools/bench_medians.json with a cause")
     }
     val line = renderLine()
     println(line)

@@ -253,9 +253,25 @@ object BucketedLayout {
       val classicFiles = dataFileNames(fs, classicP)
       val genLive = cur != dayBase &&
         fs.exists(new org.apache.hadoop.fs.Path(s"$sinkDir/$cur"))
+      // Vanished-gen DAMAGE recovery source #1: the newest SURVIVING
+      // predecessor generation. sweepDay defers predecessor deletion one
+      // cycle (and refuses to reclaim anything in the damage state), so
+      // when the pointed-to generation was externally destroyed, the
+      // predecessor is a superset of everything that ever folded — the
+      // classic dir may hold only late appends. Fold it exactly as if it
+      // were the live generation (its own `_folded` manifest keeps the
+      // already-folded-classic-file exclusion correct).
+      val recoveryGen: Option[String] =
+        if (cur == dayBase || genLive) None
+        else fs.listStatus(new org.apache.hadoop.fs.Path(sinkDir))
+          .map(_.getPath.getName)
+          .filter(n => n.startsWith(s".day=${day}_g") && n != cur)
+          .flatMap(n => n.stripPrefix(s".day=${day}_g").toLongOption.map(_ -> n))
+          .sortBy(_._1).lastOption.map(_._2)
       val (srcPaths, foldedNames, parkFolded) =
-        if (genLive) {
-          val genP = new org.apache.hadoop.fs.Path(s"$sinkDir/$cur")
+        if (genLive || recoveryGen.nonEmpty) {
+          val genP = new org.apache.hadoop.fs.Path(
+            s"$sinkDir/${if (genLive) cur else recoveryGen.get}")
           // fold the generation + ONLY the classic files its manifest
           // does not cover — the same rule readEvents serves by, NOT
           // "whatever the sweep left": a folded file whose best-effort
@@ -280,9 +296,14 @@ object BucketedLayout {
           // permanently uncompactable).
           // A stale park beside a live classic dir with NO pointer is
           // crash garbage from the atomic era (post-swap, pre-cleanup) —
-          // invisible; drop it. Under a vanished-gen pointer the park is
-          // NOT provably redundant, so it is left for the park branch's
-          // fold on a later call.
+          // invisible; drop it. Under a vanished-gen pointer with no
+          // surviving predecessor, a park is NOT redundant (the only
+          // reachable state: the park was the sole fold source of the
+          // vanished generation), so fold it alongside the classic files
+          // HERE — deferring it to "a later call" was a silent-loss bug:
+          // once this compact publishes, the next sweep reclaims the park
+          // as post-publish garbage without ever folding it.
+          val parkRecover = cur != dayBase && fs.exists(parkP)
           if (cur == dayBase && fs.exists(parkP)) fs.delete(parkP, true)
           // EXPLICIT file paths, not the directory: an insert landing
           // between the listing and the Spark read would otherwise be
@@ -290,7 +311,9 @@ object BucketedLayout {
           // served twice, forever (r15 second-review finding). Listed
           // but unread is the safe side: such a file is a leftover the
           // next compact folds.
-          (classicFiles.map(n => s"$classicP/$n"), classicFiles, false)
+          (classicFiles.map(n => s"$classicP/$n") ++
+             (if (parkRecover) Seq(parkP.toString) else Nil),
+            classicFiles, parkRecover)
         } else if (fs.exists(parkP)) {
           (Seq(parkP.toString), Nil, true)
         } else if (cur != dayBase) {
@@ -396,6 +419,14 @@ object BucketedLayout {
     def rm(p: org.apache.hadoop.fs.Path): Unit =
       try { fs.delete(p, true); () }
       catch { case _: java.io.IOException => () } // next sweep retries
+    val genP = new org.apache.hadoop.fs.Path(s"$sinkDir/$cur")
+    // vanished-gen DAMAGE gates the WHOLE sweep, including the orphan
+    // pass below: a deferred predecessor generation is the best recovery
+    // source left (the classic dir may hold only late appends), and the
+    // pre-guard orphan sweep would have destroyed it one line before the
+    // guard declared everything else unreclaimable. Reclaim nothing until
+    // a compact re-publishes from what survives.
+    if (cur != s"day=$day" && !fs.exists(genP)) return
     // generation dirs the pointer does not name: deferred predecessors,
     // or a crashed compact's never-published orphans (when the classic
     // dir is still live, EVERY generation dir is such an orphan — no
@@ -404,10 +435,6 @@ object BucketedLayout {
       .filter(p => p.getName.startsWith(s".day=${day}_g") && p.getName != cur)
       .foreach(rm)
     if (cur == s"day=$day") return // classic is live — no classic reclaim
-    val genP = new org.apache.hadoop.fs.Path(s"$sinkDir/$cur")
-    if (!fs.exists(genP)) return // vanished-gen DAMAGE: everything left may
-    // be the day's only copy (classic fallback serves it; the park may be
-    // too) — reclaim nothing until a compact re-publishes from it
     // a park surviving beside a published pointer whose generation is
     // LIVE is post-publish crash garbage (the park-fold branch deletes it
     // after publish; its rows live in the generation) — invisible to

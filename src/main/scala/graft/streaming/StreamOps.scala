@@ -1103,11 +1103,12 @@ object StreamOps {
     * run this against their copy; the day-level compare + pruned repair
     * is x155's query over the two stores. */
   def fingerprintIngest(events: DataFrame, storeDir: String,
-                        checkpointDir: String): StreamingQuery =
+                        checkpointDir: String,
+                        leaseStaleMs: Long = 30L * 60L * 1000L): StreamingQuery =
     events.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyFingerprintBatch(batch, batchId, storeDir); ()
+        applyFingerprintBatch(batch, batchId, storeDir, leaseStaleMs); ()
       }
       .start()
 
@@ -1162,13 +1163,20 @@ object StreamOps {
     }
 
   private[graft] def applyFingerprintBatch(batch: DataFrame, batchId: Long,
-                                           storeDir: String): Unit =
+                                           storeDir: String,
+                                           leaseStaleMs: Long = 30L * 60L * 1000L): Unit =
     // per-batch lease claim (round 16): makes the compact's quiesced-
     // ingest assumption ENFORCED — a batch arriving while a compact (or
     // a second stream's batch) holds the store fails loudly instead of
     // writing a partial the in-flight snapshot-and-delete may orphan.
     // Claim/release is two small-object metadata ops per micro-batch.
-    graft.sources.WriterLease.withLease(batch.sparkSession, storeDir) {
+    // `leaseStaleMs` is the restart-after-crash wait: a SIGKILLed driver
+    // leaves a lease corpse the restarted query (a NEW writerId) can only
+    // reclaim once the corpse ages past the bar, so streaming deployments
+    // should size it to a few× the trigger interval rather than the
+    // 30-minute batch-compact default — renewal (staleMs/3) keeps a live
+    // holder unstealable at any setting.
+    graft.sources.WriterLease.withLease(batch.sparkSession, storeDir, leaseStaleMs) {
       applyFingerprintBatchHeld(batch, batchId, storeDir)
     }
 
@@ -1253,7 +1261,8 @@ object StreamOps {
     *    leaves dirs with id ≤ the new watermark: [[fingerprints]] filters
     *    them out of serving and the next compact deletes them without
     *    re-folding (they are classified stale by the watermark). */
-  def compactFingerprints(s: SparkSession, storeDir: String): Unit =
+  def compactFingerprints(s: SparkSession, storeDir: String,
+                          leaseStaleMs: Long = 30L * 60L * 1000L): Unit =
     // Single-writer ENFORCED (round 16 — the r15 verdict's other
     // unguarded mutator): the fold runs under the store's [[
     // graft.sources.WriterLease]], like every index-store compact. The
@@ -1263,7 +1272,7 @@ object StreamOps {
     // beside the scheduled one) fails loudly with
     // ConcurrentWriterException instead of silently violating the
     // snapshot-and-delete discipline.
-    graft.sources.WriterLease.withLease(s, storeDir) {
+    graft.sources.WriterLease.withLease(s, storeDir, leaseStaleMs) {
       compactFingerprintsHeld(s, storeDir)
     }
 

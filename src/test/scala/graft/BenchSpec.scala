@@ -103,12 +103,23 @@ class BenchSpec extends AnyFunSuite {
     assert(plan.take(2).map(_._1) === Seq("heavy_03", "heavy_02"))
     // flagged rows get at least median-of-3 even when heavy gives 3
     plan.take(2).foreach { case (n, r) => assert(r >= 3, s"$n reps $r") }
-    // schedule: coverage-first overall AND flagged-first within coverage
-    val sched = Bench.isolationSchedule(plan)
+    // schedule: a flagged row's FULL median-of-R runs before any
+    // unflagged child at all — a budget cut may drop coverage of
+    // merely-slow rows but must never leave a flagged row at n=1
+    // (n=1 cannot adjudicate)
+    val sched = Bench.isolationSchedule(plan, flagged)
     val firstUnflagged = sched.indexWhere(n => !flagged(n))
-    assert(sched.take(firstUnflagged).toSet === flagged,
-      s"a flagged row's first child must precede every unflagged child: " +
-        s"${sched.take(4)}")
+    flagged.foreach { f =>
+      assert(sched.take(firstUnflagged).count(_ == f) >= 3,
+        s"flagged $f must get all its reps before any unflagged child: " +
+          s"${sched.take(8)}")
+    }
+    // the unflagged tail keeps the coverage-first shape: one child per
+    // remaining row before any of their extra reps
+    val tail = sched.drop(firstUnflagged)
+    val restRows = plan.map(_._1).filterNot(flagged)
+    assert(tail.take(restRows.size) === restRows,
+      s"unflagged coverage must precede unflagged reps: ${tail.take(6)}")
     // light_01 (0.1 s shared, history 5.0) is FASTER than history — never
     // flagged, and not dragged into the plan by the history map
     assert(!plan.map(_._1).contains("light_01"))

@@ -349,6 +349,94 @@ class BucketedLayoutSpec extends SparkSpecBase {
       .filter(col("day") === day).count() === before)
   }
 
+  test("flat object store: recovery from a vanished generation prefers " +
+       "the surviving PREDECESSOR generation — the damage-state sweep " +
+       "must not destroy it, and the fold must not collapse to the " +
+       "late-appends-only classic dir (r16 review finding)") {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.s3a.impl", classOf[FlatObjectFs].getName)
+    val dir = "s3a://test" +
+      java.nio.file.Files.createTempDirectory("flat-pred").toString
+    BucketedLayout.migrate(spark, sfDir, dir, seriesBuckets = 2)
+    val fsys = new Path(dir).getFileSystem(conf)
+    val day = "2024-01-05"
+    def dayCount() = BucketedLayout.readEvents(spark, dir)
+      .filter(col("day") === day).count()
+    val before = dayCount()
+    BucketedLayout.compactDay(spark, dir, day, seriesBuckets = 2) // → g1
+    BucketedLayout.compactDay(spark, dir, day, seriesBuckets = 2) // → g2, g1 deferred
+    val g2 = graft.sources.GenDir.currentName(fsys, dir, s"day=$day")
+    val gens = fsys.listStatus(new Path(dir)).map(_.getPath.getName)
+      .filter(_.startsWith(s".day=${day}_g"))
+    assert(gens.length === 2, s"expected g1 deferred beside g2, got ${gens.toSeq}")
+    // late appends land in the classic partition AFTER g2 published
+    val store = new GraftStore(spark, dir)
+    val late = Tables.events(spark, sfDir).filter(
+        date_format(col("ts"), "yyyy-MM-dd") === day)
+      .limit(5).withColumn("event_id", col("event_id") + 1000000L)
+    val lateN = late.count()
+    store.insert(late, seriesBuckets = 1)
+    // DAMAGE: the pointed-to generation is externally destroyed; only
+    // the deferred predecessor g1 still holds the day's folded history
+    fsys.delete(new Path(s"$dir/$g2"), true)
+    assert(dayCount() === lateN,
+      "damage fallback should serve the classic late appends only")
+    // the recovery compact must fold g1 + the classic late appends —
+    // a classic-only fold would silently lose every pre-damage row,
+    // and a sweep running in the damage state must not delete g1 first
+    BucketedLayout.compactDay(spark, dir, day, seriesBuckets = 2)
+    assert(dayCount() === before + lateN,
+      "recovery must restore the predecessor's rows plus the late appends")
+    // steady state: one more cycle reclaims predecessors and classic
+    BucketedLayout.compactDay(spark, dir, day, seriesBuckets = 2)
+    BucketedLayout.compactDay(spark, dir, day, seriesBuckets = 2)
+    assert(!fsys.exists(new Path(s"$dir/day=$day")))
+    assert(dayCount() === before + lateN)
+  }
+
+  test("flat object store: a park surviving beside a vanished generation " +
+       "with NO predecessor is folded BY the recovery compact — not left " +
+       "for a 'later call' the next sweep preempts by deleting it " +
+       "(r16 review finding)") {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.s3a.impl", classOf[FlatObjectFs].getName)
+    val dir = "s3a://test" +
+      java.nio.file.Files.createTempDirectory("flat-park").toString
+    BucketedLayout.migrate(spark, sfDir, dir, seriesBuckets = 2)
+    val fsys = new Path(dir).getFileSystem(conf)
+    val day = "2024-01-06"
+    def dayCount() = BucketedLayout.readEvents(spark, dir)
+      .filter(col("day") === day).count()
+    BucketedLayout.compactDay(spark, dir, day, seriesBuckets = 2) // → g1
+    val g1 = graft.sources.GenDir.currentName(fsys, dir, s"day=$day")
+    BucketedLayout.compactDay(spark, dir, day, seriesBuckets = 2) // reclaim classic
+    // state surgery to the park-fold crash shape: park holds rows that
+    // exist NOWHERE else once the generation vanishes
+    val parkRows = Tables.events(spark, sfDir).filter(
+        date_format(col("ts"), "yyyy-MM-dd") === day)
+      .limit(4).withColumn("event_id", col("event_id") + 2000000L)
+    val parkN = parkRows.count()
+    parkRows.write.parquet(s"$dir/.old-day=$day")
+    val late = Tables.events(spark, sfDir).filter(
+        date_format(col("ts"), "yyyy-MM-dd") === day)
+      .limit(3).withColumn("event_id", col("event_id") + 3000000L)
+    val lateN = late.count()
+    new GraftStore(spark, dir).insert(late, seriesBuckets = 1)
+    fsys.listStatus(new Path(dir)).map(_.getPath.getName)
+      .filter(_.startsWith(s".day=${day}_g"))
+      .foreach(n => fsys.delete(new Path(s"$dir/$n"), true))
+    // recovery: classic late appends AND the park must both fold
+    BucketedLayout.compactDay(spark, dir, day, seriesBuckets = 2)
+    assert(dayCount() === parkN + lateN,
+      "recovery compact must fold the park alongside the classic files")
+    assert(!fsys.exists(new Path(s"$dir/.old-day=$day")),
+      "the folded park must be dropped after publish")
+    BucketedLayout.compactDay(spark, dir, day, seriesBuckets = 2)
+    assert(dayCount() === parkN + lateN)
+  }
+
   test("retention reclaims the per-day lease root with the day") {
     val dir = java.nio.file.Files.createTempDirectory("lock-retn").toString
     BucketedLayout.migrate(spark, sfDir, dir, seriesBuckets = 2)
