@@ -85,6 +85,22 @@ object BucketedLayout {
     * whose generation VANISHED (damage — publish defers deletion a full
     * compact cycle, so this is never the protocol) falls back to the
     * day's classic dir rather than failing the whole read. */
+  /** The vanished-generation recovery-source rule, shared by serving
+    * (readEvents) and compaction (compactDay): the newest surviving
+    * generation of `day` — excluding the vanished pointer target — whose
+    * `_folded` manifest EXISTS. The manifest is the eligibility gate, not
+    * just the fold-exclusion list: a manifest-less generation dir is a
+    * mid-stage orphan (possibly half-written parquet) that would shadow a
+    * complete predecessor by nanos order while silently missing rows. */
+  private def newestManifestedGen(fs: org.apache.hadoop.fs.FileSystem,
+                                  sinkDir: String, day: String,
+                                  names: Seq[String],
+                                  excluding: String): Option[String] =
+    names.filter(n => n.startsWith(s".day=${day}_g") && n != excluding)
+      .flatMap(n => n.stripPrefix(s".day=${day}_g").toLongOption.map(_ -> n))
+      .sortBy(-_._1).map(_._2)
+      .find(n => fs.exists(new org.apache.hadoop.fs.Path(s"$sinkDir/$n/_folded")))
+
   def readEvents(spark: SparkSession, sinkDir: String): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(sinkDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -107,8 +123,17 @@ object BucketedLayout {
     val nameSet = names.toSet
     val resolved = pointerDays
       .map(day => day -> GenDir.currentName(fs, sinkDir, s"day=$day"))
-    val genDays = resolved.filter { case (day, cur) =>
-      cur != s"day=$day" && nameSet.contains(cur)
+    val genDays = resolved.flatMap { case (day, cur) =>
+      if (cur == s"day=$day") None
+      else if (nameSet.contains(cur)) Some(day -> cur)
+      else
+        // vanished-gen DAMAGE (r16): serve the newest surviving
+        // MANIFESTED generation — the same source rule compactDay's
+        // recovery folds by ([[newestManifestedGen]]) — so readers keep
+        // the day's folded history instead of degrading to the
+        // late-appends-only classic dir. The `_folded` existence probe
+        // costs one FS call per DAMAGED day only.
+        newestManifestedGen(fs, sinkDir, day, names, cur).map(day -> _)
     }.toMap
     val classicDirs = names
       .filter(n => n.startsWith("day=") &&
@@ -253,21 +278,21 @@ object BucketedLayout {
       val classicFiles = dataFileNames(fs, classicP)
       val genLive = cur != dayBase &&
         fs.exists(new org.apache.hadoop.fs.Path(s"$sinkDir/$cur"))
-      // Vanished-gen DAMAGE recovery source #1: the newest SURVIVING
-      // predecessor generation. sweepDay defers predecessor deletion one
-      // cycle (and refuses to reclaim anything in the damage state), so
-      // when the pointed-to generation was externally destroyed, the
-      // predecessor is a superset of everything that ever folded — the
-      // classic dir may hold only late appends. Fold it exactly as if it
-      // were the live generation (its own `_folded` manifest keeps the
-      // already-folded-classic-file exclusion correct).
+      // Vanished-gen DAMAGE recovery source #1 ([[newestManifestedGen]],
+      // the rule readEvents also serves by): sweepDay defers predecessor
+      // deletion one cycle (and refuses to reclaim anything in the damage
+      // state), so when the pointed-to generation was externally
+      // destroyed, a surviving manifested predecessor — or an unpublished
+      // successor whose compact crashed between manifest and pointer
+      // flip — is a superset of everything that ever folded; the classic
+      // dir may hold only late appends. Fold it exactly as if it were the
+      // live generation (its manifest keeps the already-folded-classic-
+      // file exclusion correct).
       val recoveryGen: Option[String] =
         if (cur == dayBase || genLive) None
-        else fs.listStatus(new org.apache.hadoop.fs.Path(sinkDir))
-          .map(_.getPath.getName)
-          .filter(n => n.startsWith(s".day=${day}_g") && n != cur)
-          .flatMap(n => n.stripPrefix(s".day=${day}_g").toLongOption.map(_ -> n))
-          .sortBy(_._1).lastOption.map(_._2)
+        else newestManifestedGen(fs, sinkDir, day,
+          fs.listStatus(new org.apache.hadoop.fs.Path(sinkDir))
+            .toSeq.map(_.getPath.getName), cur)
       val (srcPaths, foldedNames, parkFolded) =
         if (genLive || recoveryGen.nonEmpty) {
           val genP = new org.apache.hadoop.fs.Path(

@@ -378,10 +378,17 @@ class BucketedLayoutSpec extends SparkSpecBase {
     val lateN = late.count()
     store.insert(late, seriesBuckets = 1)
     // DAMAGE: the pointed-to generation is externally destroyed; only
-    // the deferred predecessor g1 still holds the day's folded history
+    // the deferred predecessor g1 still holds the day's folded history.
+    // A manifest-less MID-STAGE orphan with newer nanos must not shadow
+    // it (it may be half-written — the `_folded` manifest is the
+    // eligibility gate for both serving and recovery).
     fsys.delete(new Path(s"$dir/$g2"), true)
-    assert(dayCount() === lateN,
-      "damage fallback should serve the classic late appends only")
+    Tables.events(spark, sfDir).filter(
+        date_format(col("ts"), "yyyy-MM-dd") === day).limit(1)
+      .write.parquet(s"$dir/.day=${day}_g${Long.MaxValue - 1}")
+    // serving keeps the folded history: g1 + the classic late appends
+    assert(dayCount() === before + lateN,
+      "damage serving must use the surviving manifested predecessor")
     // the recovery compact must fold g1 + the classic late appends —
     // a classic-only fold would silently lose every pre-damage row,
     // and a sweep running in the damage state must not delete g1 first
