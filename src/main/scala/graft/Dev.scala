@@ -296,6 +296,55 @@ object Dev {
       s.stop()
       return
     }
+    if (names == Seq("x93exp")) {
+      // r16 optimization experiments: (a) join strategy for the band
+      // self-join (baseline CBO-estimated broadcast vs SMJ vs shuffled
+      // hash), (b) attribution of the full-query tail past the verify
+      // (containment filter vs the contract ORDER BY). Warm-once/
+      // time-second, the x42prof protocol.
+      import org.apache.spark.sql.functions._
+      val s = GraftSession.build("graft-dev")
+      val toks = Tables.documents(s, sfDir)
+        .select(col("doc_id").as("id"), split(col("text"), " ").as("toks"))
+        .localCheckpoint(true)
+      val p = graft.functions.MinHashLSH.Params(numPerm = 256, rows = 2)
+      def t(nm: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+        def run(): Unit = df.write.format("noop").mode("overwrite").save()
+        run(); val t0 = System.nanoTime(); run()
+        println(f"[x93exp] $nm%-24s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      }
+      def withConf(kvs: (String, String)*)(body: => Unit): Unit = {
+        val olds = kvs.map { case (k, _) => k -> s.conf.getOption(k) }
+        kvs.foreach { case (k, v) => s.conf.set(k, v) }
+        try body finally olds.foreach {
+          case (k, Some(o)) => s.conf.set(k, o)
+          case (k, None)    => s.conf.unset(k)
+        }
+      }
+      t("cand_b128_baseline") {
+        graft.functions.MinHashLSH.candidatePairsSized(toks, 0.5, p) }
+      withConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+               "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+        t("cand_b128_smj") {
+          graft.functions.MinHashLSH.candidatePairsSized(toks, 0.5, p) }
+        withConf("spark.sql.join.preferSortMergeJoin" -> "false") {
+          t("cand_b128_shj") {
+            graft.functions.MinHashLSH.candidatePairsSized(toks, 0.5, p) }
+        }
+      }
+      val detail = graft.functions.MinHashLSH.verifiedPairsDetailed(toks, 0.5, p)
+      t("verify_b128") { detail }
+      def contained = graft.functions.MinHashLSH
+        .verifiedPairsDetailed(toks, 0.5, p)
+        .filter(col("inter") * 10 >= least(col("sz_a"), col("sz_b")) * 9)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("j"),
+          graft.functions.Rounding.dround(col("inter").cast("double")
+            / least(col("sz_a"), col("sz_b")).cast("double"), 4).as("containment"))
+      t("contain_noorder") { contained }
+      t("contain_ordered") { contained.orderBy("doc_a", "doc_b") }
+      s.stop()
+      return
+    }
     if (names == Seq("x44prof")) {
       // exact overlap matrix (x30) vs the sketch-only production path —
       // the declared x44 runs BOTH (its verdict needs the exact answer),

@@ -55,6 +55,21 @@ object GraftSession {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.SeriesFunctions.register(spark)
+    // Env-supplied SQLConf overrides ("k=v;k=v"), applied last — the A/B
+    // switchboard the round-16 optimization pass measures with, and the
+    // hook a cluster deployment uses for scale-dependent values (e.g.
+    // adaptive broadcast thresholds sized to executor memory) without
+    // rebuilding. Defaults stay in code so the driver's bench is
+    // comparable across rounds.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.trim.nonEmpty =>
+          try spark.conf.set(k.trim, v.trim)
+          catch { case e: Throwable =>
+            System.err.println(s"[graft] conf ${k.trim} skipped: ${e.getMessage}") }
+        case _ => ()
+      }
+    })
     spark
   }
 

@@ -20,6 +20,26 @@ object TextOps {
     Tables.documents(s, d)
       .select(col("doc_id").as("id"), split(col("text"), " ").as("toks"))
 
+  /** Contract ORDER BY over an expensive UNMATERIALIZED pipeline, pinned
+    * behind one hash exchange. Spark's range partitioner launches a
+    * separate boundary-SAMPLING job over the sort's child RDD, so when
+    * the subtree below the final sort is a wide broadcast-join megastage
+    * (the LSH pair pipelines: explode → band join → verify all fuse into
+    * one stage with no shuffle in between), that whole stage executes
+    * TWICE — once to sample range boundaries, once to shuffle (measured
+    * r16 on x93: ORDER BY added 12.0 s to a 13.2 s computation; guide
+    * §2.4 — remove shuffles/passes you didn't know you had). The hash
+    * repartition materializes the pipeline ONCE as an AQE query stage;
+    * the sampling job then reads its shuffle files instead of recomputing
+    * the pipeline, and the added exchange carries only the final output
+    * rows. REPARTITION_BY_NUM keeps AQE from coalescing the sort input.
+    * Callers must pass a TOTALLY-ORDERING key list (every declared pair
+    * query's sort keys are unique), so output order is unchanged. */
+  private[operators] def pinnedOrder(df: DataFrame, cols: String*): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartition(n, cols.map(col): _*).orderBy(cols.map(col): _*)
+  }
+
   /** Q52 exact dedup: content hash groups with deterministic survivor
     * (min doc_id). Scale: one hash-shuffle on sha256 — the canonical
     * exact-dedup at any size. */
@@ -33,9 +53,10 @@ object TextOps {
     * pair list (≥ 0.8 over token sets) — see [[MinHashLSH]] for the scale
     * story. Oracle computes exact all-pairs Jaccard in SQL. */
   def q53(s: SparkSession, d: String): DataFrame =
-    MinHashLSH.verifiedPairs(docTokens(s, d), 0.8)
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("j"))
-      .orderBy("doc_a", "doc_b")
+    pinnedOrder(
+      MinHashLSH.verifiedPairs(docTokens(s, d), 0.8)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("j")),
+      "doc_a", "doc_b")
 
   /** Q55 text stats per (lang, source): doc-level aggregates joined with the
     * exploded-token distinct count (two partial aggs, one broadcastable). */
@@ -127,7 +148,7 @@ object TextOps {
       .join(sig.as("b"), col("id_b") === col("b.id"))
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), hamming.as("hamming"))
       .filter(col("hamming") <= 3)
-      .orderBy("doc_a", "doc_b")
+      .transform(pinnedOrder(_, "doc_a", "doc_b"))
   }
 
   /** x02 char-3-gram near-dup: same MinHash-LSH machinery over character
@@ -139,9 +160,10 @@ object TextOps {
   def x02NgramJaccard(s: SparkSession, d: String): DataFrame = {
     val grams = Tables.documents(s, d).select(col("doc_id").as("id"),
       graft.functions.TextExpressions.charGrams(col("text"), 3).as("toks"))
-    MinHashLSH.verifiedPairsDict(grams, 0.7)
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("j"))
-      .orderBy("doc_a", "doc_b")
+    pinnedOrder(
+      MinHashLSH.verifiedPairsDict(grams, 0.7)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("j")),
+      "doc_a", "doc_b")
   }
 
   /** x03 language-ID: data-derived n-gram-profile heuristic. Profile = top-20
@@ -301,7 +323,14 @@ object TextOps {
     * past the pair scan, one |pairs| join onto labels plus two
     * aggregate-sized reductions (the CC itself is priced as x14_cc_only). */
   def x97From(s: SparkSession, d: String, pairsIn: DataFrame): DataFrame = {
-    val pairs = pairsIn.select("id_a", "id_b")
+    // The pair frame feeds TWO separate actions: the CC stage (whose own
+    // eager checkpoint of the symmetrized edges is a standalone job) and
+    // the `direct` join in the final plan. Without a materialization the
+    // full LSH pair derivation ran TWICE per call — measured r16: x97
+    // standalone 16.1 s ≈ 2 × q53's 7.4 s + CC + audit (guide §1.2/§2.4:
+    // remove recomputed passes before tuning anything else). One eager
+    // localCheckpoint pins the pair list; both consumers read the leaf.
+    val pairs = pairsIn.select("id_a", "id_b").localCheckpoint(true)
     val labels = x14DedupClustersFrom(s, d, pairs)
       .select(col("doc_id"), col("cluster_id"))
     val sizes = labels.groupBy("cluster_id").agg(count(lit(1)).as("size"))
@@ -884,7 +913,7 @@ object TextOps {
       .join(copies.select(col("id").as("id_b"), col("copies").as("copies_b")), "id_b")
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("j"),
               col("copies_a"), col("copies_b"))
-      .orderBy("doc_a", "doc_b")
+      .transform(pinnedOrder(_, "doc_a", "doc_b"))
   }
 
   /** x39 dedup-first pipeline CLOSURE: the end-to-end composition x38
@@ -967,9 +996,10 @@ object TextOps {
     val toks = docTokens(s, d)
     val batch  = toks.filter(pmod(col("id"), lit(7L)) === 0)
     val corpus = toks.filter(pmod(col("id"), lit(7L)) =!= 0)
-    MinHashLSH.crossVerifiedPairs(batch, corpus, 0.8)
-      .select(col("id_a").as("doc_new"), col("id_b").as("doc_corpus"), col("j"))
-      .orderBy("doc_new", "doc_corpus")
+    pinnedOrder(
+      MinHashLSH.crossVerifiedPairs(batch, corpus, 0.8)
+        .select(col("id_a").as("doc_new"), col("id_b").as("doc_corpus"), col("j")),
+      "doc_new", "doc_corpus")
   }
 
   /** x43 weighted sample — k docs drawn with probability increasing in
@@ -1779,7 +1809,10 @@ object TextOps {
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("j"),
         dround(col("inter").cast("double")
           / least(col("sz_a"), col("sz_b")).cast("double"), 4).as("containment"))
-      .orderBy("doc_a", "doc_b")
+      // pinnedOrder applied inline (the pipeline above is one broadcast
+      // megastage; the contract sort's sampling job re-ran all of it —
+      // measured +12.0 s of this row's 25 s)
+      .transform(pinnedOrder(_, "doc_a", "doc_b"))
 
   /** x94 corpus-driven stopword discovery — the df-ratio list a retrieval
     * or quality pipeline derives BEFORE hand-curating stopwords: distinct
@@ -1897,8 +1930,8 @@ object TextOps {
     * answering one declared contract lets the bench put a number on what
     * the probabilistic index buys (or costs) per corpus. */
   def x106ExactPairs(s: SparkSession, d: String): DataFrame =
-    graft.functions.AllPairsJoin.exactPairs(docTokens(s, d), 0.8)
-      .orderBy("id_a", "id_b")
+    pinnedOrder(graft.functions.AllPairsJoin.exactPairs(docTokens(s, d), 0.8),
+      "id_a", "id_b")
 
   /** x108 length-matched control pairing — the case-control matching step
     * of an evaluation pipeline: every doc from the "treatment" source
@@ -2129,6 +2162,10 @@ object TextOps {
     * per-candidate array intersection — n·w pairs, map-side, no shuffle
     * beyond the rank join. */
   def x113SnmDedup(s: SparkSession, d: String): DataFrame =
+    // deliberately NOT pinnedOrder: the stage below this sort starts at
+    // snmPairs' eager localCheckpoint (leaf) — the sampling job re-runs
+    // only the cheap rank join, and the added exchange measured as a net
+    // loss (r16: 1.95 s → 2.90 s warm with the pin)
     snmPairs(s, d, w = 8, thresh = 0.7)
       .select(col("doc_a"), col("doc_b"), dround(col("jac"), 4).as("j"))
       .orderBy("doc_a", "doc_b")
