@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Core (context-level, not runtime-settable) Spark confs for A/B runs,
+  // e.g. SPARK_GRAFT_CORE_CONF="spark.io.compression.codec=zstd" — the
+  // builder-level sibling of GraftSession's SPARK_GRAFT_EXTRA_CONF hook.
+  sys.env.get("SPARK_GRAFT_CORE_CONF").toSeq.flatMap(
+    _.split(";").map(_.trim).filter(_.contains("=")).map(kv => s"-D$kv"))

@@ -27,12 +27,30 @@ import org.apache.spark.sql.functions._
   */
 object GraftSession {
 
+  /** AQE's RUNTIME broadcast threshold (measured post-shuffle sizes, not
+    * CBO estimates), raised from the 10 MB default: the mid-size derived
+    * tables this engine joins constantly — verified pair lists, CC hook/
+    * label tables, per-doc token-set payloads — measure 10–60 MB at
+    * sf0.1, so the default left them on shuffle joins. 64 MB flips them
+    * to runtime broadcasts: the 25-query join-heavy sweep dropped 201.6 s
+    * → 151.5/165.0 s (two runs), with the CC/graph family the big winner
+    * (x187 16.8→8.1, x14 11.9→7.4, x118 10.2→5.5; guide §3.1 — broadcast
+    * the side that fits, decided from MEASURED size). Scale-safe by
+    * construction: AQE only converts when the actual materialized side is
+    * under the threshold, so a 100 TB corpus-sized table still shuffle-
+    * joins; 64 MB relations are comfortably inside any production
+    * executor's memory (guide: a few hundred MB is usually fine).
+    * Override per deployment via SPARK_GRAFT_EXTRA_CONF. */
+  val AdaptiveBroadcastThreshold = "67108864"
+
   /** Runtime SQL confs every entry point needs, applicable to an existing
     * session (all of these are runtime-settable SQLConfs). */
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
+      AdaptiveBroadcastThreshold)
     graft.functions.SeriesFunctions.register(spark)
     spark
   }
@@ -49,6 +67,8 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
+        AdaptiveBroadcastThreshold)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")
