@@ -178,7 +178,9 @@ object VectorOps {
       .withColumn("cos", dround(cosine(col("e_a"), col("e_b")), 4))
       .filter(col("cos") >= 0.9)
       .select(col("id_a"), col("id_b"), col("cos"))
-      .orderBy("id_a", "id_b")
+      // TextOps.pinnedOrder: the n² cosine stage below this sort is one
+      // broadcast megastage — the range sampler re-ran all of it (r16)
+      .transform(TextOps.pinnedOrder(_, "id_a", "id_b"))
 
   /** x148 mutual nearest neighbors — the reciprocal-top-1 pairs (a's
     * nearest is b AND b's nearest is a): the classic high-precision seed
@@ -433,7 +435,7 @@ object VectorOps {
     * the two agree exactly. */
   def x12EmbedNearDupLsh(s: SparkSession, d: String): DataFrame =
     srpVerifiedPairs(wide(s, emb(s, d)), emb(s, d), 0.9)
-      .orderBy("id_a", "id_b")
+      .transform(TextOps.pinnedOrder(_, "id_a", "id_b"))
 
   /** x12's candidate+verify plan over an arbitrary corpus — the reusable
     * SRP near-dup kernel (Dev's vecskewstress drives it over an adversarial
@@ -681,7 +683,7 @@ object VectorOps {
       .join(copies.select(col("vec_id").as("id_a"), col("copies").as("copies_a")), "id_a")
       .join(copies.select(col("vec_id").as("id_b"), col("copies").as("copies_b")), "id_b")
       .select(col("id_a"), col("id_b"), col("cos"), col("copies_a"), col("copies_b"))
-      .orderBy("id_a", "id_b")
+      .transform(TextOps.pinnedOrder(_, "id_a", "id_b"))
   }
 
   /** x41 embedding dedup pipeline CLOSURE — x39's shape for vectors: the
