@@ -332,6 +332,49 @@ object Dev {
             graft.functions.MinHashLSH.candidatePairsSized(toks, 0.5, p) }
         }
       }
+      // hypothesis probe: how much of the candidate stage is the 1 KB
+      // bands arrays riding BOTH sides of the band join (576M match
+      // iterations × ~1 KB build rows = memory-bandwidth-bound)?
+      def hashedNarrow = {
+        val h = Tables.documents(s, sfDir)
+          .select(col("doc_id").as("id"), split(col("text"), " ").as("toks"))
+          .select(col("id"),
+            size(array_distinct(col("toks"))).as("sz"),
+            graft.functions.VectorExpressions
+              .minhashBandKeys(col("toks"), 256, 2).as("bands"))
+          .filter(col("bands").isNotNull)
+          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+        h
+      }
+      t("cand_narrow_nofm") { // no first-match dedup — timing only
+        val h = hashedNarrow
+        val banded = h.select(col("id"), col("sz"),
+          posexplode(col("bands")).as(Seq("band", "sig")))
+        banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+              col("a.id") < col("b.id"))
+          .filter(least(col("a.sz"), col("b.sz")).cast("double") >=
+            lit(0.5) * greatest(col("a.sz"), col("b.sz")).cast("double") - lit(1.0))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.band").as("band"))
+      }
+      t("cand_narrow_reattach") { // narrow join, then re-attach band arrays
+        val h = hashedNarrow
+        val arrays = h.select(col("id"), col("bands"))
+        val banded = h.select(col("id"), col("sz"),
+          posexplode(col("bands")).as(Seq("band", "sig")))
+        banded.as("a").join(banded.as("b"),
+            col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+              col("a.id") < col("b.id"))
+          .filter(least(col("a.sz"), col("b.sz")).cast("double") >=
+            lit(0.5) * greatest(col("a.sz"), col("b.sz")).cast("double") - lit(1.0))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+            col("a.sz").as("sz_a"), col("b.sz").as("sz_b"), col("a.band").as("band"))
+          .join(arrays.select(col("id").as("id_a"), col("bands").as("ba")), "id_a")
+          .join(arrays.select(col("id").as("id_b"), col("bands").as("bb")), "id_b")
+          .filter(graft.functions.VectorExpressions
+            .firstMatchIndex(col("ba"), col("bb")) === col("band"))
+          .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      }
       val detail = graft.functions.MinHashLSH.verifiedPairsDetailed(toks, 0.5, p)
       t("verify_b128") { detail }
       def contained = graft.functions.MinHashLSH
