@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes through UNPREFIXED (r16 verdict item 1): the
+// default logged strategy stamps "[info] " onto every stdout line, so the
+// bench's one-line JSON contract never reached the driver's parser as a
+// bare parseable line. StdoutOutput hands the child's streams straight
+// through.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -31,5 +37,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // Core (context-level, not runtime-settable) Spark confs for A/B runs,
   // e.g. SPARK_GRAFT_CORE_CONF="spark.io.compression.codec=zstd" — the
   // builder-level sibling of GraftSession's SPARK_GRAFT_EXTRA_CONF hook.
+  // split("=", 2) + nonEmpty-key validation, mirroring GraftSession's
+  // SPARK_GRAFT_EXTRA_CONF parsing (r16 ADVICE): an entry with an empty key
+  // ("=zstd") or no "=" is dropped instead of becoming a junk -D flag.
   sys.env.get("SPARK_GRAFT_CORE_CONF").toSeq.flatMap(
-    _.split(";").map(_.trim).filter(_.contains("=")).map(kv => s"-D$kv"))
+    _.split(";").map(_.trim).flatMap(kv => kv.split("=", 2) match {
+      case Array(k, v) if k.trim.nonEmpty => Some(s"-D${k.trim}=${v.trim}")
+      case _ => None
+    }))

@@ -186,6 +186,40 @@ object Bench {
     System.err.println(s"[bench] isolate $name failed: ${e.getMessage}"); None
   }
 
+  /** Compact driver line (r16 verdict item 1): the driver's BENCH artifact
+    * keeps only a ~2000-char stdout TAIL, so the full ~10 KB line has NEVER
+    * been parseable there — every BENCH_r10–r16 carries `"parsed": null`
+    * and the driver's PERF per-query comparison has been empty for seven
+    * rounds. This summary fits the tail: the contract keys
+    * (metric/value/unit/queries/sf) with `queries` trimmed to the slowest
+    * rows until the whole line fits `maxChars`, plus `rows_shown`/
+    * `rows_total` (so truncation is explicit, never silent) and a pointer
+    * to the full artifact. The FULL line still prints and persists with
+    * every row — nothing leaves the record; the tail just gains a line it
+    * can parse. PURE (BenchSpec pins the size bound and the trimming). */
+  private[graft] def compactLine(declaredTotal: Double, declaredRows: Int,
+                                 stagedRows: Int, stagedTotal: Double,
+                                 allRows: Seq[(String, Double)], sf: String,
+                                 cpus: String, fullArtifact: String,
+                                 maxChars: Int = 1800): String = {
+    val sorted = allRows.sortBy(-_._2)
+    def render(n: Int): String = {
+      val shown = sorted.take(math.max(n, 1))
+      val qs = shown
+        .map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+        .mkString("{", ",", "}")
+      f"""{"metric":"total","value":$declaredTotal%.3f,"unit":"sec",""" +
+        s""""declared_rows":$declaredRows,"staged_rows":$stagedRows,""" +
+        f""""staged_total_sec":$stagedTotal%.2f,"cpus":"$cpus",""" +
+        s""""queries":$qs,"rows_shown":${shown.size},"rows_total":${sorted.size},""" +
+        s""""full_artifact":"$fullArtifact","sf":"$sf"}"""
+    }
+    Iterator.iterate(40)(_ - 5)
+      .map(n => (n, render(n)))
+      .collectFirst { case (n, s) if s.length <= maxChars || n <= 1 => s }
+      .getOrElse(render(1))
+  }
+
   /** 1-minute system load average — the r15/r14 postmortems both traced
     * artifact pollution to co-resident build/test JVMs, with every in-JVM
     * metric flat. Stamping the load into the artifact lets a reader
@@ -1030,6 +1064,16 @@ object Bench {
     val line = renderLine()
     println(line)
     persist(line)
+    // FINAL stdout line: the compact summary the driver's 2000-char tail
+    // can hold (r16 verdict item 1) — printed LAST so a tail parse finds a
+    // complete JSON object instead of the full line's truncated head.
+    val declaredTotal = results.map(_._2).sum
+    println(compactLine(
+      declaredTotal, results.size, allRows.size - results.size,
+      allRows.map(_._2).sum - declaredTotal, allRows, sfDir, cpus,
+      outPath.map(p => java.nio.file.Paths.get(p).getFileName.toString)
+        .orElse(fullStampPath.map(_.getFileName.toString))
+        .getOrElse("bench_last.json")))
     if (plan.isEmpty) spark.stop()
   }
 }

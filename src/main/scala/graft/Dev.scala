@@ -296,6 +296,71 @@ object Dev {
       s.stop()
       return
     }
+    if (names == Seq("x106prof")) {
+      // r16 verdict item 3: x106_exact_pairs runs at the SAME speed on 8
+      // and 32 cores (~18–19 s) — some stage is serial or parallelism-
+      // capped. This mode times each pipeline prefix (warm-once/time-
+      // second, the x42prof protocol) and, via SkewTracker, prints the
+      // task COUNT and max/median skew of the 3 heaviest stages in each —
+      // a stage with tasks≈2 at local[32] is the flat-scaling culprit.
+      // The sub-frames replicate AllPairsJoin.exactPairs' internals
+      // verbatim (dev-only; the operator itself is untouched).
+      import org.apache.spark.sql.functions._
+      val s = GraftSession.build("graft-dev")
+      val tracker = new SkewTracker(s)
+      val t = 0.8
+      val items = Tables.documents(s, sfDir)
+        .select(col("doc_id").as("id"), split(col("text"), " ").as("toks"))
+        .localCheckpoint(true) // stage timings must not re-pay the scan
+      val tok = items.select(col("id"), explode(array_distinct(col("toks"))).as("tok"))
+      val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+      val ordered = tok.join(dfreq, "tok")
+        .groupBy("id")
+        .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ord"),
+             count(lit(1)).as("sz"))
+      def prefixed(frac: Double) = ordered
+        .withColumn("p",
+          (col("sz") - floor(lit(frac) * col("sz").cast("double")) + 1).cast("int"))
+        .select(col("id"), col("sz"),
+          posexplode(slice(col("ord"), lit(1), col("p"))).as(Seq("pos0", "pt")))
+        .select(col("id"), col("sz"), (col("pos0") + 1).as("pos"),
+          col("pt.tok").as("tok"))
+      val probe = prefixed(t)
+        .select(col("id").as("id_x"), col("sz").as("sz_x"), col("pos").as("pos_x"), col("tok"))
+      val index = prefixed(2 * t / (1 + t))
+        .select(col("id").as("id_y"), col("sz").as("sz_y"), col("pos").as("pos_y"), col("tok"))
+      val joined = probe.join(index, "tok")
+        .filter(col("sz_y") < col("sz_x")
+          || (col("sz_y") === col("sz_x") && col("id_y") < col("id_x")))
+        .filter(least(col("sz_x"), col("sz_y")).cast("double") >=
+                lit(t) * greatest(col("sz_x"), col("sz_y")).cast("double") - lit(1.0))
+        .filter((lit(1) + least(col("sz_x") - col("pos_x"), col("sz_y") - col("pos_y")))
+          .cast("double") >=
+          (lit(t / (1 + t)) * (col("sz_x") + col("sz_y")).cast("double") - lit(1.0)))
+      val cand = joined
+        .select(least(col("id_x"), col("id_y")).as("id_a"),
+          greatest(col("id_x"), col("id_y")).as("id_b"),
+          when(col("id_x") < col("id_y"), col("sz_x")).otherwise(col("sz_y")).as("sz_a"),
+          when(col("id_x") < col("id_y"), col("sz_y")).otherwise(col("sz_x")).as("sz_b"))
+        .distinct()
+      def time(nm: String)(f: => Unit): Unit = {
+        f // warm
+        tracker.clear()
+        val t0 = System.nanoTime(); f
+        println(f"[x106prof] $nm%-14s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        tracker.report(s"x106prof/$nm")
+      }
+      time("dfreq")   { dfreq.write.format("noop").mode("overwrite").save() }
+      time("ordered") { ordered.write.format("noop").mode("overwrite").save() }
+      time("join_raw"){ println(s"[x106prof]   join_rows=${joined.count()}") }
+      time("cand")    { println(s"[x106prof]   cand_rows=${cand.count()}") }
+      time("full")    { graft.functions.AllPairsJoin.exactPairs(items, t)
+        .write.format("noop").mode("overwrite").save() }
+      time("full_x106"){ operators.TextOps.x106ExactPairs(s, sfDir)
+        .write.format("noop").mode("overwrite").save() }
+      s.stop()
+      return
+    }
     if (names == Seq("x93exp")) {
       // r16 optimization experiments: (a) join strategy for the band
       // self-join (baseline CBO-estimated broadcast vs SMJ vs shuffled

@@ -40,7 +40,11 @@ object GraftSession {
     * under the threshold, so a 100 TB corpus-sized table still shuffle-
     * joins; 64 MB relations are comfortably inside any production
     * executor's memory (guide: a few hundred MB is usually fine).
-    * Override per deployment via SPARK_GRAFT_EXTRA_CONF. */
+    * Caveat (r16 ADVICE): the threshold compares COMPRESSED post-shuffle
+    * bytes, and the deserialized broadcast hash relation is typically
+    * 3–8× larger in memory — on memory-constrained deployments several
+    * concurrent ~64 MB broadcasts add up; lower the threshold there via
+    * SPARK_GRAFT_EXTRA_CONF. */
   val AdaptiveBroadcastThreshold = "67108864"
 
   /** Runtime SQL confs every entry point needs, applicable to an existing
@@ -81,13 +85,21 @@ object GraftSession {
     // adaptive broadcast thresholds sized to executor memory) without
     // rebuilding. Defaults stay in code so the driver's bench is
     // comparable across rounds.
+    // NonFatal only (r16 ADVICE): a fatal JVM error must propagate, and an
+    // explicitly requested override that cannot be applied warns LOUDLY —
+    // an A/B run silently proceeding under the wrong config produces
+    // misleading bench numbers, which is worse than failing.
     sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";").foreach { kv =>
       kv.split("=", 2) match {
         case Array(k, v) if k.trim.nonEmpty =>
           try spark.conf.set(k.trim, v.trim)
-          catch { case e: Throwable =>
-            System.err.println(s"[graft] conf ${k.trim} skipped: ${e.getMessage}") }
-        case _ => ()
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[graft] WARNING requested conf override " +
+              s"'${k.trim}' could NOT be applied (${e.getMessage}) — " +
+              "this session runs WITHOUT it; A/B numbers from this run are suspect") }
+        case _ =>
+          System.err.println(s"[graft] WARNING malformed SPARK_GRAFT_EXTRA_CONF " +
+            s"entry '$kv' dropped (expected key=value)")
       }
     })
     spark

@@ -321,7 +321,14 @@ object TextOps {
 
   /** x97 over a PRECOMPUTED pair frame — Bench's `x97_audit_only` row:
     * past the pair scan, one |pairs| join onto labels plus two
-    * aggregate-sized reductions (the CC itself is priced as x14_cc_only). */
+    * aggregate-sized reductions (the CC itself is priced as x14_cc_only).
+    *
+    * EAGER (r16 ADVICE): constructing this DataFrame runs the full pair
+    * derivation as a Spark job (the `localCheckpoint(true)` below) and
+    * pins the checkpoint blocks in the block manager until an explicit
+    * release (`spark.sparkContext.getPersistentRDDs` + unpersist — Bench's
+    * scrubLight does exactly this) or driver GC. Callers that only need
+    * the PLAN (explain dumps, schema checks) still pay the computation. */
   def x97From(s: SparkSession, d: String, pairsIn: DataFrame): DataFrame = {
     // The pair frame feeds TWO separate actions: the CC stage (whose own
     // eager checkpoint of the symmetrized edges is a standalone job) and

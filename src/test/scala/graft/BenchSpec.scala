@@ -142,4 +142,41 @@ class BenchSpec extends AnyFunSuite {
     val order = withEmpty.map(p => shared(p._1))
     assert(order === order.sorted.reverse)
   }
+
+  // —— round-17: the driver-parseable compact line ——————————————————————
+
+  test("compactLine fits the driver's tail, parses as one JSON object, " +
+       "and trims queries to the slowest rows with explicit truncation") {
+    // 271 rows like the real artifact — far over any 1800-char budget
+    val many = (1 to 271).map(i => (f"some_query_name_$i%03d", i * 0.37))
+    val line = Bench.compactLine(377.5, 244, 27, 64.9, many,
+      "/root/testdata/sf0.1", "32", "bench_last.json")
+    assert(!line.contains("\n"))
+    assert(line.length <= 1800, s"line is ${line.length} chars")
+    // structurally one JSON object: starts/ends with braces, balanced
+    assert(line.head == '{' && line.last == '}')
+    assert(line.count(_ == '{') === line.count(_ == '}'))
+    // contract keys present
+    Seq("\"metric\":\"total\"", "\"value\":377.500", "\"unit\":\"sec\"",
+        "\"declared_rows\":244", "\"staged_rows\":27", "\"cpus\":\"32\"",
+        "\"queries\":{", "\"rows_total\":271", "\"full_artifact\":\"bench_last.json\"",
+        "\"sf\":\"/root/testdata/sf0.1\"").foreach { k =>
+      assert(line.contains(k), s"missing $k in: $line")
+    }
+    // the rows kept are the SLOWEST ones (the judge's per-query signal)
+    assert(line.contains("\"some_query_name_271\":100.27"))
+    assert(!line.contains("\"some_query_name_001\":"))
+    // truncation is explicit: rows_shown < rows_total and consistent
+    val shown = "\"rows_shown\":(\\d+)".r.findFirstMatchIn(line).get.group(1).toInt
+    assert(shown < 271 && shown >= 1)
+    assert(line.sliding(2).count(_ == "\":") >= shown, "per-row entries present")
+  }
+
+  test("compactLine with few rows keeps them all and stays well under budget") {
+    val few = Seq("a" -> 1.0, "b" -> 2.0)
+    val line = Bench.compactLine(3.0, 2, 0, 0.0, few, "sf", "8", "x.json")
+    assert(line.contains("\"rows_shown\":2") && line.contains("\"rows_total\":2"))
+    assert(line.contains("\"b\":2.00") && line.contains("\"a\":1.00"))
+    assert(line.length <= 1800)
+  }
 }
