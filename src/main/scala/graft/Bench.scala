@@ -379,6 +379,15 @@ object Bench {
       }
       val d = (System.nanoTime() - t0) / 1e9
       profLine(name, d)
+      // Per-row block release (r16 verdict item 7): the pinned queries
+      // (pinnedOrder/x97From/x113…) each leave ~30 MB of localCheckpoint
+      // blocks that the old code released only AFTER the whole declared
+      // pass — by the tail of the suite the block manager carried every
+      // prior row's sediment, drifting the sub-second rows (124 of 271
+      // rows >10% off their medians in the r16 controlled close). The
+      // release runs OUTSIDE the timed region; a re-run (TWICE) rebuilds
+      // its own checkpoint anyway because fn constructs a fresh DataFrame.
+      scrubLight()
       d
     }
     // SPARK_GRAFT_ORDER=reverse runs the declared pass in reverse name

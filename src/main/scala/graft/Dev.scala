@@ -361,6 +361,72 @@ object Dev {
       s.stop()
       return
     }
+    if (names == Seq("x93exp2")) {
+      // r17 experiment: bucket-aggregate candidate generation
+      // (candidatePairsSizedGrouped) vs the band self-join, measured END TO
+      // END on the three declared queries that pay the collision mass —
+      // the r16 lesson (stage-level wins that lost composed) applied as
+      // protocol. Warm-once/time-second at sfDir; bucket-shape stats first
+      // (max |bucket| bounds the generator's per-task pair block).
+      import org.apache.spark.sql.functions._
+      import graft.functions.{MinHashLSH => M}
+      val s = GraftSession.build("graft-dev")
+      val toks = Tables.documents(s, sfDir)
+        .select(col("doc_id").as("id"), split(col("text"), " ").as("toks"))
+      val grams = Tables.documents(s, sfDir).select(col("doc_id").as("id"),
+        graft.functions.TextExpressions.charGrams(col("text"), 3).as("toks"))
+      def bucketStats(nm: String, items: org.apache.spark.sql.DataFrame, p: M.Params): Unit = {
+        val banded = M.hashedDocs(items, p).select(col("id"),
+          posexplode(col("bands")).as(Seq("band", "sig")))
+        val st = banded.groupBy("band", "sig").agg(count(lit(1)).as("b"))
+          .agg(count(lit(1)).as("buckets"), max("b").as("max_b"),
+               sum(expr("b * (b - 1) div 2")).as("pair_mass")).collect()(0)
+        println(s"[x93exp2] $nm buckets=${st.getLong(0)} max_bucket=${st.getLong(1)} " +
+          f"pair_mass=${st.getLong(2)}%,d")
+      }
+      bucketStats("x93-words-b128", toks, M.Params(256, 2))
+      bucketStats("q53-words-b32", toks, M.Params(64, 2))
+      bucketStats("x02-grams-b32", grams, M.Params(64, 2))
+      def t(nm: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+        def run(): Unit = df.write.format("noop").mode("overwrite").save()
+        run(); val t0 = System.nanoTime(); run()
+        println(f"[x93exp2] $nm%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      }
+      val p93 = M.Params(256, 2)
+      def x93tail(v: org.apache.spark.sql.DataFrame) = v
+        .filter(col("inter") * 10 >= least(col("sz_a"), col("sz_b")) * 9)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("j"),
+          graft.functions.Rounding.dround(col("inter").cast("double")
+            / least(col("sz_a"), col("sz_b")).cast("double"), 4).as("containment"))
+        .transform(operators.TextOps.pinnedOrder(_, "doc_a", "doc_b"))
+      t("x93_join (declared)") { operators.TextOps.x93Containment(s, sfDir) }
+      t("x93_grouped") { x93tail(M.verifiedDetailedFrom(toks, 0.5,
+        M.candidatePairsSizedGrouped(toks, 0.5, p93))) }
+      t("q53_join (declared)") { operators.TextOps.q53(s, sfDir) }
+      t("q53_grouped") { operators.TextOps.pinnedOrder(
+        M.verifiedDetailedFrom(toks, 0.8, M.candidatePairsSizedGrouped(toks, 0.8, M.Params()))
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("j")),
+        "doc_a", "doc_b") }
+      t("x02_join (declared)") { operators.TextOps.x02NgramJaccard(s, sfDir) }
+      t("x02_grouped") { operators.TextOps.pinnedOrder(
+        M.verifiedDictFrom(grams, 0.7, M.candidatePairsSizedGrouped(grams, 0.7, M.Params()))
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("j")),
+        "doc_a", "doc_b") }
+      // row-set equality spot check (the oracle gate runs separately; this
+      // is the fast inner-loop guard): symmetric difference must be empty
+      for ((nm, a, b) <- Seq(
+        ("x93", operators.TextOps.x93Containment(s, sfDir),
+          x93tail(M.verifiedDetailedFrom(toks, 0.5, M.candidatePairsSizedGrouped(toks, 0.5, p93)))),
+        ("q53", M.verifiedPairs(toks, 0.8).select("id_a", "id_b", "j"),
+          M.verifiedDetailedFrom(toks, 0.8, M.candidatePairsSizedGrouped(toks, 0.8, M.Params()))
+            .select("id_a", "id_b", "j")))) {
+        val d1 = a.exceptAll(b).count(); val d2 = b.exceptAll(a).count()
+        println(s"[x93exp2] $nm symdiff: join-only=$d1 grouped-only=$d2" +
+          (if (d1 == 0 && d2 == 0) " OK" else " MISMATCH"))
+      }
+      s.stop()
+      return
+    }
     if (names == Seq("x93exp")) {
       // r16 optimization experiments: (a) join strategy for the band
       // self-join (baseline CBO-estimated broadcast vs SMJ vs shuffled

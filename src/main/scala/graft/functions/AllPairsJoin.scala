@@ -47,12 +47,25 @@ object AllPairsJoin {
     * `threshold` over `items` = (id, toks) — bit-compatible with
     * [[MinHashLSH.verifiedPairs]]' output contract. */
   def exactPairs(items: DataFrame, threshold: Double): DataFrame = {
+    val n = items.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val tok = items.select(col("id"), explode(array_distinct(col("toks"))).as("tok"))
     val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+    // Explicit full-width pin (REPARTITION_BY_NUM — AQE never coalesces
+    // it) between the per-doc agg and the prefix explode+join, the same
+    // scale decision as MinHashLSH.candidatePairsSized's pre-explode
+    // repartition: the agg's inputs are tiny (|corpus| rows), so AQE
+    // coalesced its output to ONE partition and the quadratic stage
+    // DOWNSTREAM — prefix explode → candidate join → positional filters →
+    // the distinct's map side, 38M rows at sf0.1 — pipelined in a single
+    // task (measured r17: a 15.8 s lone task inside x106's 17.8 s, and
+    // the row ran at the SAME speed on 8 and 32 cores). The pin spreads
+    // the explode+join over the cluster; one |corpus|-row round-robin
+    // exchange is the price.
     val ordered = tok.join(dfreq, "tok")
       .groupBy("id")
       .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("ord"),
            count(lit(1)).as("sz"))
+      .repartition(n)
     // Two prefix lengths (Xiao et al.'s probing/indexing split). A pair
     // (x, y) with (sz_y, id_y) < (sz_x, id_x) and j ≥ t MUST share a token
     // in probePrefix(x) ∩ indexPrefix(y): the overlap bound o ≥

@@ -203,6 +203,60 @@ object MinHashLSH {
               col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
   }
 
+  /** Bucket-aggregate formulation of [[candidatePairsSized]] — the SAME
+    * (id_a, id_b, sz_a, sz_b) set (MinHashLSHSpec pins equality), with the
+    * collision mass generated by a per-bucket kernel
+    * ([[VectorExpressions.BucketPairPositions]]) instead of matched
+    * through the band self-join's hashed relation, and the first-match
+    * dedup done by reattaching the band arrays from a narrow id-keyed map.
+    *
+    * MEASURED AND REJECTED as the production path (r17, `Dev x93exp2`,
+    * sf0.1, end-to-end, output-identical by symdiff): x93 17.4 → 28.3 s,
+    * q53 4.1 → 9.7 s, x02 8.6 → 14.3 s — the r16 "narrow-join +
+    * payload-reattach" family's third and final formulation, kept as the
+    * committed record of WHY the band self-join stands:
+    *
+    *  1. the join evaluates size-compat + first-match as JOIN CONDITIONS,
+    *     so the ~1 KB matched rows (both sides' band arrays) are never
+    *     materialized — only the post-filter survivors project out. Every
+    *     reattach formulation materializes the band arrays into each of
+    *     the 170–680 M collision rows (two joins' unsafe-row copies ≈
+    *     hundreds of GB of memory writes at sf0.1);
+    *  2. the join parallelizes the quadratic mass over probe ROWS (fine,
+    *     uniform granularity); bucket generation parallelizes over
+    *     BUCKETS, and this corpus's buckets are mega-skewed (max bucket
+    *     3890 of 5000 docs — one generator row owning a 7.5 M-pair block
+    *     is an unsplittable straggler).
+    *
+    * The salted path ([[Salt]], off by default) likewise keeps the join
+    * formulation. */
+  private[graft] def candidatePairsSizedGrouped(items: DataFrame, threshold: Double,
+                                                p: Params): DataFrame = {
+    val n = items.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val hashed = hashedDocs(items, p)
+    val banded = hashed.select(col("id"), col("sz"),
+      posexplode(col("bands")).as(Seq("band", "sig")))
+    val buckets = banded
+      .repartition(n, col("band"), col("sig"))
+      .groupBy("band", "sig")
+      .agg(collect_list(struct(col("id"), col("sz"))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+    val pairs = buckets
+      .select(col("band"), col("ms"),
+        explode(VectorExpressions.bucketPairPositions(col("ms"), threshold)).as("pk"))
+      .select(col("band"),
+        element_at(col("ms"), shiftright(col("pk"), 32).cast("int") + 1).as("ma"),
+        element_at(col("ms"), col("pk").bitwiseAND(lit(0xFFFFFFFFL)).cast("int") + 1).as("mb"))
+      .select(col("ma.id").as("id_a"), col("mb.id").as("id_b"),
+        col("ma.sz").as("sz_a"), col("mb.sz").as("sz_b"), col("band"))
+    val bmap = hashed.select(col("id"), col("bands"))
+    pairs
+      .join(bmap.select(col("id").as("id_a"), col("bands").as("ba")), "id_a")
+      .join(bmap.select(col("id").as("id_b"), col("bands").as("bb")), "id_b")
+      .filter(VectorExpressions.firstMatchIndex(col("ba"), col("bb")) === col("band"))
+      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+  }
+
   /** Lower bound on the intersection of any pair passing `j ≥ t`:
     * i/(sa+sb−i) ≥ t ⟺ i ≥ t·(sa+sb)/(1+t); floor−1 gives the early-exit
     * kernels a margin of one whole element over any double rounding. */
@@ -262,9 +316,18 @@ object MinHashLSH {
     // candidates and verify: the band join upstream is already pinned at
     // full width, and first-match dedup emits each pair exactly once
     // map-side, so the verify joins fuse into that same wide stage.
-    val sets = items.select(col("id"),
-        array_sort(transform(array_distinct(col("toks")), t => xxhash64(t))).as("set"))
-    candidatePairsSized(items, threshold, p, s)
+    verifiedDetailedFrom(items, threshold,
+      candidatePairsSized(items, threshold, p, s))
+  }
+
+  /** The exact-verify tail of [[verifiedPairsDetailed]] over an explicit
+    * (id_a, id_b, sz_a, sz_b) candidate frame — factored so the two
+    * candidate formulations ([[candidatePairsSized]] join path /
+    * [[candidatePairsSizedGrouped]]) share the verify stage verbatim. */
+  private[graft] def verifiedDetailedFrom(items: DataFrame, threshold: Double,
+                                          cand: DataFrame): DataFrame = {
+    val sets = tokenSets(items)
+    cand
       .join(sets.select(col("id").as("id_a"), col("set").as("set_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("set").as("set_b")), "id_b")
       .withColumn("inter",
@@ -384,7 +447,14 @@ object MinHashLSH {
     * is corpus-sized, so the dictionary itself (not the rank) becomes the
     * scaling liability. */
   def verifiedPairsDict(items: DataFrame, threshold: Double,
-                        p: Params = Params()): DataFrame = {
+                        p: Params = Params()): DataFrame =
+    verifiedDictFrom(items, threshold, candidatePairsSized(items, threshold, p))
+
+  /** [[verifiedPairsDict]]'s dictionary-encode + verify tail over an
+    * explicit candidate frame — the [[verifiedDetailedFrom]] factoring for
+    * the INT-set path. */
+  private[graft] def verifiedDictFrom(items: DataFrame, threshold: Double,
+                                      cand: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val tok = items.select(col("id"), explode(array_distinct(col("toks"))).as("tok"))
     val vocab = tok.select("tok").distinct()
@@ -394,7 +464,7 @@ object MinHashLSH {
       .select(col("tok"), ((col("r") - 1) * 256 + col("bkt")).cast("int").as("tid"))
     val sets = tok.join(broadcast(vocab), "tok")
       .groupBy("id").agg(array_sort(collect_list(col("tid"))).as("set"))
-    candidatePairsSized(items, threshold, p)
+    cand
       .join(sets.select(col("id").as("id_a"), col("set").as("set_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("set").as("set_b")), "id_b")
       .withColumn("inter",

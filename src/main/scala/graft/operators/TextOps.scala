@@ -35,7 +35,7 @@ object TextOps {
     * rows. REPARTITION_BY_NUM keeps AQE from coalescing the sort input.
     * Callers must pass a TOTALLY-ORDERING key list (every declared pair
     * query's sort keys are unique), so output order is unchanged. */
-  private[operators] def pinnedOrder(df: DataFrame, cols: String*): DataFrame = {
+  private[graft] def pinnedOrder(df: DataFrame, cols: String*): DataFrame = {
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     df.repartition(n, cols.map(col): _*).orderBy(cols.map(col): _*)
   }
@@ -1747,21 +1747,28 @@ object TextOps {
       while (round < maxRounds && growing) {
         round += 1
         val w = Window.partitionBy("id").orderBy(col("c").desc, col("pred_lang"))
-        val best = ckpt(edges
+        // CACHE, not checkpoint (r16 verdict item 5 — one fewer eager job
+        // per round): the count() below materializes the cache and is the
+        // growth probe; `best` has exactly one further reader (the union
+        // folded into the NEXT checkpoint), and its lineage sits at
+        // bounded depth over this round's state/edges leaves, so the
+        // truncation invariant lives with `next`'s ckpt alone.
+        val best = edges
           .join(state.select(col("id").as("dst"), col("pred_lang")), "dst")
           .join(state.select(col("id").as("src")), Seq("src"), "left_anti")
           .groupBy(col("src").as("id"), col("pred_lang"))
           .agg(count(lit(1)).as("c"))
           .withColumn("r", row_number().over(w))
           .filter(col("r") === 1)
-          .select(col("id"), col("pred_lang"), lit(round).as("hops")))
+          .select(col("id"), col("pred_lang"), lit(round).as("hops"))
+          .cache()
         growing = best.count() > 0
         if (growing) {
           val next = ckpt(state.union(best)) // eager — folds best in
           release(state)
           state = next
         }
-        release(best) // folded into state (or empty) — safe to drop
+        best.unpersist(false) // folded into state (or empty) — safe to drop
       }
       // edges are not referenced by the returned plan (state is a
       // materialized leaf) — drop the 2|E| snapshot now, not at JVM GC
