@@ -12,24 +12,31 @@ object Dev {
   private final class SkewTracker(s: org.apache.spark.sql.SparkSession) {
     private val stageTimes =
       scala.collection.mutable.Map[Int, scala.collection.mutable.ArrayBuffer[Long]]()
+    private val stageNames = scala.collection.mutable.Map[Int, String]()
     s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         if (te.taskInfo != null) stageTimes.synchronized {
           stageTimes.getOrElseUpdate(te.stageId,
             scala.collection.mutable.ArrayBuffer[Long]()) += te.taskInfo.duration
         }
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        stageTimes.synchronized {
+          stageNames(sc.stageInfo.stageId) =
+            sc.stageInfo.details.linesIterator.take(1).mkString.take(120)
+        }
     })
-    def clear(): Unit = stageTimes.synchronized(stageTimes.clear())
+    def clear(): Unit = stageTimes.synchronized { stageTimes.clear(); stageNames.clear() }
     def report(label: String): Unit = stageTimes.synchronized {
       val worst = stageTimes.toSeq.map { case (sid, ts) =>
         val srt = ts.toSeq.sorted
         (sid, srt.last, srt(srt.size / 2), srt.size)
-      }.sortBy(-_._2).take(3)
+      }.sortBy(-_._2).take(10)
       worst.foreach { case (sid, mx, med, n) =>
         println(f"[$label] stage=$sid tasks=$n max_ms=$mx med_ms=$med " +
-          f"skew=${mx.toDouble / math.max(1, med)}%.1fx")
+          f"skew=${mx.toDouble / math.max(1, med)}%.1fx  ${stageNames.getOrElse(sid, "")}")
       }
-      stageTimes.clear()
+      stageTimes.clear(); stageNames.clear()
     }
   }
 
@@ -179,12 +186,15 @@ object Dev {
       // stage at sf0.001 (bench protocol).
       import org.apache.spark.sql.functions._
       val s = GraftSession.build("graft-dev")
+      val tracker = new SkewTracker(s)
       def grams(dir: String) = Tables.documents(s, dir).select(col("doc_id").as("id"),
         graft.functions.TextExpressions.charGrams(col("text"), 3).as("toks"))
       def time(nm: String)(f: String => Unit): Unit = {
         f("/root/testdata/sf0.001"); f("/root/testdata/sf0.001")
+        tracker.clear()
         val t0 = System.nanoTime(); f(sfDir)
         println(f"[x02prof] $nm%-12s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        tracker.report(s"x02prof/$nm")
       }
       time("grams") { d => grams(d).write.format("noop").mode("overwrite").save() }
       time("candidates") { d =>
@@ -957,6 +967,92 @@ object Dev {
         f"build_sec=$buildSec%.2f store_sec=$storeSec%.2f " +
         f"direct_sec=$directSec%.2f admit_sec=$admitSec%.2f " +
         f"novel_store_sec=$novelStoreSec%.2f novel_direct_sec=$novelDirectSec%.2f")
+      s.stop()
+      return
+    }
+    if (names == Seq("x02abl")) {
+      // ablation ladder for x02's residual single-task stage
+      import org.apache.spark.sql.functions._
+      val s = GraftSession.build("graft-dev")
+      val tracker = new SkewTracker(s)
+      val grams = Tables.documents(s, sfDir).select(col("doc_id").as("id"),
+        graft.functions.TextExpressions.charGrams(col("text"), 3).as("toks"))
+      val p = graft.functions.MinHashLSH.Params()
+      def t(nm: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+        def run(): Unit = df.write.format("noop").mode("overwrite").save()
+        run(); tracker.clear()
+        val t0 = System.nanoTime(); run()
+        println(f"[x02abl] $nm%-18s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        tracker.report(s"x02abl/$nm")
+      }
+      t("grams") { grams }
+      t("repart") { grams.repartition(32) }
+      t("kernel") { grams.repartition(32).select(col("id"),
+        size(array_distinct(col("toks"))).as("sz"),
+        graft.functions.VectorExpressions.minhashBandKeys(col("toks"), p.numPerm, p.rows).as("bands")) }
+      t("banded") { grams.repartition(32).select(col("id"),
+          size(array_distinct(col("toks"))).as("sz"),
+          graft.functions.VectorExpressions.minhashBandKeys(col("toks"), p.numPerm, p.rows).as("bands"))
+        .select(col("id"), col("sz"), col("bands"),
+          posexplode(col("bands")).as(Seq("band", "sig"))) }
+      t("cand") { graft.functions.MinHashLSH.candidatePairsSized(grams, 0.7, p) }
+      locally {
+        val df = grams.repartition(32).select(col("id"),
+            size(array_distinct(col("toks"))).as("sz"),
+            graft.functions.VectorExpressions.minhashBandKeys(col("toks"), p.numPerm, p.rows).as("bands"))
+          .select(col("id"), col("sz"), col("bands"),
+            posexplode(col("bands")).as(Seq("band", "sig")))
+        df.queryExecution.toRdd.foreachPartition(_ => ())
+        println("=== banded executed ===")
+        println(df.queryExecution.executedPlan.toString)
+      }
+      s.stop()
+      return
+    }
+    if (names.head.startsWith("aqeplan:")) {
+      // Print the FINAL adaptive (executed) plan of a declared query —
+      // explain() shows the initial plan only; AQEShuffleRead coalescing,
+      // runtime join conversions and exchange reuse appear here.
+      val qnames = names.head.stripPrefix("aqeplan:") +: names.tail
+      val s = GraftSession.build("graft-dev")
+      try GraftCatalog.install(s, sfDir)
+      catch { case e: Throwable => System.err.println(s"analyze skipped: ${e.getMessage}") }
+      qnames.foreach { q =>
+        SparkEntry.queries.get(q).foreach { fn =>
+          val df = fn(s, sfDir)
+          df.queryExecution.toRdd.foreachPartition(_ => ())
+          println(s"=== $q (executed) ===")
+          println(df.queryExecution.executedPlan.toString)
+        }
+      }
+      s.stop()
+      return
+    }
+    if (names.head.startsWith("taskprof:")) {
+      // Generic single-task-trap hunter (the r17 x106 find, applied as an
+      // audit): run each named declared query (warm once, time second)
+      // with the SkewTracker and print the 3 heaviest stages' task counts
+      // — any stage with tasks=1 and a dominant max_ms is a parallelism
+      // cap (AQE coalescing a tiny upstream agg under a fat downstream
+      // pipeline), the shape guide §2 says to pin wide explicitly.
+      // Usage: taskprof:q1,q2,...
+      val qnames = names.head.stripPrefix("taskprof:") +: names.tail
+      val s = GraftSession.build("graft-dev")
+      try GraftCatalog.install(s, sfDir)
+      catch { case e: Throwable => System.err.println(s"analyze skipped: ${e.getMessage}") }
+      val tracker = new SkewTracker(s)
+      qnames.foreach { q =>
+        SparkEntry.queries.get(q) match {
+          case None => println(s"[taskprof] unknown query $q")
+          case Some(fn) =>
+            def run(): Unit = fn(s, sfDir).write.format("noop").mode("overwrite").save()
+            run()
+            tracker.clear()
+            val t0 = System.nanoTime(); run()
+            println(f"[taskprof] $q%-24s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+            tracker.report(s"taskprof/$q")
+        }
+      }
       s.stop()
       return
     }

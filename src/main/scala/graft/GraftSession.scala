@@ -47,6 +47,26 @@ object GraftSession {
     * SPARK_GRAFT_EXTRA_CONF. */
   val AdaptiveBroadcastThreshold = "67108864"
 
+  /** Optimizer rules excluded in every graft session (r17, measured).
+    *
+    * `InferFiltersFromGenerate` synthesizes `size(e) > 0 AND isnotnull(e)`
+    * under every explode/posexplode; when `e` is a COMPUTED array —
+    * this engine's signature kernels (`minhash_band_keys(char_grams(text))`,
+    * SRP sketches), not a stored column — predicate pushdown then
+    * substitutes the projection into the inferred filter and pushes it to
+    * the scan, so the kernel evaluates THREE times per row (twice in the
+    * scan's DataFilters, once in the real projection), below every width
+    * pin (x02's executed plan: `Filter size(minhash_band_keys(char_grams(
+    * text))) > 0` in the single-task scan stage — a lone 4–6 s task).
+    * The inference is a pure optimization — `outer=false` explode already
+    * emits nothing for null/empty arrays, so excluding the rule cannot
+    * change any result; it deletes duplicated per-row kernel work at ANY
+    * scale and parallelism (guide §4.4's duplicated-expensive-expression
+    * trap, Catalyst edition). The engine's generators over STORED arrays
+    * (embeddings) lose only a never-selective isnotnull scan filter. */
+  val ExcludedOptimizerRules =
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+
   /** Runtime SQL confs every entry point needs, applicable to an existing
     * session (all of these are runtime-settable SQLConfs). */
   def tune(spark: SparkSession): SparkSession = {
@@ -55,6 +75,7 @@ object GraftSession {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
       AdaptiveBroadcastThreshold)
+    spark.conf.set("spark.sql.optimizer.excludedRules", ExcludedOptimizerRules)
     graft.functions.SeriesFunctions.register(spark)
     spark
   }
@@ -73,6 +94,7 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold",
         AdaptiveBroadcastThreshold)
+      .config("spark.sql.optimizer.excludedRules", ExcludedOptimizerRules)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "127.0.0.1")

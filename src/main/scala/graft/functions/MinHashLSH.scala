@@ -169,7 +169,17 @@ object MinHashLSH {
   def candidatePairs(items: DataFrame, p: Params = Params(),
                      s: Salt = Salt()): DataFrame = {
     val n = items.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val hashed = bandKeys(items, p).repartition(n)
+    // pin BEFORE the kernel (r17): with the pin after it, the whole
+    // signature+banding kernel evaluated inside the scan stage — one task
+    // when the corpus is one small file (see candidatePairsSized). The
+    // kernel is projected WITHOUT bandKeys' isNotNull filter: the filter
+    // is redundant under posexplode (a null array emits no rows), and the
+    // optimizer pushed it through the repartition into the SCAN as a
+    // DataFilter that re-evaluated the whole kernel single-task (guide
+    // §4.4's duplicated-expensive-expression trap, Catalyst edition).
+    val hashed = items.repartition(n)
+      .select(col("id"),
+        VectorExpressions.minhashBandKeys(col("toks"), p.numPerm, p.rows).as("bands"))
     val banded = hashed.select(col("id"), col("bands"),
       posexplode(col("bands")).as(Seq("band", "sig")))
     selfBandJoin(banded, s)
@@ -188,11 +198,27 @@ object MinHashLSH {
   private[graft] def candidatePairsSized(items: DataFrame, threshold: Double,
                                   p: Params, s: Salt = Salt()): DataFrame = {
     val n = items.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val hashed = items.select(col("id"),
+    // The width pin sits BEFORE the signature kernel (r17 — it used to sit
+    // after): a projection below a repartition evaluates MAP-SIDE, so the
+    // whole minhash/banding kernel ran inside the scan stage — ONE task
+    // when the corpus is one small parquet file (taskprof: x02's kernel +
+    // set build was a lone 5.5 s task inside its 7.8 s; every LSH row paid
+    // 0.5–1.5 s the same way). Pinning the raw (id, toks) rows first puts
+    // the kernel in the 32-wide stage with the explode+join it feeds. At
+    // scale both formulations are wide (many input splits); the pin only
+    // moves ~|corpus| narrow rows.
+    // No isNotNull(bands) filter here (r17): it is REDUNDANT under the
+    // posexplode below (a null band array emits zero rows), and the
+    // optimizer pushed it through the repartition into the parquet scan
+    // as a DataFilter that re-evaluated the ENTIRE minhash kernel inside
+    // the single-task scan stage — x02's executed plan carried
+    // `isnotnull(minhash_band_keys(char_grams(text)))` in DataFilters,
+    // a lone 4–6 s task (guide §4.4's duplicated-expensive-expression
+    // trap; taskprof measured it, the re-dump shows the scan clean).
+    val hashed = items.repartition(n)
+      .select(col("id"),
         size(array_distinct(col("toks"))).as("sz"),
         VectorExpressions.minhashBandKeys(col("toks"), p.numPerm, p.rows).as("bands"))
-      .filter(col("bands").isNotNull)
-      .repartition(n)
     val banded = hashed.select(col("id"), col("sz"), col("bands"),
       posexplode(col("bands")).as(Seq("band", "sig")))
     selfBandJoin(banded, s)
@@ -326,7 +352,11 @@ object MinHashLSH {
     * [[candidatePairsSizedGrouped]]) share the verify stage verbatim. */
   private[graft] def verifiedDetailedFrom(items: DataFrame, threshold: Double,
                                           cand: DataFrame): DataFrame = {
-    val sets = tokenSets(items)
+    // same pre-kernel width pin as candidatePairsSized: the sorted-hash
+    // set build is per-doc kernel work that otherwise runs in the scan's
+    // (possibly single) task before feeding the broadcast
+    val n = items.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val sets = tokenSets(items.repartition(n))
     cand
       .join(sets.select(col("id").as("id_a"), col("set").as("set_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("set").as("set_b")), "id_b")
@@ -456,13 +486,24 @@ object MinHashLSH {
   private[graft] def verifiedDictFrom(items: DataFrame, threshold: Double,
                                       cand: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-    val tok = items.select(col("id"), explode(array_distinct(col("toks"))).as("tok"))
+    // pre-explode width pin (r17 taskprof): the token explode + vocab join
+    // + per-doc set aggregation otherwise pipeline inside the single-task
+    // scan stage (1.5 M gram rows in one task on the sf0.1 single file)
+    val n = items.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val tok = items.repartition(n)
+      .select(col("id"), explode(array_distinct(col("toks"))).as("tok"))
     val vocab = tok.select("tok").distinct()
       .withColumn("bkt", pmod(xxhash64(col("tok")), lit(256L)))
       .withColumn("r", row_number().over(
         w.partitionBy("bkt").orderBy("tok")))
       .select(col("tok"), ((col("r") - 1) * 256 + col("bkt")).cast("int").as("tid"))
+    // reduce-side pin: the per-doc set aggregate's own exchange carries
+    // few post-shuffle BYTES (1.5 M (id, tid) int rows), so AQE coalesced
+    // its reduce side — where the collect_list build + per-doc array_sort
+    // CPU lives — to one task; keying the pinned repartition on `id` lets
+    // the groupBy reuse it (guide §2.4, one exchange, never coalesced)
     val sets = tok.join(broadcast(vocab), "tok")
+      .repartition(n, col("id"))
       .groupBy("id").agg(array_sort(collect_list(col("tid"))).as("set"))
     cand
       .join(sets.select(col("id").as("id_a"), col("set").as("set_a")), "id_a")
