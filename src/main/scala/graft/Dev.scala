@@ -409,7 +409,30 @@ object Dev {
           graft.functions.Rounding.dround(col("inter").cast("double")
             / least(col("sz_a"), col("sz_b")).cast("double"), 4).as("containment"))
         .transform(operators.TextOps.pinnedOrder(_, "doc_a", "doc_b"))
+      // SHJ-hinted band self-join, end to end: the broadcast relation at
+      // 2×128 is ~670 MB (640 k rows × ~1 KB band arrays) — every match
+      // is a DRAM miss; a shuffled-hash join builds ~20 MB per-partition
+      // maps instead. r16 only measured the MERGE hint composed (a loss).
+      def candSizedShj(items: org.apache.spark.sql.DataFrame, t0: Double, p: M.Params) = {
+        val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val hashed = items.repartition(n)
+          .select(col("id"), size(array_distinct(col("toks"))).as("sz"),
+            graft.functions.VectorExpressions.minhashBandKeys(col("toks"), p.numPerm, p.rows).as("bands"))
+        val banded = hashed.select(col("id"), col("sz"), col("bands"),
+          posexplode(col("bands")).as(Seq("band", "sig")))
+        banded.as("a").join(banded.hint("shuffle_hash").as("b"),
+            col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.id") < col("b.id"))
+          .filter(least(col("a.sz"), col("b.sz")).cast("double") >=
+                  lit(t0) * greatest(col("a.sz"), col("b.sz")).cast("double") - lit(1.0))
+          .filter(graft.functions.VectorExpressions
+            .firstMatchIndex(col("a.bands"), col("b.bands")) === col("a.band"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+                  col("a.sz").as("sz_a"), col("b.sz").as("sz_b"))
+      }
       t("x93_join (declared)") { operators.TextOps.x93Containment(s, sfDir) }
+      t("x93_shj") { x93tail(M.verifiedDetailedFrom(toks, 0.5,
+        candSizedShj(toks, 0.5, p93))) }
       t("x93_grouped") { x93tail(M.verifiedDetailedFrom(toks, 0.5,
         M.candidatePairsSizedGrouped(toks, 0.5, p93))) }
       t("q53_join (declared)") { operators.TextOps.q53(s, sfDir) }
@@ -418,6 +441,10 @@ object Dev {
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("j")),
         "doc_a", "doc_b") }
       t("x02_join (declared)") { operators.TextOps.x02NgramJaccard(s, sfDir) }
+      t("x02_shj") { operators.TextOps.pinnedOrder(
+        M.verifiedDictFrom(grams, 0.7, candSizedShj(grams, 0.7, M.Params()))
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("j")),
+        "doc_a", "doc_b") }
       t("x02_grouped") { operators.TextOps.pinnedOrder(
         M.verifiedDictFrom(grams, 0.7, M.candidatePairsSizedGrouped(grams, 0.7, M.Params()))
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("j")),
